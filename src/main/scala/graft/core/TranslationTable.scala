@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Two-layer vocabulary translation: local table composed over a global
+  * table, with configurable missing-key policy.
+  *
+  * Mirrors Source.resolve / localtt / globaltt semantics
+  * (dipper/sources/Source.py:718-796): a per-source local table maps raw
+  * input tokens to canonical labels, the global table maps labels to
+  * ontology CURIEs; `resolve(word) = global(local(word))`, where
+  * `mandatory=true` raises on a miss and otherwise the word passes through
+  * (with a warning) or falls back to a default.
+  *
+  * Column-side resolution is `element_at` over map literals (codegen'd,
+  * shipped with the plan — effectively broadcast); no UDF.
+  */
+final case class TranslationTable(local: Map[String, String],
+                                  global: Map[String, String]) {
+
+  def resolve(word: String, mandatory: Boolean = true,
+              default: Option[String] = None): String = {
+    val localized = local.getOrElse(word, word)
+    global.get(localized).orElse(local.get(word)) match {
+      case Some(t) => t
+      case None if mandatory =>
+        throw new NoSuchElementException(s"translation missing for '$word'")
+      case None => default.getOrElse(word)
+    }
+  }
+
+  /** Column form: local→global with passthrough (or default) on miss. */
+  def resolveCol(c: Column, default: Option[String] = None): Column = {
+    val lm = if (local.isEmpty) c else coalesce(element_at(typedLit(local), c), c)
+    val g = element_at(typedLit(global), lm)
+    default match {
+      case Some(d) => coalesce(g, lit(d))
+      case None    => coalesce(g, lm)
+    }
+  }
+}
+
+object TranslationTable {
+  def globalOnly(global: Map[String, String]): TranslationTable =
+    TranslationTable(Map.empty, global)
+}

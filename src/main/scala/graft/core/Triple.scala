@@ -1,0 +1,84 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine's core relation: one RDF triple.
+  *
+  * Mirrors the reference's abstract graph op
+  * `Graph.addTriple(subject, predicate, obj, object_is_literal, literal_type)`
+  * (reference: dipper/graph/Graph.py:23-33). The reference materializes
+  * triples into an in-memory rdflib store with set semantics
+  * (dipper/graph/RDFGraph.py:36-40) or streams N-Triples lines
+  * (dipper/graph/StreamedGraph.py:92-132); here the graph IS a
+  * `Dataset[Triple]` and dedup is an explicit `dropDuplicates` before a sink.
+  *
+  * @param s   subject — CURIE, IRI, or blank node (`_:` prefix)
+  * @param p   predicate — CURIE or IRI
+  * @param o   object — CURIE/IRI/bnode, or the lexical form of a literal
+  * @param lit true when `o` is a literal
+  * @param dt  optional XSD datatype CURIE (e.g. `xsd:integer`); null = plain
+  */
+final case class Triple(s: String, p: String, o: String, lit: Boolean, dt: String)
+
+object Triple {
+  def res(s: String, p: String, o: String): Triple = Triple(s, p, o, lit = false, null)
+  def str(s: String, p: String, o: String): Triple = Triple(s, p, o, lit = true, null)
+  def typed(s: String, p: String, o: String, dt: String): Triple =
+    Triple(s, p, o, lit = true, dt)
+  def int(s: String, p: String, o: Long): Triple =
+    Triple(s, p, o.toString, lit = true, "xsd:integer")
+  def dbl(s: String, p: String, o: Double): Triple =
+    Triple(s, p, o.toString, lit = true, "xsd:double")
+  def bool(s: String, p: String, o: Boolean): Triple =
+    Triple(s, p, o.toString, lit = true, "xsd:boolean")
+}
+
+/** Canonical N-Triples formatting.
+  *
+  * String escaping per the N-Triples grammar; the reference's version is
+  * dipper/graph/StreamedGraph.py:168-180. Provided both as plain Scala
+  * (driver-side, tests) and as codegen-friendly Column expressions built
+  * exclusively from `org.apache.spark.sql.functions` (no UDF in the hot
+  * path — this runs once per triple at 100 TB).
+  */
+object NT {
+
+  def escape(v: String): String = {
+    val sb = new StringBuilder(v.length + 8)
+    v.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Column form of [[escape]] — a chain of literal (non-regex) replaces. */
+  def escapeCol(c: Column): Column = {
+    // Order matters: backslash first.
+    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
+    esc.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Render one term (already-expanded IRI, bnode, or literal) as NT. */
+  def term(o: String, isLit: Boolean, dtIri: String): String =
+    if (!isLit) {
+      if (o.startsWith("_:")) o else s"<$o>"
+    } else if (dtIri == null) "\"" + escape(o) + "\""
+    else "\"" + escape(o) + "\"^^<" + dtIri + ">"
+
+  /** Column form: render (s,p,o,lit,dt) — IRIs pre-expanded — to one NT line. */
+  def lineCol(s: Column, p: Column, o: Column, isLit: Column, dtIri: Column): Column = {
+    val sTerm = when(s.startsWith("_:"), s).otherwise(concat(lit("<"), s, lit(">")))
+    val pTerm = concat(lit("<"), p, lit(">"))
+    val oTerm = when(!isLit,
+        when(o.startsWith("_:"), o).otherwise(concat(lit("<"), o, lit(">"))))
+      .when(dtIri.isNull, concat(lit("\""), escapeCol(o), lit("\"")))
+      .otherwise(concat(lit("\""), escapeCol(o), lit("\"^^<"), dtIri, lit(">")))
+    concat_ws(" ", sTerm, pTerm, oTerm, lit("."))
+  }
+}

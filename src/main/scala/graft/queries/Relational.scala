@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.immutable.ListMap
+
+import graft.Tables
+import graft.core.{CurieMap, Digest, TranslationTable}
+import graft.operators.RangeJoin
+
+/** Relational operator coverage (SURVEY.md §2.3, §2.5–§2.9) over the driver
+  * test corpus. Every query has a DuckDB oracle with identical column
+  * aliases; computed floating-point aggregates are rounded on BOTH sides so
+  * partial-aggregation order can't flip low bits; raw column passthroughs
+  * are never rounded (bit-identical by construction).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // §2.6 aggregation: full-scan group-by with sums/avgs/counts (pricing
+    // summary — the engine's q1 flagship aggregation).
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.3 projection + filters incl. negation filter (`<> 'NOT'` pattern,
+    // HPOAnnotations.py:225-226) and threshold filter (StringDB.py:188-192).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") =!= "F" &&
+                col("o_totalprice") > 400000 &&
+                col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    }),
+
+    // §2.5 multiway join: fact ⋈ fact ⋈ dim ⋈ dim ⋈ dim with explicit
+    // broadcast of the small dimensions (nation/region), agg by nation.
+    "q03_join_region_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             countDistinct("o_orderkey").as("n_orders"))
+    }),
+
+    // §2.5 dimension joins both sides of the fact (STRING protein→gene
+    // pattern, StringDB.py:151-210: probe two endpoints of each row).
+    "q04_join_part_supplier" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+             round(sum("l_quantity"), 2).as("qty"),
+             round(avg("p_retailprice"), 4).as("avg_retail"))
+    }),
+
+    // §2.5 semi join (test-id semijoin filter pattern).
+    "q05_semijoin_exists" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(Tables.customer(s, d).filter(col("c_acctbal") > 9000),
+              col("n_nationkey") === col("c_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+    }),
+
+    // §2.5 anti join (STRING missing-key drop / ZFIN set-difference).
+    "q06_antijoin" -> ((s, d) => {
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+              col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    }),
+
+    // §2.6/§2.7 top-k per group via window (Bgee top-20-per-gene,
+    // Bgee.py:196-200) with a deterministic tie-break.
+    "q07_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    }),
+
+    // §2.6 grouped mean/σ + |z|>2 outlier classification (MPD
+    // strain-abnormality calls, MPD.py:33-37,138,326-594).
+    "q08_zscore_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val st = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      e.join(broadcast(st), "event_type")
+        .filter(abs((col("value") - col("mu")) / col("sigma")) > 2)
+        .select("event_id", "event_type", "value")
+    }),
+
+    // §2.6 group-collect (ZFIN fish→set(affectors), ZFIN.py:577-589) as a
+    // canonical sorted set rendering.
+    "q09_group_collect_set" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_join(array_sort(collect_set(col("l_suppkey").cast("string"))), ",").as("supps"))
+    }),
+
+    // §2.8 set difference (ZFIN extrinsic = affectors − intrinsic).
+    "q10_set_except" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select("l_partkey", "l_suppkey")
+        .except(li.filter(col("l_returnflag") === "A").select("l_partkey", "l_suppkey"))
+    }),
+
+    // §2.8 distinct / dedup (rdflib store set semantics).
+    "q11_distinct_dedup" -> ((s, d) =>
+      Tables.customer(s, d).select("c_mktsegment", "c_nationkey").distinct()),
+
+    // §2.3 pipe-list split + explode (CTD PubMedIDs, CTD.py:464-489).
+    "q12_explode_split" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.3 deterministic digest ids (Source.hash_id; md5 form so the
+    // oracle can reproduce it — sha1 form covered by unit tests).
+    "q13_digest_id" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+                Digest.md5Id(concat(lit("ORDER+"), col("o_orderkey").cast("string"))).as("digest"))
+    }),
+
+    // §2.3 translation-table lookup with default + aspect/branch dispatch
+    // (Source.resolve + HPOA aspect routing).
+    "q14_translation_lookup" -> ((s, d) => {
+      val tt = TranslationTable.globalOnly(Map(
+        "1-URGENT" -> "prio:urgent", "2-HIGH" -> "prio:high"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        tt.resolveCol(col("o_orderpriority"), Some("prio:other")).as("prio_term"),
+        when(col("o_orderstatus") === "F", "closed").otherwise("open").as("state"))
+    }),
+
+    // §2.3 CURIE → IRI expansion (CurieUtil.get_uri) as pure builtins.
+    "q15_curie_expand" -> ((s, d) => {
+      Tables.part(s, d)
+        .withColumn("curie", concat(lit("HP:"), col("p_partkey").cast("string")))
+        .select(col("p_partkey"), col("curie"),
+                CurieMap.default.expandCol(col("curie")).as("iri"))
+    }),
+
+    // §2.5 range join (UDP variant-position ∈ gene-interval) via the
+    // bucketed equi-join operator (no nested-loop cross product).
+    "q16_range_join" -> ((s, d) => {
+      val intervals = Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        (col("s_suppkey") * 20).cast("long").as("lo"),
+        (col("s_suppkey") * 20 + 50).cast("long").as("hi"))
+      RangeJoin.pointInInterval(
+          Tables.lineitem(s, d).select("l_partkey", "l_quantity"),
+          intervals, "l_partkey", "lo", "hi", bucketWidth = 64)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    }),
+
+    // §2.8 union + dedup (graph union, Source.py:228-229).
+    "q17_union_dedup" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_name").as("name"))
+        .union(Tables.supplier(s, d).select(col("s_name").as("name")))
+        .distinct()),
+
+    // §2.8 intersection (configured ∩ available, GeneOntology.py:269).
+    "q18_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))),
+
+    // §2.7 canonical symmetric-pair ordering + self-join co-occurrence
+    // (STRING protein1≥protein2 dedup, StringDB.py:200-208; GWAS
+    // same-locus self-join, GWASCatalog.py:292-298).
+    "q19_canonical_pairs" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_suppkey").as("sa"))
+      val b = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_suppkey").as("sb"))
+      a.join(b, Seq("ok")).filter(col("sa") < col("sb"))
+        .groupBy(least(col("sa"), col("sb")).as("s1"),
+                 greatest(col("sa"), col("sb")).as("s2"))
+        .agg(countDistinct("ok").as("n"))
+    }),
+
+    // §2.3 threshold filter + agg (STRING combined_score > 700).
+    "q20_threshold_filter" -> ((s, d) => {
+      Tables.events(s, d).filter(col("value") > 300)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    }),
+
+    // §2.7 deterministic sorted limit (CLI --limit pushdown).
+    "q21_limit_topn" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+
+    // §2.6 prefix-partonomy min/max extents (UCSCBands parent-band
+    // aggregation, UCSCBands.py:288-544 / Monochrom.make_parent_bands).
+    "q22_band_extents" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").cast("string").as("code"),
+                (col("p_size") * 1000).cast("long").as("s"),
+                (col("p_size") * 1000 + 999).cast("long").as("e"))
+        .select(explode(expr(
+          "transform(sequence(1, length(code) - 1), n -> substring(code, 1, n))")).as("band"),
+          col("s"), col("e"))
+        .groupBy("band")
+        .agg(min("s").as("min_start"), max("e").as("max_end"),
+             count(lit(1)).as("n_children"))
+    }),
+
+    // §2.9 JSON navigation (OMIM/BioThings payloads).
+    "q23_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))),
+
+    // §2.10 event-time tumbling window, batch form (the streaming pipeline
+    // in graft.streaming runs the same agg with a watermark).
+    "q24_window_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    })
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         WHERE o_orderstatus <> 'F' AND o_totalprice > 400000
+           AND o_orderpriority <> '4-NOT SPECIFIED'""",
+    "q03_join_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         JOIN nation ON c_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey
+         WHERE r_name='ASIA' GROUP BY n_name""",
+    "q04_join_part_supplier" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty,
+         round(avg(p_retailprice),4) AS avg_retail
+         FROM lineitem JOIN part ON l_partkey=p_partkey
+         JOIN supplier ON l_suppkey=s_suppkey
+         GROUP BY p_brand""",
+    "q05_semijoin_exists" ->
+      """SELECT n_nationkey, n_name FROM nation n
+         WHERE EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_nationkey=n.n_nationkey AND c.c_acctbal>9000)""",
+    "q06_antijoin" ->
+      """SELECT p_partkey, p_name FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_partkey=p.p_partkey AND l.l_quantity>45)""",
+    "q07_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+                  row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS rn
+           FROM part) t WHERE rn <= 5""",
+    "q08_zscore_outliers" ->
+      """SELECT event_id, event_type, value FROM (
+           SELECT event_id, event_type, value,
+                  (value - avg(value) OVER (PARTITION BY event_type))
+                  / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+           FROM events) t WHERE abs(z) > 2""",
+    "q09_group_collect_set" ->
+      """SELECT l_orderkey,
+         string_agg(DISTINCT l_suppkey::varchar, ',' ORDER BY l_suppkey::varchar) AS supps
+         FROM lineitem GROUP BY l_orderkey""",
+    "q10_set_except" ->
+      """SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='R'
+         EXCEPT
+         SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='A'""",
+    "q11_distinct_dedup" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q12_explode_split" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+         GROUP BY word""",
+    "q13_digest_id" ->
+      """SELECT o_orderkey,
+         'b' || substr(md5('ORDER+' || o_orderkey::varchar), 2, 19) AS digest
+         FROM orders""",
+    "q14_translation_lookup" ->
+      """SELECT o_orderkey,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 'prio:urgent'
+              WHEN '2-HIGH' THEN 'prio:high' ELSE 'prio:other' END AS prio_term,
+         CASE WHEN o_orderstatus='F' THEN 'closed' ELSE 'open' END AS state
+         FROM orders""",
+    "q15_curie_expand" ->
+      """SELECT p_partkey, 'HP:' || p_partkey::varchar AS curie,
+         'http://purl.obolibrary.org/obo/HP_' || p_partkey::varchar AS iri
+         FROM part""",
+    "q16_range_join" ->
+      """SELECT s_suppkey, count(*) AS n, round(sum(l_quantity),2) AS qty
+         FROM (SELECT s_suppkey, s_suppkey*20 AS lo, s_suppkey*20+50 AS hi
+               FROM supplier) i
+         JOIN lineitem l ON l.l_partkey BETWEEN i.lo AND i.hi
+         GROUP BY s_suppkey""",
+    "q17_union_dedup" ->
+      """SELECT c_name AS name FROM customer
+         UNION SELECT s_name AS name FROM supplier""",
+    "q18_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier""",
+    "q19_canonical_pairs" ->
+      """SELECT least(a.l_suppkey, b.l_suppkey) AS s1,
+              greatest(a.l_suppkey, b.l_suppkey) AS s2,
+              count(DISTINCT a.l_orderkey) AS n
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey=b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         GROUP BY 1, 2""",
+    "q20_threshold_filter" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total
+         FROM events WHERE value > 300 GROUP BY event_type""",
+    "q21_limit_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q22_band_extents" ->
+      """WITH codes AS (
+           SELECT p_partkey::varchar AS code, p_size*1000 AS s, p_size*1000+999 AS e
+           FROM part WHERE p_partkey >= 10),
+         pref AS (
+           SELECT substr(code, 1, n) AS band, s, e
+           FROM (SELECT code, s, e,
+                        unnest(generate_series(1, length(code)-1)) AS n
+                 FROM codes) t)
+         SELECT band, min(s) AS min_start, max(e) AS max_end,
+                count(*) AS n_children
+         FROM pref GROUP BY band""",
+    "q23_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
+    "q24_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, count(*) AS n, round(sum(value),2) AS total
+         FROM events GROUP BY 1, 2"""
+  )
+}
