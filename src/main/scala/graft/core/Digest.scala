@@ -47,4 +47,14 @@ object Digest {
 
   def assocIdScala(definedBy: String, parts: String*): String =
     sha1IdScala((definedBy +: parts).mkString("+"))
+
+  /** md5 twin of [[sha1IdScala]] (see [[md5Id]] for why it exists). */
+  def md5IdScala(value: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    "b" + hex.substring(1, 20)
+  }
+
+  def assocIdScalaMd5(definedBy: String, parts: String*): String =
+    md5IdScala((definedBy +: parts).mkString("+"))
 }

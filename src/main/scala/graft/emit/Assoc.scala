@@ -1,0 +1,106 @@
+package graft.emit
+
+import graft.core.{Digest, Triple, Vocab}
+
+/** OBAN-reified association (the reference's Assoc family,
+  * dipper/models/assoc/Association.py:94-163,260-290).
+  *
+  * One association expands to the direct `s p o` triple plus a reified
+  * node carrying subject/predicate/object plus evidence, source,
+  * provenance, score, and date triples. The association id is a
+  * deterministic content digest of `definedBy+sub+pred+obj(+attrs)` —
+  * partition-safe by construction.
+  */
+final case class Association(
+    definedBy: String,
+    sub: String,
+    pred: String,
+    obj: String,
+    evidence: Seq[String] = Nil,
+    sources: Seq[String] = Nil,
+    provenance: Seq[String] = Nil,
+    score: Option[Double] = None,
+    date: Option[String] = None,
+    attributes: Seq[String] = Nil,
+    explicitId: Option[String] = None) {
+
+  def id: String = explicitId.getOrElse(
+    "_:" + Digest.assocIdScala(definedBy, (Seq(sub, pred, obj) ++ attributes): _*))
+
+  def triples: Seq[Triple] = {
+    val a = id
+    Seq(
+      Triple.res(sub, pred, obj),
+      Triple.res(a, Vocab.a, Vocab.association),
+      Triple.res(a, Vocab.assocHasSubject, sub),
+      Triple.res(a, Vocab.assocHasPredicate, pred),
+      Triple.res(a, Vocab.assocHasObject, obj)) ++
+      evidence.map(e => Triple.res(a, Vocab.hasEvidence, e)) ++
+      sources.map(s => Triple.res(a, Vocab.source, s)) ++
+      provenance.map(p => Triple.res(a, "EXP:has_provenance", p)) ++
+      score.toSeq.map(v => Triple.typed(a, "EXP:score", v.toString, "xsd:double")) ++
+      date.toSeq.map(d => Triple.typed(a, "dc:date", d, "xsd:date"))
+  }
+}
+
+object Assoc {
+
+  /** Genotype→phenotype with developmental-stage and environment
+    * qualifiers folded into the digest (assoc/G2PAssoc.py:74-142). */
+  def g2p(definedBy: String, genotype: String, phenotype: String,
+          startStage: Option[String] = None, endStage: Option[String] = None,
+          environment: Option[String] = None,
+          evidence: Seq[String] = Nil, sources: Seq[String] = Nil): Seq[Triple] = {
+    val attrs = startStage.toSeq ++ endStage.toSeq ++ environment.toSeq
+    val base = Association(definedBy, genotype, Vocab.hasPhenotype, phenotype,
+      evidence = evidence, sources = sources, attributes = attrs)
+    val a = base.id
+    base.triples ++
+      startStage.toSeq.map(st => Triple.res(a, "EXP:starts_during", st)) ++
+      endStage.toSeq.map(st => Triple.res(a, "EXP:ends_during", st)) ++
+      environment.toSeq.map(e => Triple.res(a, "EXP:has_environment", e))
+  }
+
+  /** Disease→phenotype with onset + frequency (assoc/D2PAssoc.py:57-105). */
+  def d2p(definedBy: String, disease: String, phenotype: String,
+          onset: Option[String] = None, frequency: Option[String] = None,
+          evidence: Seq[String] = Nil, sources: Seq[String] = Nil): Seq[Triple] = {
+    val attrs = onset.toSeq ++ frequency.toSeq
+    val base = Association(definedBy, disease, Vocab.hasPhenotype, phenotype,
+      evidence = evidence, sources = sources, attributes = attrs)
+    val a = base.id
+    base.triples ++
+      onset.toSeq.map(o => Triple.res(a, "EXP:onset", o)) ++
+      frequency.toSeq.map(f => Triple.str(a, "EXP:frequency", f))
+  }
+
+  /** Gene↔gene homology + family membership
+    * (assoc/OrthologyAssoc.py:12-74). */
+  def orthology(definedBy: String, geneA: String, geneB: String,
+                rel: String = Vocab.inOrthologyRelationshipWith,
+                family: Option[String] = None): Seq[Triple] = {
+    val base = Association(definedBy, geneA, rel, geneB)
+    base.triples ++ family.toSeq.flatMap { fam =>
+      Seq(
+        Triple.res(fam, Vocab.a, "SO:0000854"),
+        Triple.res(fam, Vocab.hasMember, geneA),
+        Triple.res(fam, Vocab.hasMember, geneB))
+    }
+  }
+
+  /** Default `interacts with` (assoc/InteractionAssoc.py:6-15). */
+  def interaction(definedBy: String, a: String, b: String): Seq[Triple] =
+    Association(definedBy, a, Vocab.interactsWith, b).triples
+
+  /** Chemical→disease, therapeutic vs marker dispatch
+    * (assoc/Chem2DiseaseAssoc.py:4-48 + CTD.py:273-311 routing). */
+  def chem2disease(definedBy: String, chem: String, disease: String,
+                   relLabel: String): Seq[Triple] = {
+    val rel = relLabel match {
+      case "therapeutic" => Vocab.substanceThatTreats
+      case "marker/mechanism" | "marker" => Vocab.isMarkerFor
+      case other => other
+    }
+    Association(definedBy, chem, rel, disease).triples
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.Tables
+import graft.core.{CurieMap, Digest, NT, Triple, Vocab}
+import graft.emit.{Association, DatasetMeta, Feature, Model}
+
+/** RDF-pipeline coverage (SURVEY §1, §2.2, §2.4): the reference's
+  * scan → emit(triples) → distinct → sink shape, run over the test corpus
+  * with DuckDB oracles that rebuild the exact triple sets via UNION ALL.
+  *
+  * Digest-minted node ids in these queries use the md5 twin of the
+  * reference's sha1 scheme (DuckDB 1.0 lacks sha1); the sha1 forms are
+  * covered by ScalaTest golden tests.
+  */
+object RdfQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ORTH = Vocab.inOrthologyRelationshipWith // RO:HOM0000017
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // §2.4 Model.addClassToGraph over a dimension: type + label +
+    // subClassOf per nation (classes subsumed by their region class).
+    "r01_class_triples" -> ((s, d) => {
+      import s.implicits._
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .as[(Int, String, Int)]
+        .flatMap { case (nk, name, rk) =>
+          Model.classTriples(s"EX:nation$nk", name, Some(s"EX:region$rk"))
+        }.toDF()
+    }),
+
+    // §2.4 OBAN reification: every order becomes a direct triple plus a
+    // reified association node with source + typed score literal.
+    "r02_assoc_reified" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .as[(Long, Long, Double)]
+        .flatMap { case (ok, ck, tp) =>
+          val sub = s"EX:c$ck"; val pred = "EXP:placed"; val obj = s"EX:o$ok"
+          Association("EX:orders", sub, pred, obj,
+            sources = Seq("EX:orders"), score = Some(tp),
+            explicitId = Some("_:" + Digest.assocIdScalaMd5("EX:orders", sub, pred, obj))
+          ).triples
+        }.toDF()
+    }),
+
+    // §2.2 VoID statistics over the emitted triple relation.
+    "r03_void_stats" -> ((s, d) =>
+      DatasetMeta.voidStats(queries("r02_assoc_reified")(s, d))),
+
+    // §2.2 canonical N-Triples sink projection: CURIE→IRI expansion +
+    // N-Triples escaping/formatting as pure builtin columns.
+    "r04_nt_lines" -> ((s, d) => {
+      val t = queries("r01_class_triples")(s, d)
+      val cm = CurieMap.default
+      val oTerm = when(col("lit"), col("o")).otherwise(cm.expandCol(col("o")))
+      t.select(NT.lineCol(cm.expandCol(col("s")), cm.expandCol(col("p")),
+        oTerm, col("lit"), cm.expandCol(col("dt"))).as("line"))
+    }),
+
+    // §2.4 FALDO feature→region→begin/end pattern with deterministic
+    // digest bnodes (14 triples per feature).
+    "r05_feature_faldo" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d).select("p_partkey", "p_name", "p_size")
+        .as[(Long, String, Int)]
+        .flatMap { case (pk, name, size) =>
+          val start = size * 1000L
+          Feature.featureTriples(s"EX:feat$pk", name, "SO:0000704", "EX:chr1",
+            start, start + 999, if (pk % 2 == 0) "+" else "-", Digest.md5IdScala)
+        }.toDF()
+    }),
+
+    // §2.4 orthology + family membership over same-nation supplier pairs,
+    // with the RDFGraph set-semantics dedup before the sink.
+    "r06_orthology_family" -> ((s, d) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, d)
+      val a = sup.select(col("s_suppkey").as("ka"), col("s_nationkey").as("nk"))
+      val b = sup.select(col("s_suppkey").as("kb"), col("s_nationkey").as("nk"))
+      a.join(b, Seq("nk")).filter(col("ka") < col("kb"))
+        .select("ka", "kb", "nk").as[(Long, Long, Int)]
+        .flatMap { case (sa, sb, nk) =>
+          val gA = s"EX:g$sa"; val gB = s"EX:g$sb"; val fam = s"EX:fam$nk"
+          Association("EX:supplier", gA, ORTH, gB,
+            explicitId = Some("_:" + Digest.assocIdScalaMd5("EX:supplier", gA, ORTH, gB))
+          ).triples ++ Seq(
+            Triple.res(fam, Vocab.a, "SO:0000854"),
+            Triple.res(fam, Vocab.hasMember, gA),
+            Triple.res(fam, Vocab.hasMember, gB))
+        }.toDF().distinct()
+    })
+  )
+
+  private val r02Sql =
+    """WITH base AS (
+         SELECT 'EX:c'||o_custkey::varchar AS sub, 'EXP:placed' AS pred,
+                'EX:o'||o_orderkey::varchar AS obj, o_totalprice AS score
+         FROM orders),
+       w AS (
+         SELECT sub, pred, obj, score,
+                '_:b'||substr(md5('EX:orders+'||sub||'+'||pred||'+'||obj),2,19) AS a
+         FROM base)
+       SELECT sub AS s, pred AS p, obj AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM w
+       UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM w
+       UNION ALL SELECT a, 'OBAN:association_has_subject', sub, false, NULL FROM w
+       UNION ALL SELECT a, 'OBAN:association_has_predicate', pred, false, NULL FROM w
+       UNION ALL SELECT a, 'OBAN:association_has_object', obj, false, NULL FROM w
+       UNION ALL SELECT a, 'dc:source', 'EX:orders', false, NULL FROM w
+       UNION ALL SELECT a, 'EXP:score', score::varchar, true, 'xsd:double' FROM w"""
+
+  val oracles: ListMap[String, String] = ListMap(
+    "r01_class_triples" ->
+      """SELECT 'EX:nation'||n_nationkey::varchar AS s, 'rdf:type' AS p,
+              'owl:Class' AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM nation
+         UNION ALL
+         SELECT 'EX:nation'||n_nationkey::varchar, 'rdfs:label', n_name, true, NULL FROM nation
+         UNION ALL
+         SELECT 'EX:nation'||n_nationkey::varchar, 'rdfs:subClassOf',
+                'EX:region'||n_regionkey::varchar, false, NULL FROM nation""",
+    "r02_assoc_reified" -> r02Sql,
+    "r03_void_stats" ->
+      s"""SELECT count(*) AS triples, count(DISTINCT s) AS distinct_subjects,
+            count(DISTINCT o) AS distinct_objects, count(DISTINCT p) AS properties
+          FROM ($r02Sql) t""",
+    "r04_nt_lines" ->
+      """SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .' AS line FROM nation
+         UNION ALL
+         SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/2000/01/rdf-schema#label> "'||n_name||'" .' FROM nation
+         UNION ALL
+         SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <https://example.org/id/region'||n_regionkey::varchar||'> .' FROM nation""",
+    "r05_feature_faldo" ->
+      """WITH f AS (
+           SELECT 'EX:feat'||p_partkey::varchar AS id, p_name AS label,
+                  (p_size*1000)::bigint AS st, (p_size*1000+999)::bigint AS en,
+                  CASE WHEN p_partkey%2=0 THEN 'faldo:ForwardStrandPosition'
+                       ELSE 'faldo:ReverseStrandPosition' END AS strandt
+           FROM part),
+         g AS (SELECT *, '_:b'||substr(md5('region+'||id||'+'||st::varchar||'+'||en::varchar||'+EX:chr1'),2,19) AS region FROM f),
+         h AS (SELECT *,
+                 '_:b'||substr(md5('pos+'||region||'+begin+'||st::varchar),2,19) AS beginn,
+                 '_:b'||substr(md5('pos+'||region||'+end+'||en::varchar),2,19) AS endn
+               FROM g)
+         SELECT id AS s, 'rdf:type' AS p, 'SO:0000704' AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM h
+         UNION ALL SELECT id, 'rdfs:label', label, true, NULL FROM h
+         UNION ALL SELECT id, 'faldo:location', region, false, NULL FROM h
+         UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false, NULL FROM h
+         UNION ALL SELECT region, 'faldo:begin', beginn, false, NULL FROM h
+         UNION ALL SELECT region, 'faldo:end', endn, false, NULL FROM h
+         UNION ALL SELECT beginn, 'rdf:type', 'faldo:ExactPosition', false, NULL FROM h
+         UNION ALL SELECT beginn, 'rdf:type', strandt, false, NULL FROM h
+         UNION ALL SELECT beginn, 'faldo:position', st::varchar, true, 'xsd:integer' FROM h
+         UNION ALL SELECT beginn, 'faldo:reference', 'EX:chr1', false, NULL FROM h
+         UNION ALL SELECT endn, 'rdf:type', 'faldo:ExactPosition', false, NULL FROM h
+         UNION ALL SELECT endn, 'rdf:type', strandt, false, NULL FROM h
+         UNION ALL SELECT endn, 'faldo:position', en::varchar, true, 'xsd:integer' FROM h
+         UNION ALL SELECT endn, 'faldo:reference', 'EX:chr1', false, NULL FROM h""",
+    "r06_orthology_family" ->
+      """WITH p AS (
+           SELECT a.s_suppkey AS sa, b.s_suppkey AS sb, a.s_nationkey AS nk
+           FROM supplier a JOIN supplier b
+             ON a.s_nationkey=b.s_nationkey AND a.s_suppkey<b.s_suppkey),
+         w AS (SELECT 'EX:g'||sa::varchar AS ga, 'EX:g'||sb::varchar AS gb,
+                      'EX:fam'||nk::varchar AS fam FROM p),
+         x AS (SELECT *, '_:b'||substr(md5('EX:supplier+'||ga||'+RO:HOM0000017+'||gb),2,19) AS aid FROM w)
+         SELECT DISTINCT * FROM (
+           SELECT ga AS s, 'RO:HOM0000017' AS p, gb AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM x
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL FROM x
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', ga, false, NULL FROM x
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', 'RO:HOM0000017', false, NULL FROM x
+           UNION ALL SELECT aid, 'OBAN:association_has_object', gb, false, NULL FROM x
+           UNION ALL SELECT fam, 'rdf:type', 'SO:0000854', false, NULL FROM x
+           UNION ALL SELECT fam, 'RO:0002351', ga, false, NULL FROM x
+           UNION ALL SELECT fam, 'RO:0002351', gb, false, NULL FROM x) t"""
+  )
+}
