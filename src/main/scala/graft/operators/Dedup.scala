@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-data scale.
+  *
+  * Four tiers, cheapest first:
+  *  1. exact — hash-groupBy on a content digest; one shuffle on the hash.
+  *  2. n-gram Jaccard — exact set similarity on word shingles; the
+  *     shingle join is the classic "inverted index" equi-join, feasible
+  *     when shingle frequencies are bounded.
+  *  3. MinHash + LSH banding — near-dup detection whose cost is linear in
+  *     corpus size: signatures in ONE aggregation pass, candidate pairs
+  *     only within equal (band, bandHash) buckets. This is the 100 TB
+  *     path: no O(n²) anywhere; bucket skew is handled by AQE.
+  *  4. SimHash — 64-bit fingerprints; candidate pairs from 16-bit chunk
+  *     equality (any pair within Hamming distance 3 shares ≥1 of 4
+  *     chunks; wider radii use more/narrower chunks), verified by
+  *     popcount of the XOR.
+  *
+  * Embedding-cosine near-dup lives in [[Similarity]].
+  */
+object Dedup {
+
+  /** Exact duplicate groups: digest → (group size, canonical keeper). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
+      .filter(col("n") > 1)
+
+  /** Distinct (id, shingle) exploded relation. */
+  private def shingleRel(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard pairs above `threshold` (id_a < id_b). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRel(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: one aggregation pass computes all `numPerm`
+    * permutation minima (seeded xxhash64 family). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numPerm: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sh = shingleRel(docs, idCol, textCol, shingleN)
+    val mins = (0 until numPerm).map(i =>
+      min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs + signature-estimated Jaccard ≥ `threshold`.
+    * bands × rowsPerBand must equal numPerm. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numPerm: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN)
+    val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
+    val withSig = sigs.select(col("id"), sigArr.as("sig"))
+    val bandHashes = array((0 until bands).map(b =>
+      hash((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)): _*)
+    val buckets = withSig
+      .select(col("id"), col("sig"), posexplode(bandHashes).as(Seq("band", "bh")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / numPerm)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprints from term-frequency-weighted word
+    * hashes — one explode + one aggregation, builtins only. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j"))
+    val agg = terms.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, candidates from 16-bit
+    * chunk-equality banding. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash64(docs, idCol, textCol)
+    val chunks = array((0 until 4).map(c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)
+    val buckets = sigs.select(col("id"), col("simhash"), explode(chunks).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.ci"), col("ch.cv"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Vector math is `zip_with`/`aggregate` over the array in double
+  * precision — strictly sequential left-to-right accumulation, so results
+  * are bit-deterministic and independent of partitioning (and match a
+  * DuckDB oracle computing the same expression).
+  *
+  * Two search paths:
+  *  - brute-force top-k: broadcast the (small) query set against the full
+  *    corpus — exact, O(|corpus|·|queries|·dim), the correctness baseline;
+  *  - LSH-bucketed: deterministic random-hyperplane signatures restrict
+  *    candidates to equal buckets — the 100 TB scale path (corpus-sized
+  *    shuffle on bucket id instead of a cross join).
+  */
+object Similarity {
+
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
+    * `corpus` (ties broken by ascending corpus id — deterministic). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), toDoubleVec(col(vecCol)).as("nv"))
+    val sims = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** All corpus pairs with cosine above `threshold` (embedding-space
+    * near-duplicate detection; id_a < id_b). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic ±1 hyperplanes via SplitMix64 on (plane, dim) — no RNG
+    * state, reproducible across runs/cluster sizes. */
+  private def hyperplane(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { k =>
+      var z = (plane.toLong << 32 | k.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if (z >= 0) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH bucket id (`nbits`-bit signature). */
+  def lshBucket(vec: Column, dim: Int, nbits: Int = 12): Column =
+    (0 until nbits).map { j =>
+      val plane = typedLit(hyperplane(j, dim))
+      when(dot(toDoubleVec(vec), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: candidates restricted to the query's LSH bucket, then
+    * exact cosine top-k within the bucket. Recall < 1 by construction —
+    * this is the documented approximate/scale path next to
+    * [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, nbits: Int = 12): DataFrame = {
+    val bq = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"),
+      lshBucket(col(vecCol), dim, nbits).as("bucket"))
+    val bc = corpus.select(col(idCol).as("nid"), toDoubleVec(col(vecCol)).as("nv"),
+      lshBucket(col(vecCol), dim, nbits).as("bucket"))
+    val sims = bc.join(bq, Seq("bucket")).filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+}

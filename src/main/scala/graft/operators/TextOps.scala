@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID scoring, quality ratios, and
+  * document fingerprinting. All pure builtin Column expressions — fully
+  * whole-stage-codegen'd, no UDFs, so a 100 TB documents scan stays one
+  * map-only stage.
+  */
+object TextOps {
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (default 3) — the unit for Jaccard /
+    * MinHash dedup. Empty array when the document has fewer than n words
+    * (guards Spark's descending `sequence(1,0)` corner). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Occurrence count of tokens from a fixed stopword list. */
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(words(text), x => array_contains(typedLit(stops), x)))
+
+  /** Small per-language stopword banks for the n-gram/stopword language
+    * heuristic (langid over `documents`). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "pour", "que", "dans"))
+
+  /** Whitespace token count (any run of spaces = one separator). */
+  def wsTokenCount(text: Column): Column = size(split(text, " +"))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+
+  /** Canonical whitespace/case normalization (the reference collapses
+    * literal whitespace the same way, RDFGraph.py:110-111). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Winnowing-style minimum shingle hash (stable under reordering of
+    * everything but the minimal window). */
+  def minShingleHash(text: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(text, n), s => md5(s)))
+}

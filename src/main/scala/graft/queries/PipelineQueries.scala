@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data-pipeline operator coverage: deduplication, similarity
+  * search, text analysis, multimodal plumbing — over `documents` and
+  * `embeddings`. Hash/LSH-family queries (d03/d04/s02) use engine hash
+  * functions the oracle can't reproduce → rows-only checks; everything
+  * else has a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def stops(lang: String): Seq[String] =
+    TextOps.stopwords.toMap.apply(lang)
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // Exact dedup: content-digest groupBy, canonical keeper per group.
+    "d01_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index equi-join).
+    "d02_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
+    // MinHash+LSH banding near-dup (the linear-cost scale path).
+    "d03_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        numPerm = 32, bands = 8, threshold = 0.5)),
+
+    // SimHash 64-bit fingerprint near-dup (chunk-banded candidates).
+    "d04_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)),
+
+    // Embedding-cosine near-dup pairs (exact, double-precision).
+    "d05_dedup_embedding" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.95)),
+
+    // Brute-force cosine top-3 for query vectors vec_id < 10 (exact ANN
+    // baseline; broadcast query side).
+    "s01_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+    }),
+
+    // LSH-bucketed ANN (approximate scale path; same query set).
+    "s02_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3, nbits = 8)
+    }),
+
+    // Stopword-bank language ID with deterministic argmax tie-break.
+    "t01_langid" -> ((s, d) => {
+      val t = col("text")
+      val en = TextOps.stopwordCount(t, stops("en"))
+      val es = TextOps.stopwordCount(t, stops("es"))
+      val de = TextOps.stopwordCount(t, stops("de"))
+      val fr = TextOps.stopwordCount(t, stops("fr"))
+      Tables.documents(s, d).select(
+        col("doc_id"), en.as("en_n"), es.as("es_n"), de.as("de_n"), fr.as("fr_n"),
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de").otherwise("fr").as("pred_lang"))
+    }),
+
+    // Quality scoring: length/stopword/uppercase ratios + composite.
+    "t02_quality_score" -> ((s, d) => {
+      val t = col("text")
+      val nWords = size(split(t, " "))
+      val avgWlen = round(length(t).cast("double") / nWords, 4)
+      val stopRatio = round(TextOps.stopwordCount(t, stops("en")).cast("double") / nWords, 4)
+      val upperRatio = round(
+        length(regexp_replace(t, "[^A-Z]", "")).cast("double") / length(t), 4)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.as("n_words"), avgWlen.as("avg_wlen"),
+          stopRatio.as("stop_ratio"), upperRatio.as("upper_ratio"))
+        // 7dp: every component terminates at ≤6 decimals (4dp inputs ×
+        // {0.4, 0.03} effective weights), so 7dp rounding never sits on a
+        // half-boundary where Spark's and DuckDB's rounding could split.
+        .withColumn("quality",
+          round(lit(0.4) * col("stop_ratio")
+            + lit(0.3) * least(col("avg_wlen") / 10.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("upper_ratio")), 7))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    "t03_token_count" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.wsTokenCount(t).as("ws_tokens"),
+        TextOps.bpeTokenCount(t).as("bpe_tokens"))
+    }),
+
+    // Document fingerprinting: normalized-content md5 + min shingle hash.
+    "t04_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.minShingleHash(col("text"), 3).as("min_shingle"))),
+
+    // Multimodal plumbing: binary payload + typed metadata projection
+    // (decode STUB exercised via mapPartitions in the test suite).
+    "m01_multimodal_meta" -> ((s, d) =>
+      Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"), col("meta.mime").as("mime")))
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+    "d02_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id=id_a
+         JOIN sizes sb ON sb.doc_id=id_b
+         WHERE i::double / (sa.sz + sb.sz - i) > 0.8""",
+    "d05_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.95""",
+    "s01_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         sims AS (SELECT qid, e.vec_id AS nid,
+                    list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                  FROM q, embeddings e WHERE e.vec_id != qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "t01_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+             length(list_filter(string_split(text,' '), x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS en_n,
+             length(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','que','y','en','un','una','es','por'], x))) AS es_n,
+             length(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist','von','ein','eine','zu','mit'], x))) AS de_n,
+             length(list_filter(string_split(text,' '), x -> list_contains(['le','la','de','et','un','une','est','pour','que','dans'], x))) AS fr_n
+           FROM documents)
+         SELECT doc_id, en_n, es_n, de_n, fr_n,
+           CASE WHEN en_n >= es_n AND en_n >= de_n AND en_n >= fr_n THEN 'en'
+                WHEN es_n >= de_n AND es_n >= fr_n THEN 'es'
+                WHEN de_n >= fr_n THEN 'de' ELSE 'fr' END AS pred_lang
+         FROM s""",
+    "t02_quality_score" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(string_split(text,' ')) AS n_words,
+             round(length(text)::double / len(string_split(text,' ')), 4) AS avg_wlen,
+             round(length(list_filter(string_split(text,' '), x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::double
+                   / len(string_split(text,' ')), 4) AS stop_ratio,
+             round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::double / length(text), 4) AS upper_ratio
+           FROM documents)
+         SELECT doc_id, n_words, avg_wlen, stop_ratio, upper_ratio,
+                round(0.4*stop_ratio + 0.3*least(avg_wlen/10.0, 1.0)
+                      + 0.3*(1.0 - upper_ratio), 7) AS quality
+         FROM s""",
+    "t03_token_count" ->
+      """SELECT doc_id,
+              len(regexp_split_to_array(text, ' +')) AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+         FROM documents""",
+    "t04_fingerprint" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t)
+         SELECT w.doc_id,
+                md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+                (SELECT min(md5(sh)) FROM sh WHERE sh.doc_id = w.doc_id) AS min_shingle
+         FROM w""",
+    "m01_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              md5(text) AS checksum, 'text/plain' AS mime
+         FROM documents"""
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Digest, Triple, Vocab}
+import graft.emit._
+
+class EmitSpec extends AnyFunSuite {
+
+  test("Model.classTriples golden (addClassToGraph pattern)") {
+    val got = Model.classTriples("HP:1", "Phenotype A", Some("HP:0"), Some("a desc"))
+    assert(got == Seq(
+      Triple.res("HP:1", "rdf:type", "owl:Class"),
+      Triple.str("HP:1", "rdfs:label", "Phenotype A"),
+      Triple.res("HP:1", "rdfs:subClassOf", "HP:0"),
+      Triple.str("HP:1", "dc:description", "a desc")))
+  }
+
+  test("null/empty guards: no triples from absent fields (Model.py:109,121)") {
+    assert(Model.addLabel("X:1", null).isEmpty)
+    assert(Model.addLabel("X:1", "").isEmpty)
+    assert(Model.addTriple(null, "p", "o").isEmpty)
+    assert(Model.classTriples("X:1", null).size == 1) // just the type triple
+  }
+
+  test("deprecation fan-out (term replaced by / consider)") {
+    val got = Model.deprecatedTriples("X:old", Seq("X:new"), Seq("X:c1", "X:c2"))
+    assert(got.head == Triple.bool("X:old", "owl:deprecated", o = true))
+    assert(got.count(_.p == "IAO:0100001") == 1)
+    assert(got.count(_.p == "oboInOwl:consider") == 2)
+  }
+
+  test("OBAN reified association: direct + 4 reification + payload triples") {
+    val a = Association("EX:src", "G:1", "RO:0002200", "P:9",
+      evidence = Seq("ECO:1"), sources = Seq("PMID:7"), score = Some(0.9))
+    val ts = a.triples
+    assert(ts.head == Triple.res("G:1", "RO:0002200", "P:9"))
+    assert(ts.count(_.s == a.id) == ts.size - 1)
+    assert(ts.exists(t => t.p == "OBAN:association_has_subject" && t.o == "G:1"))
+    assert(ts.exists(t => t.p == "OBAN:association_has_object" && t.o == "P:9"))
+    assert(ts.exists(t => t.p == "EXP:score" && t.o == "0.9" && t.dt == "xsd:double"))
+    // id is the reference digest scheme over definedBy+s+p+o
+    assert(a.id == "_:" + Digest.sha1IdScala("EX:src+G:1+RO:0002200+P:9"))
+  }
+
+  test("G2P stage/environment qualifiers change the association id (G2PAssoc digest)") {
+    val plain = Association("S", "g", Vocab.hasPhenotype, "p").id
+    val staged = Assoc.g2p("S", "g", "p", startStage = Some("ST:1"))
+    assert(!staged.exists(_.s == plain), "qualified assoc must not reuse unqualified id")
+    assert(staged.exists(_.p == "EXP:starts_during"))
+  }
+
+  test("zygosity inference (Genotype.py:280-288)") {
+    assert(Genotype.inferZygosity("a1", "a1") == Vocab.homozygous)
+    assert(Genotype.inferZygosity("a1", "a2") == Vocab.heterozygous)
+    assert(Genotype.inferZygosity("a1", "") == Vocab.hemizygous)
+    val ts = Genotype.addPartsToVslc("v", "a1", "a2")
+    assert(ts.count(_.p == Vocab.hasVariantPart) == 2)
+    assert(ts.exists(t => t.p == Vocab.hasZygosity && t.o == Vocab.heterozygous))
+  }
+
+  test("VSLC label synthesis sorts allele labels (make_vslc_label)") {
+    assert(Genotype.makeVslcLabel("b<x>", "a<y>") == "<a<y>/b<x>>")
+    assert(Genotype.makeVslcLabel("a", null) == "<a>")
+    assert(Genotype.makeVslcLabel(null, null) == "")
+  }
+
+  test("FALDO feature pattern: 14 triples, digest bnodes, strand typing") {
+    val ts = Feature.featureTriples("F:1", "feat", "SO:0000704", "chr:1", 100L, 200L, "-")
+    assert(ts.size == 14)
+    val region = ts.find(_.p == Vocab.faldoLocation).get.o
+    assert(region.startsWith("_:b"))
+    assert(ts.count(t => t.p == Vocab.faldoPosition && t.dt == "xsd:integer") == 2)
+    assert(ts.exists(t => t.p == "rdf:type" && t.o == Vocab.faldoMinusStrand))
+    // determinism
+    assert(ts == Feature.featureTriples("F:1", "feat", "SO:0000704", "chr:1", 100L, 200L, "-"))
+  }
+
+  test("subsequence emits the reciprocal pair (GenomicFeature.py:347-374)") {
+    val ts = Feature.subsequenceOf("child", "parent")
+    assert(ts.toSet == Set(
+      Triple.res("child", "RO:0002525", "parent"),
+      Triple.res("parent", "RO:0002524", "child")))
+  }
+
+  test("chrom id/label minting scrubs the chr prefix (GenomicFeature.py:402-434)") {
+    assert(Feature.makeChromId("chr12", "B:GRCh38") == "B:GRCh38#chr12")
+    assert(Feature.makeChromId("12", "B:GRCh38") == "B:GRCh38#chr12")
+    assert(Feature.makeChromLabel("CHRX", "GRCh38") == "chrX (GRCh38)")
+  }
+
+  test("family membership is bidirectional") {
+    assert(Family.hasMember("fam", "m").map(_.p).toSet ==
+      Set(Vocab.hasMember, Vocab.memberOf))
+  }
+
+  test("HCLS dataset metadata: summary/version/distribution levels") {
+    val ts = DatasetMeta.describe("EX:ds", "My DS", "2026-08", "http://x/d.nt", "2026-08-12")
+    assert(ts.exists(t => t.s == "EX:ds/2026-08" && t.p == "dcterms:isVersionOf"))
+    assert(ts.exists(t => t.s == "EX:ds/2026-08.nt" && t.p == "dcat:downloadURL"))
+    assert(DatasetMeta.voidStatTriples("d", 1, 2, 3, 4).map(_.p) ==
+      Seq("void:triples", "void:distinctSubjects", "void:distinctObjects", "void:properties"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed range join ≡ naive theta join") {
+    val points = Seq(1L, 5L, 64L, 65L, 128L, 500L, 1000L).toDF("p")
+    val intervals = Seq((1, 0L, 10L), (2, 60L, 70L), (3, 100L, 600L))
+      .toDF("iv", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 64)
+      .select("iv", "p").as[(Int, Long)].collect().toSet
+    val want = intervals.crossJoin(points)
+      .where(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("iv", "p").as[(Int, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("exact dedup groups: only duplicated digests, canonical keeper") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("n", "keep").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L)))
+  }
+
+  test("minhash LSH finds injected near-duplicates, skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val near = base.replace("far", "quite")
+    val other = "completely different words entirely unrelated content nothing shared here at all whatsoever ok then"
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", numPerm = 32,
+      bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0; pairs verified by popcount") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical docs at 1.0") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 2.0f)), (3L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)))
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), "vec_id",
+      "embedding", 2).select("nid", "rank").as[(Long, Int)].collect().toSet
+    assert(top == Set((3L, 1), (2L, 2)))
+  }
+
+  test("LSH topk is a subset of brute-force candidates with same scoring") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 3)
+    val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 64, 3, nbits = 4)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 2000)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(brute.contains), "LSH scores must agree with exact scores")
+  }
+
+  test("text ops: shingles, token counts, fingerprint stability") {
+    val df = Seq((1L, "a  b c d"), (2L, "A  B c D")).toDF("doc_id", "text")
+    val sh = df.select(TextOps.wordShingles($"text", 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(sh(0).size == 3) // 5 raw tokens ("a","","b","c","d") → 3 shingles
+    val counts = df.select(TextOps.wsTokenCount($"text").as("n"))
+      .as[Int].collect().toSeq
+    assert(counts == Seq(4, 4))
+    val fps = df.select(TextOps.fingerprint($"text").as("f")).as[String].collect()
+    assert(fps(0) == fps(1)) // case+whitespace normalization
+  }
+
+  test("multimodal: payload schema + partition-batched stub decode") {
+    import Multimodal._
+    val docs = Tables.documents(spark, sf).limit(10)
+    val media = withBinaryPayload(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSet == Set("doc_id", "payload", "meta"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val rows = media.select($"doc_id".as("id"), $"payload").as[MediaRow]
+    val feats = extractFeatures(spark, rows, dim = 8).collect()
+    assert(feats.length == 10 && feats.forall(_.features.length == 8))
+    // deterministic stub
+    val again = extractFeatures(spark, rows, dim = 8).collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}
