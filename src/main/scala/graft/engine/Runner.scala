@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.{CurieMap, Triple}
+import graft.emit.{Association, DatasetMeta, Feature, Model}
+import graft.sinks.TripleSinks
+import graft.core.Digest
+
+/** The `dipper-etl.py` equivalent: pick sources, apply limit / test-only
+  * filters, run each source's declarative plan, write NT (+ optional
+  * Turtle), the HCLS/VoID dataset-metadata graph, the test-subset graph,
+  * and the property-axiom post-pass (SURVEY §3.1 lifecycle, steps 2-6;
+  * step 3's network fetch is out of scope in this hermetic build).
+  */
+object Runner {
+
+  final case class RunConfig(
+      sources: Seq[String],
+      outDir: String,
+      limit: Option[Int] = None,
+      testOnly: Boolean = false,
+      writeTurtle: Boolean = false,
+      version: String = "2026-08")
+
+  /** Registered sources (source_to_class_map, dipper-etl.py:20-62). */
+  val registry: Map[String, GraftSource] = Seq(
+    NationClassSource, OrderAssocSource, PartFeatureSource
+  ).map(s => s.name -> s).toMap
+
+  final case class SourceResult(name: String, triples: Long, outPath: String)
+
+  def run(spark: SparkSession, cfg: RunConfig, dataDir: String): Seq[SourceResult] = {
+    val unknown = cfg.sources.filterNot(registry.contains)
+    require(unknown.isEmpty, s"unknown sources: ${unknown.mkString(",")}")
+    cfg.sources.map { name =>
+      val src = registry(name)
+      val inputs0 = src.read(spark, dataDir)
+      // --limit N: pushed into every input scan (Catalyst CollectLimit)
+      val inputs = cfg.limit match {
+        case Some(n) => inputs0.view.mapValues(_.limit(n)).toMap
+        case None => inputs0
+      }
+      var triples = src.transform(spark, inputs)
+      if (cfg.testOnly && src.testIds.nonEmpty)
+        triples = triples.filter(col("s").isin(src.testIds: _*))
+      // graph ∪ dataset-metadata graph ∪ property axioms, then set-dedup
+      val spark2 = spark
+      import spark2.implicits._
+      val meta = DatasetMeta.describe(s"EX:ds/$name", name, cfg.version,
+        s"file://$dataDir", java.time.LocalDate.now.toString).toDF()
+      val full = triples.toDF().union(meta)
+        .union(PropertyAxioms.axiomTriples(triples.toDF()))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+      val out = s"${cfg.outDir}/$name.nt"
+      TripleSinks.writeNt(full, out)
+      if (cfg.writeTurtle) TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl")
+      if (!cfg.testOnly && src.testIds.nonEmpty)
+        TripleSinks.writeTestSubset(full, src.testIds, s"${cfg.outDir}/${name}_test.nt")
+      val n = spark.read.text(out).count()
+      SourceResult(name, n, out)
+    }
+  }
+}
+
+/** Demo ingest: dimension table → class hierarchy (HPOA-wave shape). */
+object NationClassSource extends GraftSource {
+  val name = "nation_classes"
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
+    "nation" -> Tables.nation(spark, dataDir),
+    "region" -> Tables.region(spark, dataDir))
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+    val regions = in("region").select("r_regionkey", "r_name").as[(Int, String)]
+      .flatMap { case (rk, rn) => Model.classTriples(s"EX:region$rk", rn) }
+    val nations = in("nation").select("n_nationkey", "n_name", "n_regionkey")
+      .as[(Int, String, Int)]
+      .flatMap { case (nk, nn, rk) =>
+        Model.classTriples(s"EX:nation$nk", nn, Some(s"EX:region$rk")) }
+    regions.union(nations).toDF()
+  }
+  override def testIds: Seq[String] = Seq("EX:nation0", "EX:region0")
+}
+
+/** Demo ingest: fact table → reified associations (CTD-wave shape). */
+object OrderAssocSource extends GraftSource {
+  val name = "order_assocs"
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] =
+    Map("orders" -> Tables.orders(spark, dataDir))
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+    in("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .as[(Long, Long, Double)]
+      .flatMap { case (ok, ck, tp) =>
+        Association("EX:orders", s"EX:c$ck", "EXP:placed", s"EX:o$ok",
+          sources = Seq("EX:orders"), score = Some(tp)).triples
+      }.toDF()
+  }
+}
+
+/** Demo ingest: FALDO genomic features (UCSCBands-wave shape). */
+object PartFeatureSource extends GraftSource {
+  val name = "part_features"
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] =
+    Map("part" -> Tables.part(spark, dataDir))
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+    in("part").select("p_partkey", "p_name", "p_size").as[(Long, String, Int)]
+      .flatMap { case (pk, nm, size) =>
+        val start = size * 1000L
+        Feature.featureTriples(s"EX:feat$pk", nm, "SO:0000704", "EX:chr1",
+          start, start + 999, if (pk % 2 == 0) "+" else "-")
+      }.toDF()
+  }
+}

@@ -31,13 +31,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
-    * `corpus` (ties broken by ascending corpus id — deterministic). */
+    * `corpus` (ties broken by ascending corpus id — deterministic).
+    * Norms are computed once per row before the join (not once per pair);
+    * `dot/(na·nb)` is arithmetically identical to `cosine(a,b)`. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("nid"), toDoubleVec(col(vecCol)).as("nv"))
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", vec_norm(col("nv")))
     val sims = c.join(broadcast(q), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -45,13 +51,16 @@ object Similarity {
   }
 
   /** All corpus pairs with cosine above `threshold` (embedding-space
-    * near-duplicate detection; id_a < id_b). */
+    * near-duplicate detection; id_a < id_b). Per-row norms precomputed. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("vb"))
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", vec_norm(col("va")))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", vec_norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
@@ -80,12 +89,16 @@ object Similarity {
     * [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int, nbits: Int = 12): DataFrame = {
-    val bq = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"),
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val bq = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), dim, nbits).as("bucket"))
-    val bc = corpus.select(col(idCol).as("nid"), toDoubleVec(col(vecCol)).as("nv"),
+      .withColumn("qn", vec_norm(col("qv")))
+    val bc = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       lshBucket(col(vecCol), dim, nbits).as("bucket"))
+      .withColumn("nn", vec_norm(col("nv")))
     val sims = bc.join(bq, Seq("bucket")).filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

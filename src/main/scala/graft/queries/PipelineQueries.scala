@@ -23,8 +23,13 @@ object PipelineQueries {
   val queries: ListMap[String, Q] = ListMap(
 
     // Exact dedup: content-digest groupBy, canonical keeper per group.
-    "d01_dedup_exact" -> ((s, d) =>
-      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+    // The corpus ∪ a re-ingested shard (doc_id < 50) models the classic
+    // duplicated-delivery scenario; the corpus alone has no exact dups.
+    "d01_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exactGroups(docs.union(docs.filter(col("doc_id") < 50)),
+        "doc_id", "text")
+    }),
 
     // Exact n-gram Jaccard near-dup pairs (inverted-index equi-join).
     "d02_dedup_ngram_jaccard" -> ((s, d) =>
@@ -42,9 +47,12 @@ object PipelineQueries {
         maxHamming = 3)),
 
     // Embedding-cosine near-dup pairs (exact, double-precision).
+    // 0.45 is calibrated to this corpus (max pairwise cosine ≈ 0.51/0.60
+    // at sf0.01/sf0.1 — the synthetic embeddings have no true near-dups,
+    // so a 0.9x threshold would be vacuously empty).
     "d05_dedup_embedding" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.95)),
+        threshold = 0.45)),
 
     // Brute-force cosine top-3 for query vectors vec_id < 10 (exact ANN
     // baseline; broadcast query side).
@@ -122,7 +130,9 @@ object PipelineQueries {
   val oracles: ListMap[String, String] = ListMap(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
-         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+         FROM (SELECT * FROM documents
+               UNION ALL SELECT * FROM documents WHERE doc_id < 50) t
+         GROUP BY md5(text) HAVING count(*) > 1""",
     "d02_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          sh AS (SELECT DISTINCT doc_id,
@@ -144,7 +154,7 @@ object PipelineQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.95""",
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45""",
     "s01_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),

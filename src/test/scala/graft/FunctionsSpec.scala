@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CurieExpressions, Roman}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curie expressions: expand/contract as Columns, codegen path") {
+    val df = Seq("HP:123", "http://purl.obolibrary.org/obo/HP_999",
+      "http://elsewhere/x", "_:b7").toDF("c")
+    val got = df.select(
+      CurieExpressions.curie_expand($"c").as("iri")).as[String].collect().toSeq
+    assert(got(0) == "http://purl.obolibrary.org/obo/HP_123")
+    assert(got(1) == "http://purl.obolibrary.org/obo/HP_999")
+    assert(got(3).contains("/.well-known/genid/b7"))
+    val back = df.select(CurieExpressions.curie_contract(
+      CurieExpressions.curie_expand($"c")).as("c2")).as[String].collect().toSeq
+    assert(back(0) == "HP:123")
+    assert(back(2) == "http://elsewhere/x") // passthrough
+  }
+
+  test("SQL registration via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Seq("HP:5").toDF("c").createOrReplaceTempView("curies")
+    val got = spark.sql(
+      "SELECT curie_contract(curie_expand(c)) AS c FROM curies")
+      .as[String].head()
+    assert(got == "HP:5")
+  }
+
+  test("roman numerals round-trip and reject malformed") {
+    assert(Roman.toRoman(1987) == "MCMLXXXVII")
+    assert(Roman.fromRoman("MCMLXXXVII").contains(1987))
+    assert(Roman.fromRoman("xiv").contains(14))
+    assert(Roman.fromRoman("IIII").isEmpty) // non-canonical
+    assert(Roman.fromRoman("ABC").isEmpty)
+    for (n <- 1 to 1000) assert(Roman.fromRoman(Roman.toRoman(n)).contains(n))
+  }
+}

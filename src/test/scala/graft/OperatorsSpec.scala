@@ -58,6 +58,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("prefix-filtered jaccard ≡ naive inverted-index join on real docs") {
+    val docs = Tables.documents(spark, sf)
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val naive = Dedup.ngramJaccardPairsNaive(docs, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == naive)
+    assert(naive.nonEmpty, "sf0.001 documents should contain near-dups at 0.6")
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 2.0f)), (3L, Seq(2.0f, 0.0f)))
       .toDF("vec_id", "embedding")
