@@ -131,7 +131,9 @@ object Dedup {
     val rows = numPerm / bands
     val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN)
     val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
-    val withSig = sigs.select(col("id"), sigArr.as("sig"))
+    // Checkpoint: the numPerm-aggregate signature subtree would otherwise
+    // be codegen'd three times (band hashing + both self-join sides).
+    val withSig = sigs.select(col("id"), sigArr.as("sig")).localCheckpoint()
     val bandHashes = array((0 until bands).map(b =>
       hash((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)): _*)
     val buckets = withSig
@@ -171,7 +173,9 @@ object Dedup {
     * chunk-equality banding. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash64(docs, idCol, textCol)
+    // Checkpoint for the same reason as minhashPairs: the 64-bit-sum
+    // aggregation subtree feeds both sides of the candidate self-join.
+    val sigs = simhash64(docs, idCol, textCol).localCheckpoint()
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)
