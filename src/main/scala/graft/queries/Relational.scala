@@ -246,6 +246,19 @@ object Relational {
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    }),
+
+    // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
+    // then strains beyond ±2σ of the strain-mean distribution,
+    // MPD.py:326-594): two-level aggregation, broadcast stats join.
+    "q25_mean_of_means" -> ((s, d) => {
+      val um = Tables.events(s, d).groupBy("event_type", "user_id")
+        .agg(avg("value").as("um"))
+      val st = um.groupBy("event_type")
+        .agg(avg("um").as("mu"), stddev_samp("um").as("sigma"))
+      um.join(broadcast(st), "event_type")
+        .filter(abs((col("um") - col("mu")) / col("sigma")) > 2)
+        .select("event_type", "user_id")
     })
   )
 
@@ -366,6 +379,13 @@ object Relational {
     "q24_window_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, count(*) AS n, round(sum(value),2) AS total
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q25_mean_of_means" ->
+      """WITH um AS (SELECT event_type, user_id, avg(value) AS um
+                     FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, avg(um) AS mu, stddev_samp(um) AS sigma
+                FROM um GROUP BY 1)
+         SELECT um.event_type, user_id FROM um JOIN st USING (event_type)
+         WHERE abs((um - mu) / sigma) > 2"""
   )
 }

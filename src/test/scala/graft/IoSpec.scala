@@ -92,6 +92,33 @@ class IoSpec extends SparkSpec {
            text.contains("HP:1 rdfs:label \"x\" ;"))
   }
 
+  test("JSON payload scan + control-char scrub pre-pass") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(s"$dir/payload.json"),
+      "{\"id\": \"OMIM:1\", \"name\": \"x\"}\n{\"id\": \"OMIM:2\", \"name\": \"y\"}\n")
+    val df = graft.sources.JsonSource.read(spark, s"$dir/payload.json")
+    assert(df.count() == 2 && df.columns.toSet == Set("id", "name"))
+
+    Files.write(Paths.get(s"$dir/dirty.txt"),
+      "abc\r\ndef\n".getBytes("UTF-8"))
+    val clean = graft.sources.JsonSource.scrubbedText(spark, s"$dir/dirty.txt")
+      .as[String].collect().toSet
+    assert(clean == Set("abc", "def"))
+  }
+
+  test("dot export renders edges and literal boxes (rdf2dot equivalent)") {
+    val dot = graft.sinks.DotExport.toDot(Seq(
+      Triple.res("a", "p", "b"), Triple.str("a", "label", "L")).toDF())
+    assert(dot.startsWith("digraph"))
+    assert(dot.contains("\"a\" -> \"b\""))
+    assert(dot.contains("shape=box"))
+    intercept[IllegalArgumentException] {
+      graft.sinks.DotExport.toDot(
+        Tables.lineitem(spark, sf).selectExpr("'s' s", "'p' p", "'o' o", "false lit"),
+        maxTriples = 10)
+    }
+  }
+
   test("test-subset sink filters to configured ids (testgraph semantics)") {
     val dir = tmpDir() + "/sub"
     val triples = Seq(
