@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.core.CurieMap
@@ -31,6 +31,28 @@ object EventStream {
   /** File-source stream over a parquet directory. */
   def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(events: Long, total: Double)
+  final case class UserTotals(user_id: Long, events: Long, total: Double)
+
+  /** Custom per-key state via `mapGroupsWithState` — running event count
+    * and value total per user. This is the arbitrary-stateful tier beyond
+    * windowed aggregation (an extension over the reference, which has no
+    * stateful streaming at all — documented per SURVEY §2.10). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.events
+          var t = prev.total
+          batch.foreach { e => n += 1; t += e.value }
+          state.update(UserState(n, t))
+          UserTotals(uid, n, t)
+      }
+  }
 
   /** StreamedGraph-equivalent sink: incremental triple batches land as
     * deduplicated NT files (per-batch dedup; cross-batch dedup is the

@@ -27,6 +27,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("mapGroupsWithState running per-user totals ≡ batch aggregation") {
+    import graft.streaming.EventStream.{UserEvent, UserTotals}
+    val dir = Files.createTempDirectory("graft-state").toString
+    Tables.events(spark, sf).select("user_id", "value").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[UserEvent]
+    val q = EventStream.runningUserTotals(stream).writeStream
+      .outputMode("update").format("memory").queryName("user_totals").start()
+    q.processAllAvailable(); q.stop()
+
+    // single replay batch → final state row per user
+    val streamed = spark.sql(
+      "SELECT user_id, events, round(total, 2) AS total FROM user_totals")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("events"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("value"), 2).as("total"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("StreamedGraph-equivalent: triple batches → deduplicated NT files") {
     val dir = Files.createTempDirectory("graft-stream-nt").toString
     Seq(
