@@ -6,7 +6,7 @@ import scala.collection.immutable.ListMap
 
 import graft.Tables
 import graft.core.{CurieMap, Digest, NT, Triple, Vocab}
-import graft.emit.{Association, DatasetMeta, Feature, Model}
+import graft.emit.{Association, DatasetMeta, Feature, Model, Genotype => GenotypeEmit}
 
 /** RDF-pipeline coverage (SURVEY §1, §2.2, §2.4): the reference's
   * scan → emit(triples) → distinct → sink shape, run over the test corpus
@@ -77,6 +77,32 @@ object RdfQueries {
         }.toDF()
     }),
 
+    // §1.5/§2.4 genotype partonomy assembly (ZFIN/MGI shape): window over
+    // the fact table picks each order's first two parts as "alleles",
+    // the GENO emitters build genotype → VSLC → alleles with zygosity
+    // inference (homo/het by allele equality, hemi on a missing allele).
+    "r07_genotype_partonomy" -> ((s, d) => {
+      import s.implicits._
+      // alleles = (min, max) partkey per order — order-free and thus
+      // deterministic (l_linenumber is NOT unique per order in this
+      // corpus, so any positional pick would be tie-broken arbitrarily);
+      // single-line orders get a2 = null → the hemizygous branch.
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(min("l_partkey").as("a1"),
+             when(count(lit(1)) > 1, max(col("l_partkey"))).as("a2"))
+        .as[(Long, Long, Option[Long])]
+        .flatMap { case (ok, a1, a2) =>
+          val gt = s"EX:gt$ok"
+          val vslc = "_:" + Digest.md5IdScala(s"vslc+$ok")
+          val al1 = s"EX:al$a1"
+          val al2 = a2.map(v => s"EX:al$v").getOrElse("")
+          GenotypeEmit.addGenotype(gt, s"genotype $ok") ++
+            GenotypeEmit.addPartsToVslc(vslc, al1, al2) ++
+            GenotypeEmit.addVslcToParent(vslc, gt)
+        }.toDF()
+    }),
+
     // §2.4 orthology + family membership over same-nation supplier pairs,
     // with the RDFGraph set-semantics dedup before the sink.
     "r06_orthology_family" -> ((s, d) => {
@@ -125,6 +151,28 @@ object RdfQueries {
          SELECT 'EX:nation'||n_nationkey::varchar, 'rdfs:subClassOf',
                 'EX:region'||n_regionkey::varchar, false, NULL FROM nation""",
     "r02_assoc_reified" -> r02Sql,
+    "r07_genotype_partonomy" ->
+      """WITH f AS (
+           SELECT l_orderkey AS ok, min(l_partkey) AS a1,
+                  CASE WHEN count(*) > 1 THEN max(l_partkey) END AS a2
+           FROM lineitem GROUP BY 1),
+         g AS (
+           SELECT ok, 'EX:gt'||ok::varchar AS gt,
+                  '_:b'||substr(md5('vslc+'||ok::varchar),2,19) AS vslc,
+                  'EX:al'||a1::varchar AS al1,
+                  CASE WHEN a2 IS NULL THEN NULL ELSE 'EX:al'||a2::varchar END AS al2
+           FROM f)
+         SELECT gt AS s, 'rdf:type' AS p, 'GENO:0000536' AS o, false AS lit,
+                CAST(NULL AS VARCHAR) AS dt FROM g
+         UNION ALL SELECT gt, 'rdfs:label', 'genotype '||ok::varchar, true, NULL FROM g
+         UNION ALL SELECT vslc, 'rdf:type', 'GENO:0000030', false, NULL FROM g
+         UNION ALL SELECT vslc, 'GENO:0000382', al1, false, NULL FROM g
+         UNION ALL SELECT vslc, 'GENO:0000382', al2, false, NULL FROM g WHERE al2 IS NOT NULL
+         UNION ALL SELECT vslc, 'GENO:0000608',
+           CASE WHEN al2 IS NULL THEN 'GENO:0000606'
+                WHEN al1 = al2 THEN 'GENO:0000136'
+                ELSE 'GENO:0000135' END, false, NULL FROM g
+         UNION ALL SELECT gt, 'GENO:0000382', vslc, false, NULL FROM g""",
     "r03_void_stats" ->
       s"""SELECT count(*) AS triples, count(DISTINCT s) AS distinct_subjects,
             count(DISTINCT o) AS distinct_objects, count(DISTINCT p) AS properties

@@ -90,6 +90,26 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.forall(brute.contains), "LSH scores must agree with exact scores")
   }
 
+  test("salted aggregation and join ≡ unsalted on skewed data") {
+    // 90% of rows share one hot key
+    val skewed = spark.range(10000)
+      .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+        "CAST(id AS DOUBLE) AS v")
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().toSet
+    val salted = Salt.saltedSumCount(skewed, Seq("k"), "v", buckets = 8)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(salted == direct)
+
+    val dim = spark.range(20).selectExpr("id AS k", "concat('n', id) AS name")
+    val j1 = skewed.join(dim, "k").agg(count(lit(1)), sum("v"))
+      .as[(Long, Double)].head()
+    val j2 = Salt.saltedJoin(skewed, dim, "k", buckets = 8)
+      .agg(count(lit(1)), sum("v")).as[(Long, Double)].head()
+    assert(j1 == j2)
+  }
+
   test("text ops: shingles, token counts, fingerprint stability") {
     val df = Seq((1L, "a  b c d"), (2L, "A  B c D")).toDF("doc_id", "text")
     val sh = df.select(TextOps.wordShingles($"text", 3).as("sh"))
