@@ -37,17 +37,17 @@ object RdfQueries {
 
     // §2.4 OBAN reification: every order becomes a direct triple plus a
     // reified association node with source + typed score literal.
+    // Column-native emission (ColumnEmit) — whole pattern stays in
+    // whole-stage codegen; set-equality with the flatMap Association
+    // emitter is covered by EmitColumnSpec.
     "r02_assoc_reified" -> ((s, d) => {
-      import s.implicits._
-      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-        .as[(Long, Long, Double)]
-        .flatMap { case (ok, ck, tp) =>
-          val sub = s"EX:c$ck"; val pred = "EXP:placed"; val obj = s"EX:o$ok"
-          Association("EX:orders", sub, pred, obj,
-            sources = Seq("EX:orders"), score = Some(tp),
-            explicitId = Some("_:" + Digest.assocIdScalaMd5("EX:orders", sub, pred, obj))
-          ).triples
-        }.toDF()
+      val base = Tables.orders(s, d).select(
+        concat(lit("EX:c"), col("o_custkey").cast("string")).as("sub"),
+        concat(lit("EX:o"), col("o_orderkey").cast("string")).as("obj"),
+        col("o_totalprice").as("score"))
+      graft.emit.ColumnEmit.assocReified(base, "EX:orders",
+        col("sub"), lit("EXP:placed"), col("obj"),
+        source = Some("EX:orders"), score = Some(col("score")))
     }),
 
     // §2.2 VoID statistics over the emitted triple relation.
