@@ -248,6 +248,19 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
     }),
 
+    // §2.5 inner-join-with-missing-count (STRING p2gene probe: rows whose
+    // key misses the mapping are dropped AND counted, StringDB.py:194-210)
+    // over a multi-column key (UDP rsID join shape, (chrom,pos,alleles)).
+    "q26_missing_key_count" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val dim = li.filter(col("l_quantity") > 40)
+        .select("l_partkey", "l_suppkey").distinct()
+      val matched = li.join(dim, Seq("l_partkey", "l_suppkey"))
+      val missing = li.join(dim, Seq("l_partkey", "l_suppkey"), "left_anti")
+      matched.agg(count(lit(1)).as("matched"))
+        .crossJoin(missing.agg(count(lit(1)).as("missing")))
+    }),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -380,6 +393,15 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, count(*) AS n, round(sum(value),2) AS total
          FROM events GROUP BY 1, 2""",
+    "q26_missing_key_count" ->
+      """WITH dim AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                      WHERE l_quantity > 40)
+         SELECT
+           (SELECT count(*) FROM lineitem l JOIN dim
+              ON l.l_partkey=dim.l_partkey AND l.l_suppkey=dim.l_suppkey) AS matched,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM dim
+               WHERE l.l_partkey=dim.l_partkey AND l.l_suppkey=dim.l_suppkey)) AS missing""",
     "q25_mean_of_means" ->
       """WITH um AS (SELECT event_type, user_id, avg(value) AS um
                      FROM events GROUP BY 1, 2),

@@ -35,6 +35,22 @@ object TripleSinks {
     out.write.mode(SaveMode.Overwrite).text(path)
   }
 
+  /** NT partitioned by subject namespace prefix (the "partition by
+    * source/taxon" posture, SURVEY §7): downstream consumers prune whole
+    * directories (`prefix=HP/...`) instead of scanning the full graph,
+    * and per-prefix files parallelize the downstream sort-unify step. */
+  def writeNtPartitioned(triples: DataFrame, path: String,
+                         cm: CurieMap = CurieMap.default): Unit = {
+    val deduped = triples.dropDuplicates("s", "p", "o", "lit", "dt")
+    val oTerm = when(col("lit"), col("o")).otherwise(cm.expandCol(col("o")))
+    val lines = deduped.select(
+      NT.lineCol(cm.expandCol(col("s")), cm.expandCol(col("p")),
+        oTerm, col("lit"), cm.expandCol(col("dt"))).as("value"),
+      when(col("s").startsWith("_:"), lit("bnode"))
+        .otherwise(regexp_extract(col("s"), "^([A-Za-z0-9]+):", 1)).as("prefix"))
+    lines.write.mode(SaveMode.Overwrite).partitionBy("prefix").text(path)
+  }
+
   /** Best-effort Turtle: repartition by subject so each subject's triples
     * land in one partition, sort within partitions, assemble blocks with
     * `mapPartitions` (no driver collect — scales with data). Prefix

@@ -79,6 +79,20 @@ class IoSpec extends SparkSpec {
     assert(lines.exists(_.contains("\"say \\\"hi\\\"\\n\"")))
   }
 
+  test("partitioned NT sink: prefix directories, prunable") {
+    val dir = tmpDir() + "/ntp"
+    val triples = Seq(
+      Triple.res("HP:1", "rdf:type", "owl:Class"),
+      Triple.res("MP:2", "rdf:type", "owl:Class"),
+      Triple.res("_:b9", "rdf:type", "owl:Class")).toDF()
+    TripleSinks.writeNtPartitioned(triples, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("prefix=HP", "prefix=MP", "prefix=bnode"))
+    // directory pruning: reading one partition sees only its triples
+    assert(spark.read.text(s"$dir/prefix=HP").count() == 1)
+  }
+
   test("Turtle sink: prefix header + subject grouping") {
     val dir = tmpDir() + "/ttl"
     val triples = Seq(
