@@ -56,7 +56,10 @@ final case class CurieMap(prefixes: Map[String, String]) {
     val pfx = substring_index(c, ":", 1)
     val localPart = regexp_replace(c, "^[^:]*:", "")
     when(c.isNull, lit(null))
-      .when(c.startsWith("_:"), concat(lit(skolemBase), substring(c, 3, Int.MaxValue)))
+      // reference routes ANY leading '_' to a bnode, stripping '_:' or '_'
+      // (RDFGraph.py:162-166)
+      .when(c.startsWith("_"),
+        concat(lit(skolemBase), regexp_replace(c, "^_:?", "")))
       .when(c.startsWith("http://") || c.startsWith("https://") ||
             c.startsWith("ftp://") || c.startsWith("jdbc:"), c)
       .otherwise(coalesce(concat(element_at(m, pfx), localPart), c))

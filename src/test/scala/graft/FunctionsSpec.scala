@@ -30,6 +30,15 @@ class FunctionsSpec extends SparkSpec {
     assert(got == "HP:5")
   }
 
+  test("column expansion matches Scala expansion on all routing branches") {
+    import graft.core.CurieMap
+    val cases = Seq("HP:123", "HP:1:2", "_:b1", "_b2", "_", "_:",
+      "http://x/y", "ftp://f/z", "jdbc:pg://h/db", "unknown:q", "noColon")
+    val got = cases.toDF("c")
+      .select(CurieMap.default.expandCol($"c").as("e")).as[String].collect().toSeq
+    assert(got == cases.map(CurieMap.default.expand))
+  }
+
   test("roman numerals round-trip and reject malformed") {
     assert(Roman.toRoman(1987) == "MCMLXXXVII")
     assert(Roman.fromRoman("MCMLXXXVII").contains(1987))
