@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of whole-stage-codegen'd queries in one JVM overflow the
+  // default 240m JIT code cache; once full, compilation stops and hot
+  // stages run interpreted (observed 7s -> 46s on late bench queries)
+  "-XX:ReservedCodeCacheSize=1g",
 )

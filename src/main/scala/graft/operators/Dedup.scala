@@ -113,12 +113,16 @@ object Dedup {
   }
 
   /** MinHash signatures: one aggregation pass computes all `numPerm`
-    * permutation minima (seeded xxhash64 family). */
+    * permutation minima. The permutation family is `xxhash64(shingle, i)`
+    * (multi-column hash — the permutation index is hashed as a second
+    * column), NOT `xxhash64(concat(shingle, "#i"))`: the concat form
+    * allocates numPerm strings per shingle row (an 8M+ allocation storm
+    * per pass at sf0.1 that degrades badly under heap pressure). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numPerm: Int = 32, shingleN: Int = 3): DataFrame = {
     val sh = shingleRel(docs, idCol, textCol, shingleN)
     val mins = (0 until numPerm).map(i =>
-      min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"h$i"))
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 

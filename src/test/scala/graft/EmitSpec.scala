@@ -94,6 +94,48 @@ class EmitSpec extends AnyFunSuite {
       Set(Vocab.hasMember, Vocab.memberOf))
   }
 
+  test("evidence chain + measurement fan-out (Evidence.py patterns)") {
+    val chain = Evidence.hasEvidenceLine("_:a1", "_:line1", "ECO:0000006") ++
+      Evidence.hasSupportingEvidence("_:line1", "_:item1") ++
+      Evidence.supportingPublication("_:item1", "PMID:123")
+    assert(chain.map(_.p).toSet == Set("SEPIO:0000002", "rdf:type",
+      "SEPIO:0000110", "dc:source"))
+    // measurement dict fan-out: one typed literal per measure, sorted
+    val data = Evidence.supportingData("_:item1",
+      Map("EXP:pvalue" -> 0.03, "EXP:effect" -> 1.5))
+    assert(data.map(_.p) == Seq("EXP:effect", "EXP:pvalue"))
+    assert(data.forall(t => t.lit && t.dt == "xsd:double"))
+  }
+
+  test("provenance assertion/agent/assay triples") {
+    val ts = Provenance.assertion("_:as1", "EX:agent1", "computed") ++
+      Provenance.agent("EX:agent1", "pipeline v1") ++
+      Provenance.assay("EX:assay1", "grip strength", "measures grip")
+    assert(ts.exists(t => t.s == "_:as1" && t.p == "SEPIO:0000017" && t.o == "EX:agent1"))
+    assert(ts.exists(t => t.s == "EX:agent1" && t.p == "rdfs:label"))
+    assert(ts.exists(t => t.s == "EX:assay1" && t.o == "OBI:0000070"))
+  }
+
+  test("reference/pathway/environment emitters") {
+    val ref = Reference.triples("PMID:9", title = "A paper", pages = "1-5")
+    assert(ref.exists(t => t.p == "rdfs:label" && t.o == "A paper"))
+    assert(ref.exists(t => t.p == "EXP:pages" && t.o == "1-5"))
+
+    val pw = Pathway.pathwayTriples("KEGG:hsa00010", "Glycolysis") ++
+      Pathway.addGeneToPathway("NCBIGene:7", "KEGG:hsa00010")
+    val product = pw.find(_.p == "RO:0002204").get.s
+    assert(product.startsWith("_:b"))
+    assert(pw.exists(t => t.s == product && t.p == Vocab.involvedIn))
+    // digest bnode deterministic
+    assert(Pathway.addGeneToPathway("NCBIGene:7", "KEGG:hsa00010") ==
+      Pathway.addGeneToPathway("NCBIGene:7", "KEGG:hsa00010"))
+
+    val env = Environment.environment("ENVO:1", "lab") ++
+      Environment.condition("XCO:1", "high fat diet") ++
+      Environment.hasPart("ENVO:1", "XCO:1")
+    assert(env.exists(t => t.p == Vocab.hasPart && t.o == "XCO:1"))
+  }
+
   test("HCLS dataset metadata: summary/version/distribution levels") {
     val ts = DatasetMeta.describe("EX:ds", "My DS", "2026-08", "http://x/d.nt", "2026-08-12")
     assert(ts.exists(t => t.s == "EX:ds/2026-08" && t.p == "dcterms:isVersionOf"))
