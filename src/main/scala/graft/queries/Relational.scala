@@ -7,7 +7,7 @@ import scala.collection.immutable.ListMap
 
 import graft.Tables
 import graft.core.{CurieMap, Digest, TranslationTable}
-import graft.operators.RangeJoin
+import graft.operators.{RangeJoin, Salt}
 
 /** Relational operator coverage (SURVEY.md §2.3, §2.5–§2.9) over the driver
   * test corpus. Every query has a DuckDB oracle with identical column
@@ -261,6 +261,16 @@ object Relational {
         .crossJoin(missing.agg(count(lit(1)).as("missing")))
     }),
 
+    // Skew-salted two-phase aggregation — identical results to a plain
+    // groupBy (proved here against the unsalted oracle), robust to hot
+    // keys at cluster scale. Sum rounded post-hoc on both sides.
+    "q27_salted_agg" -> ((s, d) => {
+      Salt.saltedSumCount(
+          Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice"),
+          Seq("l_suppkey"), "l_extendedprice", buckets = 16)
+        .select(col("l_suppkey"), round(col("total"), 2).as("total"), col("n"))
+    }),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -402,6 +412,10 @@ object Relational {
            (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
               (SELECT 1 FROM dim
                WHERE l.l_partkey=dim.l_partkey AND l.l_suppkey=dim.l_suppkey)) AS missing""",
+    "q27_salted_agg" ->
+      """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total,
+              count(*) AS n
+         FROM lineitem GROUP BY l_suppkey""",
     "q25_mean_of_means" ->
       """WITH um AS (SELECT event_type, user_id, avg(value) AS um
                      FROM events GROUP BY 1, 2),
