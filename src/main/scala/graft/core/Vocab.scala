@@ -97,6 +97,15 @@ object Vocab {
   val faldoPlusStrand = "faldo:ForwardStrandPosition"
   val faldoMinusStrand = "faldo:ReverseStrandPosition"
 
+  // Association qualifiers (G2P stage/environment, D2P onset/frequency —
+  // the reference's two most-used association decorations)
+  val hasQualifier = "GENO:0000580"
+  val developmentalProcess = "GO:0032502"
+  val startsDuring = "RO:0002091"
+  val endsDuring = "RO:0002093"
+  val onset = "EXP:onset"
+  val frequency = "EXP:frequency"
+
   // Evidence / provenance
   val hasEvidence = "RO:0002558"
   val hasEvidenceLine = "SEPIO:0000002"

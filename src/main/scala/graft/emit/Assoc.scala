@@ -46,32 +46,62 @@ final case class Association(
 object Assoc {
 
   /** Genotype→phenotype with developmental-stage and environment
-    * qualifiers folded into the digest (assoc/G2PAssoc.py:74-142). */
+    * qualifiers (assoc/G2PAssoc.py:74-150).
+    *
+    * Faithful to the reference's full fan-out: when either stage bound is
+    * set, a stage-process bnode is minted from the digest of
+    * "start-end" (absent bound → "None", G2PAssoc.py:95-99), typed as a
+    * developmental process, labeled, linked to its bounds via
+    * starts/ends-during, and attached to the association with
+    * has_qualifier; an environment attaches with has_qualifier directly
+    * (py:113-120). The association digest folds the qualifiers in
+    * [environment, start, end] order (make_g2p_id, py:140-146).
+    *
+    * `digest` defaults to the reference's sha1 scheme; pass
+    * [[graft.core.Digest.md5IdScala]] where a DuckDB oracle must
+    * reproduce the ids. */
   def g2p(definedBy: String, genotype: String, phenotype: String,
           startStage: Option[String] = None, endStage: Option[String] = None,
           environment: Option[String] = None,
-          evidence: Seq[String] = Nil, sources: Seq[String] = Nil): Seq[Triple] = {
-    val attrs = startStage.toSeq ++ endStage.toSeq ++ environment.toSeq
+          evidence: Seq[String] = Nil, sources: Seq[String] = Nil,
+          digest: String => String = Digest.sha1IdScala): Seq[Triple] = {
+    val attrs = environment.toSeq ++ startStage.toSeq ++ endStage.toSeq
+    val a = "_:" + digest(
+      (Seq(definedBy, genotype, Vocab.hasPhenotype, phenotype) ++ attrs).mkString("+"))
     val base = Association(definedBy, genotype, Vocab.hasPhenotype, phenotype,
-      evidence = evidence, sources = sources, attributes = attrs)
-    val a = base.id
-    base.triples ++
-      startStage.toSeq.map(st => Triple.res(a, "EXP:starts_during", st)) ++
-      endStage.toSeq.map(st => Triple.res(a, "EXP:ends_during", st)) ++
-      environment.toSeq.map(e => Triple.res(a, "EXP:has_environment", e))
+      evidence = evidence, sources = sources, explicitId = Some(a))
+    val stage =
+      if (startStage.isDefined || endStage.isDefined) {
+        // str(None) → "None" mirrors the reference's '-'.join((str(a),str(b)))
+        val label = s"${startStage.getOrElse("None")}-${endStage.getOrElse("None")}"
+        val sid = "_:" + digest(label)
+        Seq(
+          Triple.res(sid, Vocab.a, Vocab.developmentalProcess),
+          Triple.str(sid, Vocab.label, label)) ++
+          startStage.toSeq.map(st => Triple.res(sid, Vocab.startsDuring, st)) ++
+          endStage.toSeq.map(st => Triple.res(sid, Vocab.endsDuring, st)) ++
+          Seq(Triple.res(a, Vocab.hasQualifier, sid))
+      } else Nil
+    base.triples ++ stage ++
+      environment.toSeq.map(e => Triple.res(a, Vocab.hasQualifier, e))
   }
 
-  /** Disease→phenotype with onset + frequency (assoc/D2PAssoc.py:57-105). */
+  /** Disease→phenotype with onset + frequency (assoc/D2PAssoc.py:57-105;
+    * digest folds [onset, frequency] — make_d2p_id, py:90-105). Onset is a
+    * resource (stage/age term); frequency is a literal (the reference
+    * passes free text like "12/45" through addTriple's literal path). */
   def d2p(definedBy: String, disease: String, phenotype: String,
           onset: Option[String] = None, frequency: Option[String] = None,
-          evidence: Seq[String] = Nil, sources: Seq[String] = Nil): Seq[Triple] = {
+          evidence: Seq[String] = Nil, sources: Seq[String] = Nil,
+          digest: String => String = Digest.sha1IdScala): Seq[Triple] = {
     val attrs = onset.toSeq ++ frequency.toSeq
+    val a = "_:" + digest(
+      (Seq(definedBy, disease, Vocab.hasPhenotype, phenotype) ++ attrs).mkString("+"))
     val base = Association(definedBy, disease, Vocab.hasPhenotype, phenotype,
-      evidence = evidence, sources = sources, attributes = attrs)
-    val a = base.id
+      evidence = evidence, sources = sources, explicitId = Some(a))
     base.triples ++
-      onset.toSeq.map(o => Triple.res(a, "EXP:onset", o)) ++
-      frequency.toSeq.map(f => Triple.str(a, "EXP:frequency", f))
+      onset.toSeq.map(o => Triple.res(a, Vocab.onset, o)) ++
+      frequency.toSeq.map(f => Triple.str(a, Vocab.frequency, f))
   }
 
   /** Gene↔gene homology + family membership

@@ -34,6 +34,14 @@ object ColumnEmit {
   def emit(df: DataFrame, triples: Column*): DataFrame =
     df.select(explode(array(triples: _*)).as("t")).select("t.*")
 
+  /** Like [[emit]] for patterns with row-conditional triples: a struct
+    * whose subject or object is null (an absent qualifier) is dropped
+    * inside the codegen'd `filter(array(...))` — no extra stage, no UDF. */
+  def emitFiltered(df: DataFrame, triples: Column*): DataFrame =
+    df.select(explode(filter(array(triples: _*),
+        t => t.getField("s").isNotNull && t.getField("o").isNotNull)).as("t"))
+      .select("t.*")
+
   /** OBAN reified association pattern (column twin of [[Association]]
     * with an md5 digest id — same triples as the flatMap form). */
   def assocReified(df: DataFrame, definedBy: String,
@@ -51,6 +59,60 @@ object ColumnEmit {
       source.map(s => res(aid, lit(Vocab.source), lit(s))) ++
       score.map(v => typed(aid, lit("EXP:score"), v.cast("string"), "xsd:double"))
     emit(df, base: _*)
+  }
+
+  /** Column twin of [[Assoc.g2p]] (reference G2PAssoc.py:74-150): OBAN
+    * base + stage-process bnode ("start-end" digest, developmental-process
+    * type, label, starts/ends-during) + has_qualifier links, with the
+    * [environment, start, end] digest attribute order of make_g2p_id.
+    * Optional qualifier columns are per-ROW optional (null → triple
+    * dropped by [[emitFiltered]]) — this is what makes the pattern usable
+    * on a real ingest where only some rows carry stage/environment. */
+  def g2pAssoc(df: DataFrame, definedBy: String,
+               genotype: Column, phenotype: Column,
+               startStage: Column, endStage: Column,
+               environment: Column): DataFrame = {
+    val pred = lit(Vocab.hasPhenotype)
+    val aid = concat(lit("_:"), Digest.md5Id(concat_ws("+",
+      lit(definedBy), genotype, pred, phenotype,
+      environment, startStage, endStage)))
+    val hasStage = startStage.isNotNull || endStage.isNotNull
+    // str(None) → "None" mirrors the reference's '-'.join((str(a),str(b)))
+    val stageLabel = when(hasStage, concat(
+      coalesce(startStage, lit("None")), lit("-"),
+      coalesce(endStage, lit("None"))))
+    val sid = when(hasStage, concat(lit("_:"), Digest.md5Id(stageLabel)))
+    emitFiltered(df,
+      res(genotype, pred, phenotype),
+      res(aid, lit(Vocab.a), lit(Vocab.association)),
+      res(aid, lit(Vocab.assocHasSubject), genotype),
+      res(aid, lit(Vocab.assocHasPredicate), pred),
+      res(aid, lit(Vocab.assocHasObject), phenotype),
+      res(sid, lit(Vocab.a), lit(Vocab.developmentalProcess)),
+      str(sid, lit(Vocab.label), stageLabel),
+      res(sid, lit(Vocab.startsDuring), startStage),
+      res(sid, lit(Vocab.endsDuring), endStage),
+      res(aid, lit(Vocab.hasQualifier), sid),
+      res(aid, lit(Vocab.hasQualifier), environment))
+  }
+
+  /** Column twin of [[Assoc.d2p]] (reference D2PAssoc.py:57-105): OBAN
+    * base + onset resource + frequency literal, digest over
+    * [onset, frequency]. */
+  def d2pAssoc(df: DataFrame, definedBy: String,
+               disease: Column, phenotype: Column,
+               onset: Column, frequency: Column): DataFrame = {
+    val pred = lit(Vocab.hasPhenotype)
+    val aid = concat(lit("_:"), Digest.md5Id(concat_ws("+",
+      lit(definedBy), disease, pred, phenotype, onset, frequency)))
+    emitFiltered(df,
+      res(disease, pred, phenotype),
+      res(aid, lit(Vocab.a), lit(Vocab.association)),
+      res(aid, lit(Vocab.assocHasSubject), disease),
+      res(aid, lit(Vocab.assocHasPredicate), pred),
+      res(aid, lit(Vocab.assocHasObject), phenotype),
+      res(aid, lit(Vocab.onset), onset),
+      str(aid, lit(Vocab.frequency), frequency))
   }
 
   /** Class-pattern column twin of Model.classTriples. */

@@ -51,16 +51,26 @@ object Runner {
       import spark2.implicits._
       val meta = DatasetMeta.describe(s"EX:ds/$name", name, cfg.version,
         s"file://$dataDir", java.time.LocalDate.now.toString).toDF()
+      // the deduped graph feeds up to three sinks (NT, Turtle, test
+      // subset) — persist it once so the source transform + axiom pass
+      // runs a single time instead of per-consumer (lineage kept:
+      // cluster-safe under executor loss, unlike a localCheckpoint)
       val full = triples.toDF().union(meta)
         .union(PropertyAxioms.axiomTriples(triples.toDF()))
         .dropDuplicates("s", "p", "o", "lit", "dt")
-      val out = s"${cfg.outDir}/$name.nt"
-      TripleSinks.writeNt(full, out)
-      if (cfg.writeTurtle) TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl")
-      if (!cfg.testOnly && src.testIds.nonEmpty)
-        TripleSinks.writeTestSubset(full, src.testIds, s"${cfg.outDir}/${name}_test.nt")
-      val n = spark.read.text(out).count()
-      SourceResult(name, n, out)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // writeNt dedups again but `full` is already distinct on the key,
+        // so that pass is a no-op scan of the cached blocks; the count is
+        // the cached row count — no re-read of the written output
+        val n = full.count()
+        val out = s"${cfg.outDir}/$name.nt"
+        TripleSinks.writeNt(full, out)
+        if (cfg.writeTurtle) TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl")
+        if (!cfg.testOnly && src.testIds.nonEmpty)
+          TripleSinks.writeTestSubset(full, src.testIds, s"${cfg.outDir}/${name}_test.nt")
+        SourceResult(name, n, out)
+      } finally full.unpersist(blocking = false)
     }
   }
 }

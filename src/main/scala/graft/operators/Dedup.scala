@@ -36,6 +36,18 @@ object Dedup {
         explode(TextOps.wordShingles(col(textCol), n)).as("sh"))
       .distinct()
 
+  /** Materialize a multi-consumer intermediate once: persist with lineage
+    * kept (cluster-safe — a lost executor recomputes from lineage, where
+    * a localCheckpoint would fail the job) and force it eagerly so every
+    * downstream consumer plans an InMemoryTableScan instead of re-codegen-
+    * compiling the whole subtree. Callers (or the bench harness) drop the
+    * blocks when the query finishes. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
   /** Exact n-gram Jaccard pairs above `threshold` (id_a < id_b).
     *
     * PPJoin-style prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
@@ -52,26 +64,28 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // The shingle relation feeds four downstream consumers (frequency
-    // table, both prefix-join sides, verification sets). localCheckpoint
-    // materializes it once and truncates lineage, so the explode subtree
-    // is codegen-compiled once instead of four times — without it, janino
-    // compilation of the 4x-expanded 60-operator plan dominates runtime
-    // (~130s of a 153s cold run at sf0.1).
-    val sh = shingleRel(docs, idCol, textCol, n).localCheckpoint()
-    // global rarest-first canonical order: (corpus frequency, shingle)
+    // Doc-level shape: one row per document carrying its distinct shingles
+    // in global rarest-first canonical order (corpus frequency, shingle).
+    // This single aggregate replaces the round-1 two-Window formulation
+    // (row_number + count over partitionBy id): no window sorts, and the
+    // prefix, the length filter, and the verification arrays all project
+    // off the same cached relation — ~½ the codegen stages, which is the
+    // fixed cost that dominated this operator under the driver bench.
+    val sh = shingleRel(docs, idCol, textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(freq, "sh")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")
-          .orderBy(col("df").asc, col("sh").asc)))
-    val sized = ranked.withColumn("sz", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val docsArr = materialize(
+      sh.join(freq, "sh")
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+        .select(col("id"),
+          transform(col("ranked"), r => r.getField("sh")).as("arr"),
+          size(col("ranked")).as("sz")))
     // prefix = first |X| - ceil(t|X|) + 1 shingles in canonical order
     // (-1e-9: fp round-up of t·|X| would shorten the prefix → unsafe)
-    val prefix = sized.filter(
-        col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
-      .select(col("id"), col("sh"), col("sz"))
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
+      .cast("int")
+    val prefix = docsArr.select(col("id"), col("sz"),
+      explode(slice(col("arr"), lit(1), prefixLen)).as("sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           // length filter: jacc ≥ t ⇒ t·max ≤ min
@@ -79,12 +93,11 @@ object Dedup {
           col("b.sz") >= lit(threshold) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification over full shingle sets
-    val sets = sh.groupBy("id")
-      .agg(sort_array(collect_list("sh")).as("set"), count(lit(1)).as("sz"))
+    // exact verification over full shingle sets (set semantics — arr is
+    // distinct by construction, so array_intersect is exact)
     cand
-      .join(sets.select(col("id").as("id_a"), col("set").as("seta"), col("sz").as("sa")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("setb"), col("sz").as("sb")), "id_b")
+      .join(docsArr.select(col("id").as("id_a"), col("arr").as("seta"), col("sz").as("sa")), "id_a")
+      .join(docsArr.select(col("id").as("id_b"), col("arr").as("setb"), col("sz").as("sb")), "id_b")
       .withColumn("inter", size(array_intersect(col("seta"), col("setb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
@@ -135,9 +148,9 @@ object Dedup {
     val rows = numPerm / bands
     val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN)
     val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
-    // Checkpoint: the numPerm-aggregate signature subtree would otherwise
+    // Materialize: the numPerm-aggregate signature subtree would otherwise
     // be codegen'd three times (band hashing + both self-join sides).
-    val withSig = sigs.select(col("id"), sigArr.as("sig")).localCheckpoint()
+    val withSig = materialize(sigs.select(col("id"), sigArr.as("sig")))
     val bandHashes = array((0 until bands).map(b =>
       hash((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)): _*)
     val buckets = withSig
@@ -177,9 +190,9 @@ object Dedup {
     * chunk-equality banding. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // Checkpoint for the same reason as minhashPairs: the 64-bit-sum
+    // Materialize for the same reason as minhashPairs: the 64-bit-sum
     // aggregation subtree feeds both sides of the candidate self-join.
-    val sigs = simhash64(docs, idCol, textCol).localCheckpoint()
+    val sigs = materialize(simhash64(docs, idCol, textCol))
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)

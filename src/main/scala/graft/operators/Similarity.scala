@@ -66,8 +66,9 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplanes via SplitMix64 on (plane, dim) — no RNG
-    * state, reproducible across runs/cluster sizes. */
-  private def hyperplane(plane: Int, dim: Int): Seq[Double] =
+    * state, reproducible across runs/cluster sizes (and re-derivable by an
+    * external oracle, which is why this is public). */
+  def hyperplane(plane: Int, dim: Int): Seq[Double] =
     (0 until dim).map { k =>
       var z = (plane.toLong << 32 | k.toLong) + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -76,12 +77,50 @@ object Similarity {
       if (z >= 0) 1.0 else -1.0
     }
 
-  /** Random-hyperplane LSH bucket id (`nbits`-bit signature). */
-  def lshBucket(vec: Column, dim: Int, nbits: Int = 12): Column =
+  /** Random-hyperplane LSH bucket id (`nbits`-bit signature). `band`
+    * selects an independent plane family — band b uses planes
+    * `b*nbits … b*nbits+nbits-1` — so multiple bands give independent
+    * bucketings (the recall knob, same trick as MinHash banding). */
+  def lshBucket(vec: Column, dim: Int, nbits: Int = 12, band: Int = 0): Column =
     (0 until nbits).map { j =>
-      val plane = typedLit(hyperplane(j, dim))
+      val plane = typedLit(hyperplane(band * nbits + j, dim))
       when(dot(toDoubleVec(vec), plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed embedding near-dup pair enumeration — the 100 TB path next
+    * to the exact [[nearDupPairs]] baseline (an all-pairs theta join that
+    * is correct-by-construction but quadratic). Candidates are pairs that
+    * collide in ≥1 of `bands` independent `nbits`-bit random-hyperplane
+    * signatures (shuffle on (band, bucket) — linear in corpus size ×
+    * bands); each candidate is then verified with the exact double-
+    * precision cosine. Semantics are fully deterministic (SplitMix64
+    * planes), so an external oracle can replicate them bit-for-bit.
+    *
+    * Recall < 1 by construction: a pair above `threshold` that collides
+    * in no band is missed. With cos θ = t the per-band collision
+    * probability is (1 - θ/π)^nbits, so recall = 1-(1-(1-θ/π)^nbits)^bands
+    * — tune `bands` up / `nbits` down for weak thresholds. Precision is 1
+    * (exact verification). */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double,
+                      nbits: Int = 8, bands: Int = 4): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val buckets = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(array((0 until bands).map(b =>
+          lshBucket(col(vecCol), dim, nbits, b)): _*)).as(Seq("band", "bucket")))
+      .withColumn("nrm", vec_norm(col("v")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
 
   /** Bucketed ANN: candidates restricted to the query's LSH bucket, then
     * exact cosine top-k within the bucket. Recall < 1 by construction —

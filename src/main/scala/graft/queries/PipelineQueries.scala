@@ -54,6 +54,14 @@ object PipelineQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.45)),
 
+    // LSH-bucketed embedding near-dup (the scale path twin of d05):
+    // candidates only from random-hyperplane band collisions, exact
+    // cosine verification. Deterministic planes → the oracle replicates
+    // the bucketing bit-for-bit (see lshOracleSql).
+    "d06_dedup_embedding_lsh" -> ((s, d) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, threshold = 0.45, nbits = 8, bands = 4)),
+
     // Brute-force cosine top-3 for query vectors vec_id < 10 (exact ANN
     // baseline; broadcast query side).
     "s01_ann_topk" -> ((s, d) => {
@@ -127,7 +135,37 @@ object PipelineQueries {
           col("meta.checksum").as("checksum"), col("meta.mime").as("mime")))
   )
 
+  /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
+    * SplitMix64 ±1 hyperplanes are interpolated as literal DOUBLE[] so the
+    * oracle reproduces the exact bucket ids (both engines evaluate the
+    * dot product as a sequential left-to-right sum — identical fp result),
+    * then the same collide-in-≥1-band candidate rule + exact cosine. */
+  private def lshNearDupOracle(dim: Int, threshold: Double,
+                               nbits: Int, bands: Int): String = {
+    def planeLit(p: Int): String =
+      graft.operators.Similarity.hyperplane(p, dim)
+        .map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]::DOUBLE[]")
+    val bucketExprs = (0 until bands).map { b =>
+      (0 until nbits).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(b * nbits + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ") + s" AS bucket_$b"
+    }.mkString(",\n           ")
+    val collide = (0 until bands).map(b => s"a.bucket_$b = c.bucket_$b")
+      .mkString(" OR ")
+    s"""WITH b AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+           $bucketExprs
+           FROM embeddings),
+         cand AS (
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                  list_dot_product(a.v, c.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+           FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
+         SELECT id_a, id_b, round(sim, 6) AS sim FROM cand WHERE sim > $threshold"""
+  }
+
   val oracles: ListMap[String, String] = ListMap(
+    "d06_dedup_embedding_lsh" -> lshNearDupOracle(64, 0.45, 8, 4),
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
          FROM (SELECT * FROM documents

@@ -103,6 +103,35 @@ object RdfQueries {
         }.toDF()
     }),
 
+    // §2.4 G2P qualifier fan-out (G2PAssoc.py:74-150): stage-process
+    // bnode + has_qualifier decoration, qualifiers folded into the assoc
+    // digest in [env, start, end] order. Column-native (ColumnEmit) with
+    // per-row-optional end stage and environment.
+    "r08_g2p_qualifiers" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(
+        concat(lit("EX:gt"), col("o_custkey").cast("string")).as("gt"),
+        concat(lit("EX:ph"), col("o_orderkey").cast("string")).as("ph"),
+        concat(lit("EX:st_"), col("o_orderstatus")).as("st"),
+        when(col("o_orderstatus") === "F", lit("EX:st_final")).as("en"),
+        when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"),
+          concat(lit("EX:env"), substring(col("o_orderpriority"), 1, 1))).as("env"))
+      graft.emit.ColumnEmit.g2pAssoc(base, "EX:g2p",
+        col("gt"), col("ph"), col("st"), col("en"), col("env"))
+    }),
+
+    // §2.4 D2P onset/frequency fan-out (D2PAssoc.py:57-105): onset is a
+    // per-row-optional resource, frequency a literal, digest over
+    // [onset, frequency].
+    "r09_d2p_onset_frequency" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(
+        concat(lit("EX:dz"), col("o_custkey").cast("string")).as("dz"),
+        concat(lit("EX:hp"), col("o_orderkey").cast("string")).as("hp"),
+        when(col("o_orderstatus") === "O", lit("EX:onset_early")).as("onset"),
+        concat(substring(col("o_orderpriority"), 1, 1), lit("/5")).as("freq"))
+      graft.emit.ColumnEmit.d2pAssoc(base, "EX:d2p",
+        col("dz"), col("hp"), col("onset"), col("freq"))
+    }),
+
     // §2.4 orthology + family membership over same-nation supplier pairs,
     // with the RDFGraph set-semantics dedup before the sink.
     "r06_orthology_family" -> ((s, d) => {
@@ -209,6 +238,50 @@ object RdfQueries {
          UNION ALL SELECT endn, 'rdf:type', strandt, false, NULL FROM h
          UNION ALL SELECT endn, 'faldo:position', en::varchar, true, 'xsd:integer' FROM h
          UNION ALL SELECT endn, 'faldo:reference', 'EX:chr1', false, NULL FROM h""",
+    "r08_g2p_qualifiers" ->
+      """WITH base AS (
+           SELECT 'EX:gt'||o_custkey::varchar AS gt,
+                  'EX:ph'||o_orderkey::varchar AS ph,
+                  'EX:st_'||o_orderstatus AS st,
+                  CASE WHEN o_orderstatus='F' THEN 'EX:st_final' END AS en,
+                  CASE WHEN substr(o_orderpriority,1,1) IN ('1','2')
+                       THEN 'EX:env'||substr(o_orderpriority,1,1) END AS env
+           FROM orders),
+         w AS (
+           SELECT *,
+             '_:b'||substr(md5(concat_ws('+','EX:g2p',gt,'RO:0002200',ph,env,st,en)),2,19) AS a,
+             coalesce(st,'None')||'-'||coalesce(en,'None') AS slabel
+           FROM base),
+         x AS (SELECT *, '_:b'||substr(md5(slabel),2,19) AS sid FROM w)
+         SELECT gt AS s, 'RO:0002200' AS p, ph AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM x
+         UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM x
+         UNION ALL SELECT a, 'OBAN:association_has_subject', gt, false, NULL FROM x
+         UNION ALL SELECT a, 'OBAN:association_has_predicate', 'RO:0002200', false, NULL FROM x
+         UNION ALL SELECT a, 'OBAN:association_has_object', ph, false, NULL FROM x
+         UNION ALL SELECT sid, 'rdf:type', 'GO:0032502', false, NULL FROM x
+         UNION ALL SELECT sid, 'rdfs:label', slabel, true, NULL FROM x
+         UNION ALL SELECT sid, 'RO:0002091', st, false, NULL FROM x
+         UNION ALL SELECT sid, 'RO:0002093', en, false, NULL FROM x WHERE en IS NOT NULL
+         UNION ALL SELECT a, 'GENO:0000580', sid, false, NULL FROM x
+         UNION ALL SELECT a, 'GENO:0000580', env, false, NULL FROM x WHERE env IS NOT NULL""",
+    "r09_d2p_onset_frequency" ->
+      """WITH base AS (
+           SELECT 'EX:dz'||o_custkey::varchar AS dz,
+                  'EX:hp'||o_orderkey::varchar AS hp,
+                  CASE WHEN o_orderstatus='O' THEN 'EX:onset_early' END AS onset,
+                  substr(o_orderpriority,1,1)||'/5' AS freq
+           FROM orders),
+         w AS (
+           SELECT *,
+             '_:b'||substr(md5(concat_ws('+','EX:d2p',dz,'RO:0002200',hp,onset,freq)),2,19) AS a
+           FROM base)
+         SELECT dz AS s, 'RO:0002200' AS p, hp AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM w
+         UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_subject', dz, false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_predicate', 'RO:0002200', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_object', hp, false, NULL FROM w
+         UNION ALL SELECT a, 'EXP:onset', onset, false, NULL FROM w WHERE onset IS NOT NULL
+         UNION ALL SELECT a, 'EXP:frequency', freq, true, NULL FROM w""",
     "r06_orthology_family" ->
       """WITH p AS (
            SELECT a.s_suppkey AS sa, b.s_suppkey AS sb, a.s_nationkey AS nk

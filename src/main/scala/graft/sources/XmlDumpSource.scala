@@ -17,43 +17,61 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 object XmlDumpSource {
 
   /** Parse one XML dump on the driver or executor: returns (table, field
-    * map) pairs for every `<row>` under `<table_data name="...">`. */
+    * map) pairs for every `<row>` under `<table_data name="...">`.
+    *
+    * True streaming: the returned iterator pulls StAX events lazily and
+    * holds at most ONE row's fields in memory — a multi-GB dump costs
+    * constant executor memory, same posture as the reference's
+    * `iterparse` + `elem.clear()` loop (Source.py:497-529). */
   def parseRows(input: java.io.InputStream): Iterator[(String, Map[String, String])] = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     val r = f.createXMLStreamReader(input)
-    val out = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
-    var table: String = null
-    var row: scala.collection.mutable.Map[String, String] = null
-    var field: String = null
-    val text = new StringBuilder
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT =>
-          r.getLocalName match {
-            case "table_data" => table = r.getAttributeValue(null, "name")
-            case "row" => row = scala.collection.mutable.Map()
-            case "field" if row != null =>
-              field = r.getAttributeValue(null, "name"); text.clear()
+    new Iterator[(String, Map[String, String])] {
+      private var table: String = null
+      private var row: scala.collection.mutable.Map[String, String] = null
+      private var field: String = null
+      private val text = new StringBuilder
+      private var pending: (String, Map[String, String]) = null
+      private var closed = false
+
+      /** Advance the StAX cursor until one complete row is buffered in
+        * `pending` or the document ends (then close the reader). */
+      private def advance(): Unit = {
+        while (pending == null && !closed) {
+          if (!r.hasNext) { r.close(); closed = true }
+          else r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "table_data" => table = r.getAttributeValue(null, "name")
+                case "row" => row = scala.collection.mutable.Map()
+                case "field" if row != null =>
+                  field = r.getAttributeValue(null, "name"); text.clear()
+                case _ =>
+              }
+            case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+              if (field != null) text.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "field" if row != null =>
+                  row(field) = text.toString; field = null
+                case "row" if row != null =>
+                  pending = (table, row.toMap); row = null
+                case "table_data" => table = null
+                case _ =>
+              }
             case _ =>
           }
-        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-          if (field != null) text.append(r.getText)
-        case XMLStreamConstants.END_ELEMENT =>
-          r.getLocalName match {
-            case "field" if row != null =>
-              row(field) = text.toString; field = null
-            case "row" if row != null =>
-              out += ((table, row.toMap)); row = null
-            case "table_data" => table = null
-            case _ =>
-          }
-        case _ =>
+        }
+      }
+
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): (String, Map[String, String]) = {
+        if (!hasNext) throw new NoSuchElementException("end of XML dump")
+        val out = pending; pending = null; out
       }
     }
-    r.close()
-    out.iterator
   }
 
   /** Distributed scan over a set of dump files for one table: each file
@@ -64,12 +82,20 @@ object XmlDumpSource {
     val cols = columns
     val rows: Dataset[Seq[String]] = spark.createDataset(paths)
       .flatMap { p =>
+        // stream rows straight out of the iterator (no per-file buffering);
+        // the file handle closes when the iterator is exhausted
         val in = new java.io.FileInputStream(p)
-        try parseRows(in)
+        val it = parseRows(in)
           .filter { case (t, _) => t == null || t == table }
           .map { case (_, m) => cols.map(c => m.getOrElse(c, null)) }
-          .toList
-        finally in.close()
+        new Iterator[Seq[String]] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) in.close()
+            h
+          }
+          def next(): Seq[String] = it.next()
+        }
       }
     rows.map(vs => (vs, 0)).toDF("vs", "z")
       .select(columns.zipWithIndex.map { case (c, i) =>

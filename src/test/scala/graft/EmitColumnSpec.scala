@@ -29,6 +29,42 @@ class EmitColumnSpec extends SparkSpec {
     assert(d.isEqual, d.report)
   }
 
+  test("ColumnEmit.g2pAssoc ≡ Assoc.g2p (md5 ids) incl. per-row-optional qualifiers") {
+    val base = Tables.orders(spark, sf).limit(300).select(
+      concat(lit("EX:gt"), col("o_custkey").cast("string")).as("gt"),
+      concat(lit("EX:ph"), col("o_orderkey").cast("string")).as("ph"),
+      concat(lit("EX:st_"), col("o_orderstatus")).as("st"),
+      when(col("o_orderstatus") === "F", lit("EX:st_final")).as("en"),
+      when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"),
+        concat(lit("EX:env"), substring(col("o_orderpriority"), 1, 1))).as("env"))
+    val colForm = graft.emit.ColumnEmit.g2pAssoc(base, "EX:g2p",
+      col("gt"), col("ph"), col("st"), col("en"), col("env"))
+    val rowForm = base.as[(String, String, String, Option[String], Option[String])]
+      .flatMap { case (gt, ph, st, en, env) =>
+        graft.emit.Assoc.g2p("EX:g2p", gt, ph, startStage = Some(st),
+          endStage = en, environment = env, digest = Digest.md5IdScala)
+      }.toDF()
+    val d = GraphEquality.diff(colForm, rowForm)
+    assert(d.isEqual, d.report)
+  }
+
+  test("ColumnEmit.d2pAssoc ≡ Assoc.d2p (md5 ids) incl. optional onset") {
+    val base = Tables.orders(spark, sf).limit(300).select(
+      concat(lit("EX:dz"), col("o_custkey").cast("string")).as("dz"),
+      concat(lit("EX:hp"), col("o_orderkey").cast("string")).as("hp"),
+      when(col("o_orderstatus") === "O", lit("EX:onset_early")).as("onset"),
+      concat(substring(col("o_orderpriority"), 1, 1), lit("/5")).as("freq"))
+    val colForm = graft.emit.ColumnEmit.d2pAssoc(base, "EX:d2p",
+      col("dz"), col("hp"), col("onset"), col("freq"))
+    val rowForm = base.as[(String, String, Option[String], String)]
+      .flatMap { case (dz, hp, onset, freq) =>
+        graft.emit.Assoc.d2p("EX:d2p", dz, hp, onset = onset,
+          frequency = Some(freq), digest = Digest.md5IdScala)
+      }.toDF()
+    val d = GraphEquality.diff(colForm, rowForm)
+    assert(d.isEqual, d.report)
+  }
+
   test("ColumnEmit.classPattern ≡ Model.classTriples on nations") {
     val n = Tables.nation(spark, sf)
     val colForm = ColumnEmit.classPattern(

@@ -47,7 +47,23 @@ class EmitSpec extends AnyFunSuite {
     val plain = Association("S", "g", Vocab.hasPhenotype, "p").id
     val staged = Assoc.g2p("S", "g", "p", startStage = Some("ST:1"))
     assert(!staged.exists(_.s == plain), "qualified assoc must not reuse unqualified id")
-    assert(staged.exists(_.p == "EXP:starts_during"))
+    // stage-process bnode fan-out (G2PAssoc.py:93-112): digest of
+    // "start-end" (str(None) for the absent bound), typed + labeled,
+    // linked via starts_during, attached with has_qualifier
+    val sid = "_:" + Digest.sha1IdScala("ST:1-None")
+    assert(staged.contains(Triple.res(sid, Vocab.a, Vocab.developmentalProcess)))
+    assert(staged.contains(Triple.str(sid, Vocab.label, "ST:1-None")))
+    assert(staged.contains(Triple.res(sid, Vocab.startsDuring, "ST:1")))
+    assert(!staged.exists(_.p == Vocab.endsDuring), "no end bound → no ends_during")
+    assert(staged.exists(t => t.p == Vocab.hasQualifier && t.o == sid))
+  }
+
+  test("G2P digest folds qualifiers in [environment, start, end] order (make_g2p_id)") {
+    val ts = Assoc.g2p("S", "g", "p", startStage = Some("ST:1"),
+      endStage = Some("ST:2"), environment = Some("ENV:9"))
+    val aid = "_:" + Digest.sha1IdScala("S+g+RO:0002200+p+ENV:9+ST:1+ST:2")
+    assert(ts.exists(t => t.s == aid && t.p == "rdf:type" && t.o == Vocab.association))
+    assert(ts.exists(t => t.s == aid && t.p == Vocab.hasQualifier && t.o == "ENV:9"))
   }
 
   test("zygosity inference (Genotype.py:280-288)") {

@@ -90,6 +90,20 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.forall(brute.contains), "LSH scores must agree with exact scores")
   }
 
+  test("LSH near-dup pairs ⊆ exact near-dup pairs, with identical scores") {
+    val emb = Tables.embeddings(spark, sf)
+    // 0.3: low enough that the sf0.001 corpus has pairs AND the banded
+    // LSH keeps some of them (recall < 1 is expected and documented)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3, nbits = 4, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain pairs above 0.3")
+    assert(lsh.nonEmpty, "banded LSH should retain some pairs")
+    assert(lsh.subsetOf(exact), "LSH pairs must carry exact cosine scores")
+  }
+
   test("salted aggregation and join ≡ unsalted on skewed data") {
     // 90% of rows share one hot key
     val skewed = spark.range(10000)
