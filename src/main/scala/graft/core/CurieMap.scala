@@ -68,6 +68,19 @@ final case class CurieMap(prefixes: Map[String, String]) {
 
 object CurieMap {
 
+  /** Load a prefix map from a flat-YAML config file (the reference's
+    * dipper/curie_map.yaml shape, loader dipper/curie_map.py:1-33). */
+  def fromYaml(path: String): CurieMap = CurieMap(FlatYaml.fromFile(path))
+
+  /** The production-size prefix table shipped with the engine
+    * (~200 namespaces: OBO Foundry PURLs, identifiers.org resolvers, W3C
+    * vocabularies) — the scale the reference runs every ingest with.
+    * Merged over [[default]] so engine-internal namespaces always
+    * resolve. Loaded once; the map travels to executors as a plan
+    * literal (see [[CurieMap.expandCol]]). */
+  lazy val full: CurieMap =
+    CurieMap(default.prefixes ++ FlatYaml.fromResource("/graft/curie_map.yaml"))
+
   def isIri(s: String): Boolean =
     s.startsWith("http://") || s.startsWith("https://") ||
       s.startsWith("ftp://") || s.startsWith("jdbc:")

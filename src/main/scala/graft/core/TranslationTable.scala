@@ -44,4 +44,25 @@ final case class TranslationTable(local: Map[String, String],
 object TranslationTable {
   def globalOnly(global: Map[String, String]): TranslationTable =
     TranslationTable(Map.empty, global)
+
+  /** The engine's shipped global table (GLOBAL_TERMS.yaml shape,
+    * loaded the way Source.py:718-796 loads the reference's). */
+  lazy val globalDefault: Map[String, String] =
+    FlatYaml.fromResource("/graft/global_terms.yaml")
+
+  /** Global-table-only resolver over the shipped vocabulary. */
+  lazy val default: TranslationTable = globalOnly(globalDefault)
+
+  /** Compose a per-source local table (classpath resource under
+    * /graft/tt/, mirroring the reference's translationtable/<source>.yaml)
+    * over the shipped global table. */
+  def forSource(source: String): TranslationTable =
+    TranslationTable(FlatYaml.fromResource(s"/graft/tt/$source.yaml"),
+      globalDefault)
+
+  /** Load local + global tables from filesystem paths (the dipper-etl
+    * layout: one global file, one per-source file). */
+  def fromYaml(localPath: Option[String], globalPath: String): TranslationTable =
+    TranslationTable(localPath.map(FlatYaml.fromFile).getOrElse(Map.empty),
+      FlatYaml.fromFile(globalPath))
 }

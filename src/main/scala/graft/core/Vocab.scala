@@ -105,6 +105,12 @@ object Vocab {
   val endsDuring = "RO:0002093"
   val onset = "EXP:onset"
   val frequency = "EXP:frequency"
+  val hasDisposition = "RO:0000091"
+  val hasSexSpecificity = "EXP:has_sex_specificity"
+  val journalArticle = "IAO:0000013"
+  val webPage = "SIO:000302"
+  val sexMale = "PATO:0000384"
+  val sexFemale = "PATO:0000383"
 
   // Evidence / provenance
   val hasEvidence = "RO:0002558"

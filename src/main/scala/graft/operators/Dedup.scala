@@ -29,11 +29,25 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
       .filter(col("n") > 1)
 
-  /** Distinct (id, shingle) exploded relation. */
+  /** Widen a narrow scan to the cluster's default parallelism before a
+    * CPU-heavy generation stage. At real scale the file splits already
+    * provide parallelism and this is a no-op; locally (and on any corpus
+    * packed into few files) a small scan is 1-2 splits, which would run
+    * the most expensive map stage of the whole operator on 1-2 cores. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Distinct (id, shingle) exploded relation. Tokenization is projected
+    * BELOW the explode so it runs once per document inside whole-stage
+    * codegen — see [[TextOps.shinglesOfWords]] for why inlining it into
+    * the generator is quadratic. */
   private def shingleRel(docs: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(TextOps.wordShingles(col(textCol), n)).as("sh"))
+    widen(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), TextOps.words(col("text")).as("w"))
+      .select(col("id"), explode(TextOps.shinglesOfWords(col("w"), n)).as("sh"))
       .distinct()
 
   /** Materialize a multi-consumer intermediate once: persist with lineage
@@ -172,8 +186,8 @@ object Dedup {
   /** 64-bit SimHash fingerprints from term-frequency-weighted word
     * hashes — one explode + one aggregation, builtins only. */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = docs
-      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
+    val terms = widen(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), explode(TextOps.words(col("text"))).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map(j =>

@@ -13,16 +13,28 @@ object TextOps {
 
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles (default 3) — the unit for Jaccard /
-    * MinHash dedup. Empty array when the document has fewer than n words
-    * (guards Spark's descending `sequence(1,0)` corner). */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  /** Distinct n-gram shingles over a PRE-SPLIT words array — the unit for
+    * Jaccard / MinHash dedup. Empty array when the document has fewer than
+    * n words (guards Spark's descending `sequence(1,0)` corner).
+    *
+    * Takes the words array, not the raw text, so the O(L) tokenization
+    * runs ONCE per document in a codegen'd projection below the explode.
+    * Inlining `split(text)` here instead is an O(L²)-per-document trap:
+    * `GenerateExec` evaluates generator expressions interpreted (no
+    * whole-stage codegen, no common-subexpression elimination), so every
+    * `element_at` of every shingle re-splits the whole document — measured
+    * as the intermittent 30-110 s single-task stall in the d03 bench. */
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word n-gram shingles from raw text. Fine as a single
+    * projected column; when feeding `explode`, prefer projecting
+    * [[words]] first and exploding [[shinglesOfWords]] (see there). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesOfWords(words(text), n)
 
   /** Occurrence count of tokens from a fixed stopword list. */
   def stopwordCount(text: Column, stops: Seq[String]): Column =
