@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m JIT code cache; once full, compilation stops and hot
   // stages run interpreted (observed 7s -> 46s on late bench queries)
   "-XX:ReservedCodeCacheSize=1g",
+  // C2-compiling the janino-generated classes of ~50 codegen-heavy plans
+  // is a 100+ CPU-second burst (measured via Bench diag: d02 alone hit
+  // 100.6s proc-CPU with jit+=107s) that host CPU steal stretches into
+  // minutes of wall time. C1-only compilation is ~100x cheaper to
+  // compile for ~2x slower steady-state -- a large net win for this
+  // short-burst local harness (NOT cluster guidance; a long-lived
+  // executor wants full tiered C2).
+  "-XX:TieredStopAtLevel=1",
 )

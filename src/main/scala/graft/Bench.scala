@@ -8,9 +8,15 @@ import scala.jdk.CollectionConverters._
   * instead of being silently timed — a broken query must never look like
   * a fast one.
   *
-  * SPARK_GRAFT_DIAG=1 additionally prints a per-query JVM-health line to
-  * stderr (heap / code cache / metaspace / GC time / JIT compile time) —
-  * the instrumentation used to chase long-session degradation.
+  * Every query also gets a per-query JVM/host-health line on stderr
+  * (wall / process-CPU / host steal / iowait / GC / JIT), and the JSON
+  * line carries an `env` summary plus a `diag` map for queries whose
+  * wall time is not explained by this process's own CPU use. Rationale:
+  * this bench runs inside a VM on a shared host; two prior driver runs
+  * showed 25-30× blowups on exactly the CPU-burst-heavy queries that a
+  * fresh local run executes in 2-4 s, with identical code and data.
+  * /proc/stat steal/idle deltas make that attribution visible in the
+  * bench output itself instead of requiring an after-the-fact repro.
   */
 object Bench {
   import java.lang.management.ManagementFactory
@@ -23,11 +29,35 @@ object Bench {
     val c = ManagementFactory.getCompilationMXBean
     if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
   }
+  /** Cumulative nanoseconds of CPU this JVM has used (−1 if unsupported). */
+  private def procCpuNanos: Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+  /** (user+nice+sys, idle, iowait, steal) jiffies from /proc/stat —
+    * whole-VM counters, all cores summed. Zeros on non-Linux. */
+  private def hostStat: (Long, Long, Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val parts = try f.getLines().next().trim.split("\\s+") finally f.close()
+      // cpu user nice system idle iowait irq softirq steal ...
+      val v = parts.drop(1).map(_.toLong)
+      (v(0) + v(1) + v(2), v(3), v(4), if (v.length > 7) v(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L, 0L, 0L) }
+  private val hz = 100.0 // USER_HZ; Linux fixes this at 100 for /proc/stat
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val diag = sys.env.get("SPARK_GRAFT_DIAG").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,18 +68,32 @@ object Bench {
     // attributed to whichever query happens to run first
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val diag = scala.collection.mutable.LinkedHashMap[String, String]()
+    val (runBusy0, _, runIo0, runSteal0) = hostStat
+    val runCpu0 = procCpuNanos
+    val t00 = System.nanoTime()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (gc0, jit0) = (gcMillis, jitMillis)
+      val (busy0, idle0, io0, steal0) = hostStat
+      val cpu0 = procCpuNanos
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (diag) {
-        val rt = Runtime.getRuntime
-        System.err.println(f"[diag] $name%-28s ${dt}%8.2fs heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5dM codecache=${poolUsed("CodeHeap") / (1 << 20)}%4dM metaspace=${poolUsed("Metaspace") / (1 << 20)}%4dM gc+=${gcMillis - gc0}%5dms jit+=${jitMillis - jit0}%6dms")
-      }
+      val (busy1, idle1, io1, steal1) = hostStat
+      val procS = if (cpu0 >= 0) (procCpuNanos - cpu0) / 1e9 else -1.0
+      val stealS = (steal1 - steal0) / hz
+      val ioS = (io1 - io0) / hz
+      val otherS = math.max(0.0, (busy1 - busy0) / hz - procS) // other processes' CPU
+      val rt = Runtime.getRuntime
+      System.err.println(f"[diag] $name%-28s $dt%8.2fs cpu=$procS%7.1fs steal=$stealS%6.1fs iowait=$ioS%5.1fs otherproc=$otherS%6.1fs heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5dM codecache=${poolUsed("Code") / (1 << 20)}%4dM gc+=${gcMillis - gc0}%5dms jit+=${jitMillis - jit0}%6dms")
+      // flag queries whose wall clock is dominated by something other
+      // than this process's own CPU (host steal, iowait, co-tenants):
+      // > 2 s AND process CPU under half of (wall × cores-busy-equivalent)
+      if (dt > 2.0 && (stealS + ioS + otherS) > procS)
+        diag(name) = f"wall=$dt%.1f,cpu=$procS%.1f,steal=$stealS%.1f,iowait=$ioS%.1f,otherproc=$otherS%.1f"
       // untimed inter-query hygiene: drop finished queries' cached
       // relations (queries are independent) through the CacheManager so
       // the catalog entry and its RDD blocks go together. No System.gc():
@@ -59,13 +103,23 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    val wallS = (System.nanoTime() - t00) / 1e9
+    val (runBusy1, _, runIo1, runSteal1) = hostStat
+    val envJson = {
+      val procS = if (runCpu0 >= 0) (procCpuNanos - runCpu0) / 1e9 else -1.0
+      val stealS = (runSteal1 - runSteal0) / hz
+      val ioS = (runIo1 - runIo0) / hz
+      val otherS = math.max(0.0, (runBusy1 - runBusy0) / hz - procS)
+      f"""{"wall_s":$wallS%.1f,"proc_cpu_s":$procS%.1f,"host_steal_s":$stealS%.1f,"host_iowait_s":$ioS%.1f,"other_proc_cpu_s":$otherS%.1f}"""
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"${escape(v)}\"" }
+      .mkString("{", ",", "}")
+    val diagJson = diag.map { case (k, v) => s"\"$k\":\"${escape(v)}\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"env":$envJson,"contended":$diagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
