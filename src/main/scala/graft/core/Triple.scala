@@ -32,6 +32,24 @@ object Triple {
     Triple(s, p, o.toString, lit = true, "xsd:double")
   def bool(s: String, p: String, o: Boolean): Triple =
     Triple(s, p, o.toString, lit = true, "xsd:boolean")
+
+  /** The reference's CURIE shape (dipper/graph/Graph.py:20-22, RDFa-core
+    * CURIE grammar plus an embedded hyphen). Shared by [[auto]] and the
+    * column twin `ColumnEmit.isCurieShaped`. */
+  val CurieShape = "^[a-zA-Z_]?[a-zA-Z_0-9-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*[A-Za-z0-9_]*$"
+  private val curieRe = CurieShape.r
+
+  /** True when `v` would be treated as a resource by the reference's
+    * `RDFGraph._is_literal` inference (dipper/graph/RDFGraph.py:67-79):
+    * CURIE-shaped, or an http/https/ftp URL. */
+  def isResourceShaped(v: String): Boolean =
+    curieRe.findFirstIn(v).isDefined ||
+      Set("http", "https", "ftp").contains(v.split(":", 2)(0).toLowerCase)
+
+  /** The reference's `addTriple` with no explicit literal flag: infer
+    * resource vs literal from the object's shape. */
+  def auto(s: String, p: String, o: String): Triple =
+    if (isResourceShaped(o)) res(s, p, o) else str(s, p, o)
 }
 
 /** Canonical N-Triples formatting.

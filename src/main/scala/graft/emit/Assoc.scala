@@ -87,9 +87,11 @@ object Assoc {
   }
 
   /** Disease→phenotype with onset + frequency (assoc/D2PAssoc.py:57-105;
-    * digest folds [onset, frequency] — make_d2p_id, py:90-105). Onset is a
-    * resource (stage/age term); frequency is a literal (the reference
-    * passes free text like "12/45" through addTriple's literal path). */
+    * digest folds [onset, frequency] — make_d2p_id, py:90-105). Onset and
+    * frequency go through the reference's addTriple literal inference
+    * (RDFGraph.py:67-79): a CURIE-valued frequency (e.g. an HP frequency
+    * term in HPOA rows) becomes a resource, free text like "12/45" a
+    * literal. */
   def d2p(definedBy: String, disease: String, phenotype: String,
           onset: Option[String] = None, frequency: Option[String] = None,
           evidence: Seq[String] = Nil, sources: Seq[String] = Nil,
@@ -100,8 +102,8 @@ object Assoc {
     val base = Association(definedBy, disease, Vocab.hasPhenotype, phenotype,
       evidence = evidence, sources = sources, explicitId = Some(a))
     base.triples ++
-      onset.toSeq.map(o => Triple.res(a, Vocab.onset, o)) ++
-      frequency.toSeq.map(f => Triple.str(a, Vocab.frequency, f))
+      onset.toSeq.map(o => Triple.auto(a, Vocab.onset, o)) ++
+      frequency.toSeq.map(f => Triple.auto(a, Vocab.frequency, f))
   }
 
   /** Gene↔gene homology + family membership

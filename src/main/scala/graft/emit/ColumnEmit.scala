@@ -30,6 +30,18 @@ object ColumnEmit {
     struct(s.as("s"), p.as("p"), o.as("o"), lit(true).as("lit"),
       lit(dt).cast("string").as("dt"))
 
+  /** Column twin of [[graft.core.Triple.isResourceShaped]] — the
+    * reference's literal/CURIE inference (RDFGraph.py:67-79). */
+  def isCurieShaped(o: Column): Column =
+    o.rlike(graft.core.Triple.CurieShape) ||
+      lower(split(o, ":", 2).getItem(0)).isin("http", "https", "ftp")
+
+  /** Column twin of [[graft.core.Triple.auto]]: emit as resource when the
+    * object is CURIE/URL-shaped, literal otherwise. */
+  def auto(s: Column, p: Column, o: Column): Column =
+    struct(s.as("s"), p.as("p"), o.as("o"), (!isCurieShaped(o)).as("lit"),
+      nullDt.as("dt"))
+
   /** Explode a fixed pattern of triple structs into (s,p,o,lit,dt) rows. */
   def emit(df: DataFrame, triples: Column*): DataFrame =
     df.select(explode(array(triples: _*)).as("t")).select("t.*")
@@ -97,7 +109,9 @@ object ColumnEmit {
   }
 
   /** Column twin of [[Assoc.d2p]] (reference D2PAssoc.py:57-105): OBAN
-    * base + onset resource + frequency literal, digest over
+    * base + onset/frequency through the reference's addTriple literal
+    * inference (a CURIE-valued frequency — e.g. an HP frequency term —
+    * becomes a resource, free text like "12/45" a literal), digest over
     * [onset, frequency]. */
   def d2pAssoc(df: DataFrame, definedBy: String,
                disease: Column, phenotype: Column,
@@ -111,8 +125,8 @@ object ColumnEmit {
       res(aid, lit(Vocab.assocHasSubject), disease),
       res(aid, lit(Vocab.assocHasPredicate), pred),
       res(aid, lit(Vocab.assocHasObject), phenotype),
-      res(aid, lit(Vocab.onset), onset),
-      str(aid, lit(Vocab.frequency), frequency))
+      auto(aid, lit(Vocab.onset), onset),
+      auto(aid, lit(Vocab.frequency), frequency))
   }
 
   /** Class-pattern column twin of Model.classTriples. */

@@ -83,8 +83,13 @@ object XmlDumpSource {
     val rows: Dataset[Seq[String]] = spark.createDataset(paths)
       .flatMap { p =>
         // stream rows straight out of the iterator (no per-file buffering);
-        // the file handle closes when the iterator is exhausted
+        // the file handle closes when the iterator is exhausted, and a
+        // task-completion listener covers early exits (limit/take/failure
+        // mid-iteration would otherwise leak the descriptor)
         val in = new java.io.FileInputStream(p)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () })
         val it = parseRows(in)
           .filter { case (t, _) => t == null || t == table }
           .map { case (_, m) => cols.map(c => m.getOrElse(c, null)) }
