@@ -89,14 +89,25 @@ object NT {
     } else if (dtIri == null) "\"" + escape(o) + "\""
     else "\"" + escape(o) + "\"^^<" + dtIri + ">"
 
-  /** Column form: render (s,p,o,lit,dt) — IRIs pre-expanded — to one NT line. */
-  def lineCol(s: Column, p: Column, o: Column, isLit: Column, dtIri: Column): Column = {
-    val sTerm = when(s.startsWith("_:"), s).otherwise(concat(lit("<"), s, lit(">")))
-    val pTerm = concat(lit("<"), p, lit(">"))
-    val oTerm = when(!isLit,
+  private def subjTerm(s: Column): Column =
+    when(s.startsWith("_:"), s).otherwise(concat(lit("<"), s, lit(">")))
+
+  private def objTerm(o: Column, isLit: Column, dtIri: Column): Column =
+    when(!isLit,
         when(o.startsWith("_:"), o).otherwise(concat(lit("<"), o, lit(">"))))
       .when(dtIri.isNull, concat(lit("\""), escapeCol(o), lit("\"")))
       .otherwise(concat(lit("\""), escapeCol(o), lit("\"^^<"), dtIri, lit(">")))
-    concat_ws(" ", sTerm, pTerm, oTerm, lit("."))
-  }
+
+  /** Column form: render (s,p,o,lit,dt) — IRIs pre-expanded — to one NT line. */
+  def lineCol(s: Column, p: Column, o: Column, isLit: Column, dtIri: Column): Column =
+    concat_ws(" ", subjTerm(s), concat(lit("<"), p, lit(">")),
+      objTerm(o, isLit, dtIri), lit("."))
+
+  /** N-Quads line: an NT line with a graph label term before the dot
+    * (W3C N-Quads grammar; the reference's `nquads` output format —
+    * dipper/sources/Source.py:192-198). */
+  def quadLineCol(s: Column, p: Column, o: Column, isLit: Column,
+                  dtIri: Column, graph: Column): Column =
+    concat_ws(" ", subjTerm(s), concat(lit("<"), p, lit(">")),
+      objTerm(o, isLit, dtIri), subjTerm(graph), lit("."))
 }

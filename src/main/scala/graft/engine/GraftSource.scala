@@ -22,6 +22,13 @@ trait GraftSource {
     * scan → project/filter → joins → flatMap(emitters) → triples. */
   def transform(spark: SparkSession, inputs: Map[String, DataFrame]): DataFrame
 
+  /** Taxon-constrained variant (the reference's `tax_ids` constructor
+    * argument, dipper-etl.py:95-105): sources that support it override
+    * and push the constraint into their scans; the default ignores it,
+    * matching reference sources with no taxon support. */
+  def transform(spark: SparkSession, inputs: Map[String, DataFrame],
+                taxa: Seq[String]): DataFrame = transform(spark, inputs)
+
   /** Curated test-subset subject ids (resources/test_ids.yaml shape). */
   def testIds: Seq[String] = Nil
 }

@@ -9,20 +9,25 @@ import graft.emit.{Association, DatasetMeta, Feature, Model}
 import graft.sinks.TripleSinks
 import graft.core.Digest
 
-/** The `dipper-etl.py` equivalent: pick sources, apply limit / test-only
-  * filters, run each source's declarative plan, write NT (+ optional
-  * Turtle), the HCLS/VoID dataset-metadata graph, the test-subset graph,
-  * and the property-axiom post-pass (SURVEY §3.1 lifecycle, steps 2-6;
-  * step 3's network fetch is out of scope in this hermetic build).
+/** The `dipper-etl.py` equivalent: pick sources, apply limit / taxon /
+  * test-only filters, run each source's declarative plan, write the
+  * requested serializations, the HCLS/VoID dataset-metadata graph, the
+  * test-subset graph, and the property-axiom post-pass (SURVEY §3.1
+  * lifecycle, steps 2-6; step 3's network fetch is out of scope in this
+  * hermetic build).
   */
 object Runner {
 
+  /** Formats follow the reference's serialization map
+    * (dipper/sources/Source.py:192-198 + dipper-etl.py `--dest_fmt`):
+    * nt, nquads, turtle, n3, rdfxml. */
   final case class RunConfig(
       sources: Seq[String],
       outDir: String,
       limit: Option[Int] = None,
       testOnly: Boolean = false,
-      writeTurtle: Boolean = false,
+      destFmt: Seq[String] = Seq("nt"),
+      taxa: Seq[String] = Nil,
       version: String = "2026-08")
 
   /** Registered sources (source_to_class_map, dipper-etl.py:20-62). */
@@ -35,6 +40,8 @@ object Runner {
   def run(spark: SparkSession, cfg: RunConfig, dataDir: String): Seq[SourceResult] = {
     val unknown = cfg.sources.filterNot(registry.contains)
     require(unknown.isEmpty, s"unknown sources: ${unknown.mkString(",")}")
+    val badFmt = cfg.destFmt.filterNot(Set("nt", "nquads", "turtle", "n3", "rdfxml"))
+    require(badFmt.isEmpty, s"unknown dest_fmt: ${badFmt.mkString(",")}")
     cfg.sources.map { name =>
       val src = registry(name)
       val inputs0 = src.read(spark, dataDir)
@@ -43,7 +50,7 @@ object Runner {
         case Some(n) => inputs0.view.mapValues(_.limit(n)).toMap
         case None => inputs0
       }
-      var triples = src.transform(spark, inputs)
+      var triples = src.transform(spark, inputs, cfg.taxa)
       if (cfg.testOnly && src.testIds.nonEmpty)
         triples = triples.filter(col("s").isin(src.testIds: _*))
       // graph ∪ dataset-metadata graph ∪ property axioms, then set-dedup
@@ -51,8 +58,8 @@ object Runner {
       import spark2.implicits._
       val meta = DatasetMeta.describe(s"EX:ds/$name", name, cfg.version,
         s"file://$dataDir", java.time.LocalDate.now.toString).toDF()
-      // the deduped graph feeds up to three sinks (NT, Turtle, test
-      // subset) — persist it once so the source transform + axiom pass
+      // the deduped graph feeds every requested sink plus the test
+      // subset — persist it once so the source transform + axiom pass
       // runs a single time instead of per-consumer (lineage kept:
       // cluster-safe under executor loss, unlike a localCheckpoint)
       val full = triples.toDF().union(meta)
@@ -65,13 +72,70 @@ object Runner {
         // the cached row count — no re-read of the written output
         val n = full.count()
         val out = s"${cfg.outDir}/$name.nt"
-        TripleSinks.writeNt(full, out)
-        if (cfg.writeTurtle) TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl")
+        cfg.destFmt.foreach {
+          case "nt"     => TripleSinks.writeNt(full, out)
+          case "nquads" => TripleSinks.writeNq(full, lit(s"EX:graph/$name"),
+                             s"${cfg.outDir}/$name.nq")
+          case "turtle" => TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl")
+          case "n3"     => TripleSinks.writeN3(full, s"${cfg.outDir}/$name.n3")
+          case "rdfxml" => TripleSinks.writeRdfXml(full, s"${cfg.outDir}/$name.xml")
+        }
         if (!cfg.testOnly && src.testIds.nonEmpty)
           TripleSinks.writeTestSubset(full, src.testIds, s"${cfg.outDir}/${name}_test.nt")
         SourceResult(name, n, out)
       } finally full.unpersist(blocking = false)
     }
+  }
+
+  /** CLI twin of `dipper-etl.py` (arg surface: dipper-etl.py:64-128).
+    * Usage:
+    * {{{
+    * runMain graft.engine.Runner --sources nation_classes,order_assocs \
+    *   --data /root/testdata/sf0.001 --out /tmp/graft_out \
+    *   [--limit N] [--test_only] [--taxon 9606,10090] \
+    *   [--dest_fmt nt,nquads,turtle,n3,rdfxml] [--data_release_version V]
+    * }}} */
+  /** Parse the CLI surface into (config, dataDir) — public for tests. */
+  def parseArgs(args: Seq[String]): (RunConfig, String) = {
+    def parse(as: List[String], acc: Map[String, String]): Map[String, String] =
+      as match {
+        case Nil => acc
+        case ("--test_only" | "-o") :: rest => parse(rest, acc + ("test_only" -> "1"))
+        case k :: v :: rest if k.startsWith("-") =>
+          parse(rest, acc + (k.dropWhile(_ == '-') -> v))
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+    val a = parse(args.toList, Map())
+    def list(k: String): Seq[String] =
+      a.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val sources = (list("sources") ++ list("s")).distinct
+    require(sources.nonEmpty, "--sources is required (comma-separated; see Runner.registry)")
+    val cfg = RunConfig(
+      sources = sources,
+      outDir = a.getOrElse("out", "/tmp/graft_out"),
+      limit = a.get("limit").orElse(a.get("l")).map(_.toInt),
+      testOnly = a.contains("test_only"),
+      destFmt = { val f = list("dest_fmt"); if (f.isEmpty) Seq("nt") else f },
+      taxa = list("taxon") ++ list("t"),
+      version = a.getOrElse("data_release_version",
+        a.getOrElse("d", java.time.LocalDate.now.toString)))
+    (cfg, a.getOrElse("data", "/root/testdata/sf0.001"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (cfg, dataDir) = parseArgs(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val results = run(spark, cfg, dataDir)
+      results.foreach(r => println(s"${r.name}: ${r.triples} triples -> ${r.outPath}"))
+    } finally spark.stop()
   }
 }
 

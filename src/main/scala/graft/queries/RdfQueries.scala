@@ -64,6 +64,15 @@ object RdfQueries {
         oTerm, col("lit"), cm.expandCol(col("dt"))).as("line"))
     }),
 
+    // §2.2 N-Quads sink projection (Source.py:192-198 `nquads`): the same
+    // triples as r04 tagged with a named-graph label — the per-ingest
+    // graph the reference writes each source into.
+    "r10_nq_lines" -> ((s, d) => {
+      val t = queries("r01_class_triples")(s, d)
+      graft.sinks.TripleSinks.toNqLines(t, lit("EX:graph_nation"))
+        .withColumnRenamed("value", "line")
+    }),
+
     // §2.4 FALDO feature→region→begin/end pattern with deterministic
     // digest bnodes (14 triples per feature).
     "r05_feature_faldo" -> ((s, d) => {
@@ -212,6 +221,12 @@ object RdfQueries {
          SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/2000/01/rdf-schema#label> "'||n_name||'" .' FROM nation
          UNION ALL
          SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <https://example.org/id/region'||n_regionkey::varchar||'> .' FROM nation""",
+    "r10_nq_lines" ->
+      """SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> <https://example.org/id/graph_nation> .' AS line FROM nation
+         UNION ALL
+         SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/2000/01/rdf-schema#label> "'||n_name||'" <https://example.org/id/graph_nation> .' FROM nation
+         UNION ALL
+         SELECT '<https://example.org/id/nation'||n_nationkey::varchar||'> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <https://example.org/id/region'||n_regionkey::varchar||'> <https://example.org/id/graph_nation> .' FROM nation""",
     "r05_feature_faldo" ->
       """WITH f AS (
            SELECT 'EX:feat'||p_partkey::varchar AS id, p_name AS label,

@@ -51,16 +51,54 @@ object TripleSinks {
     lines.write.mode(SaveMode.Overwrite).partitionBy("prefix").text(path)
   }
 
+  /** NQ projection: every triple tagged with `graphCol` (a CURIE/IRI
+    * column — typically the ingest's named graph). */
+  def toNqLines(triples: DataFrame, graphCol: org.apache.spark.sql.Column,
+                cm: CurieMap = CurieMap.default): DataFrame = {
+    val oTerm = when(col("lit"), col("o")).otherwise(cm.expandCol(col("o")))
+    triples.select(NT.quadLineCol(cm.expandCol(col("s")), cm.expandCol(col("p")),
+      oTerm, col("lit"), cm.expandCol(col("dt")), cm.expandCol(graphCol)).as("value"))
+  }
+
+  /** Write deduplicated N-Quads (the reference's `nquads` format,
+    * Source.py:192-198) — same map-only posture as [[writeNt]]. */
+  def writeNq(triples: DataFrame, graphCol: org.apache.spark.sql.Column,
+              path: String, cm: CurieMap = CurieMap.default,
+              numFiles: Option[Int] = None): Unit = {
+    val lines = toNqLines(
+      triples.dropDuplicates("s", "p", "o", "lit", "dt"), graphCol, cm)
+    val out = numFiles.map(lines.coalesce).getOrElse(lines)
+    out.write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Prefixes actually referenced by the triple relation (subject,
+    * predicate, resource objects, datatypes) ∩ the CURIE map — the
+    * reference binds only used namespaces the same way
+    * (RDFGraph.py:199-205). One cheap distinct over prefix substrings;
+    * the collect is bounded by the size of the prefix map. */
+  def usedPrefixes(triples: DataFrame, cm: CurieMap): Seq[(String, String)] = {
+    val pfx = (c: org.apache.spark.sql.Column) =>
+      when(c.isNotNull && !c.startsWith("_") && c.contains(":"),
+        substring_index(c, ":", 1))
+    val used = triples.select(explode(array(
+        pfx(col("s")), pfx(col("p")),
+        when(!col("lit"), pfx(col("o"))), pfx(col("dt")))).as("pfx"))
+      .filter(col("pfx").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    // xsd datatypes surface even when only typed literals use them
+    cm.prefixes.toSeq.filter { case (p, _) => used(p) }.sortBy(_._1)
+  }
+
   /** Best-effort Turtle: repartition by subject so each subject's triples
     * land in one partition, sort within partitions, assemble blocks with
-    * `mapPartitions` (no driver collect — scales with data). Prefix
-    * header uses the full CURIE map (used-prefix pruning would need a
-    * second pass; acceptable for a debug/eyeball sink). */
+    * `mapPartitions` (no driver collect — scales with data). The prefix
+    * header binds only namespaces the graph actually uses, mirroring the
+    * reference (RDFGraph.py:199-205). */
   def writeTurtle(triples: DataFrame, path: String,
                   cm: CurieMap = CurieMap.default): Unit = {
     import triples.sparkSession.implicits._
     val spark = triples.sparkSession
-    val header = cm.prefixes.toSeq.sorted
+    val header = usedPrefixes(triples, cm)
       .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
     val body: Dataset[String] = triples
       .select("s", "p", "o", "lit", "dt")
@@ -91,6 +129,68 @@ object TripleSinks {
       }
     val withHeader = spark.createDataset(Seq(header)).union(body)
     withHeader.write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** N3 sink: the engine's Turtle output is valid N3 (Turtle ⊂ N3), which
+    * is also how the reference produces `n3` — rdflib serializes both
+    * formats from the same store (Source.py:192-198). */
+  def writeN3(triples: DataFrame, path: String,
+              cm: CurieMap = CurieMap.default): Unit =
+    writeTurtle(triples, path, cm)
+
+  /** Best-effort RDF/XML (the reference's `rdfxml` format,
+    * Source.py:192-198): subject-grouped `rdf:Description` blocks
+    * assembled partition-locally (same scaling posture as
+    * [[writeTurtle]] — no driver collect), with only used namespaces
+    * declared. Predicates must be CURIEs from the map (true for all
+    * engine emitters); literal datatypes expand to full IRIs. */
+  def writeRdfXml(triples: DataFrame, path: String,
+                  cm: CurieMap = CurieMap.default): Unit = {
+    import triples.sparkSession.implicits._
+    val spark = triples.sparkSession
+    val cmB = cm
+    def xmlAttrEscape(v: String): String =
+      v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;")
+    def xmlTextEscape(v: String): String =
+      v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val nsDecls = (("rdf" -> cm.prefixes("rdf")) +: usedPrefixes(triples, cm))
+      .distinct
+      .map { case (p, ns) => s"""    xmlns:$p="${xmlAttrEscape(ns)}"""" }
+      .mkString("\n")
+    val header = s"""<?xml version="1.0" encoding="UTF-8"?>\n<rdf:RDF\n$nsDecls>"""
+    val body: Dataset[String] = triples
+      .select("s", "p", "o", "lit", "dt")
+      .dropDuplicates()
+      .repartition(col("s"))
+      .sortWithinPartitions("s", "p", "o")
+      .mapPartitions { rows =>
+        val sb = new StringBuilder
+        var cur: String = null
+        rows.foreach { r =>
+          val s = r.getString(0); val p = r.getString(1); val o = r.getString(2)
+          val isLit = r.getBoolean(3); val dt = if (r.isNullAt(4)) null else r.getString(4)
+          if (s != cur) {
+            if (cur != null) sb.append("  </rdf:Description>\n")
+            // expand() skolemizes bnodes, same as the NT sink's expandCol
+            sb.append(s"""  <rdf:Description rdf:about="${xmlAttrEscape(cmB.expand(s))}">""").append("\n")
+            cur = s
+          }
+          if (isLit) {
+            val dtAttr =
+              if (dt == null) ""
+              else s""" rdf:datatype="${xmlAttrEscape(cmB.expand(dt))}""""
+            sb.append(s"    <$p$dtAttr>${xmlTextEscape(o)}</$p>\n")
+          } else {
+            sb.append(s"""    <$p rdf:resource="${xmlAttrEscape(cmB.expand(o))}"/>""").append("\n")
+          }
+        }
+        if (cur != null) sb.append("  </rdf:Description>\n")
+        if (sb.isEmpty) Iterator.empty else Iterator(sb.toString.stripSuffix("\n"))
+      }
+    val footer = spark.createDataset(Seq("</rdf:RDF>"))
+    spark.createDataset(Seq(header)).union(body).union(footer)
+      .write.mode(SaveMode.Overwrite).text(path)
   }
 
   /** Test-subset sink: the same pipeline filtered to configured ids

@@ -7,6 +7,46 @@ import graft.engine.{PropertyAxioms, Runner}
 class EngineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cross-source integration floor (omia-integration.py shape)") {
+    // The reference's integration gate loads the produced serialization
+    // and asserts a semantic floor across sources (≥175 `is model of`,
+    // tests/omia-integration.py:16,44-60). Same shape here: run two
+    // sources end-to-end, read the landed NT back, and hold floors on
+    // cross-source patterns rather than exact counts.
+    val out = Files.createTempDirectory("graft-integ").toString
+    Runner.run(spark, Runner.RunConfig(
+      Seq("nation_classes", "order_assocs"), out,
+      destFmt = Seq("nt", "nquads")), sf)
+    val nt = spark.read.text(s"$out/nation_classes.nt").as[String].collect() ++
+      spark.read.text(s"$out/order_assocs.nt").as[String].collect()
+    // every nation subclasses a region (25 at any sf) — the partonomy floor
+    assert(nt.count(_.contains("rdf-schema#subClassOf")) >= 25)
+    // reified associations from the second source — the association floor
+    assert(nt.count(_.contains("oban/association_has_subject")) >= 100)
+    // both sources' dataset-metadata graphs landed
+    assert(nt.count(_.contains("void#Dataset")) >= 2)
+    // nquads sink: same triples tagged with the per-source graph label
+    val nq = spark.read.text(s"$out/order_assocs.nq").as[String].collect()
+    assert(nq.nonEmpty && nq.forall(_.contains("<https://example.org/id/graph/order_assocs> .")))
+  }
+
+  test("CLI arg surface (dipper-etl.py:64-128 twin)") {
+    val (cfg, data) = Runner.parseArgs(Seq(
+      "--sources", "nation_classes,order_assocs", "--limit", "7",
+      "--dest_fmt", "nt,rdfxml", "--taxon", "9606,10090",
+      "--test_only", "--out", "/tmp/o", "--data", "/tmp/d",
+      "--data_release_version", "202608"))
+    assert(cfg.sources == Seq("nation_classes", "order_assocs"))
+    assert(cfg.limit.contains(7) && cfg.testOnly)
+    assert(cfg.destFmt == Seq("nt", "rdfxml"))
+    assert(cfg.taxa == Seq("9606", "10090"))
+    assert(cfg.version == "202608" && cfg.outDir == "/tmp/o" && data == "/tmp/d")
+    // short flags parse too
+    val (cfg2, _) = Runner.parseArgs(Seq("-s", "nation_classes", "-l", "3"))
+    assert(cfg2.sources == Seq("nation_classes") && cfg2.limit.contains(3))
+    intercept[IllegalArgumentException](Runner.parseArgs(Seq("--limit", "3")))
+  }
+
   test("runner: sources → NT + metadata + axioms + test subset (etl lifecycle)") {
     val out = Files.createTempDirectory("graft-run").toString
     val results = Runner.run(spark,

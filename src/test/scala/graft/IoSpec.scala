@@ -104,6 +104,105 @@ class IoSpec extends SparkSpec {
     assert(text.contains("@prefix rdf:"))
     assert(text.contains("HP:1 rdf:type owl:Class ;") ||
            text.contains("HP:1 rdfs:label \"x\" ;"))
+    // used-prefix pruning (RDFGraph.py:199-205): unreferenced namespaces
+    // must not be declared
+    assert(!text.contains("@prefix faldo:"))
+    assert(text.contains("@prefix HP:"))
+  }
+
+  test("N-Quads sink: NT line + graph label term") {
+    val dir = tmpDir() + "/nq"
+    val triples = Seq(Triple.res("HP:1", "rdf:type", "owl:Class")).toDF()
+    TripleSinks.writeNq(triples, org.apache.spark.sql.functions.lit("EX:g1"), dir)
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.length == 1)
+    assert(lines.head ==
+      "<http://purl.obolibrary.org/obo/HP_1> " +
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+      "<http://www.w3.org/2002/07/owl#Class> " +
+      "<https://example.org/id/g1> .")
+  }
+
+  test("RDF/XML sink: subject-grouped descriptions, used namespaces, escaping") {
+    val dir = tmpDir() + "/rdfxml"
+    val triples = Seq(
+      Triple.res("HP:1", "rdf:type", "owl:Class"),
+      Triple.typed("HP:1", "rdfs:label", "a<b&c", "xsd:string"),
+      Triple.res("_:b1", "rdf:type", "owl:Class")).toDF()
+    TripleSinks.writeRdfXml(triples, dir)
+    // concatenate part files in name order (what a downstream `cat
+    // part-*` consumer sees) — spark.read.text does not preserve order
+    import scala.jdk.CollectionConverters._
+    val text = java.nio.file.Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+      .map(p => Files.readString(p).stripSuffix("\n")).mkString("\n")
+    assert(text.startsWith("<?xml"))
+    assert(text.contains("""xmlns:HP="http://purl.obolibrary.org/obo/HP_""""))
+    assert(!text.contains("xmlns:faldo"))
+    assert(text.contains("""<rdf:Description rdf:about="http://purl.obolibrary.org/obo/HP_1">"""))
+    assert(text.contains("""<rdf:type rdf:resource="http://www.w3.org/2002/07/owl#Class"/>"""))
+    assert(text.contains(
+      """<rdfs:label rdf:datatype="http://www.w3.org/2001/XMLSchema#string">a&lt;b&amp;c</rdfs:label>"""))
+    // bnode subjects are skolemized like the NT sink
+    assert(text.contains(".well-known/genid/b1"))
+    assert(text.trim.endsWith("</rdf:RDF>"))
+    // well-formedness: parses with the JDK XML parser
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(text.getBytes("UTF-8")))
+  }
+
+  test("tar member extraction (ustar reader vs GNU tar archives)") {
+    import scala.sys.process._
+    val dir = tmpDir()
+    Files.writeString(Paths.get(s"$dir/genes.tsv"), "G1\tabc\nG2\tdef\n")
+    Files.writeString(Paths.get(s"$dir/other.txt"), "ignored\n")
+    // plain and gzipped archives, created by the system tar (independent
+    // implementation of the same public format)
+    assert(Process(Seq("tar", "cf", s"$dir/a.tar", "genes.tsv", "other.txt"),
+      new java.io.File(dir)).! == 0)
+    assert(Process(Seq("tar", "czf", s"$dir/a.tar.gz", "genes.tsv", "other.txt"),
+      new java.io.File(dir)).! == 0)
+    assert(graft.sources.TarSource.list(s"$dir/a.tar") ==
+      Seq("genes.tsv", "other.txt"))
+    for (arc <- Seq("a.tar", "a.tar.gz")) {
+      val out = graft.sources.TarSource.extractMember(
+        s"$dir/$arc", "genes.tsv", s"$dir/x_$arc")
+      assert(Files.readString(out) == "G1\tabc\nG2\tdef\n")
+    }
+    // second member reachable after skipping the first
+    val out2 = graft.sources.TarSource.extractMember(
+      s"$dir/a.tar.gz", "other.txt", s"$dir/y")
+    assert(Files.readString(out2) == "ignored\n")
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.TarSource.extractMember(s"$dir/a.tar", "nope", s"$dir/z")
+    }
+  }
+
+  test("biomart query construction + response scan") {
+    import graft.sources.Biomart
+    val q = Biomart.buildQuery("hsapiens_gene_ensembl",
+      Seq("ensembl_gene_id", "hgnc_id"))
+    // same document shape as the reference builder (Ensembl.py:273-286)
+    assert(q.startsWith("""<?xml version="1.0" encoding="UTF-8"?><!DOCTYPE Query>"""))
+    assert(q.contains("""formatter="TSV" header="1" uniqueRows="1" count="0""""))
+    assert(q.contains("""<Dataset name="hsapiens_gene_ensembl" interface="default">"""))
+    assert(q.contains("""<Attribute name="ensembl_gene_id"/><Attribute name="hgnc_id"/>"""))
+    javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        q.replace("<!DOCTYPE Query>", "").getBytes("UTF-8")))
+    val url = Biomart.requestUrl("http://ensembl.org", q)
+    assert(url.startsWith("http://ensembl.org/biomart/martservice?query=%3C%3Fxml"))
+    assert(!url.drop("http://".length).contains("<"))
+
+    // response scan: header row is re-mapped to attribute names
+    val dir = tmpDir()
+    Files.writeString(Paths.get(s"$dir/resp.tsv"),
+      "Gene stable ID\tHGNC ID\nENSG1\tHGNC:5\nENSG2\tHGNC:6\n")
+    val df = Biomart.scanResponse(spark, s"$dir/resp.tsv",
+      Seq("ensembl_gene_id", "hgnc_id"))
+    assert(df.columns.toSeq == Seq("ensembl_gene_id", "hgnc_id"))
+    assert(df.count() == 2)
   }
 
   test("JSON payload scan + control-char scrub pre-pass") {
