@@ -115,8 +115,11 @@ object ColumnEmit {
     * [onset, frequency]. */
   def d2pAssoc(df: DataFrame, definedBy: String,
                disease: Column, phenotype: Column,
-               onset: Column, frequency: Column): DataFrame = {
+               onset: Column, frequency: Column,
+               evidence: Column = nullDt): DataFrame = {
     val pred = lit(Vocab.hasPhenotype)
+    // evidence decorates the association but is NOT folded into the
+    // digest (make_d2p_id folds [onset, frequency] only, D2PAssoc.py:90-105)
     val aid = concat(lit("_:"), Digest.md5Id(concat_ws("+",
       lit(definedBy), disease, pred, phenotype, onset, frequency)))
     emitFiltered(df,
@@ -125,6 +128,7 @@ object ColumnEmit {
       res(aid, lit(Vocab.assocHasSubject), disease),
       res(aid, lit(Vocab.assocHasPredicate), pred),
       res(aid, lit(Vocab.assocHasObject), phenotype),
+      res(aid, lit(Vocab.hasEvidence), evidence),
       auto(aid, lit(Vocab.onset), onset),
       auto(aid, lit(Vocab.frequency), frequency))
   }

@@ -32,8 +32,13 @@ object Runner {
 
   /** Registered sources (source_to_class_map, dipper-etl.py:20-62). */
   val registry: Map[String, GraftSource] = Seq(
-    NationClassSource, OrderAssocSource, PartFeatureSource
+    NationClassSource, OrderAssocSource, PartFeatureSource,
+    DiseasePhenotypeSource
   ).map(s => s.name -> s).toMap
+
+  /** Sinks serialize through the production-size prefix map (the
+    * reference runs every ingest with its full curie_map.yaml). */
+  val curieMap: CurieMap = CurieMap.full
 
   final case class SourceResult(name: String, triples: Long, outPath: String)
 
@@ -73,15 +78,16 @@ object Runner {
         val n = full.count()
         val out = s"${cfg.outDir}/$name.nt"
         cfg.destFmt.foreach {
-          case "nt"     => TripleSinks.writeNt(full, out)
+          case "nt"     => TripleSinks.writeNt(full, out, curieMap)
           case "nquads" => TripleSinks.writeNq(full, lit(s"EX:graph/$name"),
-                             s"${cfg.outDir}/$name.nq")
-          case "turtle" => TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl")
-          case "n3"     => TripleSinks.writeN3(full, s"${cfg.outDir}/$name.n3")
-          case "rdfxml" => TripleSinks.writeRdfXml(full, s"${cfg.outDir}/$name.xml")
+                             s"${cfg.outDir}/$name.nq", curieMap)
+          case "turtle" => TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl", curieMap)
+          case "n3"     => TripleSinks.writeN3(full, s"${cfg.outDir}/$name.n3", curieMap)
+          case "rdfxml" => TripleSinks.writeRdfXml(full, s"${cfg.outDir}/$name.xml", curieMap)
         }
         if (!cfg.testOnly && src.testIds.nonEmpty)
-          TripleSinks.writeTestSubset(full, src.testIds, s"${cfg.outDir}/${name}_test.nt")
+          TripleSinks.writeTestSubset(full, src.testIds,
+            s"${cfg.outDir}/${name}_test.nt", curieMap)
         SourceResult(name, n, out)
       } finally full.unpersist(blocking = false)
     }
@@ -172,6 +178,39 @@ object OrderAssocSource extends GraftSource {
           sources = Seq("EX:orders"), score = Some(tp)).triples
       }.toDF()
   }
+}
+
+/** The HPOA-shape real ingest (dipper/sources/HPOAnnotations.py):
+  * declared-schema TSV scan → NOT-qualifier filter (py:225-226) →
+  * two-layer evidence translation (local tt/hpoa.yaml composed over the
+  * global table, Source.py:718-796) → D2P emit with onset/frequency
+  * qualifiers and evidence decoration → set-dedup → serialization via
+  * the production-size prefix map. Expects `annotations.tsv` in the
+  * run's data directory (the landed raw file of the fetch stage). */
+object DiseasePhenotypeSource extends GraftSource {
+  val name = "disease_phenotype"
+
+  private val schema = org.apache.spark.sql.types.StructType(
+    Seq("DatabaseID", "Qualifier", "HPO_ID", "Evidence", "Onset", "Frequency")
+      .map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
+    "annotations" -> graft.sources.DelimitedSource.read(spark,
+      graft.sources.SourceFile(s"$dataDir/annotations.tsv", schema)))
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    val tt = graft.core.TranslationTable.forSource("hpoa")
+    val rows = in("annotations")
+      // the reference skips negated annotations (HPOAnnotations.py:225-226)
+      .filter(coalesce(col("Qualifier"), lit("")) =!= "NOT")
+      .select(col("DatabaseID").as("dz"), col("HPO_ID").as("hp"),
+        tt.resolveCol(col("Evidence")).as("eco"),
+        col("Onset").as("onset"), col("Frequency").as("freq"))
+    graft.emit.ColumnEmit.d2pAssoc(rows, "EX:hpoa",
+      col("dz"), col("hp"), col("onset"), col("freq"), evidence = col("eco"))
+  }
+  override def testIds: Seq[String] = Seq("OMIM:119600")
 }
 
 /** Demo ingest: FALDO genomic features (UCSCBands-wave shape). */

@@ -141,6 +141,30 @@ object RdfQueries {
         col("dz"), col("hp"), col("onset"), col("freq"))
     }),
 
+    // §3.2 end-to-end ingest pipeline (HPOAnnotations.py shape): NOT-
+    // qualifier filter (py:225-226) → two-layer evidence translation
+    // (the REAL shipped tt/hpoa.yaml + global_terms.yaml tables,
+    // Source.py:718-796) → D2P emit with evidence decoration and the
+    // addTriple literal inference on onset/frequency. The oracle inlines
+    // the five resolved ECO terms — a divergence in either translation
+    // layer fails the hash compare.
+    "p01_d2p_pipeline" -> ((s, d) => {
+      val tt = graft.core.TranslationTable.forSource("hpoa")
+      val pr = substring(col("o_orderpriority"), 1, 1)
+      val base = Tables.orders(s, d).select(
+        concat(lit("OMIM:"), col("o_custkey").cast("string")).as("dz"),
+        concat(lit("HP:"), col("o_orderkey").cast("string")).as("hp"),
+        when(col("o_orderstatus") === "P", lit("NOT")).otherwise(lit("")).as("qual"),
+        when(pr === "1", "IEA").when(pr === "2", "PCS").when(pr === "3", "TAS")
+          .when(pr === "4", "ITM").otherwise("ICE").as("code"),
+        when(col("o_orderstatus") === "O", lit("HP:0003577")).as("onset"),
+        concat(pr, lit("/5")).as("freq"))
+      val rows = base.filter(col("qual") =!= "NOT")
+        .withColumn("eco", tt.resolveCol(col("code")))
+      graft.emit.ColumnEmit.d2pAssoc(rows, "EX:hpoa",
+        col("dz"), col("hp"), col("onset"), col("freq"), evidence = col("eco"))
+    }),
+
     // §2.4 orthology + family membership over same-nation supplier pairs,
     // with the RDFGraph set-semantics dedup before the sink.
     "r06_orthology_family" -> ((s, d) => {
@@ -295,6 +319,31 @@ object RdfQueries {
          UNION ALL SELECT a, 'OBAN:association_has_subject', dz, false, NULL FROM w
          UNION ALL SELECT a, 'OBAN:association_has_predicate', 'RO:0002200', false, NULL FROM w
          UNION ALL SELECT a, 'OBAN:association_has_object', hp, false, NULL FROM w
+         UNION ALL SELECT a, 'EXP:onset', onset, false, NULL FROM w WHERE onset IS NOT NULL
+         UNION ALL SELECT a, 'EXP:frequency', freq, true, NULL FROM w""",
+    "p01_d2p_pipeline" ->
+      """WITH base AS (
+           SELECT 'OMIM:'||o_custkey::varchar AS dz,
+                  'HP:'||o_orderkey::varchar AS hp,
+                  CASE WHEN o_orderstatus='P' THEN 'NOT' ELSE '' END AS qual,
+                  CASE substr(o_orderpriority,1,1)
+                       WHEN '1' THEN 'ECO:0000501' WHEN '2' THEN 'ECO:0000269'
+                       WHEN '3' THEN 'ECO:0000304' WHEN '4' THEN 'ECO:0000246'
+                       ELSE 'ECO:0000305' END AS eco,
+                  CASE WHEN o_orderstatus='O' THEN 'HP:0003577' END AS onset,
+                  substr(o_orderpriority,1,1)||'/5' AS freq
+           FROM orders),
+         f AS (SELECT * FROM base WHERE qual <> 'NOT'),
+         w AS (
+           SELECT *,
+             '_:b'||substr(md5(concat_ws('+','EX:hpoa',dz,'RO:0002200',hp,onset,freq)),2,19) AS a
+           FROM f)
+         SELECT dz AS s, 'RO:0002200' AS p, hp AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM w
+         UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_subject', dz, false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_predicate', 'RO:0002200', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_object', hp, false, NULL FROM w
+         UNION ALL SELECT a, 'RO:0002558', eco, false, NULL FROM w
          UNION ALL SELECT a, 'EXP:onset', onset, false, NULL FROM w WHERE onset IS NOT NULL
          UNION ALL SELECT a, 'EXP:frequency', freq, true, NULL FROM w""",
     "r06_orthology_family" ->

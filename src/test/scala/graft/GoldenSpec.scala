@@ -1,7 +1,10 @@
 package graft
 
-import graft.core.{Digest, Triple}
+import java.nio.file.{Files, Paths}
+
+import graft.core.{CurieMap, Digest, Triple}
 import graft.emit.{Assoc, Association}
+import graft.engine.Runner
 import graft.testing.GraphEquality
 
 /** Inline golden-triple tests in the reference's primary style
@@ -75,5 +78,59 @@ class GoldenSpec extends SparkSpec {
     val viaMirror = graft.sources.Fetch.fetch(s"file://$origin", cache,
       mirrorUrl = Some(s"file://$mirror"))
     assert(viaMirror.path.getFileName.toString == "mirror.tsv")
+  }
+
+  test("disease_phenotype ingest: raw TSV through Runner matches golden NT") {
+    // The reference's primary ingest test shape (tests/test_ctd.py:41-63)
+    // driven END-TO-END: declared-schema scan of a landed raw file,
+    // NOT-qualifier filter, two-layer evidence translation from the
+    // SHIPPED production tables, D2P emit, set-dedup, NT through the
+    // full-size prefix map.
+    val dir = Files.createTempDirectory("graft-hpoa").toString
+    Files.writeString(Paths.get(s"$dir/annotations.tsv"),
+      "DatabaseID\tQualifier\tHPO_ID\tEvidence\tOnset\tFrequency\n" +
+      "OMIM:119600\t\tHP:0000175\tIEA\tHP:0003577\t12/45\n" +
+      "OMIM:119600\tNOT\tHP:0001249\tIEA\t\t\n" +
+      "OMIM:100100\t\tHP:0001382\tTAS\t\t5/13\n")
+    val out = Files.createTempDirectory("graft-hpoa-out").toString
+    val res = Runner.run(spark,
+      Runner.RunConfig(Seq("disease_phenotype"), out), dir)
+    assert(res.head.triples > 0)
+    val nt = spark.read.text(s"$out/disease_phenotype.nt").as[String].collect().toSet
+
+    val cm = Runner.curieMap
+    def t(c: String) = "<" + cm.expand(c) + ">"
+    def line(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} ${t(o0)} ."
+    def lineLit(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} \"$o0\" ."
+    val a1 = "_:" + Digest.md5IdScala(
+      "EX:hpoa+OMIM:119600+RO:0002200+HP:0000175+HP:0003577+12/45")
+    val a2 = "_:" + Digest.md5IdScala(
+      "EX:hpoa+OMIM:100100+RO:0002200+HP:0001382+5/13")
+    val expected = Set(
+      line("OMIM:119600", "RO:0002200", "HP:0000175"),
+      line(a1, "rdf:type", "OBAN:association"),
+      line(a1, "OBAN:association_has_subject", "OMIM:119600"),
+      line(a1, "OBAN:association_has_predicate", "RO:0002200"),
+      line(a1, "OBAN:association_has_object", "HP:0000175"),
+      line(a1, "RO:0002558", "ECO:0000501"),        // IEA via local+global tt
+      line(a1, "EXP:onset", "HP:0003577"),          // CURIE -> resource
+      lineLit(a1, "EXP:frequency", "12/45"),        // free text -> literal
+      line("OMIM:100100", "RO:0002200", "HP:0001382"),
+      line(a2, "rdf:type", "OBAN:association"),
+      line(a2, "OBAN:association_has_subject", "OMIM:100100"),
+      line(a2, "OBAN:association_has_predicate", "RO:0002200"),
+      line(a2, "OBAN:association_has_object", "HP:0001382"),
+      line(a2, "RO:0002558", "ECO:0000304"),        // TAS
+      lineLit(a2, "EXP:frequency", "5/13"))
+    val missing = expected -- nt
+    assert(missing.isEmpty, s"missing golden lines: $missing")
+    // pin one full line against the production prefix map expansions
+    assert(nt.contains("<http://identifiers.org/mim/119600> " +
+      "<http://purl.obolibrary.org/obo/RO_0002200> " +
+      "<http://purl.obolibrary.org/obo/HP_0000175> ."))
+    // the NOT-qualified annotation must not surface anywhere
+    assert(!nt.exists(_.contains("HP_0001249")))
+    // no onset triple for the onset-less row
+    assert(!nt.exists(l => l.contains(cm.expand(a2)) && l.contains("onset")))
   }
 }
