@@ -11,43 +11,51 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * dataset-metadata graph (`pav:retrievedOn`), and integrity utilities
   * (length/md5, Source.py:544-610) verify the landed file.
   *
-  * Network transports are out of scope in this hermetic environment —
-  * origins are paths/`file://` URLs; the freshness/caching/verification
-  * logic is transport-independent and is what the round tests.
-  * Fetch is a DRIVER stage by design: executors never touch origins
-  * (SURVEY §7), Spark scans read only the landed cache.
+  * Bytes move through the pluggable [[Transport]] layer: the policy here
+  * is transport-independent and fully exercised over [[FileTransport]]
+  * in this hermetic build; [[HttpTransport]] slots in unchanged where
+  * the network exists. Fetch is a DRIVER stage by design: executors
+  * never touch origins (SURVEY §7), Spark scans read only the landed
+  * cache.
   */
 object Fetch {
 
   final case class Fetched(path: Path, refetched: Boolean, retrievedOn: String)
 
-  private def strip(url: String): String =
-    if (url.startsWith("file://")) url.stripPrefix("file://") else url
+  private def fileName(url: String): String = {
+    val clean = url.stripSuffix("/").takeWhile(c => c != '?' && c != '#')
+    clean.substring(clean.lastIndexOf('/') + 1)
+  }
 
   /** Origin is considered fresh if size and mtime match the cached copy
-    * (the reference's Last-Modified + size check, Source.py:280-358). */
-  def isStale(origin: Path, cached: Path): Boolean =
+    * (the reference's Last-Modified + size check, Source.py:280-358);
+    * an origin that exposes no metadata never looks stale — only
+    * `force` refetches it (Source.py:322-344 fallback). */
+  def isStale(originStat: Option[(Long, Long)], cached: Path): Boolean =
     !Files.exists(cached) ||
-      Files.size(origin) != Files.size(cached) ||
-      // millisecond granularity: copy may truncate sub-ms timestamp parts
-      Files.getLastModifiedTime(origin).toMillis >
-        Files.getLastModifiedTime(cached).toMillis
+      originStat.exists { case (size, mtimeMillis) =>
+        size != Files.size(cached) ||
+          // millisecond granularity: copy may truncate sub-ms parts
+          mtimeMillis > Files.getLastModifiedTime(cached).toMillis
+      }
+
+  /** Path-based form kept for local-mirror callers. */
+  def isStale(origin: Path, cached: Path): Boolean =
+    isStale(Some((Files.size(origin),
+      Files.getLastModifiedTime(origin).toMillis)), cached)
 
   /** Conditional fetch with optional cache-mirror preference. */
   def fetch(originUrl: String, destDir: String,
             mirrorUrl: Option[String] = None,
             force: Boolean = false): Fetched = {
-    val origin = mirrorUrl.map(strip).map(Paths.get(_))
-      .filter(Files.exists(_))
-      .getOrElse(Paths.get(strip(originUrl)))
-    require(Files.exists(origin), s"origin not found: $origin")
+    val origin = mirrorUrl.filter(u => Transport.forUrl(u).exists(u))
+      .getOrElse(originUrl)
+    val tr = Transport.forUrl(origin)
+    require(tr.exists(origin), s"origin not found: $origin")
     Files.createDirectories(Paths.get(destDir))
-    val dest = Paths.get(destDir, origin.getFileName.toString)
-    val stale = force || isStale(origin, dest)
-    if (stale) {
-      Files.copy(origin, dest, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dest, Files.getLastModifiedTime(origin))
-    }
+    val dest = Paths.get(destDir, fileName(origin))
+    val stale = force || isStale(tr.stat(origin), dest)
+    if (stale) tr.download(origin, dest)
     Fetched(dest, stale, java.time.LocalDate.now.toString)
   }
 
