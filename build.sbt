@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout/stderr in forked runs instead of routing
+// through the sbt logger: the logger prefixes every line with "[info] ",
+// which breaks line-wise JSON parsing of Bench/Verify output (the driver
+// records the bench line as unparseable with the prefix in place).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

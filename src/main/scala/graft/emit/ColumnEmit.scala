@@ -47,12 +47,17 @@ object ColumnEmit {
     df.select(explode(array(triples: _*)).as("t")).select("t.*")
 
   /** Like [[emit]] for patterns with row-conditional triples: a struct
-    * whose subject or object is null (an absent qualifier) is dropped
-    * inside the codegen'd `filter(array(...))` — no extra stage, no UDF. */
+    * whose subject or object is null (an absent qualifier) is dropped by a
+    * plain predicate AFTER the explode. Deliberately NOT a higher-order
+    * `filter(array(...))`: HOF expressions carry no `doGenCode`, so a
+    * lambda over the struct array forces the whole pattern — digests,
+    * conditionals, concats — out of whole-stage codegen into interpreted
+    * eval (measured 26× slower per row on the G2P pattern at sf0.1).
+    * explode + struct + when + a row filter all stay codegen'd. */
   def emitFiltered(df: DataFrame, triples: Column*): DataFrame =
-    df.select(explode(filter(array(triples: _*),
-        t => t.getField("s").isNotNull && t.getField("o").isNotNull)).as("t"))
+    df.select(explode(array(triples: _*)).as("t"))
       .select("t.*")
+      .where(col("s").isNotNull && col("o").isNotNull)
 
   /** OBAN reified association pattern (column twin of [[Association]]
     * with an md5 digest id — same triples as the flatMap form). */
@@ -60,17 +65,22 @@ object ColumnEmit {
                    sub: Column, pred: Column, obj: Column,
                    source: Option[String] = None,
                    score: Option[Column] = None): DataFrame = {
-    val aid = concat(lit("_:"),
-      Digest.md5Id(concat_ws("+", lit(definedBy), sub, pred, obj)))
+    // digest hoisted below the explode — computed once per row, not once
+    // per referencing struct (see g2pAssoc)
+    val pre = df.select(sub.as("__s"), pred.as("__pr"), obj.as("__o"),
+      concat(lit("_:"),
+        Digest.md5Id(concat_ws("+", lit(definedBy), sub, pred, obj))).as("__aid"),
+      score.getOrElse(nullDt).as("__sc"))
+    val (s, p, o, aid) = (col("__s"), col("__pr"), col("__o"), col("__aid"))
     val base = Seq(
-      res(sub, pred, obj),
+      res(s, p, o),
       res(aid, lit(Vocab.a), lit(Vocab.association)),
-      res(aid, lit(Vocab.assocHasSubject), sub),
-      res(aid, lit(Vocab.assocHasPredicate), pred),
-      res(aid, lit(Vocab.assocHasObject), obj)) ++
-      source.map(s => res(aid, lit(Vocab.source), lit(s))) ++
-      score.map(v => typed(aid, lit("EXP:score"), v.cast("string"), "xsd:double"))
-    emit(df, base: _*)
+      res(aid, lit(Vocab.assocHasSubject), s),
+      res(aid, lit(Vocab.assocHasPredicate), p),
+      res(aid, lit(Vocab.assocHasObject), o)) ++
+      source.map(v => res(aid, lit(Vocab.source), lit(v))) ++
+      score.map(_ => typed(aid, lit("EXP:score"), col("__sc").cast("string"), "xsd:double"))
+    emit(pre, base: _*)
   }
 
   /** Column twin of [[Assoc.g2p]] (reference G2PAssoc.py:74-150): OBAN
@@ -85,27 +95,40 @@ object ColumnEmit {
                startStage: Column, endStage: Column,
                environment: Column): DataFrame = {
     val pred = lit(Vocab.hasPhenotype)
-    val aid = concat(lit("_:"), Digest.md5Id(concat_ws("+",
-      lit(definedBy), genotype, pred, phenotype,
-      environment, startStage, endStage)))
     val hasStage = startStage.isNotNull || endStage.isNotNull
     // str(None) → "None" mirrors the reference's '-'.join((str(a),str(b)))
     val stageLabel = when(hasStage, concat(
       coalesce(startStage, lit("None")), lit("-"),
       coalesce(endStage, lit("None"))))
-    val sid = when(hasStage, concat(lit("_:"), Digest.md5Id(stageLabel)))
-    emitFiltered(df,
-      res(genotype, pred, phenotype),
+    // Digests are hoisted into a projection BELOW the explode so each md5
+    // is computed once per input row, not once per struct that references
+    // it (aid appears in 6 of the 11 structs). CollapseProject keeps the
+    // hoist: it refuses to inline non-cheap expressions referenced more
+    // than once.
+    val pre = df.select(genotype.as("__g"), phenotype.as("__p"),
+        startStage.as("__st"), endStage.as("__en"), environment.as("__env"),
+        stageLabel.as("__slabel"),
+        concat(lit("_:"), Digest.md5Id(concat_ws("+",
+          lit(definedBy), genotype, pred, phenotype,
+          environment, startStage, endStage))).as("__aid"))
+      .withColumn("__sid",
+        when(col("__slabel").isNotNull,
+          concat(lit("_:"), Digest.md5Id(col("__slabel")))))
+    val (g, p, st, en, env) = (col("__g"), col("__p"), col("__st"),
+      col("__en"), col("__env"))
+    val (aid, sid, slabel) = (col("__aid"), col("__sid"), col("__slabel"))
+    emitFiltered(pre,
+      res(g, pred, p),
       res(aid, lit(Vocab.a), lit(Vocab.association)),
-      res(aid, lit(Vocab.assocHasSubject), genotype),
+      res(aid, lit(Vocab.assocHasSubject), g),
       res(aid, lit(Vocab.assocHasPredicate), pred),
-      res(aid, lit(Vocab.assocHasObject), phenotype),
+      res(aid, lit(Vocab.assocHasObject), p),
       res(sid, lit(Vocab.a), lit(Vocab.developmentalProcess)),
-      str(sid, lit(Vocab.label), stageLabel),
-      res(sid, lit(Vocab.startsDuring), startStage),
-      res(sid, lit(Vocab.endsDuring), endStage),
+      str(sid, lit(Vocab.label), slabel),
+      res(sid, lit(Vocab.startsDuring), st),
+      res(sid, lit(Vocab.endsDuring), en),
       res(aid, lit(Vocab.hasQualifier), sid),
-      res(aid, lit(Vocab.hasQualifier), environment))
+      res(aid, lit(Vocab.hasQualifier), env))
   }
 
   /** Column twin of [[Assoc.d2p]] (reference D2PAssoc.py:57-105): OBAN
@@ -119,18 +142,23 @@ object ColumnEmit {
                evidence: Column = nullDt): DataFrame = {
     val pred = lit(Vocab.hasPhenotype)
     // evidence decorates the association but is NOT folded into the
-    // digest (make_d2p_id folds [onset, frequency] only, D2PAssoc.py:90-105)
-    val aid = concat(lit("_:"), Digest.md5Id(concat_ws("+",
-      lit(definedBy), disease, pred, phenotype, onset, frequency)))
-    emitFiltered(df,
-      res(disease, pred, phenotype),
+    // digest (make_d2p_id folds [onset, frequency] only, D2PAssoc.py:90-105).
+    // Digest hoisted below the explode — computed once per row (see g2pAssoc).
+    val pre = df.select(disease.as("__d"), phenotype.as("__p"),
+      onset.as("__on"), frequency.as("__fr"), evidence.as("__ev"),
+      concat(lit("_:"), Digest.md5Id(concat_ws("+",
+        lit(definedBy), disease, pred, phenotype, onset, frequency))).as("__aid"))
+    val (d, p, on, fr, ev, aid) = (col("__d"), col("__p"), col("__on"),
+      col("__fr"), col("__ev"), col("__aid"))
+    emitFiltered(pre,
+      res(d, pred, p),
       res(aid, lit(Vocab.a), lit(Vocab.association)),
-      res(aid, lit(Vocab.assocHasSubject), disease),
+      res(aid, lit(Vocab.assocHasSubject), d),
       res(aid, lit(Vocab.assocHasPredicate), pred),
-      res(aid, lit(Vocab.assocHasObject), phenotype),
-      res(aid, lit(Vocab.hasEvidence), evidence),
-      auto(aid, lit(Vocab.onset), onset),
-      auto(aid, lit(Vocab.frequency), frequency))
+      res(aid, lit(Vocab.assocHasObject), p),
+      res(aid, lit(Vocab.hasEvidence), ev),
+      auto(aid, lit(Vocab.onset), on),
+      auto(aid, lit(Vocab.frequency), fr))
   }
 
   /** Class-pattern column twin of Model.classTriples. */

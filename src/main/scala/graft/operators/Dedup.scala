@@ -54,19 +54,26 @@ object Dedup {
     * kept (cluster-safe — a lost executor recomputes from lineage, where
     * a localCheckpoint would fail the job) and force it eagerly so every
     * downstream consumer plans an InMemoryTableScan instead of re-codegen-
-    * compiling the whole subtree.
-    *
-    * Cache contract: the blocks stay registered in the CacheManager until
-    * the caller releases them. After fully consuming the result of
-    * `ngramJaccardPairs`/`minhashPairs`/`simhashPairs`, drop them with
-    * `df.sparkSession.catalog.clearCache()` (what the bench harness does
-    * between queries) or by unpersisting the consumed result's cached
-    * children — a long-lived session that never releases them accumulates
-    * storage blocks. */
+    * compiling the whole subtree. Paired with [[finalized]], which releases
+    * it once the operator's result is computed. */
   private def materialize(df: DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.count()
     cached
+  }
+
+  /** Eagerly compute an operator's result, then release its large
+    * [[materialize]]d intermediates. The result (pair lists — orders of
+    * magnitude smaller than the shingle/signature relations it derives
+    * from) is persisted so consumers never re-derive the unpersisted
+    * lineage; a long-lived session thus accumulates only small result
+    * blocks, which the caller may drop with `result.unpersist()` when
+    * done. */
+  private def finalized(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
   }
 
   /** Exact n-gram Jaccard pairs above `threshold` (id_a < id_b).
@@ -128,14 +135,15 @@ object Dedup {
       .distinct()
     // exact verification over full shingle sets (set semantics — arr is
     // distinct by construction, so array_intersect is exact)
-    cand
+    finalized(cand
       .join(docsArr.select(col("id").as("id_a"), col("arr").as("seta"), col("sz").as("sa")), "id_a")
       .join(docsArr.select(col("id").as("id_b"), col("arr").as("setb"), col("sz").as("sb")), "id_b")
       .withColumn("inter", size(array_intersect(col("seta"), col("setb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") > threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      docsArr)
   }
 
   /** Naive inverted-index form of [[ngramJaccardPairs]] — O(Σ df²) pair
@@ -197,12 +205,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               col("a.sig").as("sa"), col("b.sig").as("sb"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    finalized(cand
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
           .cast("double") / numPerm)
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard")),
+      withSig)
   }
 
   /** 64-bit SimHash fingerprints from term-frequency-weighted word
@@ -234,12 +243,13 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)
     val buckets = sigs.select(col("id"), col("simhash"), explode(chunks).as("ch"))
       .select(col("id"), col("simhash"), col("ch.ci"), col("ch.cv"))
-    buckets.as("a").join(buckets.as("b"),
+    finalized(buckets.as("a").join(buckets.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming),
+      sigs)
   }
 }
