@@ -54,6 +54,26 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exactGroups]] for continuous ingest: keep the
+    * first arrival of each content digest, drop every later duplicate.
+    * State is bounded by the watermark: a duplicate arriving more than
+    * `horizon` of event time after the original passes through (the state
+    * store evicts expired digests), which is the standard
+    * bounded-state/unbounded-lookback trade — at 100 TB/day an unbounded
+    * digest store is itself a dataset; cross-horizon dedup belongs in a
+    * periodic batch compaction with [[graft.operators.Dedup.exactGroups]].
+    * Rows need an event-time column `tsCol`; the digest is computed on
+    * `textCol`, so semantics match the batch operator exactly within the
+    * horizon. */
+  def dedupedStream(docs: DataFrame, textCol: String, tsCol: String,
+                    horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** StreamedGraph-equivalent sink: incremental triple batches land as
     * deduplicated NT files (per-batch dedup; cross-batch dedup is the
     * downstream `sort -u` contract, same as the reference). */

@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming exact dedup keeps first arrival per digest within the watermark") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    // three docs, one exact duplicate ("alpha" twice) within the horizon
+    Seq(
+      (1L, "alpha text", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, "beta text",  java.sql.Timestamp.valueOf("2026-01-01 10:05:00")),
+      (3L, "alpha text", java.sql.Timestamp.valueOf("2026-01-01 10:10:00")))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventStream.dedupedStream(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    // exactly one survivor per content digest (docs 1 and 3 share content;
+    // which of the two survives within a single replay batch is an
+    // arbitrary-but-single pick, so assert on the deduplicated content)
+    val kept = spark.sql("SELECT doc_id, text FROM dedup_out")
+      .as[(Long, String)].collect()
+    assert(kept.length == 2)
+    assert(kept.map(_._2).toSet == Set("alpha text", "beta text"))
+    assert(kept.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // schema passes through unchanged (helper column dropped)
+    assert(spark.sql("SELECT * FROM dedup_out").columns.toSeq ==
+      Seq("doc_id", "text", "ts"))
+  }
+
   test("StreamedGraph-equivalent: triple batches → deduplicated NT files") {
     val dir = Files.createTempDirectory("graft-stream-nt").toString
     Seq(
