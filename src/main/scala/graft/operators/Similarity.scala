@@ -122,6 +122,70 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Deterministic IVF coarse centroids: the `nlist` corpus vectors with
+    * the smallest `md5("ivf" + id)` — a reproducible pseudo-random sample
+    * (the classic k-means init; production IVF would Lloyd-refine these,
+    * which changes recall but not the operator shape). Deterministic so an
+    * external oracle can re-derive the exact cell structure. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("r", md5(concat(lit("ivf"), col("cid").cast("string"))))
+      .orderBy(col("r"), col("cid")).limit(nlist)
+      .drop("r")
+
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * of `nlist` coarse centroids (one cell each), then search each query
+    * only in its `nprobe` nearest cells with exact cosine — the other
+    * classic ANN scale path next to [[lshTopK]]. Per-query work drops from
+    * |corpus| to ~(nprobe/nlist)·|corpus|; recall < 1 because a true
+    * neighbor assigned to an unprobed cell is missed.
+    *
+    * Scale shape: centroids broadcast both times; cell assignment is a
+    * map-side max-struct aggregate over the corpus×nlist similarity
+    * relation (partial aggregation collapses each vector's nlist rows
+    * before the one shuffle on id — no window sort over the blown-up
+    * relation); the probe join shuffles the corpus once on cell id.
+    * Ties (equal cosine to two centroids) break toward the smaller
+    * centroid id on both engine and oracle. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
+      .withColumn("cn", vec_norm(col("cv"))))
+    def cellSims(side: DataFrame, id: String, vec: String): DataFrame =
+      side.select(col(id).as("id"), col(vec).as("v"))
+        .withColumn("n", vec_norm(col("v")))
+        .crossJoin(cents)
+        .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .select(col("id"), col("v"), col("n"), col("cid"), col("csim"))
+    // one cell per corpus vector: max over (csim, -cid) ≡ the first row of
+    // an (csim DESC, cid ASC) ordering, without sorting the ×nlist relation
+    val assigned = cellSims(corpus, idCol, vecCol)
+      .groupBy(col("id").as("nid"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("negc"), col("cid").as("cell"),
+        col("v").as("nv"), col("n").as("nn"))).as("b"))
+      .select(col("nid"), col("b.cell").as("cell"), col("b.nv").as("nv"),
+        col("b.nn").as("nn"))
+    // nprobe cells per query (query set is small by construction — same
+    // contract as bruteForceTopK's broadcast side)
+    val wProbe = Window.partitionBy("id").orderBy(col("csim").desc, col("cid").asc)
+    val probes = cellSims(queries, idCol, vecCol)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("n").as("qn"),
+        col("cid").as("cell"))
+    val sims = assigned.join(broadcast(probes), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Bucketed ANN: candidates restricted to the query's LSH bucket, then
     * exact cosine top-k within the bucket. Recall < 1 by construction —
     * this is the documented approximate/scale path next to

@@ -77,6 +77,16 @@ object PipelineQueries {
         "vec_id", "embedding", dim = 64, k = 3, nbits = 8)
     }),
 
+    // IVF ANN (the other classic scale path): deterministic coarse
+    // centroids → one cell per corpus vector → nprobe-cell search with
+    // exact cosine. Fully oracle-checked — the centroid sample, cell
+    // assignment, and probing are all reproducible in SQL.
+    "s03_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+    }),
+
     // Stopword-bank language ID with deterministic argmax tie-break.
     "t01_langid" -> ((s, d) => {
       val t = col("text")
@@ -193,6 +203,35 @@ object PipelineQueries {
               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45""",
+    "s03_ann_ivf" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT e.vec_id AS id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c),
+         cells AS (
+           SELECT id AS nid, v AS nv, cid AS cell FROM (
+             SELECT id, v, cid,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, v AS qv, cid AS cell FROM (
+             SELECT id, v, cid,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn WHERE id < 10) t WHERE rn <= 4),
+         sims AS (
+           SELECT p.qid, s.nid,
+                  list_dot_product(p.qv, s.nv)
+                    / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.nv, s.nv))) AS sim
+           FROM probes p JOIN cells s ON p.cell = s.cell AND s.nid != p.qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     "s01_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),

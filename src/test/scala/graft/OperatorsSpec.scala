@@ -90,6 +90,28 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.forall(brute.contains), "LSH scores must agree with exact scores")
   }
 
+  test("IVF topk: scores agree with exact cosine; probing recalls most of top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 5)
+    val k = 3
+    val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k,
+      nlist = 8, nprobe = 4)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 2000)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(brute.contains), "IVF scores must agree with exact scores")
+    // recall floor: with half the cells probed, most true top-k survive
+    val trueTop = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val hit = ivf.map(r => (r._1, r._2)).count(trueTop.contains)
+    assert(hit >= trueTop.size / 2,
+      s"IVF recall too low: $hit of ${trueTop.size}")
+    // every corpus vector lands in exactly one cell
+    val nCells = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8).count()
+    assert(nCells == 8)
+  }
+
   test("LSH near-dup pairs ⊆ exact near-dup pairs, with identical scores") {
     val emb = Tables.embeddings(spark, sf)
     // 0.3: low enough that the sf0.001 corpus has pairs AND the banded
