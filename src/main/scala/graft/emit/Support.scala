@@ -85,8 +85,10 @@ object Pathway {
     Model.classTriples(id, label, subClassOf = Some("GO:0008150")) ++
       Model.addType(id, "PW:0000001")
 
-  def addGeneToPathway(gene: String, pathway: String): Seq[Triple] = {
-    val product = "_:" + graft.core.Digest.sha1IdScala(s"product+$gene")
+  def addGeneToPathway(gene: String, pathway: String,
+                       digest: String => String =
+                         graft.core.Digest.sha1IdScala): Seq[Triple] = {
+    val product = "_:" + digest(s"product+$gene")
     Seq(
       Triple.res(product, "RO:0002204", gene),
       Triple.res(product, Vocab.a, "CHEBI:33695"),

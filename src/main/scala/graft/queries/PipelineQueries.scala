@@ -137,6 +137,20 @@ object PipelineQueries {
         TextOps.fingerprint(col("text")).as("fp"),
         TextOps.minShingleHash(col("text"), 3).as("min_shingle"))),
 
+    // Vocabulary building: corpus-level top-k terms by frequency — the
+    // standard first pass of tokenizer training. The top-k runs as a
+    // distributed TakeOrderedAndProject after the frequency aggregate
+    // (map-side partial counts); only the k survivors see the rank window.
+    "t05_vocab_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      freq.orderBy(col("freq").desc, col("term").asc).limit(100)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("freq").desc, col("term").asc)))
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata projection
     // (decode STUB exercised via mapPartitions in the test suite).
     "m01_multimodal_meta" -> ((s, d) =>
@@ -283,6 +297,13 @@ object PipelineQueries {
                 md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
                 (SELECT min(md5(sh)) FROM sh WHERE sh.doc_id = w.doc_id) AS min_shingle
          FROM w""",
+    "t05_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         f AS (SELECT term, count(*) AS freq FROM t GROUP BY term)
+         SELECT term, freq,
+                row_number() OVER (ORDER BY freq DESC, term) AS rank
+         FROM f
+         QUALIFY row_number() OVER (ORDER BY freq DESC, term) <= 100""",
     "m01_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
               md5(text) AS checksum, 'text/plain' AS mime

@@ -165,6 +165,43 @@ object RdfQueries {
         col("dz"), col("hp"), col("onset"), col("freq"), evidence = col("eco"))
     }),
 
+    // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
+    // measurement data), Provenance (assertion/agent), Reference (typed
+    // publication with pages), Family membership, Environment condition,
+    // Pathway (class + gene-product involvement) — one chain per order,
+    // through the flatMap emitter library, RDFGraph set-dedup at the end.
+    "r11_evidence_chain" -> ((s, d) => {
+      import s.implicits._
+      import graft.emit.{Evidence => Ev, Provenance => Prov, Reference => Ref,
+        Family => Fam, Environment => Env, Pathway => Pw}
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        .as[(Long, Long, String, Double, String)]
+        .flatMap { case (ok, ck, st, tp, pr) =>
+          val clerk = "clerk " + pr.substring(0, 1)
+          val a = s"EX:a$ok"
+          val line = "_:" + Digest.md5IdScala(s"line+$ok")
+          val item = "_:" + Digest.md5IdScala(s"item+$ok")
+          val pub = s"PMID:$ok"
+          val agent = s"EX:agent_$clerk"
+          val fam = s"EX:fam$ck"
+          val cond = s"EX:cond_$st"
+          val pw = s"EX:pw_$st"
+          Ev.hasEvidenceLine(a, line, "ECO:0000000") ++
+            Ev.hasSupportingEvidence(line, item) ++
+            Ev.supportingPublication(item, pub) ++
+            Ev.supportingData(item, Map("EXP:price" -> tp)) ++
+            Ref.triples(pub, title = s"paper $ok", pages = pr) ++
+            Prov.assertion(s"EX:assert$ok", agent, s"assertion $ok") ++
+            Prov.agent(agent, clerk) ++
+            Fam.hasMember(fam, a) ++
+            Env.condition(cond, s"status $st") ++
+            Pw.pathwayTriples(pw, s"pathway $st") ++
+            Pw.addGeneToPathway(s"EX:g$ck", pw, Digest.md5IdScala)
+        }.toDF().distinct()
+    }),
+
     // §2.4 orthology + family membership over same-nation supplier pairs,
     // with the RDFGraph set-semantics dedup before the sink.
     "r06_orthology_family" -> ((s, d) => {
@@ -346,6 +383,48 @@ object RdfQueries {
          UNION ALL SELECT a, 'RO:0002558', eco, false, NULL FROM w
          UNION ALL SELECT a, 'EXP:onset', onset, false, NULL FROM w WHERE onset IS NOT NULL
          UNION ALL SELECT a, 'EXP:frequency', freq, true, NULL FROM w""",
+    "r11_evidence_chain" ->
+      """WITH w AS (
+           SELECT o_orderkey AS ok, 'clerk '||substr(o_orderpriority,1,1) AS clerk,
+                  o_totalprice AS tp,
+                  o_orderpriority AS pr, o_orderstatus AS st,
+                  'EX:a'||o_orderkey::varchar AS aid,
+                  '_:b'||substr(md5('line+'||o_orderkey::varchar),2,19) AS line,
+                  '_:b'||substr(md5('item+'||o_orderkey::varchar),2,19) AS item,
+                  'PMID:'||o_orderkey::varchar AS pub,
+                  'EX:agent_clerk '||substr(o_orderpriority,1,1) AS agent,
+                  'EX:fam'||o_custkey::varchar AS fam,
+                  'EX:cond_'||o_orderstatus AS cond,
+                  'EX:pw_'||o_orderstatus AS pw,
+                  'EX:g'||o_custkey::varchar AS gene,
+                  '_:b'||substr(md5('product+EX:g'||o_custkey::varchar),2,19) AS product,
+                  'EX:assert'||o_orderkey::varchar AS asrt
+           FROM orders)
+         SELECT DISTINCT * FROM (
+           SELECT aid AS s, 'SEPIO:0000002' AS p, line AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM w
+           UNION ALL SELECT line, 'rdf:type', 'ECO:0000000', false, NULL FROM w
+           UNION ALL SELECT line, 'SEPIO:0000110', item, false, NULL FROM w
+           UNION ALL SELECT item, 'dc:source', pub, false, NULL FROM w
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000311', false, NULL FROM w
+           UNION ALL SELECT item, 'EXP:price', tp::varchar, true, 'xsd:double' FROM w
+           UNION ALL SELECT pub, 'rdfs:label', 'paper '||ok::varchar, true, NULL FROM w
+           UNION ALL SELECT pub, 'EXP:pages', pr, true, NULL FROM w
+           UNION ALL SELECT asrt, 'rdf:type', 'SEPIO:0000001', false, NULL FROM w
+           UNION ALL SELECT asrt, 'dc:description', 'assertion '||ok::varchar, true, NULL FROM w
+           UNION ALL SELECT asrt, 'SEPIO:0000017', agent, false, NULL FROM w
+           UNION ALL SELECT agent, 'rdf:type', 'SEPIO:0000090', false, NULL FROM w
+           UNION ALL SELECT agent, 'rdfs:label', clerk, true, NULL FROM w
+           UNION ALL SELECT fam, 'RO:0002351', aid, false, NULL FROM w
+           UNION ALL SELECT aid, 'RO:0002350', fam, false, NULL FROM w
+           UNION ALL SELECT cond, 'rdf:type', 'XCO:0000000', false, NULL FROM w
+           UNION ALL SELECT cond, 'rdfs:label', 'status '||st, true, NULL FROM w
+           UNION ALL SELECT pw, 'rdf:type', 'owl:Class', false, NULL FROM w
+           UNION ALL SELECT pw, 'rdfs:label', 'pathway '||st, true, NULL FROM w
+           UNION ALL SELECT pw, 'rdfs:subClassOf', 'GO:0008150', false, NULL FROM w
+           UNION ALL SELECT pw, 'rdf:type', 'PW:0000001', false, NULL FROM w
+           UNION ALL SELECT product, 'RO:0002204', gene, false, NULL FROM w
+           UNION ALL SELECT product, 'rdf:type', 'CHEBI:33695', false, NULL FROM w
+           UNION ALL SELECT product, 'RO:0002331', pw, false, NULL FROM w) t""",
     "r06_orthology_family" ->
       """WITH p AS (
            SELECT a.s_suppkey AS sa, b.s_suppkey AS sb, a.s_nationkey AS nk
