@@ -174,7 +174,12 @@ object RdfQueries {
       import s.implicits._
       import graft.emit.{Evidence => Ev, Provenance => Prov, Reference => Ref,
         Family => Fam, Environment => Env, Pathway => Pw}
+      // flatMap library tier at a representative 1/5 volume — the Seq-
+      // emitter path is the convenience API (ColumnEmit is the scale path,
+      // stressed at full volume by r08/r09); coverage here is breadth of
+      // pattern families, not throughput
       Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0)
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderpriority")
         .as[(Long, Long, String, Double, String)]
@@ -399,7 +404,7 @@ object RdfQueries {
                   'EX:g'||o_custkey::varchar AS gene,
                   '_:b'||substr(md5('product+EX:g'||o_custkey::varchar),2,19) AS product,
                   'EX:assert'||o_orderkey::varchar AS asrt
-           FROM orders)
+           FROM orders WHERE o_orderkey % 5 = 0)
          SELECT DISTINCT * FROM (
            SELECT aid AS s, 'SEPIO:0000002' AS p, line AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM w
            UNION ALL SELECT line, 'rdf:type', 'ECO:0000000', false, NULL FROM w
