@@ -214,6 +214,89 @@ object Dedup {
       withSig)
   }
 
+  /** Connected-components clustering over a near-dup pair list — the step
+    * that turns pairwise evidence (from [[ngramJaccardPairs]],
+    * [[minhashPairs]], [[simhashPairs]] or
+    * [[Similarity.lshNearDupPairs]]) into dedup decisions: every document
+    * in a component is labeled with the component's minimum id, which IS
+    * the canonical keeper (keep exactly the rows where `id = cluster`).
+    * Without this step a pipeline that drops `id_b` of every pair
+    * over-deletes on transitive chains (a~b, b~c deletes b AND c even
+    * though c's only witness was deleted).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round takes `lbl(v) ← min(lbl(v), min over neighbours' labels)`
+    * and then contracts `lbl(v) ← lbl(lbl(v))`, the doubling idea of the
+    * MapReduce connected-components literature (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Label
+    * chains halve every round, so rounds grow with log(diameter), not
+    * diameter. Each round shuffles only the pair relation and the label
+    * table (both ≪ corpus — nodes appearing in ≥1 pair); the corpus
+    * itself is never touched. Convergence is a changed-label count — a
+    * scalar aggregate per round, no collect. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               maxRounds: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // Per-round materialization for an ITERATIVE plan: persist + force,
+    // then rebase the frame onto the materialized RDD (a flat LogicalRDD
+    // scan). Without the rebase each round's Catalyst tree embeds BOTH
+    // join branches of the previous round's tree — 2^round plan nodes,
+    // which stalls analysis after ~15 rounds (measured: the 40-node-path
+    // spec never finished). The RDD keeps full lineage — a lost cache
+    // block recomputes through the chain (slower, but correct on a
+    // cluster, unlike localCheckpoint which fails the job); long-running
+    // deployments can additionally set a reliable checkpoint dir and
+    // swap this for df.checkpoint(), the GraphX-Pregel pattern.
+    def iterMat(df: DataFrame): (DataFrame, DataFrame) = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      (spark.createDataFrame(c.rdd, c.schema), c)
+    }
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val (edges, edgesCache) = iterMat(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var (labels, labelsCache) = iterMat(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // min over own label and all neighbours' labels; the own label rides
+      // along (tagged so max() picks exactly it) to make the convergence
+      // check a free column in the NEXT aggregate instead of a third
+      // join+count job per round
+      val nullOwn = lit(null).cast(labels.schema("lbl").dataType)
+      val (prop, propCache) = iterMat(edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"), nullOwn.as("own"))
+        .union(labels.select(col("id"), col("lbl"), col("lbl").as("own")))
+        .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own")))
+      // pointer jump: follow the label one hop (lbl is itself a node id);
+      // the forcing aggregate doubles as the exact fixpoint check (no
+      // label moved in either the propagation or the jump this round)
+      val nextCache = prop
+        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("lbl") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"),
+          col("own"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val row = nextCache
+        .agg(sum(when(col("lbl") =!= col("own"), 1L).otherwise(0L))).first()
+      val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val next = spark.createDataFrame(nextCache.rdd, nextCache.schema)
+        .select(col("id"), col("lbl"))
+      propCache.unpersist(false)
+      labelsCache.unpersist(false)
+      labels = next
+      labelsCache = nextCache
+      done = changed == 0
+      round += 1
+    }
+    finalized(labels.select(col("id"), col("lbl").as("cluster")),
+      edgesCache, labelsCache)
+  }
+
   /** 64-bit SimHash fingerprints from term-frequency-weighted word
     * hashes — one explode + one aggregation, builtins only. */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -68,4 +68,44 @@ object TextOps {
     * everything but the minimal window). */
   def minShingleHash(text: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(text, n), s => md5(s)))
+
+  /** Cross-document boilerplate removal by document frequency: a term
+    * that appears in more than `dfFrac` of the documents of its group
+    * (site / source / domain — the unit boilerplate repeats within) is
+    * stripped from every document of that group. This is the standard
+    * web-corpus cleaning pass for navigation chrome / license banners,
+    * at the token granularity this corpus supports.
+    *
+    * Scale shape: one shuffle for the per-group document frequencies
+    * over the DISTINCT (group, term, doc) relation, one tiny aggregate
+    * for group sizes, then the per-group boilerplate vocabularies —
+    * bounded by `vocab × groups`, small by construction since only
+    * near-universal terms qualify — come back as a BROADCAST join; the
+    * strip itself is map-only over the corpus. The `filter` lambda here
+    * is the legitimate HOF use (reducing an array the data carries, a
+    * few dozen elements per row), not a fixed emission pattern.
+    *
+    * Returns (id, n_tokens, n_kept, clean_text). */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, dfFrac: Double = 0.9): DataFrame = {
+    val terms = docs
+      .select(col(groupCol).as("g"), col(idCol).as("id"),
+        explode(array_distinct(words(col(textCol)))).as("w"))
+    val dfreq = terms.groupBy("g", "w").agg(count(lit(1)).as("df"))
+    val groupSizes = docs.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"))
+    val boilerVocab = dfreq.join(groupSizes, "g")
+      .filter(col("df") > lit(dfFrac) * col("n"))
+      .groupBy("g").agg(sort_array(collect_set(col("w"))).as("bw"))
+    val emptyArr = array().cast("array<string>")
+    docs
+      .join(broadcast(boilerVocab), docs(groupCol) === boilerVocab("g"), "left")
+      .select(col(idCol), words(col(textCol)).as("ws"),
+        coalesce(col("bw"), emptyArr).as("bw"))
+      .select(col(idCol), col("ws"),
+        filter(col("ws"), w => !array_contains(col("bw"), w)).as("kept"))
+      .select(col(idCol), size(col("ws")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

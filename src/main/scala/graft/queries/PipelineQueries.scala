@@ -62,6 +62,25 @@ object PipelineQueries {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, threshold = 0.45, nbits = 8, bands = 4)),
 
+    // Dedup cluster formation: connected components over near-dup pairs
+    // (min-label propagation + pointer jumping), cluster label = minimum
+    // member id = the canonical keeper. Pairs here are the exact cosine
+    // pairs at 0.35 (a transitive graph — 75 components at sf0.01, the
+    // largest 59 nodes deep); at corpus scale the same operator consumes
+    // lshNearDupPairs/minhashPairs output unchanged.
+    "d07_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.35),
+        "id_a", "id_b")),
+
+    // Boilerplate removal: per-source document-frequency term stripping
+    // (df > 0.9 of the source's docs → navigation-chrome-style token),
+    // broadcast vocabularies, map-only strip.
+    "d08_boilerplate_strip" -> ((s, d) =>
+      TextOps.boilerplateStrip(Tables.documents(s, d), "doc_id", "text",
+        "source", dfFrac = 0.9)),
+
     // Brute-force cosine top-3 for query vectors vec_id < 10 (exact ANN
     // baseline; broadcast query side).
     "s01_ann_topk" -> ((s, d) => {
@@ -151,6 +170,22 @@ object PipelineQueries {
           .over(Window.orderBy(col("freq").desc, col("term").asc)))
     }),
 
+    // Percentile-band length filter: drop documents outside the exact
+    // [P05, P95] whitespace-token-count band — the standard outlier-length
+    // cut of a training-data pipeline. Exact `percentile` here so the
+    // oracle reproduces it bit-for-bit; at 100 TB the same plan runs with
+    // `approx_percentile` (documented mode switch, like VoID's).
+    "t06_length_percentile_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("ws_tokens"))
+      val bounds = docs.agg(
+        expr("percentile(ws_tokens, 0.05)").as("p05"),
+        expr("percentile(ws_tokens, 0.95)").as("p95"))
+      docs.crossJoin(broadcast(bounds))
+        .filter(col("ws_tokens") >= col("p05") && col("ws_tokens") <= col("p95"))
+        .select("doc_id", "ws_tokens")
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata projection
     // (decode STUB exercised via mapPartitions in the test suite).
     "m01_multimodal_meta" -> ((s, d) =>
@@ -212,6 +247,45 @@ object PipelineQueries {
          JOIN sizes sa ON sa.doc_id=id_a
          JOIN sizes sb ON sb.doc_id=id_b
          WHERE i::double / (sa.sz + sb.sz - i) > 0.8""",
+    "d07_dedup_clusters" ->
+      """WITH RECURSIVE
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+         SELECT id, min(lbl) AS cluster FROM reach GROUP BY id""",
+    "d08_boilerplate_strip" ->
+      """WITH terms AS (
+           SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         dfreq AS (SELECT source, w, count(*) AS df FROM terms GROUP BY 1, 2),
+         nd AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         boiler AS (
+           SELECT dfreq.source, list(w ORDER BY w) AS bw
+           FROM dfreq JOIN nd ON dfreq.source = nd.source
+           WHERE df > 0.9 * n GROUP BY 1),
+         stripped AS (
+           SELECT doc_id, string_split(text, ' ') AS ws,
+                  list_filter(string_split(text, ' '),
+                    x -> NOT list_contains(coalesce(bw, []), x)) AS kept
+           FROM documents LEFT JOIN boiler ON documents.source = boiler.source)
+         SELECT doc_id, len(ws) AS n_tokens, len(kept) AS n_kept,
+                array_to_string(kept, ' ') AS clean_text
+         FROM stripped""",
+    "t06_length_percentile_filter" ->
+      """WITH c AS (
+           SELECT doc_id, len(regexp_split_to_array(text, ' +')) AS ws_tokens
+           FROM documents),
+         b AS (SELECT quantile_cont(ws_tokens, 0.05) AS p05,
+                      quantile_cont(ws_tokens, 0.95) AS p95 FROM c)
+         SELECT doc_id, ws_tokens FROM c, b
+         WHERE ws_tokens >= p05 AND ws_tokens <= p95""",
     "d05_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

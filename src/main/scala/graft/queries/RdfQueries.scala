@@ -207,6 +207,42 @@ object RdfQueries {
         }.toDF().distinct()
     }),
 
+    // §2.4 InteractionAssoc (assoc/InteractionAssoc.py:6-15): the STRING
+    // two-endpoint shape — distinct part↔supplier co-occurrence pairs
+    // above a score threshold (mirroring the reference's combined-score
+    // cut before emitting `interacts with`, StringDB shape), through the
+    // column-native reified-association pattern.
+    "r12_interaction_assoc" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 40)
+        .select(
+          concat(lit("EX:p"), col("l_partkey").cast("string")).as("pa"),
+          concat(lit("EX:s"), col("l_suppkey").cast("string")).as("pb"))
+        .distinct()
+      graft.emit.ColumnEmit.assocReified(pairs, "EX:ppi",
+        col("pa"), lit(Vocab.interactsWith), col("pb"))
+    }),
+
+    // §2.4 Chem2DiseaseAssoc (assoc/Chem2DiseaseAssoc.py:4-48 +
+    // CTD.py:273-311): therapeutic vs marker/mechanism routing decides
+    // the predicate (substance_that_treats vs is_marker_for); both
+    // directions of evidence for the same (chem, disease) pair emit
+    // distinct associations, as in the reference.
+    "r13_chem2disease" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") =!= "N")
+        .select(
+          concat(lit("MESH:"), col("l_partkey").cast("string")).as("chem"),
+          concat(lit("OMIM:"), col("l_orderkey").cast("string")).as("dz"),
+          when(col("l_returnflag") === "R", lit("therapeutic"))
+            .otherwise(lit("marker/mechanism")).as("rl"))
+        .distinct()
+      val pred = when(col("rl") === "therapeutic", lit(Vocab.substanceThatTreats))
+        .otherwise(lit(Vocab.isMarkerFor))
+      graft.emit.ColumnEmit.assocReified(rows, "EX:ctd",
+        col("chem"), pred, col("dz"))
+    }),
+
     // §2.4 orthology + family membership over same-nation supplier pairs,
     // with the RDFGraph set-semantics dedup before the sink.
     "r06_orthology_family" -> ((s, d) => {
@@ -430,6 +466,30 @@ object RdfQueries {
            UNION ALL SELECT product, 'RO:0002204', gene, false, NULL FROM w
            UNION ALL SELECT product, 'rdf:type', 'CHEBI:33695', false, NULL FROM w
            UNION ALL SELECT product, 'RO:0002331', pw, false, NULL FROM w) t""",
+    "r12_interaction_assoc" ->
+      """WITH p AS (
+           SELECT DISTINCT 'EX:p'||l_partkey::varchar AS pa,
+                  'EX:s'||l_suppkey::varchar AS pb
+           FROM lineitem WHERE l_quantity >= 40),
+         w AS (SELECT *, '_:b'||substr(md5('EX:ppi+'||pa||'+RO:0002434+'||pb),2,19) AS a FROM p)
+         SELECT pa AS s, 'RO:0002434' AS p, pb AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM w
+         UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_subject', pa, false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_predicate', 'RO:0002434', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_object', pb, false, NULL FROM w""",
+    "r13_chem2disease" ->
+      """WITH p AS (
+           SELECT DISTINCT 'MESH:'||l_partkey::varchar AS chem,
+                  'OMIM:'||l_orderkey::varchar AS dz,
+                  CASE WHEN l_returnflag='R' THEN 'RO:0002606'
+                       ELSE 'RO:0002607' END AS rel
+           FROM lineitem WHERE l_returnflag <> 'N'),
+         w AS (SELECT *, '_:b'||substr(md5('EX:ctd+'||chem||'+'||rel||'+'||dz),2,19) AS a FROM p)
+         SELECT chem AS s, rel AS p, dz AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM w
+         UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_subject', chem, false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_predicate', rel, false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_object', dz, false, NULL FROM w""",
     "r06_orthology_family" ->
       """WITH p AS (
            SELECT a.s_suppkey AS sa, b.s_suppkey AS sb, a.s_nationkey AS nk

@@ -146,6 +146,54 @@ class OperatorsSpec extends SparkSpec {
     assert(j1 == j2)
   }
 
+  test("clusters: transitive chains collapse to the component minimum") {
+    // a 40-node path — pure one-hop propagation would need 39 rounds, so
+    // converging inside the 25-round cap proves the pointer jumping works
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (200L, 201L))
+    val pairs = (path ++ extra).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 40L).forall(i => !got.contains(i) || got(i) == 0L))
+    assert((0L to 39L).forall(i => got(i) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(Seq(200L, 201L).forall(got(_) == 200L))
+    assert(got.size == 45) // every node appearing in a pair is labeled
+  }
+
+  test("clusters over real near-dup pairs: labels are closed under pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+    val labels = Dedup.clusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val ps = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    // both endpoints of every pair share a label, and labels are members
+    assert(ps.forall { case (a, b) => labels(a) == labels(b) })
+    assert(labels.values.toSet.subsetOf(labels.keySet))
+    // each cluster's label is its minimum member
+    labels.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
+  test("boilerplate strip: near-universal terms removed per group") {
+    val docs = Seq(
+      (1L, "nav a b", "g1"), (2L, "nav c d", "g1"), (3L, "nav e f", "g1"),
+      (4L, "x y z", "g2"), (5L, "x q r", "g2"), (6L, "p q s", "g2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.boilerplateStrip(docs, "doc_id", "text", "source",
+        dfFrac = 0.9)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    // g1: "nav" in 3/3 docs > 0.9 → stripped; g2: "x" only 2/3 → kept
+    assert(got(0) == ((1L, 3, 2, "a b")))
+    assert(got(1) == ((2L, 3, 2, "c d")))
+    assert(got(2) == ((3L, 3, 2, "e f")))
+    assert(got(3) == ((4L, 3, 3, "x y z")))
+    assert(got.map(_._2).sum == 18)
+  }
+
   test("text ops: shingles, token counts, fingerprint stability") {
     val df = Seq((1L, "a  b c d"), (2L, "A  B c D")).toDF("doc_id", "text")
     val sh = df.select(TextOps.wordShingles($"text", 3).as("sh"))
