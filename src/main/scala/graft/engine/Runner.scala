@@ -33,7 +33,7 @@ object Runner {
   /** Registered sources (source_to_class_map, dipper-etl.py:20-62). */
   val registry: Map[String, GraftSource] = Seq(
     NationClassSource, OrderAssocSource, PartFeatureSource,
-    DiseasePhenotypeSource
+    DiseasePhenotypeSource, ChemDiseaseSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the
@@ -211,6 +211,64 @@ object DiseasePhenotypeSource extends GraftSource {
       col("dz"), col("hp"), col("onset"), col("freq"), evidence = col("eco"))
   }
   override def testIds: Seq[String] = Seq("OMIM:119600")
+}
+
+/** The CTD-shape real ingest (dipper/sources/CTD.py:273-311 chem→disease
+  * path): declared-schema scan of the landed `chemicals_diseases.tsv`
+  * (column list CTD.py:66-77) → drop inferred rows (empty DirectEvidence,
+  * py:291-292) → '|'-exploded evidence routing (therapeutic →
+  * substance_that_treats, marker/mechanism → is_marker_for — the resolve
+  * of py:306) → MESH-prefixed chemical class with label + unlabeled
+  * disease class (py:307-310 addClassToGraph pair) → reified association
+  * with PMID-typed journal-article references as sources
+  * (_make_association py:425-462). Column-native throughout — every
+  * branch stays in whole-stage codegen. */
+object ChemDiseaseSource extends GraftSource {
+  val name = "chem_disease"
+
+  private val schema = org.apache.spark.sql.types.StructType(
+    Seq("ChemicalName", "ChemicalID", "CasRN", "DiseaseName", "DiseaseID",
+        "DirectEvidence", "InferenceGeneSymbol", "InferenceScore",
+        "OmimIDs", "PubMedIDs")
+      .map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
+    "chemicals_diseases" -> graft.sources.DelimitedSource.read(spark,
+      graft.sources.SourceFile(s"$dataDir/chemicals_diseases.tsv", schema)))
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import graft.emit.ColumnEmit
+    import graft.core.Vocab
+    val rows = in("chemicals_diseases")
+      .filter(coalesce(col("DirectEvidence"), lit("")) =!= "")
+      .select(col("ChemicalName").as("cn"),
+        concat(lit("MESH:"), col("ChemicalID")).as("chem"),
+        col("DiseaseID").as("dz"), col("PubMedIDs").as("pubs"),
+        explode(split(col("DirectEvidence"), "\\|")).as("ev"))
+      .filter(col("ev").isin("therapeutic", "marker/mechanism"))
+      .withColumn("rel", when(col("ev") === "therapeutic",
+        lit(graft.core.Vocab.substanceThatTreats))
+        .otherwise(lit(graft.core.Vocab.isMarkerFor)))
+    val assoc = ColumnEmit.assocReified(rows, "EX:ctd",
+      col("chem"), col("rel"), col("dz"))
+    val classes = ColumnEmit.emitFiltered(
+      rows.select("chem", "cn", "dz").distinct(),
+      ColumnEmit.res(col("chem"), lit(Vocab.a), lit(Vocab.owlClass)),
+      ColumnEmit.str(col("chem"), lit(Vocab.label), col("cn")),
+      ColumnEmit.res(col("dz"), lit(Vocab.a), lit(Vocab.owlClass)))
+    val aid = concat(lit("_:"), Digest.md5Id(concat_ws("+",
+      lit("EX:ctd"), col("chem"), col("rel"), col("dz"))))
+    val pubs = rows
+      .filter(coalesce(col("pubs"), lit("")) =!= "")
+      .select(aid.as("a"), explode(split(col("pubs"), "\\|")).as("pm"))
+      .select(col("a"), concat(lit("PMID:"), col("pm")).as("pmid"))
+    val pubTriples = ColumnEmit.emit(pubs,
+      ColumnEmit.res(col("a"), lit(Vocab.source), col("pmid")),
+      ColumnEmit.res(col("pmid"), lit(Vocab.a), lit(Vocab.journalArticle)))
+    assoc.union(classes).union(pubTriples)
+  }
+  override def testIds: Seq[String] = Seq("MESH:D014635")
 }
 
 /** Demo ingest: FALDO genomic features (UCSCBands-wave shape). */

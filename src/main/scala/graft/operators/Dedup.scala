@@ -264,14 +264,18 @@ object Dedup {
     while (!done && round < maxRounds) {
       // min over own label and all neighbours' labels; the own label rides
       // along (tagged so max() picks exactly it) to make the convergence
-      // check a free column in the NEXT aggregate instead of a third
-      // join+count job per round
+      // check a free column of the round's single forcing aggregate.
+      // NOT materialized separately: the whole round — propagation, the
+      // pointer-jump self-join (which plans this subtree twice; the label
+      // relation is tiny so recompute beats a second job), persist, and
+      // the fixpoint check — is ONE Spark job, because per-round job
+      // overhead, not data volume, dominates an iterative operator.
       val nullOwn = lit(null).cast(labels.schema("lbl").dataType)
-      val (prop, propCache) = iterMat(edges
+      val prop = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"), nullOwn.as("own"))
         .union(labels.select(col("id"), col("lbl"), col("lbl").as("own")))
-        .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own")))
+        .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own"))
       // pointer jump: follow the label one hop (lbl is itself a node id);
       // the forcing aggregate doubles as the exact fixpoint check (no
       // label moved in either the propagation or the jump this round)
@@ -286,7 +290,6 @@ object Dedup {
       val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       val next = spark.createDataFrame(nextCache.rdd, nextCache.schema)
         .select(col("id"), col("lbl"))
-      propCache.unpersist(false)
       labelsCache.unpersist(false)
       labels = next
       labelsCache = nextCache

@@ -80,6 +80,54 @@ class GoldenSpec extends SparkSpec {
     assert(viaMirror.path.getFileName.toString == "mirror.tsv")
   }
 
+  test("chem_disease ingest: raw CTD TSV through Runner matches golden NT") {
+    // tests/test_ctd.py:41-63 driven end-to-end on the engine's CTD-shape
+    // source: inferred row dropped, '|'-split DirectEvidence routed to
+    // substance_that_treats / is_marker_for, chemical class labeled,
+    // disease class bare, PMID references typed + attached as dc:source.
+    val dir = Files.createTempDirectory("graft-ctd").toString
+    Files.writeString(Paths.get(s"$dir/chemicals_diseases.tsv"),
+      "ChemicalName\tChemicalID\tCasRN\tDiseaseName\tDiseaseID\tDirectEvidence\tInferenceGeneSymbol\tInferenceScore\tOmimIDs\tPubMedIDs\n" +
+      "Warfarin\tD014635\t81-81-2\tHemorrhage\tMESH:D006470\ttherapeutic\t\t\t\t16786605|17042727\n" +
+      "Cadmium\tD002104\t7440-43-9\tKidney Disease\tMESH:D007674\tmarker/mechanism\t\t\t\t1234567\n" +
+      "Aspirin\tD001241\t50-78-2\tStroke\tMESH:D020521\t\tF2\t4.21\t\t7654321\n")
+    val out = Files.createTempDirectory("graft-ctd-out").toString
+    val res = Runner.run(spark,
+      Runner.RunConfig(Seq("chem_disease"), out), dir)
+    assert(res.head.triples > 0)
+    val nt = spark.read.text(s"$out/chem_disease.nt").as[String].collect().toSet
+    val cm = Runner.curieMap
+    def t(c: String) = "<" + cm.expand(c) + ">"
+    def line(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} ${t(o0)} ."
+    def lineLit(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} \"$o0\" ."
+    val a1 = "_:" + Digest.md5IdScala(
+      "EX:ctd+MESH:D014635+RO:0002606+MESH:D006470")
+    val a2 = "_:" + Digest.md5IdScala(
+      "EX:ctd+MESH:D002104+RO:0002607+MESH:D007674")
+    val expected = Set(
+      line("MESH:D014635", "RO:0002606", "MESH:D006470"),
+      line(a1, "rdf:type", "OBAN:association"),
+      line(a1, "OBAN:association_has_subject", "MESH:D014635"),
+      line(a1, "OBAN:association_has_predicate", "RO:0002606"),
+      line(a1, "OBAN:association_has_object", "MESH:D006470"),
+      line(a1, "dc:source", "PMID:16786605"),
+      line(a1, "dc:source", "PMID:17042727"),
+      line("PMID:16786605", "rdf:type", "IAO:0000013"),
+      line("PMID:17042727", "rdf:type", "IAO:0000013"),
+      line("MESH:D014635", "rdf:type", "owl:Class"),
+      lineLit("MESH:D014635", "rdfs:label", "Warfarin"),
+      line("MESH:D006470", "rdf:type", "owl:Class"),
+      line("MESH:D002104", "RO:0002607", "MESH:D007674"),
+      line(a2, "rdf:type", "OBAN:association"),
+      line(a2, "dc:source", "PMID:1234567"))
+    val missing = expected -- nt
+    assert(missing.isEmpty, s"missing golden lines: $missing")
+    // the inferred (empty DirectEvidence) row contributes nothing
+    assert(!nt.exists(_.contains("D001241")))
+    assert(!nt.exists(_.contains("D020521")))
+    assert(!nt.exists(_.contains("7654321")))
+  }
+
   test("disease_phenotype ingest: raw TSV through Runner matches golden NT") {
     // The reference's primary ingest test shape (tests/test_ctd.py:41-63)
     // driven END-TO-END: declared-schema scan of a landed raw file,
