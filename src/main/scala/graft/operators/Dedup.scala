@@ -214,6 +214,25 @@ object Dedup {
       withSig)
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥1
+    * distinct word n-gram with any document of an evaluation set — the
+    * standard train/test-overlap check run before training on a scraped
+    * corpus. Returns (id, n_shared) for contaminated training docs.
+    *
+    * Scale shape: the eval side (benchmarks — small by construction)
+    * reduces to a DISTINCT shingle set and BROADCASTs; the corpus-side
+    * join is then map-side, and the only corpus-wide shuffle is the
+    * per-doc count. If the eval set ever outgrows broadcast, drop the
+    * hint and the same plan runs as a shuffle semijoin. */
+  def contaminated(train: DataFrame, evalDocs: DataFrame,
+                   idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val trainSh = shingleRel(train, idCol, textCol, n)
+    val evalSh = shingleRel(evalDocs, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Connected-components clustering over a near-dup pair list — the step
     * that turns pairwise evidence (from [[ngramJaccardPairs]],
     * [[minhashPairs]], [[simhashPairs]] or

@@ -170,6 +170,42 @@ object PipelineQueries {
           .over(Window.orderBy(col("freq").desc, col("term").asc)))
     }),
 
+    // Benchmark decontamination: training docs (99% of the corpus)
+    // sharing any distinct 3-gram with the held-out eval slice
+    // (doc_id % 97 = 0) — broadcast eval shingle set, map-side join.
+    "d09_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Repetition ratio (Gopher-style quality signal): duplicated-3-gram
+    // fraction per document; high values mark low-quality repetitive text.
+    "t07_repetition_ratio" -> ((s, d) => {
+      val w = TextOps.words(col("text"))
+      val total = greatest(size(w) - 2, lit(0))
+      val dct = size(TextOps.shinglesOfWords(w, 3))
+      Tables.documents(s, d).select(col("doc_id"),
+        total.as("n_3grams"), dct.as("n_distinct"),
+        round(when(total > 0,
+          lit(1.0) - dct.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)), 6).as("rep_ratio"))
+    }),
+
+    // Deterministic content-hash sampling: md5-derived bucket < 10 of 100
+    // (~10% sample). Content-hashed, so the sample is stable across
+    // partitioning, retries, and cluster size — the property
+    // rand()-based sampling loses at 100 TB.
+    "t08_deterministic_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+            .as("bucket"))
+        .filter(col("bucket") < 10)),
+
     // Percentile-band length filter: drop documents outside the exact
     // [P05, P95] whitespace-token-count band — the standard outlier-length
     // cut of a training-data pipeline. Exact `percentile` here so the
@@ -278,6 +314,33 @@ object PipelineQueries {
          SELECT doc_id, len(ws) AS n_tokens, len(kept) AS n_kept,
                 array_to_string(kept, ' ') AS clean_text
          FROM stripped""",
+    "d09_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+         SELECT s.doc_id, count(*) AS n_shared
+         FROM sh s JOIN ev ON s.sh = ev.sh
+         WHERE s.doc_id % 97 <> 0 GROUP BY 1""",
+    "t07_repetition_ratio" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, greatest(len(ws)-2, 0) AS n3 FROM w),
+         sh AS (SELECT doc_id, count(DISTINCT ws[n]||' '||ws[n+1]||' '||ws[n+2]) AS nd
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t GROUP BY doc_id)
+         SELECT c.doc_id, n3 AS n_3grams, coalesce(nd, 0) AS n_distinct,
+                round(CASE WHEN n3 > 0
+                           THEN 1.0 - coalesce(nd, 0)::double / n3
+                           ELSE 0.0 END, 6) AS rep_ratio
+         FROM c LEFT JOIN sh ON c.doc_id = sh.doc_id""",
+    "t08_deterministic_sample" ->
+      """SELECT doc_id,
+              ('0x'||substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+         FROM documents
+         WHERE ('0x'||substr(md5(text), 1, 8))::BIGINT % 100 < 10""",
     "t06_length_percentile_filter" ->
       """WITH c AS (
            SELECT doc_id, len(regexp_split_to_array(text, ' +')) AS ws_tokens

@@ -177,6 +177,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: only train docs sharing an eval n-gram flagged") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),       // shares "alpha beta gamma"
+      (2L, "epsilon zeta eta theta"),       // no overlap
+      (3L, "x alpha beta gamma y"))         // shares, mid-document
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = Dedup.contaminated(train, eval_, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("boilerplate strip: near-universal terms removed per group") {
     val docs = Seq(
       (1L, "nav a b", "g1"), (2L, "nav c d", "g1"), (3L, "nav e f", "g1"),
