@@ -271,6 +271,21 @@ object Relational {
         .select(col("l_suppkey"), round(col("total"), 2).as("total"), col("n"))
     }),
 
+    // §2.6 hierarchical totals in one pass: ROLLUP produces the
+    // (flag, status) / (flag) / () grouping levels as a single shuffle
+    // with map-side partial aggregation — the one-pass form of the
+    // subtotal-report shape (reference computes per-level counts with
+    // separate passes, e.g. VoID's per-level statistics).
+    "q28_rollup_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("rflag"), lit("ALL")).as("rflag"),
+          coalesce(col("lstatus"), lit("ALL")).as("lstatus"),
+          col("revenue"), col("n"))),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -416,6 +431,13 @@ object Relational {
       """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total,
               count(*) AS n
          FROM lineitem GROUP BY l_suppkey""",
+    "q28_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+              coalesce(l_linestatus, 'ALL') AS lstatus,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q25_mean_of_means" ->
       """WITH um AS (SELECT event_type, user_id, avg(value) AS um
                      FROM events GROUP BY 1, 2),

@@ -177,6 +177,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("clusters is id-type generic: string ids (content digests) work") {
+    val pairs = Seq(("d_b", "d_a"), ("d_b", "d_c"), ("d_x", "d_y"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("d_a" -> "d_a", "d_b" -> "d_a", "d_c" -> "d_a",
+      "d_x" -> "d_x", "d_y" -> "d_x"))
+  }
+
   test("decontamination: only train docs sharing an eval n-gram flagged") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),       // shares "alpha beta gamma"
