@@ -206,6 +206,34 @@ object PipelineQueries {
             .as("bucket"))
         .filter(col("bucket") < 10)),
 
+    // Dedup APPLY — the end of the dedup story: components from d07
+    // become a keep-list (a vector survives iff it is its cluster's
+    // canonical minimum or was never paired); one broadcast-size left
+    // join against the corpus.
+    "d10_dedup_apply" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cl = Dedup.clusters(
+        Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35),
+        "id_a", "id_b")
+      emb.join(broadcast(cl), emb("vec_id") === cl("id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("vec_id"))
+        .select(col("vec_id"), col("label"))
+    }),
+
+    // Stratified (per-group quota) sampling: deterministic top-50 per
+    // language by content-hash order — the data-mixing primitive for
+    // balancing sources/languages. Rank-limit windows compile to
+    // WindowGroupLimit, so each group is cut map-side before the sort.
+    "t09_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
     // Percentile-band length filter: drop documents outside the exact
     // [P05, P95] whitespace-token-count band — the standard outlier-length
     // cut of a training-data pipeline. Exact `percentile` here so the
@@ -314,6 +342,27 @@ object PipelineQueries {
          SELECT doc_id, len(ws) AS n_tokens, len(kept) AS n_kept,
                 array_to_string(kept, ' ') AS clean_text
          FROM stripped""",
+    "d10_dedup_apply" ->
+      """WITH RECURSIVE
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+           cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         SELECT e.vec_id, e.label
+         FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.id
+         WHERE cl.cluster IS NULL OR cl.cluster = e.vec_id""",
+    "t09_stratified_sample" ->
+      """SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= 50""",
     "d09_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          sh AS (SELECT DISTINCT doc_id, ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh

@@ -248,6 +248,24 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
     }),
 
+    // §2.7 gap-based sessionization: per-user event sessions split at
+    // >30 min idle gaps — lag + running sum over one user-partitioned
+    // window (a single shuffle on user_id; both windows share the sort).
+    // Gaps compare in microseconds, exact for the µs-truncated ts.
+    "q29_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      val isNew = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0)
+      Tables.events(s, d)
+        .withColumn("session", sum(isNew).over(run))
+        .groupBy("user_id", "session")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+    }),
+
     // §2.5 inner-join-with-missing-count (STRING p2gene probe: rows whose
     // key misses the mapping are dropped AND counted, StringDB.py:194-210)
     // over a multi-column key (UDP rsID join shape, (chrom,pos,alleles)).
@@ -418,6 +436,23 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, count(*) AS n, round(sum(value),2) AS total
          FROM events GROUP BY 1, 2""",
+    "q29_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS nw
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+                  (sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session
+           FROM o)
+         SELECT user_id, session, count(*) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+         FROM s GROUP BY 1, 2""",
     "q26_missing_key_count" ->
       """WITH dim AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
                       WHERE l_quantity > 40)
