@@ -266,18 +266,25 @@ object Dedup {
     // cluster, unlike localCheckpoint which fails the job); long-running
     // deployments can additionally set a reliable checkpoint dir and
     // swap this for df.checkpoint(), the GraphX-Pregel pattern.
-    def iterMat(df: DataFrame): (DataFrame, DataFrame) = {
+    def iterMat(df: DataFrame): (DataFrame, DataFrame, Long) = {
       val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      (spark.createDataFrame(c.rdd, c.schema), c)
+      val n = c.count()
+      (spark.createDataFrame(c.rdd, c.schema), c, n)
     }
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val (edges, edgesCache) = iterMat(
+    val (edges, edgesCache, _) = iterMat(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    var (labels, labelsCache) = iterMat(
+    var (labels, labelsCache, nNodes) = iterMat(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
+    // The label table's size is KNOWN (the forcing count), so choose the
+    // round's join strategy explicitly: broadcast the label side while it
+    // fits (each round is then one shuffle — the groupBy — instead of
+    // three), shuffle joins beyond that. The planner can't make this call
+    // itself: a LogicalRDD carries no stats, so it would never broadcast.
+    val bcastLabels = nNodes < 5_000_000
+    def side(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -291,7 +298,7 @@ object Dedup {
       // overhead, not data volume, dominates an iterative operator.
       val nullOwn = lit(null).cast(labels.schema("lbl").dataType)
       val prop = edges
-        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .join(side(labels.select(col("id").as("dst"), col("lbl"))), "dst")
         .select(col("src").as("id"), col("lbl"), nullOwn.as("own"))
         .union(labels.select(col("id"), col("lbl"), col("lbl").as("own")))
         .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own"))
@@ -302,7 +309,7 @@ object Dedup {
       // sf0.1): near-dup components are shallow, so the extra in-job
       // shuffles outweigh the saved rounds.
       val nextCache = prop
-        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")),
+        .join(side(prop.select(col("id").as("jid"), col("lbl").as("jlbl"))),
           col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"),
           col("own"))
@@ -317,6 +324,8 @@ object Dedup {
       labelsCache = nextCache
       done = changed == 0
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"CC round=$round changed=$changed")
     }
     finalized(labels.select(col("id"), col("lbl").as("cluster")),
       edgesCache, labelsCache)

@@ -206,14 +206,17 @@ object PipelineQueries {
             .as("bucket"))
         .filter(col("bucket") < 10)),
 
-    // Dedup APPLY — the end of the dedup story: components from d07
-    // become a keep-list (a vector survives iff it is its cluster's
-    // canonical minimum or was never paired); one broadcast-size left
-    // join against the corpus.
+    // Dedup APPLY — the 100 TB pipeline end to end: LSH-bucketed
+    // candidate pairs (linear, no all-pairs) → exact-cosine verify →
+    // connected components → keep-list left join against the corpus
+    // (a vector survives iff it is its cluster's canonical minimum or
+    // was never paired). d07 exercises the component machinery on the
+    // rich exact-pairs graph; this is the composition a real corpus runs.
     "d10_dedup_apply" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cl = Dedup.clusters(
-        Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35),
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.45, nbits = 8, bands = 4),
         "id_a", "id_b")
       emb.join(broadcast(cl), emb("vec_id") === cl("id"), "left")
         .filter(col("cluster").isNull || col("cluster") === col("vec_id"))
@@ -343,11 +346,8 @@ object PipelineQueries {
                 array_to_string(kept, ' ') AS clean_text
          FROM stripped""",
     "d10_dedup_apply" ->
-      """WITH RECURSIVE
-           pairs AS (
-             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+      s"""WITH RECURSIVE
+           pairs AS (${lshNearDupOracle(64, 0.45, 8, 4)}),
            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                      UNION SELECT id_b, id_a FROM pairs),
            reach(id, lbl) AS (

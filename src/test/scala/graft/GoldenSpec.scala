@@ -80,6 +80,34 @@ class GoldenSpec extends SparkSpec {
     assert(viaMirror.path.getFileName.toString == "mirror.tsv")
   }
 
+  test("SQL over produced triples: phenotypes of OMIM:119600 with evidence + onset") {
+    // SURVEY §7 first-milestone query, answered SPARQL-style with plain
+    // self-joins over the triple relation the ingest produced: find the
+    // OBAN association nodes whose subject is the disease, then walk
+    // object/evidence/onset off the association node.
+    val dir = Files.createTempDirectory("graft-hpoa-sql").toString
+    Files.writeString(Paths.get(s"$dir/annotations.tsv"),
+      "DatabaseID\tQualifier\tHPO_ID\tEvidence\tOnset\tFrequency\n" +
+      "OMIM:119600\t\tHP:0000175\tIEA\tHP:0003577\t12/45\n" +
+      "OMIM:119600\t\tHP:0001249\tTAS\t\t\n" +
+      "OMIM:999999\t\tHP:0000001\tIEA\t\t\n")
+    val src = graft.engine.DiseasePhenotypeSource
+    val triples = src.transform(spark, src.read(spark, dir))
+    triples.createOrReplaceTempView("t")
+    val got = spark.sql(
+      """SELECT obj.o AS phenotype, ev.o AS evidence, onset.o AS onset
+         FROM t sub
+         JOIN t obj ON obj.s = sub.s AND obj.p = 'OBAN:association_has_object'
+         JOIN t ev  ON ev.s  = sub.s AND ev.p  = 'RO:0002558'
+         LEFT JOIN t onset ON onset.s = sub.s AND onset.p = 'EXP:onset'
+         WHERE sub.p = 'OBAN:association_has_subject'
+           AND sub.o = 'OMIM:119600'""")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("HP:0000175", "ECO:0000501", Some("HP:0003577")),
+      ("HP:0001249", "ECO:0000304", None)))
+  }
+
   test("chem_disease ingest: raw CTD TSV through Runner matches golden NT") {
     // tests/test_ctd.py:41-63 driven end-to-end on the engine's CTD-shape
     // source: inferred row dropped, '|'-split DirectEvidence routed to
