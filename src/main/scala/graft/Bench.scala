@@ -110,7 +110,18 @@ object Bench {
       val stealS = (runSteal1 - runSteal0) / hz
       val ioS = (runIo1 - runIo0) / hz
       val otherS = math.max(0.0, (runBusy1 - runBusy0) / hz - procS)
-      f"""{"wall_s":$wallS%.1f,"proc_cpu_s":$procS%.1f,"host_steal_s":$stealS%.1f,"host_iowait_s":$ioS%.1f,"other_proc_cpu_s":$otherS%.1f}"""
+      // loadavg: zero-steal host degradation (neighbour VMs saturating
+      // memory bandwidth) inflates THIS process's CPU-per-unit-work with
+      // nothing visible in steal/iowait/other-proc; a high 1-min load at
+      // exit on an otherwise-idle VM is the attributable symptom
+      // (measured: same code, same data — 93.7 s at load<2 vs 342.3 s at
+      // load≈8 with contended={} and other_proc_cpu=0).
+      val load = try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ").take(2).mkString(",")
+        finally src.close()
+      } catch { case _: Throwable => "?" }
+      f"""{"wall_s":$wallS%.1f,"proc_cpu_s":$procS%.1f,"host_steal_s":$stealS%.1f,"host_iowait_s":$ioS%.1f,"other_proc_cpu_s":$otherS%.1f,"loadavg_end":"$load"}"""
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
