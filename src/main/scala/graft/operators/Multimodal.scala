@@ -29,6 +29,46 @@ object Multimodal {
         md5(col(textCol)).as("checksum"),
         lit("text/plain").as("mime")).as("meta"))
 
+  /** Frame sampling over a binary payload: treat the payload as a
+    * sequence of fixed-size `frameBytes` frames and keep every
+    * `every`-th one (video keyframe-sampling shape). Pure built-ins —
+    * `sequence` sized exactly per row (never a static cap), `explode`,
+    * binary `substr` — so the whole thing stays in whole-stage codegen
+    * and fans out only the frames actually kept. Output: (idCol,
+    * frame_no, frame) with `frame_no` the 0-based frame index and the
+    * final frame possibly shorter than `frameBytes`.
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int, every: Int): DataFrame = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    df.filter(length(col(payloadCol)) > 0)
+      .select(col(idCol), col(payloadCol),
+        explode(sequence(lit(0L),
+          floor((length(col(payloadCol)) - 1) / frameBytes).cast("long"),
+          lit(every.toLong))).as("frame_no"))
+      .select(col(idCol), col("frame_no"),
+        col(payloadCol).substr(
+          (col("frame_no") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
+  }
+
+  /** STUB resize: deterministic byte-decimation of a decoded frame to
+    * `targetBytes` (keeps every ceil(n/target)-th byte). A real
+    * implementation would do pixel-space interpolation here; the seam —
+    * binary in, smaller binary out, usable inside a select over sampled
+    * frames — is what the pipeline relies on. */
+  def resizeStub(frame: Array[Byte], targetBytes: Int): Array[Byte] = {
+    require(targetBytes > 0)
+    if (frame.length <= targetBytes) frame
+    else {
+      val step = math.ceil(frame.length.toDouble / targetBytes).toInt
+      val out = new Array[Byte]((frame.length + step - 1) / step)
+      var i = 0
+      while (i < out.length) { out(i) = frame(i * step); i += 1 }
+      out
+    }
+  }
+
   final case class MediaRow(id: Long, payload: Array[Byte])
   final case class MediaFeatures(id: Long, n_bytes: Long, features: Array[Float])
 

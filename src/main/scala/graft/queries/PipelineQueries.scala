@@ -258,7 +258,19 @@ object PipelineQueries {
     "m01_multimodal_meta" -> ((s, d) =>
       Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-          col("meta.checksum").as("checksum"), col("meta.mime").as("mime")))
+          col("meta.checksum").as("checksum"), col("meta.mime").as("mime"))),
+
+    // Multimodal frame sampling: every 2nd 64-byte frame of each payload,
+    // identified by content digest. The documents corpus is ASCII, so the
+    // DuckDB oracle's character slicing coincides with the engine's byte
+    // slicing (verified: octet_length == length for every row).
+    "m02_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+          Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", "payload", frameBytes = 64, every = 2)
+        .select(col("doc_id"), col("frame_no"),
+          md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("long").as("frame_bytes")))
   )
 
   /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
@@ -493,6 +505,12 @@ object PipelineQueries {
     "m01_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
               md5(text) AS checksum, 'text/plain' AS mime
-         FROM documents"""
+         FROM documents""",
+    "m02_frame_sample" ->
+      """SELECT d.doc_id, t.range AS frame_no,
+              md5(substring(d.text, (t.range * 64 + 1)::INT, 64)) AS frame_md5,
+              length(substring(d.text, (t.range * 64 + 1)::INT, 64))::BIGINT AS frame_bytes
+         FROM documents d CROSS JOIN range(0, 4096, 2) t
+         WHERE t.range * 64 < length(d.text) AND length(d.text) > 0"""
   )
 }

@@ -304,6 +304,26 @@ object Relational {
           coalesce(col("lstatus"), lit("ALL")).as("lstatus"),
           col("revenue"), col("n"))),
 
+    // As-of join (brief's named scale extension; no reference analogue —
+    // SURVEY §2.5 notes dipper has none): each click gets the most recent
+    // purchase at or before it per user, via the union+window single-
+    // shuffle operator (never |L|×|R|). Purchases are pre-aggregated to
+    // one row per (user, ts) so the as-of pick is deterministic;
+    // max(value) is selection, not arithmetic — no rounding.
+    "q30_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max("value").as("purchase_value"))
+      graft.operators.AsofJoin.asof(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "pts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("purchase_value"))
+    }),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -473,6 +493,15 @@ object Relational {
               count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q30_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts AS pts, max(value) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.event_id, l.user_id,
+                strftime(r.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                r.purchase_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts""",
     "q25_mean_of_means" ->
       """WITH um AS (SELECT event_type, user_id, avg(value) AS um
                      FROM events GROUP BY 1, 2),

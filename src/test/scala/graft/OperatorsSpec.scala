@@ -240,4 +240,50 @@ class OperatorsSpec extends SparkSpec {
     val again = extractFeatures(spark, rows, dim = 8).collect()
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
+
+  test("asof backward ≡ naive latest-at-or-before; left rows kept") {
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 50L), (5L, "u3", 7L))
+      .toDF("event_id", "key", "t").withColumn("ts", timestamp_seconds($"t")).drop("t")
+    val right = Seq(("u1", 10L, 1.0), ("u1", 15L, 2.0), ("u2", 60L, 3.0))
+      .toDF("key", "rt", "price").withColumn("rts", timestamp_seconds($"rt")).drop("rt")
+    val got = AsofJoin.asof(left, right, Seq("key"), "ts", "rts")
+      .select($"event_id", $"price").as[(Long, Option[Double])].collect().toSet
+    // naive oracle: per left row, max right ts <= left ts
+    val want = left.as("l").join(right.as("r"),
+        $"l.key" === $"r.key" && $"r.rts" <= $"l.ts", "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"l.event_id").orderBy($"r.rts".desc_nulls_last)))
+      .filter($"rk" === 1)
+      .select($"l.event_id", $"r.price").as[(Long, Option[Double])].collect().toSet
+    assert(got == want && got.size == 5)
+    assert(got.contains((1L, Some(1.0))))   // tie: rts == ts matches
+    assert(got.contains((3L, None)))        // nothing at-or-before
+    assert(got.contains((5L, None)))        // key absent on right
+  }
+
+  test("asof forward picks the earliest right row at-or-after") {
+    val left = Seq((1L, "u1", 12L), (2L, "u1", 16L)).toDF("event_id", "key", "t")
+      .withColumn("ts", timestamp_seconds($"t")).drop("t")
+    val right = Seq(("u1", 15L, 2.0), ("u1", 10L, 1.0))
+      .toDF("key", "rt", "price").withColumn("rts", timestamp_seconds($"rt")).drop("rt")
+    val got = AsofJoin.asof(left, right, Seq("key"), "ts", "rts", "forward")
+      .select($"event_id", $"price").as[(Long, Option[Double])].collect().toSet
+    assert(got == Set((1L, Some(2.0)), (2L, None)))
+  }
+
+  test("frame sampling: exact frame fan-out, byte-accurate slices") {
+    import Multimodal._
+    val docs = Seq((1L, "a" * 130), (2L, "b" * 64), (3L, "c")).toDF("doc_id", "text")
+    val frames = frameSample(withBinaryPayload(docs, "doc_id", "text"),
+        "doc_id", "payload", frameBytes = 64, every = 2)
+      .select($"doc_id", $"frame_no", length($"frame").as("len"))
+      .as[(Long, Long, Int)].collect().toSet
+    // doc1: frames 0,1,2 (64+64+2 bytes) sampled every 2 -> 0 and 2
+    assert(frames == Set((1L, 0L, 64), (1L, 2L, 2), (2L, 0L, 64), (3L, 0L, 1)))
+    val rs = resizeStub(Array.tabulate(100)(_.toByte), 10)
+    assert(rs.length == 10 && rs(0) == 0 && rs(1) == 10)
+    assert(resizeStub(Array[Byte](1, 2), 10).toSeq == Seq[Byte](1, 2))
+  }
 }
