@@ -54,6 +54,62 @@ object EventStream {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                                 n_events: Long)
+
+  /** Gap-based sessionization with custom state — the streaming twin of
+    * the batch q29 query, via `flatMapGroupsWithState` (the zero-or-many-
+    * outputs tier of arbitrary state: a batch of events can close several
+    * sessions at once, which `mapGroupsWithState`'s exactly-one-output
+    * contract cannot express). A session closes when a later event of the
+    * same user arrives more than `gapMinutes` of event time after it, or
+    * when the watermark passes its idle timeout (`hasTimedOut` branch) —
+    * so state per user is one open session, bounded regardless of stream
+    * length. Timestamps ride as epoch micros, matching the batch query's
+    * microsecond gap arithmetic exactly. */
+  def gapSessions(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+                  horizon: String = "2 hours"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startUs, s.endUs, s.n))
+          } else {
+            // arrival order within a micro-batch is arbitrary: order by
+            // event time before folding into sessions
+            val ts = batch.map(e => micros(e.ts)).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption.orNull
+            ts.foreach { t =>
+              if (open == null) open = OpenSession(t, t, 1L)
+              else if (t - open.endUs > gapUs) {
+                closed += ClosedSession(uid, open.startUs, open.endUs, open.n)
+                open = OpenSession(t, t, 1L)
+              } else open = OpenSession(open.startUs, math.max(open.endUs, t),
+                open.n + 1L)
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.operators.Dedup.exactGroups]] for continuous ingest: keep the
     * first arrival of each content digest, drop every later duplicate.

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.engine.Bucketing
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed fact⋈fact join plans with no shuffle exchange, same result") {
+    val dir = Files.createTempDirectory("graft-buckets").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    Bucketing.writeBucketed(li, "li_bucketed", s"$dir/li", Seq("l_orderkey"), 4)
+    Bucketing.writeBucketed(ord, "ord_bucketed", s"$dir/ord", Seq("o_orderkey"), 4)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Bucketing.readBucketed(spark, "li_bucketed")
+        .join(Bucketing.readBucketed(spark, "ord_bucketed"),
+          $"l_orderkey" === $"o_orderkey")
+      assert(!bucketed.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed join must not shuffle either side")
+
+      val plain = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+        "sanity: the same join without buckets does shuffle")
+
+      assert(bucketed.count() == plain.count() && plain.count() > 0)
+
+      // bucket pruning: a point lookup touches one bucket, not all four.
+      // (autoBucketedScan hides the bucketed layout from plain scans where
+      // no join needs it; turn it off so the pruned scan is visible.)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = Bucketing.readBucketed(spark, "li_bucketed")
+        .filter($"l_orderkey" === 1L)
+      assert(pruned.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount: 1 out of 4"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}

@@ -79,6 +79,46 @@ class StreamingSpec extends SparkSpec {
       Seq("doc_id", "text", "ts"))
   }
 
+  test("flatMapGroupsWithState gap sessions ≡ batch sessionization (closed)") {
+    import graft.streaming.EventStream.SessionEvent
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft-sessions").toString
+    Tables.events(spark, sf).select("user_id", "ts").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    // horizon far beyond the corpus span: the watermark never passes any
+    // session's idle timeout, so emissions are exactly the GAP-closed
+    // sessions and each user's final session stays open in state — a
+    // deterministic oracle (timeout-closed sessions would depend on the
+    // no-data batch's watermark).
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[SessionEvent]
+    val q = EventStream.gapSessions(stream, gapMinutes = 30, horizon = "3650 days")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM sessions_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // batch oracle (q29 in micros), minus each user's last (open) session
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagUs = lag(col("us"), 1).over(w)
+    val sess = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("nw", when(lagUs.isNull || $"us" - lagUs > 1800L * 1000000L, 1)
+        .otherwise(0))
+      .withColumn("session", sum("nw").over(run))
+      .groupBy("user_id", "session")
+      .agg(min("us").as("start_us"), max("us").as("end_us"),
+        count(lit(1)).as("n_events"))
+    val closed = sess
+      .join(sess.groupBy("user_id").agg(max("session").as("last")), "user_id")
+      .filter($"session" < $"last")
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == closed && closed.nonEmpty)
+  }
+
   test("StreamedGraph-equivalent: triple batches → deduplicated NT files") {
     val dir = Files.createTempDirectory("graft-stream-nt").toString
     Seq(
