@@ -33,7 +33,7 @@ object Runner {
   /** Registered sources (source_to_class_map, dipper-etl.py:20-62). */
   val registry: Map[String, GraftSource] = Seq(
     NationClassSource, OrderAssocSource, PartFeatureSource,
-    DiseasePhenotypeSource, ChemDiseaseSource
+    DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the
@@ -269,6 +269,55 @@ object ChemDiseaseSource extends GraftSource {
     assoc.union(classes).union(pubTriples)
   }
   override def testIds: Seq[String] = Seq("MESH:D014635")
+}
+
+/** The StringDB-shape real ingest (dipper/sources/StringDB.py, the
+  * wave-2 threshold/join archetype): declared-schema scan of the landed
+  * `protein_links.tsv` → confidence threshold `combined_score > 700`
+  * (py:188-192) → protein→gene mapping joined on BOTH interaction
+  * endpoints with inner-join drop semantics for unmapped proteins
+  * (py:151-176,194-210; the drop *count* is the q26 operator) → canonical
+  * pair ordering least/greatest so each symmetric interaction emits once
+  * (py:200-208) → reified `interacts with` associations
+  * (InteractionAssoc.py:6-15). The mapping table is broadcast — it is the
+  * small dimension against a 100 TB-class edge list. */
+object StringInteractionsSource extends GraftSource {
+  val name = "string_interactions"
+
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+  private val linkSchema = StructType(Seq(
+    StructField("protein1", StringType), StructField("protein2", StringType),
+    StructField("combined_score", IntegerType)))
+  private val mapSchema = StructType(Seq(
+    StructField("protein_id", StringType), StructField("gene_id", StringType)))
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
+    "protein_links" -> graft.sources.DelimitedSource.read(spark,
+      graft.sources.SourceFile(s"$dataDir/protein_links.tsv", linkSchema)),
+    "protein_gene_map" -> graft.sources.DelimitedSource.read(spark,
+      graft.sources.SourceFile(s"$dataDir/protein_gene_map.tsv", mapSchema)))
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import graft.core.Vocab
+    import graft.emit.ColumnEmit
+    val p2g = in("protein_gene_map")
+    val pairs = in("protein_links")
+      .filter(col("combined_score") > 700)
+      .join(broadcast(p2g.select(col("protein_id").as("protein1"),
+        col("gene_id").as("g1"))), "protein1")
+      .join(broadcast(p2g.select(col("protein_id").as("protein2"),
+        col("gene_id").as("g2"))), "protein2")
+      .select(least(col("g1"), col("g2")).as("ga"),
+        greatest(col("g1"), col("g2")).as("gb"))
+      .distinct()
+    val assoc = ColumnEmit.assocReified(pairs, "EX:string",
+      col("ga"), lit(Vocab.interactsWith), col("gb"))
+    val classes = ColumnEmit.emit(
+      pairs.select(explode(array(col("ga"), col("gb"))).as("g")).distinct(),
+      ColumnEmit.res(col("g"), lit(Vocab.a), lit(Vocab.owlClass)))
+    assoc.union(classes)
+  }
+  override def testIds: Seq[String] = Seq("NCBIGene:1017")
 }
 
 /** Demo ingest: FALDO genomic features (UCSCBands-wave shape). */

@@ -156,6 +156,50 @@ class GoldenSpec extends SparkSpec {
     assert(!nt.exists(_.contains("7654321")))
   }
 
+  test("string_interactions ingest: threshold + 2-endpoint join + canonical pairs") {
+    // StringDB.py driven end-to-end: score ≤ 700 dropped, unmapped
+    // endpoint dropped (inner-join semantics), the symmetric duplicate
+    // row collapses onto one canonical (least, greatest) gene pair.
+    val dir = Files.createTempDirectory("graft-string").toString
+    Files.writeString(Paths.get(s"$dir/protein_links.tsv"),
+      "protein1\tprotein2\tcombined_score\n" +
+      "9606.ENSP1\t9606.ENSP2\t900\n" +
+      "9606.ENSP2\t9606.ENSP1\t800\n" +   // symmetric dup of the first pair
+      "9606.ENSP1\t9606.ENSP3\t950\n" +   // ENSP3 unmapped -> dropped
+      "9606.ENSP2\t9606.ENSP4\t500\n")    // below threshold -> dropped
+    Files.writeString(Paths.get(s"$dir/protein_gene_map.tsv"),
+      "protein_id\tgene_id\n" +
+      "9606.ENSP1\tNCBIGene:1017\n" +
+      "9606.ENSP2\tNCBIGene:1029\n" +
+      "9606.ENSP4\tNCBIGene:5566\n")
+    val out = Files.createTempDirectory("graft-string-out").toString
+    val res = Runner.run(spark,
+      Runner.RunConfig(Seq("string_interactions"), out), dir)
+    assert(res.head.triples > 0)
+    val nt = spark.read.text(s"$out/string_interactions.nt").as[String].collect().toSet
+    val cm = Runner.curieMap
+    def t(c: String) = "<" + cm.expand(c) + ">"
+    def line(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} ${t(o0)} ."
+    val aid = "_:" + Digest.md5IdScala(
+      "EX:string+NCBIGene:1017+RO:0002434+NCBIGene:1029")
+    val expected = Set(
+      line("NCBIGene:1017", "RO:0002434", "NCBIGene:1029"),
+      line(aid, "rdf:type", "OBAN:association"),
+      line(aid, "OBAN:association_has_subject", "NCBIGene:1017"),
+      line(aid, "OBAN:association_has_predicate", "RO:0002434"),
+      line(aid, "OBAN:association_has_object", "NCBIGene:1029"),
+      line("NCBIGene:1017", "rdf:type", "owl:Class"),
+      line("NCBIGene:1029", "rdf:type", "owl:Class"))
+    val missing = expected -- nt
+    assert(missing.isEmpty, s"missing golden lines: $missing")
+    // sub-threshold and unmapped endpoints contribute nothing
+    assert(!nt.exists(_.contains("5566")) && !nt.exists(_.contains("ENSP3")))
+    // the symmetric row produced no reversed-direction association
+    val revAid = "_:" + Digest.md5IdScala(
+      "EX:string+NCBIGene:1029+RO:0002434+NCBIGene:1017")
+    assert(!nt.exists(_.contains(revAid)))
+  }
+
   test("disease_phenotype ingest: raw TSV through Runner matches golden NT") {
     // The reference's primary ingest test shape (tests/test_ctd.py:41-63)
     // driven END-TO-END: declared-schema scan of a landed raw file,
