@@ -64,6 +64,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoint dir for iterative operators (Dedup.clusters):
+    // local tmp here; a cluster deployment points this at shared storage
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     // untimed warmup: session/scheduler/codegen bring-up shouldn't be
     // attributed to whichever query happens to run first
     spark.read.parquet(s"$sfDir/region.parquet").count()

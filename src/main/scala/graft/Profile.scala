@@ -22,6 +22,10 @@ object Profile {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoint dir for iterative operators (Dedup.clusters):
+    // local tmp here; a cluster deployment points this at shared storage
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val fn = SparkEntry.queries(name)
     println(s"=== plan for $name ===")
     fn(spark, sfDir).explain("formatted")

@@ -19,6 +19,10 @@ object ProfileSeq {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoint dir for iterative operators (Dedup.clusters):
+    // local tmp here; a cluster deployment points this at shared storage
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, sfDir).count()

@@ -266,10 +266,27 @@ object Dedup {
     // cluster, unlike localCheckpoint which fails the job); long-running
     // deployments can additionally set a reliable checkpoint dir and
     // swap this for df.checkpoint(), the GraphX-Pregel pattern.
+    // Reliable checkpoints beat the RDD rebase when a checkpoint dir is
+    // configured (Bench/Verify set a local one; a cluster deployment
+    // points it at shared storage): the rebase keeps FULL lineage, so by
+    // round k the scheduler re-walks a k-deep RDD ancestry — plus its
+    // accumulated shuffle/broadcast registrations, which the context
+    // cleaner can't release while the chain pins them — on EVERY job it
+    // submits. Measured on the sf0.1 pair graph (7 rounds, constant-size
+    // label table): per-round wall grows 2.8 s → 19 s with the rebase,
+    // flat ~1 s with checkpoints. checkpoint() is an executor-loss-safe
+    // truncation (recompute reads the checkpoint files, not executor
+    // memory), unlike localCheckpoint, which fails the job.
+    val useCheckpoint = spark.sparkContext.getCheckpointDir.isDefined
     def iterMat(df: DataFrame): (DataFrame, DataFrame, Long) = {
-      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = c.count()
-      (spark.createDataFrame(c.rdd, c.schema), c, n)
+      if (useCheckpoint) {
+        val c = df.checkpoint() // eager; lineage truncated to the files
+        (c, c, c.count())
+      } else {
+        val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = c.count()
+        (spark.createDataFrame(c.rdd, c.schema), c, n)
+      }
     }
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val (edges, edgesCache, _) = iterMat(
@@ -287,7 +304,9 @@ object Dedup {
     def side(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     var round = 0
     var done = false
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!done && round < maxRounds) {
+      val tRound = System.nanoTime()
       // min over own label and all neighbours' labels; the own label rides
       // along (tagged so max() picks exactly it) to make the convergence
       // check a free column of the round's single forcing aggregate.
@@ -308,24 +327,28 @@ object Dedup {
       // A second jump per round was measured SLOWER (9.5 s → 12.9 s at
       // sf0.1): near-dup components are shallow, so the extra in-job
       // shuffles outweigh the saved rounds.
-      val nextCache = prop
+      val step = prop
         .join(side(prop.select(col("id").as("jid"), col("lbl").as("jlbl"))),
           col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"),
           col("own"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextCache =
+        if (useCheckpoint) step.checkpoint()
+        else step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val row = nextCache
         .agg(sum(when(col("lbl") =!= col("own"), 1L).otherwise(0L))).first()
       val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
-      val next = spark.createDataFrame(nextCache.rdd, nextCache.schema)
+      val next =
+        (if (useCheckpoint) nextCache
+         else spark.createDataFrame(nextCache.rdd, nextCache.schema))
         .select(col("id"), col("lbl"))
       labelsCache.unpersist(false)
       labels = next
       labelsCache = nextCache
       done = changed == 0
       round += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"CC round=$round changed=$changed")
+      if (debug)
+        System.err.println(f"CC round=$round changed=$changed wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     finalized(labels.select(col("id"), col("lbl").as("cluster")),
       edgesCache, labelsCache)

@@ -69,6 +69,57 @@ object TextOps {
   def minShingleHash(text: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(text, n), s => md5(s)))
 
+  /** PII patterns for corpus scrubbing. Deliberately written in the
+    * common subset of Java regex and RE2 (no lookaround, no
+    * backreferences) so an external engine can replay the scrub
+    * byte-for-byte — the property that makes redaction auditable.
+    * The generalized form of the reference's scrubbing pre-pass
+    * (dipper/sources/Source.py scrub hooks), aimed at the pass every
+    * training-data pipeline runs before releasing a corpus. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped tokens, in that
+    * order (email first: its local part may contain digits that the
+    * narrower patterns would otherwise bite into). Pure builtin
+    * regexp_replace chain — map-only, whole-stage codegen'd. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** URL occurrences (scheme-anchored, space-delimited). */
+  val urlRe = "https?://[^ ]+"
+  /** Host component of a URL — regex-extracted (not parse_url) so the
+    * exact same expression replays in any RE2-compatible engine. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "https?://([^/ ]+)", 1)
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the classic cheap LM-quality proxy (docs of
+    * rare/garbled vocabulary score low, template-like docs score high).
+    *
+    * Scale shape: one corpus-wide word count (shuffle on word), then the
+    * vocabulary relation — bounded by |vocab|, far below corpus size —
+    * joins back to the exploded corpus. The join key is the word itself;
+    * at 100 TB the vocabulary still fits a broadcast after a min-count
+    * floor, but the hint is left out so AQE picks broadcast exactly when
+    * the built relation is small enough. Returns (id, n_words, logprob).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    val freq = w.groupBy("w").agg(count(lit(1)).as("wn"))
+    val total = freq.agg(sum("wn").as("tot"))
+    w.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log(col("wn").cast("double") / col("tot"))), 4).as("logprob"))
+  }
+
   /** Cross-document boilerplate removal by document frequency: a term
     * that appears in more than `dfFrac` of the documents of its group
     * (site / source / domain — the unit boilerplate repeats within) is

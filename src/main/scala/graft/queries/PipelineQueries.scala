@@ -253,6 +253,54 @@ object PipelineQueries {
         .select("doc_id", "ws_tokens")
     }),
 
+    // PII scrubbing: count + redact emails / IPv4s / phone-shaped tokens.
+    // The synthetic corpus carries no PII, so each row is salted with
+    // deterministic doc_id-derived PII tokens FIRST (same expression in
+    // the oracle — both engines see identical dirty text); the scrub
+    // chain then has real work to do on every row. Map-only, codegen'd.
+    "t10_pii_scrub" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" user"), col("doc_id").cast("string"), lit("@example.com 203.0.113."),
+        (col("doc_id") % 256).cast("string"), lit(" +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          regexp_count(col("dirty"), lit(TextOps.emailRe)).as("n_emails"),
+          regexp_count(col("dirty"), lit(TextOps.ipv4Re)).as("n_ips"),
+          regexp_count(col("dirty"), lit(TextOps.phoneRe)).as("n_phones"),
+          TextOps.piiScrub(col("dirty")).as("clean"))
+    }),
+
+    // URL extraction + domain blocklist filtering: pull URLs out of the
+    // text, take the host, keep only blocklisted hosts (the removal set).
+    // The blocklist is a parameter table — tiny by construction — so the
+    // join is an explicit broadcast; the corpus side stays map-only.
+    // URLs are doc_id-salted like t10 (corpus text carries none).
+    "t11_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val dirty = concat(col("text"),
+        lit(" https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" http://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".assets.net/x.js"))
+      val blocklist = Seq("site0.example.org", "site1.example.org",
+        "site2.example.org", "cdn0.assets.net").toDF("host")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(dirty, lit(TextOps.urlRe), lit(0))).as("url"))
+        .select(col("doc_id"), col("url"), TextOps.urlHost(col("url")).as("host"))
+        .join(broadcast(blocklist), "host")
+        .select(col("doc_id"), col("host"), col("url"))
+    }),
+
+    // Mean unigram log-probability under the corpus's own unigram LM —
+    // the cheap language-model quality proxy (one vocab shuffle + one
+    // re-join; vocabulary relation ≪ corpus).
+    "t12_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // Multimodal plumbing: binary payload + typed metadata projection
     // (decode STUB exercised via mapPartitions in the test suite).
     "m01_multimodal_meta" -> ((s, d) =>
@@ -304,6 +352,49 @@ object PipelineQueries {
 
   val oracles: ListMap[String, String] = ListMap(
     "d06_dedup_embedding_lsh" -> lshNearDupOracle(64, 0.45, 8, 4),
+    "t10_pii_scrub" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+                  text || ' user' || doc_id::VARCHAR || '@example.com 203.0.113.'
+                       || (doc_id % 256)::VARCHAR || ' +1-555-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(dirty, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+                len(regexp_extract_all(dirty, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(dirty,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+         FROM dirty""",
+    "t11_url_blocklist" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+                  text || ' https://site' || (doc_id % 20)::VARCHAR
+                       || '.example.org/p/' || doc_id::VARCHAR
+                       || ' http://cdn' || (doc_id % 7)::VARCHAR
+                       || '.assets.net/x.js' AS dirty
+           FROM documents),
+         urls AS (
+           SELECT doc_id, unnest(regexp_extract_all(dirty, 'https?://[^ ]+')) AS url
+           FROM dirty)
+         SELECT doc_id, regexp_extract(url, 'https?://([^/ ]+)', 1) AS host, url
+         FROM urls
+         WHERE regexp_extract(url, 'https?://([^/ ]+)', 1) IN
+               ('site0.example.org', 'site1.example.org',
+                'site2.example.org', 'cdn0.assets.net')""",
+    "t12_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         freq AS (SELECT w, count(*) AS wn FROM w GROUP BY 1),
+         tot AS (SELECT sum(wn) AS tot FROM freq)
+         SELECT doc_id, count(*) AS n_words,
+                round(avg(ln(wn::DOUBLE / tot)), 4) AS logprob
+         FROM w JOIN freq USING (w) CROSS JOIN tot
+         GROUP BY doc_id""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
          FROM (SELECT * FROM documents

@@ -324,6 +324,45 @@ object Relational {
           col("purchase_value"))
     }),
 
+    // Pivot (wide conditional aggregation): quantity by return flag ×
+    // line status. Explicit pivot values — the two-pass infer-then-pivot
+    // form collects distinct values to the driver, which a 100 TB plan
+    // must not do; with values given the whole thing is ONE hash
+    // aggregate with conditional partials (same plan as the oracle's
+    // CASE WHEN form — map-side combine, single shuffle).
+    "q31_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(round(sum(col("l_quantity")), 2))),
+
+    // Cube (all grouping-set combinations) with grouping indicators —
+    // the subtotal lattice of q28's ROLLUP. One shuffle: Spark expands
+    // the grouping sets map-side and aggregates once.
+    "q32_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("g_status"), col("g_prio"))),
+
+    // Frame-bounded window: 4-event trailing average per user in event
+    // order (ts, event_id tie-break — total order ⇒ deterministic).
+    // One shuffle on user_id; frames evaluate inside the window operator
+    // with no self-join (the pre-window-function formulation of a
+    // trailing average is a range self-join — strictly worse at scale).
+    "q33_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 4).as("trailing_avg"))
+    }),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -502,6 +541,24 @@ object Relational {
                 strftime(r.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
                 r.purchase_value
          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts""",
+    "q31_pivot" ->
+      """SELECT l_returnflag AS rflag,
+              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+         FROM lineitem GROUP BY 1""",
+    "q32_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS prio,
+              count(*) AS n,
+              grouping(o_orderstatus)::INT AS g_status,
+              grouping(o_orderpriority)::INT AS g_prio
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q33_moving_avg" ->
+      """SELECT event_id, user_id,
+              round(avg(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
+         FROM events""",
     "q25_mean_of_means" ->
       """WITH um AS (SELECT event_type, user_id, avg(value) AS um
                      FROM events GROUP BY 1, 2),

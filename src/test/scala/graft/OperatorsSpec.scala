@@ -286,4 +286,35 @@ class OperatorsSpec extends SparkSpec {
     assert(rs.length == 10 && rs(0) == 0 && rs(1) == 10)
     assert(resizeStub(Array[Byte](1, 2), 10).toSeq == Seq[Byte](1, 2))
   }
+
+  test("PII scrub: redacts emails/IPs/phones, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "write bob.smith+x@mail.example.org from 10.0.0.7 or +1-555-0142"),
+      (2L, "no pii here just words and 3.14 decimals"),
+      (3L, "two mails a@b.co c@d.io one ip 192.168.1.1")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextOps.piiScrub($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "write <EMAIL> from <IP> or <PHONE>")
+    assert(got(2L) == "no pii here just words and 3.14 decimals")
+    assert(got(3L) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("URL host extraction") {
+    val urls = Seq("https://a.example.org/p/1", "http://b.net/x.js",
+      "https://nopath.io").toDF("url")
+    val hosts = urls.select(TextOps.urlHost($"url")).as[String].collect().toSeq
+    assert(hosts == Seq("a.example.org", "b.net", "nopath.io"))
+  }
+
+  test("unigram log-prob: common-word docs score higher than rare-word docs") {
+    // 'the' appears in every doc; doc 3 is all rare singleton words
+    val docs = Seq((1L, "the the the"), (2L, "the the cat"),
+      (3L, "axolotl quine zeugma")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(docs, "doc_id", "text")
+      .select($"id", $"logprob").as[(Long, Double)].collect().toMap
+    // p(the)=5/9, p(cat)=1/9, p(rare)=1/9 each
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+    assert(math.abs(got(1L) - math.log(5.0 / 9.0)) < 1e-3)
+    assert(math.abs(got(3L) - math.log(1.0 / 9.0)) < 1e-3)
+  }
 }

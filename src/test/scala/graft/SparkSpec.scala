@@ -5,13 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for test suites (one per suite, lazily). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName(getClass.getSimpleName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // reliable checkpoint dir: exercises the checkpoint path of iterative
+    // operators (Dedup.clusters) in every suite that uses them
+    s.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt-test").toString)
+    s
+  }
 
   lazy val sf: String = "/root/testdata/sf0.001"
 }
