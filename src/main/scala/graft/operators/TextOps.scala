@@ -120,6 +120,75 @@ object TextOps {
         round(avg(log(col("wn").cast("double") / col("tot"))), 4).as("logprob"))
   }
 
+  /** Split each document into overlapping token windows — the packing /
+    * context-window-preparation primitive of a training pipeline. Chunk k
+    * starts at token 1 + k·(chunkSize − overlap) and carries up to
+    * `chunkSize` tokens; every token of the document appears in at least
+    * one chunk. Map-only: one projected tokenization below a generator,
+    * no shuffle — a 100 TB corpus chunks in a single scan.
+    * Returns (id, chunk_no, n_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col("id"), col("ws"),
+        posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)), lit(stride)))
+          .as(Seq("chunk_no", "start")))
+      // a trailing start that would yield a pure-overlap tail (start+
+      // overlap beyond the end) still counts: slice() clamps to the end
+      .select(col("id"), col("chunk_no"),
+        slice(col("ws"), col("start"), lit(chunkSize)).as("chunk"))
+      .select(col("id"), col("chunk_no"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Top-k terms per document by tf·idf (idf = ln(N/df), raw counts —
+    * the textbook form). Two corpus-wide aggregates (term-in-doc counts,
+    * document frequencies) and one rank window per document; the df
+    * relation is vocabulary-sized, so its join back is broadcastable at
+    * any corpus scale. Ties break on the term for determinism.
+    * Returns (id, term, tf, score, rank). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
+    val tf = w.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = w.select("id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("id", "term", "tf", "score", "rank")
+  }
+
+  /** Temperature-flattened source mixing weights (the multilingual /
+    * multi-source data-mixing recipe: sample source s proportionally to
+    * (n_s/N)^alpha, alpha<1 upsampling the tail). One tiny aggregate —
+    * the output is one row per source. Returns (source, n_docs, weight,
+    * target_n): `weight` the normalized sampling probability, `target_n`
+    * the resampled per-source document count at unchanged corpus size. */
+  def mixingWeights(docs: DataFrame, groupCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n_total"),
+      sum(pow(col("n_docs").cast("double"), alpha)).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(pow(col("n_docs").cast("double"), alpha) / col("z"), 6))
+      .withColumn("target_n",
+        round(pow(col("n_docs").cast("double"), alpha) / col("z")
+          * col("n_total")).cast("long"))
+      .select(col(groupCol), col("n_docs"), col("weight"), col("target_n"))
+  }
+
   /** Cross-document boilerplate removal by document frequency: a term
     * that appears in more than `dfFrac` of the documents of its group
     * (site / source / domain — the unit boilerplate repeats within) is

@@ -301,6 +301,26 @@ object PipelineQueries {
       TextOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // Context-window chunking: overlapping 64-token windows, stride 48 —
+    // the packing primitive before tokenization. Map-only generator.
+    "t13_chunk_windows" -> ((s, d) =>
+      TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")),
+
+    // tf·idf top-3 terms per document (rank ties broken on the term;
+    // ranking runs on the 4dp-rounded score so both engines order
+    // identically even where two tf/df combinations are mathematically
+    // equal but differ in the last float bit).
+    "t14_tfidf_topk" -> ((s, d) =>
+      TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Temperature-flattened source mixing (alpha = 0.5): per-source
+    // sampling weight and resampled document budget.
+    "t15_mixing_weights" -> ((s, d) =>
+      TextOps.mixingWeights(Tables.documents(s, d), "source", alpha = 0.5)),
+
     // Multimodal plumbing: binary payload + typed metadata projection
     // (decode STUB exercised via mapPartitions in the test suite).
     "m01_multimodal_meta" -> ((s, d) =>
@@ -386,6 +406,39 @@ object PipelineQueries {
          WHERE regexp_extract(url, 'https?://([^/ ]+)', 1) IN
                ('site0.example.org', 'site1.example.org',
                 'site2.example.org', 'cdn0.assets.net')""",
+    "t13_chunk_windows" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         starts AS (
+           SELECT doc_id, ws,
+                  unnest(generate_series(1, greatest(len(ws), 1), 48)) AS start
+           FROM ws)
+         SELECT doc_id, (start - 1) // 48 AS chunk_no,
+                len(ws[start : start + 63]) AS n_tokens,
+                array_to_string(ws[start : start + 63], ' ') AS chunk_text
+         FROM starts""",
+    "t14_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, tf.term, tf,
+                  round(tf * ln(n_docs::DOUBLE / df), 4) AS score
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+           FROM scored)
+         SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3""",
+    "t15_mixing_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_docs) AS n_total,
+                      sum(pow(n_docs::DOUBLE, 0.5)) AS z FROM c)
+         SELECT source, n_docs,
+                round(pow(n_docs::DOUBLE, 0.5) / z, 6) AS weight,
+                round(pow(n_docs::DOUBLE, 0.5) / z * n_total)::BIGINT AS target_n
+         FROM c CROSS JOIN t""",
     "t12_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                     FROM documents),

@@ -243,6 +243,20 @@ object RdfQueries {
         col("chem"), pred, col("dz"))
     }),
 
+    // Ontology ancestor closure — the subClassOf/partOf reachability the
+    // reference defers to downstream ontology tooling, as a distributed
+    // iterative-doubling operator. Hierarchy: the binary-tree parent
+    // relation derived from doc ids (child → child⌊/2⌋, root 1) — depth
+    // log₂(N), so the closure converges in ~log₂(log₂ N)+1 rounds.
+    "r14_ancestor_closure" -> ((s, d) => {
+      val edges = Tables.documents(s, d)
+        .filter(col("doc_id") >= 2)
+        .select(col("doc_id").as("child"),
+          (col("doc_id") / 2).cast("long").as("parent"))
+      graft.operators.Closure.transitive(edges, "child", "parent")
+        .select(col("src").as("node"), col("dst").as("ancestor"))
+    }),
+
     // §2.4 orthology + family membership over same-nation supplier pairs,
     // with the RDFGraph set-semantics dedup before the sink.
     "r06_orthology_family" -> ((s, d) => {
@@ -490,6 +504,15 @@ object RdfQueries {
          UNION ALL SELECT a, 'OBAN:association_has_subject', chem, false, NULL FROM w
          UNION ALL SELECT a, 'OBAN:association_has_predicate', rel, false, NULL FROM w
          UNION ALL SELECT a, 'OBAN:association_has_object', dz, false, NULL FROM w""",
+    "r14_ancestor_closure" ->
+      """WITH RECURSIVE
+           e AS (SELECT doc_id AS child, doc_id // 2 AS parent
+                 FROM documents WHERE doc_id >= 2),
+           reach(node, ancestor) AS (
+             SELECT child, parent FROM e
+             UNION
+             SELECT r.node, e.parent FROM reach r JOIN e ON r.ancestor = e.child)
+         SELECT node, ancestor FROM reach""",
     "r06_orthology_family" ->
       """WITH p AS (
            SELECT a.s_suppkey AS sa, b.s_suppkey AS sb, a.s_nationkey AS nk

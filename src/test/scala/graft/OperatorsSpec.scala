@@ -306,6 +306,31 @@ class OperatorsSpec extends SparkSpec {
     assert(hosts == Seq("a.example.org", "b.net", "nopath.io"))
   }
 
+  test("transitive closure: chain, diamond, cycle") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L),
+      (20L, 21L), (21L, 20L)).toDF("src", "dst")
+    val got = Closure.transitive(edges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val chain = Set((1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,3L),(2L,4L),(2L,5L),
+      (3L,4L),(3L,5L),(4L,5L))
+    val diamond = Set((10L,11L),(10L,12L),(10L,13L),(11L,13L),(12L,13L))
+    val cycle = Set((20L,21L),(21L,20L),(20L,20L),(21L,21L))
+    assert(got == chain ++ diamond ++ cycle)
+  }
+
+  test("chunking: full coverage, overlap, short-doc single chunk") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 2)
+      .select($"id", $"chunk_no", $"chunk_text").as[(Long, Int, String)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w3 w4 w5 w6"), (1L, 2, "w5 w6 w7 w8"),
+      (1L, 3, "w7 w8 w9 w10"), (1L, 4, "w9 w10"),
+      (2L, 0, "a b")))
+  }
+
   test("unigram log-prob: common-word docs score higher than rare-word docs") {
     // 'the' appears in every doc; doc 3 is all rare singleton words
     val docs = Seq((1L, "the the the"), (2L, "the the cat"),
