@@ -165,6 +165,29 @@ object RdfQueries {
         col("dz"), col("hp"), col("onset"), col("freq"), evidence = col("eco"))
     }),
 
+    // §3.2 end-to-end ingest pipeline #2 (Bgee.py:196-200 shape): per-gene
+    // top-k anatomy associations by rank score (ascending — lower rank
+    // score is stronger, tie-broken on the anatomy id) → reified
+    // association with the score as a typed literal. The rank-limit
+    // window compiles to WindowGroupLimit, so each gene's group is cut
+    // map-side before the sort — the property that lets a ranked ingest
+    // run over a full-corpus expression matrix.
+    "p02_bgee_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.lineitem(s, d)
+        .select(
+          concat(lit("ENSEMBL:"), col("l_suppkey").cast("string")).as("gene"),
+          concat(lit("UBERON:"), col("l_partkey").cast("string")).as("anat"),
+          col("l_extendedprice").as("score"))
+        .groupBy("gene", "anat").agg(min("score").as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("gene").orderBy(col("score").asc, col("anat").asc)))
+        .filter(col("rk") <= 3).drop("rk")
+      graft.emit.ColumnEmit.assocReified(ranked, "EX:bgee",
+        col("gene"), lit("RO:0002206"), col("anat"),
+        source = Some("EX:bgee"), score = Some(col("score")))
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -504,6 +527,26 @@ object RdfQueries {
          UNION ALL SELECT a, 'OBAN:association_has_subject', chem, false, NULL FROM w
          UNION ALL SELECT a, 'OBAN:association_has_predicate', rel, false, NULL FROM w
          UNION ALL SELECT a, 'OBAN:association_has_object', dz, false, NULL FROM w""",
+    "p02_bgee_pipeline" ->
+      """WITH base AS (
+           SELECT 'ENSEMBL:'||l_suppkey::varchar AS gene,
+                  'UBERON:'||l_partkey::varchar AS anat,
+                  min(l_extendedprice) AS score
+           FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY gene ORDER BY score ASC, anat ASC) AS rk
+               FROM base),
+         f AS (SELECT gene, anat, score FROM r WHERE rk <= 3),
+         w AS (SELECT *, '_:b'||substr(md5('EX:bgee+'||gene||'+RO:0002206+'||anat),2,19) AS a
+               FROM f)
+         SELECT gene AS s, 'RO:0002206' AS p, anat AS o, false AS lit,
+                CAST(NULL AS VARCHAR) AS dt FROM w
+         UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_subject', gene, false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_predicate', 'RO:0002206', false, NULL FROM w
+         UNION ALL SELECT a, 'OBAN:association_has_object', anat, false, NULL FROM w
+         UNION ALL SELECT a, 'dc:source', 'EX:bgee', false, NULL FROM w
+         UNION ALL SELECT a, 'EXP:score', score::varchar, true, 'xsd:double' FROM w""",
     "r14_ancestor_closure" ->
       """WITH RECURSIVE
            e AS (SELECT doc_id AS child, doc_id // 2 AS parent
