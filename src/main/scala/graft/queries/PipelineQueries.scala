@@ -321,6 +321,36 @@ object PipelineQueries {
     "t15_mixing_weights" -> ((s, d) =>
       TextOps.mixingWeights(Tables.documents(s, d), "source", alpha = 0.5)),
 
+    // Token-budget packing: assign documents to fixed-budget training
+    // bins per source, in deterministic doc_id order — running token
+    // count before each doc, integer-divided by the budget. One shuffle
+    // (the per-source window); bins are stable across partitioning
+    // because the order key is total.
+    "t16_token_budget_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.wsTokenCount(col("text")).as("n_tokens"))
+        .withColumn("bin",
+          (coalesce(sum(col("n_tokens")).over(w), lit(0)) / 1000).cast("long"))
+    }),
+
+    // Text dedup APPLY, exact-pair flavor: n-gram Jaccard pairs (exact,
+    // PPJoin-filtered) → connected components → keep-list anti-filter on
+    // the corpus. The document-side twin of d10 whose every stage an
+    // external oracle reproduces (d10's pair source is LSH-bucketed).
+    "d11_dedup_apply_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cl = Dedup.clusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8),
+        "id_a", "id_b")
+      docs.join(broadcast(cl), docs("doc_id") === cl("id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata projection
     // (decode STUB exercised via mapPartitions in the test suite).
     "m01_multimodal_meta" -> ((s, d) =>
@@ -439,6 +469,38 @@ object PipelineQueries {
                 round(pow(n_docs::DOUBLE, 0.5) / z, 6) AS weight,
                 round(pow(n_docs::DOUBLE, 0.5) / z * n_total)::BIGINT AS target_n
          FROM c CROSS JOIN t""",
+    "t16_token_budget_packing" ->
+      """SELECT doc_id, source, len(regexp_split_to_array(text, ' +')) AS n_tokens,
+              (coalesce(sum(len(regexp_split_to_array(text, ' +'))) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+                )::BIGINT AS bin
+         FROM documents""",
+    "d11_dedup_apply_text" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes sa ON sa.doc_id=id_a
+                   JOIN sizes sb ON sb.doc_id=id_b
+                   WHERE i::double / (sa.sz + sb.sz - i) > 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         SELECT doc_id, source FROM documents LEFT JOIN cl ON doc_id = cl.id
+         WHERE cluster IS NULL OR cluster = doc_id""",
     "t12_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                     FROM documents),
