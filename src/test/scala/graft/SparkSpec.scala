@@ -12,6 +12,7 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     // reliable checkpoint dir: exercises the checkpoint path of iterative
     // operators (Dedup.clusters) in every suite that uses them
