@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Document deduplication at training-data scale.
   *
@@ -254,7 +255,8 @@ object Dedup {
     * itself is never touched. Convergence is a changed-label count — a
     * scalar aggregate per round, no collect. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxRounds: Int = 25): DataFrame = {
+               maxRounds: Int = 25,
+               driverSolveMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
     val spark = pairs.sparkSession
     // Per-round materialization for an ITERATIVE plan: persist + force,
     // then rebase the frame onto the materialized RDD (a flat LogicalRDD
@@ -288,10 +290,39 @@ object Dedup {
         (spark.createDataFrame(c.rdd, c.schema), c, n)
       }
     }
-    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val (edges, edgesCache, _) = iterMat(
-      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    val debug0 = sys.env.contains("GRAFT_CC_DEBUG")
+    val tEdges = System.nanoTime()
+    // Double the edges with ONE pass over `pairs` (explode), not a
+    // self-union: a union references the pairs subtree twice, and when
+    // pairs is itself an expensive operator output (the all-pairs cosine
+    // join of d07's shape) the un-materialized subtree would execute
+    // twice — measured 12.2 s → 5 s for clusters-over-cosine-pairs.
+    val (edges, edgesCache, nEdges) = iterMat(
+      pairs.select(explode(array(
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
+    // Small-graph fast path: the pair graph is pairwise EVIDENCE, orders
+    // of magnitude smaller than the corpus; when the (already distinct,
+    // size known from the forcing count) edge list fits on the driver,
+    // union-find there beats log(diameter) distributed rounds — the same
+    // size-gated reasoning as a broadcast join, with the distributed
+    // rounds below as the unconditional fallback. 2M doubled edges is
+    // ~32 MB of longs; a 100 TB corpus whose near-dup graph exceeds the
+    // gate takes the distributed path automatically.
+    if (debug0)
+      System.err.println(f"CC edges=$nEdges mat=${(System.nanoTime() - tEdges) / 1e9}%.2fs")
+    if (nEdges <= driverSolveMaxEdges) {
+      driverSolve(spark, edges) match {
+        case Some(out) =>
+          if (debug0)
+            System.err.println(f"CC driverSolve done t=${(System.nanoTime() - tEdges) / 1e9}%.2fs")
+          edgesCache.unpersist(false)
+          return out
+        case None => () // unsupported id type — distributed path below
+      }
+    }
     var (labels, labelsCache, nNodes) = iterMat(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
@@ -352,6 +383,59 @@ object Dedup {
     }
     finalized(labels.select(col("id"), col("lbl").as("cluster")),
       edgesCache, labelsCache)
+  }
+
+  /** Collect a small doubled edge list and solve components with
+    * union-find; labels are the component minimum (identical to the
+    * distributed fixpoint). Returns None for id types the min-ordering
+    * here doesn't cover (caller falls back to the distributed rounds).
+    * The result is a LOCAL relation — downstream joins against it
+    * broadcast for free. */
+  private def driverSolve(spark: org.apache.spark.sql.SparkSession,
+                          edges: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val dt = edges.schema("src").dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case StringType => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case _ => return None
+    }
+    val rows = edges.collect()
+    val idx = new java.util.HashMap[Any, java.lang.Integer](rows.length * 2)
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]()
+    def ix(v: Any): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else { idx.put(v, vals.size); vals += v; vals.size - 1 }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x0: Int): Int = { // path halving
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val (a, b) = (ix(r.get(0)), ix(r.get(1)))
+      while (parent.size < vals.size) parent += parent.size
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    while (parent.size < vals.size) parent += parent.size
+    // component minimum per root, then one row per node
+    val minOf = new java.util.HashMap[Int, Any]()
+    vals.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || lt(vals(i), cur)) minOf.put(r, vals(i))
+    }
+    val out = vals.indices.map(i => Row(vals(i), minOf.get(find(i))))
+    val schema = StructType(Seq(
+      StructField("id", dt, nullable = false),
+      StructField("cluster", dt, nullable = false)))
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[Row](out.asJava), schema))
   }
 
   /** 64-bit SimHash fingerprints from term-frequency-weighted word

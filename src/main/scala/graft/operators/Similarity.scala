@@ -22,6 +22,16 @@ object Similarity {
 
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Widen a narrow scan to default parallelism before a CPU-heavy
+    * vector stage — same rationale as the dedup-side twin: a 100 TB
+    * corpus arrives in thousands of splits and this is a no-op, but a
+    * corpus packed into one or two files would otherwise run every
+    * pairwise dot product of the join on one or two cores. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -39,7 +49,7 @@ object Similarity {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val c = widen(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")))
       .withColumn("nn", vec_norm(col("nv")))
     val sims = c.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -55,7 +65,7 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val a = widen(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")))
       .withColumn("na", vec_norm(col("va")))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", vec_norm(col("vb")))
@@ -105,9 +115,10 @@ object Similarity {
                       dim: Int, threshold: Double,
                       nbits: Int = 8, bands: Int = 4): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    val buckets = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val buckets = widen(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"), col("v"),
         posexplode(array((0 until bands).map(b =>
-          lshBucket(col(vecCol), dim, nbits, b)): _*)).as(Seq("band", "bucket")))
+          lshBucket(col("v"), dim, nbits, b)): _*)).as(Seq("band", "bucket")))
       .withColumn("nrm", vec_norm(col("v")))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

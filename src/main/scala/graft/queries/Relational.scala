@@ -7,7 +7,7 @@ import scala.collection.immutable.ListMap
 
 import graft.Tables
 import graft.core.{CurieMap, Digest, TranslationTable}
-import graft.operators.{RangeJoin, Salt}
+import graft.operators.{BloomJoin, RangeJoin, Salt}
 
 /** Relational operator coverage (SURVEY.md §2.3, §2.5–§2.9) over the driver
   * test corpus. Every query has a DuckDB oracle with identical column
@@ -363,6 +363,53 @@ object Relational {
           round(avg(col("value")).over(w), 4).as("trailing_avg"))
     }),
 
+    // Runtime-filter join (scale extension): bloom-prune the fact side
+    // on the curated dim's keys BEFORE the shuffle join — at 100 TB the
+    // win is shuffling |matching lineitem| instead of |lineitem|. Exact:
+    // the real join removes bloom false positives, so the oracle is the
+    // plain join.
+    "q34_bloom_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity")
+      val dim = Tables.part(s, d).filter(col("p_size") >= 48)
+        .select("p_partkey", "p_brand")
+      BloomJoin.join(li, "l_partkey", dim, "p_partkey", expectedItems = 1 << 16)
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // HLL approx-distinct — the 100 TB path for count(DISTINCT), one
+    // fixed-size sketch per group instead of a distinct shuffle.
+    // Self-checking oracle form: emit exact counts only for groups where
+    // the sketch lands within 5% of exact; a drifting sketch drops rows
+    // and fails the driver's row-count gate. HLL register-merge is a
+    // per-register max — order-independent ⇒ deterministic per dataset.
+    "q35_hll_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+        .filter(abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05)
+        .select("l_returnflag", "l_linestatus", "exact_parts")),
+
+    // Approximate quantiles (Greenwald-Khanna mergeable summaries) — the
+    // scale path for the exact-percentile shapes (t06/q25): bounded-size
+    // summaries, no full sort. Self-check: with accuracy 10000 the rank
+    // error is ≤ 1e-4, so the approx median must land between the exact
+    // 0.49 and 0.51 quantiles; emit exact values for the oracle.
+    "q36_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median"),
+          expr("percentile(l_extendedprice, 0.49)").as("lo"),
+          expr("percentile(l_extendedprice, 0.51)").as("hi"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_median"))
+        .filter(col("approx_median").between(col("lo"), col("hi")))
+        .select("l_returnflag", "exact_median")),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -559,6 +606,19 @@ object Relational {
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
          FROM events""",
+    "q34_bloom_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+              count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size >= 48 GROUP BY p_brand""",
+    "q35_hll_distinct" ->
+      """SELECT l_returnflag, l_linestatus,
+              count(DISTINCT l_partkey) AS exact_parts
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q36_approx_quantile" ->
+      """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median
+         FROM lineitem GROUP BY l_returnflag""",
     "q25_mean_of_means" ->
       """WITH um AS (SELECT event_type, user_id, avg(value) AS um
                      FROM events GROUP BY 1, 2),

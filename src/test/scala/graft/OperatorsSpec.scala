@@ -152,7 +152,9 @@ class OperatorsSpec extends SparkSpec {
     val path = (0L until 39L).map(i => (i, i + 1))
     val extra = Seq((100L, 101L), (101L, 102L), (200L, 201L))
     val pairs = (path ++ extra).toDF("id_a", "id_b")
-    val got = Dedup.clusters(pairs, "id_a", "id_b")
+    // driverSolveMaxEdges=0 forces the distributed rounds — the driver
+    // union-find fast path is cross-validated against it below
+    val got = Dedup.clusters(pairs, "id_a", "id_b", driverSolveMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert((0L to 40L).forall(i => !got.contains(i) || got(i) == 0L))
     assert((0L to 39L).forall(i => got(i) == 0L))
@@ -184,6 +186,21 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("d_a" -> "d_a", "d_b" -> "d_a", "d_c" -> "d_a",
       "d_x" -> "d_x", "d_y" -> "d_x"))
+    // the distributed rounds agree on string ids too
+    val dist = Dedup.clusters(pairs, "id_a", "id_b", driverSolveMaxEdges = 0)
+      .as[(String, String)].collect().toMap
+    assert(dist == got)
+  }
+
+  test("clusters: driver union-find fast path ≡ distributed rounds") {
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (200L, 201L))
+    val pairs = (path ++ extra).toDF("id_a", "id_b")
+    val fast = Dedup.clusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, "id_a", "id_b", driverSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist && fast.size == 45)
   }
 
   test("decontamination: only train docs sharing an eval n-gram flagged") {
@@ -329,6 +346,34 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w3 w4 w5 w6"), (1L, 2, "w5 w6 w7 w8"),
       (1L, 3, "w7 w8 w9 w10"), (1L, 4, "w9 w10"),
       (2L, 0, "a b")))
+  }
+
+  test("bloom join ≡ plain join (long and string keys); pruning is a superset") {
+    val fact = (1L to 2000L).map(k => (k, s"v$k")).toDF("fk", "payload")
+    val dim = Seq((10L, "a"), (500L, "b"), (1999L, "c")).toDF("dk", "label")
+    val got = BloomJoin.join(fact, "fk", dim, "dk", expectedItems = 1024)
+      .select("fk", "label").as[(Long, String)].collect().toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "label").as[(Long, String)].collect().toSet
+    assert(got == want && want.size == 3)
+
+    // pruned fact ⊇ matching fact, ⊊ fact (the filter actually prunes)
+    val pruned = BloomJoin.pruneFact(fact, "fk", dim, "dk", 1024, fpp = 0.01)
+    val n = pruned.count()
+    assert(n >= 3 && n < 2000)
+
+    // string keys probe the same UTF-8 bytes putString inserts
+    val sfact = Seq("alpha", "beta", "gamma", "delta").toDF("sk")
+    val sdim = Seq("beta", "delta").toDF("dk2")
+    val sgot = BloomJoin.join(sfact, "sk", sdim, "dk2", expectedItems = 16)
+      .select("sk").as[String].collect().toSet
+    assert(sgot == Set("beta", "delta"))
+  }
+
+  test("bloom probe stays native: no false negatives on 10k keys") {
+    val dim = (0L until 10000L by 7L).toDF("k")
+    val bf = BloomJoin.keyBloom(dim, "k", expectedItems = 4096)
+    (0L until 10000L by 7L).foreach(k => assert(bf.mightContainLong(k)))
   }
 
   test("unigram log-prob: common-word docs score higher than rare-word docs") {
