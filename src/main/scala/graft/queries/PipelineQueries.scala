@@ -106,6 +106,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
     }),
 
+    // Int8-quantized ANN: per-vector symmetric quantization (4× smaller
+    // candidate state at scale), then the exact top-k machinery over the
+    // quantized values — scales cancel in cosine. Deterministic
+    // arithmetic end-to-end, so the oracle reproduces the quantization
+    // bit-for-bit in SQL.
+    "s04_ann_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+    }),
+
     // Stopword-bank language ID with deterministic argmax tie-break.
     "t01_langid" -> ((s, d) => {
       val t = col("text")
@@ -656,6 +667,22 @@ object PipelineQueries {
          sims AS (SELECT qid, e.vec_id AS nid,
                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
                   FROM q, embeddings e WHERE e.vec_id != qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "s04_ann_quantized" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS sc
+              FROM embeddings),
+         q8 AS (SELECT vec_id,
+                CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+                     ELSE list_transform(v, x -> floor(x / sc + 0.5)) END AS qv
+              FROM s),
+         q AS (SELECT vec_id AS qid, qv AS qqv FROM q8 WHERE vec_id < 10),
+         sims AS (SELECT qid, e.vec_id AS nid,
+                    list_cosine_similarity(qqv, e.qv) AS sim
+                  FROM q, q8 e WHERE e.vec_id != qid)
          SELECT qid, nid, round(sim, 6) AS sim,
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims

@@ -126,6 +126,29 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH pairs must carry exact cosine scores")
   }
 
+  test("int8 quantization: reconstruction within scale/2, search agrees with exact") {
+    val emb = Tables.embeddings(spark, sf)
+    // per-element: |x - q*scale| <= scale/2 (half-up rounding bound)
+    val bad = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(explode(zip_with(col("embedding"),
+        zip_with(col("qv"), array_repeat(col("qscale"), size(col("qv"))),
+          (q, s) => q.cast("double") * s),
+        (x, r) => abs(x.cast("double") - r) > col("qscale") * 0.5 + 1e-12)).as("viol"))
+      .filter(col("viol")).count()
+    assert(bad == 0L)
+    // quantized top-1 mostly matches exact top-1 (64-dim, int8: tiny error)
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val quant = Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(exact.keySet == quant.keySet)
+    val agree = exact.count { case (q, n) => quant(q) == n }
+    assert(agree >= exact.size - 2, s"quantized top-1 agreement $agree/${exact.size}")
+  }
+
   test("salted aggregation and join ≡ unsalted on skewed data") {
     // 90% of rows share one hot key
     val skewed = spark.range(10000)
