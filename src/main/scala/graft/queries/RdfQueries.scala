@@ -188,6 +188,56 @@ object RdfQueries {
         source = Some("EX:bgee"), score = Some(col("score")))
     }),
 
+    // §3.2 end-to-end ingest #4 — ZFIN shape, the reference's LARGEST
+    // source (ZFIN.py, 3121 LoC, ~40 input TSVs): multi-file genotype
+    // assembly. Genotype features (per-genotype allele aggregation →
+    // VSLC with zygosity inference and the synthesized Monarch-style
+    // label, _process_genotype_features ZFIN.py:769-1191 +
+    // make_vslc_label Genotype.py:657-687) ⋈ allele-label dimension
+    // (broadcast) ⋈ genotype backgrounds with taxon
+    // (_process_genotype_backgrounds ZFIN.py:1192-1263), plus the
+    // ZFIN-name synonym the reference attaches before relabeling. One
+    // fact shuffle (the per-genotype aggregate); both label joins
+    // broadcast; the background join is agg-side (one row per genotype).
+    "p03_zfin_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val feats = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 5 === 0) // deterministic 1/5 volume
+        .groupBy("l_orderkey")
+        .agg(min("l_partkey").as("a1"),
+             when(count(lit(1)) > 1, max(col("l_partkey"))).as("a2"))
+      val bg = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      feats
+        .join(broadcast(parts.select(col("p_partkey").as("a1"),
+          col("p_name").as("n1"))), "a1")
+        .join(broadcast(parts.select(col("p_partkey").as("a2"),
+          col("p_name").as("n2"))), Seq("a2"), "left")
+        .join(bg, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("a1"), col("a2"), col("n1"),
+          col("n2"), col("o_custkey"), col("o_orderpriority"))
+        .as[(Long, Long, Option[Long], String, Option[String], Long, String)]
+        .flatMap { case (ok, a1, a2, n1, n2, bgk, syn) =>
+          val gt = s"ZFIN:G$ok"
+          val al1 = s"ZFIN:A$a1"
+          val al2 = a2.map(v => s"ZFIN:A$v").getOrElse("")
+          val vslc = "_:" + Digest.md5IdScala(s"vslc+$ok")
+          val bgId = s"ZFIN:BG$bgk"
+          GenotypeEmit.addGenotype(gt, null) ++
+            Model.addSynonym(gt, syn) ++
+            GenotypeEmit.addAllele(al1, n1) ++
+            a2.toSeq.flatMap(v =>
+              GenotypeEmit.addAllele(s"ZFIN:A$v", n2.orNull)) ++
+            GenotypeEmit.addPartsToVslc(vslc, al1, al2) ++
+            Model.addLabel(vslc, GenotypeEmit.makeVslcLabel(n1, n2.orNull)) ++
+            GenotypeEmit.addVslcToParent(vslc, gt) ++
+            GenotypeEmit.addGenomicBackground(bgId, s"background $bgk") ++
+            GenotypeEmit.addGenomicBackgroundToGenotype(bgId, gt) ++
+            GenotypeEmit.addTaxon("NCBITaxon:7955", bgId)
+        }.toDF()
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -547,6 +597,51 @@ object RdfQueries {
          UNION ALL SELECT a, 'OBAN:association_has_object', anat, false, NULL FROM w
          UNION ALL SELECT a, 'dc:source', 'EX:bgee', false, NULL FROM w
          UNION ALL SELECT a, 'EXP:score', score::varchar, true, 'xsd:double' FROM w""",
+    "p03_zfin_pipeline" ->
+      """WITH f AS (
+           SELECT l_orderkey AS ok, min(l_partkey) AS a1,
+                  CASE WHEN count(*) > 1 THEN max(l_partkey) END AS a2
+           FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1),
+         g AS (
+           SELECT ok, a1, a2,
+                  'ZFIN:G'||ok::varchar AS gt,
+                  '_:b'||substr(md5('vslc+'||ok::varchar),2,19) AS vslc,
+                  'ZFIN:A'||a1::varchar AS al1,
+                  CASE WHEN a2 IS NULL THEN NULL
+                       ELSE 'ZFIN:A'||a2::varchar END AS al2,
+                  p1.p_name AS n1, p2.p_name AS n2,
+                  'ZFIN:BG'||o.o_custkey::varchar AS bg,
+                  'background '||o.o_custkey::varchar AS bgl,
+                  o.o_orderpriority AS syn
+           FROM f JOIN part p1 ON f.a1 = p1.p_partkey
+                  LEFT JOIN part p2 ON f.a2 = p2.p_partkey
+                  JOIN orders o ON f.ok = o.o_orderkey)
+         SELECT gt AS s, 'rdf:type' AS p, 'GENO:0000536' AS o,
+                false AS lit, CAST(NULL AS VARCHAR) AS dt FROM g
+         UNION ALL SELECT gt, 'oboInOwl:hasExactSynonym', syn, true, NULL FROM g
+         UNION ALL SELECT al1, 'rdf:type', 'GENO:0000512', false, NULL FROM g
+         UNION ALL SELECT al1, 'rdfs:label', n1, true, NULL FROM g
+         UNION ALL SELECT al2, 'rdf:type', 'GENO:0000512', false, NULL FROM g
+           WHERE a2 IS NOT NULL
+         UNION ALL SELECT al2, 'rdfs:label', n2, true, NULL FROM g
+           WHERE a2 IS NOT NULL
+         UNION ALL SELECT vslc, 'rdf:type', 'GENO:0000030', false, NULL FROM g
+         UNION ALL SELECT vslc, 'GENO:0000382', al1, false, NULL FROM g
+         UNION ALL SELECT vslc, 'GENO:0000382', al2, false, NULL FROM g
+           WHERE a2 IS NOT NULL
+         UNION ALL SELECT vslc, 'GENO:0000608',
+           CASE WHEN a2 IS NULL THEN 'GENO:0000606'
+                WHEN a1 = a2 THEN 'GENO:0000136'
+                ELSE 'GENO:0000135' END, false, NULL FROM g
+         UNION ALL SELECT vslc, 'rdfs:label',
+           CASE WHEN a2 IS NULL THEN '<'||n1||'>'
+                ELSE '<'||least(n1,n2)||'/'||greatest(n1,n2)||'>' END,
+           true, NULL FROM g
+         UNION ALL SELECT gt, 'GENO:0000382', vslc, false, NULL FROM g
+         UNION ALL SELECT bg, 'rdf:type', 'GENO:0000611', false, NULL FROM g
+         UNION ALL SELECT bg, 'rdfs:label', bgl, true, NULL FROM g
+         UNION ALL SELECT gt, 'GENO:0000385', bg, false, NULL FROM g
+         UNION ALL SELECT bg, 'RO:0002162', 'NCBITaxon:7955', false, NULL FROM g""",
     "r14_ancestor_closure" ->
       """WITH RECURSIVE
            e AS (SELECT doc_id AS child, doc_id // 2 AS parent

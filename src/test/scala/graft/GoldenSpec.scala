@@ -253,4 +253,56 @@ class GoldenSpec extends SparkSpec {
     // no onset triple for the onset-less row
     assert(!nt.exists(l => l.contains(cm.expand(a2)) && l.contains("onset")))
   }
+
+  test("zfin_genotypes ingest: multi-file genotype assembly through Runner") {
+    // het (two alleles), homozygous (same allele twice), hemizygous
+    // (single observation); one genotype carries a background strain
+    val dir = Files.createTempDirectory("graft-zfin").toString
+    Files.writeString(Paths.get(s"$dir/genotype_features.tsv"),
+      "GenotypeID\tGenotypeName\tAlleleID\tAlleleName\n" +
+      "ZDB-GENO-1\tfgf8a/ti282a\tZDB-ALT-1\tti282a\n" +
+      "ZDB-GENO-1\tfgf8a/ti282a\tZDB-ALT-2\ttbx392\n" +
+      "ZDB-GENO-2\tshha-hom\tZDB-ALT-3\tla014\n" +
+      "ZDB-GENO-2\tshha-hom\tZDB-ALT-3\tla014\n" +
+      "ZDB-GENO-3\tpax2a-hemi\tZDB-ALT-4\tzf145\n")
+    Files.writeString(Paths.get(s"$dir/genotype_backgrounds.tsv"),
+      "GenotypeID\tBackgroundID\tBackgroundName\n" +
+      "ZDB-GENO-1\tZDB-GENO-BG1\tAB\n")
+    val out = Files.createTempDirectory("graft-zfin-out").toString
+    val res = Runner.run(spark,
+      Runner.RunConfig(Seq("zfin_genotypes"), out), dir)
+    assert(res.head.triples > 0)
+    val nt = spark.read.text(s"$out/zfin_genotypes.nt").as[String].collect().toSet
+
+    val cm = Runner.curieMap
+    def t(c: String) = "<" + cm.expand(c) + ">"
+    def line(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} ${t(o0)} ."
+    def lineLit(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} \"$o0\" ."
+    val v1 = "_:" + Digest.md5IdScala("vslc+ZDB-GENO-1")
+    val v2 = "_:" + Digest.md5IdScala("vslc+ZDB-GENO-2")
+    val v3 = "_:" + Digest.md5IdScala("vslc+ZDB-GENO-3")
+    val expected = Set(
+      // heterozygous: both alleles, sorted-label VSLC, background + taxon
+      line("ZFIN:ZDB-GENO-1", "rdf:type", "GENO:0000536"),
+      lineLit("ZFIN:ZDB-GENO-1", "oboInOwl:hasExactSynonym", "fgf8a/ti282a"),
+      line(v1, "GENO:0000382", "ZFIN:ZDB-ALT-1"),
+      line(v1, "GENO:0000382", "ZFIN:ZDB-ALT-2"),
+      line(v1, "GENO:0000608", "GENO:0000135"),
+      lineLit(v1, "rdfs:label", "<tbx392/ti282a>"),
+      line("ZFIN:ZDB-GENO-1", "GENO:0000382", v1),
+      line("ZFIN:ZDB-GENO-BG1", "rdf:type", "GENO:0000611"),
+      lineLit("ZFIN:ZDB-GENO-BG1", "rdfs:label", "AB"),
+      line("ZFIN:ZDB-GENO-1", "GENO:0000385", "ZFIN:ZDB-GENO-BG1"),
+      line("ZFIN:ZDB-GENO-BG1", "RO:0002162", "NCBITaxon:7955"),
+      // homozygous: self-paired allele
+      line(v2, "GENO:0000608", "GENO:0000136"),
+      lineLit(v2, "rdfs:label", "<la014/la014>"),
+      // hemizygous: single allele
+      line(v3, "GENO:0000608", "GENO:0000606"),
+      lineLit(v3, "rdfs:label", "<zf145>"))
+    val missing = expected -- nt
+    assert(missing.isEmpty, s"missing golden lines: $missing")
+    // no background triples for genotypes without one
+    assert(!nt.exists(l => l.contains("ZDB-GENO-3") && l.contains("GENO_0000385")))
+  }
 }
