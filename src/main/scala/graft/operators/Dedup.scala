@@ -51,6 +51,22 @@ object Dedup {
       .select(col("id"), explode(TextOps.shinglesOfWords(col("w"), n)).as("sh"))
       .distinct()
 
+  /** [[shingleRel]] with shingles xxhash64-projected to longs BEFORE the
+    * dedup shuffle: the distinct — the widest shuffle of the Jaccard
+    * operators — moves 8-byte keys instead of ~25-byte shingle strings,
+    * and every downstream op inherits the narrow rows. Identical to
+    * hashing after the distinct (a collision conflates the same two
+    * shingles either way — see the collision budget note in
+    * [[ngramJaccardPairs]]). */
+  private def shingleRelHashed(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame =
+    widen(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), TextOps.words(col("text")).as("w"))
+      .select(col("id"),
+        explode(TextOps.shinglesOfWords(col("w"), n)).as("sh0"))
+      .select(col("id"), xxhash64(col("sh0")).as("sh"))
+      .distinct()
+
   /** Materialize a multi-consumer intermediate once: persist with lineage
     * kept (cluster-safe — a lost executor recomputes from lineage, where
     * a localCheckpoint would fail the job) and force it eagerly so every
@@ -111,8 +127,7 @@ object Dedup {
     // canonical order becomes (df, hash) instead of (df, shingle) — any
     // global total order is a valid PPJoin prefix order, so output is
     // unchanged.
-    val sh = shingleRel(docs, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
+    val sh = shingleRelHashed(docs, idCol, textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val docsArr = materialize(
       sh.join(freq, "sh")
@@ -152,10 +167,9 @@ object Dedup {
     * filtered version. */
   def ngramJaccardPairsNaive(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Same xxhash64 projection as ngramJaccardPairs — keeps the two
+    // Same hashed relation as ngramJaccardPairs — keeps the two
     // formulations byte-identical for the cross-validation spec.
-    val sh = shingleRel(docs, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
+    val sh = shingleRelHashed(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
