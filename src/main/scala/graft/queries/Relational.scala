@@ -410,6 +410,35 @@ object Relational {
         .filter(col("approx_median").between(col("lo"), col("hi")))
         .select("l_returnflag", "exact_median")),
 
+    // Explicit GROUPING SETS through the engine's SQL surface (the
+    // arbitrary-subtotal generalization of q28's ROLLUP / q32's CUBE):
+    // two chosen levels, one shuffle — Spark expands the sets map-side
+    // and aggregates once, same plan family as rollup/cube.
+    "q37_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                      coalesce(o_orderpriority, 'ALL') AS prio,
+                      count(*) AS n,
+                      round(sum(o_totalprice), 2) AS revenue
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+
+    // §2.7 analytic-window suite: lag/lead (neighbour deltas), ntile
+    // (equi-depth quartiles), percent_rank — one window spec, one
+    // shuffle on the partition key, all functions evaluated in a single
+    // Window operator pass (ts, event_id total order ⇒ deterministic).
+    "q38_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
+          round(lead(col("value"), 1).over(w) - col("value"), 4).as("delta_next"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+    }),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -619,6 +648,20 @@ object Relational {
       """SELECT l_returnflag,
               round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median
          FROM lineitem GROUP BY l_returnflag""",
+    "q37_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS prio,
+              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "q38_window_suite" ->
+      """SELECT event_id, user_id,
+              round(value - lag(value, 1) OVER w, 4) AS delta_prev,
+              round(lead(value, 1) OVER w - value, 4) AS delta_next,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q25_mean_of_means" ->
       """WITH um AS (SELECT event_type, user_id, avg(value) AS um
                      FROM events GROUP BY 1, 2),
