@@ -241,8 +241,12 @@ object Dedup {
     * hint and the same plan runs as a shuffle semijoin. */
   def contaminated(train: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val trainSh = shingleRel(train, idCol, textCol, n)
-    val evalSh = shingleRel(evalDocs, idCol, textCol, n)
+    // hashed on BOTH sides: the broadcast eval set ships 8-byte keys and
+    // the corpus-side probe compares longs (same collision budget note
+    // as the Jaccard operators — an n-gram overlap is an equi-match of
+    // the same strings under either representation)
+    val trainSh = shingleRelHashed(train, idCol, textCol, n)
+    val evalSh = shingleRelHashed(evalDocs, idCol, textCol, n)
       .select(col("sh")).distinct()
     trainSh.join(broadcast(evalSh), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))

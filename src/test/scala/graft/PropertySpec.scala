@@ -71,6 +71,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bloom filter: no false negatives for arbitrary long-key sets") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val keySets = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    check("bloom long keys", Prop.forAll(keySets) { ks =>
+      val bf = BloomFilter.create(math.max(ks.size.toLong, 1L), 0.01)
+      ks.foreach(bf.putLong)
+      ks.forall(bf.mightContainLong)
+    })
+  }
+
+  test("bloom filter: putString ≡ probing UTF-8 bytes (the codegen contract)") {
+    // BloomMightContainExpr probes string keys as mightContainBinary over
+    // the UTF8String bytes; this pins the encoding equivalence it relies on
+    import org.apache.spark.util.sketch.BloomFilter
+    val strs = Gen.nonEmptyListOf(Gen.asciiPrintableStr)
+    check("bloom string keys", Prop.forAll(strs) { ss =>
+      val bf = BloomFilter.create(math.max(ss.size.toLong, 1L), 0.01)
+      ss.foreach(bf.putString)
+      ss.forall(s => bf.mightContainBinary(s.getBytes("UTF-8")))
+    })
+  }
+
   test("roman numerals round-trip over the full domain") {
     check("roman", Prop.forAll(Gen.chooseNum(1, 3999)) { n =>
       Roman.fromRoman(Roman.toRoman(n)).contains(n)
