@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.curieExpandDesc)
     e.injectFunction(GraftExtensions.curieContractDesc)
+    // auto-rewrite point-in-interval theta joins to the bucketed equi
+    // form (RangeJoin) — see graft.plans.RangeJoinRewrite
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 
@@ -36,11 +39,17 @@ object GraftExtensions {
   val curieExpandDesc = one("curie_expand", CurieExpandExpr(_))
   val curieContractDesc = one("curie_contract", CurieContractExpr(_))
 
-  /** Imperative registration on an already-built session (tests, REPL). */
+  /** Imperative registration on an already-built session (tests, REPL).
+    * Functions go through the registry; the optimizer rule rides
+    * `experimental.extraOptimizations` (the post-hoc injection point —
+    * a built session's rule batches are frozen). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(curieExpandDesc, curieContractDesc).foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Catalyst plan-level extensions (graft.plans). */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("range-join rewrite: theta join plans as bucketed equi join, identical results") {
+    GraftExtensions.register(spark)
+    val points = (1L to 2000L).toDF("p")
+    val iv = Seq((1, 0L, 10L), (2, 60L, 70L), (3, 100L, 600L),
+      (4, 5000L, 6000L), (5, 1990L, 2500L)).toDF("iv", "lo", "hi")
+
+    def thetaJoin() = points.join(iv,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("iv", "p")
+
+    val rewritten = thetaJoin()
+    // the rewrite replaced the nested-loop plan with an equi join
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val got = rewritten.as[(Int, Long)].collect().toSet
+
+    // kill-switch off → the naive plan; results must be identical
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val want =
+      try thetaJoin().as[(Int, Long)].collect().toSet
+      finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(got == want && want.nonEmpty)
+
+    // an extra cross-side conjunct rides along as residual
+    val extra = points.join(iv,
+        col("p") >= col("lo") && col("p") <= col("hi") && col("p") =!= col("hi"))
+      .select("iv", "p").as[(Int, Long)].collect().toSet
+    assert(extra == want.filterNot { case (i, p) =>
+      Seq((1, 10L), (2, 70L), (3, 600L), (4, 6000L), (5, 2500L)).contains((i, p)) })
+  }
+
+  test("range-join rewrite leaves equi joins and non-range thetas alone") {
+    GraftExtensions.register(spark)
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val b = Seq((1L, 5L), (2L, 30L)).toDF("k2", "w")
+    // equi join: untouched (no Generate in the plan)
+    val eq = a.join(b, col("k") === col("k2"))
+    assert(!eq.queryExecution.optimizedPlan.toString.contains("explode"))
+    // one-sided bounds (no bracketing pair): untouched nested loop
+    val oneSided = a.join(b, col("v") >= col("w"))
+    assert(!oneSided.queryExecution.optimizedPlan.toString.contains("explode"))
+    assert(oneSided.count() == 2) // (10>=5), (20>=5)
+  }
+}
