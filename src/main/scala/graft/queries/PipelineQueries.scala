@@ -332,6 +332,26 @@ object PipelineQueries {
     "t15_mixing_weights" -> ((s, d) =>
       TextOps.mixingWeights(Tables.documents(s, d), "source", alpha = 0.5)),
 
+    // Weighted mix APPLY — t15's temperature-flattened weights driving
+    // t08's deterministic content-hash sampling, per source: the total
+    // training budget is 60% of the corpus, split by the flattened
+    // weights; accept a doc iff its md5 bucket falls under the source's
+    // resulting rate (capped at 1 — upsampling of rare sources is a
+    // repeat pass, not a filter). Broadcast rate dim; stable across
+    // partitioning/retries — the composition that actually builds a
+    // training mix at 100 TB.
+    "t17_weighted_mix_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rates = TextOps.mixingWeights(docs, "source", alpha = 0.5)
+        .select(col("source"),
+          least(lit(1.0),
+            lit(0.6) * col("target_n").cast("double") / col("n_docs")).as("rate"))
+      docs.join(broadcast(rates), "source")
+        .filter((conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+          % 1000000).cast("double") < col("rate") * 1000000d)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Token-budget packing: assign documents to fixed-budget training
     // bins per source, in deterministic doc_id order — running token
     // count before each doc, integer-divided by the budget. One shuffle
@@ -619,6 +639,19 @@ object PipelineQueries {
               ('0x'||substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
          FROM documents
          WHERE ('0x'||substr(md5(text), 1, 8))::BIGINT % 100 < 10""",
+    "t17_weighted_mix_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_docs) AS n_total,
+                      sum(pow(n_docs::DOUBLE, 0.5)) AS z FROM c),
+         r AS (SELECT source,
+                      least(1.0,
+                        0.6 * (round(pow(n_docs::DOUBLE, 0.5) / z * n_total)::BIGINT)::DOUBLE
+                          / n_docs) AS rate
+               FROM c CROSS JOIN t)
+         SELECT doc_id, source
+         FROM documents JOIN r USING (source)
+         WHERE (('0x'||substr(md5(text), 1, 8))::BIGINT % 1000000)::DOUBLE
+               < rate * 1000000""",
     "t06_length_percentile_filter" ->
       """WITH c AS (
            SELECT doc_id, len(regexp_split_to_array(text, ' +')) AS ws_tokens
