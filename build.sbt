@@ -15,7 +15,13 @@ run / fork := true
 // through the sbt logger: the logger prefixes every line with "[info] ",
 // which breaks line-wise JSON parsing of Bench/Verify output (the driver
 // records the bench line as unparseable with the prefix in place).
+// NOTE: `run / outputStrategy` does NOT cover `runMain` (a separate
+// input task, and the one the driver invokes) — measured: the round-2
+// bench line still arrived "[info]"-prefixed and the driver recorded
+// parsed:null. Scope to both tasks explicitly.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
