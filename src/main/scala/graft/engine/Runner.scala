@@ -34,7 +34,7 @@ object Runner {
   val registry: Map[String, GraftSource] = Seq(
     NationClassSource, OrderAssocSource, PartFeatureSource,
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
-    ZfinGenotypeSource
+    ZfinGenotypeSource, OmiaPheneSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the
@@ -415,4 +415,50 @@ object ZfinGenotypeSource extends GraftSource {
       }.toDF()
   }
   override def testIds: Seq[String] = Seq("ZFIN:ZDB-GENO-070219-2")
+}
+
+/** The OMIA-shape real ingest — wave-4 XML/API mechanism (OMIA.py, the
+  * XML-dump archetype): StAX scan of a MySQL-style dump
+  * (`XmlDumpSource`, the `process_xml_table` analogue of
+  * Source.py:497-529) for the species-specific phene table
+  * (_process_phene_row OMIA.py:335-420): each row becomes an
+  * `OMIA:x-taxon` subclass of its general `OMIA:x` phene with label,
+  * summary description, and `in_taxon` — with the taxon CLI constraint
+  * pushed into the scan (the reference's `test_ids['taxon']` gate).
+  * Rows without a species id are dropped with a count, mirroring the
+  * reference's early return. */
+object OmiaPheneSource extends GraftSource {
+  val name = "omia_phenes"
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
+    "phene" -> graft.sources.XmlDumpSource.read(spark,
+      Seq(s"$dataDir/omia_dump.xml"), table = "Phene",
+      columns = Seq("phene_id", "omia_id", "phene_name",
+        "gb_species_id", "summary")))
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame =
+    transform(spark, in, Nil)
+
+  override def transform(spark: SparkSession, in: Map[String, DataFrame],
+                         taxa: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val base = in("phene")
+      .filter(coalesce(col("gb_species_id"), lit("")) =!= "" &&
+        coalesce(col("omia_id"), lit("")) =!= "")
+    val scoped =
+      if (taxa.isEmpty) base else base.filter(col("gb_species_id").isin(taxa: _*))
+    scoped
+      .select(col("omia_id"), col("gb_species_id"),
+        col("phene_name"), col("summary"))
+      .as[(String, String, Option[String], Option[String])]
+      .flatMap { case (omia, sp, label, summary) =>
+        val omiaId = s"OMIA:$omia"
+        val spPhene = s"$omiaId-$sp"
+        Model.classTriples(spPhene, label.filter(_.nonEmpty).orNull,
+            subClassOf = Some(omiaId),
+            description = summary.filter(_.nonEmpty)) ++
+          Model.addTriple(spPhene, graft.core.Vocab.inTaxon, s"NCBITaxon:$sp")
+      }.toDF()
+  }
+  override def testIds: Seq[String] = Seq("OMIA:001445-9913")
 }

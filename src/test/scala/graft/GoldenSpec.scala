@@ -305,4 +305,54 @@ class GoldenSpec extends SparkSpec {
     // no background triples for genotypes without one
     assert(!nt.exists(l => l.contains("ZDB-GENO-3") && l.contains("GENO_0000385")))
   }
+
+  test("omia_phenes ingest: XML dump through Runner with taxon constraint") {
+    // wave-4 mechanism: MySQL-style XML dump → StAX scan → species-
+    // specific phene subclasses; the --taxon constraint prunes at scan
+    val dir = Files.createTempDirectory("graft-omia").toString
+    Files.writeString(Paths.get(s"$dir/omia_dump.xml"),
+      """<mysqldump><database><table_data name="Phene">
+        |<row><field name="phene_id">10</field><field name="omia_id">001445</field>
+        |  <field name="phene_name">Hip dysplasia</field>
+        |  <field name="gb_species_id">9913</field>
+        |  <field name="summary">Canine-type hip laxity in cattle.</field></row>
+        |<row><field name="phene_id">11</field><field name="omia_id">000419</field>
+        |  <field name="phene_name">Gait anomaly</field>
+        |  <field name="gb_species_id">9796</field>
+        |  <field name="summary"></field></row>
+        |<row><field name="phene_id">12</field><field name="omia_id">000420</field>
+        |  <field name="phene_name">No species row</field>
+        |  <field name="gb_species_id"></field>
+        |  <field name="summary">dropped</field></row>
+        |</table_data></database></mysqldump>""".stripMargin)
+    val out = Files.createTempDirectory("graft-omia-out").toString
+    val res = Runner.run(spark,
+      Runner.RunConfig(Seq("omia_phenes"), out, taxa = Seq("9913")), dir)
+    assert(res.head.triples > 0)
+    val nt = spark.read.text(s"$out/omia_phenes.nt").as[String].collect().toSet
+
+    val cm = Runner.curieMap
+    def t(c: String) = "<" + cm.expand(c) + ">"
+    def line(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} ${t(o0)} ."
+    def lineLit(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} \"$o0\" ."
+    val sp = "OMIA:001445-9913"
+    val expected = Set(
+      line(sp, "rdf:type", "owl:Class"),
+      lineLit(sp, "rdfs:label", "Hip dysplasia"),
+      line(sp, "rdfs:subClassOf", "OMIA:001445"),
+      lineLit(sp, "dc:description", "Canine-type hip laxity in cattle."),
+      line(sp, "RO:0002162", "NCBITaxon:9913"))
+    val missing = expected -- nt
+    assert(missing.isEmpty, s"missing golden lines: $missing")
+    // taxon 9796 pruned by the constraint; species-less row dropped
+    assert(!nt.exists(_.contains("000419")) && !nt.exists(_.contains("000420")))
+
+    // unconstrained run keeps the other species and drops only the
+    // species-less row (the reference's early return)
+    val out2 = Files.createTempDirectory("graft-omia-out2").toString
+    Runner.run(spark, Runner.RunConfig(Seq("omia_phenes"), out2), dir)
+    val nt2 = spark.read.text(s"$out2/omia_phenes.nt").as[String].collect().toSet
+    assert(nt2.contains(line("OMIA:000419-9796", "rdf:type", "owl:Class")))
+    assert(!nt2.exists(_.contains("000420")))
+  }
 }
