@@ -120,6 +120,31 @@ object TextOps {
         round(avg(log(col("wn").cast("double") / col("tot"))), 4).as("logprob"))
   }
 
+  /** Bigram-LM quality proxy — the conditional upgrade of
+    * [[unigramLogProb]]: mean ln p(w₂|w₁) over a document's bigrams,
+    * with p(w₂|w₁) = c(w₁w₂)/c(w₁·) from corpus bigram counts (observed
+    * bigrams are self-included, so no zero probabilities). Catches
+    * word-salad documents whose unigram distribution looks normal.
+    * Same scale shape as the unigram version: one generate pass, the
+    * bigram-frequency relation joins back (AQE broadcasts it when it
+    * fits). Documents with fewer than 2 words are excluded.
+    * Returns (id, n_bigrams, logprob). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = base.select(col("id"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("bg"))
+    val freq = bg.groupBy("bg").agg(count(lit(1)).as("bn"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val pref = freq.groupBy("w1").agg(sum("bn").as("pn"))
+    bg.join(freq, "bg").join(pref, "w1")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("bn").cast("double") / col("pn"))), 4).as("logprob"))
+  }
+
   /** Split each document into overlapping token windows — the packing /
     * context-window-preparation primitive of a training pipeline. Chunk k
     * starts at token 1 + k·(chunkSize − overlap) and carries up to

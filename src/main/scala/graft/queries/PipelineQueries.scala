@@ -312,6 +312,12 @@ object PipelineQueries {
       TextOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // Bigram-LM quality proxy — mean conditional ln p(w2|w1); the signal
+    // that separates word salad from text with normal word frequencies.
+    "t18_bigram_logprob" -> ((s, d) =>
+      TextOps.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // Context-window chunking: overlapping 64-token windows, stride 48 —
     // the packing primitive before tokenization. Map-only generator.
     "t13_chunk_windows" -> ((s, d) =>
@@ -540,6 +546,21 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_words,
                 round(avg(ln(wn::DOUBLE / tot)), 4) AS logprob
          FROM w JOIN freq USING (w) CROSS JOIN tot
+         GROUP BY doc_id""",
+    "t18_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i + 1])) AS bg
+                FROM toks WHERE len(w) >= 2),
+         freq AS (SELECT bg, count(*) AS bn,
+                         string_split(bg, ' ')[1] AS w1
+                  FROM bg GROUP BY 1),
+         pref AS (SELECT w1, sum(bn) AS pn FROM freq GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(bn::DOUBLE / pn)), 4) AS logprob
+         FROM bg JOIN freq USING (bg) JOIN pref USING (w1)
          GROUP BY doc_id""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep

@@ -188,6 +188,32 @@ object RdfQueries {
         source = Some("EX:bgee"), score = Some(col("score")))
     }),
 
+    // Graph release diff (the reference's set-difference report,
+    // dipper/utils/TestUtils.py:44-57, as a production operator): two
+    // releases of the same graph → added/removed triples with a
+    // direction tag, via two EXCEPTs over the 5-column triple relation.
+    // Here release B deterministically drops one class and relabels a
+    // band of others — the shape of a curated-source version bump.
+    "r15_graph_diff" -> ((s, d) => {
+      def classTriples(src: DataFrame) = {
+        val id = concat(lit("EX:nation"), col("n_nationkey").cast("string"))
+        src.select(id.as("s"), lit(Vocab.a).as("p"),
+            lit(Vocab.owlClass).as("o"), lit(false).as("lit"),
+            lit(null).cast("string").as("dt"))
+          .unionByName(src.select(id.as("s"), lit(Vocab.label).as("p"),
+            col("n_name").as("o"), lit(true).as("lit"),
+            lit(null).cast("string").as("dt")))
+      }
+      val n = Tables.nation(s, d)
+      val v1 = classTriples(n)
+      val v2 = classTriples(
+        n.filter(col("n_nationkey") =!= 3)
+          .withColumn("n_name", when(col("n_nationkey") < 5,
+            lower(col("n_name"))).otherwise(col("n_name"))))
+      v1.except(v2).withColumn("change", lit("removed"))
+        .unionByName(v2.except(v1).withColumn("change", lit("added")))
+    }),
+
     // §3.2 end-to-end ingest #4 — ZFIN shape, the reference's LARGEST
     // source (ZFIN.py, 3121 LoC, ~40 input TSVs): multi-file genotype
     // assembly. Genotype features (per-genotype allele aggregation →
@@ -597,6 +623,31 @@ object RdfQueries {
          UNION ALL SELECT a, 'OBAN:association_has_object', anat, false, NULL FROM w
          UNION ALL SELECT a, 'dc:source', 'EX:bgee', false, NULL FROM w
          UNION ALL SELECT a, 'EXP:score', score::varchar, true, 'xsd:double' FROM w""",
+    "r15_graph_diff" ->
+      """WITH v1 AS (
+           SELECT 'EX:nation'||n_nationkey::varchar AS s, 'rdf:type' AS p,
+                  'owl:Class' AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt
+           FROM nation
+           UNION ALL
+           SELECT 'EX:nation'||n_nationkey::varchar, 'rdfs:label', n_name,
+                  true, NULL FROM nation),
+         n2 AS (
+           SELECT n_nationkey,
+                  CASE WHEN n_nationkey < 5 THEN lower(n_name)
+                       ELSE n_name END AS n_name
+           FROM nation WHERE n_nationkey <> 3),
+         v2 AS (
+           SELECT 'EX:nation'||n_nationkey::varchar AS s, 'rdf:type' AS p,
+                  'owl:Class' AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt
+           FROM n2
+           UNION ALL
+           SELECT 'EX:nation'||n_nationkey::varchar, 'rdfs:label', n_name,
+                  true, NULL FROM n2)
+         SELECT s, p, o, lit, dt, 'removed' AS change
+         FROM (SELECT * FROM v1 EXCEPT SELECT * FROM v2)
+         UNION ALL
+         SELECT s, p, o, lit, dt, 'added' AS change
+         FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1)""",
     "p03_zfin_pipeline" ->
       """WITH f AS (
            SELECT l_orderkey AS ok, min(l_partkey) AS a1,

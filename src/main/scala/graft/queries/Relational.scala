@@ -439,6 +439,30 @@ object Relational {
           round(percent_rank().over(w), 6).as("pct_rank"))
     }),
 
+    // Column profiling — the data-quality report every ingest runs
+    // before trusting a landed file (the engine-side generalization of
+    // the reference's header/row-width checks): per column null rate,
+    // distinct count, min/max. ONE pass, one shuffle: all measures are
+    // partial-aggregatable, stacked long-form via explode so adding a
+    // column never adds a scan.
+    "q39_profile_stats" -> ((s, d) => {
+      def prof(c: String) = struct(lit(c).as("col_name"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          // integral + string columns only: their to-string rendering is
+          // engine-independent (float formatting is not)
+          array(prof("o_custkey"), prof("o_orderstatus"),
+            prof("o_orderpriority")).as("cols"))
+        .select(col("n_rows"), explode(col("cols")).as("c"))
+        .select(col("c.col_name").as("col_name"), col("n_rows"),
+          col("c.n_null").as("n_null"), col("c.n_distinct").as("n_distinct"),
+          col("c.min_v").as("min_v"), col("c.max_v").as("max_v"))
+    }),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -648,6 +672,28 @@ object Relational {
       """SELECT l_returnflag,
               round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median
          FROM lineitem GROUP BY l_returnflag""",
+    "q39_profile_stats" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+         SELECT 'o_custkey' AS col_name, n_rows,
+                (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null,
+                (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct,
+                (SELECT min(o_custkey)::VARCHAR FROM orders) AS min_v,
+                (SELECT max(o_custkey)::VARCHAR FROM orders) AS max_v
+         FROM n
+         UNION ALL
+         SELECT 'o_orderstatus', n_rows,
+                (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+                (SELECT count(DISTINCT o_orderstatus) FROM orders),
+                (SELECT min(o_orderstatus) FROM orders),
+                (SELECT max(o_orderstatus) FROM orders)
+         FROM n
+         UNION ALL
+         SELECT 'o_orderpriority', n_rows,
+                (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+                (SELECT count(DISTINCT o_orderpriority) FROM orders),
+                (SELECT min(o_orderpriority) FROM orders),
+                (SELECT max(o_orderpriority) FROM orders)
+         FROM n""",
     "q37_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
               coalesce(o_orderpriority, 'ALL') AS prio,

@@ -399,6 +399,23 @@ class OperatorsSpec extends SparkSpec {
     (0L until 10000L by 7L).foreach(k => assert(bf.mightContainLong(k)))
   }
 
+  test("bigram log-prob: word salad scores lower than repeated phrases") {
+    // doc 1 repeats one bigram; doc 2 has the same unigrams shuffled into
+    // unique bigrams — unigram LM can't tell them apart, bigram LM can
+    val docs = Seq((1L, "the cat the cat the cat"),
+      (2L, "the the cat cat the cat")).toDF("doc_id", "text")
+    val bi = TextOps.bigramLogProb(docs, "doc_id", "text")
+      .select($"id", $"logprob").as[(Long, Double)].collect().toMap
+    val uni = TextOps.unigramLogProb(docs, "doc_id", "text")
+      .select($"id", $"logprob").as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-9) // same unigram profile
+    assert(bi(1L) > bi(2L))                    // bigram LM separates them
+    // documents under 2 words are excluded
+    val short = TextOps.bigramLogProb(
+      Seq((3L, "one")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
   test("unigram log-prob: common-word docs score higher than rare-word docs") {
     // 'the' appears in every doc; doc 3 is all rare singleton words
     val docs = Seq((1L, "the the the"), (2L, "the the cat"),
