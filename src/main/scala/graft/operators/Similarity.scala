@@ -228,6 +228,81 @@ object Similarity {
     bruteForceTopK(dq(corpus), dq(queries), idCol, vecCol, k)
   }
 
+  /** Product-quantization ANN (the third classic scale path next to LSH
+    * and IVF; Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — public literature): split each vector into
+    * `m` subvectors, quantize each against a per-subspace codebook of
+    * `ks` centroids, score queries with an asymmetric-distance table —
+    * per subspace the query's dot product with every centroid, summed
+    * over the corpus vector's codes. Corpus state shrinks from dim
+    * floats to m single-byte codes (~32× at dim 64 / m 4); the scoring
+    * join touches codes, never vectors.
+    *
+    * Deterministic codebook: the `ks` corpus vectors with the smallest
+    * `md5("pq" + id)` donate their subvectors (the [[ivfCentroids]]
+    * sampling trick) — reproducible by an external oracle, which is why
+    * this is oracle-checked rather than rows-only. Cosine-style score:
+    * dot(q, x̂) / (‖q‖·‖x̂‖) with x̂ the reconstruction; ties toward the
+    * smaller centroid id, then smaller corpus id.
+    *
+    * Scale shape: the codebook (m·ks subvectors) broadcasts everywhere;
+    * encoding is a map-side min-struct aggregate per (vector, subspace)
+    * — one shuffle on id; the ADC join is (corpus codes) ⋈ broadcast
+    * (query tables) on (subspace, code), one more shuffle for the
+    * per-(query, vector) sum. Recall < 1 by construction (quantization
+    * error), the standard PQ trade. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, k: Int, m: Int = 4,
+             ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    // codebook: ks sampled vectors × m subspaces, exploded to one row
+    // per (subspace, centroid) with the centroid's squared norm
+    val sample = corpus.select(col(idCol).as("sid"), toDoubleVec(col(vecCol)).as("sv"))
+      .withColumn("r", md5(concat(lit("pq"), col("sid").cast("string"))))
+      .orderBy(col("r"), col("sid")).limit(ks)
+      .withColumn("cid", row_number().over(Window.orderBy(col("r"), col("sid"))))
+    val codebook = broadcast(sample.select(col("cid"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("sv"), i * sub + 1, sub)): _*)).as(Seq("sub", "cv")))
+      .withColumn("cn2", vec_dot(col("cv"), col("cv"))))
+    // encode: nearest centroid per (corpus vector, subspace) by L2 —
+    // argmin ‖x−c‖² = argmin (‖c‖² − 2·x·c); ties toward smaller cid
+    def subvecs(side: DataFrame, id: String): DataFrame =
+      widen(side.select(col(id).as("id"), toDoubleVec(col(vecCol)).as("v")))
+        .select(col("id"), col("v"),
+          posexplode(array((0 until m).map(i =>
+            slice(col("v"), i * sub + 1, sub)): _*)).as(Seq("sub", "xv")))
+    val encoded = subvecs(corpus, idCol)
+      .join(codebook, "sub")
+      .withColumn("d2", col("cn2") - lit(2.0) * vec_dot(col("xv"), col("cv")))
+      .groupBy(col("id").as("nid"), col("sub").as("nsub"))
+      .agg(min(struct(col("d2"), col("cid"), col("cn2").as("codeN2"))).as("b"))
+      .select(col("nid"), col("nsub"), col("b.cid").as("code"),
+        col("b.codeN2").as("codeN2"))
+    // ADC tables: query × subspace × centroid partial dot products
+    // (query set is small by contract — same as bruteForceTopK)
+    val tables = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
+      .select(col("qid"), col("qn"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("qv"), i * sub + 1, sub)): _*)).as(Seq("nsub", "qsv")))
+      .join(codebook.withColumnRenamed("sub", "nsub"), "nsub")
+      .select(col("qid"), col("qn"), col("nsub"), col("cid").as("code"),
+        vec_dot(col("qsv"), col("cv")).as("pdot")))
+    val sims = encoded.join(tables, Seq("nsub", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid")
+      .agg((sum(col("pdot")) / (max(col("qn")) * sqrt(sum(col("codeN2")))))
+        .as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Bucketed ANN: candidates restricted to the query's LSH bucket, then
     * exact cosine top-k within the bucket. Recall < 1 by construction —
     * this is the documented approximate/scale path next to

@@ -117,6 +117,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3)
     }),
 
+    // PQ ANN (the third classic scale path): per-subspace codebooks from
+    // a deterministic sample, corpus state = m one-byte codes per vector,
+    // asymmetric-distance scoring via broadcast query tables. Fully
+    // oracle-checked — codebooks, encoding argmin, and ADC sums are all
+    // reproducible in SQL.
+    "s05_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3, m = 4, ks = 16)
+    }),
+
     // Stopword-bank language ID with deterministic argmax tie-break.
     "t01_langid" -> ((s, d) => {
       val t = col("text")
@@ -721,6 +732,50 @@ object PipelineQueries {
          sims AS (SELECT qid, e.vec_id AS nid,
                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
                   FROM q, embeddings e WHERE e.vec_id != qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "s05_ann_pq" ->
+      """WITH samp AS (
+           SELECT vec_id AS sid, embedding::DOUBLE[] AS sv,
+                  row_number() OVER (
+                    ORDER BY md5('pq'||vec_id::varchar), vec_id) AS cid
+           FROM embeddings
+           ORDER BY md5('pq'||vec_id::varchar), vec_id LIMIT 16),
+         cb AS (
+           SELECT cid, g.sub,
+                  list_slice(sv, g.sub*16 + 1, g.sub*16 + 16) AS cv
+           FROM samp, (SELECT unnest(range(0, 4)) AS sub) g),
+         cb2 AS (SELECT cid, sub, cv,
+                        list_inner_product(cv, cv) AS cn2 FROM cb),
+         enc0 AS (
+           SELECT e.vec_id AS nid, c.sub AS nsub, c.cid, c.cn2,
+                  c.cn2 - 2 * list_inner_product(
+                    list_slice(e.embedding::DOUBLE[], c.sub*16 + 1, c.sub*16 + 16),
+                    c.cv) AS d2
+           FROM embeddings e CROSS JOIN cb2 c),
+         enc AS (
+           SELECT nid, nsub, cid AS code, cn2 AS coden2
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY nid, nsub ORDER BY d2, cid) AS rn
+                 FROM enc0)
+           WHERE rn = 1),
+         qt AS (
+           SELECT q.vec_id AS qid,
+                  sqrt(list_inner_product(q.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[])) AS qn,
+                  c.sub AS nsub, c.cid AS code,
+                  list_inner_product(
+                    list_slice(q.embedding::DOUBLE[], c.sub*16 + 1, c.sub*16 + 16),
+                    c.cv) AS pdot
+           FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id < 10),
+         sims AS (
+           SELECT qid, nid,
+                  sum(pdot) / (max(qn) * sqrt(sum(coden2))) AS sim
+           FROM enc JOIN qt USING (nsub, code)
+           WHERE nid != qid
+           GROUP BY qid, nid)
          SELECT qid, nid, round(sim, 6) AS sim,
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims
