@@ -425,7 +425,7 @@ object ZfinGenotypeSource extends GraftSource {
   * `OMIA:x-taxon` subclass of its general `OMIA:x` phene with label,
   * summary description, and `in_taxon` — with the taxon CLI constraint
   * pushed into the scan (the reference's `test_ids['taxon']` gate).
-  * Rows without a species id are dropped with a count, mirroring the
+  * Rows without a species or OMIA id are dropped, mirroring the
   * reference's early return. */
 object OmiaPheneSource extends GraftSource {
   val name = "omia_phenes"
