@@ -463,6 +463,36 @@ object Relational {
           col("c.min_v").as("min_v"), col("c.max_v").as("max_v"))
     }),
 
+    // §4 subquery decorrelation through the SQL surface: a correlated
+    // scalar subquery (orders above their customer's average) — Catalyst
+    // rewrites it to an aggregate + join; the plan must never execute
+    // per-row (check the absence of a subquery node in .explain).
+    "q40_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_cs")
+      s.sql("""SELECT o_orderkey, o_custkey,
+                      round(o_totalprice, 2) AS price
+               FROM orders_cs o
+               WHERE o_totalprice > 1.5 * (
+                 SELECT avg(o_totalprice) FROM orders_cs i
+                 WHERE i.o_custkey = o.o_custkey)""")
+    }),
+
+    // Null-semantics coverage: null-safe equality (<=>), nulls in
+    // grouping keys (one group, not dropped), and null-aware conditional
+    // routing — the correctness corners every engine must pin. Nulls are
+    // synthesized deterministically (nullif on a stable predicate).
+    "q41_null_semantics" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("st"),
+          when(col("o_totalprice") > 200000, col("o_orderpriority")).as("pr"))
+        .groupBy("st", "pr")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null_st"),
+          count(col("pr")).as("n_nonnull_pr"),
+          sum(when(col("st") <=> col("pr"), 1L).otherwise(0L))
+            .as("n_nullsafe_eq"))),
+
     // §2.6 mean-of-means outliers (MPD: per-strain means per (assay,sex),
     // then strains beyond ±2σ of the strain-mean distribution,
     // MPD.py:326-594): two-level aggregation, broadcast stats join.
@@ -672,6 +702,26 @@ object Relational {
       """SELECT l_returnflag,
               round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median
          FROM lineitem GROUP BY l_returnflag""",
+    "q40_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT avg(o_totalprice) FROM orders i
+           WHERE i.o_custkey = o.o_custkey)""",
+    "q41_null_semantics" ->
+      """SELECT nullif(o_orderstatus, 'P') AS st,
+              CASE WHEN o_totalprice > 200000 THEN o_orderpriority END AS pr,
+              count(*) AS n,
+              sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_null_st,
+              count(CASE WHEN o_totalprice > 200000
+                         THEN o_orderpriority END) AS n_nonnull_pr,
+              sum(CASE WHEN nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM
+                            (CASE WHEN o_totalprice > 200000
+                                  THEN o_orderpriority END)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_nullsafe_eq
+         FROM orders
+         GROUP BY 1, 2""",
     "q39_profile_stats" ->
       """WITH n AS (SELECT count(*) AS n_rows FROM orders)
          SELECT 'o_custkey' AS col_name, n_rows,

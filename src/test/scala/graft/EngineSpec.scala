@@ -83,6 +83,17 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: oracle keys ⊆ query keys, flagship returns rows") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // rows-only queries (no oracle) must stay the documented three
+    val rowsOnly = qs -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("d03_dedup_minhash", "d04_dedup_simhash",
+      "s02_ann_lsh"), s"undocumented rows-only queries: $rowsOnly")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("axiom classification covers annotation/datatype/object splits") {
     val t = SparkEntry.queries("r02_assoc_reified")(spark, sf)
     val ax = PropertyAxioms.axiomTriples(t)
