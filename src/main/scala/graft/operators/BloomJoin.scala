@@ -71,11 +71,15 @@ object BloomJoin {
     fact.filter(mightContain(bc, col(factKey)))
   }
 
-  /** Exact inner equi-join with bloom pre-pruning of the fact side. */
+  /** Exact inner equi-join with bloom pre-pruning of the fact side.
+    * The join condition is frame-qualified: `col(factKey) === col(dimKey)`
+    * is ambiguous when the two key names coincide or either frame also
+    * carries the other's column. */
   def join(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-           expectedItems: Long, fpp: Double = 0.01): DataFrame =
-    pruneFact(fact, factKey, dim, dimKey, expectedItems, fpp)
-      .join(dim, col(factKey) === col(dimKey))
+           expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val pruned = pruneFact(fact, factKey, dim, dimKey, expectedItems, fpp)
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
 }
 
 /** Probe a broadcast Bloom filter; integral keys probe as long, string

@@ -59,6 +59,18 @@ object Closure {
       n = n2
       round += 1
     }
-    reach
+    if (!done)
+      System.err.println(
+        s"[graft] Closure.transitive: fixpoint NOT reached after $maxRounds " +
+          s"rounds (pairs=$n, still growing) — returning a PARTIAL closure; " +
+          s"raise maxRounds (covers paths up to 2^maxRounds edges)")
+    // Dedup.finalized pattern: hand back an independently persisted copy
+    // and release the loop's final round, so a long-lived session does not
+    // accumulate one block set per closure call. Caller drops the result's
+    // own (counted, exact-size) blocks with result.unpersist() when done.
+    val out = reach.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    reachCache.unpersist(false)
+    out
   }
 }

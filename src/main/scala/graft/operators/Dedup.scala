@@ -37,7 +37,7 @@ object Dedup {
     * the most expensive map stage of the whole operator on 1-2 cores. */
   private def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (ScanStats.estimatedScanPartitions(df) < target) df.repartition(target) else df
   }
 
   /** Distinct (id, shingle) exploded relation. Tokenization is projected
@@ -399,6 +399,11 @@ object Dedup {
       if (debug)
         System.err.println(f"CC round=$round changed=$changed wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
+    if (!done)
+      System.err.println(
+        s"[graft] Dedup.clusters: fixpoint NOT reached after $maxRounds " +
+          s"rounds — labels are PARTIAL (some clusters not yet merged); " +
+          s"raise maxRounds")
     finalized(labels.select(col("id"), col("lbl").as("cluster")),
       edgesCache, labelsCache)
   }

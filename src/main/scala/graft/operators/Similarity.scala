@@ -29,7 +29,7 @@ object Similarity {
     * pairwise dot product of the join on one or two cores. */
   private def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (ScanStats.estimatedScanPartitions(df) < target) df.repartition(target) else df
   }
 
   def dot(a: Column, b: Column): Column =

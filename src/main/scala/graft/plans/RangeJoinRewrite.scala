@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
@@ -85,8 +85,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               .asInstanceOf[Sequence]
             val rb = AttributeReference("__rbucket", LongType,
               nullable = seqExpr.dataType.asInstanceOf[ArrayType].containsNull)()
+            // an inverted interval (hi < lo: sentinel rows, bad data) makes
+            // Sequence default to step -1 and explode |bucket(lo)-bucket(hi)|
+            // rows the residual then discards — correct but unbounded per bad
+            // row. No point can satisfy lo <= p <= hi there, so pre-filtering
+            // lo <= hi (null-rejecting, like the residual) is output-identical.
             val ivalGen = Generate(Explode(seqExpr), Nil, outer = false,
-              qualifier = None, generatorOutput = Seq(rb), child = ivalSide)
+              qualifier = None, generatorOutput = Seq(rb),
+              child = Filter(LessThanOrEqual(lo, hi), ivalSide))
             val newCond = And(EqualTo(pb.toAttribute, rb), cond)
             val (nl, nr) = if (pointOnLeft) (pointProj, ivalGen) else (ivalGen, pointProj)
             Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))

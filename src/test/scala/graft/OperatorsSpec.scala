@@ -374,17 +374,23 @@ class OperatorsSpec extends SparkSpec {
     assert(hosts == Seq("a.example.org", "b.net", "nopath.io"))
   }
 
-  test("transitive closure: chain, diamond, cycle") {
+  test("transitive closure: chain, diamond, cycle; no leaked cache blocks") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L),
       (20L, 21L), (21L, 20L)).toDF("src", "dst")
-    val got = Closure.transitive(edges, "src", "dst")
-      .as[(Long, Long)].collect().toSet
+    val result = Closure.transitive(edges, "src", "dst")
+    val got = result.as[(Long, Long)].collect().toSet
     val chain = Set((1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,3L),(2L,4L),(2L,5L),
       (3L,4L),(3L,5L),(4L,5L))
     val diamond = Set((10L,11L),(10L,12L),(10L,13L),(11L,13L),(12L,13L))
     val cycle = Set((20L,21L),(21L,20L),(20L,20L),(21L,21L))
     assert(got == chain ++ diamond ++ cycle)
+    // the loop's per-round caches must all be released; only the returned
+    // result's own persist may remain, and the caller can drop it
+    result.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "Closure.transitive leaked persisted blocks")
   }
 
   test("chunking: full coverage, overlap, short-doc single chunk") {
