@@ -63,6 +63,7 @@ object Vocab {
 
   // GENO genotype partonomy
   val genotype = "GENO:0000536"
+  val gvc = "GENO:0000009" // genomic variation complement
   val allele = "GENO:0000512"
   val gene = "SO:0000704"
   val variantLocus = "GENO:0000002"
@@ -75,7 +76,7 @@ object Vocab {
   val hasZygosity = "GENO:0000608"
   val homozygous = "GENO:0000136"
   val heterozygous = "GENO:0000135"
-  val hemizygous = "GENO:0000606"
+  val hemizygous = "GENO:0000134"
   val hasReferencePart = "GENO:0000385"
   val genome = "SO:0001026"
   val chromosome = "SO:0000340"

@@ -1,0 +1,332 @@
+package graft.engine
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.{Digest, TranslationTable, Triple, Vocab}
+import graft.emit.{Genotype => G, Model}
+import graft.sources.JdbcSource
+import graft.sources.JdbcSource.JdbcConf
+
+/** The MGI-shape ingest: the reference's second-largest source reads no
+  * files at all — it pulls 20+ views straight from MGI's Postgres via a
+  * per-view SQL manifest (MGI.py:52-66 + resources/sql/mgi, one .sql
+  * file per view), then
+  * "joins" them in application space through `idhash` maps keyed on the
+  * database's internal integer keys (MGI.py:308-326: allele / marker /
+  * publication / strain / genotype key → public MGI id).
+  *
+  * Spark-first re-expression: every idhash becomes a broadcast dimension
+  * and every hash lookup an equi-join; the per-genotype GVC assembly
+  * (the geno_hash accumulation at MGI.py:1041-1085) becomes ONE
+  * aggregation over the pair relation. Four views reproduce the
+  * topology:
+  *
+  *  - `gxd_genotype_view` (genotype key → mgiid, background strain;
+  *    _process_gxd_genotype_view MGI.py:484-586)
+  *  - `all_summary_view` (allele key → mgiid, label, description,
+  *    `preferred = 1` filter; _process_all_summary_view MGI.py:668-749)
+  *  - `gxd_allelepair_view` (VSLC per allele pair with zygosity
+  *    translation and the reference's exact label synthesis;
+  *    _process_gxd_allele_pair_view MGI.py:916-1087)
+  *  - `bib_acc_view` (J-number publication idhash first pass, then
+  *    PMID/MGI equivalences; _process_bib_acc_view MGI.py:1372-1484)
+  *
+  * Scale shape: the three dimension views broadcast (genotype and
+  * allele dims are bounded by the organism's genotype/allele count); the
+  * pair relation is the fact side read through the partitionable JDBC
+  * scan ([[JdbcSource.Stride]] in production); one shuffle total — the
+  * per-genotype GVC aggregation. A pair whose genotype key misses the
+  * genotype dim is dropped, matching the reference's logged skip
+  * (MGI.py:974-977); an allele key that misses the preferred-allele dim
+  * emits no part edge, matching the None-guard in addPartsToVSLC.
+  *
+  * The embedded-Derby database this source reads in tests stands in for
+  * the remote MGI Postgres (same JDBC options either way, proven in
+  * JdbcSpec); [[MgiDb]] seeds it deterministically from the TPC-H
+  * parquet tables so the p04 oracle can re-derive the expected graph in
+  * SQL. The seeding is test scaffolding for the missing network database
+  * — the measured operator is the JDBC scan + join topology.
+  */
+object MgiGenotypeSource extends GraftSource {
+  val name = "mgi_genotypes"
+
+  /** Zygosity CURIEs that render the second VSLC-label slot as '0'
+    * (the hemizygous family branch at MGI.py:994-1000). */
+  private val hemiZygosities = Set(
+    "GENO:0000134", "GENO:0000604", "GENO:0000605", "GENO:0000606")
+
+  private lazy val tt = TranslationTable.forSource("mgi")
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
+    val conf = MgiDb.conf(spark, dataDir)
+    // one entry per .sql manifest file (resources/sql/mgi/*.sql shape);
+    // Derby uppercases result identifiers — normalize to the manifest's
+    def view(sql: String): DataFrame = {
+      val df = JdbcSource.query(spark, conf, sql)
+      df.toDF(df.columns.map(_.toLowerCase): _*)
+    }
+    Map(
+      "gxd_genotype_view" -> view(
+        "SELECT genotype_key, strain_key, strain, mgiid FROM gxd_genotype_view"),
+      "all_summary_view" -> view(
+        "SELECT object_key, preferred, mgiid, description, short_description FROM all_summary_view"),
+      "gxd_allelepair_view" -> view(
+        "SELECT allelepair_key, genotype_key, allele_key_1, allele_key_2, allele1, allele2, allelestate FROM gxd_allelepair_view"),
+      "bib_acc_view" -> view(
+        "SELECT accid, prefixpart, numericpart, object_key, logicaldb, logicaldb_key FROM bib_acc_view"))
+  }
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+    val localTt = tt
+
+    val genoDim = in("gxd_genotype_view").select(
+      col("genotype_key"), col("mgiid").as("gt"),
+      col("strain_key"), col("strain"))
+    val alleleDim = in("all_summary_view")
+      .filter(col("preferred") === 1)
+      .select(col("object_key"), col("mgiid").as("aid"),
+        col("short_description"), col("description"))
+
+    // genotype individuals + internal-id strain backgrounds
+    // (_process_gxd_genotype_view; strain ids are the reference's
+    // make_internal_identifier bnodes, MGI.py:546-556)
+    val genoTriples = genoDim
+      .as[(Int, String, Int, String)]
+      .flatMap { case (_, gt, sk, strain) =>
+        val strainId = "_:" + Digest.md5IdScala(s"mgistrain+$sk")
+        G.addGenotype(gt, null) ++
+          G.addGenomicBackground(strainId, strain) ++
+          G.addGenomicBackgroundToGenotype(strainId, gt)
+      }
+
+    // preferred-allele individuals with label + description
+    val alleleTriples = alleleDim
+      .as[(Int, String, String, String)]
+      .flatMap { case (_, aid, short, desc) =>
+        Model.addType(aid, Vocab.allele) ++
+          Model.addLabel(aid, short) ++
+          Model.addDescription(aid, desc)
+      }
+
+    // idhash joins: genotype key (inner → reference's logged skip),
+    // allele keys (left → missing part edges are simply not emitted)
+    val pairs = in("gxd_allelepair_view")
+      .join(broadcast(genoDim.select(col("genotype_key"), col("gt"))),
+        Seq("genotype_key"))
+      .join(broadcast(alleleDim.select(
+        col("object_key").as("allele_key_1"), col("aid").as("a1id"))),
+        Seq("allele_key_1"), "left")
+      .join(broadcast(alleleDim.select(
+        col("object_key").as("allele_key_2"), col("aid").as("a2id"))),
+        Seq("allele_key_2"), "left")
+      .select(col("allelepair_key"), col("gt"), col("a1id"), col("a2id"),
+        col("allele1"), col("allele2"), col("allelestate"))
+      .as[(Int, String, Option[String], Option[String], String, String, String)]
+      .map { case (apk, gt, a1id, a2id, allele1, allele2, state) =>
+        val zyg = localTt.resolve(state)
+        val vslc = "_:" + Digest.md5IdScala(s"mgivslc+$apk")
+        // exact label rules of MGI.py:990-1017: the branch is on the
+        // RESOLVED second allele id (idhash miss ⇒ placeholder), the
+        // else-arm uses the raw symbol column
+        val slot2 =
+          if (a2id.isDefined) allele2
+          else if (hemiZygosities(zyg)) "0"
+          else if (zyg == "GENO:0000135") "+"
+          else if (zyg == "GENO:0000137") "?"
+          else if (zyg == "GENO:0000136") allele1
+          else "?"
+        (gt, vslc, s"$allele1/$slot2", a1id, a2id, zyg)
+      }
+      .toDF("gt", "vslc", "vlabel", "a1id", "a2id", "zyg")
+
+    val vslcTriples = pairs
+      .as[(String, String, String, Option[String], Option[String], String)]
+      .flatMap { case (_, vslc, vlabel, a1id, a2id, zyg) =>
+        Model.addType(vslc, Vocab.vslc) ++
+          Model.addLabel(vslc, vlabel) ++
+          (a1id.toSeq ++ a2id.toSeq)
+            .map(Triple.res(vslc, Vocab.hasVariantPart, _)) :+
+          Triple.res(vslc, Vocab.hasZygosity, zyg)
+      }
+
+    // GVC assembly: the geno_hash pass (MGI.py:1041-1085) as one
+    // aggregation — multi-VSLC genotypes mint a digest GVC over the
+    // sorted VSLC ids; single-VSLC genotypes retype the VSLC
+    val gvcTriples = pairs
+      .groupBy(col("gt"))
+      .agg(sort_array(collect_set(struct(col("vslc"), col("vlabel")))).as("vs"))
+      .as[(String, Seq[(String, String)])]
+      .flatMap { case (gt, vs) =>
+        if (vs.size > 1) {
+          val joined = vs.map(_._1).mkString("-").replaceAll("[_:]", "")
+          val gvcId = "_:" + Digest.md5IdScala(joined)
+          val gvcLabel = vs.map(_._2).mkString("; ")
+          Model.addType(gvcId, Vocab.gvc) ++
+            Model.addLabel(gvcId, gvcLabel) ++
+            vs.map(v => Triple.res(gvcId, Vocab.hasVariantPart, v._1)) :+
+            Triple.res(gt, Vocab.hasVariantPart, gvcId)
+        } else {
+          Model.addType(vs.head._1, Vocab.gvc) :+
+            Triple.res(gt, Vocab.hasVariantPart, vs.head._1)
+        }
+      }
+
+    // publications: J-number idhash first pass, PMID / MGI-id
+    // equivalence second pass (two passes over one cached scan in the
+    // reference; one scan + a broadcast self-join here)
+    val bib = in("bib_acc_view")
+    val jNumbers = bib.filter(col("prefixpart") === "J:")
+      .select(col("object_key"), col("accid").as("jid"))
+    val jTriples = jNumbers.as[(Int, String)]
+      .flatMap(j => Model.addType(j._2, Vocab.publication))
+    val pubTriples = bib
+      .filter(col("logicaldb_key") === 29 ||
+        (col("logicaldb_key") === 1 && col("prefixpart") === "MGI:"))
+      .withColumn("pub_id",
+        when(col("logicaldb_key") === 29, concat(lit("PMID:"), col("accid")))
+          .otherwise(col("accid")))
+      .withColumn("is_pmid", col("logicaldb_key") === 29)
+      .join(broadcast(jNumbers), Seq("object_key"))
+      .select(col("pub_id"), col("is_pmid"), col("jid"))
+      .as[(String, Boolean, String)]
+      .flatMap { case (pubId, isPmid, jid) =>
+        Model.addType(pubId,
+          if (isPmid) Vocab.journalArticle else Vocab.publication) :+
+          Triple.res(jid, Vocab.sameAs, pubId)
+      }
+
+    // the reference's graph store is a set (rdflib.Graph) — dedup here
+    // so repeated strain/pub patterns collapse exactly once
+    genoTriples.union(alleleTriples).union(vslcTriples)
+      .union(gvcTriples).union(jTriples).union(pubTriples)
+      .toDF().dropDuplicates("s", "p", "o", "lit", "dt")
+  }
+
+  override def testIds: Seq[String] = Seq("MGI:G4")
+}
+
+/** Embedded-Derby stand-in for the remote MGI Postgres, seeded
+  * deterministically from the TPC-H parquet tables (fixed arithmetic on
+  * the keys, reproduced 1:1 by the p04 DuckDB oracle). Seeding happens
+  * once per (JVM, data dir) — repeated reads, bench retries, and the
+  * correctness harness all hit the already-populated database.
+  */
+object MgiDb {
+
+  private val seeded = scala.collection.concurrent.TrieMap[String, JdbcConf]()
+
+  def conf(spark: SparkSession, dataDir: String): JdbcConf =
+    seeded.getOrElseUpdate(dataDir, synchronized { seed(spark, dataDir) })
+
+  private def dbPath(dataDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_mgi_derby/" +
+      Digest.md5IdScala(dataDir) + "/db"
+
+  private def seed(spark: SparkSession, dataDir: String): JdbcConf = {
+    if (sys.props.get("derby.system.home").isEmpty)
+      System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+    val path = dbPath(dataDir)
+    val url = s"jdbc:derby:$path;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, "GXD_GENOTYPE_VIEW", null)
+      val exists = meta.next()
+      meta.close()
+      if (!exists) {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE gxd_genotype_view (genotype_key INT NOT NULL, strain_key INT, strain VARCHAR(64), mgiid VARCHAR(32))")
+        st.execute("CREATE TABLE all_summary_view (object_key INT NOT NULL, preferred INT, mgiid VARCHAR(32), description VARCHAR(128), short_description VARCHAR(64))")
+        st.execute("CREATE TABLE gxd_allelepair_view (allelepair_key INT NOT NULL, genotype_key INT, allele_key_1 INT, allele_key_2 INT, allele1 VARCHAR(64), allele2 VARCHAR(64), allelestate VARCHAR(32))")
+        st.execute("CREATE TABLE bib_acc_view (accid VARCHAR(64), prefixpart VARCHAR(8), numericpart INT, object_key INT, logicaldb VARCHAR(32), logicaldb_key INT)")
+        st.close()
+
+        import spark.implicits._
+        // genotypes ← customer (every 4th key): internal key, strain
+        // key, strain name, public MGI id
+        val geno = Tables.customer(spark, dataDir)
+          .filter(col("c_custkey") % 4 === 0)
+          .select(col("c_custkey").cast("int"), col("c_nationkey").cast("int"))
+          .as[(Int, Int)].collect()
+        batch(conn, "INSERT INTO gxd_genotype_view VALUES (?,?,?,?)", geno) {
+          case (ps, (ck, nk)) =>
+            ps.setInt(1, ck); ps.setInt(2, nk)
+            ps.setString(3, s"strain $nk"); ps.setString(4, s"MGI:G$ck")
+        }
+        // alleles ← part (every 2nd key; every 10th is non-preferred —
+        // the duplicate-id shape the preferred=1 filter exists for)
+        val alleles = Tables.part(spark, dataDir)
+          .filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey").cast("int"), col("p_name"), col("p_type"))
+          .as[(Int, String, String)].collect()
+        batch(conn, "INSERT INTO all_summary_view VALUES (?,?,?,?,?)", alleles) {
+          case (ps, (pk, name, ptype)) =>
+            ps.setInt(1, pk); ps.setInt(2, if (pk % 10 == 0) 0 else 1)
+            ps.setString(3, s"MGI:A$pk"); ps.setString(4, ptype)
+            ps.setString(5, name)
+        }
+        // allele pairs ← orders (every 10th key): allele keys derived
+        // from the order key land inside — and partially miss — the
+        // allele dim; 'O'-status orders carry no second allele
+        val pairs = Tables.orders(spark, dataDir)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey").cast("int"),
+            col("o_orderstatus"), substring(col("o_orderpriority"), 1, 1))
+          .as[(Long, Int, String, String)].collect()
+        batch(conn, "INSERT INTO gxd_allelepair_view VALUES (?,?,?,?,?,?,?)", pairs) {
+          case (ps, (ok, ck, status, prio)) =>
+            val n = ok / 10
+            val k1 = (n % 2000).toInt
+            ps.setInt(1, ok.toInt); ps.setInt(2, ck); ps.setInt(3, k1)
+            if (status == "O") {
+              ps.setNull(4, java.sql.Types.INTEGER); ps.setString(6, "")
+            } else {
+              val k2 = ((n * 7 + 2) % 2000).toInt
+              ps.setInt(4, k2); ps.setString(6, s"a<$k2>")
+            }
+            ps.setString(5, s"a<$k1>")
+            ps.setString(7, prio match {
+              case "1" => "Homozygous"
+              case "2" => "Heterozygous"
+              case "3" => "Hemizygous X-linked"
+              case "4" => "Indeterminate"
+              case _   => "Hemizygous Insertion"
+            })
+        }
+        // publications ← supplier: every key gets a J number and an MGI
+        // id; two of three get a PubMed id
+        val pubs = Tables.supplier(spark, dataDir)
+          .select(col("s_suppkey").cast("int")).as[Int].collect()
+        val bibRows = pubs.flatMap { k =>
+          Seq((s"J:$k", "J:", k, k, "MGI", 1)) ++
+            (if (k % 3 != 0) Seq(((k * 91).toString, "", k * 91, k, "PubMed", 29)) else Nil) ++
+            Seq((s"MGI:P$k", "MGI:", k, k, "MGI", 1))
+        }
+        batch(conn, "INSERT INTO bib_acc_view VALUES (?,?,?,?,?,?)", bibRows) {
+          case (ps, (accid, prefix, num, ok, db, dbKey)) =>
+            ps.setString(1, accid); ps.setString(2, prefix)
+            ps.setInt(3, num); ps.setInt(4, ok)
+            ps.setString(5, db); ps.setInt(6, dbKey)
+        }
+      }
+    } finally conn.close()
+    JdbcConf(url)
+  }
+
+  private def batch[T](conn: java.sql.Connection, sql: String, rows: Iterable[T])(
+      set: (java.sql.PreparedStatement, T) => Unit): Unit = {
+    val ps = conn.prepareStatement(sql)
+    try {
+      var n = 0
+      rows.foreach { r =>
+        set(ps, r); ps.addBatch(); n += 1
+        if (n % 5000 == 0) ps.executeBatch()
+      }
+      ps.executeBatch()
+    } finally ps.close()
+  }
+}

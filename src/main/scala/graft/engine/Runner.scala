@@ -34,7 +34,7 @@ object Runner {
   val registry: Map[String, GraftSource] = Seq(
     NationClassSource, OrderAssocSource, PartFeatureSource,
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
-    ZfinGenotypeSource, OmiaPheneSource
+    ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the

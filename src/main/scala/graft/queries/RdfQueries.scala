@@ -264,6 +264,21 @@ object RdfQueries {
         }.toDF()
     }),
 
+    // §3.2 end-to-end ingest #5 — MGI shape, the reference's
+    // second-largest source (MGI.py, 20+ Postgres views, no files):
+    // the REAL JDBC path. MgiGenotypeSource.read scans four views from
+    // the embedded stand-in database (seeded deterministically from the
+    // parquet tables — MgiDb scaladoc), transform runs the idhash
+    // broadcast joins, zygosity translation (tt/mgi.yaml over the full
+    // global table), VSLC label synthesis, per-genotype GVC assembly,
+    // and publication equivalences. The oracle re-derives the expected
+    // graph from the same parquet seed in pure SQL — a divergence
+    // anywhere in the JDBC scan, join topology, translation layer, or
+    // digest minting fails the hash compare.
+    "p04_mgi_pipeline" -> ((s, d) =>
+      graft.engine.MgiGenotypeSource.transform(s,
+        graft.engine.MgiGenotypeSource.read(s, d))),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -422,7 +437,7 @@ object RdfQueries {
          UNION ALL SELECT vslc, 'GENO:0000382', al1, false, NULL FROM g
          UNION ALL SELECT vslc, 'GENO:0000382', al2, false, NULL FROM g WHERE al2 IS NOT NULL
          UNION ALL SELECT vslc, 'GENO:0000608',
-           CASE WHEN al2 IS NULL THEN 'GENO:0000606'
+           CASE WHEN al2 IS NULL THEN 'GENO:0000134'
                 WHEN al1 = al2 THEN 'GENO:0000136'
                 ELSE 'GENO:0000135' END, false, NULL FROM g
          UNION ALL SELECT gt, 'GENO:0000382', vslc, false, NULL FROM g""",
@@ -681,7 +696,7 @@ object RdfQueries {
          UNION ALL SELECT vslc, 'GENO:0000382', al2, false, NULL FROM g
            WHERE a2 IS NOT NULL
          UNION ALL SELECT vslc, 'GENO:0000608',
-           CASE WHEN a2 IS NULL THEN 'GENO:0000606'
+           CASE WHEN a2 IS NULL THEN 'GENO:0000134'
                 WHEN a1 = a2 THEN 'GENO:0000136'
                 ELSE 'GENO:0000135' END, false, NULL FROM g
          UNION ALL SELECT vslc, 'rdfs:label',
@@ -693,6 +708,93 @@ object RdfQueries {
          UNION ALL SELECT bg, 'rdfs:label', bgl, true, NULL FROM g
          UNION ALL SELECT gt, 'GENO:0000385', bg, false, NULL FROM g
          UNION ALL SELECT bg, 'RO:0002162', 'NCBITaxon:7955', false, NULL FROM g""",
+    "p04_mgi_pipeline" ->
+      """WITH gv AS (
+           SELECT c_custkey AS genotype_key, c_nationkey AS strain_key,
+                  'strain '||c_nationkey::varchar AS strain,
+                  'MGI:G'||c_custkey::varchar AS gt,
+                  '_:b'||substr(md5('mgistrain+'||c_nationkey::varchar),2,19) AS sid
+           FROM customer WHERE c_custkey % 4 = 0),
+         pref AS (
+           SELECT p_partkey AS object_key,
+                  'MGI:A'||p_partkey::varchar AS aid,
+                  p_type AS description, p_name AS short_description
+           FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 10 <> 0),
+         apv AS (
+           SELECT o_orderkey AS allelepair_key, o_custkey AS genotype_key,
+                  ((o_orderkey//10) % 2000) AS k1,
+                  CASE WHEN o_orderstatus='O' THEN NULL
+                       ELSE (((o_orderkey//10)*7+2) % 2000) END AS k2,
+                  'a<'||((o_orderkey//10) % 2000)::varchar||'>' AS allele1,
+                  CASE WHEN o_orderstatus='O' THEN ''
+                       ELSE 'a<'||((((o_orderkey//10)*7+2)) % 2000)::varchar||'>' END AS allele2,
+                  CASE substr(o_orderpriority,1,1)
+                    WHEN '1' THEN 'GENO:0000136' WHEN '2' THEN 'GENO:0000135'
+                    WHEN '3' THEN 'GENO:0000605' WHEN '4' THEN 'GENO:0000137'
+                    ELSE 'GENO:0000606' END AS zyg
+           FROM orders WHERE o_orderkey % 10 = 0),
+         pairs AS (
+           SELECT ap.allelepair_key, ap.allele1, ap.allele2, ap.zyg,
+                  gv.gt, a1.aid AS a1id, a2.aid AS a2id,
+                  '_:b'||substr(md5('mgivslc+'||ap.allelepair_key::varchar),2,19) AS vslc
+           FROM apv ap JOIN gv USING (genotype_key)
+                LEFT JOIN pref a1 ON ap.k1 = a1.object_key
+                LEFT JOIN pref a2 ON ap.k2 = a2.object_key),
+         pairsl AS (
+           SELECT *, allele1||'/'||
+             CASE WHEN a2id IS NOT NULL THEN allele2
+                  WHEN zyg IN ('GENO:0000134','GENO:0000604','GENO:0000605','GENO:0000606') THEN '0'
+                  WHEN zyg = 'GENO:0000135' THEN '+'
+                  WHEN zyg = 'GENO:0000137' THEN '?'
+                  WHEN zyg = 'GENO:0000136' THEN allele1
+                  ELSE '?' END AS vlabel
+           FROM pairs),
+         geno AS (
+           SELECT gt, count(*) AS n,
+                  '_:b'||substr(md5(replace(replace(
+                    string_agg(vslc, '-' ORDER BY vslc),'_',''),':','')),2,19) AS gvcid,
+                  string_agg(vlabel, '; ' ORDER BY vslc) AS gvclabel,
+                  min(vslc) AS v1
+           FROM pairsl GROUP BY gt)
+         SELECT DISTINCT * FROM (
+           SELECT gt AS s, 'rdf:type' AS p, 'GENO:0000536' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM gv
+           UNION ALL SELECT sid, 'rdf:type', 'GENO:0000611', false, NULL FROM gv
+           UNION ALL SELECT sid, 'rdfs:label', strain, true, NULL FROM gv
+           UNION ALL SELECT gt, 'GENO:0000385', sid, false, NULL FROM gv
+           UNION ALL SELECT aid, 'rdf:type', 'GENO:0000512', false, NULL FROM pref
+           UNION ALL SELECT aid, 'rdfs:label', short_description, true, NULL FROM pref
+           UNION ALL SELECT aid, 'dc:description', description, true, NULL FROM pref
+           UNION ALL SELECT vslc, 'rdf:type', 'GENO:0000030', false, NULL FROM pairsl
+           UNION ALL SELECT vslc, 'rdfs:label', vlabel, true, NULL FROM pairsl
+           UNION ALL SELECT vslc, 'GENO:0000382', a1id, false, NULL FROM pairsl
+             WHERE a1id IS NOT NULL
+           UNION ALL SELECT vslc, 'GENO:0000382', a2id, false, NULL FROM pairsl
+             WHERE a2id IS NOT NULL
+           UNION ALL SELECT vslc, 'GENO:0000608', zyg, false, NULL FROM pairsl
+           UNION ALL SELECT gvcid, 'rdf:type', 'GENO:0000009', false, NULL
+             FROM geno WHERE n > 1
+           UNION ALL SELECT gvcid, 'rdfs:label', gvclabel, true, NULL
+             FROM geno WHERE n > 1
+           UNION ALL SELECT g.gvcid, 'GENO:0000382', p.vslc, false, NULL
+             FROM geno g JOIN pairsl p USING (gt) WHERE g.n > 1
+           UNION ALL SELECT gt, 'GENO:0000382', gvcid, false, NULL
+             FROM geno WHERE n > 1
+           UNION ALL SELECT v1, 'rdf:type', 'GENO:0000009', false, NULL
+             FROM geno WHERE n = 1
+           UNION ALL SELECT gt, 'GENO:0000382', v1, false, NULL
+             FROM geno WHERE n = 1
+           UNION ALL SELECT 'J:'||s_suppkey::varchar, 'rdf:type', 'IAO:0000311',
+             false, NULL FROM supplier
+           UNION ALL SELECT 'PMID:'||(s_suppkey*91)::varchar, 'rdf:type',
+             'IAO:0000013', false, NULL FROM supplier WHERE s_suppkey % 3 <> 0
+           UNION ALL SELECT 'J:'||s_suppkey::varchar, 'owl:sameAs',
+             'PMID:'||(s_suppkey*91)::varchar, false, NULL
+             FROM supplier WHERE s_suppkey % 3 <> 0
+           UNION ALL SELECT 'MGI:P'||s_suppkey::varchar, 'rdf:type',
+             'IAO:0000311', false, NULL FROM supplier
+           UNION ALL SELECT 'J:'||s_suppkey::varchar, 'owl:sameAs',
+             'MGI:P'||s_suppkey::varchar, false, NULL FROM supplier) t""",
     "r14_ancestor_closure" ->
       """WITH RECURSIVE
            e AS (SELECT doc_id AS child, doc_id // 2 AS parent

@@ -69,6 +69,28 @@ class EngineSpec extends SparkSpec {
       l.startsWith("<https://example.org/id/region0>")))
   }
 
+  test("mgi JDBC multi-view ingest runs the full lifecycle (MGI.py shape)") {
+    // the one §2.1 mechanism with a database (not file) fetch stage:
+    // four Derby views → idhash broadcast joins → VSLC/GVC assembly →
+    // publication equivalences → NT, via the registered source
+    val out = Files.createTempDirectory("graft-mgi").toString
+    val results = Runner.run(spark,
+      Runner.RunConfig(Seq("mgi_genotypes"), out), sf)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/mgi_genotypes.nt").as[String].collect()
+    // genotype individuals with expanded MGI prefix
+    assert(nt.exists(l => l.contains("<http://identifiers.org/MGI:G4>") &&
+      l.contains("GENO_0000536")))
+    // VSLC bnodes carry zygosity resolved through tt/mgi.yaml
+    assert(nt.exists(l => l.contains("GENO_0000608")))
+    // publication equivalence pass landed
+    assert(nt.exists(_.contains("owl#sameAs")))
+    // test-subset graph restricted to the curated genotype id
+    val sub = spark.read.text(s"$out/mgi_genotypes_test.nt").as[String].collect()
+    assert(sub.nonEmpty &&
+      sub.forall(_.startsWith("<http://identifiers.org/MGI:G4>")))
+  }
+
   test("limit pushdown caps every input scan (--limit N)") {
     val out = Files.createTempDirectory("graft-run-lim").toString
     val results = Runner.run(spark,

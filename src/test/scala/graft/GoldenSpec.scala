@@ -298,7 +298,7 @@ class GoldenSpec extends SparkSpec {
       line(v2, "GENO:0000608", "GENO:0000136"),
       lineLit(v2, "rdfs:label", "<la014/la014>"),
       // hemizygous: single allele
-      line(v3, "GENO:0000608", "GENO:0000606"),
+      line(v3, "GENO:0000608", "GENO:0000134"),
       lineLit(v3, "rdfs:label", "<zf145>"))
     val missing = expected -- nt
     assert(missing.isEmpty, s"missing golden lines: $missing")
