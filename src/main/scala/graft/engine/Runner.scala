@@ -20,7 +20,10 @@ object Runner {
 
   /** Formats follow the reference's serialization map
     * (dipper/sources/Source.py:192-198 + dipper-etl.py `--dest_fmt`):
-    * nt, nquads, turtle, n3, rdfxml. */
+    * nt, nquads, turtle, n3, rdfxml — plus `streamed_nt`, the
+    * `-g streamed_graph` twin (Source.py:118-121): triples land
+    * incrementally through the Structured Streaming NT sink instead of
+    * one batch write, the mode a continuous-ingest deployment runs. */
   final case class RunConfig(
       sources: Seq[String],
       outDir: String,
@@ -34,7 +37,7 @@ object Runner {
   val registry: Map[String, GraftSource] = Seq(
     NationClassSource, OrderAssocSource, PartFeatureSource,
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
-    ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource
+    ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the
@@ -46,7 +49,8 @@ object Runner {
   def run(spark: SparkSession, cfg: RunConfig, dataDir: String): Seq[SourceResult] = {
     val unknown = cfg.sources.filterNot(registry.contains)
     require(unknown.isEmpty, s"unknown sources: ${unknown.mkString(",")}")
-    val badFmt = cfg.destFmt.filterNot(Set("nt", "nquads", "turtle", "n3", "rdfxml"))
+    val badFmt = cfg.destFmt.filterNot(
+      Set("nt", "nquads", "turtle", "n3", "rdfxml", "streamed_nt"))
     require(badFmt.isEmpty, s"unknown dest_fmt: ${badFmt.mkString(",")}")
     cfg.sources.map { name =>
       val src = registry(name)
@@ -85,6 +89,18 @@ object Runner {
           case "turtle" => TripleSinks.writeTurtle(full, s"${cfg.outDir}/$name.ttl", curieMap)
           case "n3"     => TripleSinks.writeN3(full, s"${cfg.outDir}/$name.n3", curieMap)
           case "rdfxml" => TripleSinks.writeRdfXml(full, s"${cfg.outDir}/$name.xml", curieMap)
+          case "streamed_nt" =>
+            // streamed-graph mode: stage the triple relation, then drive
+            // the streaming NT sink over it with an AvailableNow trigger —
+            // the same incremental path a continuous ingest uses, run to
+            // completion here (per-batch append, no driver materialization)
+            val stage = s"${cfg.outDir}/_stream/$name.stage"
+            full.write.mode("overwrite").parquet(stage)
+            val q = graft.streaming.EventStream.streamTriplesToNt(
+              spark.readStream.schema(full.schema).parquet(stage),
+              s"${cfg.outDir}/$name.stream.nt",
+              s"${cfg.outDir}/_stream/$name.ckpt", curieMap)
+            q.awaitTermination()
         }
         if (!cfg.testOnly && src.testIds.nonEmpty)
           TripleSinks.writeTestSubset(full, src.testIds,
@@ -100,7 +116,7 @@ object Runner {
     * runMain graft.engine.Runner --sources nation_classes,order_assocs \
     *   --data /root/testdata/sf0.001 --out /tmp/graft_out \
     *   [--limit N] [--test_only] [--taxon 9606,10090] \
-    *   [--dest_fmt nt,nquads,turtle,n3,rdfxml] [--data_release_version V]
+    *   [--dest_fmt nt,nquads,turtle,n3,rdfxml,streamed_nt] [--data_release_version V]
     * }}} */
   /** Parse the CLI surface into (config, dataDir) — public for tests. */
   def parseArgs(args: Seq[String]): (RunConfig, String) = {

@@ -27,6 +27,20 @@ object Roman {
   private val charVal = Map('I' -> 1, 'V' -> 5, 'X' -> 10, 'L' -> 50,
     'C' -> 100, 'D' -> 500, 'M' -> 1000)
 
+  /** Greedy descending-map prefix walk (romanplus.py fromRoman:68-83
+    * semantics): consume numerals in M..I order from the front, ignore
+    * any unconsumed tail — 'IIIB' → 3. The canonical strict parser below
+    * is the identifier-normalization path; this is the label-cleanup
+    * path. */
+  def prefixValue(s: String): Int = {
+    var idx = 0
+    var total = 0
+    values.foreach { case (v, sym) =>
+      while (s.startsWith(sym, idx)) { total += v; idx += sym.length }
+    }
+    total
+  }
+
   /** Parse a roman numeral; None for malformed/non-canonical input. */
   def fromRoman(s: String): Option[Int] = {
     if (s == null || s.isEmpty) return None

@@ -279,6 +279,17 @@ object RdfQueries {
       graft.engine.MgiGenotypeSource.transform(s,
         graft.engine.MgiGenotypeSource.read(s, d))),
 
+    // §3.2 end-to-end ingest #6 — OMIM shape, the reference's API-backed
+    // source (OMIM.py:188-254): landed keyed-JSON batches → one
+    // distributed JSON scan → per-entry class emission with the
+    // reference's exact label cleanup (abbreviation strip, roman-numeral
+    // conversion, small-word title-casing), exact/related synonyms, and
+    // deprecation links for replaced records. The oracle re-predicts the
+    // cleaned labels for the landing's controlled vocabulary.
+    "p05_omim_pipeline" -> ((s, d) =>
+      graft.engine.OmimApiSource.transform(s,
+        graft.engine.OmimApiSource.read(s, d))),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -708,6 +719,49 @@ object RdfQueries {
          UNION ALL SELECT bg, 'rdfs:label', bgl, true, NULL FROM g
          UNION ALL SELECT gt, 'GENO:0000385', bg, false, NULL FROM g
          UNION ALL SELECT bg, 'RO:0002162', 'NCBITaxon:7955', false, NULL FROM g""",
+    "p05_omim_pipeline" ->
+      """WITH e AS (
+           SELECT c_custkey AS k, c_custkey % 7 AS m,
+                  CASE c_custkey % 4 WHEN 0 THEN 'II' WHEN 1 THEN 'III'
+                       WHEN 2 THEN 'IV' ELSE 'V' END AS rom,
+                  CASE c_custkey % 4 WHEN 0 THEN '2' WHEN 1 THEN '3'
+                       WHEN 2 THEN '4' ELSE '5' END AS num
+           FROM customer),
+         t AS (
+           SELECT k, m, 'OMIM:'||k::varchar AS curie,
+                  'DISEASE OF TYPE '||rom ||
+                    CASE WHEN k % 3 = 0 THEN '; D'||k::varchar ELSE '' END AS title,
+                  'Disease of Type '||num AS newlabel,
+                  CASE WHEN k % 3 = 0 THEN 'D'||k::varchar END AS abbrev,
+                  CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS hasalts,
+                  'Old Name for Type '||num AS alt1,
+                  'Alias '||num AS alt2
+           FROM e WHERE m <> 2),
+         rep AS (
+           SELECT 'OMIM:'||k::varchar AS curie,
+                  'OMIM:'||(k+1)::varchar AS moved
+           FROM e WHERE m = 2)
+         SELECT DISTINCT * FROM (
+           SELECT 'NCBITaxon:9606' AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt
+           UNION ALL SELECT 'NCBITaxon:9606', 'rdfs:label', 'Homo sapiens', true, NULL
+           UNION ALL SELECT 'NCBITaxon:9606#genome', 'rdf:type', 'SO:0001026', false, NULL
+           UNION ALL SELECT 'NCBITaxon:9606#genome', 'rdfs:label', 'Homo sapiens genome', true, NULL
+           UNION ALL SELECT curie, 'rdf:type', 'owl:Class', false, NULL FROM t
+           UNION ALL SELECT curie, 'rdfs:label',
+             CASE WHEN m = 0 THEN coalesce(abbrev, newlabel) ELSE newlabel END,
+             true, NULL FROM t
+           UNION ALL SELECT curie, 'rdfs:subClassOf', 'SO:0000704', false, NULL
+             FROM t WHERE m = 0
+           UNION ALL SELECT curie, 'dc:description', newlabel, true, NULL FROM t
+           UNION ALL SELECT curie, 'oboInOwl:hasExactSynonym', title, true, NULL FROM t
+           UNION ALL SELECT curie, 'oboInOwl:hasRelatedSynonym', alt1, true, NULL
+             FROM t WHERE hasalts = 1
+           UNION ALL SELECT curie, 'oboInOwl:hasRelatedSynonym', alt2, true, NULL
+             FROM t WHERE hasalts = 1
+           UNION ALL SELECT curie, 'rdf:type', 'owl:Class', false, NULL FROM rep
+           UNION ALL SELECT curie, 'owl:deprecated', 'true', true, 'xsd:boolean' FROM rep
+           UNION ALL SELECT curie, 'IAO:0100001', moved, false, NULL FROM rep) x""",
     "p04_mgi_pipeline" ->
       """WITH gv AS (
            SELECT c_custkey AS genotype_key, c_nationkey AS strain_key,

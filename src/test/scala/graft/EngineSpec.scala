@@ -91,6 +91,40 @@ class EngineSpec extends SparkSpec {
       sub.forall(_.startsWith("<http://identifiers.org/MGI:G4>")))
   }
 
+  test("omim API-shape ingest: landed JSON → classes/synonyms/deprecations") {
+    val out = Files.createTempDirectory("graft-omim").toString
+    val results = Runner.run(spark,
+      Runner.RunConfig(Seq("omim_api"), out), sf)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/omim_api.nt").as[String].collect()
+    // cleaned title-case labels with roman numerals converted
+    assert(nt.exists(_.contains("\"Disease of Type 3\"")))
+    // raw ALL-CAPS title kept as exact synonym
+    assert(nt.exists(l => l.contains("hasExactSynonym") &&
+      l.contains("DISEASE OF TYPE")))
+    // alternative titles landed as related synonyms, ', INCLUDED' stripped
+    assert(nt.exists(l => l.contains("hasRelatedSynonym") &&
+      l.contains("\"Old Name for Type")))
+    assert(!nt.exists(_.contains("INCLUDED")))
+    // replaced records deprecated with IAO:0100001 link
+    assert(nt.exists(_.contains("owl#deprecated")))
+    assert(nt.exists(_.contains("IAO_0100001")))
+  }
+
+  test("streamed-graph mode: streamed NT set-equals the batch NT") {
+    // the reference's `-g streamed_graph` (Source.py:118-121): same
+    // graph, incremental serialization — here via the Structured
+    // Streaming sink with an AvailableNow trigger through Runner
+    val out = Files.createTempDirectory("graft-streamrun").toString
+    Runner.run(spark, Runner.RunConfig(Seq("nation_classes"), out,
+      destFmt = Seq("nt", "streamed_nt")), sf)
+    val batchNt = spark.read.text(s"$out/nation_classes.nt")
+      .as[String].collect().toSet
+    val streamNt = spark.read.text(s"$out/nation_classes.stream.nt")
+      .as[String].collect().toSet
+    assert(streamNt == batchNt && batchNt.nonEmpty)
+  }
+
   test("limit pushdown caps every input scan (--limit N)") {
     val out = Files.createTempDirectory("graft-run-lim").toString
     val results = Runner.run(spark,

@@ -47,4 +47,25 @@ class FunctionsSpec extends SparkSpec {
     assert(Roman.fromRoman("ABC").isEmpty)
     for (n <- 1 to 1000) assert(Roman.fromRoman(Roman.toRoman(n)).contains(n))
   }
+
+  test("OMIM label cleanup (OMIM.py _cleanup_label / _get_alt_labels twins)") {
+    import graft.functions.OmimLabel
+    // abbreviation strip + roman conversion + small-word casing
+    assert(OmimLabel.cleanupLabel("ACROCEPHALOSYNDACTYLY, TYPE V; ACS5") ==
+      "Acrocephalosyndactyly, Type 5")
+    // non-roman suffix kept (IIIB → 3B); first word exempt from roman
+    assert(OmimLabel.cleanupLabel("MUCOPOLYSACCHARIDOSIS, TYPE IIIB") ==
+      "Mucopolysaccharidosis, Type 3B")
+    assert(OmimLabel.cleanupLabel("X INACTIVATION, FAMILIAL SKEWED, 1") ==
+      "X Inactivation, Familial Skewed, 1")
+    // interior conjunctions/preps/articles lowercase; roman ≥100 kept
+    assert(OmimLabel.cleanupLabel("DEAFNESS OF THE EAR") == "Deafness of the Ear")
+    // words that merely look roman-prefixed stay words
+    assert(OmimLabel.cleanupLabel("SYNDROME MIXED DISEASE") ==
+      "Syndrome Mixed Disease")
+    // alt titles: ';;' split + ', INCLUDED' strip, each cleaned
+    assert(OmimLabel.altLabels(
+      "ACS5;;\nACS V;;\nNOACK SYNDROME, INCLUDED") ==
+      Seq("Acs5", "Acs 5", "Noack Syndrome"))
+  }
 }
