@@ -37,7 +37,8 @@ object Runner {
   val registry: Map[String, GraftSource] = Seq(
     NationClassSource, OrderAssocSource, PartFeatureSource,
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
-    ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource
+    ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource,
+    BgeeSource, UcscBandsSource, UdpSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the

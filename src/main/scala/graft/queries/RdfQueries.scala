@@ -172,21 +172,10 @@ object RdfQueries {
     // window compiles to WindowGroupLimit, so each gene's group is cut
     // map-side before the sort — the property that lets a ranked ingest
     // run over a full-corpus expression matrix.
-    "p02_bgee_pipeline" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ranked = Tables.lineitem(s, d)
-        .select(
-          concat(lit("ENSEMBL:"), col("l_suppkey").cast("string")).as("gene"),
-          concat(lit("UBERON:"), col("l_partkey").cast("string")).as("anat"),
-          col("l_extendedprice").as("score"))
-        .groupBy("gene", "anat").agg(min("score").as("score"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("gene").orderBy(col("score").asc, col("anat").asc)))
-        .filter(col("rk") <= 3).drop("rk")
-      graft.emit.ColumnEmit.assocReified(ranked, "EX:bgee",
-        col("gene"), lit("RO:0002206"), col("anat"),
-        source = Some("EX:bgee"), score = Some(col("score")))
-    }),
+    // Runs through the registered BgeeSource (read manifest + transform)
+    // — the oracle checks the full registered-source path.
+    "p02_bgee_pipeline" -> ((s, d) =>
+      graft.engine.BgeeSource.transform(s, graft.engine.BgeeSource.read(s, d))),
 
     // Graph release diff (the reference's set-difference report,
     // dipper/utils/TestUtils.py:44-57, as a production operator): two
@@ -289,6 +278,20 @@ object RdfQueries {
     "p05_omim_pipeline" -> ((s, d) =>
       graft.engine.OmimApiSource.transform(s,
         graft.engine.OmimApiSource.read(s, d))),
+
+    // §3.2 end-to-end ingest #7 — UCSCBands/Monochrom shape: cytoband
+    // prefix partonomy with aggregated FALDO extents, through the
+    // registered UcscBandsSource.
+    "p06_ucsc_bands_pipeline" -> ((s, d) =>
+      graft.engine.UcscBandsSource.transform(s,
+        graft.engine.UcscBandsSource.read(s, d))),
+
+    // §3.2 end-to-end ingest #8 — UDP shape: variant calls assigned to
+    // containing gene regions via the bucketed range join, through the
+    // registered UdpSource.
+    "p07_udp_pipeline" -> ((s, d) =>
+      graft.engine.UdpSource.transform(s,
+        graft.engine.UdpSource.read(s, d))),
 
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
@@ -719,6 +722,57 @@ object RdfQueries {
          UNION ALL SELECT bg, 'rdfs:label', bgl, true, NULL FROM g
          UNION ALL SELECT gt, 'GENO:0000385', bg, false, NULL FROM g
          UNION ALL SELECT bg, 'RO:0002162', 'NCBITaxon:7955', false, NULL FROM g""",
+    "p06_ucsc_bands_pipeline" ->
+      """WITH src AS (
+           SELECT p_partkey::varchar AS code, (p_size*1000)::bigint AS s,
+                  (p_size*1000+999)::bigint AS e
+           FROM part WHERE p_partkey >= 10),
+         ex AS (
+           SELECT substr(code, 1, g) AS band, s, e
+           FROM src CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS g) t
+           WHERE g <= length(code) - 1),
+         bands AS (
+           SELECT band, min(s) AS lo, max(e) AS hi FROM ex GROUP BY band),
+         b AS (
+           SELECT band, lo, hi, 'EX:band'||band AS id, 'band '||band AS label,
+                  CASE WHEN length(band) > 1
+                       THEN 'EX:band'||substr(band, 1, length(band)-1)
+                       ELSE 'EX:chr1' END AS parent
+           FROM bands),
+         g AS (SELECT *, '_:b'||substr(md5('region+'||id||'+'||lo::varchar||'+'||hi::varchar||'+EX:chr1'),2,19) AS region FROM b),
+         h AS (SELECT *,
+                 '_:b'||substr(md5('pos+'||region||'+begin+'||lo::varchar),2,19) AS beginn,
+                 '_:b'||substr(md5('pos+'||region||'+end+'||hi::varchar),2,19) AS endn
+               FROM g)
+         SELECT id AS s, 'rdf:type' AS p, 'SO:0000341' AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM h
+         UNION ALL SELECT id, 'rdfs:label', label, true, NULL FROM h
+         UNION ALL SELECT id, 'faldo:location', region, false, NULL FROM h
+         UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false, NULL FROM h
+         UNION ALL SELECT region, 'faldo:begin', beginn, false, NULL FROM h
+         UNION ALL SELECT region, 'faldo:end', endn, false, NULL FROM h
+         UNION ALL SELECT beginn, 'rdf:type', 'faldo:ExactPosition', false, NULL FROM h
+         UNION ALL SELECT beginn, 'rdf:type', 'faldo:BothStrandsPosition', false, NULL FROM h
+         UNION ALL SELECT beginn, 'faldo:position', lo::varchar, true, 'xsd:integer' FROM h
+         UNION ALL SELECT beginn, 'faldo:reference', 'EX:chr1', false, NULL FROM h
+         UNION ALL SELECT endn, 'rdf:type', 'faldo:ExactPosition', false, NULL FROM h
+         UNION ALL SELECT endn, 'rdf:type', 'faldo:BothStrandsPosition', false, NULL FROM h
+         UNION ALL SELECT endn, 'faldo:position', hi::varchar, true, 'xsd:integer' FROM h
+         UNION ALL SELECT endn, 'faldo:reference', 'EX:chr1', false, NULL FROM h
+         UNION ALL SELECT id, 'RO:0002525', parent, false, NULL FROM h
+         UNION ALL SELECT parent, 'RO:0002524', id, false, NULL FROM h""",
+    "p07_udp_pipeline" ->
+      """WITH m AS (
+           SELECT DISTINCT 'EX:var'||l_orderkey::varchar||'_'||l_linenumber::varchar AS vid,
+                  'EX:g'||s_suppkey::varchar AS gene
+           FROM lineitem l
+           JOIN (SELECT s_suppkey, s_suppkey*20 AS lo, s_suppkey*20+50 AS hi
+                 FROM supplier) i
+             ON l.l_partkey BETWEEN i.lo AND i.hi)
+         SELECT DISTINCT * FROM (
+           SELECT vid AS s, 'rdf:type' AS p, 'SO:0001059' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM m
+           UNION ALL SELECT vid, 'GENO:0000418', gene, false, NULL FROM m
+           UNION ALL SELECT gene, 'rdf:type', 'SO:0000704', false, NULL FROM m) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,

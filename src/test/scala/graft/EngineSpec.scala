@@ -111,6 +111,21 @@ class EngineSpec extends SparkSpec {
     assert(nt.exists(_.contains("IAO_0100001")))
   }
 
+  test("bgee / ucsc_bands / udp_variants registered sources run end-to-end") {
+    val out = Files.createTempDirectory("graft-region").toString
+    val results = Runner.run(spark, Runner.RunConfig(
+      Seq("bgee", "ucsc_bands", "udp_variants"), out), sf)
+    assert(results.size == 3 && results.forall(_.triples > 0))
+    val bgee = spark.read.text(s"$out/bgee.nt").as[String].collect()
+    assert(bgee.exists(_.contains("RO_0002206"))) // expressed-in assocs
+    val bands = spark.read.text(s"$out/ucsc_bands.nt").as[String].collect()
+    assert(bands.exists(_.contains("SO_0000341"))) // chromosome-band class
+    assert(bands.exists(_.contains("faldo#position"))) // extent positions
+    assert(bands.exists(_.contains("RO_0002525"))) // containment partonomy
+    val udp = spark.read.text(s"$out/udp_variants.nt").as[String].collect()
+    assert(udp.exists(_.contains("GENO_0000418"))) // variant → gene
+  }
+
   test("streamed-graph mode: streamed NT set-equals the batch NT") {
     // the reference's `-g streamed_graph` (Source.py:118-121): same
     // graph, incremental serialization — here via the Structured
