@@ -103,6 +103,52 @@ object NT {
     concat_ws(" ", subjTerm(s), concat(lit("<"), p, lit(">")),
       objTerm(o, isLit, dtIri), lit("."))
 
+  def unescape(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v(i + 1) match {
+          case '\\' => sb.append('\\')
+          case '"'  => sb.append('"')
+          case 'n'  => sb.append('\n')
+          case 'r'  => sb.append('\r')
+          case 't'  => sb.append('\t')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val Line = """^\s*(<[^>]*>|_:\S+)\s+<([^>]+)>\s+(.+?)\s*\.\s*$""".r
+  private val LitObj = """^"(.*)"(?:\^\^<([^>]+)>)?$""".r
+
+  /** Parse one N-Triples line back to a [[Triple]] (IRIs stay expanded;
+    * the write side is [[lineCol]]/[[term]]). None for blank/comment
+    * lines; malformed lines are a hard error — a silently dropped line
+    * would make a golden-file compare pass vacuously. */
+  def parseLine(line: String): Option[Triple] = line.trim match {
+    case "" => None
+    case c if c.startsWith("#") => None
+    case Line(st, p, ot) =>
+      val s = if (st.startsWith("<")) st.substring(1, st.length - 1) else st
+      ot match {
+        case o if o.startsWith("<") && o.endsWith(">") =>
+          Some(Triple(s, p, o.substring(1, o.length - 1), lit = false, null))
+        case o if o.startsWith("_:") =>
+          Some(Triple(s, p, o, lit = false, null))
+        case LitObj(v, dt) =>
+          Some(Triple(s, p, unescape(v), lit = true, dt))
+        case other =>
+          throw new IllegalArgumentException(s"unparseable NT object: $other")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unparseable NT line: $other")
+  }
+
   /** N-Quads line: an NT line with a graph label term before the dot
     * (W3C N-Quads grammar; the reference's `nquads` output format —
     * dipper/sources/Source.py:192-198). */

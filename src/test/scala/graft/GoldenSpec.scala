@@ -306,6 +306,56 @@ class GoldenSpec extends SparkSpec {
     assert(!nt.exists(l => l.contains("ZDB-GENO-3") && l.contains("GENO_0000385")))
   }
 
+  test("file-driven golden corpus: {input,expected} dirs via GraphEquality") {
+    // the reference's per-source golden layout
+    // (tests/resources/gwascatalog/{input,expected},
+    // tests/test_gwascatalog.py:20-82): raw input files + an expected
+    // serialization on disk, compared as triple SETS. Regenerate after
+    // an intentional change with `runMain graft.testing.GoldenGen` and
+    // review the git diff.
+    import org.apache.spark.sql.functions._
+    import graft.core.NT
+    val root = new java.io.File("src/test/resources/golden")
+    val dirs = root.listFiles().filter(_.isDirectory).sortBy(_.getName)
+    assert(dirs.length >= 3, "golden corpus missing")
+    dirs.foreach { dir =>
+      val source = Runner.registry(dir.getName)
+      val cm = Runner.curieMap
+      val actual = source
+        .transform(spark, source.read(spark, s"${dir.getPath}/input"))
+        .select(
+          cm.expandCol(col("s")).as("s"), cm.expandCol(col("p")).as("p"),
+          when(col("lit"), col("o")).otherwise(cm.expandCol(col("o"))).as("o"),
+          col("lit"),
+          when(col("dt").isNull, lit(null).cast("string"))
+            .otherwise(cm.expandCol(col("dt"))).as("dt"))
+      val src = scala.io.Source.fromFile(
+        s"${dir.getPath}/expected/expected.nt", "UTF-8")
+      val expected = try src.getLines().flatMap(NT.parseLine).toVector
+                     finally src.close()
+      assert(expected.nonEmpty, s"${dir.getName}: empty expected file")
+      val diff = GraphEquality.diff(actual, expected.toDF())
+      assert(diff.isEqual, s"${dir.getName}: ${diff.report}")
+    }
+  }
+
+  test("NT lines round-trip through the parser (parseLine ∘ term = id)") {
+    import graft.core.NT
+    val cases = Seq(
+      Triple.res("http://x/s", "http://x/p", "http://x/o"),
+      Triple.res("_:b1", "http://x/p", "_:b2"),
+      Triple.str("http://x/s", "http://x/p", "line\nbreak \"quoted\" \\slash\ttab"),
+      Triple.typed("http://x/s", "http://x/p", "42",
+        "http://www.w3.org/2001/XMLSchema#integer"))
+    cases.foreach { t =>
+      val line = NT.term(t.s, isLit = false, null) + s" <${t.p}> " +
+        NT.term(t.o, t.lit, t.dt) + " ."
+      assert(NT.parseLine(line).contains(t), s"round-trip failed: $line")
+    }
+    assert(NT.parseLine("").isEmpty && NT.parseLine("# comment").isEmpty)
+    intercept[IllegalArgumentException](NT.parseLine("not a triple"))
+  }
+
   test("omia_phenes ingest: XML dump through Runner with taxon constraint") {
     // wave-4 mechanism: MySQL-style XML dump → StAX scan → species-
     // specific phene subclasses; the --taxon constraint prunes at scan
