@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,22 +97,46 @@ object UdpSource extends GraftSource {
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
+    // keep the join/dedup keys NUMERIC through the shuffle (okey/lnum/
+    // skey longs, not the concat'd display ids — the r2 hash-to-long
+    // lesson); the id strings are built after each branch's dedup
     val points = in("variant_calls").select(
-      concat(lit("EX:var"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("vid"),
+      col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
       col("l_partkey").as("pos"))
     val genes = in("gene_regions").select(
-      concat(lit("EX:g"), col("s_suppkey")).as("gene"),
+      col("s_suppkey").as("skey"),
       (col("s_suppkey") * 20).cast("long").as("lo"),
       (col("s_suppkey") * 20 + 50).cast("long").as("hi"))
-    RangeJoin.pointInInterval(points, genes, "pos", "lo", "hi", bucketWidth = 64)
-      .select(col("vid"), col("gene"))
-      .as[(String, String)]
-      .flatMap { case (vid, gene) =>
-        Seq(
-          Triple.res(vid, Vocab.a, Vocab.sequenceAlteration),
-          Triple.res(vid, Vocab.hasAffectedLocus, gene),
-          Triple.res(gene, Vocab.a, Vocab.gene))
-      }.toDF().dropDuplicates("s", "p", "o", "lit", "dt")
+    val vid = concat(lit("EX:var"), col("okey"), lit("_"), col("lnum"))
+    val gene = concat(lit("EX:g"), col("skey"))
+    // Emission WITHOUT a global graph dedup: the naive shape
+    // (explode 3 triples per match, then distinct) shuffles 3× the match
+    // relation in wide 3-string rows — measured 8 s of a 9 s total at
+    // sf0.1, and the one piece of the plan that scales with matches ×
+    // triples-per-match at 100 TB. Instead each triple family dedups on
+    // its OWN minimal key, and the branches are predicate-disjoint so
+    // their union needs no further dedup:
+    //   pairs    (vid GENO:0000418 gene) — distinct over the 2-column
+    //            match relation (vid is not guaranteed unique upstream);
+    //   vid type (vid a SO:0001059)     — left-semi range join (keeps
+    //            each point row once, broadcast, zero shuffle), then a
+    //            single-column distinct;
+    //   gene type (gene a SO:0000704)   — interval-side semi,
+    //            |genes|-bounded dedup inside the operator.
+    // The two scans per side are pruned-columnar re-reads — cheaper at
+    // scale than materializing a matches× intermediate.
+    def t(s: Column, p: String, o: Column): DataFrame => DataFrame =
+      _.select(s.as("s"), lit(p).as("p"), o.as("o"),
+        lit(false).as("lit"), lit(null).cast("string").as("dt"))
+    val pairs = t(vid, Vocab.hasAffectedLocus, gene)(
+      RangeJoin.pointInInterval(points, genes, "pos", "lo", "hi", bucketWidth = 64)
+        .select("okey", "lnum", "skey").distinct())
+    val vidTypes = t(vid, Vocab.a, lit(Vocab.sequenceAlteration))(
+      RangeJoin.pointsInAnyInterval(points, genes, "pos", "lo", "hi", bucketWidth = 64)
+        .select("okey", "lnum").distinct())
+    val geneTypes = t(gene, Vocab.a, lit(Vocab.gene))(
+      RangeJoin.intervalsWithAnyPoint(genes, points, "pos", "lo", "hi", bucketWidth = 64))
+    pairs.unionAll(vidTypes).unionAll(geneTypes)
   }
 
   override def testIds: Seq[String] = Seq("EX:g1")

@@ -31,13 +31,72 @@ object RangeJoin {
                       bucketWidth: Long = 1024L): DataFrame = {
     require(bucketWidth > 0)
     val b = lit(bucketWidth)
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / b).cast("long"),
-                       floor(col(hiCol) / b).cast("long"))))
+    val iv = bucketed(intervals, loCol, hiCol, b)
     val pt = points.withColumn("__bucket",
       floor(col(pointCol) / b).cast("long"))
     pt.join(iv, Seq("__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Points contained in at least one interval — the left-semi twin of
+    * [[pointInInterval]]. Output keeps `points`' columns only, each
+    * qualifying row exactly once (no post-hoc dedup needed even when a
+    * point hits several intervals), so "type every matched entity"
+    * emission runs with ZERO shuffle when the interval side broadcasts.
+    */
+  def pointsInAnyInterval(points: DataFrame, intervals: DataFrame,
+                          pointCol: String, loCol: String, hiCol: String,
+                          bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth > 0)
+    val b = lit(bucketWidth)
+    // rename to private names so the semi-join condition can't collide
+    // with same-named point columns (BloomJoin ambiguity lesson)
+    val iv = bucketed(
+      intervals.select(col(loCol).as("__lo"), col(hiCol).as("__hi")),
+      "__lo", "__hi", b)
+    val pt = points.withColumn("__bucket",
+      floor(col(pointCol) / b).cast("long"))
+    pt.join(iv,
+        pt("__bucket") === iv("__bucket") &&
+          col(pointCol) >= col("__lo") && col(pointCol) <= col("__hi"),
+        "left_semi")
+      .drop("__bucket")
+  }
+
+  /** Intervals containing at least one point — the other semi direction.
+    * The interval side must be exploded onto buckets before the semi
+    * join, so duplicate survivors (one per overlapped bucket) are
+    * collapsed by a dedup over the interval's own columns; sized for the
+    * dimension-like side of the join (the dedup shuffle is
+    * |intervals|-bounded, never |points|-bounded).
+    */
+  def intervalsWithAnyPoint(intervals: DataFrame, points: DataFrame,
+                            pointCol: String, loCol: String, hiCol: String,
+                            bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth > 0)
+    val b = lit(bucketWidth)
+    val iv = bucketed(intervals, loCol, hiCol, b)
+    val pt = points.select(col(pointCol).as("__p"),
+      floor(col(pointCol) / b).cast("long").as("__pbucket"))
+    iv.join(pt,
+        iv("__bucket") === pt("__pbucket") &&
+          col("__p") >= col(loCol) && col("__p") <= col(hiCol),
+        "left_semi")
+      .drop("__bucket")
+      .distinct()
+  }
+
+  /** Explode intervals onto the fixed-width buckets they overlap. An
+    * inverted interval (hi < lo — sentinel rows, bad data) would make
+    * `sequence` default to step -1 and blow up into |bucket(lo)-bucket(hi)|
+    * rows that the residual predicate discards; no point satisfies
+    * lo <= p <= hi there, so the null-rejecting pre-filter is
+    * output-identical and bounded (mirrors plans/RangeJoinRewrite).
+    */
+  private def bucketed(intervals: DataFrame, loCol: String, hiCol: String,
+                       b: Column): DataFrame =
+    intervals.where(col(loCol) <= col(hiCol)).withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / b).cast("long"),
+                       floor(col(hiCol) / b).cast("long"))))
 }

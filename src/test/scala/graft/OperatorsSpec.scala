@@ -19,6 +19,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("range semi joins ≡ naive, inverted intervals dropped, dup points kept once") {
+    // p=64 appears twice (semi keeps each row once per input row);
+    // (9, 700, 600) is inverted — must not match and must not blow up
+    val points = Seq(1L, 5L, 64L, 64L, 65L, 128L, 500L, 1000L).toDF("p")
+    val intervals = Seq((1, 0L, 10L), (2, 60L, 70L), (3, 100L, 600L), (9, 700L, 600L))
+      .toDF("iv", "lo", "hi")
+    val gotPts = RangeJoin.pointsInAnyInterval(points, intervals, "p", "lo", "hi", 64)
+      .as[Long].collect().toSeq.sorted
+    val wantPts = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_semi")
+      .as[Long].collect().toSeq.sorted
+    assert(gotPts == wantPts && gotPts.count(_ == 64L) == 2)
+    val gotIvs = RangeJoin.intervalsWithAnyPoint(intervals, points, "p", "lo", "hi", 64)
+      .select("iv").as[Int].collect().toSet
+    val wantIvs = intervals.join(points,
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_semi")
+      .select("iv").as[Int].collect().toSet
+    assert(gotIvs == wantIvs && !gotIvs.contains(9))
+  }
+
   test("exact dedup groups: only duplicated digests, canonical keeper") {
     val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
       .toDF("doc_id", "text")
