@@ -77,6 +77,9 @@ object Vocab {
   val homozygous = "GENO:0000136"
   val heterozygous = "GENO:0000135"
   val hemizygous = "GENO:0000134"
+  val indeterminate = "GENO:0000137"
+  val compoundHeterozygous = "GENO:0000402"
+  val simpleHeterozygous = "GENO:0000458"
   val hasReferencePart = "GENO:0000385"
   val genome = "SO:0001026"
   val chromosome = "SO:0000340"

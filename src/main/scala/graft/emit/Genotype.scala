@@ -125,7 +125,54 @@ object Genotype {
       Seq(Triple.res(id, "RO:0002525", buildId))
   }
 
-  /** VSLC label synthesis (Genotype.make_vslc_label, :657-687). */
+  /** The allele implied by an explicit zygosity annotation
+    * (ZFIN._get_other_allele_by_zygosity, ZFIN.py:2827-2847):
+    * homozygous pairs the allele with itself, hemizygous/complex with
+    * the `"0"` null-allele sentinel, unknown with `"?"`; heterozygous
+    * contributes nothing (the partner arrives on its own row). */
+  def otherAlleleByZygosity(allele: String, zygosity: String): Option[String] =
+    zygosity match {
+      case "homozygous" => Some(allele)
+      case "hemizygous" | "complex" => Some("0")
+      case "unknown" => Some("?")
+      case _ => None
+    }
+
+  /** Resolve the second VSLC slot and zygosity class from the first two
+    * entries of a locus's parts list (ZFIN.py:1004-1024): no partner →
+    * wild-type slot + simple heterozygous; `"?"` → `UN` slot +
+    * indeterminate; `"0"` → hemizygous; same allele → homozygous;
+    * distinct alleles → compound heterozygous. Returns
+    * (slot display id, zygosity term). */
+  def resolveSecondSlot(allele1: String,
+                        allele2Raw: Option[String]): (String, String) =
+    allele2Raw match {
+      case None => ("WT", Vocab.simpleHeterozygous)
+      case Some("?") => ("UN", Vocab.indeterminate)
+      case Some("0") => ("0", Vocab.hemizygous)
+      case Some(a) if a == allele1 => (a, Vocab.homozygous)
+      case Some(a) => (a, Vocab.compoundHeterozygous)
+    }
+
+  /** `gene<allele>` (Genotype.make_variant_locus_label, :658-663). */
+  def makeVariantLocusLabel(geneLabel: String, alleleLabel: String): String =
+    Option(geneLabel).getOrElse("").trim +
+      "<" + Option(alleleLabel).getOrElse("").trim + ">"
+
+  /** Gene-qualified Monarch VSLC label `gene<al1>/gene<al2>`
+    * (Genotype.make_vslc_label, :665-687): the reference always renders
+    * both slots (a wild-type partner shows as `gene<+>`). */
+  def makeVslcLabel(geneLabel: String, allele1Label: String,
+                    allele2Label: Option[String]): String = {
+    val top = makeVariantLocusLabel(geneLabel, allele1Label)
+    val bottom =
+      allele2Label.map(makeVariantLocusLabel(geneLabel, _)).getOrElse("")
+    top + "/" + bottom
+  }
+
+  /** VSLC label synthesis — the simple ungened form kept for emitters
+    * whose inputs carry no locus column (see the 3-arg overload for the
+    * reference's gene-qualified form). */
   def makeVslcLabel(allele1Label: String, allele2Label: String): String =
     Seq(Option(allele1Label).filter(_.nonEmpty),
         Option(allele2Label).filter(_.nonEmpty))

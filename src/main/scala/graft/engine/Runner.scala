@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.core.{CurieMap, Triple}
+import graft.core.{CurieMap, Triple, Vocab}
 import graft.emit.{Association, DatasetMeta, Feature, Model}
 import graft.sinks.TripleSinks
 import graft.core.Digest
@@ -372,16 +372,22 @@ object PartFeatureSource extends GraftSource {
   * backgrounds join is agg-side (one row per genotype, broadcast-able);
   * emission is a flatMap over the aggregated relation.
   *
-  * SHAPE SIMPLIFICATION (documented, deliberate): the VSLC here carries
-  * exactly TWO allele slots — min/max (AlleleID) per genotype. A genotype
-  * listing ≥3 distinct alleles keeps only the extremes; the reference
-  * assembles multi-locus VSLCs from every allele row
-  * (ZFIN.py:769-1191). Two alleles cover the dominant single-locus case
-  * the p03 oracle encodes (the oracle applies the same two-slot rule, so
-  * the pass is exact against the STATED semantics, not evidence of full
-  * multi-locus fidelity). Extending = swap min/max for
-  * collect_set(struct(AlleleID, AlleleName)) and emit one GVC with one
-  * VSLC per locus. */
+  * Full multi-locus assembly (ZFIN.py:769-1191): each row lists one
+  * allele with its affected gene and an explicit zygosity annotation;
+  * rows are grouped into per-locus parts lists (zygosity pairing the
+  * allele with itself / `0` / `?`, _get_other_allele_by_zygosity
+  * ZFIN.py:2827-2847), each locus becomes a VSLC (variant-locus bnodes
+  * when the gene is known, the alleles directly otherwise), and a
+  * genotype's VSLCs roll up into a GVC with the sorted composite id and
+  * `; `-joined label — a single VSLC doubles as its own GVC. Genotypes
+  * with no background row get the reference's "unspecified background"
+  * placeholder bnode. Ids are md5 digests (sha1 in the reference) so the
+  * DuckDB oracle twin (p03) can reproduce them.
+  *
+  * Scale shape: two shuffles — the per-(genotype, locus) aggregate, then
+  * the per-genotype rollup; the backgrounds join is agg-side (one row
+  * per genotype) and locus-level triples ride the second (genotype-key)
+  * shuffle as struct arrays instead of re-executing the first stage. */
 object ZfinGenotypeSource extends GraftSource {
   val name = "zfin_genotypes"
 
@@ -393,53 +399,139 @@ object ZfinGenotypeSource extends GraftSource {
     graft.sources.DelimitedSource.readManifest(spark, Map(
       "genotype_features" -> graft.sources.SourceFile(
         s"$dataDir/genotype_features.tsv",
-        schemaOf("GenotypeID", "GenotypeName", "AlleleID", "AlleleName")),
+        schemaOf("GenotypeID", "GenotypeName", "AlleleID", "AlleleName",
+          "GeneID", "GeneSymbol", "Zygosity")),
       "genotype_backgrounds" -> graft.sources.SourceFile(
         s"$dataDir/genotype_backgrounds.tsv",
         schemaOf("GenotypeID", "BackgroundID", "BackgroundName"))))
 
+  private def strip(s: String): String = s.replaceAll("(ZFIN)?:", "")
+
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
     import graft.emit.{Genotype => G}
-    val feats = in("genotype_features")
-      .groupBy(col("GenotypeID"))
-      .agg(min(struct(col("AlleleID"), col("AlleleName"))).as("p1"),
-        max(struct(col("AlleleID"), col("AlleleName"))).as("p2"),
-        count(lit(1)).as("n"),
-        countDistinct(col("AlleleID")).as("nd"),
-        max(col("GenotypeName")).as("gname"))
-    val bgs = in("genotype_backgrounds")
-      .select(col("GenotypeID"), col("BackgroundID"), col("BackgroundName"))
-    feats.join(bgs, Seq("GenotypeID"), "left")
-      .select(col("GenotypeID"), col("gname"),
-        col("p1.AlleleID").as("a1"), col("p1.AlleleName").as("n1"),
-        // second VSLC slot: distinct partner allele, self (homozygous
-        // pair), or absent (hemizygous)
-        when(col("nd") > 1, col("p2.AlleleID"))
-          .when(col("n") > 1, col("p1.AlleleID")).as("a2"),
-        when(col("nd") > 1, col("p2.AlleleName"))
-          .when(col("n") > 1, col("p1.AlleleName")).as("n2"),
-        col("BackgroundID"), col("BackgroundName"))
-      .as[(String, String, String, String, Option[String], Option[String],
+    val feats = in("genotype_features").select(
+        col("GenotypeID"), col("GenotypeName"), col("AlleleID"),
+        col("AlleleName"), col("GeneID"), col("GeneSymbol"), col("Zygosity"))
+      .as[(String, String, String, String, String, String, String)]
+    // stage 1: per-(genotype, locus) VSLC assembly; locus = the gene
+    // when located, the allele itself otherwise (ZFIN.py:903-921)
+    val loci = feats
+      .groupByKey { case (gid, _, aid, _, gene, _, _) =>
+        (gid, Option(gene).filter(_.nonEmpty).getOrElse(aid))
+      }
+      .mapGroups { (key: (String, String),
+                    it: Iterator[(String, String, String, String, String,
+                                  String, String)]) =>
+        val gid = key._1
+        val rows = it.toSeq.sortBy(r => (r._3, r._4, r._7))
+        val gname = rows.map(_._2).max
+        val located = rows.exists(r => r._5 != null && r._5.nonEmpty)
+        val geneCurie = if (located) "ZFIN:" + rows.head._5 else null
+        val geneLabel = if (located) rows.head._6 else ""
+        val labels = rows.map(r => ("ZFIN:" + r._3) -> r._4).toMap
+        // parts list: file order is replaced by the AlleleID sort above
+        // for partition-order determinism; each row contributes its
+        // allele plus the zygosity-implied partner
+        val parts = rows.flatMap { r =>
+          val c = "ZFIN:" + r._3
+          c +: G.otherAlleleByZygosity(c, r._7).toList
+        }
+        val a1 = parts.head
+        val (a2id, zygosity) = G.resolveSecondSlot(a1, parts.lift(1))
+        val a2Label = a2id match {
+          case "WT" => "+"
+          case "UN" => "?"
+          case "0" => "0"
+          case a => labels.getOrElse(a, a)
+        }
+        val gn = if (located) geneCurie else "UN"
+        val vslc = "_:" + Digest.md5IdScala(strip(s"$gn-$a1-$a2id"))
+        val vslcLabel =
+          G.makeVslcLabel(geneLabel, labels.getOrElse(a1, a1), Some(a2Label))
+        // slot targets: variant-locus bnodes when located, alleles
+        // directly otherwise; a homozygous pair repeats its target,
+        // matching the reference's duplicate emission (graph dedups)
+        val realSlots =
+          (a1, labels.getOrElse(a1, a1)) +:
+            (if (!Set("WT", "0", "UN").contains(a2id))
+               Seq((a2id, a2Label)) else Nil)
+        val slotTriples = realSlots.flatMap { case (alleleCurie, aLabel) =>
+          if (located) {
+            val vl = "_:" + Digest.md5IdScala(strip(s"$geneCurie-$alleleCurie"))
+            Model.addType(vl, Vocab.variantLocus) ++
+              Model.addLabel(vl, G.makeVariantLocusLabel(geneLabel, aLabel)) ++
+              G.addAlleleOfGene(vl, geneCurie) ++
+              Seq(Triple.res(vl, Vocab.hasVariantPart, alleleCurie),
+                Triple.res(vslc, Vocab.hasVariantPart, vl))
+          } else Seq(Triple.res(vslc, Vocab.hasVariantPart, alleleCurie))
+        }
+        val ts =
+          rows.flatMap(r => G.addAllele("ZFIN:" + r._3, r._4)) ++
+            (if (located) G.addGene(geneCurie, geneLabel) else Nil) ++
+            Model.addType(vslc, Vocab.vslc) ++
+            Model.addLabel(vslc, vslcLabel) ++
+            slotTriples :+
+            Triple.res(vslc, Vocab.hasZygosity, zygosity)
+        (gid, gname, vslc, vslcLabel, ts)
+      }
+      .toDF("gid", "gname", "vslc", "vslcLabel", "ts")
+    val bgs = in("genotype_backgrounds").select(
+      col("GenotypeID").as("gid"), col("BackgroundID"), col("BackgroundName"))
+    // stage 2: per-genotype GVC rollup + background (ZFIN.py:1096-1186).
+    // Columnar collect_list aggregation, NOT groupByKey+flatMapGroups:
+    // Tungsten hash-aggregates the narrow rows and the carried
+    // locus-level triples, so per-locus objects are decoded exactly once
+    // (in the final flatMap) instead of object-sorted through the
+    // genotype shuffle.
+    loci
+      .groupBy(col("gid"))
+      .agg(max(col("gname")).as("gname"),
+        sort_array(collect_list(
+          struct(col("vslc").as("_1"), col("vslcLabel").as("_2")))).as("vslcs"),
+        flatten(collect_list(col("ts"))).as("carried"))
+      .join(bgs, Seq("gid"), "left")
+      .as[(String, String, Seq[(String, String)], Seq[Triple],
            Option[String], Option[String])]
-      .flatMap { case (gid, gname, a1, n1, a2, n2, bgId, bgName) =>
+      .flatMap { case (gid, gname, vslcs, carried, bgIdOpt, bgNameOpt) =>
         val gt = s"ZFIN:$gid"
-        val al1 = s"ZFIN:$a1"
-        val al2 = a2.map(v => s"ZFIN:$v").getOrElse("")
-        val vslc = "_:" + Digest.md5IdScala(s"vslc+$gid")
-        G.addGenotype(gt, null) ++
-          Model.addSynonym(gt, gname) ++
-          G.addAllele(al1, n1) ++
-          a2.toSeq.flatMap(v => G.addAllele(s"ZFIN:$v", n2.orNull)) ++
-          G.addPartsToVslc(vslc, al1, al2) ++
-          Model.addLabel(vslc, G.makeVslcLabel(n1, n2.orNull)) ++
-          G.addVslcToParent(vslc, gt) ++
-          bgId.toSeq.flatMap { b =>
-            val bgCurie = s"ZFIN:$b"
-            G.addGenomicBackground(bgCurie, bgName.orNull) ++
-              G.addGenomicBackgroundToGenotype(bgCurie, gt) ++
-              G.addTaxon("NCBITaxon:7955", bgCurie)
+        val (gvcId, gvcLabel, gvcTriples) =
+          if (vslcs.size > 1) {
+            // composite id: sorted ids joined, ':' stripped, leading
+            // '_'s of the WHOLE string trimmed (ZFIN.py:1109-1111)
+            val idSrc = vslcs.map(_._1).mkString("-")
+              .replace(":", "").replaceFirst("^_+", "")
+            val id = "_:" + Digest.md5IdScala(idSrc)
+            val label = vslcs.map(_._2).sorted.mkString("; ")
+            (id, label,
+              Model.addType(id, Vocab.gvc) ++ Model.addLabel(id, label) ++
+                vslcs.flatMap(v => G.addVslcToParent(v._1, id)))
+          } else {
+            val (vid, vlabel) = vslcs.head
+            (vid, vlabel, Model.addType(vid, Vocab.gvc))
           }
+        val (bgLabelPart, bgTriples) = bgIdOpt match {
+          case Some(b) =>
+            val bgCurie = s"ZFIN:$b"
+            val bgName = bgNameOpt.orNull
+            (bgName,
+              G.addGenomicBackground(bgCurie, bgName) ++
+                G.addGenomicBackgroundToGenotype(bgCurie, gt) ++
+                G.addTaxon("NCBITaxon:7955", bgCurie))
+          case None => // placeholder bnode, ZFIN.py:1155-1170
+            val bgId = "_:" + Digest.md5IdScala(s"bkgd-$gid")
+            ("unspecified background",
+              G.addGenomicBackground(bgId, s"unspecified background ($gid)") ++
+                Model.addDescription(bgId, "This genomic background is " +
+                  s"unknown. This is a placeholder background for $gt.") ++
+                G.addGenomicBackgroundToGenotype(bgId, gt) ++
+                G.addTaxon("NCBITaxon:7955", bgId))
+        }
+        carried ++ gvcTriples ++ bgTriples ++
+          G.addGenotype(gt, s"$gname ($bgLabelPart)") ++
+          Model.addSynonym(gt, gname) ++
+          Model.addSynonym(gt, s"$gvcLabel [$bgLabelPart]") ++
+          G.addParts(gvcId, gt, Vocab.hasVariantPart)
       }.toDF()
   }
   override def testIds: Seq[String] = Seq("ZFIN:ZDB-GENO-070219-2")

@@ -204,53 +204,45 @@ object RdfQueries {
     }),
 
     // §3.2 end-to-end ingest #4 — ZFIN shape, the reference's LARGEST
-    // source (ZFIN.py, 3121 LoC, ~40 input TSVs): multi-file genotype
-    // assembly. Genotype features (per-genotype allele aggregation →
-    // VSLC with zygosity inference and the synthesized Monarch-style
-    // label, _process_genotype_features ZFIN.py:769-1191 +
-    // make_vslc_label Genotype.py:657-687) ⋈ allele-label dimension
-    // (broadcast) ⋈ genotype backgrounds with taxon
-    // (_process_genotype_backgrounds ZFIN.py:1192-1263), plus the
-    // ZFIN-name synonym the reference attaches before relabeling. One
-    // fact shuffle (the per-genotype aggregate); both label joins
-    // broadcast; the background join is agg-side (one row per genotype).
+    // source (ZFIN.py, 3121 LoC, ~40 input TSVs): full multi-locus
+    // genotype assembly run through the REGISTERED source's own
+    // transform (engine.ZfinGenotypeSource — per-locus parts lists with
+    // zygosity pairing, variant-locus bnodes, per-locus VSLCs, GVC
+    // rollup with composite digest id, background placeholders;
+    // _process_genotype_features ZFIN.py:769-1191). TPC-H mapping:
+    // order=genotype, supplier=gene/locus, part=allele, the line
+    // number's residue class drives the explicit zygosity column, and
+    // orders with o_custkey%7=0 withhold the background to exercise the
+    // placeholder branch. Two shuffles (locus agg, genotype rollup);
+    // both label dimensions broadcast.
     "p03_zfin_pipeline" -> ((s, d) => {
-      import s.implicits._
       val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
       val feats = Tables.lineitem(s, d)
         .filter(col("l_orderkey") % 5 === 0) // deterministic 1/5 volume
-        .groupBy("l_orderkey")
-        .agg(min("l_partkey").as("a1"),
-             when(count(lit(1)) > 1, max(col("l_partkey"))).as("a2"))
-      val bg = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-      feats
-        .join(broadcast(parts.select(col("p_partkey").as("a1"),
-          col("p_name").as("n1"))), "a1")
-        .join(broadcast(parts.select(col("p_partkey").as("a2"),
-          col("p_name").as("n2"))), Seq("a2"), "left")
-        .join(bg, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("a1"), col("a2"), col("n1"),
-          col("n2"), col("o_custkey"), col("o_orderpriority"))
-        .as[(Long, Long, Option[Long], String, Option[String], Long, String)]
-        .flatMap { case (ok, a1, a2, n1, n2, bgk, syn) =>
-          val gt = s"ZFIN:G$ok"
-          val al1 = s"ZFIN:A$a1"
-          val al2 = a2.map(v => s"ZFIN:A$v").getOrElse("")
-          val vslc = "_:" + Digest.md5IdScala(s"vslc+$ok")
-          val bgId = s"ZFIN:BG$bgk"
-          GenotypeEmit.addGenotype(gt, null) ++
-            Model.addSynonym(gt, syn) ++
-            GenotypeEmit.addAllele(al1, n1) ++
-            a2.toSeq.flatMap(v =>
-              GenotypeEmit.addAllele(s"ZFIN:A$v", n2.orNull)) ++
-            GenotypeEmit.addPartsToVslc(vslc, al1, al2) ++
-            Model.addLabel(vslc, GenotypeEmit.makeVslcLabel(n1, n2.orNull)) ++
-            GenotypeEmit.addVslcToParent(vslc, gt) ++
-            GenotypeEmit.addGenomicBackground(bgId, s"background $bgk") ++
-            GenotypeEmit.addGenomicBackgroundToGenotype(bgId, gt) ++
-            GenotypeEmit.addTaxon("NCBITaxon:7955", bgId)
-        }.toDF()
+        .groupBy(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+        .agg(min(col("l_linenumber")).as("ln"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(
+          concat(lit("G"), col("l_orderkey")).as("GenotypeID"),
+          concat(lit("genotype "), col("l_orderkey")).as("GenotypeName"),
+          concat(lit("A"), col("l_partkey")).as("AlleleID"),
+          col("p_name").as("AlleleName"),
+          concat(lit("S"), col("l_suppkey")).as("GeneID"),
+          col("s_name").as("GeneSymbol"),
+          element_at(
+            array(lit("unknown"), lit("homozygous"),
+              lit("heterozygous"), lit("hemizygous")),
+            (col("ln") % 4 + 1).cast("int")).as("Zygosity"))
+      val bgs = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0 && col("o_custkey") % 7 =!= 0)
+        .select(
+          concat(lit("G"), col("o_orderkey")).as("GenotypeID"),
+          concat(lit("BG"), col("o_custkey")).as("BackgroundID"),
+          concat(lit("background "), col("o_custkey")).as("BackgroundName"))
+      graft.engine.ZfinGenotypeSource.transform(s,
+        Map("genotype_features" -> feats, "genotype_backgrounds" -> bgs))
     }),
 
     // §3.2 end-to-end ingest #5 — MGI shape, the reference's
@@ -678,50 +670,141 @@ object RdfQueries {
          SELECT s, p, o, lit, dt, 'added' AS change
          FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1)""",
     "p03_zfin_pipeline" ->
-      """WITH f AS (
-           SELECT l_orderkey AS ok, min(l_partkey) AS a1,
-                  CASE WHEN count(*) > 1 THEN max(l_partkey) END AS a2
-           FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1),
-         g AS (
-           SELECT ok, a1, a2,
+      """WITH rows0 AS (
+           SELECT l_orderkey AS ok, l_suppkey AS sk, l_partkey AS pk,
+                  min(l_linenumber) AS ln
+           FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1, 2, 3),
+         rows2 AS (
+           SELECT ok, sk, 'A'||pk::varchar AS aid, p.p_name AS nm,
+                  CASE (ln % 4) WHEN 0 THEN 'unknown'
+                       WHEN 1 THEN 'homozygous'
+                       WHEN 2 THEN 'heterozygous'
+                       ELSE 'hemizygous' END AS zyg
+           FROM rows0 JOIN part p ON pk = p.p_partkey),
+         loci0 AS (
+           SELECT ok, sk, list_sort(list(struct_pack(
+                    aid := aid, nm := nm, zyg := zyg))) AS rs
+           FROM rows2 GROUP BY 1, 2),
+         loci1 AS (
+           SELECT ok, sk, rs,
+                  rs[1].aid AS a1, rs[1].nm AS n1, rs[1].zyg AS z1,
+                  CASE WHEN len(rs) > 1 THEN rs[2].aid END AS aid2,
+                  CASE WHEN len(rs) > 1 THEN rs[2].nm END AS nm2
+           FROM loci0),
+         loci2 AS (
+           SELECT ok, sk, rs, a1, n1,
+                  CASE z1 WHEN 'homozygous' THEN a1
+                       WHEN 'hemizygous' THEN '0'
+                       WHEN 'unknown' THEN '?' ELSE aid2 END AS a2raw,
+                  CASE z1 WHEN 'homozygous' THEN n1
+                       WHEN 'hemizygous' THEN '0'
+                       WHEN 'unknown' THEN '?' ELSE nm2 END AS a2nm
+           FROM loci1),
+         loci AS (
+           SELECT ok, sk, rs, a1, n1, a2raw,
+                  s2.s_name AS gl,
+                  'ZFIN:S'||sk::varchar AS gene,
+                  CASE WHEN a2raw IS NULL THEN 'WT'
+                       WHEN a2raw = '?' THEN 'UN' ELSE a2raw END AS a2disp,
+                  CASE WHEN a2raw IS NULL THEN '+'
+                       WHEN a2raw = '?' THEN '?'
+                       WHEN a2raw = '0' THEN '0' ELSE a2nm END AS a2lbl,
+                  CASE WHEN a2raw IS NULL THEN 'GENO:0000458'
+                       WHEN a2raw = '?' THEN 'GENO:0000137'
+                       WHEN a2raw = '0' THEN 'GENO:0000134'
+                       WHEN a2raw = a1 THEN 'GENO:0000136'
+                       ELSE 'GENO:0000402' END AS zygid,
+                  CASE WHEN a2raw IS NOT NULL AND a2raw NOT IN ('0', '?')
+                       THEN a2raw END AS a2real,
+                  CASE WHEN a2raw = a1 THEN n1 ELSE a2nm END AS a2reallbl
+           FROM loci2 JOIN supplier s2 ON sk = s2.s_suppkey),
+         vslcs AS (
+           SELECT ok, sk, rs, a1, n1, gene, gl, a2disp, a2lbl, zygid,
+                  a2real, a2reallbl,
+                  '_:b'||substr(md5('S'||sk::varchar||'-'||a1||'-'||a2disp),
+                    2, 19) AS vslc,
+                  gl||'<'||n1||'>/'||gl||'<'||a2lbl||'>' AS vlabel
+           FROM loci),
+         slots AS (
+           SELECT sk, gene, gl, vslc, a1 AS said, n1 AS slbl FROM vslcs
+           UNION ALL
+           SELECT sk, gene, gl, vslc, a2real, a2reallbl FROM vslcs
+           WHERE a2real IS NOT NULL),
+         slots2 AS (
+           SELECT gene, gl, vslc, said, slbl,
+                  '_:b'||substr(md5('S'||sk::varchar||'-'||said), 2, 19) AS vl
+           FROM slots),
+         gts AS (
+           SELECT v.ok, count(*) AS n,
+                  CASE WHEN count(*) > 1
+                       THEN '_:b'||substr(md5(ltrim(replace(
+                         string_agg(v.vslc, '-' ORDER BY v.vslc), ':', ''),
+                         '_')), 2, 19)
+                       ELSE min(v.vslc) END AS gvc,
+                  string_agg(v.vlabel, '; ' ORDER BY v.vlabel) AS gvclabel,
+                  min(o.o_custkey) AS ck
+           FROM vslcs v LEFT JOIN (
+             SELECT o_orderkey, o_custkey FROM orders
+             WHERE o_orderkey % 5 = 0 AND o_custkey % 7 <> 0) o
+             ON v.ok = o.o_orderkey
+           GROUP BY 1),
+         gts2 AS (
+           SELECT ok, n, gvc, gvclabel,
                   'ZFIN:G'||ok::varchar AS gt,
-                  '_:b'||substr(md5('vslc+'||ok::varchar),2,19) AS vslc,
-                  'ZFIN:A'||a1::varchar AS al1,
-                  CASE WHEN a2 IS NULL THEN NULL
-                       ELSE 'ZFIN:A'||a2::varchar END AS al2,
-                  p1.p_name AS n1, p2.p_name AS n2,
-                  'ZFIN:BG'||o.o_custkey::varchar AS bg,
-                  'background '||o.o_custkey::varchar AS bgl,
-                  o.o_orderpriority AS syn
-           FROM f JOIN part p1 ON f.a1 = p1.p_partkey
-                  LEFT JOIN part p2 ON f.a2 = p2.p_partkey
-                  JOIN orders o ON f.ok = o.o_orderkey)
-         SELECT gt AS s, 'rdf:type' AS p, 'GENO:0000536' AS o,
-                false AS lit, CAST(NULL AS VARCHAR) AS dt FROM g
-         UNION ALL SELECT gt, 'oboInOwl:hasExactSynonym', syn, true, NULL FROM g
-         UNION ALL SELECT al1, 'rdf:type', 'GENO:0000512', false, NULL FROM g
-         UNION ALL SELECT al1, 'rdfs:label', n1, true, NULL FROM g
-         UNION ALL SELECT al2, 'rdf:type', 'GENO:0000512', false, NULL FROM g
-           WHERE a2 IS NOT NULL
-         UNION ALL SELECT al2, 'rdfs:label', n2, true, NULL FROM g
-           WHERE a2 IS NOT NULL
-         UNION ALL SELECT vslc, 'rdf:type', 'GENO:0000030', false, NULL FROM g
-         UNION ALL SELECT vslc, 'GENO:0000382', al1, false, NULL FROM g
-         UNION ALL SELECT vslc, 'GENO:0000382', al2, false, NULL FROM g
-           WHERE a2 IS NOT NULL
-         UNION ALL SELECT vslc, 'GENO:0000608',
-           CASE WHEN a2 IS NULL THEN 'GENO:0000134'
-                WHEN a1 = a2 THEN 'GENO:0000136'
-                ELSE 'GENO:0000135' END, false, NULL FROM g
-         UNION ALL SELECT vslc, 'rdfs:label',
-           CASE WHEN a2 IS NULL THEN '<'||n1||'>'
-                ELSE '<'||least(n1,n2)||'/'||greatest(n1,n2)||'>' END,
-           true, NULL FROM g
-         UNION ALL SELECT gt, 'GENO:0000382', vslc, false, NULL FROM g
-         UNION ALL SELECT bg, 'rdf:type', 'GENO:0000611', false, NULL FROM g
-         UNION ALL SELECT bg, 'rdfs:label', bgl, true, NULL FROM g
-         UNION ALL SELECT gt, 'GENO:0000385', bg, false, NULL FROM g
-         UNION ALL SELECT bg, 'RO:0002162', 'NCBITaxon:7955', false, NULL FROM g""",
+                  'genotype '||ok::varchar AS gname,
+                  CASE WHEN ck IS NULL
+                       THEN '_:b'||substr(md5('bkgd-G'||ok::varchar), 2, 19)
+                       ELSE 'ZFIN:BG'||ck::varchar END AS bg,
+                  CASE WHEN ck IS NULL
+                       THEN 'unspecified background (G'||ok::varchar||')'
+                       ELSE 'background '||ck::varchar END AS bglfull,
+                  CASE WHEN ck IS NULL THEN 'unspecified background'
+                       ELSE 'background '||ck::varchar END AS bgpart,
+                  ck IS NULL AS nobg
+           FROM gts)
+         SELECT 'ZFIN:'||aid AS s, 'rdf:type' AS p, 'GENO:0000512' AS o,
+                false AS lit, CAST(NULL AS VARCHAR) AS dt FROM rows2
+         UNION ALL SELECT 'ZFIN:'||aid, 'rdfs:label', nm, true, NULL
+           FROM rows2
+         UNION ALL SELECT gene, 'rdf:type', 'SO:0000704', false, NULL
+           FROM loci
+         UNION ALL SELECT gene, 'rdfs:label', gl, true, NULL FROM loci
+         UNION ALL SELECT vl, 'rdf:type', 'GENO:0000002', false, NULL
+           FROM slots2
+         UNION ALL SELECT vl, 'rdfs:label', gl||'<'||slbl||'>', true, NULL
+           FROM slots2
+         UNION ALL SELECT vl, 'GENO:0000408', gene, false, NULL FROM slots2
+         UNION ALL SELECT vl, 'GENO:0000382', 'ZFIN:'||said, false, NULL
+           FROM slots2
+         UNION ALL SELECT vslc, 'GENO:0000382', vl, false, NULL FROM slots2
+         UNION ALL SELECT vslc, 'rdf:type', 'GENO:0000030', false, NULL
+           FROM vslcs
+         UNION ALL SELECT vslc, 'rdfs:label', vlabel, true, NULL FROM vslcs
+         UNION ALL SELECT vslc, 'GENO:0000608', zygid, false, NULL FROM vslcs
+         UNION ALL SELECT gvc, 'rdf:type', 'GENO:0000009', false, NULL
+           FROM gts2
+         UNION ALL SELECT gvc, 'rdfs:label', gvclabel, true, NULL FROM gts2
+           WHERE n > 1
+         UNION ALL SELECT g2.gvc, 'GENO:0000382', v.vslc, false, NULL
+           FROM vslcs v JOIN gts2 g2 ON v.ok = g2.ok WHERE g2.n > 1
+         UNION ALL SELECT bg, 'rdf:type', 'GENO:0000611', false, NULL
+           FROM gts2
+         UNION ALL SELECT bg, 'rdfs:label', bglfull, true, NULL FROM gts2
+         UNION ALL SELECT bg, 'dc:description',
+           'This genomic background is unknown. This is a placeholder '||
+           'background for '||gt||'.', true, NULL FROM gts2 WHERE nobg
+         UNION ALL SELECT gt, 'GENO:0000385', bg, false, NULL FROM gts2
+         UNION ALL SELECT bg, 'RO:0002162', 'NCBITaxon:7955', false, NULL
+           FROM gts2
+         UNION ALL SELECT gt, 'rdf:type', 'GENO:0000536', false, NULL
+           FROM gts2
+         UNION ALL SELECT gt, 'rdfs:label', gname||' ('||bgpart||')', true,
+           NULL FROM gts2
+         UNION ALL SELECT gt, 'oboInOwl:hasExactSynonym', gname, true, NULL
+           FROM gts2
+         UNION ALL SELECT gt, 'oboInOwl:hasExactSynonym',
+           gvclabel||' ['||bgpart||']', true, NULL FROM gts2
+         UNION ALL SELECT gt, 'GENO:0000382', gvc, false, NULL FROM gts2""",
     "p06_ucsc_bands_pipeline" ->
       """WITH src AS (
            SELECT p_partkey::varchar AS code, (p_size*1000)::bigint AS s,

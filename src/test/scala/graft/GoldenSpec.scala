@@ -254,17 +254,22 @@ class GoldenSpec extends SparkSpec {
     assert(!nt.exists(l => l.contains(cm.expand(a2)) && l.contains("onset")))
   }
 
-  test("zfin_genotypes ingest: multi-file genotype assembly through Runner") {
-    // het (two alleles), homozygous (same allele twice), hemizygous
-    // (single observation); one genotype carries a background strain
+  test("zfin_genotypes ingest: multi-locus genotype assembly through Runner") {
+    // one genotype with TWO loci (compound het at fgf8a + homozygous at
+    // shha → GVC rollup), single-locus homozygous (VSLC doubles as GVC,
+    // missing background → placeholder), unlocated hemizygous (alleles
+    // attach to the VSLC directly), wild-type pairing (simple het), and
+    // an unknown-zygosity row (indeterminate)
     val dir = Files.createTempDirectory("graft-zfin").toString
     Files.writeString(Paths.get(s"$dir/genotype_features.tsv"),
-      "GenotypeID\tGenotypeName\tAlleleID\tAlleleName\n" +
-      "ZDB-GENO-1\tfgf8a/ti282a\tZDB-ALT-1\tti282a\n" +
-      "ZDB-GENO-1\tfgf8a/ti282a\tZDB-ALT-2\ttbx392\n" +
-      "ZDB-GENO-2\tshha-hom\tZDB-ALT-3\tla014\n" +
-      "ZDB-GENO-2\tshha-hom\tZDB-ALT-3\tla014\n" +
-      "ZDB-GENO-3\tpax2a-hemi\tZDB-ALT-4\tzf145\n")
+      "GenotypeID\tGenotypeName\tAlleleID\tAlleleName\tGeneID\tGeneSymbol\tZygosity\n" +
+      "ZDB-GENO-1\tfgf8a-comp\tZDB-ALT-1\tti282a\tZDB-GENE-1\tfgf8a\theterozygous\n" +
+      "ZDB-GENO-1\tfgf8a-comp\tZDB-ALT-2\ttbx392\tZDB-GENE-1\tfgf8a\theterozygous\n" +
+      "ZDB-GENO-1\tfgf8a-comp\tZDB-ALT-5\tzf99\tZDB-GENE-2\tshha\thomozygous\n" +
+      "ZDB-GENO-2\tshha-hom\tZDB-ALT-3\tla014\tZDB-GENE-2\tshha\thomozygous\n" +
+      "ZDB-GENO-3\tpax2a-hemi\tZDB-ALT-4\tzf145\t\t\themizygous\n" +
+      "ZDB-GENO-4\twt-het\tZDB-ALT-6\ttm12\tZDB-GENE-3\tpax2a\theterozygous\n" +
+      "ZDB-GENO-5\tunk\tZDB-ALT-7\ttm13\tZDB-GENE-3\tpax2a\tunknown\n")
     Files.writeString(Paths.get(s"$dir/genotype_backgrounds.tsv"),
       "GenotypeID\tBackgroundID\tBackgroundName\n" +
       "ZDB-GENO-1\tZDB-GENO-BG1\tAB\n")
@@ -278,32 +283,71 @@ class GoldenSpec extends SparkSpec {
     def t(c: String) = "<" + cm.expand(c) + ">"
     def line(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} ${t(o0)} ."
     def lineLit(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} \"$o0\" ."
-    val v1 = "_:" + Digest.md5IdScala("vslc+ZDB-GENO-1")
-    val v2 = "_:" + Digest.md5IdScala("vslc+ZDB-GENO-2")
-    val v3 = "_:" + Digest.md5IdScala("vslc+ZDB-GENO-3")
+    // digest inputs are the reference's ZFIN:-stripped '-'-joins
+    // (gene-allele1-allele2 for VSLCs, gene-allele for variant loci,
+    // ZFIN.py:1066-1068, 2900-2903)
+    val v11 = "_:" + Digest.md5IdScala("ZDB-GENE-1-ZDB-ALT-1-ZDB-ALT-2")
+    val v12 = "_:" + Digest.md5IdScala("ZDB-GENE-2-ZDB-ALT-5-ZDB-ALT-5")
+    val v2 = "_:" + Digest.md5IdScala("ZDB-GENE-2-ZDB-ALT-3-ZDB-ALT-3")
+    val v3 = "_:" + Digest.md5IdScala("UN-ZDB-ALT-4-0")
+    val v4 = "_:" + Digest.md5IdScala("ZDB-GENE-3-ZDB-ALT-6-WT")
+    val v5 = "_:" + Digest.md5IdScala("ZDB-GENE-3-ZDB-ALT-7-UN")
+    val vl1 = "_:" + Digest.md5IdScala("ZDB-GENE-1-ZDB-ALT-1")
+    val gvc1 = "_:" + Digest.md5IdScala(Seq(v11, v12).sorted.mkString("-")
+      .replace(":", "").replaceFirst("^_+", ""))
+    val gvc1Label =
+      "fgf8a<ti282a>/fgf8a<tbx392>; shha<zf99>/shha<zf99>"
     val expected = Set(
-      // heterozygous: both alleles, sorted-label VSLC, background + taxon
-      line("ZFIN:ZDB-GENO-1", "rdf:type", "GENO:0000536"),
-      lineLit("ZFIN:ZDB-GENO-1", "oboInOwl:hasExactSynonym", "fgf8a/ti282a"),
-      line(v1, "GENO:0000382", "ZFIN:ZDB-ALT-1"),
-      line(v1, "GENO:0000382", "ZFIN:ZDB-ALT-2"),
-      line(v1, "GENO:0000608", "GENO:0000135"),
-      lineLit(v1, "rdfs:label", "<tbx392/ti282a>"),
-      line("ZFIN:ZDB-GENO-1", "GENO:0000382", v1),
-      line("ZFIN:ZDB-GENO-BG1", "rdf:type", "GENO:0000611"),
-      lineLit("ZFIN:ZDB-GENO-BG1", "rdfs:label", "AB"),
+      // compound het locus: variant-locus bnodes between allele and VSLC
+      line(vl1, "rdf:type", "GENO:0000002"),
+      lineLit(vl1, "rdfs:label", "fgf8a<ti282a>"),
+      line(vl1, "GENO:0000408", "ZFIN:ZDB-GENE-1"),
+      line(vl1, "GENO:0000382", "ZFIN:ZDB-ALT-1"),
+      line(v11, "GENO:0000382", vl1),
+      line(v11, "GENO:0000608", "GENO:0000402"),
+      lineLit(v11, "rdfs:label", "fgf8a<ti282a>/fgf8a<tbx392>"),
+      line("ZFIN:ZDB-GENE-1", "rdf:type", "SO:0000704"),
+      lineLit("ZFIN:ZDB-GENE-1", "rdfs:label", "fgf8a"),
+      // two loci roll up into a GVC with composite id + joined label
+      line(gvc1, "rdf:type", "GENO:0000009"),
+      lineLit(gvc1, "rdfs:label", gvc1Label),
+      line(gvc1, "GENO:0000382", v11),
+      line(gvc1, "GENO:0000382", v12),
+      line("ZFIN:ZDB-GENO-1", "GENO:0000382", gvc1),
+      lineLit("ZFIN:ZDB-GENO-1", "rdfs:label", "fgf8a-comp (AB)"),
+      lineLit("ZFIN:ZDB-GENO-1", "oboInOwl:hasExactSynonym", "fgf8a-comp"),
+      lineLit("ZFIN:ZDB-GENO-1", "oboInOwl:hasExactSynonym",
+        s"$gvc1Label [AB]"),
       line("ZFIN:ZDB-GENO-1", "GENO:0000385", "ZFIN:ZDB-GENO-BG1"),
       line("ZFIN:ZDB-GENO-BG1", "RO:0002162", "NCBITaxon:7955"),
-      // homozygous: self-paired allele
+      // homozygous single locus: VSLC doubles as the GVC; missing
+      // background becomes the reference's placeholder bnode
       line(v2, "GENO:0000608", "GENO:0000136"),
-      lineLit(v2, "rdfs:label", "<la014/la014>"),
-      // hemizygous: single allele
+      lineLit(v2, "rdfs:label", "shha<la014>/shha<la014>"),
+      line(v2, "rdf:type", "GENO:0000030"),
+      line(v2, "rdf:type", "GENO:0000009"),
+      line("ZFIN:ZDB-GENO-2", "GENO:0000382", v2),
+      lineLit("ZFIN:ZDB-GENO-2", "rdfs:label",
+        "shha-hom (unspecified background)"),
+      lineLit("_:" + Digest.md5IdScala("bkgd-ZDB-GENO-2"), "rdfs:label",
+        "unspecified background (ZDB-GENO-2)"),
+      line("ZFIN:ZDB-GENO-2", "GENO:0000385",
+        "_:" + Digest.md5IdScala("bkgd-ZDB-GENO-2")),
+      // unlocated hemizygous: allele attached directly, '0' second slot
       line(v3, "GENO:0000608", "GENO:0000134"),
-      lineLit(v3, "rdfs:label", "<zf145>"))
+      lineLit(v3, "rdfs:label", "<zf145>/<0>"),
+      line(v3, "GENO:0000382", "ZFIN:ZDB-ALT-4"),
+      // wild-type pairing and indeterminate zygosity
+      line(v4, "GENO:0000608", "GENO:0000458"),
+      lineLit(v4, "rdfs:label", "pax2a<tm12>/pax2a<+>"),
+      line(v5, "GENO:0000608", "GENO:0000137"),
+      lineLit(v5, "rdfs:label", "pax2a<tm13>/pax2a<?>"))
     val missing = expected -- nt
     assert(missing.isEmpty, s"missing golden lines: $missing")
-    // no background triples for genotypes without one
-    assert(!nt.exists(l => l.contains("ZDB-GENO-3") && l.contains("GENO_0000385")))
+    // the unlocated locus must NOT mint a variant-locus bnode layer:
+    // its VSLC links the allele directly
+    assert(!nt.contains(line("_:" + Digest.md5IdScala("UN-ZDB-ALT-4"),
+      "rdf:type", "GENO:0000002")))
   }
 
   test("file-driven golden corpus: {input,expected} dirs via GraphEquality") {
