@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -284,6 +284,50 @@ object RdfQueries {
     "p07_udp_pipeline" -> ((s, d) =>
       graft.engine.UdpSource.transform(s,
         graft.engine.UdpSource.read(s, d))),
+
+    // §3.4 stand-alone ClinVar shape — the reference's NT-first
+    // functional executor (ClinVar.py:88-232 make_spo/write_spo):
+    // records → raw canonical NT LINES, bypassing the triple relation
+    // and graph model entirely. Every make_spo inference branch is
+    // exercised: CURIE objects (variant type, gene, taxon, conditional
+    // pathogenic-condition link), bnode subjects left unexpanded,
+    // all-digit → xsd:integer, decimal → xsd:double, and the exact
+    // string-literal escaping (quotes flattened to apostrophes,
+    // backslashes doubled). One codegen'd concat per line, explode of a
+    // fixed array, nothing shuffles.
+    "p08_clinvar_standalone" -> ((s, d) => {
+      import graft.sinks.NtDirect
+      val cm = graft.engine.Runner.curieMap
+      def spo(sub: Column, p: String, o: Column): Column =
+        NtDirect.spo(cm)(sub, lit(p), o)
+      val ok = col("o_orderkey")
+      val v = concat(lit("ClinVarVariant:"), ok)
+      val vtype = element_at(array(lit("SO:0001583"), lit("SO:0000159"),
+        lit("SO:1000032")), (ok % 3 + 1).cast("int"))
+      val sig = element_at(array(lit("pathogenic"), lit("likely pathogenic"),
+        lit("uncertain significance"), lit("likely benign"), lit("benign")),
+        (ok % 5 + 1).cast("int"))
+      Tables.orders(s, d)
+        .filter(ok % 7 === 0)
+        .select(explode(array(
+          spo(v, "a", vtype),
+          spo(v, "rdfs:label", concat(lit("variant "), ok)),
+          spo(v, "RO:0002162", lit("NCBITaxon:9606")),
+          spo(v, "GENO:0000418",
+            concat(lit("NCBIGene:"), col("o_custkey"))),
+          spo(v, "EX:clinical_significance", sig),
+          spo(v, "EX:review_stars", (ok % 5).cast("string")),
+          spo(v, "EX:allele_frequency",
+            format_string("0.%04d", ok % 10000)),
+          spo(v, "EX:note", concat(lit("said \""), col("o_orderpriority"),
+            lit("\" over c:\\path"))),
+          spo(concat(lit("_:"), Digest.md5Id(concat(lit("cv"), ok))),
+            "EX:assertion_of", v),
+          when(ok % 5 <= 1, spo(v, "RO:0003303",
+            concat(lit("OMIM:"), col("o_custkey") % 900 + 100000)))))
+          .as("line"))
+        .filter(col("line").isNotNull)
+    }),
 
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
@@ -856,6 +900,43 @@ object RdfQueries {
                   false AS lit, CAST(NULL AS VARCHAR) AS dt FROM m
            UNION ALL SELECT vid, 'GENO:0000418', gene, false, NULL FROM m
            UNION ALL SELECT gene, 'rdf:type', 'SO:0000704', false, NULL FROM m) t""",
+    "p08_clinvar_standalone" ->
+      """WITH r AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck, o_orderpriority AS pri,
+                  '<http://identifiers.org/clinvar.record/'||o_orderkey::varchar||'>' AS v
+           FROM orders WHERE o_orderkey % 7 = 0),
+         e AS (
+           SELECT ok, ck, pri, v,
+                  '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS a,
+                  '<https://example.org/id/' AS ex
+           FROM r)
+         SELECT v||' '||a||' <http://purl.obolibrary.org/obo/SO_'||
+                CASE (ok % 3) WHEN 0 THEN '0001583' WHEN 1 THEN '0000159'
+                     ELSE '1000032' END||'> .' AS line FROM e
+         UNION ALL SELECT v||' <http://www.w3.org/2000/01/rdf-schema#label> "variant '
+                ||ok::varchar||'" .' FROM e
+         UNION ALL SELECT v||' <http://purl.obolibrary.org/obo/RO_0002162> '
+                ||'<http://purl.obolibrary.org/obo/NCBITaxon_9606> .' FROM e
+         UNION ALL SELECT v||' <http://purl.obolibrary.org/obo/GENO_0000418> '
+                ||'<http://identifiers.org/ncbigene/'||ck::varchar||'> .' FROM e
+         UNION ALL SELECT v||' '||ex||'clinical_significance> "'||
+                CASE (ok % 5) WHEN 0 THEN 'pathogenic'
+                     WHEN 1 THEN 'likely pathogenic'
+                     WHEN 2 THEN 'uncertain significance'
+                     WHEN 3 THEN 'likely benign' ELSE 'benign' END||'" .'
+           FROM e
+         UNION ALL SELECT v||' '||ex||'review_stars> "'||(ok % 5)::varchar||
+                '"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM e
+         UNION ALL SELECT v||' '||ex||'allele_frequency> "0.'||
+                lpad((ok % 10000)::varchar, 4, '0')||
+                '"^^<http://www.w3.org/2001/XMLSchema#double> .' FROM e
+         UNION ALL SELECT v||' '||ex||'note> "said '''||pri||
+                ''' over c:\\path" .' FROM e
+         UNION ALL SELECT '_:b'||substr(md5('cv'||ok::varchar),2,19)||' '||ex
+                ||'assertion_of> '||v||' .' FROM e
+         UNION ALL SELECT v||' <http://purl.obolibrary.org/obo/RO_0003303> '
+                ||'<http://identifiers.org/mim/'||(ck % 900 + 100000)::varchar
+                ||'> .' FROM e WHERE ok % 5 <= 1""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,

@@ -65,6 +65,37 @@ class EmitColumnSpec extends SparkSpec {
     assert(d.isEqual, d.report)
   }
 
+  test("NtDirect.spo: every make_spo inference branch (ClinVar.py:88-158)") {
+    import graft.sinks.NtDirect
+    val cm = graft.engine.Runner.curieMap
+    def render(s: String, p: String, o: String): String =
+      Seq((s, p, o)).toDF("s", "p", "o")
+        .select(NtDirect.spo(cm)(col("s"), col("p"), col("o")))
+        .as[String].head()
+    // 'a' sugar + CURIE object
+    assert(render("ClinVarVariant:7", "a", "SO:0001583") ==
+      "<http://identifiers.org/clinvar.record/7> " +
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+      "<http://purl.obolibrary.org/obo/SO_0001583> .")
+    // all-digits → xsd:integer; decimal → xsd:double
+    assert(render("EX:v", "EX:stars", "4").endsWith(
+      "\"4\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
+    assert(render("EX:v", "EX:freq", "0.0042").endsWith(
+      "\"0.0042\"^^<http://www.w3.org/2001/XMLSchema#double> ."))
+    // string literal with the reference's escaping: enclosing quotes
+    // stripped, backslash doubled, inner quotes flattened to apostrophes
+    assert(render("EX:v", "rdfs:label", "\"say \"hi\" c:\\tmp\"") ==
+      "<https://example.org/id/v> " +
+      "<http://www.w3.org/2000/01/rdf-schema#label> " +
+      "\"say 'hi' c:\\\\tmp\" .")
+    // bnodes pass through unexpanded in subject and object position
+    assert(render("_:b123", "EX:assertion_of", "_:b456") ==
+      "_:b123 <https://example.org/id/assertion_of> _:b456 .")
+    // a colon-bearing string whose tail is not CURIE-shaped stays literal
+    assert(render("EX:v", "EX:note", "time: 5 pm").startsWith(
+      "<https://example.org/id/v> <https://example.org/id/note> \"time:"))
+  }
+
   test("ColumnEmit.classPattern ≡ Model.classTriples on nations") {
     val n = Tables.nation(spark, sf)
     val colForm = ColumnEmit.classPattern(
