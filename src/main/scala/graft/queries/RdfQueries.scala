@@ -298,33 +298,39 @@ object RdfQueries {
     "p08_clinvar_standalone" -> ((s, d) => {
       import graft.sinks.NtDirect
       val cm = graft.engine.Runner.curieMap
-      def spo(sub: Column, p: String, o: Column): Column =
-        NtDirect.spo(cm)(sub, lit(p), o)
+      // raw external tokens resolve through the per-source localtt +
+      // global table, the reference's self.resolve() on every row
+      val tt = graft.core.TranslationTable.forSource("clinvar")
+      def spo(sub: Column, p: Column, o: Column): Column =
+        NtDirect.spo(cm)(sub, p, o)
       val ok = col("o_orderkey")
       val v = concat(lit("ClinVarVariant:"), ok)
-      val vtype = element_at(array(lit("SO:0001583"), lit("SO:0000159"),
-        lit("SO:1000032")), (ok % 3 + 1).cast("int"))
-      val sig = element_at(array(lit("pathogenic"), lit("likely pathogenic"),
-        lit("uncertain significance"), lit("likely benign"), lit("benign")),
+      val vtypeRaw = element_at(array(lit("single nucleotide variant"),
+        lit("Deletion"), lit("Indel")), (ok % 3 + 1).cast("int"))
+      val sigRaw = element_at(array(lit("Pathogenic"),
+        lit("probable-pathogenic"), lit("Uncertain significance"),
+        lit("probably not pathogenic"), lit("benign")),
         (ok % 5 + 1).cast("int"))
       Tables.orders(s, d)
         .filter(ok % 7 === 0)
         .select(explode(array(
-          spo(v, "a", vtype),
-          spo(v, "rdfs:label", concat(lit("variant "), ok)),
-          spo(v, "RO:0002162", lit("NCBITaxon:9606")),
-          spo(v, "GENO:0000418",
+          spo(v, lit("a"), tt.resolveCol(vtypeRaw)),
+          spo(v, lit("rdfs:label"), concat(lit("variant "), ok)),
+          spo(v, lit("RO:0002162"), lit("NCBITaxon:9606")),
+          spo(v, tt.resolveCol(lit("variant in gene")),
             concat(lit("NCBIGene:"), col("o_custkey"))),
-          spo(v, "EX:clinical_significance", sig),
-          spo(v, "EX:review_stars", (ok % 5).cast("string")),
-          spo(v, "EX:allele_frequency",
+          spo(v, lit("EX:clinical_significance"), sigRaw),
+          spo(v, lit("EX:review_stars"), (ok % 5).cast("string")),
+          spo(v, lit("EX:allele_frequency"),
             format_string("0.%04d", ok % 10000)),
-          spo(v, "EX:note", concat(lit("said \""), col("o_orderpriority"),
-            lit("\" over c:\\path"))),
+          spo(v, lit("EX:note"), concat(lit("said \""),
+            col("o_orderpriority"), lit("\" over c:\\path"))),
           spo(concat(lit("_:"), Digest.md5Id(concat(lit("cv"), ok))),
-            "EX:assertion_of", v),
-          when(ok % 5 <= 1, spo(v, "RO:0003303",
-            concat(lit("OMIM:"), col("o_custkey") % 900 + 100000)))))
+            lit("EX:assertion_of"), v),
+          // pathos association: the resolved significance IS the
+          // predicate between variant and condition
+          spo(v, tt.resolveCol(sigRaw),
+            concat(lit("OMIM:"), col("o_custkey") % 900 + 100000))))
           .as("line"))
         .filter(col("line").isNotNull)
     }),
@@ -911,7 +917,7 @@ object RdfQueries {
                   '<https://example.org/id/' AS ex
            FROM r)
          SELECT v||' '||a||' <http://purl.obolibrary.org/obo/SO_'||
-                CASE (ok % 3) WHEN 0 THEN '0001583' WHEN 1 THEN '0000159'
+                CASE (ok % 3) WHEN 0 THEN '0001483' WHEN 1 THEN '0000159'
                      ELSE '1000032' END||'> .' AS line FROM e
          UNION ALL SELECT v||' <http://www.w3.org/2000/01/rdf-schema#label> "variant '
                 ||ok::varchar||'" .' FROM e
@@ -920,10 +926,11 @@ object RdfQueries {
          UNION ALL SELECT v||' <http://purl.obolibrary.org/obo/GENO_0000418> '
                 ||'<http://identifiers.org/ncbigene/'||ck::varchar||'> .' FROM e
          UNION ALL SELECT v||' '||ex||'clinical_significance> "'||
-                CASE (ok % 5) WHEN 0 THEN 'pathogenic'
-                     WHEN 1 THEN 'likely pathogenic'
-                     WHEN 2 THEN 'uncertain significance'
-                     WHEN 3 THEN 'likely benign' ELSE 'benign' END||'" .'
+                CASE (ok % 5) WHEN 0 THEN 'Pathogenic'
+                     WHEN 1 THEN 'probable-pathogenic'
+                     WHEN 2 THEN 'Uncertain significance'
+                     WHEN 3 THEN 'probably not pathogenic'
+                     ELSE 'benign' END||'" .'
            FROM e
          UNION ALL SELECT v||' '||ex||'review_stars> "'||(ok % 5)::varchar||
                 '"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM e
@@ -934,9 +941,12 @@ object RdfQueries {
                 ''' over c:\\path" .' FROM e
          UNION ALL SELECT '_:b'||substr(md5('cv'||ok::varchar),2,19)||' '||ex
                 ||'assertion_of> '||v||' .' FROM e
-         UNION ALL SELECT v||' <http://purl.obolibrary.org/obo/RO_0003303> '
+         UNION ALL SELECT v||' <http://purl.obolibrary.org/obo/GENO_'||
+                CASE (ok % 5) WHEN 0 THEN '0000840' WHEN 1 THEN '0000841'
+                     WHEN 2 THEN '0000845' WHEN 3 THEN '0000844'
+                     ELSE '0000843' END||'> '
                 ||'<http://identifiers.org/mim/'||(ck % 900 + 100000)::varchar
-                ||'> .' FROM e WHERE ok % 5 <= 1""",
+                ||'> .' FROM e""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
