@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * a file (ClinVar.py:88-232, 826+). This is the Spark twin: the
   * NT-first column emitter (`sinks.NtDirect`) renders canonical lines
   * inside whole-stage codegen and the text sink writes them — no triple
-  * relation, no shuffle, scan → concat → file.
+  * relation, scan → concat → file (plus a widen exchange when the test
+  * corpus arrives in fewer splits than cores).
   *
   * Usage: runMain graft.ClinvarStandalone <sfDir> <outDir>
   */

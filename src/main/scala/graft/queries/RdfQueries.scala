@@ -294,7 +294,7 @@ object RdfQueries {
     // all-digit → xsd:integer, decimal → xsd:double, and the exact
     // string-literal escaping (quotes flattened to apostrophes,
     // backslashes doubled). One codegen'd concat per line, explode of a
-    // fixed array, nothing shuffles.
+    // fixed array; the only exchange is the test-SF widen below.
     "p08_clinvar_standalone" -> ((s, d) => {
       import graft.sinks.NtDirect
       val cm = graft.engine.Runner.curieMap
@@ -311,8 +311,16 @@ object RdfQueries {
         lit("probable-pathogenic"), lit("Uncertain significance"),
         lit("probably not pathogenic"), lit("benign")),
         (ok % 5 + 1).cast("int"))
-      Tables.orders(s, d)
-        .filter(ok % 7 === 0)
+      // the orders parquet arrives in 1-2 splits at test SF, which would
+      // serialize ~30 term renders/row (regex + prefix-map lookups) onto
+      // one core — widen after the filter (the round-3 narrow-scan
+      // lesson; a no-op when the scan already has enough splits)
+      val base0 = Tables.orders(s, d).filter(ok % 7 === 0)
+      val target = s.sparkContext.defaultParallelism
+      val base =
+        if (graft.operators.ScanStats.estimatedScanPartitions(base0) < target)
+          base0.repartition(target) else base0
+      base
         .select(explode(array(
           spo(v, lit("a"), tt.resolveCol(vtypeRaw)),
           spo(v, lit("rdfs:label"), concat(lit("variant "), ok)),
