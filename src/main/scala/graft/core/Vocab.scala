@@ -47,6 +47,8 @@ object Vocab {
   // Relations (RO / SEPIO-ish, public OBO ids)
   val inTaxon = "RO:0002162"
   val hasPhenotype = "RO:0002200"
+  val contributesToCondition = "RO:0003304"
+  val snp = "SO:0000694"
   val isModelOf = "RO:0003301"
   val interactsWith = "RO:0002434"
   val inOrthologyRelationshipWith = "RO:HOM0000017"

@@ -126,6 +126,26 @@ class EngineSpec extends SparkSpec {
     assert(udp.exists(_.contains("GENO_0000418"))) // variant → gene
   }
 
+  test("gwas_catalog ingest runs the full lifecycle (GWASCatalog.py shape)") {
+    val out = Files.createTempDirectory("graft-gwas").toString
+    val results = Runner.run(spark, Runner.RunConfig(
+      Seq("gwas_catalog"), out),
+      "src/test/resources/golden/gwas_catalog/input")
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/gwas_catalog.nt").as[String].collect()
+    assert(nt.exists(_.contains("SO_0000694"))) // SNP features
+    assert(nt.exists(_.contains("SO_0001024"))) // haplotype individual
+    assert(nt.exists(_.contains("RO_0003304"))) // contributes-to assocs
+    assert(nt.exists(_.contains("IAO_0100001"))) // dbSNP merge deprecation
+    assert(nt.exists(_.contains("faldo"))) // point locations
+    // the 'rs x rs' interaction format is not parseable — dropped
+    assert(!nt.exists(_.contains("rs11209026")))
+    // the curated-id test subset is written alongside the main graph
+    val tnt = spark.read.text(s"$out/gwas_catalog_test.nt")
+      .as[String].collect()
+    assert(tnt.nonEmpty && tnt.forall(_.contains("rs1329573")))
+  }
+
   test("streamed-graph mode: streamed NT set-equals the batch NT") {
     // the reference's `-g streamed_graph` (Source.py:118-121): same
     // graph, incremental serialization — here via the Structured
