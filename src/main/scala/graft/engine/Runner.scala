@@ -38,7 +38,7 @@ object Runner {
     NationClassSource, OrderAssocSource, PartFeatureSource,
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
     ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource,
-    BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource
+    BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the

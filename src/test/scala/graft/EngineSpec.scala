@@ -146,6 +146,27 @@ class EngineSpec extends SparkSpec {
     assert(tnt.nonEmpty && tnt.forall(_.contains("rs1329573")))
   }
 
+  test("panther ingest: tar.gz member through the full lifecycle with --taxon") {
+    val dir = "src/test/resources/golden/panther/input"
+    val out = Files.createTempDirectory("graft-panther").toString
+    val results = Runner.run(spark,
+      Runner.RunConfig(Seq("panther"), out), dir)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/panther.nt").as[String].collect()
+    assert(nt.exists(_.contains("RO_HOM0000020"))) // 1:1 orthology (LDO)
+    assert(nt.exists(_.contains("RO_HOM0000011"))) // paralogy
+    assert(nt.exists(_.contains("panther.family"))) // family grouping
+    assert(nt.exists(_.contains("ECO_0000080"))) // phylogenetic evidence
+    assert(!nt.exists(_.contains("Huwe1"))) // unmapped gene id dropped
+    // --taxon some-filter: keep pairs where EITHER side matches
+    val out2 = Files.createTempDirectory("graft-panther-tax").toString
+    Runner.run(spark, Runner.RunConfig(Seq("panther"), out2,
+      taxa = Seq("7955")), dir)
+    val zf = spark.read.text(s"$out2/panther.nt").as[String].collect()
+    assert(zf.exists(_.contains("ENSDARG"))) // zebrafish pair kept
+    assert(!zf.exists(_.contains("wormbase"))) // worm-human pair dropped
+  }
+
   test("streamed-graph mode: streamed NT set-equals the batch NT") {
     // the reference's `-g streamed_graph` (Source.py:118-121): same
     // graph, incremental serialization — here via the Structured
