@@ -38,7 +38,8 @@ object Runner {
     NationClassSource, OrderAssocSource, PartFeatureSource,
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
     ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource,
-    BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource
+    BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource,
+    GoGafSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the

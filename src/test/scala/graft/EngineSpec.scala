@@ -167,6 +167,28 @@ class EngineSpec extends SparkSpec {
     assert(!zf.exists(_.contains("wormbase"))) // worm-human pair dropped
   }
 
+  test("go_gaf ingest: GAF scan + idmapping dimension through Runner with --taxon") {
+    val dir = "src/test/resources/golden/go_gaf/input"
+    val out = Files.createTempDirectory("graft-gaf").toString
+    val results = Runner.run(spark, Runner.RunConfig(Seq("go_gaf"), out), dir)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/go_gaf.nt").as[String].collect()
+    assert(nt.exists(_.contains("ncbigene/672")))   // UniProt->GeneID mapping
+    assert(nt.exists(_.contains("ENSG00000181544"))) // Ensembl fallback
+    assert(!nt.exists(_.contains("CYCS")))          // unmapped UniProt dropped
+    assert(!nt.exists(_.contains("Bmp4")))          // NOT qualifier dropped
+    assert(nt.exists(_.contains("GENO_0000504")))   // reagent-targeted gene
+    assert(nt.exists(_.contains("ECO_0000059")))    // exp phenotypic evidence
+    // --taxon: only the worm GAF row (and no human idmapping rows) survive
+    val out2 = Files.createTempDirectory("graft-gaf-tax").toString
+    Runner.run(spark, Runner.RunConfig(Seq("go_gaf"), out2,
+      taxa = Seq("6239")), dir)
+    val worm = spark.read.text(s"$out2/go_gaf.nt").as[String].collect()
+    assert(worm.exists(_.contains("WBGene00000912")))
+    assert(!worm.exists(_.contains("ncbigene/672")) &&
+      !worm.exists(_.contains("pax2a")))
+  }
+
   test("streamed-graph mode: streamed NT set-equals the batch NT") {
     // the reference's `-g streamed_graph` (Source.py:118-121): same
     // graph, incremental serialization — here via the Structured
