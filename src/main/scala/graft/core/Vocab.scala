@@ -123,6 +123,12 @@ object Vocab {
   val hasEvidenceLine = "SEPIO:0000002"
   val hasSupportingEvidence = "SEPIO:0000110"
   val isEvidenceSupportedBy = "SEPIO:0000111"
+  val hasSupportingEvidenceLine = "SEPIO:0000007"
+  val hasEvidenceItem = "SEPIO:0000084"
+  val hasSupportingActivity = "SEPIO:0000085"
+  val hasAgent = "SEPIO:0000017"
+  val createdBy = "SEPIO:0000018"
+  val isAssertedIn = "SEPIO:0000015"
   val source = "dc:source"
   val isAbout = "IAO:0000136"
   val publication = "IAO:0000311"

@@ -189,6 +189,24 @@ class EngineSpec extends SparkSpec {
       !worm.exists(_.contains("pax2a")))
   }
 
+  test("impc ingest: statistical evidence chain through Runner") {
+    val dir = "src/test/resources/golden/impc/input"
+    val out = Files.createTempDirectory("graft-impc").toString
+    val results = Runner.run(spark, Runner.RunConfig(Seq("impc"), out), dir)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/impc.nt").as[String].collect()
+    assert(nt.exists(_.contains("SEPIO_0000007")))  // has_supporting_evidence_line
+    assert(nt.exists(_.contains("OBI_0000175")))    // p-value individual
+    assert(nt.exists(_.contains("STATO_0000085")))  // effect size estimate
+    assert(nt.exists(_.contains("STATO_0000464")))  // LMM statistical method
+    assert(nt.exists(_.contains("2.1500e-07")))     // {:.4e} p-value format
+    assert(nt.exists(_.contains("0.45679")))        // round(effect, 5)
+    assert(nt.exists(_.contains("(p = NS )")))      // raw fallback
+    assert(nt.exists(_.contains("GENO_0000646")))   // male sex specificity
+    assert(nt.exists(l => l.contains("OBI_0000471"))) // study node
+    assert(!nt.exists(_.contains("Dnajc5")))        // no-phenotype row dropped
+  }
+
   test("streamed-graph mode: streamed NT set-equals the batch NT") {
     // the reference's `-g streamed_graph` (Source.py:118-121): same
     // graph, incremental serialization — here via the Structured
