@@ -72,12 +72,20 @@ object ImpcSource extends GraftSource {
                      pValue: String, pctChange: String, effectSize: String,
                      statMethod: String, resourceName: String)
 
-  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame =
+    transformDigest(spark, in, Digest.sha1IdScala)
+
+  /** Digest-parameterized twin: the reference's sha1 `make_id` by
+    * default; the p09 oracle passes [[Digest.md5IdScala]] so DuckDB can
+    * re-derive every bnode in the chain. */
+  private[graft] def transformDigest(spark: SparkSession,
+                                     in: Map[String, DataFrame],
+                                     digest: String => String): DataFrame = {
     import spark.implicits._
     val local = agents
     val taxonId = TranslationTable.default.resolve("Mus musculus")
     val ecoId = TranslationTable.default.resolve("mutant phenotype evidence")
-    def bnode(s: String): String = "_:" + Digest.sha1IdScala(s)
+    def bnode(s: String): String = "_:" + digest(s)
 
     in("g2p_assertions")
       // rows without a phenotype id are skipped (py:500-503)
@@ -154,10 +162,10 @@ object ImpcSource extends GraftSource {
               TranslationTable.default.resolve("has_variant_part"))
 
         // ##### G2P association + sex specificity (py:506-526) #####
-        val assocId = "_:" + Digest.sha1IdScala(
+        val assocId = "_:" + digest(
           Seq("EX:impc", sqgId, Vocab.hasPhenotype, nz(r.mp)).mkString("+"))
         val g2p = Assoc.g2p("EX:impc", sqgId, nz(r.mp),
-          evidence = Seq(ecoId)) ++
+          evidence = Seq(ecoId), digest = digest) ++
           Model.addSexSpecificity(assocId, sqType)
 
         // free-text description with the reference's number formatting

@@ -343,6 +343,60 @@ object RdfQueries {
         .filter(col("line").isNotNull)
     }),
 
+    // §3.2 end-to-end ingest #9 — IMPC shape, the reference's
+    // statistical-evidence source (IMPC.py): assertion rows →
+    // sex-qualified-genotype G2P associations with the full SEPIO chain
+    // (study bnode digested from its eight defining fields, IMPRESS
+    // procedure/parameter/pipeline individuals, center agents and
+    // project links, evidence lines carrying measurement bnodes,
+    // assertion provenance). The oracle re-derives every nested
+    // content-digest bnode (colony → genotype → sex-qualified genotype →
+    // assoc → evidence line → measurements → assertion) in pure SQL — a
+    // divergence anywhere in the digest discipline, the translation
+    // layer, or the emission fan-out fails the hash compare. p-value /
+    // effect-size strings are non-numeric here so the description
+    // exercises the raw-passthrough branch (the {:.4e} numeric branch is
+    // golden-file-covered).
+    "p09_impc_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val rows = Tables.orders(s, d).filter(ok % 11 === 0).select(
+        concat(lit("MGI:"), col("o_custkey")).as("marker_accession_id"),
+        concat(lit("g"), col("o_custkey")).as("marker_symbol"),
+        element_at(array(lit("JAX"), lit("WTSI"), lit("ICS")),
+          (ok % 3 + 1).cast("int")).as("phenotyping_center"),
+        concat(lit("COL"), ok).as("colony_id"),
+        element_at(array(lit("male"), lit("female"), lit("both")),
+          (ok % 3 + 1).cast("int")).as("sex"),
+        element_at(array(lit("homozygote"), lit("heterozygote"),
+          lit("hemizygote"), lit("not_applicable")),
+          (ok % 4 + 1).cast("int")).as("zygosity"),
+        concat(lit("MGI:"), ok).as("allele_accession_id"),
+        concat(lit("a"), ok, lit("<tm1>")).as("allele_symbol"),
+        lit("targeted mutation").as("allele_name"),
+        concat(lit("MGI:"), col("o_custkey") % 50).as("strain_accession_id"),
+        concat(lit("strain"), col("o_custkey") % 50).as("strain_name"),
+        lit("EUMODIC").as("project_name"), lit("").as("project_fullname"),
+        lit("Pipeline One").as("pipeline_name"),
+        lit("PIPE_001").as("pipeline_stable_id"),
+        concat(lit("PROC_"), ok % 7).as("procedure_stable_id"),
+        concat(lit("proc "), ok % 7).as("procedure_name"),
+        concat(lit("PARAM_"), ok % 5).as("parameter_stable_id"),
+        concat(lit("param "), ok % 5).as("parameter_name"),
+        lit("").as("top_level_mp_term_id"),
+        lit("").as("top_level_mp_term_name"),
+        concat(lit("MP:"), lpad((ok % 97).cast("string"), 7, "0")).as("mp_term_id"),
+        concat(lit("pheno "), ok % 97).as("mp_term_name"),
+        concat(lit("p"), ok).as("p_value"),
+        when(ok % 2 === 0, lit("")).otherwise(lit("12%")).as("percentage_change"),
+        concat(lit("es"), ok).as("effect_size"),
+        lit("Fisher Exact Test framework").as("statistical_method"),
+        lit("IMPC").as("resource_name"))
+      graft.engine.ImpcSource
+        .transformDigest(s, Map("g2p_assertions" -> rows),
+          graft.core.Digest.md5IdScala)
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -955,6 +1009,149 @@ object RdfQueries {
                      ELSE '0000843' END||'> '
                 ||'<http://identifiers.org/mim/'||(ck % 900 + 100000)::varchar
                 ||'> .' FROM e""",
+    "p09_impc_pipeline" ->
+      """WITH r AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck
+           FROM orders WHERE o_orderkey % 11 = 0),
+         f AS (
+           SELECT ok, ck,
+             'MGI:'||ck::varchar AS gene, 'g'||ck::varchar AS gsym,
+             ['JAX','WTSI','ICS'][(ok % 3 + 1)] AS center,
+             'COL'||ok::varchar AS colony,
+             ['male','female','both'][(ok % 3 + 1)] AS sex,
+             ['homozygote','heterozygote','hemizygote','not_applicable'][(ok % 4 + 1)] AS zyg,
+             'MGI:'||ok::varchar AS allele,
+             'a'||ok::varchar||'<tm1>' AS asym,
+             'MGI:'||(ck % 50)::varchar AS strain,
+             'strain'||(ck % 50)::varchar AS strainname,
+             'PROC_'||(ok % 7)::varchar AS procid,
+             'proc '||(ok % 7)::varchar AS procname,
+             'PARAM_'||(ok % 5)::varchar AS paramid,
+             'param '||(ok % 5)::varchar AS paramname,
+             'MP:'||lpad((ok % 97)::varchar, 7, '0') AS mp,
+             'pheno '||(ok % 97)::varchar AS mpname,
+             'p'||ok::varchar AS pval,
+             CASE WHEN ok % 2 = 0 THEN '' ELSE '12%' END AS pct,
+             'es'||ok::varchar AS es
+           FROM r),
+         g AS (
+           SELECT *,
+             CASE zyg WHEN 'homozygote' THEN 'GENO:0000136'
+                  WHEN 'heterozygote' THEN 'GENO:0000458'
+                  WHEN 'hemizygote' THEN 'GENO:0000134'
+                  ELSE 'GENO:0000137' END AS zygid,
+             CASE sex WHEN 'male' THEN 'GENO:0000646'
+                  WHEN 'female' THEN 'GENO:0000647'
+                  ELSE 'GENO:0000645' END AS sqtype,
+             CASE center WHEN 'JAX' THEN 'https://www.jax.org/'
+                  WHEN 'WTSI' THEN 'http://www.sanger.ac.uk/'
+                  ELSE 'http://www.ics-mci.fr/en/departments/phenotyping/'
+                  END AS centerid,
+             '_:b'||substr(md5(colony),2,19) AS colonyb,
+             asym||'/'||asym||' ['||strainname||']' AS gtname
+           FROM f),
+         h AS (
+           SELECT *,
+             '_:b'||substr(md5(colony||strain||zygid||allele),2,19) AS gt,
+             '_:b'||substr(md5(colonyb||center||zyg||strain||sex),2,19) AS sqg
+           FROM g),
+         i AS (
+           SELECT *, gtname||' ('||sex||')' AS sqgname,
+             '_:b'||substr(md5('EX:impc+'||sqg||'+RO:0002200+'||mp),2,19) AS a,
+             '_:b'||substr(md5(center||colony||'EUMODIC'||'PIPE_001'||procid
+               ||paramid||'Fisher Exact Test frameworkIMPC'),2,19) AS study,
+             'IMPC-proc:'||procid AS proccurie,
+             'IMPC-param:'||procid||'#'||paramid AS paramcurie
+           FROM h),
+         k AS (SELECT *, '_:b'||substr(md5(a||study),2,19) AS line FROM i),
+         l AS (
+           SELECT *,
+             '_:b'||substr(md5(line||'p_value'||pval),2,19) AS pb,
+             '_:b'||substr(md5(line||'effect_size'||es),2,19) AS esb,
+             '_:b'||substr(md5(line||'percentage_change'||pct),2,19) AS pcb,
+             '_:b'||substr(md5('assertion'||a
+               ||'https://www.mousephenotype.org/'),2,19) AS asrt,
+             mpname||' phenotype determined by '||center||' in an '||procname
+               ||' assay where '||paramname
+               ||' was measured with an effect_size of '||es
+               ||' (p = '||pval||' ).' AS descr
+           FROM k)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'rdf:type' AS p, 'SO:0000704' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM l
+           UNION ALL SELECT gene, 'rdfs:label', gsym, true, NULL FROM l
+           UNION ALL SELECT allele, 'rdf:type', 'GENO:0000002', false, NULL FROM l
+           UNION ALL SELECT allele, 'rdfs:label', asym, true, NULL FROM l
+           UNION ALL SELECT allele, 'GENO:0000418', gene, false, NULL FROM l
+           UNION ALL SELECT gt, 'rdf:type', 'GENO:0000536', false, NULL FROM l
+           UNION ALL SELECT gt, 'rdfs:label', gtname, true, NULL FROM l
+           UNION ALL SELECT gt, 'RO:0002510', colonyb, false, NULL FROM l
+           UNION ALL SELECT strain, 'rdf:type', 'GENO:0000611', false, NULL FROM l
+           UNION ALL SELECT strain, 'rdfs:label', strainname, true, NULL FROM l
+           UNION ALL SELECT gt, 'GENO:0000385', strain, false, NULL FROM l
+           UNION ALL SELECT strain, 'RO:0002162', 'NCBITaxon:10090', false, NULL FROM l
+           UNION ALL SELECT 'NCBITaxon:10090', 'rdf:type', 'owl:Class', false, NULL FROM l
+           UNION ALL SELECT sqg, 'rdf:type', sqtype, false, NULL FROM l
+           UNION ALL SELECT sqg, 'rdfs:label', sqgname, true, NULL FROM l
+           UNION ALL SELECT sqg, 'GENO:0000382', gt, false, NULL FROM l
+           UNION ALL SELECT sqg, 'RO:0002200', mp, false, NULL FROM l
+           UNION ALL SELECT a, 'rdf:type', 'OBAN:association', false, NULL FROM l
+           UNION ALL SELECT a, 'OBAN:association_has_subject', sqg, false, NULL FROM l
+           UNION ALL SELECT a, 'OBAN:association_has_predicate', 'RO:0002200', false, NULL FROM l
+           UNION ALL SELECT a, 'OBAN:association_has_object', mp, false, NULL FROM l
+           UNION ALL SELECT a, 'RO:0002558', 'ECO:0000015', false, NULL FROM l
+           UNION ALL SELECT a, 'EXP:has_sex_specificity', sqtype, false, NULL FROM l
+           UNION ALL SELECT study, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT study, 'rdf:type', 'OBI:0000471', false, NULL FROM l
+           UNION ALL SELECT proccurie, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT proccurie, 'rdfs:label', procname, true, NULL FROM l
+           UNION ALL SELECT study, 'BFO:0000051', proccurie, false, NULL FROM l
+           UNION ALL SELECT study, 'BFO:0000051', 'STATO:0000073', false, NULL FROM l
+           UNION ALL SELECT paramcurie, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT paramcurie, 'rdfs:label',
+                  paramname||' ('||procname||')', true, NULL FROM l
+           UNION ALL SELECT study, 'SEPIO:0000114', paramcurie, false, NULL FROM l
+           UNION ALL SELECT colonyb, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT colonyb, 'rdfs:label', colony, true, NULL FROM l
+           UNION ALL SELECT centerid, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT centerid, 'rdf:type', 'foaf:organization', false, NULL FROM l
+           UNION ALL SELECT centerid, 'rdfs:label', center, true, NULL FROM l
+           UNION ALL SELECT study, 'SEPIO:0000017', centerid, false, NULL FROM l
+           UNION ALL SELECT 'IMPC-pipe:PIPE_001', 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT 'IMPC-pipe:PIPE_001', 'rdfs:label', 'Pipeline One', true, NULL FROM l
+           UNION ALL SELECT study, 'BFO:0000050', 'IMPC-pipe:PIPE_001', false, NULL FROM l
+           UNION ALL SELECT 'http://www.eumodic.org/', 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT 'http://www.eumodic.org/', 'rdf:type', 'VIVO:Project', false, NULL FROM l
+           UNION ALL SELECT 'http://www.eumodic.org/', 'rdfs:label', 'EUMODIC', true, NULL FROM l
+           UNION ALL SELECT study, 'BFO:0000050', 'http://www.eumodic.org/', false, NULL FROM l
+           UNION ALL SELECT a, 'SEPIO:0000007', line, false, NULL FROM l
+           UNION ALL SELECT line, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT line, 'rdf:type', 'ECO:0000015', false, NULL FROM l
+           UNION ALL SELECT pb, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT pb, 'rdf:type', 'OBI:0000175', false, NULL FROM l
+           UNION ALL SELECT pb, 'STATO:0000129', pval, true, NULL FROM l
+           UNION ALL SELECT esb, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT esb, 'rdf:type', 'STATO:0000085', false, NULL FROM l
+           UNION ALL SELECT esb, 'STATO:0000129', es, true, NULL FROM l
+           UNION ALL SELECT pcb, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l WHERE pct <> ''
+           UNION ALL SELECT pcb, 'rdf:type', 'STATO:0000169', false, NULL FROM l WHERE pct <> ''
+           UNION ALL SELECT pcb, 'STATO:0000129', pct, true, NULL FROM l WHERE pct <> ''
+           UNION ALL SELECT line, 'SEPIO:0000084', pb, false, NULL FROM l
+           UNION ALL SELECT line, 'SEPIO:0000084', esb, false, NULL FROM l
+           UNION ALL SELECT line, 'SEPIO:0000084', pcb, false, NULL FROM l WHERE pct <> ''
+           UNION ALL SELECT pb, 'RO:0002353', study, false, NULL FROM l
+           UNION ALL SELECT esb, 'RO:0002353', study, false, NULL FROM l
+           UNION ALL SELECT pcb, 'RO:0002353', study, false, NULL FROM l WHERE pct <> ''
+           UNION ALL SELECT line, 'SEPIO:0000085', study, false, NULL FROM l
+           UNION ALL SELECT line, 'dc:description', descr, true, NULL FROM l
+           UNION ALL SELECT asrt, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT asrt, 'rdf:type', 'SEPIO:0000001', false, NULL FROM l
+           UNION ALL SELECT 'https://www.mousephenotype.org/', 'rdf:type', 'owl:NamedIndividual', false, NULL FROM l
+           UNION ALL SELECT 'https://www.mousephenotype.org/', 'rdf:type', 'foaf:organization', false, NULL FROM l
+           UNION ALL SELECT 'https://www.mousephenotype.org/', 'rdfs:label', 'International Mouse Phenotyping Consortium', true, NULL FROM l
+           UNION ALL SELECT asrt, 'SEPIO:0000018', 'https://www.mousephenotype.org/', false, NULL FROM l
+           UNION ALL SELECT a, 'SEPIO:0000015', asrt, false, NULL FROM l
+           UNION ALL SELECT asrt, 'SEPIO:0000111', line, false, NULL FROM l) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
