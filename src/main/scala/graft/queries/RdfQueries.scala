@@ -359,7 +359,15 @@ object RdfQueries {
     // golden-file-covered).
     "p09_impc_pipeline" -> ((s, d) => {
       val ok = col("o_orderkey")
-      val rows = Tables.orders(s, d).filter(ok % 11 === 0).select(
+      // the filtered orders scan lands in 1-2 splits at test SF, which
+      // would serialize the ~73-triple/row digest fan-out onto one core —
+      // widen first (the p08/round-3 narrow-scan lesson)
+      val base0 = Tables.orders(s, d).filter(ok % 11 === 0)
+      val target = s.sparkContext.defaultParallelism
+      val base =
+        if (graft.operators.ScanStats.estimatedScanPartitions(base0) < target)
+          base0.repartition(target) else base0
+      val rows = base.select(
         concat(lit("MGI:"), col("o_custkey")).as("marker_accession_id"),
         concat(lit("g"), col("o_custkey")).as("marker_symbol"),
         element_at(array(lit("JAX"), lit("WTSI"), lit("ICS")),
