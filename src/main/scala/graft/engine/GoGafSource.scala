@@ -53,6 +53,11 @@ object GoGafSource extends GraftSource {
   private[engine] lazy val gafEco: Map[String, String] =
     FlatYaml.fromResource("/graft/gaf_eco.yaml")
 
+  /** GAF prefix rewrites (the prefix half of the reference's go localtt,
+    * GeneOntology.py:332-333,402-404,453-455). */
+  private[engine] lazy val prefixRewrites: Map[String, String] =
+    FlatYaml.fromResource("/graft/go_prefix_rewrites.yaml")
+
   private lazy val tt = TranslationTable.forSource("go")
 
   def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
@@ -72,7 +77,16 @@ object GoGafSource extends GraftSource {
                     mapped: Option[String])
 
   override def transform(spark: SparkSession, in: Map[String, DataFrame],
-                         taxa: Seq[String]): DataFrame = {
+                         taxa: Seq[String]): DataFrame =
+    transformDigest(spark, in, taxa, Digest.sha1IdScala)
+
+  /** Digest-parameterized twin (reference sha1 `make_id` by default; the
+    * p10 oracle passes [[Digest.md5IdScala]] so DuckDB can re-derive the
+    * association and reagent bnodes). */
+  private[graft] def transformDigest(spark: SparkSession,
+                                     in: Map[String, DataFrame],
+                                     taxa: Seq[String],
+                                     digest: String => String): DataFrame = {
     import spark.implicits._
     val cm = Runner.curieMap
     // UniProt AC -> gene id dimension: GeneID preferred, Ensembl fallback,
@@ -107,7 +121,7 @@ object GoGafSource extends GraftSource {
                   taxa.map(t => taxFirst === s"NCBITaxon:$t").reduce(_ || _)))
       .join(broadcast(idm), col("DB_Object_ID") === col("__ac"), "left")
 
-    val local = tt.local
+    val local = prefixRewrites
     val eco = gafEco
     rows.select(col("DB").as("db"), col("DB_Object_ID").as("objId"),
         col("DB_Object_Symbol").as("symbol"), col("Qualifier").as("qualifier"),
@@ -173,7 +187,9 @@ object GoGafSource extends GraftSource {
           }
           val assoc = rel.toSeq.flatMap { p =>
             val a = Association("EX:go", geneId, p, nz(r.goId),
-              evidence = eco.get(nz(r.evCode)).toSeq, sources = refs)
+              evidence = eco.get(nz(r.evCode)).toSeq, sources = refs,
+              explicitId = Some("_:" + digest(
+                Seq("EX:go", geneId, p, nz(r.goId)).mkString("+"))))
             // set_description('Mapped from …') on the assoc node (py:428-429)
             a.triples ++ uniprotId.map(u =>
               Triple.str(a.id, Vocab.description, "Mapped from " + u))
@@ -200,19 +216,19 @@ object GoGafSource extends GraftSource {
                     if (Seq("MRPHLNO", "CRISPR", "TALEN").exists(itm.contains)) {
                       // ZFIN.make_targeted_gene_id py:3085-3092: strip
                       // every (ZFIN-prefixed) colon, then bnode-digest
-                      val tg = "_:" + Digest.sha1IdScala(
+                      val tg = "_:" + digest(
                         (geneId + "-" + itm).replaceAll("(ZFIN)?:", ""))
                       (tg, Genotype.addReagentTargetedGene(itm, geneId, tg))
                     } else if (itm.contains("WBRNAi")) {
                       // WormBase.make_reagent_targeted_gene_id py:985-986
-                      val tg = "_:" + Digest.sha1IdScala(geneId + "-" + itm)
+                      val tg = "_:" + digest(geneId + "-" + itm)
                       (tg, Genotype.addReagentTargetedGene(itm, geneId, tg))
                     } else (itm, Nil)
                   reagentTriples ++ Assoc.g2p("EX:go", subject, phenotypeId,
                     evidence = if (refs.nonEmpty)
                       Seq(TranslationTable.default
                         .resolve("experimental phenotypic evidence")) else Nil,
-                    sources = refs)
+                    sources = refs, digest = digest)
                 }
             } else Nil
 

@@ -405,6 +405,58 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #10 — GAF shape (GeneOntology.py, the
+    // annotation-format archetype shared with RGD/WormBase/SGD): GAF
+    // rows through GoGafSource's real plan — the UniProt→Entrez/ENSEMBL
+    // idmapping BROADCAST dimension (hit, Ensembl fallback, and
+    // miss-drop all exercised), NOT-qualifier filter, aspect→relation
+    // routing, gaf-eco evidence mapping, reference cleaning with the
+    // MGI:MGI: second-to-last-prefix sidestep and Reactome→REACT
+    // rewrite, synonym fan-out with UniProtKB: gene products, and the
+    // 'Mapped from' association description. The oracle re-derives the
+    // joined/routed graph including md5 association ids in SQL.
+    "p10_go_gaf_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck0 = col("o_custkey")
+      val base0 = Tables.orders(s, d).filter(ok % 13 === 0)
+      val target = s.sparkContext.defaultParallelism
+      val base =
+        if (graft.operators.ScanStats.estimatedScanPartitions(base0) < target)
+          base0.repartition(target) else base0
+      val gaf = base.select(
+        element_at(array(lit("UniProtKB"), lit("MGI")),
+          (ok % 2 + 1).cast("int")).as("DB"),
+        when(ok % 2 === 0, concat(lit("P"), ck0))
+          .otherwise(concat(lit("MGI:"), ck0)).as("DB_Object_ID"),
+        concat(lit("sym"), ck0).as("DB_Object_Symbol"),
+        when(ok % 5 === 0, lit("NOT")).otherwise(lit("")).as("Qualifier"),
+        concat(lit("GO:"), lpad((ok % 89).cast("string"), 7, "0")).as("GO_ID"),
+        element_at(array(concat(lit("PMID:"), ok),
+          concat(lit("Reactome:R-HSA-"), ok), concat(lit("MGI:MGI:"), ok)),
+          (ok % 5 % 3 + 1).cast("int")).as("DB_Reference"),
+        element_at(array(lit("IDA"), lit("TAS"), lit("IEA")),
+          (ok % 7 % 3 + 1).cast("int")).as("Evidence_Code"),
+        lit("").as("With_From"),
+        element_at(array(lit("P"), lit("F"), lit("C")),
+          (ok % 3 + 1).cast("int")).as("Aspect"),
+        when(ok % 4 === 0, concat(lit("protein "), ck0))
+          .otherwise(lit("")).as("DB_Object_Name"),
+        concat(lit("syn"), ck0, lit("|UniProtKB:P"), ck0, lit("-2"))
+          .as("DB_Object_Synonym"),
+        lit("taxon:9606").as("Taxon"))
+      val ck = col("c_custkey")
+      val idm = Tables.customer(s, d).select(
+        concat(lit("P"), ck).as("UniProtKB_AC"),
+        when(ck % 3 === 1, ck.cast("string")).otherwise(lit("")).as("GeneID"),
+        when(ck % 3 === 2, concat(lit("ENSG"), ck))
+          .otherwise(lit("")).as("Ensembl"),
+        lit("9606").as("NCBI_taxon"))
+      graft.engine.GoGafSource
+        .transformDigest(s, Map("gaf" -> gaf, "idmapping" -> idm), Nil,
+          graft.core.Digest.md5IdScala)
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -1160,6 +1212,60 @@ object RdfQueries {
            UNION ALL SELECT asrt, 'SEPIO:0000018', 'https://www.mousephenotype.org/', false, NULL FROM l
            UNION ALL SELECT a, 'SEPIO:0000015', asrt, false, NULL FROM l
            UNION ALL SELECT asrt, 'SEPIO:0000111', line, false, NULL FROM l) t""",
+    "p10_go_gaf_pipeline" ->
+      """WITH o0 AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck FROM orders
+           WHERE o_orderkey % 13 = 0 AND o_orderkey % 5 <> 0),
+         w AS (
+           SELECT ok, ck,
+             CASE WHEN ok % 2 = 0 THEN 'UniProtKB' ELSE 'MGI' END AS db,
+             CASE ok % 3 WHEN 0 THEN 'RO:0002331' WHEN 1 THEN 'RO:0002327'
+                  ELSE 'BFO:0000050' END AS rel,
+             CASE (ok % 7) % 3 WHEN 0 THEN 'ECO:0000314'
+                  WHEN 1 THEN 'ECO:0000304' ELSE 'ECO:0000501' END AS eco,
+             CASE (ok % 5) % 3 WHEN 0 THEN 'PMID:'||ok::varchar
+                  WHEN 1 THEN 'REACT:R-HSA-'||ok::varchar
+                  ELSE 'MGI:'||ok::varchar END AS refc,
+             (ok % 5) % 3 = 0 AS ispmid,
+             'GO:'||lpad((ok % 89)::varchar, 7, '0') AS go,
+             'sym'||ck::varchar AS gsym,
+             CASE WHEN ok % 4 = 0 THEN 'protein '||ck::varchar
+                  ELSE '' END AS gname,
+             'syn'||ck::varchar AS syn,
+             'UniProtKB:P'||ck::varchar||'-2' AS gp
+           FROM o0),
+         m AS (
+           SELECT w.*,
+             CASE WHEN db = 'MGI' THEN 'MGI:'||ck::varchar
+                  WHEN ck % 3 = 1 THEN 'NCBIGene:'||ck::varchar
+                  ELSE 'ENSEMBL:ENSG'||ck::varchar END AS gene,
+             CASE WHEN db = 'UniProtKB'
+                  THEN 'Mapped from UniProtKB:P'||ck::varchar END AS mapdesc
+           FROM w WHERE db = 'MGI' OR ck % 3 IN (1, 2)),
+         a AS (
+           SELECT *,
+             '_:b'||substr(md5('EX:go+'||gene||'+'||rel||'+'||go),2,19) AS aid
+           FROM m)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'rdfs:label' AS p, gsym AS o,
+                  true AS lit, CAST(NULL AS VARCHAR) AS dt FROM a
+           UNION ALL SELECT gene, 'rdf:type', 'SO:0000704', false, NULL FROM a
+           UNION ALL SELECT gene, 'dc:description', gname, true, NULL FROM a
+             WHERE gname <> ''
+           UNION ALL SELECT gene, 'oboInOwl:hasExactSynonym', syn, true, NULL FROM a
+           UNION ALL SELECT gene, 'RO:0002205', gp, false, NULL FROM a
+           UNION ALL SELECT gene, 'RO:0002162', 'NCBITaxon:9606', false, NULL FROM a
+           UNION ALL SELECT refc, 'rdf:type', 'IAO:0000013', false, NULL FROM a
+             WHERE ispmid
+           UNION ALL SELECT gene, rel, go, false, NULL FROM a
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL FROM a
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene, false, NULL FROM a
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', rel, false, NULL FROM a
+           UNION ALL SELECT aid, 'OBAN:association_has_object', go, false, NULL FROM a
+           UNION ALL SELECT aid, 'RO:0002558', eco, false, NULL FROM a
+           UNION ALL SELECT aid, 'dc:source', refc, false, NULL FROM a
+           UNION ALL SELECT aid, 'dc:description', mapdesc, true, NULL FROM a
+             WHERE mapdesc IS NOT NULL) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
