@@ -207,6 +207,21 @@ class EngineSpec extends SparkSpec {
     assert(!nt.exists(_.contains("Dnajc5")))        // no-phenotype row dropped
   }
 
+  test("orphanet ingest: nested JDBOR XML through Runner") {
+    val dir = "src/test/resources/golden/orphanet/input"
+    val out = Files.createTempDirectory("graft-orpha").toString
+    val results = Runner.run(spark, Runner.RunConfig(Seq("orphanet"), out), dir)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/orphanet.nt").as[String].collect()
+    assert(nt.exists(_.contains("hgnc/30497")))      // HGNC preferred
+    assert(nt.exists(l => l.contains("ENSG00000160789") &&
+      l.contains("equivalentClass")))                // clique equivalents
+    assert(nt.exists(_.contains("RO_0004013")))      // causal germline mutation
+    assert(nt.exists(_.contains("ECO_0000323")))     // Not-yet-assessed evidence
+    assert(nt.exists(_.contains("orphanet.ordo/93262"))) // no-gene disorder class
+    assert(nt.exists(_.contains("fiche.php?symbol=LOCX"))) // settle-for-first
+  }
+
   test("streamed-graph mode: streamed NT set-equals the batch NT") {
     // the reference's `-g streamed_graph` (Source.py:118-121): same
     // graph, incremental serialization — here via the Structured
