@@ -222,6 +222,26 @@ class EngineSpec extends SparkSpec {
     assert(nt.exists(_.contains("fiche.php?symbol=LOCX"))) // settle-for-first
   }
 
+  test("biogrid ingest: zip mitab member through Runner with --taxon") {
+    val dir = "src/test/resources/golden/biogrid/input"
+    val out = Files.createTempDirectory("graft-biogrid").toString
+    val results = Runner.run(spark, Runner.RunConfig(Seq("biogrid"), out), dir)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/biogrid.nt").as[String].collect()
+    assert(nt.exists(_.contains("thebiogrid.org/200001"))) // biogrid: routing
+    assert(nt.exists(_.contains("uniprot/P38398")))        // swiss-prot routing
+    assert(nt.exists(_.contains("ECO_0000068")))           // y2h evidence
+    assert(nt.exists(_.contains("pubmed/14976165")))       // pubmed->PMID
+    assert(!nt.exists(_.contains("NM_000546")))            // unroutable dropped
+    // --taxon 9606: both endpoints must match — the mouse pair drops
+    val out2 = Files.createTempDirectory("graft-biogrid-tax").toString
+    Runner.run(spark, Runner.RunConfig(Seq("biogrid"), out2,
+      taxa = Seq("9606")), dir)
+    val hum = spark.read.text(s"$out2/biogrid.nt").as[String].collect()
+    assert(hum.exists(_.contains("ncbigene/351")) &&
+      !hum.exists(_.contains("P38398")))
+  }
+
   test("streamed-graph mode: streamed NT set-equals the batch NT") {
     // the reference's `-g streamed_graph` (Source.py:118-121): same
     // graph, incremental serialization — here via the Structured
