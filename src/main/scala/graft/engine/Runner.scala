@@ -39,7 +39,7 @@ object Runner {
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
     ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource,
     BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource,
-    GoGafSource, ImpcSource, OrphanetSource, BiogridSource
+    GoGafSource, ImpcSource, OrphanetSource, BiogridSource, MpdSource
   ).map(s => s.name -> s).toMap
 
   /** Sinks serialize through the production-size prefix map (the
