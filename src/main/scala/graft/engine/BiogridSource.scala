@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,12 +43,11 @@ object BiogridSource extends GraftSource {
 
   def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
     val zip = s"$dataDir/BIOGRID-ALL-LATEST.mitab.zip"
-    val cache = Paths.get(sys.props("java.io.tmpdir"), "graft_biogrid",
-      Digest.md5IdScala(zip))
-    val extracted = cache.resolve(
-      Paths.get(graft.sources.ZipSource.list(zip).head).getFileName.toString)
-    if (!Files.exists(extracted))
-      graft.sources.ZipSource.extractMember(zip, cache.toString)
+    val member =
+      Paths.get(graft.sources.ZipSource.list(zip).head).getFileName.toString
+    val extracted = graft.sources.ArchiveCache.cachedExtract(
+      zip, "graft_biogrid", member)(
+      scratch => graft.sources.ZipSource.extractMember(zip, scratch))
     Map("interactions" -> graft.sources.DelimitedSource.read(spark,
       graft.sources.SourceFile(extracted.toString, schema,
         hasHeader = false, comment = Some('#'))))

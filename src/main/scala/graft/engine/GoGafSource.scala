@@ -23,9 +23,12 @@ import graft.sources.{DelimitedSource, SourceFile}
   * (py:367-380), and the IMP With/From branch deriving reagent-targeted
   * G2P phenotype associations (py:442-490).
   *
-  * Scale shape: the idmapping sidecar is the broadcast dimension (the
+  * Scale shape: the idmapping sidecar is the join dimension (the
   * reference loads its 10 GB unzipped form into a driver dict; here it
-  * stays a pruned two-column broadcast), everything else is per-row
+  * is a pruned two-column frame that Catalyst broadcasts only when its
+  * size stats clear the threshold — no forced hint, so a fact-sized
+  * unpruned sidecar degrades to a shuffle join instead of a driver
+  * OOM), everything else is per-row
   * column work and one flatMap emission — no shuffle before the final
   * graph set-dedup. The per-taxon file manifest of the reference
   * (files ∩ tax_ids, py:269) is a scan-level partition prune; the same
@@ -116,10 +119,19 @@ object GoGafSource extends GraftSource {
       .filter(Seq("DB", "DB_Object_ID", "GO_ID", "Evidence_Code", "Aspect",
         "Taxon").map(c => coalesce(col(c), lit("")) =!= "").reduce(_ && _))
       .filter(!coalesce(col("Qualifier"), lit("")).rlike("NOT"))
+    // NO broadcast hint on the idmapping dimension: the UniProt sidecar
+    // is ~10 GB unpruned in production and with `taxa = Nil` the pruned
+    // two-column frame can still be hundreds of millions of rows — a
+    // forced hint would bypass Catalyst's size check and OOM the driver
+    // at exactly the scale this engine targets. Catalyst's own stats see
+    // the column-pruned scan size, so a genuinely small dimension (the
+    // per-taxon prune, or a test corpus) still broadcasts on its own;
+    // past the autoBroadcastJoinThreshold this becomes a shuffle join
+    // on __ac, which is the right plan for a fact-sized dimension.
     val rows = (if (taxa.isEmpty) rows0
                 else rows0.filter(
                   taxa.map(t => taxFirst === s"NCBITaxon:$t").reduce(_ || _)))
-      .join(broadcast(idm), col("DB_Object_ID") === col("__ac"), "left")
+      .join(idm, col("DB_Object_ID") === col("__ac"), "left")
 
     val local = prefixRewrites
     val eco = gafEco

@@ -1,7 +1,5 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,13 +36,9 @@ object PantherSource extends GraftSource {
 
   def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
     val tar = s"$dataDir/RefGenomeOrthologs.tar.gz"
-    val cache = Paths.get(sys.props("java.io.tmpdir"), "graft_panther",
-      Digest.md5IdScala(tar))
-    val extracted = cache.resolve(Member)
-    if (!Files.exists(extracted)) {
-      Files.createDirectories(cache)
-      graft.sources.TarSource.extractMember(tar, Member, cache.toString)
-    }
+    val extracted = graft.sources.ArchiveCache.cachedExtract(
+      tar, "graft_panther", Member)(
+      scratch => graft.sources.TarSource.extractMember(tar, Member, scratch))
     Map("ref_genome_orthologs" -> graft.sources.DelimitedSource.read(spark,
       graft.sources.SourceFile(extracted.toString, schema,
         hasHeader = false)))

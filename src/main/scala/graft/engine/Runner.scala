@@ -31,7 +31,11 @@ object Runner {
       testOnly: Boolean = false,
       destFmt: Seq[String] = Seq("nt"),
       taxa: Seq[String] = Nil,
-      version: String = "2026-08")
+      version: String = "2026-08",
+      // retrievedOn stamp for the dataset-metadata graph. None = today
+      // (the reference's provenance semantics, Source.py declareSource);
+      // pin it for byte-identical reproducible-output deployments.
+      asOfDate: Option[String] = None)
 
   /** Registered sources (source_to_class_map, dipper-etl.py:20-62). */
   val registry: Map[String, GraftSource] = Seq(
@@ -69,7 +73,8 @@ object Runner {
       val spark2 = spark
       import spark2.implicits._
       val meta = DatasetMeta.describe(s"EX:ds/$name", name, cfg.version,
-        s"file://$dataDir", java.time.LocalDate.now.toString).toDF()
+        s"file://$dataDir",
+        cfg.asOfDate.getOrElse(java.time.LocalDate.now.toString)).toDF()
       // the deduped graph feeds every requested sink plus the test
       // subset — persist it once so the source transform + axiom pass
       // runs a single time instead of per-consumer (lineage kept:
@@ -95,13 +100,24 @@ object Runner {
             // streamed-graph mode: stage the triple relation, then drive
             // the streaming NT sink over it with an AvailableNow trigger —
             // the same incremental path a continuous ingest uses, run to
-            // completion here (per-batch append, no driver materialization)
+            // completion here (per-batch append, no driver materialization).
+            // The stream sink itself appends, so mirror the overwrite
+            // semantics of the batch formats by clearing the checkpoint
+            // and prior output first: an overwrite of the stage dir
+            // renames its part files, which a kept checkpoint would treat
+            // as brand-new input and append a duplicate copy.
             val stage = s"${cfg.outDir}/_stream/$name.stage"
+            val ckpt = s"${cfg.outDir}/_stream/$name.ckpt"
+            val streamOut = s"${cfg.outDir}/$name.stream.nt"
+            Seq(ckpt, streamOut).foreach { p =>
+              val fp = new org.apache.hadoop.fs.Path(p)
+              val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              fs.delete(fp, true)
+            }
             full.write.mode("overwrite").parquet(stage)
             val q = graft.streaming.EventStream.streamTriplesToNt(
               spark.readStream.schema(full.schema).parquet(stage),
-              s"${cfg.outDir}/$name.stream.nt",
-              s"${cfg.outDir}/_stream/$name.ckpt", curieMap)
+              streamOut, ckpt, curieMap)
             q.awaitTermination()
         }
         if (!cfg.testOnly && src.testIds.nonEmpty)
@@ -119,6 +135,7 @@ object Runner {
     *   --data /root/testdata/sf0.001 --out /tmp/graft_out \
     *   [--limit N] [--test_only] [--taxon 9606,10090] \
     *   [--dest_fmt nt,nquads,turtle,n3,rdfxml,streamed_nt] [--data_release_version V]
+    *   [--as_of_date YYYY-MM-DD]
     * }}} */
   /** Parse the CLI surface into (config, dataDir) — public for tests. */
   def parseArgs(args: Seq[String]): (RunConfig, String) = {
@@ -144,7 +161,8 @@ object Runner {
       destFmt = { val f = list("dest_fmt"); if (f.isEmpty) Seq("nt") else f },
       taxa = list("taxon") ++ list("t"),
       version = a.getOrElse("data_release_version",
-        a.getOrElse("d", java.time.LocalDate.now.toString)))
+        a.getOrElse("d", java.time.LocalDate.now.toString)),
+      asOfDate = a.get("as_of_date"))
     (cfg, a.getOrElse("data", "/root/testdata/sf0.001"))
   }
 

@@ -68,9 +68,15 @@ object Closure {
     // and release the loop's final round, so a long-lived session does not
     // accumulate one block set per closure call. Caller drops the result's
     // own (counted, exact-size) blocks with result.unpersist() when done.
-    val out = reach.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    reachCache.unpersist(false)
-    out
+    // On the checkpoint path mat() returns the SAME Dataset for reach and
+    // reachCache; the checkpoint files already detach lineage and nothing
+    // was persisted, so the copy-and-release dance would just undo itself.
+    if (useCheckpoint) reach
+    else {
+      val out = reach.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      reachCache.unpersist(false)
+      out
+    }
   }
 }

@@ -30,7 +30,11 @@ private[graft] object ScanStats {
     val defaultParallelism = spark.sparkContext.defaultParallelism
     var total = 0L
     var unknown = false
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    // withCachedData, not analyzed: cache substitution happens after
+    // analysis, so a persisted input only shows its InMemoryRelation leaf
+    // here — which is unrecognized below and takes the exact fallback,
+    // honouring the cached partitioning instead of the stale file listing.
+    df.queryExecution.withCachedData.collectLeaves().foreach {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           val openCost = conf.filesOpenCostInBytes

@@ -30,6 +30,27 @@ class EngineSpec extends SparkSpec {
     assert(nq.nonEmpty && nq.forall(_.contains("<https://example.org/id/graph/order_assocs> .")))
   }
 
+  test("asOfDate pin: two runs of the same config are byte-identical") {
+    // Runner stamps retrievedOn with LocalDate.now by default (the
+    // reference's provenance semantics); RunConfig.asOfDate pins it so a
+    // reproducible-output deployment gets identical bytes on rerun.
+    def runOnce(): Seq[String] = {
+      val out = Files.createTempDirectory("graft-asof").toString
+      Runner.run(spark, Runner.RunConfig(Seq("nation_classes"), out,
+        asOfDate = Some("2026-01-01")), sf)
+      spark.read.text(s"$out/nation_classes.nt").as[String].collect()
+        .toSeq.sorted
+    }
+    val a = runOnce()
+    assert(a == runOnce())
+    assert(a.exists(s => s.toLowerCase.contains("retrievedon")
+      && s.contains("2026-01-01")))
+    // CLI flag reaches the config
+    val (cfg, _) = Runner.parseArgs(Seq(
+      "-s", "nation_classes", "--as_of_date", "2026-01-01"))
+    assert(cfg.asOfDate.contains("2026-01-01"))
+  }
+
   test("CLI arg surface (dipper-etl.py:64-128 twin)") {
     val (cfg, data) = Runner.parseArgs(Seq(
       "--sources", "nation_classes,order_assocs", "--limit", "7",
@@ -254,6 +275,14 @@ class EngineSpec extends SparkSpec {
     val streamNt = spark.read.text(s"$out/nation_classes.stream.nt")
       .as[String].collect().toSet
     assert(streamNt == batchNt && batchNt.nonEmpty)
+    // rerun into the SAME outDir: overwrite semantics, not append — a
+    // kept checkpoint would see the overwritten stage's renamed part
+    // files as new input and duplicate every line
+    Runner.run(spark, Runner.RunConfig(Seq("nation_classes"), out,
+      destFmt = Seq("streamed_nt")), sf)
+    val rerun = spark.read.text(s"$out/nation_classes.stream.nt")
+      .as[String].collect()
+    assert(rerun.length == rerun.toSet.size && rerun.toSet == batchNt)
   }
 
   test("limit pushdown caps every input scan (--limit N)") {

@@ -179,6 +179,48 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("archive cache: hit on unchanged archive, re-extract on refresh") {
+    import graft.sources.ArchiveCache
+    val dir = tmpDir()
+    val zip = s"$dir/data.zip"
+    def writeZip(content: String): Unit = {
+      val z = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zip))
+      z.putNextEntry(new java.util.zip.ZipEntry("member.tsv"))
+      z.write(content.getBytes("UTF-8")); z.closeEntry(); z.close()
+    }
+    var extracts = 0
+    def cached(): java.nio.file.Path =
+      ArchiveCache.cachedExtract(zip, s"graft_test_${dir.hashCode}",
+        "member.tsv") { scratch =>
+        extracts += 1
+        graft.sources.ZipSource.extractMember(zip, scratch)
+      }
+    writeZip("v1\n")
+    assert(Files.readString(cached()) == "v1\n")
+    assert(Files.readString(cached()) == "v1\n" && extracts == 1) // cache hit
+    // refreshed archive at the SAME path (new size/mtime) must re-extract,
+    // not serve the stale member forever
+    writeZip("v2 longer\n")
+    Files.setLastModifiedTime(Paths.get(zip),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(zip)).toMillis + 5000))
+    assert(Files.readString(cached()) == "v2 longer\n" && extracts == 2)
+    // a torn extraction never lands: on extractor failure the cached
+    // path stays absent and the next call retries
+    Files.setLastModifiedTime(Paths.get(zip),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(zip)).toMillis + 10000))
+    intercept[RuntimeException] {
+      ArchiveCache.cachedExtract(zip, s"graft_test_${dir.hashCode}",
+        "member.tsv") { scratch =>
+        Files.writeString(Paths.get(scratch, "member.tsv"), "partial")
+        throw new RuntimeException("mid-copy crash")
+      }
+    }
+    assert(Files.readString(cached()) == "v2 longer\n" && extracts == 3)
+  }
+
   test("biomart query construction + response scan") {
     import graft.sources.Biomart
     val q = Biomart.buildQuery("hsapiens_gene_ensembl",

@@ -37,6 +37,26 @@ class PlansSpec extends SparkSpec {
       Seq((1, 10L), (2, 70L), (3, 600L), (4, 6000L), (5, 2500L)).contains((i, p)) })
   }
 
+  test("go_gaf idmapping join: broadcast only under Catalyst's size threshold") {
+    // The idmapping sidecar is ~10 GB unpruned in production, so the
+    // source must NOT force a broadcast hint: a small (test/per-taxon
+    // pruned) dimension should broadcast via size stats alone, and
+    // disabling auto-broadcast must yield a shuffle join — which a
+    // forced hint would bypass.
+    val in = graft.engine.GoGafSource.read(
+      spark, "src/test/resources/golden/go_gaf/input")
+    def planOf(): String = graft.engine.GoGafSource
+      .transform(spark, in, Nil).queryExecution.executedPlan.toString
+    val auto = planOf()
+    assert(auto.contains("BroadcastHashJoin"), auto.take(800))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = planOf()
+      assert(!gated.contains("BroadcastHashJoin"), gated.take(800))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("range-join rewrite leaves equi joins and non-range thetas alone") {
     GraftExtensions.register(spark)
     val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
