@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Test-corpus table access (driver-generated parquet, see TESTDATA.md). */
 object Tables {
@@ -20,15 +20,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    * timestamp type, so read it as long and truncate to micros (matching
-    * DuckDB's ns→us behavior for positive epochs). */
+  /** `events.ts` normalization: the corpus has shipped the column as
+    * parquet TIMESTAMP(NANOS) (read as long, truncated to micros —
+    * DuckDB's ns→us behavior for positive epochs) and as TIMESTAMP(MICROS)
+    * without UTC adjustment (Spark's TIMESTAMP_NTZ, which event-time
+    * watermarks reject). Both land here as session-zoned TIMESTAMP; all
+    * sessions pin spark.sql.session.timeZone=UTC so the NTZ cast is the
+    * identity on the wall-clock value. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
