@@ -43,8 +43,38 @@ object Runner {
     DiseasePhenotypeSource, ChemDiseaseSource, StringInteractionsSource,
     ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource,
     BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource,
-    GoGafSource, ImpcSource, OrphanetSource, BiogridSource, MpdSource
+    GoGafSource, ImpcSource, OrphanetSource, BiogridSource, MpdSource,
+    OmiaSource, NcbiGeneSource
   ).map(s => s.name -> s).toMap
+
+  /** A cross-source augmentation: when one run includes every source in
+    * `requires`, `derive` computes extra triples from the sources' INPUT
+    * relations and OUTPUT graphs and they land in `target`'s graph —
+    * the reference's in-parse composition pattern, where OMIA hands its
+    * annotated-gene set to NCBIGene's ortholog builder
+    * (OMIA.py:170-172 → NCBIGene.py:676-769). Runner-level rather than
+    * source-level so each source stays solo-runnable and the composed
+    * graph only pays the join when both sides are actually in the run. */
+  final case class Augmentation(
+      name: String,
+      requires: Set[String],
+      target: String,
+      derive: (SparkSession, Map[String, Map[String, DataFrame]],
+               Map[String, DataFrame]) => DataFrame)
+
+  val augmentations: Seq[Augmentation] = Seq(
+    Augmentation("omia_ncbi_orthologs", Set("omia", "ncbi_gene"), "omia",
+      (spark, inputs, outputs) => {
+        // annotated_genes = the affected-locus gene objects of OMIA's
+        // OUTPUT graph (OMIA.py:679) — a join across source outputs
+        val annotated = outputs("omia")
+          .filter(col("p") === graft.core.Vocab.hasAffectedLocus &&
+            col("o").startsWith("NCBIGene:"))
+          .select(col("o").as("gene"))
+          .distinct()
+        NcbiGeneSource.orthologTriples(spark, annotated,
+          inputs("ncbi_gene")("gene_group"))
+      }))
 
   /** Sinks serialize through the production-size prefix map (the
     * reference runs every ingest with its full curie_map.yaml). */
@@ -58,7 +88,8 @@ object Runner {
     val badFmt = cfg.destFmt.filterNot(
       Set("nt", "nquads", "turtle", "n3", "rdfxml", "streamed_nt"))
     require(badFmt.isEmpty, s"unknown dest_fmt: ${badFmt.mkString(",")}")
-    cfg.sources.map { name =>
+    // stage 1: declare every source's plan (all lazy)
+    val prepared = cfg.sources.map { name =>
       val src = registry(name)
       val inputs0 = src.read(spark, dataDir)
       // --limit N: pushed into every input scan (Catalyst CollectLimit)
@@ -69,6 +100,25 @@ object Runner {
       var triples = src.transform(spark, inputs, cfg.taxa)
       if (cfg.testOnly && src.testIds.nonEmpty)
         triples = triples.filter(col("s").isin(src.testIds: _*))
+      (name, src, inputs, triples)
+    }
+    // stage 2: cross-source augmentations. An output a derive consumes
+    // is ALSO written as its own graph, so those frames are persisted —
+    // the transform DAG (an XML dump scan at production scale) runs once,
+    // not once per consumer.
+    val applicable = augmentations.filter(_.requires.subsetOf(cfg.sources.toSet))
+    val shared = applicable.flatMap(a => a.requires + a.target).toSet
+    val outMap = prepared.map { case (n, _, _, t) =>
+      n -> (if (shared(n))
+        t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else t)
+    }.toMap
+    val inMap = prepared.map { case (n, _, i, _) => n -> i }.toMap
+    try cfg.sources.map { name =>
+      val src = registry(name)
+      val extra = applicable.filter(_.target == name)
+        .map(_.derive(spark, inMap, outMap))
+      val triples = extra.foldLeft(outMap(name))(_ unionByName _)
       // graph ∪ dataset-metadata graph ∪ property axioms, then set-dedup
       val spark2 = spark
       import spark2.implicits._
@@ -125,7 +175,7 @@ object Runner {
             s"${cfg.outDir}/${name}_test.nt", curieMap)
         SourceResult(name, n, out)
       } finally full.unpersist(blocking = false)
-    }
+    } finally shared.foreach(n => outMap(n).unpersist(blocking = false))
   }
 
   /** CLI twin of `dipper-etl.py` (arg surface: dipper-etl.py:64-128).

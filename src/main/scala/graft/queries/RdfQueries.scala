@@ -457,6 +457,90 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #11 — the OMIA×OMIM×NCBI CROSS-SOURCE
+    // integration (the reference's only multi-source E2E gate,
+    // tests/omia-integration.py wired via OMIA.py:170-172): the OMIA
+    // association core (breeds, breed→phene G2P, breed→omim `is model
+    // of` typed through the OMIM mimTitles sidecar with evidence +
+    // description, phene classes, xrefs, variant-of-gene G2P), PLUS the
+    // NCBI gene dimension, PLUS the ortholog augmentation joining OMIA's
+    // OUTPUT graph (annotated affected-locus genes) against NCBI's
+    // gene_group — exactly what Runner's augmentation composes. The
+    // oracle re-derives every family, including the mimTitles type
+    // filter, the group-membership walk (lead ∈ own group,
+    // gene_to_group keyed on the non-lead side), and the md5 digests.
+    "p11_omia_integration" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val c = col("c_custkey")
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val species = Tables.nation(s, d).select(
+        col("n_nationkey").cast("string").as("gb_species_id"),
+        col("n_name").as("sci_name"))
+      val breed = cust.select(
+        c.cast("string").as("breed_id"),
+        concat(lit("breed "), c).as("breed_name"),
+        col("c_nationkey").cast("string").as("gb_species_id"))
+      val phene = orders.filter(ok % 3 === 0).select(
+        ok.cast("string").as("phene_id"),
+        lpad((ok % 500).cast("string"), 6, "0").as("omia_id"),
+        concat(lit("phene "), ok % 500).as("phene_name"),
+        (ck % 25).cast("string").as("gb_species_id"),
+        when(ok % 2 === 0, concat(lit("summary "), ok)).as("summary"))
+      val breedPhene = orders.filter(ok % 6 === 0).select(
+        ck.cast("string").as("breed_id"), ok.cast("string").as("phene_id"))
+      val omimXref = orders.filter(ok % 3 === 0).select(
+        lpad((ok % 500).cast("string"), 6, "0").as("omia_id"),
+        (ok % 700 + 100000).cast("string").as("omim_id"))
+      val mimTitles = cust.select(
+        element_at(array(lit("Number Sign"), lit("Asterisk"), lit("Percent"),
+          lit("Plus"), lit("Caret")), (c % 5 + 1).cast("int")).as("prefix"),
+        (c % 700 + 100000).cast("string").as("mim_number"),
+        lit("title").as("preferred_title"))
+      val pheneGene = orders.filter(ok % 9 === 0).select(
+        ok.cast("string").as("phene_id"),
+        (ck % 400 + 1).cast("string").as("gene_id"))
+      val genes = cust.filter(c <= 400).select(
+        c.cast("string").as("gene_id"),
+        col("c_nationkey").cast("string").as("gb_species_id"),
+        concat(lit("g"), c).as("symbol"),
+        element_at(array(lit("protein-coding"), lit("pseudo"), lit("ncRNA")),
+          (c % 3 + 1).cast("int")).as("gene_type"))
+      val omia = graft.engine.OmiaSource.transform(s, Map(
+        "species" -> species, "breed" -> breed, "phene" -> phene,
+        "breed_phene" -> breedPhene, "omim_xref" -> omimXref,
+        "phene_gene" -> pheneGene, "genes" -> genes,
+        "omim_types" -> mimTitles))
+      val geneInfo = cust.select(
+        col("c_nationkey").cast("string").as("tax_id"),
+        (c + 10000).cast("string").as("GeneID"),
+        when(c % 50 === 0, lit("NEWENTRY"))
+          .otherwise(concat(lit("sym"), c)).as("Symbol"),
+        when(c % 4 === 0, lit("-"))
+          .otherwise(concat(lit("desc "), c)).as("description"),
+        element_at(array(lit("protein-coding"), lit("pseudo"), lit("ncRNA")),
+          (c % 3 + 1).cast("int")).as("type_of_gene"))
+      val geneGroup = orders.filter(ok % 4 === 0).select(
+        lit("99").as("tax_id"),
+        (ck % 100 + 10000).cast("string").as("GeneID"),
+        when(ok % 16 === 0, lit("Related functional gene"))
+          .otherwise(lit("Ortholog")).as("relationship"),
+        (ok % 30).cast("string").as("Other_tax_id"),
+        (ck % 400 + 1).cast("string").as("Other_GeneID"))
+      val dim = graft.engine.NcbiGeneSource.transform(s,
+        Map("gene_info" -> geneInfo, "gene_group" -> geneGroup))
+      // the Runner augmentation, re-derived from omia's OUTPUT graph
+      val annotated = omia
+        .filter(col("p") === graft.core.Vocab.hasAffectedLocus &&
+          col("o").startsWith("NCBIGene:"))
+        .select(col("o").as("gene")).distinct()
+      val orth = graft.engine.NcbiGeneSource.orthologTriples(s, annotated,
+        geneGroup)
+      omia.unionByName(dim).unionByName(orth)
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -1266,6 +1350,144 @@ object RdfQueries {
            UNION ALL SELECT aid, 'dc:source', refc, false, NULL FROM a
            UNION ALL SELECT aid, 'dc:description', mapdesc, true, NULL FROM a
              WHERE mapdesc IS NOT NULL) t""",
+    "p11_omia_integration" ->
+      """WITH species AS (
+           SELECT n_nationkey::varchar AS spid, n_name AS sci FROM nation),
+         breeds AS (
+           SELECT c_custkey::varchar AS bkey,
+                  'OMIA-breed:'||c_custkey AS breed,
+                  'breed '||c_custkey||' ('||n.sci||')' AS blabel,
+                  'NCBITaxon:'||c_nationkey AS btax
+           FROM customer JOIN species n ON n.spid = c_nationkey::varchar),
+         phene AS (
+           SELECT o_orderkey::varchar AS pkey,
+                  'OMIA:'||lpad((o_orderkey%500)::varchar,6,'0') AS omia,
+                  'OMIA:'||lpad((o_orderkey%500)::varchar,6,'0')||'-'||(o_custkey%25) AS spphene,
+                  'phene '||(o_orderkey%500) AS plabel,
+                  CASE WHEN o_orderkey%2=0 THEN 'summary '||o_orderkey END AS psummary,
+                  'NCBITaxon:'||(o_custkey%25) AS ptax
+           FROM orders WHERE o_orderkey%3=0),
+         xref AS (
+           SELECT 'OMIA:'||lpad((o_orderkey%500)::varchar,6,'0') AS omia,
+                  (o_orderkey%700+100000)::varchar AS omim_num
+           FROM orders WHERE o_orderkey%3=0),
+         kept AS (
+           SELECT DISTINCT (c_custkey%700+100000)::varchar AS omim_num
+           FROM customer WHERE c_custkey%5 IN (0, 2, 3)),
+         cleaned AS (
+           SELECT x.omia, 'OMIM:'||x.omim_num AS omim
+           FROM xref x JOIN kept k USING (omim_num)),
+         bp AS (
+           SELECT b.breed, b.blabel, p.spphene, p.plabel, p.omia,
+                  '_:b'||substr(md5('EX:omia+'||b.breed||'+RO:0002200+'||p.spphene),2,19) AS aid
+           FROM (SELECT o_custkey::varchar AS bkey, o_orderkey::varchar AS pkey
+                 FROM orders WHERE o_orderkey%6=0) r
+           JOIN breeds b USING (bkey) JOIN phene p USING (pkey)),
+         mo AS (
+           SELECT bp.breed, c.omim,
+                  '_:b'||substr(md5('EX:omia+'||bp.breed||'+RO:0003301+'||c.omim),2,19) AS aid,
+                  'High incidence of '||bp.plabel||' in '||bp.blabel||
+                    ' suggests it to be a model of disease '||c.omim||'.' AS descr
+           FROM bp JOIN cleaned c USING (omia)),
+         genes AS (
+           SELECT c_custkey::varchar AS gkey, 'NCBIGene:'||c_custkey AS gid,
+                  'g'||c_custkey AS symbol,
+                  CASE c_custkey%3 WHEN 0 THEN 'SO:0001217'
+                       WHEN 1 THEN 'SO:0000336' ELSE 'SO:0001263' END AS gtype,
+                  'NCBITaxon:'||c_nationkey AS gtax
+           FROM customer WHERE c_custkey <= 400),
+         pg AS (
+           SELECT g.gid, g.symbol, p.spphene,
+                  '_:b'||substr(md5(g.gkey||'VL'),2,19) AS vid
+           FROM (SELECT o_orderkey::varchar AS pkey,
+                        (o_custkey%400+1)::varchar AS gkey
+                 FROM orders WHERE o_orderkey%9=0) r
+           JOIN genes g USING (gkey) JOIN phene p USING (pkey)),
+         pga AS (
+           SELECT *, '_:b'||substr(md5('EX:omia+'||vid||'+RO:0002200+'||spphene),2,19) AS aid
+           FROM pg),
+         ginfo AS (
+           SELECT 'NCBIGene:'||(c_custkey+10000) AS gid,
+                  CASE WHEN c_custkey%50=0 THEN NULL ELSE 'sym'||c_custkey END AS symbol,
+                  CASE WHEN c_custkey%4=0 THEN NULL ELSE 'desc '||c_custkey END AS descr,
+                  CASE c_custkey%3 WHEN 0 THEN 'SO:0001217'
+                       WHEN 1 THEN 'SO:0000336' ELSE 'SO:0001263' END AS gtype,
+                  'NCBITaxon:'||c_nationkey AS tax
+           FROM customer),
+         gg AS (
+           SELECT (o_custkey%100+10000)::varchar AS grp,
+                  (o_custkey%400+1)::varchar AS member,
+                  (o_orderkey%30)::varchar AS mtax
+           FROM orders WHERE o_orderkey%4=0 AND o_orderkey%16<>0),
+         members AS (
+           SELECT grp, member, mtax FROM gg
+           UNION SELECT grp, grp AS member, '99' AS mtax FROM gg),
+         g2grp AS (SELECT DISTINCT member AS gnum, grp FROM gg),
+         ann AS (
+           SELECT DISTINCT (o_custkey%400+1)::varchar AS gnum
+           FROM orders WHERE o_orderkey%9=0),
+         expanded AS (
+           SELECT DISTINCT 'NCBIGene:'||g2grp.gnum AS gid,
+                  'NCBIGene:'||m.member AS oid, 'NCBITaxon:'||m.mtax AS otax
+           FROM g2grp JOIN ann USING (gnum) JOIN members m USING (grp)),
+         orth AS (
+           SELECT *, '_:b'||substr(md5('EX:omia+'||gid||'+RO:HOM0000017+'||oid),2,19) AS aid
+           FROM expanded)
+         SELECT DISTINCT * FROM (
+           SELECT 'NCBITaxon:'||spid AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM species
+           UNION ALL SELECT 'NCBITaxon:'||spid, 'rdfs:label', sci, true, NULL FROM species
+           UNION ALL SELECT breed, 'rdf:type', 'owl:NamedIndividual', false, NULL FROM breeds
+           UNION ALL SELECT breed, 'rdf:type', btax, false, NULL FROM breeds
+           UNION ALL SELECT breed, 'rdfs:label', blabel, true, NULL FROM breeds
+           UNION ALL SELECT spphene, 'rdf:type', 'owl:Class', false, NULL FROM phene
+           UNION ALL SELECT spphene, 'rdfs:label', plabel, true, NULL FROM phene
+           UNION ALL SELECT spphene, 'rdfs:subClassOf', omia, false, NULL FROM phene
+           UNION ALL SELECT spphene, 'dc:description', psummary, true, NULL FROM phene
+             WHERE psummary IS NOT NULL
+           UNION ALL SELECT spphene, 'RO:0002162', ptax, false, NULL FROM phene
+           UNION ALL SELECT omia, 'oboInOwl:hasDbXref', 'OMIM:'||omim_num, true, NULL FROM xref
+           UNION ALL SELECT breed, 'RO:0002200', spphene, false, NULL FROM bp
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL FROM bp
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', breed, false, NULL FROM bp
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', 'RO:0002200', false, NULL FROM bp
+           UNION ALL SELECT aid, 'OBAN:association_has_object', spphene, false, NULL FROM bp
+           UNION ALL SELECT breed, 'RO:0003301', omim, false, NULL FROM mo
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL FROM mo
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', breed, false, NULL FROM mo
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', 'RO:0003301', false, NULL FROM mo
+           UNION ALL SELECT aid, 'OBAN:association_has_object', omim, false, NULL FROM mo
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000214', false, NULL FROM mo
+           UNION ALL SELECT aid, 'dc:description', descr, true, NULL FROM mo
+           UNION ALL SELECT gid, 'rdf:type', 'owl:Class', false, NULL FROM genes
+           UNION ALL SELECT gid, 'rdfs:label', symbol, true, NULL FROM genes
+           UNION ALL SELECT gid, 'rdfs:subClassOf', gtype, false, NULL FROM genes
+           UNION ALL SELECT gid, 'RO:0002162', gtax, false, NULL FROM genes
+           UNION ALL SELECT vid, 'rdf:type', 'GENO:0000512', false, NULL FROM pg
+           UNION ALL SELECT vid, 'rdfs:label', 'some variant of '||symbol, true, NULL FROM pg
+           UNION ALL SELECT vid, 'GENO:0000408', gid, false, NULL FROM pg
+           UNION ALL SELECT vid, 'GENO:0000418', gid, false, NULL FROM pg
+           UNION ALL SELECT vid, 'RO:0002200', spphene, false, NULL FROM pga
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL FROM pga
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', vid, false, NULL FROM pga
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', 'RO:0002200', false, NULL FROM pga
+           UNION ALL SELECT aid, 'OBAN:association_has_object', spphene, false, NULL FROM pga
+           UNION ALL SELECT gid, 'rdf:type', 'owl:Class', false, NULL FROM ginfo
+           UNION ALL SELECT gid, 'rdfs:subClassOf', gtype, false, NULL FROM ginfo
+           UNION ALL SELECT gid, 'rdfs:label', symbol, true, NULL FROM ginfo
+             WHERE symbol IS NOT NULL
+           UNION ALL SELECT gid, 'dc:description', descr, true, NULL FROM ginfo
+             WHERE descr IS NOT NULL
+           UNION ALL SELECT gid, 'RO:0002162', tax, false, NULL FROM ginfo
+           UNION ALL SELECT tax, 'rdf:type', 'owl:Class', false, NULL FROM ginfo
+           UNION ALL SELECT gid, 'RO:HOM0000017', oid, false, NULL FROM orth
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL FROM orth
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gid, false, NULL FROM orth
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', 'RO:HOM0000017', false, NULL FROM orth
+           UNION ALL SELECT aid, 'OBAN:association_has_object', oid, false, NULL FROM orth
+           UNION ALL SELECT aid, 'dc:source', 'PMID:24063302', false, NULL FROM orth
+           UNION ALL SELECT DISTINCT oid, 'rdf:type', 'owl:Class', false, NULL FROM expanded
+           UNION ALL SELECT DISTINCT oid, 'RO:0002162', otax, false, NULL FROM expanded) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,

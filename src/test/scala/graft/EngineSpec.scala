@@ -30,6 +30,70 @@ class EngineSpec extends SparkSpec {
     assert(nq.nonEmpty && nq.forall(_.contains("<https://example.org/id/graph/order_assocs> .")))
   }
 
+  test("omia×ncbi×omim integration: model-of floor + named pair + ortholog augmentation") {
+    // The reference's only multi-source E2E gate: OMIA × OMIM × NCBI must
+    // yield the model-of pairs plus one NAMED breed→disease pair
+    // (tests/omia-integration.py:16,44-60, wired Makefile:88-89). Here the
+    // same composed run goes through ONE RunConfig: the omia source's
+    // model-of map is typed by the OMIM mimTitles sidecar, and the
+    // Runner-level augmentation joins omia's OUTPUT graph (annotated
+    // genes) against ncbi_gene's gene_group input (OMIA.py:170-172).
+    val dir = "src/test/resources/golden/omia/input"
+    val out = Files.createTempDirectory("graft-omia-integ").toString
+    val results = Runner.run(spark,
+      Runner.RunConfig(Seq("omia", "ncbi_gene"), out), dir)
+    assert(results.map(_.name) == Seq("omia", "ncbi_gene"))
+    val cm = Runner.curieMap
+    val nt = spark.read.text(s"$out/omia.nt").as[String].collect()
+
+    // ---- integration floor (corpus-scaled EXPECTED_PAIRS) ----
+    val isModelOf = "<" + cm.expand("RO:0003301") + ">"
+    val pairs = nt.filter(_.contains(isModelOf))
+      .map(l => { val t = l.split(" "); (t(0), t(2)) }).distinct
+    assert(pairs.length >= 3, s"model-of floor: ${pairs.toSeq}")
+    // the named pair: breed 758 models EXACTLY OMIM:305100
+    // (omia-integration.py:56-60 list-equality check)
+    val b758 = "<" + cm.expand("OMIA-breed:758") + ">"
+    assert(pairs.filter(_._1 == b758).map(_._2).toSeq ==
+      Seq("<" + cm.expand("OMIM:305100") + ">"))
+    // the Asterisk-typed (gene) omim never becomes a model target…
+    assert(!pairs.exists(_._2.contains("603470")))
+    // …but its xref survives (cleaning narrows the MAP, not the xrefs)
+    assert(nt.exists(l => l.contains("omia/000162") && l.contains("hasDbXref")
+      && l.contains("OMIM:603470")))
+    // model-of association carries descendant evidence + description with
+    // the species-suffix strip (OMIA.py:614-630)
+    assert(nt.exists(_.contains(cm.expand("ECO:0000214"))))
+    assert(nt.exists(_.contains("High incidence of Ectodermal dysplasia in " +
+      "German Shepherd Dog (Canis lupus familiaris) suggests it to be a " +
+      "model of disease OMIM:305100.")))
+
+    // ---- ortholog augmentation landed in omia's graph ----
+    val orthRel = "<" + cm.expand("RO:HOM0000017") + ">"
+    val orth = nt.filter(_.contains(orthRel))
+      .map(l => { val t = l.split(" "); (t(0), t(2)) }).distinct
+    // dog EDA → mouse Eda and human EDA through the gene_group walk
+    def g(n: String) = "<" + cm.expand(s"NCBIGene:$n") + ">"
+    assert(orth.contains((g("403423"), g("13607"))))
+    assert(orth.contains((g("403423"), g("1896"))))
+    assert(orth.contains((g("280717"), g("445"))))
+    // non-Ortholog relationship rows never join
+    assert(!nt.exists(_.contains("gene/999")))
+    // every orthology association carries the PMID source
+    assert(nt.exists(_.contains("pubmed/24063302")))
+    // ortholog members typed with their taxon
+    assert(nt.exists(l => l.contains("gene/13607") &&
+      l.contains(cm.expand("NCBITaxon:10090"))))
+
+    // ---- the solo ncbi_gene dimension graph ----
+    val gnt = spark.read.text(s"$out/ncbi_gene.nt").as[String].collect()
+    assert(gnt.exists(l => l.contains("gene/1896") &&
+      l.contains(cm.expand("SO:0001217")))) // typed protein-coding
+    assert(gnt.exists(l => l.contains("gene/1896") &&
+      l.contains("\"ectodysplasin A\"")))
+    assert(!gnt.exists(_.contains("NEWENTRY"))) // placeholder unlabeled
+  }
+
   test("asOfDate pin: two runs of the same config are byte-identical") {
     // Runner stamps retrievedOn with LocalDate.now by default (the
     // reference's provenance semantics); RunConfig.asOfDate pins it so a
