@@ -541,6 +541,70 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #12 — KEGG shape (KEGG.py, the pairwise
+    // x-ref mapping archetype): 9 flat files through KeggSource's real
+    // plan — pathway/disease/gene/ortholog-class dimensions with the
+    // semicolon/comma label splits, synonym fan-out, EC-number xref
+    // extraction, kegg↔ncbi equivalences, journal-article is_about,
+    // pathway→disease causal links, KO gene-product bnodes, and the
+    // windowed 1:1 omim↔disease equivalence filter. The oracle
+    // re-derives the splits, the regex extraction, the digest bnodes
+    // and the two-sided row-count filter in SQL.
+    "p12_kegg_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val c = col("c_custkey")
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val pathway = orders.filter(ok % 5 === 0).select(
+        concat(lit("path:map"), lpad((ok % 90).cast("string"), 5, "0"))
+          .as("pathway_id"),
+        concat(lit("pathway "), ok % 90).as("pathway_name"))
+      val disease = orders.filter(ok % 7 === 0).select(
+        concat(lit("ds:H"), lpad((ok % 80).cast("string"), 5, "0"))
+          .as("disease_id"),
+        concat(lit("disease "), ok % 80).as("disease_name"))
+      val hsaGenes = cust.select(
+        concat(lit("hsa:"), c).as("gene_id"),
+        when(c % 3 === 0, concat(lit("G"), c, lit(", ALT"), c,
+            lit("; gene "), c, lit(" description")))
+          .when(c % 3 === 1, concat(lit("G"), c, lit("; gene "), c,
+            lit(" description")))
+          .otherwise(concat(lit("G"), c)).as("gene_name"))
+      val okc = cust.filter(c % 2 === 0).select(
+        concat(lit("ko:K"), lpad((c % 500).cast("string"), 5, "0"))
+          .as("orthology_class_id"),
+        when(c % 4 === 0, concat(lit("okc"), c % 500, lit(", alt"), c % 500,
+            lit("; family "), c % 500, lit(" [EC:1.1.1."), c % 90, lit("]")))
+          .otherwise(concat(lit("okc"), c % 500)).as("orthology_class_name"))
+      val omim = orders.filter(ok % 11 === 0).select(
+        concat(lit("omim:"), ok + 100000).as("omim_disease_id"),
+        concat(lit("ds:H"), ok % 12000).as("kegg_disease_id"),
+        lit("equivalent").as("link_type"))
+      val ncbi = cust.select(
+        concat(lit("hsa:"), c).as("kegg_gene_id"),
+        concat(lit("ncbi-geneid:"), c + 2000).as("ncbi_gene_id"),
+        lit("equivalent").as("link_type"))
+      val pubmed = orders.filter(ok % 13 === 0).select(
+        concat(lit("pmid:"), ok).as("pubmed_id"),
+        concat(lit("path:hsa"), lpad((ok % 90).cast("string"), 5, "0"))
+          .as("kegg_pathway_num"))
+      val pd = orders.filter(ok % 17 === 0).select(
+        concat(lit("ds:H"), lpad((ok % 80).cast("string"), 5, "0"))
+          .as("disease_id"),
+        concat(lit("path:hsa"), lpad((ok % 90).cast("string"), 5, "0"))
+          .as("kegg_pathway_num"))
+      val ko = orders.filter(ok % 19 === 0).select(
+        concat(lit("ko:K"), lpad((ok % 500).cast("string"), 5, "0"))
+          .as("ko_id"),
+        concat(lit("path:map"), lpad((ok % 90).cast("string"), 5, "0"))
+          .as("pathway_id"))
+      graft.engine.KeggSource.transform(s, Map(
+        "pathway" -> pathway, "disease" -> disease, "hsa_genes" -> hsaGenes,
+        "ortholog_classes" -> okc, "omim" -> omim, "ncbi" -> ncbi,
+        "pubmed" -> pubmed, "ds" -> pd, "ko" -> ko))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -1488,6 +1552,103 @@ object RdfQueries {
            UNION ALL SELECT aid, 'dc:source', 'PMID:24063302', false, NULL FROM orth
            UNION ALL SELECT DISTINCT oid, 'rdf:type', 'owl:Class', false, NULL FROM expanded
            UNION ALL SELECT DISTINCT oid, 'RO:0002162', otax, false, NULL FROM expanded) t""",
+    "p12_kegg_pipeline" ->
+      """WITH pw AS (
+           SELECT 'KEGG-path:map'||lpad((o_orderkey%90)::varchar,5,'0') AS pid,
+                  'pathway '||(o_orderkey%90) AS plabel,
+                  'http://www.genome.jp/kegg/pathway/map/map'||
+                    lpad((o_orderkey%90)::varchar,5,'0')||'.png' AS img
+           FROM orders WHERE o_orderkey%5=0),
+         ds AS (
+           SELECT 'KEGG-ds:H'||lpad((o_orderkey%80)::varchar,5,'0') AS did,
+                  'disease '||(o_orderkey%80) AS dlabel
+           FROM orders WHERE o_orderkey%7=0),
+         g AS (
+           SELECT 'KEGG-hsa:'||c_custkey AS gid, 'G'||c_custkey AS glabel,
+                  CASE WHEN c_custkey%3 IN (0,1)
+                       THEN 'gene '||c_custkey||' description' END AS defn,
+                  c_custkey%3 AS m3
+           FROM customer),
+         okc AS (
+           SELECT 'KEGG-ko:K'||lpad((c_custkey%500)::varchar,5,'0') AS kid,
+                  'okc'||(c_custkey%500) AS klabel,
+                  CASE WHEN c_custkey%4=0 THEN 'family '||(c_custkey%500)||
+                    ' [EC:1.1.1.'||(c_custkey%90)||']' END AS kdesc,
+                  'alt'||(c_custkey%500) AS kalt,
+                  'EC:1.1.1.'||(c_custkey%90) AS ec,
+                  c_custkey%4 AS m4
+           FROM customer WHERE c_custkey%2=0),
+         o2d AS (
+           SELECT 'OMIM:'||(o_orderkey+100000) AS omim,
+                  'KEGG-ds:H'||(o_orderkey%12000) AS kegg
+           FROM orders WHERE o_orderkey%11=0),
+         one AS (
+           SELECT omim, kegg FROM (
+             SELECT omim, kegg,
+                    count(*) OVER (PARTITION BY omim) AS no,
+                    count(*) OVER (PARTITION BY kegg) AS nk
+             FROM o2d) q WHERE no=1 AND nk=1),
+         k2n AS (
+           SELECT 'KEGG-hsa:'||c_custkey AS kegg,
+                  'NCBIGene:'||(c_custkey+2000) AS ncbi
+           FROM customer),
+         pub AS (
+           SELECT 'PMID:'||o_orderkey AS pmid,
+                  'KEGG-path:hsa'||lpad((o_orderkey%90)::varchar,5,'0') AS path
+           FROM orders WHERE o_orderkey%13=0),
+         pd AS (
+           SELECT 'KEGG-path:hsa'||lpad((o_orderkey%90)::varchar,5,'0') AS path,
+                  'KEGG-ds:H'||lpad((o_orderkey%80)::varchar,5,'0') AS did
+           FROM orders WHERE o_orderkey%17=0),
+         ko AS (
+           SELECT 'KEGG-ko:K'||lpad((o_orderkey%500)::varchar,5,'0') AS koid,
+                  'KEGG-path:map'||lpad((o_orderkey%90)::varchar,5,'0') AS path
+           FROM orders WHERE o_orderkey%19=0),
+         kog AS (
+           SELECT *, '_:b'||substr(md5(replace(koid,':','')||'product'),2,19) AS gp
+           FROM ko)
+         SELECT DISTINCT * FROM (
+           SELECT pid AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM pw
+           UNION ALL SELECT pid, 'rdfs:label', plabel, true, NULL FROM pw
+           UNION ALL SELECT pid, 'rdfs:subClassOf', 'GO:0009987', false, NULL FROM pw
+           UNION ALL SELECT pid, 'rdfs:subClassOf', 'PW:0000001', false, NULL FROM pw
+           UNION ALL SELECT pid, 'foaf:depiction', img, false, NULL FROM pw
+           UNION ALL SELECT did, 'rdf:type', 'owl:Class', false, NULL FROM ds
+           UNION ALL SELECT did, 'rdfs:label', dlabel, true, NULL FROM ds
+           UNION ALL SELECT gid, 'rdf:type', 'SO:0000704', false, NULL FROM g
+           UNION ALL SELECT gid, 'rdfs:label', glabel, true, NULL FROM g
+           UNION ALL SELECT gid, 'IAO:0000115', defn, true, NULL FROM g
+             WHERE defn IS NOT NULL
+           UNION ALL SELECT gid, 'oboInOwl:hasExactSynonym', glabel, true, NULL FROM g
+           UNION ALL SELECT gid, 'oboInOwl:hasExactSynonym', 'ALT'||substr(gid, 10),
+                  true, NULL FROM g WHERE m3=0
+           UNION ALL SELECT kid, 'rdf:type', 'owl:Class', false, NULL FROM okc
+           UNION ALL SELECT kid, 'rdfs:label', klabel, true, NULL FROM okc
+           UNION ALL SELECT kid, 'rdfs:subClassOf', 'EDAM-DATA:3148', false, NULL FROM okc
+           UNION ALL SELECT kid, 'dc:description', kdesc, true, NULL FROM okc
+             WHERE kdesc IS NOT NULL
+           UNION ALL SELECT kid, 'oboInOwl:hasExactSynonym', klabel, true, NULL FROM okc
+             WHERE m4=0
+           UNION ALL SELECT kid, 'oboInOwl:hasExactSynonym', kalt, true, NULL FROM okc
+             WHERE m4=0
+           UNION ALL SELECT kid, 'oboInOwl:hasExactSynonym', kdesc, true, NULL FROM okc
+             WHERE m4=0
+           UNION ALL SELECT kid, 'oboInOwl:hasDbXref', ec, true, NULL FROM okc
+             WHERE m4=0
+           UNION ALL SELECT kegg, 'rdf:type', 'owl:Class', false, NULL FROM one
+           UNION ALL SELECT omim, 'rdf:type', 'owl:Class', false, NULL FROM one
+           UNION ALL SELECT kegg, 'owl:equivalentClass', omim, false, NULL FROM one
+           UNION ALL SELECT kegg, 'rdf:type', 'owl:Class', false, NULL FROM k2n
+           UNION ALL SELECT ncbi, 'rdf:type', 'owl:Class', false, NULL FROM k2n
+           UNION ALL SELECT kegg, 'owl:equivalentClass', ncbi, false, NULL FROM k2n
+           UNION ALL SELECT pmid, 'rdf:type', 'IAO:0000013', false, NULL FROM pub
+           UNION ALL SELECT pmid, 'IAO:0000136', path, false, NULL FROM pub
+           UNION ALL SELECT path, 'RO:0002418', did, false, NULL FROM pd
+           UNION ALL SELECT gp, 'rdf:type', 'CHEBI:33695', false, NULL FROM kog
+           UNION ALL SELECT gp, 'rdfs:label', path, false, NULL FROM kog
+           UNION ALL SELECT koid, 'RO:0002205', gp, false, NULL FROM kog
+           UNION ALL SELECT gp, 'RO:0002331', path, false, NULL FROM kog) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,

@@ -94,6 +94,38 @@ class EngineSpec extends SparkSpec {
     assert(!gnt.exists(_.contains("NEWENTRY"))) // placeholder unlabeled
   }
 
+  test("kegg ingest: pairwise x-ref composition through Runner") {
+    val dir = "src/test/resources/golden/kegg/input"
+    val out = Files.createTempDirectory("graft-kegg").toString
+    val results = Runner.run(spark, Runner.RunConfig(Seq("kegg"), out), dir)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/kegg.nt").as[String].collect()
+    // 1:1 omim↔disease equivalence kept; the 2-row H00409 side dropped
+    assert(nt.exists(l => l.contains("kegg.disease/H00056") &&
+      l.contains("equivalentClass") && l.contains("mim/104300")))
+    assert(!nt.exists(l => l.contains("H00409") && l.contains("equivalentClass")))
+    // kegg↔ncbi gene equivalence with the prefix rewrite
+    assert(nt.exists(l => l.contains("kegg.genes/hsa:100") &&
+      l.contains("equivalentClass") && l.contains("ncbigene/100")))
+    // embedded EC numbers extracted as xrefs (both from one bracket)
+    assert(nt.exists(l => l.contains("K00010") && l.contains("\"EC:1.1.1.18\"")))
+    assert(nt.exists(l => l.contains("K00010") && l.contains("\"EC:1.1.1.369\"")))
+    // KO → digest gene-product bnode → involved-in pathway
+    assert(nt.exists(l => l.contains("genid") && l.contains("RO_0002331") &&
+      l.contains("kegg.pathway/map04130")))
+    // pathway causally upstream of or within the disease process
+    assert(nt.exists(l => l.contains("RO_0002418") &&
+      l.contains("kegg.disease/H00056")))
+    // journal-article reference is_about the pathway
+    assert(nt.exists(l => l.contains("pubmed/10025401") &&
+      l.contains("IAO_0000136")))
+    // first symbol is the label, later symbols synonyms only
+    assert(nt.exists(l => l.contains("hsa:9475") && l.contains("rdf-schema#label")
+      && l.contains("\"ROCK2\"")))
+    assert(nt.exists(l => l.contains("hsa:9475") && l.contains("ExactSynonym")
+      && l.contains("\"ROCK-II\"")))
+  }
+
   test("asOfDate pin: two runs of the same config are byte-identical") {
     // Runner stamps retrievedOn with LocalDate.now by default (the
     // reference's provenance semantics); RunConfig.asOfDate pins it so a
