@@ -605,6 +605,49 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #13 — BioThings/MyChem shape (MyChem.py:
+    // 40-198): deep-nested JSON drug annotations through MyChemSource's
+    // real plan — 4-level array/struct navigation via from_json +
+    // explode, the dict-or-list target polymorphism (even rows carry a
+    // targets ARRAY, odd rows a singleton struct), the string-form
+    // actions scrub, space/slash action normalization into MONARCH
+    // predicates, pipe-separated uniprot fan-out, elif drug_use
+    // semantics and contraindication drop. JSON built per-row from
+    // orders; the oracle re-derives the emitted graph from the same
+    // arithmetic without parsing JSON.
+    "p13_mychem_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val tArr = concat(lit("""[{"uniprot": "P"""), ck,
+        lit("""", "name": "prot """), ck,
+        lit("""", "actions": ["inhibitor", "agent """), ok % 4,
+        lit(""""]}, {"uniprot": "Q"""), ck,
+        lit("""", "name": "protq """), ck,
+        lit("""", "actions": "co factor x"""), ok % 4, lit(""""}]"""))
+      val tSingle = concat(lit("""{"uniprot": "S"""), ck,
+        lit("""", "name": "prots """), ck,
+        lit("""", "actions": "solo act"}"""))
+      val drugbank = concat(lit("""{"drugbank_id": "DB"""), ck,
+        lit("""", "targets": """),
+        when(ok % 2 === 0, tArr).otherwise(tSingle), lit("}"))
+      val bio = concat(lit("""{"bioactivity": [{"uniprot_id": "P"""), ck,
+        lit("|R"), ck, lit("""", "target_class": "class """), ok % 6,
+        lit("""", "target": "target """), ck, lit(""""}]}"""))
+      val use = concat(lit("""{"drug_use": [{"relation": "indication", """),
+        lit(""""snomed_id": """"), ck, lit("""", "snomed_name": "cond """), ck,
+        lit(""""}, {"relation": "contraindication", "snomed_id": "9"""), ck,
+        lit("""", "snomed_name": "dropped"}]}"""))
+      val unii = concat(lit(""""unii": {"unii": "U"""), ok, lit(""""}, """))
+      val body = when(ok % 3 === 0, concat(lit(""""drugbank": """), drugbank))
+        .when(ok % 3 === 1, concat(lit(""""drugcentral": """), bio))
+        .otherwise(concat(lit(""""drugcentral": """), use))
+      val lines = Tables.orders(s, d).select(
+        concat(lit("{"), when(ok % 7 =!= 0, unii).otherwise(lit("")),
+          body, lit("}")).as("value"))
+      graft.engine.MyChemSource.transform(s, Map("drugs" -> lines))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -1649,6 +1692,49 @@ object RdfQueries {
            UNION ALL SELECT gp, 'rdfs:label', path, false, NULL FROM kog
            UNION ALL SELECT koid, 'RO:0002205', gp, false, NULL FROM kog
            UNION ALL SELECT gp, 'RO:0002331', path, false, NULL FROM kog) t""",
+    "p13_mychem_pipeline" ->
+      """WITH src AS (
+           SELECT 'UNII:U'||o_orderkey AS unii, o_custkey AS ck,
+                  o_orderkey%2 AS m2, o_orderkey%3 AS m3,
+                  o_orderkey%4 AS m4, o_orderkey%6 AS m6
+           FROM orders WHERE o_orderkey%7<>0),
+         dbarr AS (SELECT * FROM src WHERE m3=0 AND m2=0),
+         dbsing AS (SELECT * FROM src WHERE m3=0 AND m2=1),
+         bio AS (SELECT * FROM src WHERE m3=1),
+         du AS (SELECT * FROM src WHERE m3=2)
+         SELECT DISTINCT * FROM (
+           SELECT unii AS s, 'MONARCH:inhibitor' AS p, 'UniProtKB:P'||ck AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM dbarr
+           UNION ALL SELECT unii, 'MONARCH:agent_'||m4, 'UniProtKB:P'||ck, false, NULL FROM dbarr
+           UNION ALL SELECT unii, 'MONARCH:co_factor_x'||m4, 'UniProtKB:Q'||ck, false, NULL FROM dbarr
+           UNION ALL SELECT 'UniProtKB:P'||ck, 'rdfs:label', 'prot '||ck, true, NULL FROM dbarr
+           UNION ALL SELECT 'UniProtKB:Q'||ck, 'rdfs:label', 'protq '||ck, true, NULL FROM dbarr
+           UNION ALL SELECT 'UniProtKB:P'||ck, 'rdfs:subClassOf', 'SO:0000104', false, NULL FROM dbarr
+           UNION ALL SELECT 'UniProtKB:Q'||ck, 'rdfs:subClassOf', 'SO:0000104', false, NULL FROM dbarr
+           UNION ALL SELECT 'MONARCH:inhibitor', 'rdfs:subPropertyOf', 'RO:0002436', false, NULL FROM dbarr
+           UNION ALL SELECT 'MONARCH:agent_'||m4, 'rdfs:subPropertyOf', 'RO:0002436', false, NULL FROM dbarr
+           UNION ALL SELECT 'MONARCH:co_factor_x'||m4, 'rdfs:subPropertyOf', 'RO:0002436', false, NULL FROM dbarr
+           UNION ALL SELECT unii, 'MONARCH:solo_act', 'UniProtKB:S'||ck, false, NULL FROM dbsing
+           UNION ALL SELECT 'UniProtKB:S'||ck, 'rdfs:label', 'prots '||ck, true, NULL FROM dbsing
+           UNION ALL SELECT 'UniProtKB:S'||ck, 'rdfs:subClassOf', 'SO:0000104', false, NULL FROM dbsing
+           UNION ALL SELECT 'MONARCH:solo_act', 'rdfs:subPropertyOf', 'RO:0002436', false, NULL FROM dbsing
+           UNION ALL SELECT 'DrugBank:DB'||ck, 'owl:equivalentClass', unii, false, NULL FROM dbarr
+           UNION ALL SELECT 'DrugBank:DB'||ck, 'owl:equivalentClass', unii, false, NULL FROM dbsing
+           UNION ALL SELECT unii, 'rdfs:subClassOf', 'CHEBI:23367', false, NULL FROM dbarr
+           UNION ALL SELECT unii, 'rdfs:subClassOf', 'CHEBI:23367', false, NULL FROM dbsing
+           UNION ALL SELECT unii, 'RO:0002436', 'UniProtKB:P'||ck, false, NULL FROM bio
+           UNION ALL SELECT unii, 'RO:0002436', 'UniProtKB:R'||ck, false, NULL FROM bio
+           UNION ALL SELECT 'UniProtKB:P'||ck, 'rdfs:label', 'target '||ck, true, NULL FROM bio
+           UNION ALL SELECT 'UniProtKB:R'||ck, 'rdfs:label', 'target '||ck, true, NULL FROM bio
+           UNION ALL SELECT 'UniProtKB:P'||ck, 'dc:description', 'class '||m6, true, NULL FROM bio
+           UNION ALL SELECT 'UniProtKB:R'||ck, 'dc:description', 'class '||m6, true, NULL FROM bio
+           UNION ALL SELECT 'UniProtKB:P'||ck, 'rdfs:subClassOf', 'SO:0000104', false, NULL FROM bio
+           UNION ALL SELECT 'UniProtKB:R'||ck, 'rdfs:subClassOf', 'SO:0000104', false, NULL FROM bio
+           UNION ALL SELECT unii, 'rdfs:subClassOf', 'CHEBI:23367', false, NULL FROM bio
+           UNION ALL SELECT unii, 'RO:0002606', 'SNOMED:'||ck, false, NULL FROM du
+           UNION ALL SELECT unii, 'rdfs:subClassOf', 'CHEBI:23367', false, NULL FROM du
+           UNION ALL SELECT 'SNOMED:'||ck, 'rdfs:subClassOf', 'MONDO:0000001', false, NULL FROM du
+           UNION ALL SELECT 'SNOMED:'||ck, 'rdfs:label', 'cond '||ck, true, NULL FROM du) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,

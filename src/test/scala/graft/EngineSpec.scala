@@ -126,6 +126,33 @@ class EngineSpec extends SparkSpec {
       && l.contains("\"ROCK-II\"")))
   }
 
+  test("mychem ingest: nested-JSON navigation through Runner") {
+    val dir = "src/test/resources/golden/mychem/input"
+    val out = Files.createTempDirectory("graft-mychem").toString
+    val results = Runner.run(spark, Runner.RunConfig(Seq("mychem"), out), dir)
+    assert(results.head.triples > 0)
+    val nt = spark.read.text(s"$out/mychem.nt").as[String].collect()
+    // array-shaped targets with array actions
+    assert(nt.exists(l => l.contains("MONARCH_direct_thrombin_inhibitor") &&
+      l.contains("uniprot/P00734")))
+    // string-form actions scrub: '/' join
+    assert(nt.exists(_.contains("MONARCH_cofactor_partner")))
+    // singleton-dict targets (return_target_list) + space join
+    assert(nt.exists(l => l.contains("MONARCH_inhibitor_of_cyclooxygenase") &&
+      l.contains("uniprot/P23219")))
+    // pipe-separated uniprot fan-out
+    assert(nt.exists(l => l.contains("unii/R16CO5Y76E") &&
+      l.contains("uniprot/P35354")))
+    // record without unii skipped entirely
+    assert(!nt.exists(_.contains("DB99999")))
+    // elif: drug_use ignored when bioactivity present
+    assert(!nt.exists(_.contains("91613004")))
+    // contraindication dropped, indication kept with label
+    assert(!nt.exists(_.contains("13645005")))
+    assert(nt.exists(l => l.contains("SNOMEDCT/194828000") &&
+      l.contains("\"Angina pectoris\"")))
+  }
+
   test("asOfDate pin: two runs of the same config are byte-identical") {
     // Runner stamps retrievedOn with LocalDate.now by default (the
     // reference's provenance semantics); RunConfig.asOfDate pins it so a
