@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.core.{Digest, Triple, Vocab}
-import graft.emit.{ColumnEmit, Feature}
+import graft.core.{Digest, TranslationTable, Triple, Vocab}
+import graft.emit.{ColumnEmit, Feature, Genotype, Model}
 import graft.operators.RangeJoin
 
 /** The Bgee-shape ingest: per-gene top-k anatomy expression calls by
@@ -41,44 +41,199 @@ object BgeeSource extends GraftSource {
   override def testIds: Seq[String] = Seq("ENSEMBL:1")
 }
 
-/** The UCSCBands/Monochrom-shape ingest: cytoband rows → the band
-  * partonomy (UCSCBands.py:271-544, Monochrom.py:348-368). Each band
-  * prefix (1p36 ⊂ 1p3 ⊂ 1p ⊂ chromosome) becomes a chromosome-band
-  * feature whose FALDO extent is the min-start/max-end of everything it
-  * contains — computed as ONE explode + aggregation over the leaf rows,
-  * where the reference walks a python interval tree per chromosome.
-  * Containment edges are the reciprocal subsequence pair.
+/** The UCSCBands/Monochrom-shape ingest: cytoband rows with real
+  * karyotype band names (`13q21.31`) → the per-build band partonomy
+  * (UCSCBands.py:271-544, Monochrom.py:120-368).
+  *
+  * Semantics, reference-faithful:
+  *   - band names walk to parents by the prefix rule with trailing-dot
+  *     strip: 13q21.31 ⊂ 13q21.3 ⊂ 13q21 ⊂ 13q2 ⊂ 13q ⊂ chr13
+  *     (`make_parent_bands`, Monochrom.py:348-368);
+  *   - two id spaces: a build-independent class per band
+  *     (`CHR:9606chr13q21.31`, Monochrom docstring) and a build-specific
+  *     feature instance typed by it (`MONARCH:hg19chr13q21.31`,
+  *     UCSCBands.py:501-546 `makeChromID(bnd, build_num, 'MONARCH')`);
+  *   - leaf rows are TYPED BY THEIR STAIN (`globaltt[rtype]`,
+  *     UCSCBands.py:440, with acen → centromere via the local table);
+  *     generated parents by karyotype notation (p → stalk, q → long
+  *     arm, one place → chromosome_region, deeper → chromosome_band —
+  *     `getChrPartTypeByNotation`'s reachable branches, the subband arm
+  *     is dead code behind the unanchored band regex);
+  *   - g-stained leaves also carry `has_sequence_attribute`
+  *     (Monochrom.py:272-287);
+  *   - every node's FALDO extent is the min-start/max-end of all leaf
+  *     rows beneath it (chromosome floor 0, UCSCBands.py:387-391), with
+  *     the build-specific chromosome as `faldo:reference`.
+  *
+  * Spark-first: the python per-chromosome dict accumulation (first-
+  * writer-wins, order-dependent — UCSCBands.py:465-492) becomes ONE
+  * prefix explode + hash aggregation; leaf typing joins back on the
+  * aggregated node relation (deterministic min-stain on collision
+  * instead of last-writer-wins — documented deviation). The node
+  * relation is the band ontology itself — bounded by karyotype
+  * vocabulary × builds, never by corpus size — so the terminal emit
+  * flatMap is dimension-sized at any scale.
+  *
+  * Dual-mode read: real `<taxon>cytoBand.txt[.gz]` files when present
+  * (the reference's file manifest, Monochrom.py:72-127, taxon from the
+  * filename), else rows derived deterministically from the part table
+  * so the p06 oracle can re-predict the graph in SQL.
   */
 object UcscBandsSource extends GraftSource {
   val name = "ucsc_bands"
 
-  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] =
-    Map("cytobands" -> Tables.part(spark, dataDir))
+  /** taxon → (UCSC build, genome label): the reference's `files` dict
+    * rows exercised here (Monochrom.py:72-127). */
+  private val builds = Map(
+    "9606" -> ("hg19", "Human"), "10090" -> ("mm10", "Mouse"),
+    "7955" -> ("danRer10", "Zebrafish"), "10116" -> ("rn6", "Rat"))
+
+  private lazy val tt = TranslationTable.forSource("monochrom")
+  private lazy val stainTerm: Map[String, String] =
+    Seq("gneg", "gpos25", "gpos33", "gpos50", "gpos66", "gpos75",
+      "gpos100", "gvar", "stalk", "acen").map(s => s -> tt.resolve(s)).toMap
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
+    val real = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.matches("""\d+cytoBand\.txt(\.gz)?"""))
+    Map("cytobands" ->
+      (if (real.nonEmpty) readCytoBands(spark, real.map(_.getPath))
+       else derive(Tables.part(spark, dataDir))))
+  }
+
+  /** Real cytoband TSV scan: `chrom start stop band gieStain`, headerless,
+    * taxon from the `<taxon>cytoBand.txt` filename; placed scaffolds only
+    * (UCSCBands.py:330 `placed_scaffold_pattern`); band rows without a
+    * stain never become leaves (UCSCBands.py:430-431). */
+  private def readCytoBands(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("chrom", StringType), StructField("start", LongType),
+      StructField("stop", LongType), StructField("band", StringType),
+      StructField("stain", StringType)))
+    val buildCol = typedLit(builds.map { case (t, (b, _)) => t -> b })
+    val labelCol = typedLit(builds.map { case (t, (_, g)) => t -> g })
+    spark.read.option("sep", "\t").schema(schema).csv(paths: _*)
+      .withColumn("taxon",
+        regexp_extract(input_file_name(), """(\d+)cytoBand""", 1))
+      .filter(col("chrom").rlike("^chr(\\d+|X|Y|Z|W|MT|M)$") &&
+        element_at(buildCol, col("taxon")).isNotNull)
+      .filter(coalesce(col("band"), lit("")) === "" ||
+        coalesce(col("stain"), lit("")) =!= "")
+      .select(col("taxon"),
+        element_at(buildCol, col("taxon")).as("build"),
+        element_at(labelCol, col("taxon")).as("glabel"),
+        regexp_replace(col("chrom"), "^chr", "").as("chrom"),
+        coalesce(col("band"), lit("")).as("band"),
+        coalesce(col("stain"), lit("")).as("stain"),
+        col("start").as("s"), col("stop").as("e"))
+  }
+
+  /** Deterministic real-shaped rows from the part table (oracle path):
+    * taxon/build from pk%4, chromosome from pk%24 (incl. X/Y), arm from
+    * pk div 24, band depth from pk%5 spanning chromosome-only rows up to
+    * dotted sub-bands, stain cycling all ten codes from p_size. */
+  private def derive(part: DataFrame): DataFrame =
+    part.select(col("p_partkey").as("pk"), col("p_size").as("sz"))
+      .select(
+        expr("element_at(array('9606','10090','7955','10116'), cast(pk % 4 as int) + 1)").as("taxon"),
+        expr("element_at(array('hg19','mm10','danRer10','rn6'), cast(pk % 4 as int) + 1)").as("build"),
+        expr("element_at(array('Human','Mouse','Zebrafish','Rat'), cast(pk % 4 as int) + 1)").as("glabel"),
+        expr("CASE WHEN pk % 24 = 22 THEN 'X' WHEN pk % 24 = 23 THEN 'Y' " +
+          "ELSE cast(pk % 24 + 1 as string) END").as("chrom"),
+        expr("""CASE cast(pk % 5 as int)
+                WHEN 0 THEN ''
+                WHEN 1 THEN IF((pk div 24) % 2 = 0, 'p', 'q')
+                WHEN 2 THEN concat(IF((pk div 24) % 2 = 0, 'p', 'q'), sz % 9 + 1)
+                WHEN 3 THEN concat(IF((pk div 24) % 2 = 0, 'p', 'q'), sz % 9 + 1, pk % 10)
+                ELSE concat(IF((pk div 24) % 2 = 0, 'p', 'q'), sz % 9 + 1, pk % 10, '.', sz % 10)
+                END""").as("band"),
+        expr("element_at(array('gneg','gpos25','gpos33','gpos50','gpos66'," +
+          "'gpos75','gpos100','gvar','stalk','acen'), cast(sz % 10 as int) + 1)").as("stain"),
+        (col("sz") * 1000).cast("long").as("s"),
+        (col("sz") * 1000 + 999).cast("long").as("e"))
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    in("cytobands")
-      .filter(col("p_partkey") >= 10)
-      .select(col("p_partkey").cast("string").as("code"),
-        (col("p_size") * 1000).cast("long").as("s"),
-        (col("p_size") * 1000 + 999).cast("long").as("e"))
-      .select(explode(expr(
-        "transform(sequence(1, length(code) - 1), n -> substring(code, 1, n))")).as("band"),
-        col("s"), col("e"))
-      .groupBy("band")
-      .agg(min("s").as("lo"), max("e").as("hi"))
-      .as[(String, Long, Long)]
-      .flatMap { case (band, lo, hi) =>
-        val id = s"EX:band$band"
-        val parent =
-          if (band.length > 1) s"EX:band${band.dropRight(1)}" else "EX:chr1"
-        Feature.featureTriples(id, s"band $band", "SO:0000341", "EX:chr1",
-          lo, hi, ".", Digest.md5IdScala) ++
-          Feature.subsequenceOf(id, parent)
-      }.toDF()
+    val src = in("cytobands")
+    // the prefix chain, longest→shortest, trailing dots stripped, with
+    // the chromosome ('' node) closing every chain (make_parent_bands)
+    val chain = expr(
+      """CASE WHEN band = '' THEN array('')
+         ELSE array_distinct(concat(
+           transform(sequence(length(band), 1, -1),
+             n -> regexp_replace(substring(band, 1, n), '\\.$', '')),
+           array('')))
+         END""")
+    val exploded = src.select(col("taxon"), col("build"), col("glabel"),
+      col("chrom"), explode(chain).as("node"), col("s"), col("e"))
+    val leaves = src.filter(col("band") =!= "")
+      .groupBy("taxon", "chrom", "band").agg(min("stain").as("stain"))
+      .withColumnRenamed("taxon", "ltaxon")
+      .withColumnRenamed("chrom", "lchrom")
+    val nodes = exploded
+      .groupBy("taxon", "build", "glabel", "chrom", "node")
+      .agg(min("s").as("mn"), max("e").as("hi"))
+      .withColumn("lo", when(col("node") === "", lit(0L)).otherwise(col("mn")))
+      .join(leaves,
+        col("node") === col("band") && col("taxon") === col("ltaxon") &&
+          col("chrom") === col("lchrom"), "left")
+
+    val stains = stainTerm
+    val regionT = tt.resolve("chromosome_region")
+    val bandT = tt.resolve("chromosome_band")
+    val stalkT = tt.resolve("stalk")
+    val longArmT = tt.resolve("long_chromosome_arm")
+    val seqAttrP = tt.resolve("has_sequence_attribute")
+
+    val bandTriples = nodes
+      .select(col("taxon"), col("build"), col("glabel"), col("chrom"),
+        col("node"), col("lo"), col("hi"), col("stain"))
+      .as[(String, String, String, String, String, Long, Long, Option[String])]
+      .flatMap { case (taxon, build, glabel, chrom, node, lo, hi, stain) =>
+        val classId = s"CHR:${taxon}chr$chrom$node"
+        val buildId = s"MONARCH:${build}chr$chrom$node"
+        val ref = s"MONARCH:${build}chr$chrom"
+        val typ =
+          if (node.isEmpty) Vocab.chromosome
+          else stain.map(stains) getOrElse {
+            if (node == "p") stalkT
+            else if (node == "q") longArmT
+            else if (node.length == 2) regionT
+            else bandT
+          }
+        val partonomy =
+          if (node.isEmpty)
+            Seq(Triple.res(ref, Vocab.memberOf, s"UCSCBuild:$build"))
+          else {
+            val parent = node.dropRight(1).stripSuffix(".")
+            Feature.subsequenceOf(classId, s"CHR:${taxon}chr$chrom$parent")
+          }
+        val stained = stain.filter(_.startsWith("g")).toSeq
+          .map(s0 => Triple.res(classId, seqAttrP, stains(s0)))
+        Model.addType(classId, typ) ++
+          Model.addLabel(classId, s"chr$chrom$node ($glabel)") ++
+          Feature.featureTriples(buildId, s"chr$chrom$node ($build)", classId,
+            ref, lo, hi, ".", Digest.md5IdScala) ++
+          partonomy ++ stained
+      }
+
+    // per-genome header: taxon class + synonym, genome, UCSC build as
+    // reference genome in taxon (Monochrom.py:196-207, UCSCBands
+    // _create_genome_builds)
+    val genomes = src.select("taxon", "build", "glabel").distinct()
+      .as[(String, String, String)]
+      .flatMap { case (taxon, build, glabel) =>
+        val tax = s"NCBITaxon:$taxon"
+        Model.addType(tax, Vocab.owlClass) ++
+          Model.addSynonym(tax, glabel) ++
+          Genotype.addGenome(tax, glabel) ++
+          Genotype.addReferenceGenome(s"UCSCBuild:$build", build, tax)
+      }
+    bandTriples.union(genomes).toDF()
   }
 
-  override def testIds: Seq[String] = Seq("EX:band1")
+  override def testIds: Seq[String] = Seq("CHR:9606chr1")
 }
 
 /** The UDP-shape ingest: patient variant calls located inside gene

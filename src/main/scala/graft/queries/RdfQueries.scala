@@ -271,9 +271,12 @@ object RdfQueries {
       graft.engine.OmimApiSource.transform(s,
         graft.engine.OmimApiSource.read(s, d))),
 
-    // §3.2 end-to-end ingest #7 — UCSCBands/Monochrom shape: cytoband
-    // prefix partonomy with aggregated FALDO extents, through the
-    // registered UcscBandsSource.
+    // §3.2 end-to-end ingest #7 — UCSCBands/Monochrom shape: real
+    // karyotype band names (13q21.31 dotted sub-bands, X/Y chromosomes)
+    // walked to parents with the trailing-dot-strip prefix rule, typed
+    // per stain (leaves) / notation (parents), per-build CHR/MONARCH id
+    // spaces, Giemsa stain attributes, genome headers, and aggregated
+    // FALDO extents — through the registered UcscBandsSource.
     "p06_ucsc_bands_pipeline" -> ((s, d) =>
       graft.engine.UcscBandsSource.transform(s,
         graft.engine.UcscBandsSource.read(s, d))),
@@ -1169,43 +1172,113 @@ object RdfQueries {
            gvclabel||' ['||bgpart||']', true, NULL FROM gts2
          UNION ALL SELECT gt, 'GENO:0000382', gvc, false, NULL FROM gts2""",
     "p06_ucsc_bands_pipeline" ->
-      """WITH src AS (
-           SELECT p_partkey::varchar AS code, (p_size*1000)::bigint AS s,
-                  (p_size*1000+999)::bigint AS e
-           FROM part WHERE p_partkey >= 10),
+      """WITH raw AS (SELECT p_partkey AS pk, p_size AS sz FROM part),
+         shaped AS (
+           SELECT
+             list_extract(['9606','10090','7955','10116'], (pk % 4)::int + 1) AS taxon,
+             list_extract(['hg19','mm10','danRer10','rn6'], (pk % 4)::int + 1) AS build,
+             list_extract(['Human','Mouse','Zebrafish','Rat'], (pk % 4)::int + 1) AS glabel,
+             CASE WHEN pk % 24 = 22 THEN 'X' WHEN pk % 24 = 23 THEN 'Y'
+                  ELSE (pk % 24 + 1)::varchar END AS chrom,
+             CASE WHEN (pk // 24) % 2 = 0 THEN 'p' ELSE 'q' END AS arm,
+             (pk % 5)::int AS depth, sz % 9 + 1 AS d1, pk % 10 AS d2, sz % 10 AS d3,
+             list_extract(['gneg','gpos25','gpos33','gpos50','gpos66',
+               'gpos75','gpos100','gvar','stalk','acen'], (sz % 10)::int + 1) AS stain,
+             (sz*1000)::bigint AS s, (sz*1000+999)::bigint AS e
+           FROM raw),
+         src AS (
+           SELECT taxon, build, glabel, chrom, stain, s, e,
+             CASE depth WHEN 0 THEN '' WHEN 1 THEN arm
+               WHEN 2 THEN concat(arm, d1)
+               WHEN 3 THEN concat(arm, d1, d2)
+               ELSE concat(arm, d1, d2, '.', d3) END AS band
+           FROM shaped),
          ex AS (
-           SELECT substr(code, 1, g) AS band, s, e
-           FROM src CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS g) t
-           WHERE g <= length(code) - 1),
-         bands AS (
-           SELECT band, min(s) AS lo, max(e) AS hi FROM ex GROUP BY band),
-         b AS (
-           SELECT band, lo, hi, 'EX:band'||band AS id, 'band '||band AS label,
-                  CASE WHEN length(band) > 1
-                       THEN 'EX:band'||substr(band, 1, length(band)-1)
-                       ELSE 'EX:chr1' END AS parent
-           FROM bands),
-         g AS (SELECT *, '_:b'||substr(md5('region+'||id||'+'||lo::varchar||'+'||hi::varchar||'+EX:chr1'),2,19) AS region FROM b),
+           SELECT taxon, build, glabel, chrom,
+                  regexp_replace(substr(band, 1, g), '\.$', '') AS node, s, e
+           FROM src CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS g) t
+           WHERE g <= length(band)
+           UNION ALL
+           SELECT taxon, build, glabel, chrom, '', s, e FROM src),
+         nodes AS (
+           SELECT taxon, build, glabel, chrom, node,
+                  CASE WHEN node = '' THEN 0 ELSE min(s) END AS lo,
+                  max(e) AS hi
+           FROM ex GROUP BY taxon, build, glabel, chrom, node),
+         leaves AS (
+           SELECT taxon, chrom, band, min(stain) AS stain
+           FROM src WHERE band <> '' GROUP BY taxon, chrom, band),
+         n2 AS (
+           SELECT n.*, l.stain FROM nodes n
+           LEFT JOIN leaves l
+             ON l.taxon = n.taxon AND l.chrom = n.chrom AND l.band = n.node),
+         typed AS (
+           SELECT *,
+             CASE WHEN node = '' THEN 'SO:0000340'
+                  WHEN stain IS NOT NULL THEN
+                    CASE stain WHEN 'gneg' THEN 'GENO:0000620'
+                      WHEN 'gpos25' THEN 'GENO:0000625'
+                      WHEN 'gpos33' THEN 'GENO:0000633'
+                      WHEN 'gpos50' THEN 'GENO:0000624'
+                      WHEN 'gpos66' THEN 'GENO:0000632'
+                      WHEN 'gpos75' THEN 'GENO:0000623'
+                      WHEN 'gpos100' THEN 'GENO:0000622'
+                      WHEN 'gvar' THEN 'GENO:0000621'
+                      WHEN 'stalk' THEN 'GENO:0000628'
+                      ELSE 'SO:0000577' END
+                  WHEN node = 'p' THEN 'GENO:0000628'
+                  WHEN node = 'q' THEN 'GENO:0000629'
+                  WHEN length(node) = 2 THEN 'GENO:0000614'
+                  ELSE 'SO:0000341' END AS typ,
+             'CHR:'||taxon||'chr'||chrom||node AS classid,
+             'MONARCH:'||build||'chr'||chrom||node AS buildid,
+             'MONARCH:'||build||'chr'||chrom AS refid,
+             'chr'||chrom||node||' ('||glabel||')' AS clabel,
+             'chr'||chrom||node||' ('||build||')' AS blabel,
+             'CHR:'||taxon||'chr'||chrom||
+               regexp_replace(substr(node, 1, length(node)-1), '\.$', '') AS parentid,
+             CASE stain WHEN 'gneg' THEN 'GENO:0000620'
+               WHEN 'gpos25' THEN 'GENO:0000625'
+               WHEN 'gpos33' THEN 'GENO:0000633'
+               WHEN 'gpos50' THEN 'GENO:0000624'
+               WHEN 'gpos66' THEN 'GENO:0000632'
+               WHEN 'gpos75' THEN 'GENO:0000623'
+               WHEN 'gpos100' THEN 'GENO:0000622'
+               WHEN 'gvar' THEN 'GENO:0000621' END AS gstain
+           FROM n2),
+         g AS (SELECT *, '_:b'||substr(md5('region+'||buildid||'+'||lo::varchar||'+'||hi::varchar||'+'||refid),2,19) AS region FROM typed),
          h AS (SELECT *,
                  '_:b'||substr(md5('pos+'||region||'+begin+'||lo::varchar),2,19) AS beginn,
                  '_:b'||substr(md5('pos+'||region||'+end+'||hi::varchar),2,19) AS endn
-               FROM g)
-         SELECT id AS s, 'rdf:type' AS p, 'SO:0000341' AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM h
-         UNION ALL SELECT id, 'rdfs:label', label, true, NULL FROM h
-         UNION ALL SELECT id, 'faldo:location', region, false, NULL FROM h
+               FROM g),
+         gen AS (SELECT DISTINCT taxon, build, glabel FROM src)
+         SELECT classid AS s, 'rdf:type' AS p, typ AS o, false AS lit, CAST(NULL AS VARCHAR) AS dt FROM h
+         UNION ALL SELECT classid, 'rdfs:label', clabel, true, NULL FROM h
+         UNION ALL SELECT buildid, 'rdf:type', classid, false, NULL FROM h
+         UNION ALL SELECT buildid, 'rdfs:label', blabel, true, NULL FROM h
+         UNION ALL SELECT buildid, 'faldo:location', region, false, NULL FROM h
          UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false, NULL FROM h
          UNION ALL SELECT region, 'faldo:begin', beginn, false, NULL FROM h
          UNION ALL SELECT region, 'faldo:end', endn, false, NULL FROM h
          UNION ALL SELECT beginn, 'rdf:type', 'faldo:ExactPosition', false, NULL FROM h
          UNION ALL SELECT beginn, 'rdf:type', 'faldo:BothStrandsPosition', false, NULL FROM h
          UNION ALL SELECT beginn, 'faldo:position', lo::varchar, true, 'xsd:integer' FROM h
-         UNION ALL SELECT beginn, 'faldo:reference', 'EX:chr1', false, NULL FROM h
+         UNION ALL SELECT beginn, 'faldo:reference', refid, false, NULL FROM h
          UNION ALL SELECT endn, 'rdf:type', 'faldo:ExactPosition', false, NULL FROM h
          UNION ALL SELECT endn, 'rdf:type', 'faldo:BothStrandsPosition', false, NULL FROM h
          UNION ALL SELECT endn, 'faldo:position', hi::varchar, true, 'xsd:integer' FROM h
-         UNION ALL SELECT endn, 'faldo:reference', 'EX:chr1', false, NULL FROM h
-         UNION ALL SELECT id, 'RO:0002525', parent, false, NULL FROM h
-         UNION ALL SELECT parent, 'RO:0002524', id, false, NULL FROM h""",
+         UNION ALL SELECT endn, 'faldo:reference', refid, false, NULL FROM h
+         UNION ALL SELECT classid, 'RO:0002525', parentid, false, NULL FROM h WHERE node <> ''
+         UNION ALL SELECT parentid, 'RO:0002524', classid, false, NULL FROM h WHERE node <> ''
+         UNION ALL SELECT refid, 'RO:0002350', 'UCSCBuild:'||build, false, NULL FROM h WHERE node = ''
+         UNION ALL SELECT classid, 'GENO:0000207', gstain, false, NULL FROM h WHERE gstain IS NOT NULL
+         UNION ALL SELECT 'NCBITaxon:'||taxon, 'rdf:type', 'owl:Class', false, NULL FROM gen
+         UNION ALL SELECT 'NCBITaxon:'||taxon, 'oboInOwl:hasExactSynonym', glabel, true, NULL FROM gen
+         UNION ALL SELECT 'NCBITaxon:'||taxon||'#genome', 'rdf:type', 'SO:0001026', false, NULL FROM gen
+         UNION ALL SELECT 'NCBITaxon:'||taxon||'#genome', 'rdfs:label', glabel||' genome', true, NULL FROM gen
+         UNION ALL SELECT 'UCSCBuild:'||build, 'rdf:type', 'SO:0001505', false, NULL FROM gen
+         UNION ALL SELECT 'UCSCBuild:'||build, 'rdfs:label', build, true, NULL FROM gen
+         UNION ALL SELECT 'UCSCBuild:'||build, 'RO:0002162', 'NCBITaxon:'||taxon, false, NULL FROM gen""",
     "p07_udp_pipeline" ->
       """WITH m AS (
            SELECT DISTINCT 'EX:var'||l_orderkey::varchar||'_'||l_linenumber::varchar AS vid,

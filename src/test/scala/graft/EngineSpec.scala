@@ -266,6 +266,11 @@ class EngineSpec extends SparkSpec {
     assert(bands.exists(_.contains("SO_0000341"))) // chromosome-band class
     assert(bands.exists(_.contains("faldo#position"))) // extent positions
     assert(bands.exists(_.contains("RO_0002525"))) // containment partonomy
+    assert(bands.exists(_.contains("CHR_9606chr"))) // per-taxon class space
+    assert(bands.exists(_.contains("MONARCH_hg19chr"))) // per-build features
+    assert(bands.exists(_.contains("GENO_0000207"))) // Giemsa stain attribute
+    assert(bands.exists(_.contains("SO_0000577"))) // acen rows -> centromere
+    assert(bands.exists(_.contains("SO_0001505"))) // build as reference genome
     val udp = spark.read.text(s"$out/udp_variants.nt").as[String].collect()
     assert(udp.exists(_.contains("GENO_0000418"))) // variant → gene
   }
