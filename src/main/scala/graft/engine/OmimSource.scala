@@ -102,7 +102,12 @@ object OmimApiLanding {
 
   private val landed = scala.collection.concurrent.TrieMap[String, String]()
 
-  def ensure(spark: SparkSession, dataDir: String): String =
+  def ensure(spark: SparkSession, dataDir: String): String = {
+    // a real landed payload (the API fetch's on-disk shape — one JSON
+    // entry envelope per line, OMIM.py:269-306) takes precedence: the
+    // golden corpus and any production landing read it directly
+    val real = new java.io.File(dataDir, "omim_entries.json")
+    if (real.exists()) return real.getPath
     landed.getOrElseUpdate(dataDir, synchronized {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_omim_api/" +
         Digest.md5IdScala(dataDir)
@@ -128,4 +133,5 @@ object OmimApiLanding {
       }
       dir
     })
+  }
 }

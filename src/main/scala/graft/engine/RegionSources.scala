@@ -20,15 +20,32 @@ import graft.operators.RangeJoin
 object BgeeSource extends GraftSource {
   val name = "bgee"
 
-  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] =
-    Map("expression" -> Tables.lineitem(spark, dataDir))
-
-  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
-    val ranked = in("expression")
-      .select(
+  /** Dual-mode read into the shaped (gene, anat, score) relation: a real
+    * `bgee_expression.tsv` call file when present (gene id → ENSEMBL
+    * curie, anatomy already a UBERON curie, rank score — the reference's
+    * expression-call columns), else derived from lineitem for the p02
+    * oracle. */
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
+    import graft.sources.{DelimitedSource, SourceFile}
+    import org.apache.spark.sql.types._
+    val real = new java.io.File(dataDir, "bgee_expression.tsv")
+    val shaped =
+      if (real.exists()) DelimitedSource.read(spark, SourceFile(real.getPath,
+          StructType(Seq(StructField("gene_id", StringType),
+            StructField("anat_id", StringType),
+            StructField("rank", StringType)))))
+        .select(concat(lit("ENSEMBL:"), col("gene_id")).as("gene"),
+          col("anat_id").as("anat"),
+          col("rank").cast("double").as("score"))
+      else Tables.lineitem(spark, dataDir).select(
         concat(lit("ENSEMBL:"), col("l_suppkey").cast("string")).as("gene"),
         concat(lit("UBERON:"), col("l_partkey").cast("string")).as("anat"),
         col("l_extendedprice").as("score"))
+    Map("expression" -> shaped)
+  }
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    val ranked = in("expression")
       .groupBy("gene", "anat").agg(min("score").as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("gene").orderBy(col("score").asc, col("anat").asc)))
@@ -246,22 +263,46 @@ object UcscBandsSource extends GraftSource {
 object UdpSource extends GraftSource {
   val name = "udp_variants"
 
-  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] =
-    Map("variant_calls" -> Tables.lineitem(spark, dataDir),
-      "gene_regions" -> Tables.supplier(spark, dataDir))
+  /** Dual-mode read into shaped (okey, lnum, pos) variant calls and
+    * (skey, lo, hi) gene regions: real `udp_variant_calls.tsv` /
+    * `udp_gene_regions.tsv` files when present (patient + variant ids
+    * and positions, gene spans — the reference's per-patient call
+    * shape), else derived from lineitem/supplier for the p07 oracle. */
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
+    import graft.sources.{DelimitedSource, SourceFile}
+    import org.apache.spark.sql.types._
+    def schemaOf(names: String*) =
+      StructType(names.map(StructField(_, StringType)))
+    val calls = new java.io.File(dataDir, "udp_variant_calls.tsv")
+    val regions = new java.io.File(dataDir, "udp_gene_regions.tsv")
+    val points =
+      if (calls.exists()) DelimitedSource.read(spark, SourceFile(calls.getPath,
+          schemaOf("patient_id", "variant_id", "position")))
+        .select(col("patient_id").as("okey"), col("variant_id").as("lnum"),
+          col("position").cast("long").as("pos"))
+      else Tables.lineitem(spark, dataDir).select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("l_partkey").as("pos"))
+    val genes =
+      if (regions.exists()) DelimitedSource.read(spark,
+          SourceFile(regions.getPath, schemaOf("gene_id", "start", "end")))
+        .select(col("gene_id").as("skey"),
+          col("start").cast("long").as("lo"), col("end").cast("long").as("hi"))
+      else Tables.supplier(spark, dataDir).select(
+        col("s_suppkey").as("skey"),
+        (col("s_suppkey") * 20).cast("long").as("lo"),
+        (col("s_suppkey") * 20 + 50).cast("long").as("hi"))
+    Map("variant_calls" -> points, "gene_regions" -> genes)
+  }
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
     // keep the join/dedup keys NUMERIC through the shuffle (okey/lnum/
-    // skey longs, not the concat'd display ids — the r2 hash-to-long
-    // lesson); the id strings are built after each branch's dedup
-    val points = in("variant_calls").select(
-      col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
-      col("l_partkey").as("pos"))
-    val genes = in("gene_regions").select(
-      col("s_suppkey").as("skey"),
-      (col("s_suppkey") * 20).cast("long").as("lo"),
-      (col("s_suppkey") * 20 + 50).cast("long").as("hi"))
+    // skey longs in the oracle derivation, not the concat'd display
+    // ids — the r2 hash-to-long lesson); the id strings are built after
+    // each branch's dedup
+    val points = in("variant_calls")
+    val genes = in("gene_regions")
     val vid = concat(lit("EX:var"), col("okey"), lit("_"), col("lnum"))
     val gene = concat(lit("EX:g"), col("skey"))
     // Emission WITHOUT a global graph dedup: the naive shape
