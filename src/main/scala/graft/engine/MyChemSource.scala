@@ -80,14 +80,38 @@ object MyChemSource extends GraftSource {
     // isinstance(str) branch), flat quoted scalar so the rewrite is exact
     val scrubbed = regexp_replace(col("value"),
       """"actions"\s*:\s*"([^"]*)"""", "\"actions\": [\"$1\"]")
-    val a = from_json(scrubbed, recordSchema(plural = true))
-    val b = from_json(scrubbed, recordSchema(plural = false))
+
+    // Parse layout for cost, not just correctness. from_json is
+    // CodegenFallback — the single most cpu-expensive expression here,
+    // with NO common-subexpression elimination — so the plan must make
+    // each parse happen exactly once: (1) widen the line scan first (a
+    // narrow text scan serializes the parse — the p08 lesson); (2) parse
+    // into TWO struct columns only (every field access above is a cheap
+    // struct get, not a re-parse); (3) close the parsed relation with a
+    // repartition so the three downstream branches collapse no further —
+    // ReuseExchange then executes scan+parse ONCE instead of once per
+    // branch (measured 3× parse redundancy × ~10 inlined from_json
+    // occurrences = 58 cpu-s at sf0.1 before this layout; ~4 cpu-s
+    // after). The shuffled relation is the compact parsed struct pair,
+    // never the raw JSON.
+    val wide = {
+      val target = spark.sparkContext.defaultParallelism
+      val lines = in("drugs")
+      if (graft.operators.ScanStats.estimatedScanPartitions(lines) < target)
+        lines.repartition(target) else lines
+    }
+    val parsed = wide.select(
+        from_json(scrubbed, recordSchema(plural = true)).as("pa"),
+        from_json(scrubbed, recordSchema(plural = false)).as("pb"))
+      .repartition(col("pa.unii"), col("pb.unii"))
+    val a = col("pa")
+    val b = col("pb")
     def plural(path: String): Column = {
       val pa = path.split("\\.").foldLeft(a)(_ getField _)
       val pb = path.split("\\.").foldLeft(b)(_ getField _)
       coalesce(pa, when(pb.isNotNull, array(pb)))
     }
-    val rec = in("drugs").select(
+    val rec = parsed.select(
       concat(lit("UNII:"),
         coalesce(a.getField("unii").getField("unii"),
           b.getField("unii").getField("unii"))).as("unii"),
@@ -97,6 +121,17 @@ object MyChemSource extends GraftSource {
       plural("drugbank.targets").as("targets"),
       plural("drugcentral.bioactivity").as("bioactivity"),
       plural("drugcentral.drug_use").as("drug_use"))
+      // persist the parsed relation BEFORE any parsed-field filter: the
+      // three emit branches below are separate union arms, and without a
+      // materialization each re-runs the scan+parse — worse, filters on
+      // parsed fields push DOWN through the widen exchange, landing the
+      // re-parses on the narrow scan's 1-2 splits (measured 58 cpu-s /
+      // 19 s wall at sf0.1). The InMemoryRelation is both the reuse
+      // point and the pushdown barrier, so the parse runs wide and
+      // exactly once. The cached relation is the compact parsed struct
+      // row — |records| × ~300 B; the bench's inter-query cache hygiene
+      // (Bench.scala) / Runner's per-source lifecycle bound its life.
+      .persist()
       .filter(col("unii").isNotNull) // no-unii records skipped (py:50-53)
 
     // drugbank branch (py:40-69 + make_triples py:120-151): per

@@ -142,6 +142,16 @@ object OmiaSource extends GraftSource {
   private def schemaOf(cols: String*): StructType =
     StructType(cols.map(StructField(_, StringType)))
 
+  /** Widen-and-share barrier (the p08 ScanStats guard): joined fact
+    * relations inherit the scan's split count, serializing the emit
+    * stages at test SF; the repartition also becomes the one Exchange
+    * every downstream consumer reuses. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (graft.operators.ScanStats.estimatedScanPartitions(df) < target)
+      df.repartition(target) else df
+  }
+
   /** XML dump tables (OMIA.py:140-143 table list; the same landed
     * `omia_dump.xml` the omia_phenes source scans) + the OMIM mimTitles
     * sidecar (OMIMSource.py:126-236 — landed by the OMIM fetch stage,
@@ -230,11 +240,17 @@ object OmiaSource extends GraftSource {
     // NULL=Suspected and Caret=obsolete drop. The reference's MOVED-TO
     // replacement pass is observably a no-op on the emitted map — a
     // moved id is never re-added — so it is not re-modeled here.)
+    // Omim_Xref is a MAPPING relation — distinct before anything joins
+    // it: duplicated xref rows multiply straight through the breed-phene
+    // ⋈ xref model-of join below (measured 9× redundant pre-dedup volume
+    // on the p11 derivation, ~10M junk triples at sf0.1), and the graph
+    // is a set either way
     val xref = in("omim_xref")
       .filter(coalesce(col("omia_id"), lit("")) =!= "" &&
         coalesce(col("omim_id"), lit("")) =!= "")
       .select(concat(lit("OMIA:"), col("omia_id")).as("omia"),
         col("omim_id").as("omim_num"))
+      .distinct()
     val xrefTriples = ColumnEmit.emit(xref,
       str(col("omia"), lit(Vocab.hasDbXref),
         concat(lit("OMIM:"), col("omim_num"))))
@@ -248,10 +264,19 @@ object OmiaSource extends GraftSource {
     // breed–phene associations (_process_breed_phene_row py:566-633):
     // breed has_phenotype spPhene, plus breed IS MODEL OF each cleaned
     // omim of the phene's omia id, with descendant-evidence and the
-    // "High incidence of ..." description
-    val bp = in("breed_phene")
+    // "High incidence of ..." description. The widen barrier after the
+    // broadcast joins does double duty: (1) the probe side inherits the
+    // fact scan's split count, so without it every downstream emit
+    // (concat + md5 per triple) serializes on 1-2 cores at test SF;
+    // (2) the repartition is an Exchange the two consumers (bpAssoc and
+    // the model-of join) share via ReuseExchange — the join tree runs
+    // once, not per branch.
+    // persisted as well as widened: bpAssoc and the model-of join are
+    // separate union arms — without the materialization each re-runs
+    // the join tree from the scans
+    val bp = widen(in("breed_phene")
       .select(col("breed_id").as("bkey"), col("phene_id").as("pkey"))
-      .join(breeds, "bkey").join(phene, "pkey")
+      .join(breeds, "bkey").join(phene, "pkey")).persist()
     val bpAssoc = ColumnEmit.assocReified(bp, "EX:omia",
       col("breed"), lit(Vocab.hasPhenotype), col("spPhene"))
     val mo = bp.join(cleaned, "omia")
@@ -303,9 +328,9 @@ object OmiaSource extends GraftSource {
     // links, and a G2P association to the species phene. The affected-
     // locus objects are the `annotated_genes` set the NCBI ortholog
     // augmentation consumes (py:679 + py:172).
-    val pg = in("phene_gene")
+    val pg = widen(in("phene_gene")
       .select(col("phene_id").as("pkey"), col("gene_id").as("gkey"))
-      .join(genes, "gkey").join(phene, "pkey")
+      .join(genes, "gkey").join(phene, "pkey"))
       .withColumn("vid", concat(lit("_:"),
         Digest.md5Id(concat(col("gkey"), lit("VL")))))
     val pgTriples = ColumnEmit.emitFiltered(pg,

@@ -252,6 +252,51 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document duplicated-span detection (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the exact-substring dedup signal, re-expressed
+    * relationally): every `w`-token window at stride 1 is fingerprinted,
+    * and a window whose fingerprint occurs in ≥ 2 DISTINCT documents is
+    * a duplicated span. Returns one row per document with ≥ 1 window:
+    * (doc id, duplicated-window count, total windows, fraction) — the
+    * per-document signal a pipeline thresholds on (the paper cuts the
+    * spans themselves; the relational form feeds the same decision).
+    *
+    * Scale shape: the window explode is |tokens| rows of 32-byte
+    * fingerprints (never the window text); the fingerprint frequency
+    * table is ONE map-side-combined aggregate, and the per-document
+    * rollups shuffle on fingerprint/id only. Positional windows, not
+    * the distinct shingle set — position is what distinguishes a span
+    * repeated inside one document (not counted: `ndocs ≥ 2` needs two
+    * documents) from one repeated across documents. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 5): DataFrame = {
+    // widen first: the window fingerprinting is cpu-heavy codegen, and a
+    // 1-split scan would serialize it (the p08 lesson)
+    val wins = widen(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), TextOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= w)
+      // the CASE guard repeats the filter INSIDE the expression: the
+      // descending sequence(1, 0) corner (see shinglesOfWords) must be
+      // unreachable under any evaluation order the optimizer picks
+      .select(col("id"), expr(
+        s"CASE WHEN size(ws) >= $w THEN " +
+          s"transform(sequence(1, size(ws) - ${w - 1}), " +
+          s"p -> md5(array_join(slice(ws, p, $w), ' '))) " +
+          s"ELSE cast(array() as array<string>) END").as("fps"))
+      .select(col("id"), explode(col("fps")).as("fp"))
+    val perFp = wins.groupBy("fp").agg(countDistinct("id").as("ndocs"))
+    val tot = wins.groupBy("id").agg(count(lit(1)).as("total_windows"))
+    val dups = wins.join(perFp.filter(col("ndocs") >= 2), "fp")
+      .groupBy("id").agg(count(lit(1)).as("dup_windows"))
+    tot.join(dups, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        col("total_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)) / col("total_windows"), 4)
+          .as("dup_fraction"))
+  }
+
   /** Connected-components clustering over a near-dup pair list — the step
     * that turns pairwise evidence (from [[ngramJaccardPairs]],
     * [[minhashPairs]], [[simhashPairs]] or

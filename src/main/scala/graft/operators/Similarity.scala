@@ -197,6 +197,102 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Lloyd refinement of the [[ivfCentroids]] seed: `iters` rounds of
+    * assign-to-nearest (cosine, the same max-struct aggregate as
+    * [[ivfTopK]] — no window over the ×k relation) followed by the
+    * per-cell coordinate mean. The classic k-means loop, kept fully
+    * deterministic (seeded init, fixed iteration count, ties toward the
+    * smaller cell id) so an external oracle can unroll the iterations
+    * in SQL. Empty cells keep their previous centroid (the standard
+    * guard). Returns (cell, centroid) with coordinates rounded to 6 —
+    * rounding INSIDE each iteration pins the float-sum ambiguity of a
+    * distributed mean before it can amplify through the next
+    * assignment.
+    *
+    * Scale shape per round: centroids broadcast; one shuffle for the
+    * per-(cell, dim) partial-aggregated means over the |corpus|×dim
+    * value explode; the rebuilt centroid table is k rows. */
+  def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 2): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    // cast to double once: the refined centroids are double arrays, and
+    // VecDotExpr reads both sides with the LEFT side's element width
+    val vecs = widen(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .withColumn("n", vec_norm(col("v")))
+    var cents = ivfCentroids(corpus, idCol, vecCol, k)
+      .select(col("cid"),
+        expr("transform(cast(cv as array<double>), x -> round(x, 6))").as("cv"))
+    for (_ <- 1 to iters) {
+      val cn = broadcast(cents.withColumn("cn", vec_norm(col("cv"))))
+      val assigned = vecs.crossJoin(cn)
+        .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .groupBy("id")
+        .agg(max(struct(col("csim"), (-col("cid")).as("negc"),
+          col("cid").as("cell"), col("v").as("v0"))).as("b"))
+        .select(col("b.cell").as("cell"), col("b.v0").as("v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("cid"),
+          expr("transform(dm, e -> round(e.m, 6))").as("cv"))
+      // empty cells keep their previous (already-rounded) centroid
+      cents = cents.alias("p").join(means.alias("m"),
+          col("p.cid") === col("m.cid"), "left")
+        .select(col("p.cid").as("cid"),
+          coalesce(col("m.cv"), col("p.cv")).as("cv"))
+    }
+    cents.select(col("cid").as("cell"), col("cv").as("centroid"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the corpus into `nlist`
+    * cells around the deterministic [[ivfCentroids]], detect
+    * near-duplicate pairs ONLY within a cell (the quadratic pair search
+    * is bounded per cell — the property that lets the method run at web
+    * scale), and nominate one side of each pair to drop: the vector MORE
+    * similar to its centroid, keeping cluster outliers (the paper's
+    * keep-low-centroid-similarity policy; ties drop the larger id).
+    * One row per surviving pair: (cell, keep_id, drop_id, sim).
+    *
+    * Scale shape: centroids broadcast; cell assignment is the same
+    * max-struct partial aggregate as [[ivfTopK]] (one shuffle on id, no
+    * window over the ×nlist relation); the pair join shuffles each
+    * cell's members once on cell id. Recall vs the exact
+    * [[nearDupPairs]] baseline: a cross-cell near-dup pair is missed by
+    * design — SemDeDup's accepted trade. Fully deterministic, so the
+    * oracle re-derives centroids, assignment, and the drop policy in
+    * SQL. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, threshold: Double = 0.9): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
+      .withColumn("cn", vec_norm(col("cv"))))
+    val assigned = widen(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("n", vec_norm(col("v")))
+      .crossJoin(cents)
+      .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("negc"),
+        col("cid").as("cell"), col("v").as("v0"), col("n").as("n0"))).as("b"))
+      .select(col("id"), col("b.cell").as("cell"), col("b.csim").as("csim"),
+        col("b.v0").as("v"), col("b.n0").as("n"))
+    val a = assigned.select(col("id").as("id_a"), col("cell"),
+      col("csim").as("ca"), col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("id").as("id_b"), col("cell").as("cellb"),
+      col("csim").as("cb"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, col("cell") === col("cellb") && col("id_a") < col("id_b"))
+      .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") > threshold)
+      .select(col("cell"),
+        when(col("ca") > col("cb"), col("id_b")).otherwise(col("id_a")).as("keep_id"),
+        when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("drop_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Symmetric per-vector int8 quantization: `scale = max|x|/127`,
     * `q_i = floor(x_i/scale + 0.5)` (explicit half-up floor so an
     * external engine reproduces the rounding bit-for-bit). Cuts the

@@ -62,6 +62,21 @@ object PipelineQueries {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, threshold = 0.45, nbits = 8, bands = 4)),
 
+    // Cross-document duplicated-span detection (Lee et al. exact-substring
+    // dedup signal): positional w-token window fingerprints, duplicated
+    // when ≥2 distinct documents share one; per-document dup fraction.
+    "d13_duplicate_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", w = 5)),
+
+    // SemDeDup semantic dedup (the clustered scale path next to d05/d06):
+    // deterministic coarse cells, within-cell pair search, drop the pair
+    // member nearer its centroid (keep cluster outliers). Fully
+    // oracle-checked — centroids, assignment, and the drop policy are
+    // all re-derived in SQL.
+    "d12_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        nlist = 8, threshold = 0.45)),
+
     // Dedup cluster formation: connected components over near-dup pairs
     // (min-label propagation + pointer jumping), cluster label = minimum
     // member id = the canonical keeper. Pairs here are the exact cosine
@@ -105,6 +120,14 @@ object PipelineQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
     }),
+
+    // Lloyd k-means refinement of the IVF seed centroids (the
+    // production-IVF training step): two deterministic assign/mean
+    // rounds, per-iteration rounding pins the distributed-mean floats.
+    // Fully oracle-checked — the SQL unrolls both iterations.
+    "s06_kmeans_refine" -> ((s, d) =>
+      Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
 
     // Int8-quantized ANN: per-vector symmetric quantization (4× smaller
     // candidate state at scale), then the exact top-k machinery over the
@@ -450,6 +473,51 @@ object PipelineQueries {
 
   val oracles: ListMap[String, String] = ListMap(
     "d06_dedup_embedding_lsh" -> lshNearDupOracle(64, 0.45, 8, 4),
+    "d13_duplicate_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wins AS (
+           SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 4)) AS p
+           FROM t WHERE len(ws) >= 5),
+         fps AS (
+           SELECT doc_id, md5(array_to_string(ws[p : p + 4], ' ')) AS fp
+           FROM wins),
+         perfp AS (SELECT fp, count(DISTINCT doc_id) AS ndocs
+                   FROM fps GROUP BY fp),
+         tot AS (SELECT doc_id, count(*) AS total_windows
+                 FROM fps GROUP BY doc_id),
+         dups AS (SELECT doc_id, count(*) AS dup_windows
+                  FROM fps JOIN perfp USING (fp)
+                  WHERE ndocs >= 2 GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(d.dup_windows, 0) AS dup_windows,
+                t.total_windows,
+                round(coalesce(d.dup_windows, 0)::DOUBLE / t.total_windows, 4)
+                  AS dup_fraction
+         FROM tot t LEFT JOIN dups d USING (doc_id)""",
+    "d12_semantic_dedup" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 8),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT e.vec_id AS id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c),
+         cells AS (
+           SELECT id, v, cid AS cell, csim FROM (
+             SELECT id, v, cid, csim,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         pairs AS (
+           SELECT a.cell, a.id AS id_a, b.id AS id_b, a.csim AS ca, b.csim AS cb,
+                  list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+           FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id)
+         SELECT cell, CASE WHEN ca > cb THEN id_b ELSE id_a END AS keep_id,
+                CASE WHEN ca > cb THEN id_a ELSE id_b END AS drop_id,
+                round(sim, 6) AS sim
+         FROM pairs WHERE sim > 0.45""",
     "t10_pii_scrub" ->
       """WITH dirty AS (
            SELECT doc_id,
@@ -726,6 +794,44 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "s06_kmeans_refine" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (
+           SELECT vec_id AS cid,
+                  list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS cv
+           FROM embeddings ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 8),
+         dims AS (SELECT unnest(range(1, 65)) AS dim),
+         a1 AS (
+           SELECT e.id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c0 c),
+         s1 AS (SELECT id, v, cid AS cell FROM (
+                  SELECT id, v, cid, row_number() OVER (
+                    PARTITION BY id ORDER BY csim DESC, cid) AS rn
+                  FROM a1) t WHERE rn = 1),
+         m1 AS (SELECT cell, dim, round(avg(v[dim]), 6) AS m
+                FROM s1, dims GROUP BY cell, dim),
+         c1v AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+                 FROM m1 GROUP BY cell),
+         c1 AS (SELECT c0.cid, coalesce(c1v.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN c1v ON c0.cid = c1v.cid),
+         a2 AS (
+           SELECT e.id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c1 c),
+         s2 AS (SELECT id, v, cid AS cell FROM (
+                  SELECT id, v, cid, row_number() OVER (
+                    PARTITION BY id ORDER BY csim DESC, cid) AS rn
+                  FROM a2) t WHERE rn = 1),
+         m2 AS (SELECT cell, dim, round(avg(v[dim]), 6) AS m
+                FROM s2, dims GROUP BY cell, dim),
+         c2v AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+                 FROM m2 GROUP BY cell),
+         c2 AS (SELECT c1.cid, coalesce(c2v.cv, c1.cv) AS cv
+                FROM c1 LEFT JOIN c2v ON c1.cid = c2v.cid)
+         SELECT cid AS cell, cv AS centroid FROM c2""",
     "s01_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),

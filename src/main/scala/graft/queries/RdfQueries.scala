@@ -510,11 +510,16 @@ object RdfQueries {
         concat(lit("g"), c).as("symbol"),
         element_at(array(lit("protein-coding"), lit("pseudo"), lit("ncRNA")),
           (c % 3 + 1).cast("int")).as("gene_type"))
+      // persisted: the graph feeds BOTH the final union and the
+      // annotated-genes filter driving the ortholog augmentation —
+      // without the cache the whole multi-join transform runs twice
+      // (the Runner path materializes the graph to parquet between
+      // these two consumers; the cache is this query's equivalent)
       val omia = graft.engine.OmiaSource.transform(s, Map(
         "species" -> species, "breed" -> breed, "phene" -> phene,
         "breed_phene" -> breedPhene, "omim_xref" -> omimXref,
         "phene_gene" -> pheneGene, "genes" -> genes,
-        "omim_types" -> mimTitles))
+        "omim_types" -> mimTitles)).persist()
       val geneInfo = cust.select(
         col("c_nationkey").cast("string").as("tax_id"),
         (c + 10000).cast("string").as("GeneID"),

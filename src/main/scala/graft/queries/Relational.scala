@@ -406,7 +406,11 @@ object Relational {
             .as("approx_median"),
           expr("percentile(l_extendedprice, 0.49)").as("lo"),
           expr("percentile(l_extendedprice, 0.51)").as("hi"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_median"))
+          // round to 3, NOT 2: an even-count median of 2-decimal prices
+          // is an exact .xx5 midpoint — a round-half boundary where the
+          // two engines' tie directions can differ (seen at sf0.001).
+          // 3 digits puts midpoints ON the grid, off the boundary.
+          round(expr("percentile(l_extendedprice, 0.5)"), 3).as("exact_median"))
         .filter(col("approx_median").between(col("lo"), col("hi")))
         .select("l_returnflag", "exact_median")),
 
@@ -700,7 +704,7 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q36_approx_quantile" ->
       """SELECT l_returnflag,
-              round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median
+              round(quantile_cont(l_extendedprice, 0.5), 3) AS exact_median
          FROM lineitem GROUP BY l_returnflag""",
     "q40_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price

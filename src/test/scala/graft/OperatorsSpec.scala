@@ -146,6 +146,87 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH pairs must carry exact cosine scores")
   }
 
+  test("kmeans refine: k cells survive, centroids move toward members, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 4
+    val refined = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      k = k, iters = 2)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(refined.length == k)
+    assert(refined.forall(_._2.length == 64))
+    // deterministic: a second run yields bit-identical centroids
+    val again = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      k = k, iters = 2)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(refined.toSeq == again.toSeq)
+    // refinement changes the seed (the seed vectors are corpus rows;
+    // a coordinate mean over >1 member moves off the seed)
+    val seeds = Similarity.ivfCentroids(emb, "vec_id", "embedding", k)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(refined.exists { case (cid, cv) =>
+      seeds.get(cid).exists(sv =>
+        sv.map(_.toDouble).zip(cv).exists { case (a, b) => math.abs(a - b) > 1e-4 }) })
+  }
+
+  test("duplicate spans: cross-doc windows counted, within-doc repeats not") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "again the quick brown fox jumps over a different dog"),
+      // repeats ITS OWN 5-gram twice but shares nothing with 1/2
+      (3L, "aa bb cc dd ee aa bb cc dd ee"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", w = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1 and 2 share exactly one 5-token window:
+    // "the quick brown fox jumps" (and the shifted "quick brown fox
+    // jumps over") -> 2 duplicated windows each
+    assert(out(1L)._1 == 2 && out(1L)._2 == 6)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 6)
+    assert(out(1L)._3 == 0.3333)
+    // doc 3's internal repetition is NOT a cross-document span
+    assert(out(3L)._1 == 0 && out(3L)._2 == 6)
+    // doc 4 has no full window at all -> absent
+    assert(!out.contains(4L))
+  }
+
+  test("SemDeDup: within-cell pairs ⊆ exact pairs; drop side nearer its centroid") {
+    val emb = Tables.embeddings(spark, sf)
+    val sem = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 4, threshold = 0.3)
+      .select("cell", "keep_id", "drop_id", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s0) => (Set(a, b), s0) }.toMap
+    assert(sem.nonEmpty, "corpus should contain within-cell pairs at 0.3")
+    // every reported pair is a true near-dup with the exact cosine
+    assert(sem.forall { case (_, k, dr, s0) =>
+      exact.get(Set(k, dr)).contains(s0) })
+    // cross-cell pairs are missed BY DESIGN: with few cells some pairs
+    // survive, and the reported count never exceeds the exact count
+    assert(sem.length <= exact.size)
+    // the drop side is the member nearer its centroid (keep outliers):
+    // recompute each member's centroid similarity and check orientation
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
+      .as[(Long, Seq[Float])].collect()
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    def centroidSim(id: Long): Double =
+      cents.map { case (_, cv) => cos(vecs(id), cv) }.max
+    sem.foreach { case (_, keep, drop, _) =>
+      val (ck, cd) = (centroidSim(keep), centroidSim(drop))
+      assert(cd > ck || (cd == ck && drop > keep),
+        s"drop=$drop (csim $cd) must be nearer its centroid than keep=$keep ($ck)")
+    }
+  }
+
   test("int8 quantization: reconstruction within scale/2, search agrees with exact") {
     val emb = Tables.embeddings(spark, sf)
     // per-element: |x - q*scale| <= scale/2 (half-up rounding bound)
