@@ -293,10 +293,16 @@ object OmiaSource extends GraftSource {
       coalesce(plabelClean, lit("phenotype")), lit(" in "),
       coalesce(col("blabel"), lit("this breed")),
       lit(" suggests it to be a model of disease "), col("omim"), lit("."))
+    // dedup the model-of relation BEFORE the 7-triple explode: distinct
+    // breed-phene rows sharing (breed, omia-label) collapse to the same
+    // (breed, omim, desc) association, and deduping 1/7th of the rows on
+    // narrow columns here is strictly cheaper than pushing the repeats
+    // through the emit into the graph-level set-dedup
     val moPre = mo.select(col("breed").as("__s"), col("omim").as("__o"),
       desc.as("__d"),
       concat(lit("_:"), Digest.md5Id(concat_ws("+",
         lit("EX:omia"), col("breed"), pred, col("omim")))).as("__aid"))
+      .dropDuplicates("__s", "__o", "__d")
     val moTriples = ColumnEmit.emit(moPre,
       res(col("__s"), pred, col("__o")),
       res(col("__aid"), lit(Vocab.a), lit(Vocab.association)),

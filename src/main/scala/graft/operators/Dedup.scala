@@ -284,11 +284,18 @@ object Dedup {
           s"transform(sequence(1, size(ws) - ${w - 1}), " +
           s"p -> md5(array_join(slice(ws, p, $w), ' '))) " +
           s"ELSE cast(array() as array<string>) END").as("fps"))
-      .select(col("id"), explode(col("fps")).as("fp"))
-    val perFp = wins.groupBy("fp").agg(countDistinct("id").as("ndocs"))
-    val tot = wins.groupBy("id").agg(count(lit(1)).as("total_windows"))
-    val dups = wins.join(perFp.filter(col("ndocs") >= 2), "fp")
-      .groupBy("id").agg(count(lit(1)).as("dup_windows"))
+    // shuffle discipline over the |tokens|-sized window relation:
+    // total windows come from the ARRAY LENGTH (one row per document —
+    // no shuffle at all), and the exploded relation is pre-aggregated
+    // to (fp, id, n) first — the map-side partial collapses within-doc
+    // repeats before anything wide moves
+    val tot = wins.select(col("id"), size(col("fps")).cast("long")
+      .as("total_windows"))
+    val perDoc = wins.select(col("id"), explode(col("fps")).as("fp"))
+      .groupBy("fp", "id").agg(count(lit(1)).as("n"))
+    val perFp = perDoc.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    val dups = perDoc.join(perFp.filter(col("ndocs") >= 2), "fp")
+      .groupBy("id").agg(sum("n").as("dup_windows"))
     tot.join(dups, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
