@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -159,34 +159,47 @@ object Similarity {
     * relation); the probe join shuffles the corpus once on cell id.
     * Ties (equal cosine to two centroids) break toward the smaller
     * centroid id on both engine and oracle. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16,
-              nprobe: Int = 4): DataFrame = {
+  /** Per-side similarity to every broadcast centroid — the shared
+    * assignment/probe primitive of the IVF family. */
+  private def cellSims(side: DataFrame, id: String, vec: String,
+                       cents: DataFrame): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
-      .withColumn("cn", vec_norm(col("cv"))))
-    def cellSims(side: DataFrame, id: String, vec: String): DataFrame =
-      side.select(col(id).as("id"), col(vec).as("v"))
-        .withColumn("n", vec_norm(col("v")))
-        .crossJoin(cents)
-        .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
-        .select(col("id"), col("v"), col("n"), col("cid"), col("csim"))
-    // one cell per corpus vector: max over (csim, -cid) ≡ the first row of
-    // an (csim DESC, cid ASC) ordering, without sorting the ×nlist relation
-    val assigned = cellSims(corpus, idCol, vecCol)
+    side.select(col(id).as("id"), col(vec).as("v"))
+      .withColumn("n", vec_norm(col("v")))
+      .crossJoin(cents)
+      .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .select(col("id"), col("v"), col("n"), col("cid"), col("csim"))
+  }
+
+  /** One cell per corpus vector: max over (csim, -cid) ≡ the first row
+    * of a (csim DESC, cid ASC) ordering, without sorting the ×nlist
+    * relation. Returns (nid, cell, nv, nn). */
+  private def cellAssignment(corpus: DataFrame, idCol: String, vecCol: String,
+                             cents: DataFrame): DataFrame =
+    cellSims(corpus, idCol, vecCol, cents)
       .groupBy(col("id").as("nid"))
       .agg(max(struct(col("csim"), (-col("cid")).as("negc"), col("cid").as("cell"),
         col("v").as("nv"), col("n").as("nn"))).as("b"))
       .select(col("nid"), col("b.cell").as("cell"), col("b.nv").as("nv"),
         col("b.nn").as("nn"))
-    // nprobe cells per query (query set is small by construction — same
-    // contract as bruteForceTopK's broadcast side)
+
+  /** nprobe nearest cells per query (query set is small by construction
+    * — same contract as bruteForceTopK's broadcast side). */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                         cents: DataFrame, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("id").orderBy(col("csim").desc, col("cid").asc)
-    val probes = cellSims(queries, idCol, vecCol)
+    cellSims(queries, idCol, vecCol, cents)
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("id").as("qid"), col("v").as("qv"), col("n").as("qn"),
         col("cid").as("cell"))
+  }
+
+  /** Exact-cosine search of the probed cells + final top-k window —
+    * the shared tail of [[ivfTopK]] and [[ivfTopKIndexed]]. */
+  private def probeSearch(assigned: DataFrame, probes: DataFrame,
+                          k: Int): DataFrame = {
+    import graft.functions.VecExpressions.vec_dot
     val sims = assigned.join(broadcast(probes), "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -195,6 +208,57 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
+      .withColumn("cn", vec_norm(col("cv"))))
+    probeSearch(cellAssignment(corpus, idCol, vecCol, cents),
+      probeCells(queries, idCol, vecCol, cents, nprobe), k)
+  }
+
+  /** Persist the IVF index: the cell assignment of every corpus vector
+    * as a CELL-BUCKETED table (via [[graft.engine.Bucketing]]) plus the
+    * centroid table as a `<table>_centroids` sidecar. The repeated-query
+    * posture at corpus scale: a production ANN service pays the
+    * assignment pass ONCE at index-build time; every subsequent query
+    * batch ([[ivfTopKIndexed]]) probes its cells with no assignment
+    * pass and NO shuffle of the corpus — the bucketed layout co-locates
+    * each cell's members, so the probe join streams bucket files
+    * against the broadcast query table. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String, path: String, nlist: Int = 16,
+                    buckets: Int = 8): Unit = {
+    import graft.functions.VecExpressions.vec_norm
+    val spark = corpus.sparkSession
+    val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
+    graft.engine.Bucketing.writeBucketed(
+      cellAssignment(corpus, idCol, vecCol, cents),
+      table, path, Seq("cell"), buckets)
+    cents0.write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_centroids")
+      .saveAsTable(s"${table}_centroids")
+    // saveAsTable leaves the session pointed at the written tables
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Query a persisted IVF index: identical results to [[ivfTopK]] with
+    * the same (nlist, nprobe, k) — the assignment is read back, not
+    * recomputed, and the stored vectors/norms are the same floats, so
+    * the cosine ranking is bit-identical. */
+  def ivfTopKIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_centroids")
+      .withColumn("cn", vec_norm(col("cv"))))
+    probeSearch(graft.engine.Bucketing.readBucketed(spark, table),
+      probeCells(queries, idCol, vecCol, cents, nprobe), k)
   }
 
   /** Lloyd refinement of the [[ivfCentroids]] seed: `iters` rounds of

@@ -146,6 +146,27 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH pairs must carry exact cosine scores")
   }
 
+  test("IVF index round-trip: indexed search ≡ in-query search, bucketed scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_spec", s"$dir/idx", nlist = 8, buckets = 4)
+    val qs = emb.filter($"vec_id" < 5)
+    val indexed = Similarity.ivfTopKIndexed(spark, "graft_ivf_spec", qs,
+      "vec_id", "embedding", k = 3, nprobe = 4)
+    val direct = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 4)
+    val a = indexed.as[(Long, Long, Double, Int)].collect().toSet
+    val b = direct.as[(Long, Long, Double, Int)].collect().toSet
+    assert(a.nonEmpty && a == b,
+      "index round-trip must reproduce the in-query IVF results exactly")
+    // the probe join reads the bucketed layout (no corpus-side exchange)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_centroids")
+  }
+
   test("kmeans refine: k cells survive, centroids move toward members, deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val k = 4
