@@ -152,15 +152,14 @@ object Similarity {
     * |corpus| to ~(nprobe/nlist)·|corpus|; recall < 1 because a true
     * neighbor assigned to an unprobed cell is missed.
     *
-    * Scale shape: centroids broadcast both times; cell assignment is a
-    * map-side max-struct aggregate over the corpus×nlist similarity
-    * relation (partial aggregation collapses each vector's nlist rows
-    * before the one shuffle on id — no window sort over the blown-up
-    * relation); the probe join shuffles the corpus once on cell id.
+    * Scale shape: cell assignment is a pure map-side literal argmax
+    * (see [[cellAssignment]] — no shuffle, no ×nlist blow-up); the
+    * probe join shuffles the corpus once on cell id (or not at all
+    * against a persisted index, [[ivfTopKIndexed]]).
     * Ties (equal cosine to two centroids) break toward the smaller
     * centroid id on both engine and oracle. */
-  /** Per-side similarity to every broadcast centroid — the shared
-    * assignment/probe primitive of the IVF family. */
+  /** Per-side similarity to every broadcast centroid — the probe
+    * primitive of the IVF family (query sets; small by contract). */
   private def cellSims(side: DataFrame, id: String, vec: String,
                        cents: DataFrame): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
@@ -171,17 +170,49 @@ object Similarity {
       .select(col("id"), col("v"), col("n"), col("cid"), col("csim"))
   }
 
-  /** One cell per corpus vector: max over (csim, -cid) ≡ the first row
-    * of a (csim DESC, cid ASC) ordering, without sorting the ×nlist
-    * relation. Returns (nid, cell, nv, nn). */
+  /** Collect the (driver-bounded: nlist rows) centroid table and
+    * pre-compute each centroid's norm with the same left-to-right
+    * double accumulation as `vec_norm` — bit-identical, so the literal
+    * assignment below matches the crossJoin formulation exactly. */
+  private def collectCentroids(cents: DataFrame): Array[(Long, Seq[Double], Double)] =
+    cents.select(col("cid").cast("long"),
+        col("cv").cast("array<double>")).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x)))
+      }
+
+  /** One cell per corpus vector, as a PURE MAP-SIDE literal argmax: the
+    * centroid table is driver-bounded (nlist rows — the same bounded-
+    * collect contract as TripleSinks' prefix scan), so each centroid
+    * becomes a literal vector in ONE codegen'd projection and the best
+    * cell is `greatest` over (csim, -cid, cid) structs — the identical
+    * (csim DESC, cid ASC) tie order as the previous max-struct
+    * aggregate, with NO shuffle, no ×nlist row blow-up, and no
+    * SortAggregate fallback (the old aggregate carried the vector in
+    * the max struct — a var-width buffer that fell out of hash
+    * aggregation). At corpus scale assignment now streams: scan →
+    * project → done. Returns (nid, cell, csim, nv, nn). */
   private def cellAssignment(corpus: DataFrame, idCol: String, vecCol: String,
-                             cents: DataFrame): DataFrame =
-    cellSims(corpus, idCol, vecCol, cents)
-      .groupBy(col("id").as("nid"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("negc"), col("cid").as("cell"),
-        col("v").as("nv"), col("n").as("nn"))).as("b"))
-      .select(col("nid"), col("b.cell").as("cell"), col("b.nv").as("nv"),
-        col("b.nn").as("nn"))
+                             cents: DataFrame): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val local = collectCentroids(cents)
+    require(local.nonEmpty && local.length <= 4096,
+      s"centroid table must be driver-bounded, got ${local.length}")
+    val v = col("v").cast("array<double>")
+    val n = col("n")
+    val candidates = local.map { case (cid, cv, cn) =>
+      struct((vec_dot(v, typedLit(cv)) / (n * lit(cn))).as("csim"),
+        lit(-cid).as("negc"), lit(cid).as("cell"))
+    }
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+      .withColumn("n", vec_norm(v))
+      .withColumn("b",
+        if (candidates.length == 1) candidates.head
+        else greatest(candidates.toIndexedSeq: _*))
+      .select(col("nid"), col("b.cell").as("cell"), col("b.csim").as("csim"),
+        col("v").as("nv"), col("n").as("nn"))
+  }
 
   /** nprobe nearest cells per query (query set is small by construction
     * — same contract as bruteForceTopK's broadcast side). */
@@ -237,7 +268,7 @@ object Similarity {
     val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
     graft.engine.Bucketing.writeBucketed(
-      cellAssignment(corpus, idCol, vecCol, cents),
+      cellAssignment(corpus, idCol, vecCol, cents).drop("csim"),
       table, path, Seq("cell"), buckets)
     cents0.write.mode("overwrite").format("parquet")
       .option("path", s"${path}_centroids")
@@ -262,8 +293,8 @@ object Similarity {
   }
 
   /** Lloyd refinement of the [[ivfCentroids]] seed: `iters` rounds of
-    * assign-to-nearest (cosine, the same max-struct aggregate as
-    * [[ivfTopK]] — no window over the ×k relation) followed by the
+    * assign-to-nearest (cosine, the same map-side literal argmax as
+    * [[ivfTopK]] — no shuffle, no ×k relation) followed by the
     * per-cell coordinate mean. The classic k-means loop, kept fully
     * deterministic (seeded init, fixed iteration count, ties toward the
     * smaller cell id) so an external oracle can unroll the iterations
@@ -278,32 +309,26 @@ object Similarity {
     * value explode; the rebuilt centroid table is k rows. */
   def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int = 8, iters: Int = 2): DataFrame = {
-    import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    // cast to double once: the refined centroids are double arrays, and
-    // VecDotExpr reads both sides with the LEFT side's element width
-    val vecs = widen(corpus.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v")))
-      .withColumn("n", vec_norm(col("v")))
+    val wide = widen(corpus)
     var cents = ivfCentroids(corpus, idCol, vecCol, k)
       .select(col("cid"),
         expr("transform(cast(cv as array<double>), x -> round(x, 6))").as("cv"))
     for (_ <- 1 to iters) {
-      val cn = broadcast(cents.withColumn("cn", vec_norm(col("cv"))))
-      val assigned = vecs.crossJoin(cn)
-        .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
-        .groupBy("id")
-        .agg(max(struct(col("csim"), (-col("cid")).as("negc"),
-          col("cid").as("cell"), col("v").as("v0"))).as("b"))
-        .select(col("b.cell").as("cell"), col("b.v0").as("v"))
+      // map-side literal assignment (collects the k-row centroid table —
+      // one bounded driver action per Lloyd round, which is the shape of
+      // the algorithm anyway), then ONE shuffle for the per-(cell, dim)
+      // partial-aggregated means
+      val assigned = cellAssignment(wide, idCol, vecCol, cents)
       val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("cell"),
+          posexplode(col("nv").cast("array<double>")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg("x").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell").as("cid"),
           expr("transform(dm, e -> round(e.m, 6))").as("cv"))
       // empty cells keep their previous (already-rounded) centroid
-      cents = cents.alias("p").join(means.alias("m"),
+      cents = cents.alias("p").join(broadcast(means.alias("m")),
           col("p.cid") === col("m.cid"), "left")
         .select(col("p.cid").as("cid"),
           coalesce(col("m.cv"), col("p.cv")).as("cv"))
@@ -322,32 +347,22 @@ object Similarity {
     * keep-low-centroid-similarity policy; ties drop the larger id).
     * One row per surviving pair: (cell, keep_id, drop_id, sim).
     *
-    * Scale shape: centroids broadcast; cell assignment is the same
-    * max-struct partial aggregate as [[ivfTopK]] (one shuffle on id, no
-    * window over the ×nlist relation); the pair join shuffles each
-    * cell's members once on cell id. Recall vs the exact
+    * Scale shape: cell assignment is the same map-side literal argmax
+    * as [[ivfTopK]] (no shuffle, no ×nlist relation); the pair join
+    * shuffles each cell's members once on cell id. Recall vs the exact
     * [[nearDupPairs]] baseline: a cross-cell near-dup pair is missed by
     * design — SemDeDup's accepted trade. Fully deterministic, so the
     * oracle re-derives centroids, assignment, and the drop policy in
     * SQL. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int = 16, threshold: Double = 0.9): DataFrame = {
-    import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
-      .withColumn("cn", vec_norm(col("cv"))))
-    val assigned = widen(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
-      .withColumn("n", vec_norm(col("v")))
-      .crossJoin(cents)
-      .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
-      .groupBy("id")
-      .agg(max(struct(col("csim"), (-col("cid")).as("negc"),
-        col("cid").as("cell"), col("v").as("v0"), col("n").as("n0"))).as("b"))
-      .select(col("id"), col("b.cell").as("cell"), col("b.csim").as("csim"),
-        col("b.v0").as("v"), col("b.n0").as("n"))
-    val a = assigned.select(col("id").as("id_a"), col("cell"),
-      col("csim").as("ca"), col("v").as("va"), col("n").as("na"))
-    val b = assigned.select(col("id").as("id_b"), col("cell").as("cellb"),
-      col("csim").as("cb"), col("v").as("vb"), col("n").as("nb"))
+    import graft.functions.VecExpressions.vec_dot
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = cellAssignment(widen(corpus), idCol, vecCol, cents)
+    val a = assigned.select(col("nid").as("id_a"), col("cell"),
+      col("csim").as("ca"), col("nv").as("va"), col("nn").as("na"))
+    val b = assigned.select(col("nid").as("id_b"), col("cell").as("cellb"),
+      col("csim").as("cb"), col("nv").as("vb"), col("nn").as("nb"))
     a.join(b, col("cell") === col("cellb") && col("id_a") < col("id_b"))
       .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") > threshold)
