@@ -267,18 +267,40 @@ object OrderAssocSource extends GraftSource {
   }
 }
 
-/** The HPOA-shape real ingest (dipper/sources/HPOAnnotations.py):
-  * declared-schema TSV scan → NOT-qualifier filter (py:225-226) →
-  * two-layer evidence translation (local tt/hpoa.yaml composed over the
-  * global table, Source.py:718-796) → D2P emit with onset/frequency
-  * qualifiers and evidence decoration → set-dedup → serialization via
-  * the production-size prefix map. Expects `annotations.tsv` in the
-  * run's data directory (the landed raw file of the fetch stage). */
+/** The full HPOA-shape real ingest (dipper/sources/HPOAnnotations.py:
+  * 212-330, the 12-column `phenotype.hpoa` format, py:60-78): declared-
+  * schema TSV scan → NOT-qualifier filter (py:225-226) → two-layer
+  * evidence translation (local tt/hpoa.yaml composed over the global
+  * table, Source.py:718-796) → aspect routing (py:246-262: P/M →
+  * has-phenotype D2P carrying onset+frequency qualifiers, I/C →
+  * has-disposition D2P with no qualifiers) → sex-specificity decoration
+  * on the association id (py:266-273) → per-reference publication
+  * fan-out with prefix-typed reference nodes and the OMIM→URL rewrite
+  * (py:275-330) → set-dedup → serialization via the production-size
+  * prefix map. Expects `annotations.tsv` in the run's data directory
+  * (the landed raw file of the fetch stage; the fetch strips the
+  * 4-line preamble and the header's leading '#').
+  *
+  * Faithful quirks kept: `add_association_to_graph` lives INSIDE the
+  * reference loop (py:315-330), so a row whose reference list routes to
+  * no known publication type emits its class declarations and sex
+  * triple but NO association — replicated via the routed-pub gate
+  * below. Deliberate divergence: a row with an unknown Aspect is
+  * skipped outright; the reference logs an error and then decorates the
+  * PREVIOUS row's still-bound `assoc` (py:261-265) — a latent upstream
+  * bug, not semantics worth porting.
+  *
+  * Scale shape: every family is a codegen'd projection over the scan;
+  * the single shuffle is the `distinct()` on the routed-pub gate, over
+  * a dimension-sized (association-count) relation. */
 object DiseasePhenotypeSource extends GraftSource {
   val name = "disease_phenotype"
+  private val definedBy = "EX:hpoa"
 
   private val schema = org.apache.spark.sql.types.StructType(
-    Seq("DatabaseID", "Qualifier", "HPO_ID", "Evidence", "Onset", "Frequency")
+    Seq("DatabaseID", "DiseaseName", "Qualifier", "HPO_ID", "Reference",
+      "Evidence", "Onset", "Frequency", "Sex", "Modifier", "Aspect",
+      "Biocuration")
       .map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))
 
@@ -287,15 +309,91 @@ object DiseasePhenotypeSource extends GraftSource {
       graft.sources.SourceFile(s"$dataDir/annotations.tsv", schema)))
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import graft.emit.ColumnEmit
+    import graft.emit.ColumnEmit.{res, auto}
     val tt = graft.core.TranslationTable.forSource("hpoa")
-    val rows = in("annotations")
+    val g = graft.core.TranslationTable.default
+    val rows0 = in("annotations")
       // the reference skips negated annotations (HPOAnnotations.py:225-226)
       .filter(coalesce(col("Qualifier"), lit("")) =!= "NOT")
       .select(col("DatabaseID").as("dz"), col("HPO_ID").as("hp"),
         tt.resolveCol(col("Evidence")).as("eco"),
-        col("Onset").as("onset"), col("Frequency").as("freq"))
-    graft.emit.ColumnEmit.d2pAssoc(rows, "EX:hpoa",
-      col("dz"), col("hp"), col("onset"), col("freq"), evidence = col("eco"))
+        when(coalesce(col("Onset"), lit("")) =!= "", col("Onset")).as("onset"),
+        when(coalesce(col("Frequency"), lit("")) =!= "", col("Frequency"))
+          .as("freq"),
+        lower(coalesce(col("Sex"), lit(""))).as("sex"),
+        coalesce(col("Aspect"), lit("")).as("asp"),
+        coalesce(col("Reference"), lit("")).as("refs"))
+
+    // class declarations made BEFORE the aspect branch (py:241-244):
+    // disease, resolved evidence, and a non-empty onset term
+    val preClasses = ColumnEmit.emitFiltered(rows0,
+      res(col("dz"), lit(Vocab.a), lit(Vocab.owlClass)),
+      res(col("eco"), lit(Vocab.a), lit(Vocab.owlClass)),
+      res(col("onset"), lit(Vocab.a), lit(Vocab.owlClass)))
+
+    // aspect routing (py:246-262); the association digest folds
+    // [onset, frequency] for the P/M arm only (D2PAssoc.make_d2p_id)
+    val known = rows0
+      .withColumn("pred",
+        when(col("asp").isin("P", "M"), lit(Vocab.hasPhenotype))
+          .when(col("asp").isin("I", "C"), lit(g.resolve("has disposition"))))
+      .filter(col("pred").isNotNull)
+      .withColumn("onq", when(col("asp").isin("P", "M"), col("onset")))
+      .withColumn("frq", when(col("asp").isin("P", "M"), col("freq")))
+      .withColumn("aid", concat(lit("_:"), graft.core.Digest.md5Id(
+        concat_ws("+", lit(definedBy), col("dz"), col("pred"), col("hp"),
+          col("onq"), col("frq")))))
+    val hpClasses = ColumnEmit.emit(known,
+      res(col("hp"), lit(Vocab.a), lit(Vocab.owlClass)))
+
+    // sex-specificity decorates the association id whether or not any
+    // reference routes (py:266-273 runs before the pub loop)
+    val sexTriples = ColumnEmit.emit(
+      known.filter(col("sex") =!= "")
+        .select(col("aid"), g.resolveCol(col("sex")).as("sexterm")),
+      res(col("aid"), lit(g.resolve("has_sex_specificty")), col("sexterm")))
+
+    // publication fan-out (py:275-330): ';'-split, malformed references
+    // (neither URL nor CURIE-shaped) dropped, per-prefix typing, the
+    // OMIM→entry-URL rewrite, unknown prefixes dropped
+    val pubs = known
+      .select(col("aid"), col("dz"), col("pred"), col("hp"), col("onq"),
+        col("frq"), col("eco"), explode(split(col("refs"), ";")).as("pub0"))
+      .withColumn("pub", trim(col("pub0")))
+      .filter(col("pub").startsWith("http") ||
+        col("pub").rlike(graft.core.Triple.CurieShape))
+      .withColumn("ptype",
+        when(col("pub").startsWith("PMID:"), lit(g.resolve("journal article")))
+          .when(col("pub").startsWith("ISBN"), lit(g.resolve("publication")))
+          .when(col("pub").startsWith("OMIM:") ||
+            col("pub").startsWith("DECIPHER:") ||
+            col("pub").startsWith("ORPHA:") ||
+            col("pub").startsWith("http"), lit(g.resolve("web page"))))
+      .filter(col("ptype").isNotNull)
+      .withColumn("pub2", when(col("pub").startsWith("OMIM:"),
+        concat(lit("http://omim.org/entry/"),
+          regexp_replace(col("pub"), "^OMIM:", ""))).otherwise(col("pub")))
+    val pubTriples = ColumnEmit.emit(pubs,
+      res(col("aid"), lit(Vocab.source), col("pub2")),
+      res(col("pub2"), lit(Vocab.a), col("ptype")))
+
+    // association core, gated on ≥1 routed reference (see scaladoc); the
+    // distinct() collapses the per-pub fan-out back to one association
+    val core = pubs
+      .select("aid", "dz", "pred", "hp", "onq", "frq", "eco").distinct()
+    val coreTriples = ColumnEmit.emitFiltered(core,
+      res(col("dz"), col("pred"), col("hp")),
+      res(col("aid"), lit(Vocab.a), lit(Vocab.association)),
+      res(col("aid"), lit(Vocab.assocHasSubject), col("dz")),
+      res(col("aid"), lit(Vocab.assocHasPredicate), col("pred")),
+      res(col("aid"), lit(Vocab.assocHasObject), col("hp")),
+      res(col("aid"), lit(Vocab.hasEvidence), col("eco")),
+      auto(col("aid"), lit(Vocab.onset), col("onq")),
+      auto(col("aid"), lit(Vocab.frequency), col("frq")))
+
+    preClasses.union(hpClasses).union(sexTriples)
+      .union(pubTriples).union(coreTriples)
   }
   override def testIds: Seq[String] = Seq("OMIM:119600")
 }

@@ -656,6 +656,50 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #14 — full HPOA shape (HPOAnnotations.py:
+    // 212-330, the 12-column phenotype.hpoa format) through
+    // DiseasePhenotypeSource's real plan: NOT-qualifier filter, the
+    // SHIPPED two-layer evidence translation, aspect routing (P/M
+    // has-phenotype with onset/frequency vs I/C has-disposition,
+    // unknown skipped), sex-specificity decoration, per-reference
+    // publication fan-out (PMID/ISBN/OMIM/DECIPHER/ORPHA/http typing,
+    // OMIM→entry-URL rewrite, malformed + unroutable drops) and the
+    // routed-pub association gate. The oracle re-derives every branch
+    // including the md5 association ids in SQL.
+    "p14_hpoa_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val pr = substring(col("o_orderpriority"), 1, 1)
+      val rows = Tables.orders(s, d).select(
+        concat(lit("OMIM:"), ck).as("DatabaseID"),
+        concat(lit("disease "), ck).as("DiseaseName"),
+        when(col("o_orderstatus") === "P", lit("NOT")).otherwise(lit(""))
+          .as("Qualifier"),
+        concat(lit("HP:"), ok).as("HPO_ID"),
+        when(ok % 4 === 0, concat(lit("PMID:"), ok, lit(";OMIM:"), ck))
+          .when(ok % 4 === 1, concat(lit("ISBN-13:978-"), ok))
+          .when(ok % 4 === 2, concat(lit("http://example.org/ref/"), ok))
+          .when(ok % 8 === 3, concat(lit("GARD:"), ok))
+          .otherwise(concat(lit("bad ref "), ok)).as("Reference"),
+        when(pr === "1", "IEA").when(pr === "2", "PCS").when(pr === "3", "TAS")
+          .when(pr === "4", "ITM").otherwise("ICE").as("Evidence"),
+        when(col("o_orderstatus") === "O", lit("HP:0003577")).otherwise(lit(""))
+          .as("Onset"),
+        when(ok % 3 === 0, lit("HP:0040283"))
+          .when(ok % 3 === 1, concat((ok % 9).cast("string"), lit("/45")))
+          .otherwise(lit("")).as("Frequency"),
+        when(ok % 5 === 0, lit("MALE")).when(ok % 5 === 1, lit("female"))
+          .otherwise(lit("")).as("Sex"),
+        lit("").as("Modifier"),
+        when(ok % 7 === 0, lit("I")).when(ok % 7 === 1, lit("C"))
+          .when(ok % 7 === 2, lit("M")).when(ok % 7 === 3, lit("X"))
+          .otherwise(lit("P")).as("Aspect"),
+        concat(lit("HPO:probe["), ok, lit("]")).as("Biocuration"))
+      graft.engine.DiseasePhenotypeSource
+        .transform(s, Map("annotations" -> rows))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -1813,6 +1857,68 @@ object RdfQueries {
            UNION ALL SELECT unii, 'rdfs:subClassOf', 'CHEBI:23367', false, NULL FROM du
            UNION ALL SELECT 'SNOMED:'||ck, 'rdfs:subClassOf', 'MONDO:0000001', false, NULL FROM du
            UNION ALL SELECT 'SNOMED:'||ck, 'rdfs:label', 'cond '||ck, true, NULL FROM du) t""",
+    "p14_hpoa_pipeline" ->
+      """WITH src AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  'OMIM:'||o_custkey AS dz, 'HP:'||o_orderkey AS hp,
+                  CASE substr(o_orderpriority,1,1)
+                    WHEN '1' THEN 'ECO:0000501' WHEN '2' THEN 'ECO:0000269'
+                    WHEN '3' THEN 'ECO:0000304' WHEN '4' THEN 'ECO:0000246'
+                    ELSE 'ECO:0000305' END AS eco,
+                  CASE WHEN o_orderstatus='O' THEN 'HP:0003577' END AS onset,
+                  CASE WHEN o_orderkey%3=0 THEN 'HP:0040283'
+                       WHEN o_orderkey%3=1 THEN (o_orderkey%9)||'/45' END AS freq,
+                  CASE WHEN o_orderkey%5=0 THEN 'PATO:0000384'
+                       WHEN o_orderkey%5=1 THEN 'PATO:0000383' END AS sexterm,
+                  CASE WHEN o_orderkey%7 IN (2,4,5,6) THEN 'RO:0002200'
+                       WHEN o_orderkey%7 IN (0,1) THEN 'RO:0000091' END AS pred,
+                  o_orderkey%7 AS m7
+           FROM orders WHERE o_orderstatus<>'P'),
+         known AS (
+           SELECT *,
+                  CASE WHEN m7 IN (2,4,5,6) THEN onset END AS onq,
+                  CASE WHEN m7 IN (2,4,5,6) THEN freq END AS frq
+           FROM src WHERE pred IS NOT NULL),
+         aided AS (
+           SELECT *, '_:b'||substr(md5('EX:hpoa+'||dz||'+'||pred||'+'||hp||
+                    coalesce('+'||onq,'')||coalesce('+'||frq,'')),2,19) AS aid
+           FROM known),
+         pubs AS (
+           SELECT *, 'PMID:'||ok AS pub2, 'IAO:0000013' AS ptype
+             FROM aided WHERE ok%4=0
+           UNION ALL SELECT *, 'http://omim.org/entry/'||ck, 'SIO:000302'
+             FROM aided WHERE ok%4=0
+           UNION ALL SELECT *, 'ISBN-13:978-'||ok, 'IAO:0000311'
+             FROM aided WHERE ok%4=1
+           UNION ALL SELECT *, 'http://example.org/ref/'||ok, 'SIO:000302'
+             FROM aided WHERE ok%4=2),
+         routed AS (SELECT * FROM aided WHERE ok%4 IN (0,1,2))
+         SELECT DISTINCT * FROM (
+           SELECT dz AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM src
+           UNION ALL SELECT eco, 'rdf:type', 'owl:Class', false, NULL FROM src
+           UNION ALL SELECT onset, 'rdf:type', 'owl:Class', false, NULL
+             FROM src WHERE onset IS NOT NULL
+           UNION ALL SELECT hp, 'rdf:type', 'owl:Class', false, NULL FROM known
+           UNION ALL SELECT aid, 'MONARCH:has_sex_specificity', sexterm,
+             false, NULL FROM aided WHERE sexterm IS NOT NULL
+           UNION ALL SELECT aid, 'dc:source', pub2, false, NULL FROM pubs
+           UNION ALL SELECT pub2, 'rdf:type', ptype, false, NULL FROM pubs
+           UNION ALL SELECT dz, pred, hp, false, NULL FROM routed
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL
+             FROM routed
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', dz,
+             false, NULL FROM routed
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', pred,
+             false, NULL FROM routed
+           UNION ALL SELECT aid, 'OBAN:association_has_object', hp,
+             false, NULL FROM routed
+           UNION ALL SELECT aid, 'RO:0002558', eco, false, NULL FROM routed
+           UNION ALL SELECT aid, 'EXP:onset', onq, false, NULL
+             FROM routed WHERE onq IS NOT NULL
+           UNION ALL SELECT aid, 'EXP:frequency', frq,
+             (frq NOT LIKE 'HP:%'), NULL
+             FROM routed WHERE frq IS NOT NULL) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,

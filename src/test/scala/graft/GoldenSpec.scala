@@ -87,10 +87,11 @@ class GoldenSpec extends SparkSpec {
     // object/evidence/onset off the association node.
     val dir = Files.createTempDirectory("graft-hpoa-sql").toString
     Files.writeString(Paths.get(s"$dir/annotations.tsv"),
-      "DatabaseID\tQualifier\tHPO_ID\tEvidence\tOnset\tFrequency\n" +
-      "OMIM:119600\t\tHP:0000175\tIEA\tHP:0003577\t12/45\n" +
-      "OMIM:119600\t\tHP:0001249\tTAS\t\t\n" +
-      "OMIM:999999\t\tHP:0000001\tIEA\t\t\n")
+      "DatabaseID\tDiseaseName\tQualifier\tHPO_ID\tReference\tEvidence\t" +
+        "Onset\tFrequency\tSex\tModifier\tAspect\tBiocuration\n" +
+      "OMIM:119600\tdz\t\tHP:0000175\tPMID:1\tIEA\tHP:0003577\t12/45\t\t\tP\tc\n" +
+      "OMIM:119600\tdz\t\tHP:0001249\tPMID:2\tTAS\t\t\t\t\tP\tc\n" +
+      "OMIM:999999\tdz\t\tHP:0000001\tPMID:3\tIEA\t\t\t\t\tP\tc\n")
     val src = graft.engine.DiseasePhenotypeSource
     val triples = src.transform(spark, src.read(spark, dir))
     triples.createOrReplaceTempView("t")
@@ -202,16 +203,27 @@ class GoldenSpec extends SparkSpec {
 
   test("disease_phenotype ingest: raw TSV through Runner matches golden NT") {
     // The reference's primary ingest test shape (tests/test_ctd.py:41-63)
-    // driven END-TO-END: declared-schema scan of a landed raw file,
-    // NOT-qualifier filter, two-layer evidence translation from the
-    // SHIPPED production tables, D2P emit, set-dedup, NT through the
+    // driven END-TO-END over the full 12-column phenotype.hpoa format
+    // (HPOAnnotations.py:60-78): declared-schema scan of a landed raw
+    // file, NOT-qualifier filter, two-layer evidence translation from
+    // the SHIPPED production tables, aspect routing, sex-specificity,
+    // publication fan-out, D2P emit, set-dedup, NT through the
     // full-size prefix map.
+    val hdr = "DatabaseID\tDiseaseName\tQualifier\tHPO_ID\tReference\t" +
+      "Evidence\tOnset\tFrequency\tSex\tModifier\tAspect\tBiocuration\n"
     val dir = Files.createTempDirectory("graft-hpoa").toString
     Files.writeString(Paths.get(s"$dir/annotations.tsv"),
-      "DatabaseID\tQualifier\tHPO_ID\tEvidence\tOnset\tFrequency\n" +
-      "OMIM:119600\t\tHP:0000175\tIEA\tHP:0003577\t12/45\n" +
-      "OMIM:119600\tNOT\tHP:0001249\tIEA\t\t\n" +
-      "OMIM:100100\t\tHP:0001382\tTAS\t\t5/13\n")
+      hdr +
+      "OMIM:119600\tdz A\t\tHP:0000175\tPMID:1363781;OMIM:119600\tIEA\t" +
+        "HP:0003577\t12/45\tMALE\t\tP\tHPO:probe[2020-01-01]\n" +
+      "OMIM:119600\tdz A\tNOT\tHP:0001249\tPMID:1363781\tIEA\t\t\t\t\tP\t" +
+        "HPO:probe[2020-01-01]\n" +
+      "OMIM:100100\tdz B\t\tHP:0001382\tPMID:2\tTAS\t\t5/13\t\t\tP\t" +
+        "HPO:probe[2020-01-02]\n" +
+      "OMIM:100100\tdz B\t\tHP:0000006\tOMIM:100100\tTAS\t\t\t\t\tI\t" +
+        "HPO:probe[2020-01-03]\n" +
+      "OMIM:200150\tdz C\t\tHP:0000510\tnot a reference\tTAS\t\t\tfemale\t\tP\t" +
+        "HPO:probe[2020-01-04]\n")
     val out = Files.createTempDirectory("graft-hpoa-out").toString
     val res = Runner.run(spark,
       Runner.RunConfig(Seq("disease_phenotype"), out), dir)
@@ -226,6 +238,10 @@ class GoldenSpec extends SparkSpec {
       "EX:hpoa+OMIM:119600+RO:0002200+HP:0000175+HP:0003577+12/45")
     val a2 = "_:" + Digest.md5IdScala(
       "EX:hpoa+OMIM:100100+RO:0002200+HP:0001382+5/13")
+    val a3 = "_:" + Digest.md5IdScala(          // I aspect -> has disposition,
+      "EX:hpoa+OMIM:100100+RO:0000091+HP:0000006") // no onset/freq in digest
+    val a4 = "_:" + Digest.md5IdScala(
+      "EX:hpoa+OMIM:200150+RO:0002200+HP:0000510")
     val expected = Set(
       line("OMIM:119600", "RO:0002200", "HP:0000175"),
       line(a1, "rdf:type", "OBAN:association"),
@@ -235,15 +251,27 @@ class GoldenSpec extends SparkSpec {
       line(a1, "RO:0002558", "ECO:0000501"),        // IEA via local+global tt
       line(a1, "EXP:onset", "HP:0003577"),          // CURIE -> resource
       lineLit(a1, "EXP:frequency", "12/45"),        // free text -> literal
+      line(a1, "MONARCH:has_sex_specificity", "PATO:0000384"), // MALE lowercased
+      line(a1, "dc:source", "PMID:1363781"),
+      line("PMID:1363781", "rdf:type", "IAO:0000013"),
+      line("OMIM:119600", "rdf:type", "owl:Class"),
       line("OMIM:100100", "RO:0002200", "HP:0001382"),
       line(a2, "rdf:type", "OBAN:association"),
       line(a2, "OBAN:association_has_subject", "OMIM:100100"),
       line(a2, "OBAN:association_has_predicate", "RO:0002200"),
       line(a2, "OBAN:association_has_object", "HP:0001382"),
       line(a2, "RO:0002558", "ECO:0000304"),        // TAS
-      lineLit(a2, "EXP:frequency", "5/13"))
+      lineLit(a2, "EXP:frequency", "5/13"),
+      // inheritance aspect: has-disposition rel, qualifier-free digest
+      line("OMIM:100100", "RO:0000091", "HP:0000006"),
+      line(a3, "OBAN:association_has_predicate", "RO:0000091"))
     val missing = expected -- nt
     assert(missing.isEmpty, s"missing golden lines: $missing")
+    // the OMIM reference is rewritten to its entry URL and typed web page
+    assert(nt.contains(s"${t(a1)} ${t("dc:source")} " +
+      "<http://omim.org/entry/119600> ."))
+    assert(nt.contains("<http://omim.org/entry/119600> " +
+      s"${t("rdf:type")} ${t("SIO:000302")} ."))
     // pin one full line against the production prefix map expansions
     assert(nt.contains("<http://identifiers.org/mim/119600> " +
       "<http://purl.obolibrary.org/obo/RO_0002200> " +
@@ -252,6 +280,12 @@ class GoldenSpec extends SparkSpec {
     assert(!nt.exists(_.contains("HP_0001249")))
     // no onset triple for the onset-less row
     assert(!nt.exists(l => l.contains(cm.expand(a2)) && l.contains("onset")))
+    // malformed-reference row: no association core, but the sex triple
+    // still decorates the (dangling) association id — the reference's
+    // in-loop add_association_to_graph quirk
+    assert(!nt.contains(line("OMIM:200150", "RO:0002200", "HP:0000510")))
+    assert(nt.contains(
+      line(a4, "MONARCH:has_sex_specificity", "PATO:0000383")))
   }
 
   test("zfin_genotypes ingest: multi-locus genotype assembly through Runner") {
