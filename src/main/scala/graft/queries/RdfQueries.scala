@@ -700,6 +700,73 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #15 — HGNC gene-dimension shape (HGNC.py:
+    // 140-305) through HgncSource's real plan: Approved-status filter,
+    // withdrawn-locus deprecation, '@'-cluster skip, two-layer
+    // locus-type resolution gating the class quad (unconditional
+    // clique-leader), NCBIGene/Ensembl equivalences, the mimTitles-
+    // gated OMIM equivalence with Caret MOVED-TO redirection (last
+    // gene-typed replacement wins), taxon, PMID is_about fan-out, and
+    // cytoband placement via the reference's two regexes. The oracle
+    // re-derives every branch including the replacement pick in SQL.
+    "p15_hgnc_pipeline" -> ((s, d) => {
+      val c = col("c_custkey")
+      val m = c % 500
+      val cust = Tables.customer(s, d)
+      val genes = cust.select(
+        concat(lit("HGNC:"), c).as("hgnc_id"),
+        when(c % 11 === 0, concat(lit("SYM"), c, lit("@")))
+          .otherwise(concat(lit("SYM"), c)).as("symbol"),
+        concat(lit("gene "), c).as("name"),
+        element_at(array(lit("gene with protein product"), lit("pseudogene"),
+          lit("withdrawn"), lit("RNA, micro"), lit("mystery"),
+          lit("readthrough")), (c % 6 + 1).cast("int")).as("locus_type"),
+        when(c % 9 === 0, lit("Entry Withdrawn")).otherwise(lit("Approved"))
+          .as("status"),
+        when(c % 4 === 0, concat(c % 22 + 1, lit("p"), c % 9 + 1))
+          .when(c % 4 === 1, concat(lit("Xq2"), c % 10))
+          .when(c % 4 === 2, concat(c % 22 + 1,
+            lit(" not on reference assembly")))
+          .otherwise(lit("")).as("location"),
+        when(c % 3 === 0, (c + 1000).cast("string")).otherwise(lit(""))
+          .as("entrez_id"),
+        when(c % 5 === 0, concat(lit("ENSG"), c)).otherwise(lit(""))
+          .as("ensembl_gene_id"),
+        when(c % 2 === 0, concat(m + 100000, lit("|"), m + 200000))
+          .otherwise(lit("")).as("omim_id"),
+        when(c % 7 === 0, concat(c, lit("|"), c + 1))
+          .when(c % 7 === 1, c.cast("string")).otherwise(lit(""))
+          .as("pubmed_id"))
+      val mims = cust.select(explode(array(
+        struct(
+          element_at(array(lit("Asterisk"), lit("Number Sign"),
+            lit("Caret")), (m % 3 + 1).cast("int")).as("prefix"),
+          (m + 100000).cast("string").as("mim_number"),
+          when(m % 3 === 2, concat(lit("MOVED TO "), m + 300000,
+            when(m % 5 === 0, concat(lit(" AND "), m + 310000))
+              .otherwise(lit(""))))
+            .otherwise(lit("T")).as("preferred_title")),
+        struct(
+          when(m % 2 === 0, lit("Asterisk")).otherwise(lit("Percent"))
+            .as("prefix"),
+          (m + 200000).cast("string").as("mim_number"),
+          lit("T").as("preferred_title")),
+        struct(
+          when(m % 4 < 2, lit("Asterisk")).otherwise(lit("Number Sign"))
+            .as("prefix"),
+          (m + 300000).cast("string").as("mim_number"),
+          lit("T").as("preferred_title")),
+        struct(
+          when(m % 2 === 0, lit("Asterisk")).otherwise(lit("Number Sign"))
+            .as("prefix"),
+          (m + 310000).cast("string").as("mim_number"),
+          lit("T").as("preferred_title")))).as("e"))
+        .select("e.*")
+      graft.engine.HgncSource.transform(s,
+        Map("genes" -> genes, "omim_types" -> mims))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -1919,6 +1986,72 @@ object RdfQueries {
            UNION ALL SELECT aid, 'EXP:frequency', frq,
              (frq NOT LIKE 'HP:%'), NULL
              FROM routed WHERE frq IS NOT NULL) t""",
+    "p15_hgnc_pipeline" ->
+      """WITH base AS (
+           SELECT c_custkey AS c, c_custkey%500 AS m,
+                  'HGNC:'||c_custkey AS id, 'SYM'||c_custkey AS sym,
+                  c_custkey%11=0 AS at_sym,
+                  c_custkey%6 AS l6, c_custkey%4 AS l4,
+                  CASE WHEN c_custkey%6=0 THEN 'SO:0001217'
+                       WHEN c_custkey%6=1 THEN 'SO:0000336'
+                       WHEN c_custkey%6=3 THEN 'SO:0001265'
+                       WHEN c_custkey%6=5 THEN 'SO:0000883' END AS gtype,
+                  CASE WHEN c_custkey%4=0 THEN
+                         'CHR:9606chr'||(c_custkey%22+1)||'p'||(c_custkey%9+1)
+                       WHEN c_custkey%4=1 THEN 'CHR:9606chrXq2'||(c_custkey%10)
+                  END AS parent
+           FROM customer WHERE c_custkey%9<>0),
+         rows0 AS (SELECT * FROM base WHERE l6=2 OR NOT at_sym),
+         live AS (SELECT * FROM rows0 WHERE l6<>2),
+         wd AS (SELECT * FROM rows0 WHERE l6=2),
+         -- omim-bearing rows have even c, hence even m: the 200000-block
+         -- mim is always Asterisk, and Caret redirection picks the AND
+         -- replacement (310000, gene-typed for even m) when present,
+         -- else the first replacement when it is Asterisk (m%4=0)
+         omi AS (
+           SELECT id,
+                  CASE WHEN m%3=0 THEN 100000+m
+                       WHEN m%3=2 THEN
+                         CASE WHEN m%5=0 THEN 310000+m
+                              WHEN m%4=0 THEN 300000+m END
+                  END AS eq1,
+                  200000+m AS eq2
+           FROM rows0 WHERE c%2=0)
+         SELECT DISTINCT * FROM (
+           SELECT id AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM wd
+           UNION ALL SELECT id, 'owl:deprecated', 'true', true,
+             'xsd:boolean' FROM wd
+           UNION ALL SELECT id, 'rdf:type', 'owl:Class', false, NULL
+             FROM live WHERE gtype IS NOT NULL
+           UNION ALL SELECT id, 'rdfs:label', sym, true, NULL
+             FROM live WHERE gtype IS NOT NULL
+           UNION ALL SELECT id, 'rdfs:subClassOf', gtype, false, NULL
+             FROM live WHERE gtype IS NOT NULL
+           UNION ALL SELECT id, 'dc:description', 'gene '||c, true, NULL
+             FROM live WHERE gtype IS NOT NULL
+           UNION ALL SELECT id, 'MONARCH:cliqueLeader', 'true', true,
+             'xsd:boolean' FROM live
+           UNION ALL SELECT id, 'owl:equivalentClass',
+             'NCBIGene:'||(c+1000), false, NULL FROM rows0 WHERE c%3=0
+           UNION ALL SELECT id, 'owl:equivalentClass', 'ENSEMBL:ENSG'||c,
+             false, NULL FROM rows0 WHERE c%5=0
+           UNION ALL SELECT id, 'owl:equivalentClass', 'OMIM:'||eq1,
+             false, NULL FROM omi WHERE eq1 IS NOT NULL
+           UNION ALL SELECT id, 'owl:equivalentClass', 'OMIM:'||eq2,
+             false, NULL FROM omi
+           UNION ALL SELECT id, 'RO:0002162', 'NCBITaxon:9606', false,
+             NULL FROM rows0
+           UNION ALL SELECT 'PMID:'||c, 'IAO:0000136', id, false, NULL
+             FROM rows0 WHERE c%7 IN (0,1)
+           UNION ALL SELECT 'PMID:'||(c+1), 'IAO:0000136', id, false, NULL
+             FROM rows0 WHERE c%7=0
+           UNION ALL SELECT parent, 'rdf:type', 'owl:Class', false, NULL
+             FROM rows0 WHERE parent IS NOT NULL
+           UNION ALL SELECT id, 'RO:0002525', parent, false, NULL
+             FROM rows0 WHERE parent IS NOT NULL
+           UNION ALL SELECT parent, 'RO:0002524', id, false, NULL
+             FROM rows0 WHERE parent IS NOT NULL) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,

@@ -58,7 +58,10 @@ object DelimitedSource {
       case Some(c) => reader.option("comment", c.toString).csv(sf.path)
       case None => reader.csv(sf.path)
     }
-    df.select(sf.schema.fieldNames.map(df.col).toIndexedSeq: _*)
+    // backtick-quote: declared names may contain dots (e.g. HGNC's
+    // `pseudogene.org` column), which Column-resolution would otherwise
+    // parse as a struct-field path
+    df.select(sf.schema.fieldNames.map(n => df.col(s"`$n`")).toIndexedSeq: _*)
   }
 
   /** Read a declarative multi-file manifest (the `files` dict shape). */
