@@ -44,7 +44,8 @@ object Runner {
     ZfinGenotypeSource, OmiaPheneSource, MgiGenotypeSource, OmimApiSource,
     BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource,
     GoGafSource, ImpcSource, OrphanetSource, BiogridSource, MpdSource,
-    OmiaSource, NcbiGeneSource, KeggSource, MyChemSource, HgncSource
+    OmiaSource, NcbiGeneSource, KeggSource, MyChemSource, HgncSource,
+    ReactomeSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

@@ -767,6 +767,41 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #16 — Reactome shape (Reactome.py:107-163)
+    // through ReactomeSource's real plan: two headerless association
+    // dumps (Ensembl + ChEBI components), pathway classes subtyped
+    // cellular_process + pathway, direct involvement, reified OBAN
+    // association per row with the shipped gaf-eco evidence map (an
+    // unmapped code drops only the evidence triple). The oracle
+    // re-derives both families and the md5 association ids in SQL.
+    "p16_reactome_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val pr = substring(col("o_orderpriority"), 1, 1)
+      val orders = Tables.orders(s, d)
+      def ecode = when(pr === "1", "IEA").when(pr === "2", "IMP")
+        .when(pr === "3", "TAS").when(pr === "4", "ISS").otherwise("ZZZ")
+      val ens = orders.select(
+        concat(lit("ENSG"), ck).as("component"),
+        concat(lit("R-HSA-"), ok % 800).as("pathway_id"),
+        concat(lit("https://reactome.org/PathwayBrowser/#/R-HSA-"), ok % 800)
+          .as("pathway_iri"),
+        concat(lit("pathway "), ok % 800).as("pathway_label"),
+        ecode.as("go_ecode"),
+        lit("Homo sapiens").as("species_nam"))
+      val chebi = orders.filter(ok % 3 === 0).select(
+        (ck % 5000).cast("string").as("component"),
+        concat(lit("R-BTA-"), ok % 700).as("pathway_id"),
+        concat(lit("https://reactome.org/PathwayBrowser/#/R-BTA-"), ok % 700)
+          .as("pathway_iri"),
+        concat(lit("pathway b"), ok % 700).as("pathway_label"),
+        ecode.as("go_ecode"),
+        lit("Bos taurus").as("species_nam"))
+      graft.engine.ReactomeSource.transform(s,
+        Map("ensembl2pathway" -> ens, "chebi2pathway" -> chebi))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -2052,6 +2087,48 @@ object RdfQueries {
              FROM rows0 WHERE parent IS NOT NULL
            UNION ALL SELECT parent, 'RO:0002524', id, false, NULL
              FROM rows0 WHERE parent IS NOT NULL) t""",
+    "p16_reactome_pipeline" ->
+      """WITH eco AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  CASE substr(o_orderpriority,1,1)
+                    WHEN '1' THEN 'ECO:0000501' WHEN '2' THEN 'ECO:0000315'
+                    WHEN '3' THEN 'ECO:0000304' WHEN '4' THEN 'ECO:0000250'
+                  END AS ec
+           FROM orders),
+         ens AS (
+           SELECT 'ENSEMBL:ENSG'||ck AS gene,
+                  'REACT:R-HSA-'||(ok%800) AS path,
+                  'pathway '||(ok%800) AS plabel, ec,
+                  '_:b'||substr(md5('EX:reactome+ENSEMBL:ENSG'||ck||
+                    '+RO:0002331+REACT:R-HSA-'||(ok%800)),2,19) AS aid
+           FROM eco),
+         che AS (
+           SELECT 'CHEBI:'||(ck%5000) AS gene,
+                  'REACT:R-BTA-'||(ok%700) AS path,
+                  'pathway b'||(ok%700) AS plabel, ec,
+                  '_:b'||substr(md5('EX:reactome+CHEBI:'||(ck%5000)||
+                    '+RO:0002331+REACT:R-BTA-'||(ok%700)),2,19) AS aid
+           FROM eco WHERE ok%3=0),
+         allr AS (SELECT * FROM ens UNION ALL SELECT * FROM che)
+         SELECT DISTINCT * FROM (
+           SELECT path AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM allr
+           UNION ALL SELECT path, 'rdfs:label', plabel, true, NULL FROM allr
+           UNION ALL SELECT path, 'rdfs:subClassOf', 'GO:0009987', false,
+             NULL FROM allr
+           UNION ALL SELECT path, 'rdfs:subClassOf', 'PW:0000001', false,
+             NULL FROM allr
+           UNION ALL SELECT gene, 'RO:0002331', path, false, NULL FROM allr
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM allr
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM allr
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002331', false, NULL FROM allr
+           UNION ALL SELECT aid, 'OBAN:association_has_object', path,
+             false, NULL FROM allr
+           UNION ALL SELECT aid, 'RO:0002558', ec, false, NULL FROM allr
+             WHERE ec IS NOT NULL) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
