@@ -802,6 +802,49 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #17 — EBI gene2phenotype shape
+    // (EBIGene2Phen.py:154-283) through EbiG2PSource's real plan: DDD
+    // category → relation routing, the MONDO sidecar fallback for
+    // no-mim diseases (unmapped rows dropped), anonymous variant-locus
+    // minting for known mutation consequences with the molecular-vs-
+    // functional predicate split and the base-prefix label hack,
+    // variant-or-gene association subject, allelic requirement only on
+    // the gene-subject path, PMID source fan-out. The oracle re-derives
+    // the digests, the sidecar join, and every branch in SQL.
+    "p17_ebi_g2p_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val orders = Tables.orders(s, d)
+      val dd = orders.select(
+        concat(lit("G"), ck).as("gene_symbol"),
+        (ck + 600000).cast("string").as("gene_omim_id"),
+        concat(lit("dz "), ok % 300).as("disease_label"),
+        when(ok % 5 === 0, lit("No disease mim"))
+          .otherwise((ok % 900 + 100000).cast("string")).as("disease_omim_id"),
+        element_at(array(lit("confirmed"), lit("probable"), lit("possible")),
+          (ok % 3 + 1).cast("int")).as("g2p_relation_label"),
+        element_at(array(lit("monoallelic"), lit("biallelic"), lit("mosaic"),
+          lit("x-linked dominant"), lit("digenic"), lit("hemizygous"),
+          lit("")), (ok % 7 + 1).cast("int")).as("allelic_requirement"),
+        element_at(array(lit("loss of function"), lit("all missense/in frame"),
+          lit("activating"), lit("uncertain"), lit(""),
+          lit("increased gene dosage")), (ok % 6 + 1).cast("int"))
+          .as("mutation_consequence"),
+        lit("").as("phenotypes"), lit("").as("organ_specificity_list"),
+        when(ok % 4 === 0, concat(ok, lit(";"), ok + 1))
+          .when(ok % 4 === 1, ok.cast("string")).otherwise(lit(""))
+          .as("pmids"),
+        lit("DD").as("panel"), lit("").as("prev_symbols"),
+        ck.cast("string").as("hgnc_id"), lit("2020-01-01").as("entry_date"))
+      val mondo = orders.select(col("o_orderkey"))
+        .filter((ok % 300) % 2 === 0)
+        .select(concat(lit("dz "), ok % 300).as("disease_label"),
+          concat(lit("MONDO:00"), ok % 300).as("mondo_id"))
+      graft.engine.EbiG2PSource.transform(s,
+        Map("developmental_disorders" -> dd, "mondo_map" -> mondo))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -2129,6 +2172,88 @@ object RdfQueries {
              false, NULL FROM allr
            UNION ALL SELECT aid, 'RO:0002558', ec, false, NULL FROM allr
              WHERE ec IS NOT NULL) t""",
+    "p17_ebi_g2p_pipeline" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  'HGNC:'||o_custkey AS gene,
+                  CASE WHEN o_orderkey%5<>0
+                       THEN 'OMIM:'||(o_orderkey%900+100000)
+                       WHEN (o_orderkey%300)%2=0
+                       THEN 'MONDO:00'||(o_orderkey%300) END AS disease,
+                  CASE o_orderkey%3 WHEN 0 THEN 'GENO:0000840'
+                       WHEN 1 THEN 'GENO:0000841'
+                       ELSE 'RO:0003304' END AS rel,
+                  o_orderkey%6 AS c6, o_orderkey%7 AS a7,
+                  CASE o_orderkey%6
+                    WHEN 0 THEN 'loss of function'
+                    WHEN 1 THEN 'all missense/in frame'
+                    WHEN 2 THEN 'activating'
+                    WHEN 5 THEN 'increased gene dosage' END AS cons,
+                  CASE WHEN o_orderkey%6=1
+                         THEN 'MONARCH:has_molecular_consequence'
+                       WHEN o_orderkey%6 IN (0,2,5)
+                         THEN 'MONARCH:has_functional_consequence'
+                  END AS consrel,
+                  CASE o_orderkey%6 WHEN 0 THEN 'SO:0002054'
+                       WHEN 1 THEN 'MONARCH:all_missense_or_inframe'
+                       WHEN 2 THEN 'MONARCH:activating'
+                       WHEN 5 THEN 'MONARCH:increased_gene_dosage'
+                  END AS conseq
+           FROM orders),
+         rows0 AS (
+           SELECT *,
+                  CASE WHEN consrel IS NOT NULL
+                       THEN cons||' variant of G'||ck
+                       ELSE 'variant of G'||ck END AS vlabel
+           FROM base WHERE disease IS NOT NULL),
+         rows1 AS (
+           SELECT *, '_:b'||substr(md5(vlabel),2,19) AS vnode FROM rows0),
+         rows2 AS (
+           SELECT *, CASE WHEN consrel IS NOT NULL THEN vnode
+                          ELSE gene END AS subj FROM rows1),
+         rows3 AS (
+           SELECT *, '_:b'||substr(md5('EX:ebi_g2p+'||subj||'+'||rel||'+'||
+                    disease),2,19) AS aid FROM rows2),
+         vr AS (SELECT * FROM rows3 WHERE consrel IS NOT NULL),
+         rq AS (
+           SELECT *,
+                  CASE a7 WHEN 0 THEN 'MONARCH:monoallelic'
+                       WHEN 1 THEN 'MONARCH:biallelic'
+                       WHEN 2 THEN 'MONARCH:mosaic_genotype'
+                       WHEN 3 THEN 'HP:0001423'
+                       WHEN 4 THEN 'HP:0010984'
+                       WHEN 5 THEN 'GENO:0000134' END AS req
+           FROM rows3 WHERE consrel IS NULL AND a7<>6)
+         SELECT DISTINCT * FROM (
+           SELECT vnode AS s, consrel AS p, conseq AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM vr
+           UNION ALL SELECT conseq, 'rdfs:label',
+             replace(substr(conseq,9), '_', ' '), true, NULL FROM vr
+             WHERE conseq LIKE 'MONARCH:%'
+           UNION ALL SELECT vnode, 'rdfs:label', vlabel, true, NULL FROM vr
+           UNION ALL SELECT vnode, 'rdf:type', 'GENO:0000002', false, NULL
+             FROM vr
+           UNION ALL SELECT vnode, 'GENO:0000418', gene, false, NULL FROM vr
+           UNION ALL SELECT vnode, 'MONARCH:anonymous', 'true', true,
+             'xsd:boolean' FROM vr
+           UNION ALL SELECT subj, rel, disease, false, NULL FROM rows3
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM rows3
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', subj,
+             false, NULL FROM rows3
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', rel,
+             false, NULL FROM rows3
+           UNION ALL SELECT aid, 'OBAN:association_has_object', disease,
+             false, NULL FROM rows3
+           UNION ALL SELECT aid, 'dc:source', 'PMID:'||ok, false, NULL
+             FROM rows3 WHERE ok%4 IN (0,1)
+           UNION ALL SELECT aid, 'dc:source', 'PMID:'||(ok+1), false, NULL
+             FROM rows3 WHERE ok%4=0
+           UNION ALL SELECT aid, 'MONARCH:has_allelic_requirement', req,
+             false, NULL FROM rq
+           UNION ALL SELECT req, 'rdfs:label',
+             replace(substr(req,9), '_', ' '), true, NULL FROM rq
+             WHERE req LIKE 'MONARCH:%') t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
