@@ -845,6 +845,42 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #18 — RGD shape (RGD.py:104-151): the
+    // gene→mammalian-phenotype GAF through RgdSource's real plan —
+    // NOT-qualifier drop, two-layer evidence translation (tt/rgd.yaml),
+    // the RGD→RGDRef reroute for non-PMID references, first-reference
+    // dc:source + typed publication, owl:sameAs for the reference tail,
+    // xsd:date decoration. The oracle re-derives the md5 association
+    // ids and the reference routing in SQL.
+    "p18_rgd_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val orders = Tables.orders(s, d)
+      val gaf = orders.select(
+        lit("RGD").as("DB"),
+        ck.cast("string").as("DB_Object_ID"),
+        concat(lit("Sym"), ck).as("DB_Object_Symbol"),
+        when(ok % 9 === 0, lit("NOT")).otherwise(lit("")).as("Qualifier"),
+        concat(lit("MP:"), lpad((ok % 4000).cast("string"), 7, "0"))
+          .as("GO_ID"),
+        when(ok % 4 === 0, concat(lit("RGD:"), ok, lit("|PMID:"), ok))
+          .when(ok % 4 === 1, concat(lit("PMID:"), ok, lit("|RGD:"), ok,
+            lit("|RGD:"), ok + 1))
+          .when(ok % 4 === 2, concat(lit("RGD:"), ok))
+          .otherwise(lit("")).as("DB_Reference"),
+        element_at(array(lit("IEA"), lit("IAGP"), lit("IMP"), lit("QTM"),
+          lit("IED")), (ok % 5 + 1).cast("int")).as("Evidence_Code"),
+        lit("").as("With_From"), lit("N").as("Aspect"),
+        lit("name").as("DB_Object_Name"), lit("").as("DB_Object_Synonym"),
+        lit("gene").as("DB_Object_Type"), lit("taxon:10116").as("Taxon"),
+        lit("20181022").as("Date"), lit("RGD").as("Assigned_By"),
+        lit("").as("Annotation_Extension"),
+        lit("").as("Gene_Product_Form_ID"))
+      graft.engine.RgdSource.transform(s,
+        Map("rat_gene2mammalian_phenotype" -> gaf))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -2254,6 +2290,48 @@ object RdfQueries {
            UNION ALL SELECT req, 'rdfs:label',
              replace(substr(req,9), '_', ' '), true, NULL FROM rq
              WHERE req LIKE 'MONARCH:%') t""",
+    "p18_rgd_pipeline" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  'RGD:'||o_custkey AS gene,
+                  'MP:'||lpad((o_orderkey%4000)::varchar,7,'0') AS phen,
+                  CASE o_orderkey%5 WHEN 0 THEN 'ECO:0000501'
+                       WHEN 1 THEN 'ECO:0005613' WHEN 2 THEN 'ECO:0000315'
+                       WHEN 3 THEN 'ECO:0000061' ELSE 'ECO:0005611'
+                  END AS eco,
+                  o_orderkey%4 AS r4
+           FROM orders WHERE o_orderkey%9<>0),
+         rows0 AS (
+           SELECT *, '_:b'||substr(md5('EX:rgd+'||gene||'+RO:0002200+'||
+                    phen),2,19) AS aid,
+                  CASE WHEN r4=0 OR r4=2 THEN 'RGDRef:'||ok
+                       WHEN r4=1 THEN 'PMID:'||ok END AS ref0
+           FROM base),
+         sames AS (
+           SELECT aid, ref0, 'PMID:'||ok AS refn FROM rows0 WHERE r4=0
+           UNION ALL SELECT aid, ref0, 'RGDRef:'||ok FROM rows0 WHERE r4=1
+           UNION ALL SELECT aid, ref0, 'RGDRef:'||(ok+1) FROM rows0
+             WHERE r4=1)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'RO:0002200' AS p, phen AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM rows0
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM rows0
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM rows0
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM rows0
+           UNION ALL SELECT aid, 'OBAN:association_has_object', phen,
+             false, NULL FROM rows0
+           UNION ALL SELECT aid, 'RO:0002558', eco, false, NULL FROM rows0
+           UNION ALL SELECT aid, 'dc:date', '20181022', true, 'xsd:date'
+             FROM rows0
+           UNION ALL SELECT aid, 'dc:source', ref0, false, NULL FROM rows0
+             WHERE ref0 IS NOT NULL
+           UNION ALL SELECT ref0, 'rdf:type', 'IAO:0000311', false, NULL
+             FROM rows0 WHERE ref0 IS NOT NULL
+           UNION ALL SELECT ref0, 'owl:sameAs', refn, false, NULL
+             FROM sames) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
