@@ -45,7 +45,7 @@ object Runner {
     BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource,
     GoGafSource, ImpcSource, OrphanetSource, BiogridSource, MpdSource,
     OmiaSource, NcbiGeneSource, KeggSource, MyChemSource, HgncSource,
-    ReactomeSource, EbiG2PSource, RgdSource
+    ReactomeSource, EbiG2PSource, RgdSource, ZfinSlimSource, MgiSlimSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

@@ -881,6 +881,84 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #19 — ZFINSlim shape (ZFINSlim.py:82-163):
+    // the clean G2P file joined against the EQ-octuple→ZP mapping
+    // dimension through ZfinSlimSource's real plan — abnormal-tag gate,
+    // '0'-slotted hyphen key (ZFIN.py:2765-2772), inner-join drop of
+    // unmapped octuples, clique-leader flag, document-typed publication
+    // source. The oracle re-derives the octuple key and the md5
+    // association ids in SQL.
+    "p19_zfinslim_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val orders = Tables.orders(s, d)
+      val s1 = concat(lit("ZFA:00000"), ok % 50)
+      val r1 = when(ok % 3 === 0, lit("")).otherwise(lit("BFO:0000050"))
+      val q = concat(lit("PATO:000"), ok % 20)
+      val sup2 = when(ok % 4 === 0, lit("ZFA:0000108")).otherwise(lit(""))
+      val g2p = orders.select(
+        ok.cast("string").as("ID"),
+        concat(lit("sym"), ck).as("Gene Symbol"),
+        concat(lit("ZDB-GENE-"), ck).as("Gene ID"),
+        s1.as("Affected Structure or Process 1 subterm ID"),
+        lit("n1").as("Affected Structure or Process 1 subterm Name"),
+        r1.as("Post-composed Relationship ID"),
+        lit("").as("Post-composed Relationship Name"),
+        lit("ZFA:0000037").as("Affected Structure or Process 1 superterm ID"),
+        lit("head").as("Affected Structure or Process 1 superterm Name"),
+        q.as("Phenotype Keyword ID"),
+        lit("quality").as("Phenotype Keyword Name"),
+        when(ok % 7 === 0, lit("normal")).otherwise(lit("abnormal"))
+          .as("Phenotype Tag"),
+        lit("").as("Affected Structure or Process 2 subterm ID"),
+        lit("").as("Affected Structure or Process 2 subterm name"),
+        lit("").as("Post-composed Relationship (rel) ID"),
+        lit("").as("Post-composed Relationship (rel) Name"),
+        sup2.as("Affected Structure or Process 2 superterm ID"),
+        lit("").as("Affected Structure or Process 2 superterm name"),
+        concat(lit("ZDB-FISH-"), ok).as("Fish ID"),
+        lit("fish").as("Fish Display Name"),
+        lit("").as("Start Stage ID"), lit("").as("End Stage ID"),
+        lit("").as("Fish Environment ID"),
+        when(ok % 5 === 0, lit("")).otherwise(concat(lit("ZDB-PUB-"), ok))
+          .as("Publication ID"),
+        lit("").as("Figure ID"))
+      def z(c: org.apache.spark.sql.Column) =
+        when(c === "", lit("0")).otherwise(c)
+      val zkey = concat_ws("-", z(s1), z(r1), lit("ZFA:0000037"), z(q),
+        lit("0"), lit("0"), z(sup2))
+      val zpmap = orders.filter(ok % 2 === 0)
+        .select(zkey.as("id")).distinct()
+        .select(concat(lit("ZP:"), substring(md5(col("id")), 1, 8)).as("iri"),
+          col("id"))
+      graft.engine.ZfinSlimSource.transform(s,
+        Map("g2p_clean" -> g2p, "zpmap" -> zpmap))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
+    // §3.2 end-to-end ingest #20 — MGISlim shape (MGISlim.py:45-98): the
+    // mousemine OntologyAnnotation view landed as a file — gene typing
+    // into SO gene + mouse taxon, G2P association with experimental-
+    // phenotypic evidence, journal-article-typed PMID source when the
+    // evidence row carries one.
+    "p20_mgislim_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val ann = Tables.orders(s, d).select(
+        concat(lit("MGI:"), ck).as("subject.primaryIdentifier"),
+        concat(lit("Sym"), ck).as("subject.symbol"),
+        lit("protein coding gene").as("subject.sequenceOntologyTerm.name"),
+        concat(lit("MP:"), lpad((ok % 3000).cast("string"), 7, "0"))
+          .as("ontologyTerm.identifier"),
+        lit("a phenotype").as("ontologyTerm.name"),
+        when(ok % 4 === 0, lit("")).otherwise(ok.cast("string"))
+          .as("evidence.publications.pubMedId"),
+        lit("").as("evidence.comments.type"),
+        lit("").as("evidence.comments.description"))
+      graft.engine.MgiSlimSource.transform(s, Map("annotations" -> ann))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -2332,6 +2410,82 @@ object RdfQueries {
              FROM rows0 WHERE ref0 IS NOT NULL
            UNION ALL SELECT ref0, 'owl:sameAs', refn, false, NULL
              FROM sames) t""",
+    "p19_zfinslim_pipeline" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  'ZFA:00000'||(o_orderkey%50) AS s1,
+                  CASE WHEN o_orderkey%3=0 THEN '0'
+                       ELSE 'BFO:0000050' END AS r1,
+                  'PATO:000'||(o_orderkey%20) AS q,
+                  CASE WHEN o_orderkey%4=0 THEN 'ZFA:0000108'
+                       ELSE '0' END AS sup2
+           FROM orders),
+         keyed AS (
+           SELECT *, s1||'-'||r1||'-ZFA:0000037-'||q||'-0-0-'||sup2 AS zpkey
+           FROM base),
+         dim AS (
+           SELECT DISTINCT zpkey, 'ZP:'||substr(md5(zpkey),1,8) AS zp
+           FROM keyed WHERE ok%2=0),
+         rows0 AS (
+           SELECT k.ok, 'ZFIN:ZDB-GENE-'||k.ck AS gene, d.zp,
+                  CASE WHEN k.ok%5=0 THEN NULL
+                       ELSE 'ZFIN:ZDB-PUB-'||k.ok END AS pub
+           FROM keyed k JOIN dim d ON k.zpkey=d.zpkey
+           WHERE k.ok%7<>0),
+         rows1 AS (
+           SELECT *, '_:b'||substr(md5('EX:zfinslim+'||gene||'+RO:0002200+'||
+                    zp),2,19) AS aid
+           FROM rows0)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'RO:0002200' AS p, zp AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM rows1
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_object', zp,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000059', false, NULL
+             FROM rows1
+           UNION ALL SELECT gene, 'MONARCH:cliqueLeader', 'true', true,
+             'xsd:boolean' FROM rows1
+           UNION ALL SELECT aid, 'dc:source', pub, false, NULL FROM rows1
+             WHERE pub IS NOT NULL
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000310', false, NULL
+             FROM rows1 WHERE pub IS NOT NULL) t""",
+    "p20_mgislim_pipeline" ->
+      """WITH base AS (
+           SELECT 'MGI:'||o_custkey AS gene,
+                  'MP:'||lpad((o_orderkey%3000)::varchar,7,'0') AS mp,
+                  CASE WHEN o_orderkey%4=0 THEN NULL
+                       ELSE 'PMID:'||o_orderkey END AS pub
+           FROM orders),
+         rows1 AS (
+           SELECT *, '_:b'||substr(md5('EX:mgislim+'||gene||'+RO:0002200+'||
+                    mp),2,19) AS aid
+           FROM base)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'rdf:type' AS p, 'SO:0000704' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM rows1
+           UNION ALL SELECT gene, 'RO:0002162', 'NCBITaxon:10090', false,
+             NULL FROM rows1
+           UNION ALL SELECT gene, 'RO:0002200', mp, false, NULL FROM rows1
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_object', mp,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000059', false, NULL
+             FROM rows1
+           UNION ALL SELECT aid, 'dc:source', pub, false, NULL FROM rows1
+             WHERE pub IS NOT NULL
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM rows1 WHERE pub IS NOT NULL) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
