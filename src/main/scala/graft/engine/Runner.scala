@@ -45,7 +45,8 @@ object Runner {
     BgeeSource, UcscBandsSource, UdpSource, GwasCatalogSource, PantherSource,
     GoGafSource, ImpcSource, OrphanetSource, BiogridSource, MpdSource,
     OmiaSource, NcbiGeneSource, KeggSource, MyChemSource, HgncSource,
-    ReactomeSource, EbiG2PSource, RgdSource, ZfinSlimSource, MgiSlimSource
+    ReactomeSource, EbiG2PSource, RgdSource, ZfinSlimSource, MgiSlimSource,
+    SgdSource, MonarchSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

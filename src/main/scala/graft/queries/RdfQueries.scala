@@ -959,6 +959,88 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #21 — SGD shape (SGD.py:106-256): yeast
+    // phenotype records through SgdSource's real plan — entity:quality
+    // phenotype composition into MONARCH classes, the plain-branch
+    // yeastgenome.org definedBy quirk, APO-dimension joins for
+    // entity/quality/experiment-type, evidence fan-out, first-reference
+    // source + sameAs tail, pipe-joined description.
+    "p21_sgd_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val apo = Seq(
+        ("APO:0000111", "viability"), ("APO:0000222", "growth rate"),
+        ("APO:0000333", "vegetative growth"),
+        ("APO:0000555", "decreased"), ("APO:0000666", "increased"),
+        ("APO:0000005", "classical genetics"),
+        ("APO:0000006", "systematic mutation set"),
+        ("APO:0000007", "large-scale survey"))
+        .toDF("apo_id", "apo_label")
+      val fact = Tables.orders(s, d).select(
+        concat(lit("YAL"), ck).as("Feature Name"),
+        lit("ORF").as("Feature Type"),
+        concat(lit("G"), ck).as("Gene Name"),
+        concat(lit("S"), lpad(ck.cast("string"), 9, "0")).as("SGDID"),
+        element_at(array(
+          concat(lit("PMID:"), ok, lit("|SGD_REF:S"), ok),
+          concat(lit("PMID:"), ok),
+          concat(lit("SGD_REF:S"), ok)), (ok % 3 + 1).cast("int"))
+          .as("Reference"),
+        element_at(array(lit("classical genetics (suppression)"),
+          lit("systematic mutation set, classical genetics"),
+          lit("large-scale survey"), lit("classical genetics")),
+          (ok % 4 + 1).cast("int")).as("Experiment Type"),
+        lit("null").as("Mutant Type"),
+        concat(lit("a"), ok).as("Allele"),
+        lit("S288C").as("Strain Background"),
+        element_at(array(lit("viability: decreased"),
+          lit("growth rate: increased"), lit("vegetative growth")),
+          (ok % 3 + 1).cast("int")).as("Phenotype"),
+        lit("").as("Chemical"), lit("cond").as("Condition"),
+        lit("").as("Details"), lit("").as("Reporter"))
+      graft.engine.SgdSource.transform(s,
+        Map("sgd_phenotype" -> fact, "apo" -> apo))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
+    // §3.2 end-to-end ingest #22 — Monarch shape (Monarch.py:93-202):
+    // curated OMIA disease→phenotype rows through MonarchSource's real
+    // plan — zero-fill disease ids with species suffixing, the
+    // comma/semicolon pubmed fan-out with digit scrub, the OMIA-URL
+    // fallback source, description/comment decoration.
+    "p22_monarch_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val rows = Tables.orders(s, d).select(
+        (ok % 900000).cast("string").as("Disease ID"),
+        when(ok % 4 === 0, lit("")).otherwise((ok % 5 + 9913).cast("string"))
+          .as("Species ID"),
+        when(ok % 2 === 0, concat(lit("Breed "), ok % 30)).otherwise(lit(""))
+          .as("Breed Name"),
+        lit("").as("Variant"), lit("").as("Inheritance"),
+        when(ok % 11 === 0, lit(""))
+          .otherwise(concat(lit("HP:"), lpad((ok % 2000).cast("string"), 7, "0")))
+          .as("Phenotype ID"),
+        lit("a phenotype").as("Phenotype Name"),
+        lit("").as("Entity ID"), lit("").as("Entity Name"),
+        lit("").as("Quality ID"), lit("").as("Quality Name"),
+        lit("").as("Related Entity ID"), lit("").as("Related Entity Name"),
+        lit("").as("Abnormal ID"), lit("").as("Abnormal Name"),
+        lit("").as("Phenotype Desc"),
+        when(ok % 5 === 0, lit("ELISA")).otherwise(lit("")).as("Assay"),
+        lit("").as("Frequency"),
+        element_at(array(lit(""), ok.cast("string"),
+          concat(lit("PMID: "), ok, lit("; "), ok + 1)),
+          (ok % 3 + 1).cast("int")).as("Pubmed ID"),
+        when(ok % 7 === 0, concat(lit("desc "), ok)).otherwise(lit(""))
+          .as("Pub Desc"),
+        when(ok % 6 === 0, concat(lit("note "), ok)).otherwise(lit(""))
+          .as("Curator Notes"),
+        lit("2020-01-01").as("Date Created"))
+      graft.engine.MonarchSource.transform(s, Map("omia_d2p" -> rows))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -2486,6 +2568,119 @@ object RdfQueries {
              WHERE pub IS NOT NULL
            UNION ALL SELECT pub, 'rdf:type', 'IAO:0000013', false, NULL
              FROM rows1 WHERE pub IS NOT NULL) t""",
+    "p21_sgd_pipeline" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  'SGD:S'||lpad(o_custkey::varchar,9,'0') AS gene,
+                  'G'||o_custkey AS glabel,
+                  o_orderkey%3 AS m3, o_orderkey%4 AS m4
+           FROM orders),
+         ph AS (
+           SELECT *,
+                  CASE m3 WHEN 0 THEN 'MONARCH:APO_0000111_APO_0000555'
+                       WHEN 1 THEN 'MONARCH:APO_0000222_APO_0000666'
+                       ELSE 'APO:0000333' END AS pheno,
+                  CASE m3 WHEN 0 THEN 'viability:decreased'
+                       WHEN 1 THEN 'growth rate:increased'
+                       ELSE 'vegetative growth' END AS plabel,
+                  CASE WHEN m3=2 THEN 'EX:yeastgenome.org'
+                       ELSE 'EX:sgd' END AS db,
+                  CASE WHEN m3=2 THEN 'SGD_REF:S'||ok
+                       ELSE 'PMID:'||ok END AS ref0,
+                  CASE WHEN m3=0 THEN 'SGD_REF:S'||ok END AS refn,
+                  'genomic_background: S288C | allele: a'||ok||
+                  ' | chemical: nan | condition: cond | details: nan'||
+                  ' | feature_name: YAL'||ck||' | gene_name: G'||ck||
+                  ' | mutant_type: null | reporter: nan' AS descr
+           FROM base),
+         rows1 AS (
+           SELECT *, '_:b'||substr(md5(db||'+'||gene||'+RO:0002200+'||
+                    pheno),2,19) AS aid
+           FROM ph),
+         ev AS (
+           SELECT aid, 'APO:0000005' AS eapo,
+                  'classical genetics' AS elabel
+           FROM rows1 WHERE m4 IN (0,1,3)
+           UNION ALL SELECT aid, 'APO:0000006', 'systematic mutation set'
+             FROM rows1 WHERE m4=1
+           UNION ALL SELECT aid, 'APO:0000007', 'large-scale survey'
+             FROM rows1 WHERE m4=2)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'RO:0002200' AS p, pheno AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM rows1
+           UNION ALL SELECT gene, 'rdfs:label', glabel, true, NULL
+             FROM rows1
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_object', pheno,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'dc:description', descr, true, NULL
+             FROM rows1
+           UNION ALL SELECT pheno, 'rdfs:subClassOf', 'UPHENO:0001001',
+             false, NULL FROM rows1
+           UNION ALL SELECT pheno, 'rdfs:label', plabel, true, NULL
+             FROM rows1
+           UNION ALL SELECT aid, 'dc:source', ref0, false, NULL FROM rows1
+           UNION ALL SELECT ref0, 'rdf:type', 'IAO:0000311', false, NULL
+             FROM rows1
+           UNION ALL SELECT ref0, 'owl:sameAs', refn, false, NULL
+             FROM rows1 WHERE refn IS NOT NULL
+           UNION ALL SELECT aid, 'RO:0002558', eapo, false, NULL FROM ev
+           UNION ALL SELECT eapo, 'rdfs:label', elabel, true, NULL
+             FROM ev) t""",
+    "p22_monarch_pipeline" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok,
+                  (o_orderkey%900000)::varchar AS rawnum,
+                  CASE WHEN o_orderkey%4=0 THEN ''
+                       ELSE (o_orderkey%5+9913)::varchar END AS species,
+                  'HP:'||lpad((o_orderkey%2000)::varchar,7,'0') AS phen,
+                  o_orderkey%3 AS m3
+           FROM orders WHERE o_orderkey%11<>0),
+         d0 AS (
+           SELECT *, CASE WHEN length(rawnum)<6 THEN lpad(rawnum,6,'0')
+                          ELSE rawnum END AS dnum
+           FROM base),
+         d2 AS (
+           SELECT *, CASE WHEN species<>'' THEN 'OMIA:'||dnum||'-'||species
+                          ELSE 'OMIA:'||dnum END AS disease
+           FROM d0),
+         rows1 AS (
+           SELECT *, '_:b'||substr(md5('EX:monarch+'||disease||
+                    '+RO:0002200+'||phen),2,19) AS aid
+           FROM d2),
+         srcs AS (
+           SELECT aid, 'PMID:'||ok AS pmid FROM rows1 WHERE m3 IN (1,2)
+           UNION ALL SELECT aid, 'PMID:'||(ok+1) FROM rows1 WHERE m3=2)
+         SELECT DISTINCT * FROM (
+           SELECT disease AS s, 'RO:0002200' AS p, phen AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM rows1
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', disease,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM rows1
+           UNION ALL SELECT aid, 'OBAN:association_has_object', phen,
+             false, NULL FROM rows1
+           UNION ALL SELECT aid, 'dc:description', 'desc '||ok, true, NULL
+             FROM rows1 WHERE ok%7=0
+           UNION ALL SELECT aid, 'dc:description',
+             'Breed '||(ok%30)||' [observed in]', true, NULL FROM rows1
+             WHERE ok%2=0
+           UNION ALL SELECT aid, 'dc:description', 'ELISA [assay]', true,
+             NULL FROM rows1 WHERE ok%5=0
+           UNION ALL SELECT aid, 'rdfs:comment', 'note '||ok, true, NULL
+             FROM rows1 WHERE ok%6=0
+           UNION ALL SELECT aid, 'dc:source',
+             'http://identifiers.org/omia/'||dnum||'/'||species, false,
+             NULL FROM rows1 WHERE m3=0
+           UNION ALL SELECT aid, 'dc:source', pmid, false, NULL
+             FROM srcs) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
