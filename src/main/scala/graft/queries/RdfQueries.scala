@@ -1041,6 +1041,82 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #23 — GeneReviews shape
+    // (GeneReviews.py:97-231): NBK titles + NBK→OMIM idmap with the
+    // mimTitles sidecar as the OMIM type gate — book classes with
+    // shortname synonyms, disease-or-disorder subclassing, phenotype-
+    // typed OMIMs subclassing their book, malformed mims dropped.
+    "p23_genereviews_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val orders = Tables.orders(s, d)
+      val titles = orders.select(
+        concat(lit("sn"), ck).as("GR_shortname"),
+        concat(lit("Title "), ck).as("GR_Title"),
+        concat(lit("NBK"), ck).as("NBK_id"),
+        lit("").as("PMID"))
+      val omim = (ok % 900000 + 100000).cast("string")
+      val idmap = orders.select(
+        when(ok % 5 === 0, concat(lit("NBKX"), ck))
+          .otherwise(concat(lit("NBK"), ck)).as("NBK_id"),
+        concat(lit("sn"), ck).as("GR_shortname"),
+        when(ok % 9 === 0, lit("12345")).otherwise(omim).as("OMIM"))
+      val mims = orders.select(omim.as("mim_number")).distinct()
+        .select(element_at(array(lit("Asterisk"), lit("Number Sign"),
+          lit("Plus"), lit("Percent"), lit("Caret")),
+          (col("mim_number").cast("long") % 5 + 1).cast("int")).as("prefix"),
+          col("mim_number"),
+          concat(lit("T"), col("mim_number")).as("preferred_title"))
+      graft.engine.GeneReviewsSource.transform(s,
+        Map("titles" -> titles, "idmap" -> idmap, "omim_types" -> mims))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
+    // §3.2 end-to-end ingest #24 — EOM shape (EOM.py:149-325): the
+    // DISCO-crawled morphology-term view + the curated HP mapping —
+    // trailing-period definition repair with two-space join, dual
+    // depictions, semicolon synonym fan-outs with the replaces-equals-
+    // synonyms skip, web-page typing, underscore-repaired HP
+    // equivalences.
+    "p24_eom_pipeline" -> ((s, d) => {
+      val ck = col("c_custkey")
+      val cust = Tables.customer(s, d)
+      val id = concat(lit("EOM:"), lpad(ck.cast("string"), 7, "0"))
+      val terms = cust.select(
+        id.as("morphology_term_id"),
+        ck.cast("string").as("morphology_term_num"),
+        concat(lit("term "), ck).as("morphology_term_label"),
+        concat(lit("http://example.org/page/"), ck).as("morphology_term_url"),
+        lit("cat").as("terminology_category_label"),
+        lit("").as("terminology_category_url"), lit("").as("subcategory"),
+        element_at(array(lit(""), lit("Objective def"), lit("Has period.")),
+          (ck % 3 + 1).cast("int")).as("objective_definition"),
+        when(ck % 2 === 0, lit("Subjective")).otherwise(lit(""))
+          .as("subjective_definition"),
+        when(ck % 4 === 0, concat(lit("comment "), ck)).otherwise(lit(""))
+          .as("comments"),
+        element_at(array(lit("syn a; syn b"), lit("syn a"), lit("")),
+          (ck % 3 + 1).cast("int")).as("synonyms"),
+        element_at(array(lit("syn a; syn b"), lit("old name"), lit(""),
+          lit(""), lit(""), lit("")), (ck % 6 + 1).cast("int")).as("replaces"),
+        when(ck % 2 === 0, concat(lit("https://ex.org/img/small"), ck))
+          .otherwise(lit("")).as("small_figure_url"),
+        concat(lit("https://ex.org/img/large"), ck).as("large_figure_url"),
+        lit("").as("e_uid"), lit("").as("v_uid"), lit("").as("v_uuid"),
+        lit("").as("v_lastmodified"), lit("").as("v_status"),
+        lit("").as("v_lastmodified_epoch"))
+      val hpMap = cust.filter(ck % 3 === 0).select(
+        id.as("morphology_term_id"),
+        concat(lit("term "), ck).as("morphology_term_label"),
+        when(ck % 9 === 0, lit("notmapped"))
+          .otherwise(concat(lit("HP_"),
+            lpad((ck % 10000).cast("string"), 7, "0"))).as("HP ID"),
+        lit("hp label").as("HP Label"), lit("").as("Notes"))
+      graft.engine.EomSource.transform(s,
+        Map("terms" -> terms, "hp_map" -> hpMap))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -2681,6 +2757,78 @@ object RdfQueries {
              NULL FROM rows1 WHERE m3=0
            UNION ALL SELECT aid, 'dc:source', pmid, false, NULL
              FROM srcs) t""",
+    "p23_genereviews_pipeline" ->
+      """WITH o AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  (o_orderkey%900000+100000)::varchar AS omim
+           FROM orders),
+         titles AS (
+           SELECT DISTINCT 'GeneReviews:NBK'||ck AS gr, 'Title '||ck AS title,
+                  'sn'||ck AS sn
+           FROM o),
+         idv AS (
+           SELECT CASE WHEN ok%5=0 THEN 'GeneReviews:NBKX'||ck
+                       ELSE 'GeneReviews:NBK'||ck END AS gr,
+                  'sn'||ck AS sn, omim, ok
+           FROM o WHERE ok%9<>0),
+         sub AS (
+           SELECT gr, 'OMIM:'||omim AS omimid FROM idv
+           WHERE ok%5<>0 AND (omim::bigint)%5 IN (1,2,3))
+         SELECT DISTINCT * FROM (
+           SELECT gr AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM titles
+           UNION ALL SELECT gr, 'rdfs:label', title, true, NULL FROM titles
+           UNION ALL SELECT gr, 'oboInOwl:hasExactSynonym', sn, true, NULL
+             FROM titles
+           UNION ALL SELECT gr, 'rdfs:subClassOf', 'MONDO:0000001', false,
+             NULL FROM titles
+           UNION ALL SELECT gr, 'rdf:type', 'owl:Class', false, NULL
+             FROM idv
+           UNION ALL SELECT gr, 'oboInOwl:hasExactSynonym', sn, true, NULL
+             FROM idv
+           UNION ALL SELECT omimid, 'rdf:type', 'owl:Class', false, NULL
+             FROM sub
+           UNION ALL SELECT omimid, 'rdfs:subClassOf', gr, false, NULL
+             FROM sub) t""",
+    "p24_eom_pipeline" ->
+      """WITH c AS (
+           SELECT c_custkey AS ck,
+                  'EOM:'||lpad(c_custkey::varchar,7,'0') AS id
+           FROM customer),
+         t0 AS (
+           SELECT *,
+                  CASE ck%3 WHEN 0 THEN '' WHEN 1 THEN 'Objective def.'
+                       ELSE 'Has period.' END AS objd,
+                  CASE WHEN ck%2=0 THEN 'Subjective.' ELSE '' END AS subjd
+           FROM c),
+         t AS (SELECT *, objd||'  '||subjd AS defn FROM t0),
+         hp AS (
+           SELECT id, 'HP:'||lpad((ck%10000)::varchar,7,'0') AS hpid
+           FROM t WHERE ck%3=0 AND ck%9<>0)
+         SELECT DISTINCT * FROM (
+           SELECT id AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM t
+           UNION ALL SELECT id, 'rdfs:label', 'term '||ck, true, NULL FROM t
+           UNION ALL SELECT id, 'IAO:0000115', defn, true, NULL FROM t
+           UNION ALL SELECT id, 'foaf:depiction',
+             'https://ex.org/img/small'||ck, false, NULL FROM t WHERE ck%2=0
+           UNION ALL SELECT id, 'foaf:depiction',
+             'https://ex.org/img/large'||ck, false, NULL FROM t
+           UNION ALL SELECT id, 'rdfs:comment', 'comment '||ck, true, NULL
+             FROM t WHERE ck%4=0
+           UNION ALL SELECT id, 'rdf:type', 'SIO:000302', false, NULL FROM t
+           UNION ALL SELECT id, 'foaf:page', 'http://example.org/page/'||ck,
+             false, NULL FROM t
+           UNION ALL SELECT id, 'oboInOwl:hasExactSynonym', 'syn a', true,
+             NULL FROM t WHERE ck%3 IN (0,1)
+           UNION ALL SELECT id, 'oboInOwl:hasExactSynonym', 'syn b', true,
+             NULL FROM t WHERE ck%3=0
+           UNION ALL SELECT id, 'oboInOwl:hasRelatedSynonym', 'old name',
+             true, NULL FROM t WHERE ck%6=1
+           UNION ALL SELECT hpid, 'rdf:type', 'owl:Class', false, NULL
+             FROM hp
+           UNION ALL SELECT id, 'owl:equivalentClass', hpid, false, NULL
+             FROM hp) t2""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
