@@ -46,7 +46,8 @@ object Runner {
     GoGafSource, ImpcSource, OrphanetSource, BiogridSource, MpdSource,
     OmiaSource, NcbiGeneSource, KeggSource, MyChemSource, HgncSource,
     ReactomeSource, EbiG2PSource, RgdSource, ZfinSlimSource, MgiSlimSource,
-    SgdSource, MonarchSource, GeneReviewsSource, EomSource
+    SgdSource, MonarchSource, GeneReviewsSource, EomSource,
+    MyDrugSource, EnsemblSource, XenbaseSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

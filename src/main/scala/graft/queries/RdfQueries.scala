@@ -1117,6 +1117,115 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #25 — MyDrug/AEOLUS shape (MyDrug.py): the
+    // BioThings drug-outcome landing as a nested-JSON document scan —
+    // RXCUI↔UNII identity, ROR-thresholded outcome associations, the
+    // SEPIO clinical-study evidence chain with count/PRR/ROR measurement
+    // individuals, the asserted-by provenance agent.
+    "p25_mydrug_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val docs = Tables.orders(s, d).select(
+        struct(
+          ck.cast("string").as("rxcui"),
+          concat(lit("U"), ck).as("unii"),
+          concat(lit("drug "), ck).as("drug_name"),
+          array(
+            struct(concat(lit("o"), ok).as("id"),
+              (ok % 5000).cast("string").as("code"),
+              concat(lit("outcome "), ok % 5000).as("name"),
+              ((ok % 8).cast("double") / 4.0).as("ror"),
+              ((ok % 6).cast("double") / 2.0).as("prr"),
+              (ok % 50).as("case_count")),
+            struct(concat(lit("p"), ok).as("id"),
+              (ok % 3000).cast("string").as("code"),
+              concat(lit("outcome "), ok % 3000).as("name"),
+              lit(1.5).as("ror"), lit(2.25).as("prr"),
+              (ok % 30).as("case_count"))).as("outcomes")).as("aeolus"),
+        struct(concat(lit("IK"), ck).as("inchikey")).as("unii"))
+      graft.engine.MyDrugSource.transform(s, Map("aeolus" -> docs))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
+    // §3.2 end-to-end ingest #26 — Ensembl biomart shape
+    // (Ensembl.py:296-377): per-taxon gene identity cliques — biotype
+    // subclassing through the ensembl local tt with polypeptide
+    // fallback, human xref-vs-equivalence split, HGNC equivalence,
+    // peptide/uniprot gene products.
+    "p26_ensembl_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val taxid = element_at(array(lit("9606"), lit("10090"), lit("7955")),
+        (ok % 3 + 1).cast("int"))
+      val genes = Tables.orders(s, d).select(
+        concat(lit("ENSG"), ok).as("Gene stable ID"),
+        when(ok % 10 === 0, lit("")).otherwise(concat(lit("g"), ok))
+          .as("Gene name"),
+        when(ok % 4 === 0, concat(lit("desc "), ok)).otherwise(lit(""))
+          .as("Gene description"),
+        element_at(array(lit("protein_coding"), lit("miRNA"), lit("lincRNA"),
+          lit("weird_type"), lit("rRNA")), (ok % 5 + 1).cast("int"))
+          .as("Gene type"),
+        when(ok % 6 === 0, lit("")).otherwise((ok % 100000).cast("string"))
+          .as("NCBI gene (formerly Entrezgene) ID"),
+        when(ok % 3 === 0, lit("")).otherwise(concat(lit("ENSP"), ok))
+          .as("Protein stable ID"),
+        when(ok % 4 === 0, concat(lit("Q"), ok % 10000)).otherwise(lit(""))
+          .as("UniProtKB/Swiss-Prot ID"),
+        when(taxid === "9606" && ok % 2 === 0, concat(lit("HGNC:"), ck))
+          .otherwise(lit("")).as("HGNC ID"),
+        taxid.as("taxid"))
+      graft.engine.EnsemblSource.transform(s, Map("genes" -> genes))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
+    // §3.2 end-to-end ingest #27 — Xenbase shape (Xenbase.py): the
+    // OBAN-shaped gene→XPO dump with underscore-relation repair, the
+    // genepage→gene-trio dimension, and the literature mentions join
+    // with KeyError-drop semantics.
+    "p27_xenbase_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val ck = col("o_custkey")
+      val orders = Tables.orders(s, d)
+      val g2p = orders.select(
+        concat(lit("Xenbase:XB-GENE-"), ok).as("SUBJECT"),
+        concat(lit("xg"), ok).as("SUBJECT_LABEL"),
+        lit("NCBITaxon:8364").as("SUBJECT_TAXON"),
+        lit("tropicalis").as("SUBJECT_TAXON_LABEL"),
+        concat(lit("XPO:"), lpad((ok % 4000).cast("string"), 7, "0"))
+          .as("OBJECT"),
+        lit("a phenotype").as("OBJECT_LABEL"),
+        lit("RO_0002200").as("RELATION"),
+        lit("has phenotype").as("RELATION_LABEL"),
+        when(ok % 3 === 0, lit(""))
+          .otherwise(concat(lit("ECO:000000"), ok % 5)).as("EVIDENCE"),
+        lit("evidence").as("EVIDENCE_LABEL"),
+        when(ok % 4 === 0, lit("")).otherwise(concat(lit("PMID:"), ok))
+          .as("SOURCE"),
+        lit("Xenbase").as("IS_DEFINED_BY"), lit("").as("QUALIFIER"))
+      val pages = Tables.customer(s, d).select(
+        concat(lit("XB-GENEPAGE-"), col("c_custkey")).as("gene_page_id"),
+        concat(lit("page"), col("c_custkey")).as("gene_page_label"),
+        concat(lit("XB-GENE-T"), col("c_custkey")).as("tropicalis_id"),
+        concat(lit("tl"), col("c_custkey")).as("tropicalis_label"),
+        concat(lit("XB-GENE-L"), col("c_custkey")).as("laevis_l_id"),
+        concat(lit("ll"), col("c_custkey")).as("laevis_l_label"),
+        concat(lit("XB-GENE-S"), col("c_custkey")).as("laevis_s_id"),
+        concat(lit("sl"), col("c_custkey")).as("laevis_s_label"))
+      val lit0 = orders.select(
+        concat(lit("XB-ART-"), ok).as("xb_article"),
+        ok.cast("string").as("pmid"),
+        element_at(array(
+          concat(lit("XB-GENEPAGE-"), ck, lit(" sym")),
+          concat(lit("XB-GENEPAGE-"), ck, lit(" sym,XB-GENEPAGE-"), ck + 1,
+            lit(" sym2")),
+          lit("XB-GENEPAGE-MISSING x")), (ok % 3 + 1).cast("int"))
+          .as("gene_pages"))
+      graft.engine.XenbaseSource.transform(s, Map("g2p_assertions" -> g2p,
+        "genepage2gene" -> pages, "gene_literature" -> lit0))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -2829,6 +2938,195 @@ object RdfQueries {
              FROM hp
            UNION ALL SELECT id, 'owl:equivalentClass', hpid, false, NULL
              FROM hp) t2""",
+    "p25_mydrug_pipeline" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  'RXCUI:'||o_custkey AS rx, 'UNII:U'||o_custkey AS un,
+                  'drug '||o_custkey AS dn, 'IK'||o_custkey AS ik
+           FROM orders),
+         oc AS (
+           SELECT ok, rx, 'MEDDRA:'||(ok%5000) AS meddra,
+                  'outcome '||(ok%5000) AS oname,
+                  ((ok%8)/4.0)::varchar AS ror, ((ok%6)/2.0)::varchar AS prr,
+                  (ok%50)::varchar AS cnt, 'o'||ok AS oid
+           FROM base WHERE ok%8>=4
+           UNION ALL
+           SELECT ok, rx, 'MEDDRA:'||(ok%3000), 'outcome '||(ok%3000),
+                  '1.5', '2.25', (ok%30)::varchar, 'p'||ok
+           FROM base),
+         r1 AS (
+           SELECT *, '_:b'||substr(md5('EX:mydrug+'||rx||'+RO:0003302+'||
+                    meddra),2,19) AS aid
+           FROM oc),
+         r2 AS (
+           SELECT *, 'MONARCH:b'||substr(md5(aid||oid||'mydrug'),2,19)
+                    AS evid
+           FROM r1),
+         r3 AS (
+           SELECT *,
+                  '_:b'||substr(md5(evid||cnt||'mydrug'),2,19) AS cntb,
+                  '_:b'||substr(md5(evid||prr||'mydrugprr'),2,19) AS prrb,
+                  '_:b'||substr(md5(evid||ror||'mydrugror'),2,19) AS rorb
+           FROM r2)
+         SELECT DISTINCT * FROM (
+           SELECT rx AS s, 'rdfs:label' AS p, dn AS o,
+                  true AS lit, CAST(NULL AS VARCHAR) AS dt FROM base
+           UNION ALL SELECT un, 'rdfs:label', dn, true, NULL FROM base
+           UNION ALL SELECT rx, 'owl:sameAs', un, false, NULL FROM base
+           UNION ALL SELECT rx, 'CHEBI:InChIKey', ik, true, NULL FROM base
+           UNION ALL SELECT rx, 'RO:0003302', meddra, false, NULL FROM r3
+           UNION ALL SELECT meddra, 'rdfs:label', oname, true, NULL FROM r3
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM r3
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', rx,
+             false, NULL FROM r3
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0003302', false, NULL FROM r3
+           UNION ALL SELECT aid, 'OBAN:association_has_object', meddra,
+             false, NULL FROM r3
+           UNION ALL SELECT aid, 'dc:description',
+             'A proportional reporting ratio or odds ratio greater than '||
+             'or equal to 1 in the AEOLUS data was the significance '||
+             'cut-off used for creating drug-outcome associations', true,
+             NULL FROM r3
+           UNION ALL SELECT aid, 'GENO:0000867', ror, true, NULL FROM r3
+           UNION ALL SELECT aid, 'SEPIO:0000130', 'EX:', false, NULL
+             FROM r3
+           UNION ALL SELECT aid, 'SEPIO:0000007', evid, false, NULL FROM r3
+           UNION ALL SELECT evid, 'rdf:type', 'ECO:0000180', false, NULL
+             FROM r3
+           UNION ALL SELECT evid, 'SEPIO:0000124', 'PMID:27193236', false,
+             NULL FROM r3
+           UNION ALL SELECT 'PMID:27193236', 'rdf:type', 'IAO:0000311',
+             false, NULL FROM r3
+           UNION ALL SELECT evid, 'dc:source', 'DOI:10.5061/dryad.8q0s4/1',
+             false, NULL FROM r3
+           UNION ALL SELECT 'DOI:10.5061/dryad.8q0s4/1', 'rdf:type',
+             'IAO:0000100', false, NULL FROM r3
+           UNION ALL SELECT 'DOI:10.5061/dryad.8q0s4/1', 'rdfs:label',
+             'Data from: A curated and standardized adverse drug event '||
+             'resource to accelerate drug safety research', true, NULL
+             FROM r3
+           UNION ALL SELECT cntb, 'rdf:type', 'SIO:000794', false, NULL
+             FROM r3
+           UNION ALL SELECT prrb, 'rdf:type', 'OAE:0001563', false, NULL
+             FROM r3
+           UNION ALL SELECT rorb, 'rdf:type', 'STATO:0000182', false, NULL
+             FROM r3
+           UNION ALL SELECT evid, 'SEPIO:0000084', cntb, false, NULL FROM r3
+           UNION ALL SELECT evid, 'SEPIO:0000084', prrb, false, NULL FROM r3
+           UNION ALL SELECT evid, 'SEPIO:0000084', rorb, false, NULL FROM r3
+           UNION ALL SELECT cntb, 'STATO:0000129', cnt, true, NULL FROM r3
+           UNION ALL SELECT prrb, 'STATO:0000129', prr, true, NULL FROM r3
+           UNION ALL SELECT rorb, 'STATO:0000129', ror, true, NULL FROM r3
+           UNION ALL SELECT 'EX:', 'rdf:type', 'foaf:organization', false,
+             NULL
+           UNION ALL SELECT 'EX:', 'rdfs:label', 'Monarch Initiative',
+             true, NULL) t""",
+    "p26_ensembl_pipeline" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  CASE o_orderkey%3 WHEN 0 THEN '9606' WHEN 1 THEN '10090'
+                       ELSE '7955' END AS tax,
+                  'ENSEMBL:ENSG'||o_orderkey AS gene
+           FROM orders),
+         t AS (
+           SELECT *,
+                  CASE ok%5 WHEN 0 THEN 'SO:0001217' WHEN 1 THEN 'SO:0001265'
+                       WHEN 2 THEN 'SO:0001641' WHEN 3 THEN 'SO:0000104'
+                       ELSE 'SO:0001637' END AS gtype,
+                  CASE WHEN ok%6=0 THEN NULL
+                       ELSE 'NCBIGene:'||(ok%100000) END AS entrez,
+                  CASE WHEN ok%3=0 THEN NULL
+                       ELSE 'ENSEMBL:ENSP'||ok END AS pep,
+                  CASE WHEN ok%3<>0 AND ok%4=0
+                       THEN 'UniProtKB:Q'||(ok%10000) END AS uni
+           FROM base)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM t
+           UNION ALL SELECT gene, 'rdfs:label', 'g'||ok, true, NULL FROM t
+             WHERE ok%10<>0
+           UNION ALL SELECT gene, 'rdfs:subClassOf', gtype, false, NULL
+             FROM t
+           UNION ALL SELECT gene, 'dc:description', 'desc '||ok, true,
+             NULL FROM t WHERE ok%4=0
+           UNION ALL SELECT gene, 'oboInOwl:hasDbXref', entrez, false,
+             NULL FROM t WHERE tax='9606' AND entrez IS NOT NULL
+           UNION ALL SELECT gene, 'owl:equivalentClass', entrez, false,
+             NULL FROM t WHERE tax<>'9606' AND entrez IS NOT NULL
+           UNION ALL SELECT gene, 'owl:equivalentClass', 'HGNC:'||ck,
+             false, NULL FROM t WHERE tax='9606' AND ok%2=0
+           UNION ALL SELECT gene, 'RO:0002162', 'NCBITaxon:'||tax, false,
+             NULL FROM t
+           UNION ALL SELECT pep, 'rdf:type', gtype, false, NULL FROM t
+             WHERE pep IS NOT NULL
+           UNION ALL SELECT gene, 'RO:0002205', pep, false, NULL FROM t
+             WHERE pep IS NOT NULL
+           UNION ALL SELECT uni, 'rdf:type', gtype, false, NULL FROM t
+             WHERE uni IS NOT NULL
+           UNION ALL SELECT gene, 'RO:0002205', uni, false, NULL FROM t
+             WHERE uni IS NOT NULL
+           UNION ALL SELECT pep, 'oboInOwl:hasDbXref', uni, false, NULL
+             FROM t WHERE uni IS NOT NULL) t2""",
+    "p27_xenbase_pipeline" ->
+      """WITH g2p AS (
+           SELECT o_orderkey AS ok,
+                  'Xenbase:XB-GENE-'||o_orderkey AS gene,
+                  'xg'||o_orderkey AS gl,
+                  'XPO:'||lpad((o_orderkey%4000)::varchar,7,'0') AS xpo,
+                  CASE WHEN o_orderkey%3=0 THEN NULL
+                       ELSE 'ECO:000000'||(o_orderkey%5) END AS ev,
+                  CASE WHEN o_orderkey%4=0 THEN NULL
+                       ELSE 'PMID:'||o_orderkey END AS src
+           FROM orders),
+         r1 AS (
+           SELECT *, '_:b'||substr(md5('EX:xenbase+'||gene||'+RO:0002200+'||
+                    xpo),2,19) AS aid
+           FROM g2p),
+         pg AS (
+           SELECT 'XB-GENEPAGE-'||c_custkey AS page,
+                  'Xenbase:XB-GENE-T'||c_custkey AS gid,
+                  'tl'||c_custkey AS pgl FROM customer
+           UNION ALL SELECT 'XB-GENEPAGE-'||c_custkey,
+             'Xenbase:XB-GENE-L'||c_custkey, 'll'||c_custkey FROM customer
+           UNION ALL SELECT 'XB-GENEPAGE-'||c_custkey,
+             'Xenbase:XB-GENE-S'||c_custkey, 'sl'||c_custkey FROM customer),
+         litp AS (
+           SELECT 'PMID:'||o_orderkey AS pmid,
+                  'XB-GENEPAGE-'||o_custkey AS page
+           FROM orders WHERE o_orderkey%3 IN (0,1)
+           UNION ALL SELECT 'PMID:'||o_orderkey,
+             'XB-GENEPAGE-'||(o_custkey+1)
+           FROM orders WHERE o_orderkey%3=1),
+         ment AS (
+           SELECT l.pmid, p.gid FROM litp l JOIN pg p ON l.page=p.page)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'rdf:type' AS p, 'SO:0000704' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM r1
+           UNION ALL SELECT gene, 'rdfs:label', gl, true, NULL FROM r1
+           UNION ALL SELECT gene, 'RO:0002162', 'NCBITaxon:8364', false,
+             NULL FROM r1
+           UNION ALL SELECT gene, 'RO:0002200', xpo, false, NULL FROM r1
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM r1
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM r1
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM r1
+           UNION ALL SELECT aid, 'OBAN:association_has_object', xpo,
+             false, NULL FROM r1
+           UNION ALL SELECT aid, 'RO:0002558', ev, false, NULL FROM r1
+             WHERE ev IS NOT NULL
+           UNION ALL SELECT aid, 'dc:source', src, false, NULL FROM r1
+             WHERE src IS NOT NULL
+           UNION ALL SELECT src, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM r1 WHERE src IS NOT NULL
+           UNION ALL SELECT gid, 'rdf:type', 'SO:0000704', false, NULL
+             FROM pg
+           UNION ALL SELECT gid, 'rdfs:label', pgl, true, NULL FROM pg
+           UNION ALL SELECT pmid, 'IAO:0000142', gid, false, NULL
+             FROM ment) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
