@@ -47,7 +47,7 @@ object Runner {
     OmiaSource, NcbiGeneSource, KeggSource, MyChemSource, HgncSource,
     ReactomeSource, EbiG2PSource, RgdSource, ZfinSlimSource, MgiSlimSource,
     SgdSource, MonarchSource, GeneReviewsSource, EomSource,
-    MyDrugSource, EnsemblSource, XenbaseSource
+    MyDrugSource, EnsemblSource, XenbaseSource, CoriellSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

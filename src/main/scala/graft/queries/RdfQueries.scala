@@ -1226,6 +1226,58 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #28 — Coriell shape (Coriell.py): the
+    // cell-line catalog through CoriellSource's real plan — patient /
+    // family / repository modeling, karyotype complement with
+    // columnar aberration-chromosome extraction and FALDO'd features,
+    // GVC + per-locus VSLC assembly with indeterminate zygosity,
+    // variant-locus-excluded disease associations, PMID mentions.
+    "p28_coriell_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val rows = Tables.orders(s, d).select(
+        concat(lit("GM"), ok).as("catalog_id"),
+        concat(lit("DISEASE "), ok % 40, lit("; NOTE")).as("description"),
+        element_at(array(lit(""), (ok % 900 + 100000).cast("string"),
+          concat(ok % 900 + 100000, lit(";"), ok % 900 + 200000),
+          lit("610661")), (ok % 4 + 1).cast("int")).as("omim_num"),
+        lit("Fibroblast").as("sample_type"),
+        lit("Yes").as("cell_line_available"), lit("No").as("dna_instock"),
+        when(ok % 6 === 0, concat(lit("GM"), ok + 1)).otherwise(lit(""))
+          .as("dna_ref"),
+        when(ok % 2 === 0, lit("Female")).otherwise(lit("Male")).as("gender"),
+        lit("26 YR").as("age"), lit("Caucasian").as("race"),
+        lit("").as("ethnicity"),
+        element_at(array(lit("Yes"), lit("No"), lit("")),
+          (ok % 3 + 1).cast("int")).as("affected"),
+        element_at(array(lit("46;XX"), lit("46;XY;t(1;3)(p21;q22)"),
+          lit(""), lit("47;XYY")), (ok % 4 + 1).cast("int")).as("karyotype"),
+        when(ok % 2 === 0, lit("proband")).otherwise(lit("parent"))
+          .as("relprob"),
+        when(ok % 3 === 0, lit("p.R401X")).otherwise(lit("")).as("mutation"),
+        when(ok % 3 === 0, lit("GBA")).otherwise(lit("")).as("gene"),
+        when(ok % 4 === 0, (ok % 500).cast("string")).otherwise(lit(""))
+          .as("fam"),
+        element_at(array(lit("NIGMS Human Genetic Cell Repository"),
+          lit("NINDS Repository"), lit("NIA Aging Cell Culture Repository"),
+          lit("NHGRI Sample Repository for Human Genetic Research")),
+          (ok % 4 + 1).cast("int")).as("collection"),
+        lit("").as("url"),
+        when(ok % 5 === 0, concat(lit("remark "), ok)).otherwise(lit(""))
+          .as("cat_remark"),
+        element_at(array(concat(ok, lit("; "), ok + 1), lit(""),
+          ok.cast("string")), (ok % 3 + 1).cast("int")).as("pubmed_ids"),
+        lit("").as("fammember"),
+        element_at(array(lit("610661.0001"), lit("610661.0002;610661.0001"),
+          lit("610661.0001;123456.0003"), lit("oddvar"), lit(""), lit("")),
+          (ok % 6 + 1).cast("int")).as("variant_id"),
+        when(ok % 7 === 0, ok.cast("string")).otherwise(lit(""))
+          .as("dbsnp_id"),
+        when(ok % 8 === 0, lit("Canis familiaris")).otherwise(lit(""))
+          .as("species"))
+      graft.engine.CoriellSource.transform(s, Map("lines" -> rows))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -3127,6 +3179,243 @@ object RdfQueries {
            UNION ALL SELECT gid, 'rdfs:label', pgl, true, NULL FROM pg
            UNION ALL SELECT pmid, 'IAO:0000142', gid, false, NULL
              FROM ment) t""",
+    "p28_coriell_pipeline" ->
+      """WITH b0 AS (
+           SELECT o_orderkey AS ok, o_orderkey%2 AS m2, o_orderkey%3 AS m3,
+                  o_orderkey%4 AS m4, o_orderkey%5 AS m5, o_orderkey%6 AS m6,
+                  o_orderkey%7 AS m7, o_orderkey%8 AS m8
+           FROM orders),
+         b1 AS (
+           SELECT *, 'GM'||ok AS catalog, 'Coriell:GM'||ok AS line,
+                  'Disease '||(ok%40) AS sdesc,
+                  CASE m4 WHEN 0 THEN 'NIGMS' WHEN 1 THEN 'NINDS'
+                       WHEN 2 THEN 'NIA' ELSE 'NHGRI' END AS coll0,
+                  '_:b'||substr(md5('anonymous_patient_GM'||ok),2,19)
+                    AS patient,
+                  CASE m2 WHEN 0 THEN 'female' ELSE 'male' END AS gender,
+                  CASE m3 WHEN 0 THEN 'affected' WHEN 1 THEN 'unaffected'
+                       ELSE 'unspecified' END AS aff,
+                  CASE m2 WHEN 0 THEN 'proband' ELSE 'parent' END AS relprob,
+                  CASE WHEN m8=0 THEN 'NCBITaxon:9615'
+                       ELSE 'NCBITaxon:9606' END AS taxon,
+                  CASE m4 WHEN 0 THEN '46;XX'
+                       WHEN 1 THEN '46;XY;t(1;3)(p21;q22)'
+                       WHEN 2 THEN '' ELSE '47;XYY' END AS karyo,
+                  m4 IN (0,2) AS isnorm,
+                  CASE m6 WHEN 0 THEN '610661.0001'
+                       WHEN 1 THEN '610661.0001;610661.0002'
+                       WHEN 2 THEN '123456.0003;610661.0001'
+                       WHEN 3 THEN 'oddvar' ELSE '' END AS vid,
+                  CASE WHEN m3=0 THEN 'GBA(p.R401X)' ELSE '()' END AS varl,
+                  CASE m4 WHEN 0 THEN ''
+                       WHEN 1 THEN 'NIGMS Human Genetic Cell Repository'
+                       ELSE '' END AS unused
+           FROM b0),
+         b2 AS (
+           SELECT *, 'b'||substr(md5(karyo),2,19) AS kinner,
+                  CASE WHEN karyo<>'' THEN
+                    '_:b'||substr(md5('b'||substr(md5(karyo),2,19)),2,19)
+                  END AS kid
+           FROM b1),
+         b3 AS (
+           SELECT *,
+                  CASE WHEN karyo<>'' AND NOT isnorm THEN
+                         CASE WHEN vid<>'' THEN
+                           '_:b'||substr(md5(replace(vid,';','-')||'-'||
+                             'b'||substr(md5(kinner),2,19)),2,19)
+                         ELSE kid END
+                       WHEN vid<>'' THEN
+                         '_:b'||substr(md5(replace(vid,';','-')),2,19)
+                  END AS gvc,
+                  CASE WHEN karyo<>'' AND NOT isnorm THEN
+                         CASE WHEN m3=0 THEN varl||'; '||karyo ELSE karyo END
+                       WHEN vid<>'' THEN varl END AS gvclabel,
+                  CASE WHEN m7=0 THEN 'dbSNPIndividual:'||ok
+                       WHEN m3<>1 THEN '_:b'||substr(md5('genoGM'||ok),2,19)
+                  END AS genoid0
+           FROM b2),
+         b4 AS (
+           SELECT *,
+                  CASE WHEN gvc IS NOT NULL AND genoid0 IS NULL
+                            AND kid IS NOT NULL AND isnorm THEN kid
+                       ELSE genoid0 END AS genoid,
+                  (CASE WHEN kid IS NOT NULL AND isnorm THEN
+                          CASE WHEN coalesce(gvclabel,'')<>''
+                               THEN gvclabel||'; '||karyo ELSE karyo END
+                        ELSE gvclabel END)||' [GM'||ok||']' AS genolabel
+           FROM b3),
+         chrs AS (
+           SELECT kid, taxon, '1' AS chrom FROM b4 WHERE m4=1
+           UNION ALL SELECT kid, taxon, '3' FROM b4 WHERE m4=1
+           UNION ALL SELECT kid, taxon, 'Y' FROM b4 WHERE m4=3),
+         feats AS (
+           SELECT DISTINCT kid, kid||'-'||chrom AS fid, chrom,
+                  'CHR:'||substr(taxon,11)||'chr'||chrom AS chrid
+           FROM chrs),
+         feats2 AS (
+           SELECT *, '_:b'||substr(md5('region+'||fid),2,19) AS region
+           FROM feats),
+         feats3 AS (
+           SELECT *, '_:b'||substr(md5('pos+'||region||'+begin'),2,19)
+                    AS beginp
+           FROM feats2),
+         vsl AS (
+           SELECT line, gvc, varl, '610661' AS locus, '610661.0001' AS vj,
+                  ARRAY['0001'] AS vars FROM b4 WHERE m6=0
+           UNION ALL SELECT line, gvc, varl, '610661',
+             '610661.0001-610661.0002', ARRAY['0001','0002'] FROM b4
+             WHERE m6=1
+           UNION ALL SELECT line, gvc, varl, '123456', '123456.0003',
+             ARRAY['0003'] FROM b4 WHERE m6=2
+           UNION ALL SELECT line, gvc, varl, '610661', '610661.0001',
+             ARRAY['0001'] FROM b4 WHERE m6=2),
+         vsl2 AS (
+           SELECT *, '_:b'||substr(md5(vj),2,19) AS vslc FROM vsl),
+         alleles AS (
+           SELECT vslc, 'OMIM:'||locus||'.'||v AS allele
+           FROM vsl2, unnest(vars) AS t(v)),
+         dis AS (
+           SELECT line, patient, 'OMIM:'||d AS disease FROM (
+             SELECT line, patient, (ok%900+100000)::varchar AS d FROM b4
+               WHERE m3=0 AND m4=1
+             UNION ALL SELECT line, patient, (ok%900+100000)::varchar
+               FROM b4 WHERE m3=0 AND m4=2
+             UNION ALL SELECT line, patient, (ok%900+200000)::varchar
+               FROM b4 WHERE m3=0 AND m4=2
+             UNION ALL SELECT line, patient, '610661' FROM b4
+               WHERE m3=0 AND m4=3 AND m6 IN (3,4,5)) t0),
+         dis2 AS (
+           SELECT *, '_:b'||substr(md5('EX:coriell+'||patient||
+                    '+RO:0002200+'||disease),2,19) AS aid
+           FROM dis),
+         pubs AS (
+           SELECT line, 'PMID:'||ok AS pmid FROM b4 WHERE m3 IN (0,2)
+           UNION ALL SELECT line, 'PMID:'||(ok+1) FROM b4 WHERE m3=0),
+         repos AS (
+           SELECT 'CoriellCollection:'||cid AS rid, clabel, cpage
+           FROM (VALUES
+             ('NINDS', 'NINDS Human Genetics DNA and Cell line Repository',
+              'https://catalog.coriell.org/1/NINDS'),
+             ('NIGMS', 'NIGMS Human Genetic Cell Repository',
+              'https://catalog.coriell.org/1/NIGMS'),
+             ('NIA', 'NIA Aging Cell Repository',
+              'https://catalog.coriell.org/1/NIA'),
+             ('NHGRI',
+              'NHGRI Sample Repository for Human Genetic Research',
+              'https://catalog.coriell.org/1/NHGRI'))
+             v(cid, clabel, cpage))
+         SELECT DISTINCT * FROM (
+           SELECT line AS s, 'rdfs:label' AS p, coll0||'-GM'||ok AS o,
+                  true AS lit, CAST(NULL AS VARCHAR) AS dt FROM b4
+           UNION ALL SELECT line, 'rdf:type', 'CLO:0000031', false, NULL
+             FROM b4
+           UNION ALL SELECT 'Coriell:GM'||(ok+1), 'rdf:type',
+             'CLO:0000031', false, NULL FROM b4 WHERE m6=0
+           UNION ALL SELECT line, 'owl:sameAs', 'Coriell:GM'||(ok+1),
+             false, NULL FROM b4 WHERE m6=0
+           UNION ALL SELECT line, 'RO:0001000', patient, false, NULL
+             FROM b4
+           UNION ALL SELECT line, 'RO:0001000', 'CL:0000057', false, NULL
+             FROM b4
+           UNION ALL SELECT 'CoriellCollection:'||coll0, 'RO:0002351',
+             line, false, NULL FROM b4
+           UNION ALL SELECT line, 'dc:description', 'remark '||ok, true,
+             NULL FROM b4 WHERE m5=0
+           UNION ALL SELECT patient, 'rdf:type', 'foaf:Person', false,
+             NULL FROM b4
+           UNION ALL SELECT patient, 'rdfs:label',
+             aff||' '||gender||' '||relprob||
+             (CASE WHEN m2=0 THEN ' with ' ELSE ' of proband with ' END)||
+             sdesc, true, NULL FROM b4
+           UNION ALL SELECT 'CoriellFamily:'||(ok%500), 'rdf:type',
+             'PCO:0000020', false, NULL FROM b4 WHERE m4=0
+           UNION ALL SELECT 'CoriellFamily:'||(ok%500), 'rdfs:label',
+             'Family of proband with '||sdesc, true, NULL FROM b4
+             WHERE m4=0
+           UNION ALL SELECT patient, 'RO:0002350',
+             'CoriellFamily:'||(ok%500), false, NULL FROM b4 WHERE m4=0
+           UNION ALL SELECT patient, 'rdf:type', 'GENO:0000511', false,
+             NULL FROM b4 WHERE m3=1
+           UNION ALL SELECT kid, 'rdf:type', 'GENO:0000644', false, NULL
+             FROM b4 WHERE kid IS NOT NULL
+           UNION ALL SELECT kid, 'rdfs:label', karyo, true, NULL FROM b4
+             WHERE kid IS NOT NULL
+           UNION ALL SELECT gvc, 'GENO:0000382', kid, false, NULL FROM b4
+             WHERE kid IS NOT NULL AND NOT isnorm AND gvc IS NOT NULL
+               AND kid<>gvc
+           UNION ALL SELECT gvc, 'rdf:type', 'GENO:0000009', false, NULL
+             FROM b4 WHERE gvc IS NOT NULL
+           UNION ALL SELECT gvc, 'rdfs:label', gvclabel, true, NULL
+             FROM b4 WHERE gvc IS NOT NULL AND gvclabel IS NOT NULL
+           UNION ALL SELECT genoid0,
+             CASE WHEN m3=1 THEN 'GENO:0000385' ELSE 'GENO:0000382' END,
+             gvc, false, NULL FROM b4
+             WHERE gvc IS NOT NULL AND genoid0 IS NOT NULL
+           UNION ALL SELECT genoid0, 'GENO:0000385', kid, false, NULL
+             FROM b4 WHERE gvc IS NOT NULL AND kid IS NOT NULL AND isnorm
+               AND genoid0 IS NOT NULL
+           UNION ALL SELECT genoid, 'rdf:type', 'GENO:0000719', false,
+             NULL FROM b4 WHERE gvc IS NOT NULL AND genoid IS NOT NULL
+           UNION ALL SELECT genoid, 'rdfs:label', genolabel, true, NULL
+             FROM b4 WHERE gvc IS NOT NULL AND genoid IS NOT NULL
+           UNION ALL SELECT genoid, 'RO:0002162', taxon, false, NULL
+             FROM b4 WHERE gvc IS NOT NULL AND genoid IS NOT NULL
+           UNION ALL SELECT patient, 'GENO:0000222', genoid, false, NULL
+             FROM b4 WHERE gvc IS NOT NULL AND genoid IS NOT NULL
+           UNION ALL SELECT patient, 'RO:0002162', taxon, false, NULL
+             FROM b4 WHERE gvc IS NULL OR genoid IS NULL
+           UNION ALL SELECT fid, 'rdf:type', 'SO:0001059', false, NULL
+             FROM feats3
+           UNION ALL SELECT fid, 'rdfs:label',
+             'some karyotype alteration on chr'||chrom, true, NULL
+             FROM feats3
+           UNION ALL SELECT fid, 'faldo:location', region, false, NULL
+             FROM feats3
+           UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false,
+             NULL FROM feats3
+           UNION ALL SELECT region, 'faldo:begin', beginp, false, NULL
+             FROM feats3
+           UNION ALL SELECT beginp, 'rdf:type', 'faldo:ExactPosition',
+             false, NULL FROM feats3
+           UNION ALL SELECT beginp, 'faldo:reference', chrid, false, NULL
+             FROM feats3
+           UNION ALL SELECT kid, 'GENO:0000382', fid, false, NULL
+             FROM feats3
+           UNION ALL SELECT vslc, 'rdf:type', 'GENO:0000030', false, NULL
+             FROM vsl2
+           UNION ALL SELECT vslc, 'rdfs:label', varl, true, NULL FROM vsl2
+           UNION ALL SELECT vslc, 'GENO:0000608', 'GENO:0000137', false,
+             NULL FROM vsl2
+           UNION ALL SELECT gvc, 'GENO:0000382', vslc, false, NULL
+             FROM vsl2 WHERE vslc<>gvc
+           UNION ALL SELECT allele, 'rdf:type', 'SO:0001059', false, NULL
+             FROM alleles
+           UNION ALL SELECT vslc, 'GENO:0000382', allele, false, NULL
+             FROM alleles
+           UNION ALL SELECT disease, 'rdf:type', 'owl:Class', false, NULL
+             FROM dis2
+           UNION ALL SELECT patient, 'RO:0002200', disease, false, NULL
+             FROM dis2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM dis2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', patient,
+             false, NULL FROM dis2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM dis2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', disease,
+             false, NULL FROM dis2
+           UNION ALL SELECT line, 'RO:0003301', disease, false, NULL
+             FROM dis2
+           UNION ALL SELECT pmid, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM pubs
+           UNION ALL SELECT pmid, 'IAO:0000142', line, false, NULL
+             FROM pubs
+           UNION ALL SELECT rid, 'rdf:type', 'ERO:0002190', false, NULL
+             FROM repos
+           UNION ALL SELECT rid, 'rdfs:label', clabel, true, NULL
+             FROM repos
+           UNION ALL SELECT rid, 'foaf:page', cpage, false, NULL
+             FROM repos) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
