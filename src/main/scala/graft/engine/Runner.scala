@@ -47,7 +47,8 @@ object Runner {
     OmiaSource, NcbiGeneSource, KeggSource, MyChemSource, HgncSource,
     ReactomeSource, EbiG2PSource, RgdSource, ZfinSlimSource, MgiSlimSource,
     SgdSource, MonarchSource, GeneReviewsSource, EomSource,
-    MyDrugSource, EnsemblSource, XenbaseSource, CoriellSource
+    MyDrugSource, EnsemblSource, XenbaseSource, CoriellSource,
+    MmrrcSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

@@ -1278,6 +1278,56 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #29 — MMRRC shape (MMRRC.py): the strain
+    // catalog through MmrrcSource's real plan — strain individuals with
+    // clique-leader marks, allele→MP associations with PMID dc:source
+    // fan-out, and the per-strain genotype assembly (variant loci,
+    // synthetic <gene>-VL bnodes, indeterminate VSLCs, GVC over >1,
+    // unspecified genomic background). Orders are folded onto ~997
+    // strains so the groupBy tier sees real multi-row strains.
+    "p29_mmrrc_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val sk = ok % 997
+      val an = ok % 50 + 100
+      val gn = ok % 40
+      val rows = Tables.orders(s, d).select(
+        concat(lit("MMRRC:"), lpad(sk.cast("string"), 6, "0"), lit("-UNC"))
+          .as("STRAIN/STOCK_ID"),
+        concat(lit("STOCK "), sk).as("STRAIN/STOCK_DESIGNATION"),
+        lit("MSR").as("STRAIN_TYPE"),
+        when(ok % 3 === 0, lit("ES")).otherwise(lit("MB")).as("STATE"),
+        element_at(array(lit(""), concat(lit("MG:"), an),
+          concat(lit("MGI:"), an), concat(lit("MGI:"), an),
+          concat(lit("MGI:"), an)), (ok % 5 + 1).cast("int"))
+          .as("MGI_ALLELE_ACCESSION_ID"),
+        concat(lit("Al"), an, lit("<tm1>")).as("ALLELE_SYMBOL"),
+        lit("targeted mutation").as("ALLELE_NAME"),
+        lit("TM").as("MUTATION_TYPE"), lit("11").as("CHROMOSOME"),
+        element_at(array(lit("NULL"), concat(lit("GeneID:"), gn + 200),
+          lit(""), concat(lit("MGI: "), gn + 900),
+          concat(lit("MGI:"), gn + 900), concat(lit("MGI:"), gn + 900),
+          concat(lit("MGI:"), gn + 900)), (ok % 7 + 1).cast("int"))
+          .as("MGI_GENE_ACCESSION_ID"),
+        concat(lit("G"), gn).as("GENE_SYMBOL"),
+        when(ok % 31 === 0, lit("withdrawn")).otherwise(lit("a gene"))
+          .as("GENE_NAME"),
+        lit("").as("SDS_URL"), lit("2015-01-01").as("ACCEPTED_DATE"),
+        element_at(array(lit(""),
+          concat(lit("ataxia [MP:"), lpad((ok % 9 + 1).cast("string"), 7,
+            "0"), lit("] ,hypoactivity [MP:0001402]")),
+          lit("weird MP:0001402 nobracket"),
+          concat(lit("tremor [MP:"), lpad((ok % 9 + 3).cast("string"), 7,
+            "0"), lit("]"))), (ok % 4 + 1).cast("int")).as("MPT_IDS"),
+        element_at(array(lit(""),
+          concat(lit("PMID: "), ok % 100 + 5000),
+          concat(lit("PMID: "), ok % 100 + 5000, lit(", PMID: "),
+            ok % 100 + 5001)), (ok % 3 + 1).cast("int")).as("PUBMED_IDS"),
+        when(ok % 6 === 0, lit("Cardiology")).otherwise(lit(""))
+          .as("RESEARCH_AREAS"))
+      graft.engine.MmrrcSource.transform(s, Map("catalog" -> rows))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -3416,6 +3466,162 @@ object RdfQueries {
              FROM repos
            UNION ALL SELECT rid, 'foaf:page', cpage, false, NULL
              FROM repos) t""",
+    "p29_mmrrc_pipeline" ->
+      """WITH r0 AS (
+           SELECT o_orderkey AS ok, o_orderkey%997 AS sk,
+                  o_orderkey%3 AS m3, o_orderkey%4 AS m4,
+                  o_orderkey%5 AS m5, o_orderkey%6 AS m6,
+                  o_orderkey%7 AS m7, o_orderkey%9 AS m9,
+                  o_orderkey%50+100 AS an, o_orderkey%40 AS gn,
+                  o_orderkey%100+5000 AS pn
+           FROM orders WHERE o_orderkey%31 <> 0),
+         r1 AS (
+           SELECT *, 'MMRRC:'||lpad(sk::VARCHAR,6,'0') AS strain,
+                  CASE WHEN m5=0 THEN '' ELSE 'MGI:'||an END AS allele,
+                  'Al'||an||'<tm1>' AS alsym,
+                  CASE WHEN m7 IN (0,2) THEN ''
+                       WHEN m7=1 THEN 'NCBIGene:'||(gn+200)
+                       ELSE 'MGI:'||(gn+900) END AS gene,
+                  'G'||gn AS gsym
+           FROM r0),
+         pids AS (
+           SELECT ok, allele, 'MP:'||lpad((m9+1)::VARCHAR,7,'0') AS pid
+             FROM r1 WHERE m4=1
+           UNION ALL SELECT ok, allele, 'MP:0001402' FROM r1 WHERE m4=1
+           UNION ALL SELECT ok, allele, 'MP:'||lpad((m9+3)::VARCHAR,7,'0')
+             FROM r1 WHERE m4=3),
+         pubs AS (
+           SELECT ok, 'PMID:'||pn AS pmid FROM r1 WHERE m3 IN (1,2)
+           UNION ALL SELECT ok, 'PMID:'||(pn+1) FROM r1 WHERE m3=2),
+         assoc AS (
+           SELECT ok, allele, pid, '_:b'||substr(md5('EX:mmrrc+'||allele||
+                  '+RO:0002200+'||pid),2,19) AS aid
+           FROM pids WHERE allele<>''),
+         vars0 AS (SELECT DISTINCT sk, allele AS id, alsym AS sym
+                   FROM r1 WHERE allele<>''),
+         genes0 AS (SELECT DISTINCT sk, gene AS id, gsym AS sym
+                    FROM r1 WHERE gene<>''),
+         meta AS (
+           SELECT sk, coalesce(nv,0) AS nv, coalesce(ng,0) AS ng
+           FROM (SELECT DISTINCT sk FROM r1) s0
+           LEFT JOIN (SELECT sk, count(*) AS nv FROM vars0 GROUP BY sk) v0
+             USING (sk)
+           LEFT JOIN (SELECT sk, count(*) AS ng FROM genes0 GROUP BY sk) g0
+             USING (sk)),
+         gmin AS (SELECT sk, min(id) AS gid FROM genes0 GROUP BY sk),
+         vls AS (
+           SELECT v.sk, m.nv, m.ng, v.id AS vl, v.sym,
+                  CAST(NULL AS VARCHAR) AS sgene,
+                  CAST(NULL AS VARCHAR) AS sgsym
+           FROM vars0 v JOIN meta m USING (sk) WHERE m.nv>0
+           UNION ALL
+           SELECT g.sk, m.nv, m.ng,
+                  '_:b'||substr(md5(replace(g.id,':','')||'-VL'),2,19),
+                  g.sym||'<?>', g.id, g.sym
+           FROM genes0 g JOIN meta m USING (sk) WHERE m.nv=0),
+         vslcs AS (
+           SELECT *, '_:b'||substr(md5(replace(regexp_replace(vl,'^_',''),
+                  ':','')||'U'),2,19) AS vslc,
+                  sym||'/?' AS vsym
+           FROM vls),
+         gvc0 AS (
+           SELECT sk, count(*) AS n,
+                  '['||string_agg(''''||vslc||'''', ', ' ORDER BY vl)||']'
+                    AS pystr,
+                  string_agg(vsym, '; ' ORDER BY vl) AS gvclabel,
+                  first(vslc ORDER BY vl) AS v1
+           FROM vslcs GROUP BY sk),
+         gvcs AS (
+           SELECT sk, n, gvclabel,
+                  CASE WHEN n>1 THEN
+                    '_:b'||substr(md5('b'||substr(md5(pystr),2,19)),2,19)
+                  ELSE v1 END AS gvc
+           FROM gvc0),
+         geno2 AS (
+           SELECT sk, n, gvc, gvclabel,
+                  'MMRRC:'||lpad(sk::VARCHAR,6,'0') AS strain,
+                  '_:b'||substr(md5('GENO0000649-MMRRC'||
+                    lpad(sk::VARCHAR,6,'0')),2,19) AS bkgd,
+                  gvc||'-GENO0000649-MMRRC'||lpad(sk::VARCHAR,6,'0') AS gid
+           FROM gvcs)
+         SELECT DISTINCT * FROM (
+           SELECT strain AS s, 'rdf:type' AS p,
+                  CASE WHEN m3=0 THEN 'CL:0000034'
+                       ELSE 'NCBITaxon:10090' END AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM r1
+           UNION ALL SELECT strain, 'rdfs:label', 'STOCK '||sk, true, NULL
+             FROM r1
+           UNION ALL SELECT strain, 'dc:description',
+             'Research Areas: Cardiology', true, NULL FROM r1 WHERE m6=0
+           UNION ALL SELECT strain, 'MONARCH:cliqueLeader', 'true', true,
+             'xsd:boolean' FROM r1
+           UNION ALL SELECT 'NCBITaxon:10090', 'rdf:type', 'owl:Class',
+             false, NULL
+           UNION ALL SELECT pmid, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM pubs
+           UNION ALL SELECT pid, 'rdf:type', 'owl:Class', false, NULL
+             FROM pids
+           UNION ALL SELECT allele, 'RO:0002200', pid, false, NULL
+             FROM assoc
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM assoc
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', allele,
+             false, NULL FROM assoc
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM assoc
+           UNION ALL SELECT aid, 'OBAN:association_has_object', pid,
+             false, NULL FROM assoc
+           UNION ALL SELECT a.aid, 'dc:source', pb.pmid, false, NULL
+             FROM assoc a JOIN pubs pb ON a.ok=pb.ok
+           UNION ALL SELECT vl, 'rdf:type', 'GENO:0000002', false, NULL
+             FROM vls
+           UNION ALL SELECT vl, 'rdfs:label', sym, true, NULL FROM vls
+           UNION ALL SELECT v.vl, 'GENO:0000408', gm.gid, false, NULL
+             FROM vls v JOIN gmin gm USING (sk)
+             WHERE v.sgene IS NULL AND v.nv=1 AND v.ng=1
+           UNION ALL SELECT vl, 'rdf:type', 'GENO:0000512', false, NULL
+             FROM vls WHERE sgene IS NULL AND NOT (nv=1 AND ng=1)
+           UNION ALL SELECT sgene, 'rdf:type', 'owl:Class', false, NULL
+             FROM vls WHERE sgene IS NOT NULL
+           UNION ALL SELECT sgene, 'rdfs:label', sgsym, true, NULL
+             FROM vls WHERE sgene IS NOT NULL
+           UNION ALL SELECT sgene, 'rdfs:subClassOf', 'SO:0000704', false,
+             NULL FROM vls WHERE sgene IS NOT NULL
+           UNION ALL SELECT vl, 'GENO:0000408', sgene, false, NULL
+             FROM vls WHERE sgene IS NOT NULL
+           UNION ALL SELECT vslc, 'rdf:type', 'GENO:0000030', false, NULL
+             FROM vslcs
+           UNION ALL SELECT vslc, 'rdfs:label', vsym, true, NULL
+             FROM vslcs
+           UNION ALL SELECT vslc, 'GENO:0000608', 'GENO:0000137', false,
+             NULL FROM vslcs
+           UNION ALL SELECT vslc, 'GENO:0000382', vl, false, NULL
+             FROM vslcs
+           UNION ALL SELECT g.gvc, 'GENO:0000382', v.vslc, false, NULL
+             FROM vslcs v JOIN gvcs g USING (sk) WHERE g.gvc<>v.vslc
+           UNION ALL SELECT gvc, 'rdf:type', 'GENO:0000009', false, NULL
+             FROM gvcs WHERE n>1
+           UNION ALL SELECT gvc, 'rdfs:label', gvclabel, true, NULL
+             FROM gvcs WHERE n>1
+           UNION ALL SELECT bkgd, 'RO:0002162', 'NCBITaxon:10090', false,
+             NULL FROM geno2
+           UNION ALL SELECT bkgd, 'rdf:type', 'GENO:0000649', false, NULL
+             FROM geno2
+           UNION ALL SELECT bkgd, 'rdfs:label',
+             'unspecified ('||strain||')', true, NULL FROM geno2
+           UNION ALL SELECT bkgd, 'dc:description',
+             'A placeholder for the unspecified genetic background for '||
+             strain, true, NULL FROM geno2
+           UNION ALL SELECT gid, 'GENO:0000385', bkgd, false, NULL
+             FROM geno2
+           UNION ALL SELECT gid, 'GENO:0000382', gvc, false, NULL
+             FROM geno2
+           UNION ALL SELECT gid, 'rdf:type', 'GENO:0000719', false, NULL
+             FROM geno2
+           UNION ALL SELECT gid, 'rdfs:label', gvclabel||' [n.s.]', true,
+             NULL FROM geno2
+           UNION ALL SELECT strain, 'GENO:0000222', gid, false, NULL
+             FROM geno2) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
