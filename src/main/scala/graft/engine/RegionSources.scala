@@ -101,12 +101,12 @@ object UcscBandsSource extends GraftSource {
 
   /** taxon → (UCSC build, genome label): the reference's `files` dict
     * rows exercised here (Monochrom.py:72-127). */
-  private val builds = Map(
+  private[engine] val builds = Map(
     "9606" -> ("hg19", "Human"), "10090" -> ("mm10", "Mouse"),
     "7955" -> ("danRer10", "Zebrafish"), "10116" -> ("rn6", "Rat"))
 
-  private lazy val tt = TranslationTable.forSource("monochrom")
-  private lazy val stainTerm: Map[String, String] =
+  private[engine] lazy val tt = TranslationTable.forSource("monochrom")
+  private[engine] lazy val stainTerm: Map[String, String] =
     Seq("gneg", "gpos25", "gpos33", "gpos50", "gpos66", "gpos75",
       "gpos100", "gvar", "stalk", "acen").map(s => s -> tt.resolve(s)).toMap
 
@@ -248,6 +248,147 @@ object UcscBandsSource extends GraftSource {
           Genotype.addReferenceGenome(s"UCSCBuild:$build", build, tax)
       }
     bandTriples.union(genomes).toDF()
+  }
+
+  override def testIds: Seq[String] = Seq("CHR:9606chr1")
+}
+
+/** The Monochrom-shape ingest (dipper/sources/Monochrom.py:120-368):
+  * the ONTOLOGY tier of the cytoband partonomy — where [[UcscBandsSource]]
+  * emits build-specific FALDO'd feature instances, this source emits the
+  * build-independent CLASS scaffold the reference's Monochrom parser
+  * builds: every band/arm/chromosome as an owl:Class subClassOf its
+  * karyotype-notation type, with the containment structure expressed as
+  * OWL someValuesFrom RESTRICTION bnodes (`addOWLPropertyClassRestriction`,
+  * Model.py — restriction node digested from `property-value` alone, so
+  * one shared restriction node per (property, value) pair across all
+  * subjects, each carrying a type/label/onProperty/someValuesFrom quad):
+  *   - chromosome classes `member of` the species genome;
+  *   - band ⊂ parent chains as `is subsequence of` / `has subsequence`
+  *     restriction pairs down each karyotype prefix (13q21.31 ⊂ 13q21.3
+  *     ⊂ 13q21 ⊂ 13q2 ⊂ 13q ⊂ 13, make_parent_bands Monochrom.py:348-368);
+  *   - Giemsa-stained bands `has_sequence_attribute` their stain class;
+  *   - the genome class restricted `in taxon` to its species
+  *     (Monochrom.py:196-207).
+  * Leaf classes are typed by their stain term, generated parents by
+  * notation (p → stalk, q → long arm, one place → region, deeper →
+  * band; the reference's subband arm is dead code behind its unanchored
+  * regex and stays dead here) — the same typing rules as
+  * [[UcscBandsSource]], whose localtt choice (only `acen` local, stains
+  * through the global GENO terms) this source shares. Restriction-node
+  * digests use the engine's md5 twin of the reference's sha1 scheme.
+  *
+  * Shares [[UcscBandsSource.read]] (same cytoband manifest,
+  * Monochrom.py:72-127), honors the reference's `tax_ids` constraint
+  * through the taxa-aware transform. Everything is dimension-sized:
+  * one distinct over the exploded prefix chain, no corpus-scale state.
+  */
+object MonochromSource extends GraftSource {
+  val name = "monochrom"
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] =
+    UcscBandsSource.read(spark, dataDir)
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame =
+    transform(spark, in, Nil)
+
+  override def transform(spark: SparkSession, in: Map[String, DataFrame],
+                         taxa: Seq[String]): DataFrame = {
+    import graft.emit.ColumnEmit.{res, str => strT}
+    val tt = UcscBandsSource.tt
+    val stainM = typedLit(UcscBandsSource.stainTerm)
+    val genomeT = TranslationTable.default.resolve("genome")
+    val seqAttrP = tt.resolve("has_sequence_attribute")
+    val src0 = in("cytobands")
+    val src = if (taxa.isEmpty) src0 else src0.filter(col("taxon").isin(taxa: _*))
+
+    // one shared restriction bnode per (property, value): 4 node triples
+    // + the subject's subClassOf link (Model.py addOWLPropertyClassRestriction)
+    def restr(subject: Column, prop: String, value: Column): Seq[Column] = {
+      val ustr = concat(lit(prop + "-"), value)
+      val b = concat(lit("_:"), Digest.md5Id(ustr))
+      Seq(
+        res(b, lit(Vocab.a), lit(Vocab.restriction)),
+        strT(b, lit(Vocab.label), ustr),
+        res(b, lit(Vocab.onProperty), lit(prop)),
+        res(b, lit(Vocab.someValuesFrom), value),
+        res(subject, lit(Vocab.subClassOf), b))
+    }
+
+    val chain = expr(
+      """CASE WHEN band = '' THEN array('')
+         ELSE array_distinct(concat(
+           transform(sequence(length(band), 1, -1),
+             n -> regexp_replace(substring(band, 1, n), '\\.$', '')),
+           array('')))
+         END""")
+    val leaves = src.filter(col("band") =!= "")
+      .groupBy("taxon", "chrom", "band").agg(min("stain").as("stain"))
+      .withColumnRenamed("taxon", "ltaxon")
+      .withColumnRenamed("chrom", "lchrom")
+    val nodes = src
+      .select(col("taxon"), col("glabel"), col("chrom"),
+        explode(chain).as("node"))
+      .distinct()
+      .join(leaves,
+        col("node") === col("band") && col("taxon") === col("ltaxon") &&
+          col("chrom") === col("lchrom"), "left")
+      .withColumn("typ",
+        when(col("node") === "", lit(Vocab.chromosome))
+          .when(col("stain").isNotNull, element_at(stainM, col("stain")))
+          .when(col("node") === "p", lit(tt.resolve("stalk")))
+          .when(col("node") === "q", lit(tt.resolve("long_chromosome_arm")))
+          .when(length(col("node")) === 2, lit(tt.resolve("chromosome_region")))
+          .otherwise(lit(tt.resolve("chromosome_band"))))
+      .withColumn("classId",
+        concat(lit("CHR:"), col("taxon"), lit("chr"), col("chrom"),
+          col("node")))
+      .withColumn("parentId",
+        concat(lit("CHR:"), col("taxon"), lit("chr"), col("chrom"),
+          regexp_replace(expr("substring(node, 1, length(node)-1)"),
+            "\\.$", "")))
+      .withColumn("genomeId",
+        concat(lit("NCBITaxon:"), col("taxon"), lit("#genome")))
+      .withColumn("gstain",
+        when(coalesce(col("stain"), lit("")).rlike("^g(neg|pos|var)"),
+          element_at(stainM, col("stain"))))
+
+    val classTriples = ColumnEmit.emit(nodes,
+      res(col("classId"), lit(Vocab.a), lit(Vocab.owlClass)),
+      strT(col("classId"), lit(Vocab.label),
+        concat(lit("chr"), col("chrom"), col("node"), lit(" ("),
+          col("glabel"), lit(")"))),
+      res(col("classId"), lit(Vocab.subClassOf), col("typ")))
+
+    val chromRestr = ColumnEmit.emit(nodes.filter(col("node") === ""),
+      restr(col("classId"), Vocab.memberOf, col("genomeId")): _*)
+
+    val subseq = nodes.filter(col("node") =!= "")
+    val subseqRestr = ColumnEmit.emit(subseq,
+      restr(col("classId"), Vocab.isSubsequenceOf, col("parentId")) ++
+        restr(col("parentId"), Vocab.hasSubsequence, col("classId")): _*)
+
+    val stainRestr = ColumnEmit.emit(nodes.filter(col("gstain").isNotNull),
+      restr(col("classId"), seqAttrP, col("gstain")): _*)
+
+    val genomes0 = src.select(col("taxon"), col("glabel")).distinct()
+      .withColumn("tax", concat(lit("NCBITaxon:"), col("taxon")))
+      .withColumn("genomeId", concat(col("tax"), lit("#genome")))
+    val genomeTriples = ColumnEmit.emit(genomes0,
+      Seq(
+        res(col("tax"), lit(Vocab.a), lit(Vocab.owlClass)),
+        strT(col("tax"), lit(Vocab.hasExactSynonym), col("glabel")),
+        res(col("genomeId"), lit(Vocab.a), lit(Vocab.owlClass)),
+        res(col("genomeId"), lit(Vocab.subClassOf), lit(genomeT)),
+        strT(col("genomeId"), lit(Vocab.label),
+          concat(col("glabel"), lit(" genome")))) ++
+        restr(col("genomeId"), Vocab.inTaxon, col("tax")): _*)
+
+    classTriples
+      .union(chromRestr)
+      .union(subseqRestr)
+      .union(stainRestr)
+      .union(genomeTriples)
   }
 
   override def testIds: Seq[String] = Seq("CHR:9606chr1")

@@ -1328,6 +1328,16 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #30 — Monochrom shape (Monochrom.py): the
+    // class-tier chromosome ontology over the same derived cytoband rows
+    // as p06 — every band/arm/chromosome an owl:Class under its
+    // notation/stain type, containment and genome membership as shared
+    // OWL someValuesFrom restriction bnodes.
+    "p30_monochrom_pipeline" -> ((s, d) =>
+      graft.engine.MonochromSource.transform(s,
+        graft.engine.MonochromSource.read(s, d))
+        .dropDuplicates("s", "p", "o", "lit", "dt")),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -3622,6 +3632,114 @@ object RdfQueries {
              NULL FROM geno2
            UNION ALL SELECT strain, 'GENO:0000222', gid, false, NULL
              FROM geno2) t""",
+    "p30_monochrom_pipeline" ->
+      """WITH raw AS (SELECT p_partkey AS pk, p_size AS sz FROM part),
+         shaped AS (
+           SELECT
+             list_extract(['9606','10090','7955','10116'], (pk % 4)::int + 1) AS taxon,
+             list_extract(['Human','Mouse','Zebrafish','Rat'], (pk % 4)::int + 1) AS glabel,
+             CASE WHEN pk % 24 = 22 THEN 'X' WHEN pk % 24 = 23 THEN 'Y'
+                  ELSE (pk % 24 + 1)::varchar END AS chrom,
+             CASE WHEN (pk // 24) % 2 = 0 THEN 'p' ELSE 'q' END AS arm,
+             (pk % 5)::int AS depth, sz % 9 + 1 AS d1, pk % 10 AS d2,
+             sz % 10 AS d3,
+             list_extract(['gneg','gpos25','gpos33','gpos50','gpos66',
+               'gpos75','gpos100','gvar','stalk','acen'],
+               (sz % 10)::int + 1) AS stain
+           FROM raw),
+         src AS (
+           SELECT taxon, glabel, chrom, stain,
+             CASE depth WHEN 0 THEN '' WHEN 1 THEN arm
+               WHEN 2 THEN concat(arm, d1)
+               WHEN 3 THEN concat(arm, d1, d2)
+               ELSE concat(arm, d1, d2, '.', d3) END AS band
+           FROM shaped),
+         nodes0 AS (
+           SELECT DISTINCT taxon, glabel, chrom,
+                  regexp_replace(substr(band, 1, g), '\.$', '') AS node
+           FROM src CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS g) t
+           WHERE g <= length(band)
+           UNION
+           SELECT DISTINCT taxon, glabel, chrom, '' FROM src),
+         leaves AS (
+           SELECT taxon, chrom, band, min(stain) AS stain
+           FROM src WHERE band <> '' GROUP BY taxon, chrom, band),
+         typed AS (
+           SELECT n.taxon, n.glabel, n.chrom, n.node, l.stain,
+             CASE WHEN node = '' THEN 'SO:0000340'
+                  WHEN l.stain IS NOT NULL THEN
+                    CASE l.stain WHEN 'gneg' THEN 'GENO:0000620'
+                      WHEN 'gpos25' THEN 'GENO:0000625'
+                      WHEN 'gpos33' THEN 'GENO:0000633'
+                      WHEN 'gpos50' THEN 'GENO:0000624'
+                      WHEN 'gpos66' THEN 'GENO:0000632'
+                      WHEN 'gpos75' THEN 'GENO:0000623'
+                      WHEN 'gpos100' THEN 'GENO:0000622'
+                      WHEN 'gvar' THEN 'GENO:0000621'
+                      WHEN 'stalk' THEN 'GENO:0000628'
+                      ELSE 'SO:0000577' END
+                  WHEN node = 'p' THEN 'GENO:0000628'
+                  WHEN node = 'q' THEN 'GENO:0000629'
+                  WHEN length(node) = 2 THEN 'GENO:0000614'
+                  ELSE 'SO:0000341' END AS typ,
+             'CHR:'||n.taxon||'chr'||n.chrom||node AS classid,
+             'chr'||n.chrom||node||' ('||n.glabel||')' AS clabel,
+             'CHR:'||n.taxon||'chr'||n.chrom||
+               regexp_replace(substr(node, 1, length(node)-1), '\.$', '')
+               AS parentid,
+             CASE l.stain WHEN 'gneg' THEN 'GENO:0000620'
+               WHEN 'gpos25' THEN 'GENO:0000625'
+               WHEN 'gpos33' THEN 'GENO:0000633'
+               WHEN 'gpos50' THEN 'GENO:0000624'
+               WHEN 'gpos66' THEN 'GENO:0000632'
+               WHEN 'gpos75' THEN 'GENO:0000623'
+               WHEN 'gpos100' THEN 'GENO:0000622'
+               WHEN 'gvar' THEN 'GENO:0000621' END AS gstain
+           FROM nodes0 n
+           LEFT JOIN leaves l
+             ON l.taxon = n.taxon AND l.chrom = n.chrom AND l.band = n.node),
+         gen AS (SELECT DISTINCT taxon, glabel FROM src),
+         rs AS (
+           SELECT classid AS subj, 'RO:0002350' AS prop,
+                  'NCBITaxon:'||taxon||'#genome' AS val
+             FROM typed WHERE node = ''
+           UNION ALL SELECT classid, 'RO:0002525', parentid
+             FROM typed WHERE node <> ''
+           UNION ALL SELECT parentid, 'RO:0002524', classid
+             FROM typed WHERE node <> ''
+           UNION ALL SELECT classid, 'GENO:0000207', gstain
+             FROM typed WHERE gstain IS NOT NULL
+           UNION ALL SELECT 'NCBITaxon:'||taxon||'#genome', 'RO:0002162',
+                  'NCBITaxon:'||taxon FROM gen),
+         rb AS (
+           SELECT subj, prop, val, prop||'-'||val AS ustr,
+                  '_:b'||substr(md5(prop||'-'||val),2,19) AS b
+           FROM rs)
+         SELECT DISTINCT * FROM (
+           SELECT classid AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM typed
+           UNION ALL SELECT classid, 'rdfs:label', clabel, true, NULL
+             FROM typed
+           UNION ALL SELECT classid, 'rdfs:subClassOf', typ, false, NULL
+             FROM typed
+           UNION ALL SELECT b, 'rdf:type', 'owl:Restriction', false, NULL
+             FROM rb
+           UNION ALL SELECT b, 'rdfs:label', ustr, true, NULL FROM rb
+           UNION ALL SELECT b, 'owl:onProperty', prop, false, NULL FROM rb
+           UNION ALL SELECT b, 'owl:someValuesFrom', val, false, NULL
+             FROM rb
+           UNION ALL SELECT subj, 'rdfs:subClassOf', b, false, NULL
+             FROM rb
+           UNION ALL SELECT 'NCBITaxon:'||taxon, 'rdf:type', 'owl:Class',
+             false, NULL FROM gen
+           UNION ALL SELECT 'NCBITaxon:'||taxon, 'oboInOwl:hasExactSynonym',
+             glabel, true, NULL FROM gen
+           UNION ALL SELECT 'NCBITaxon:'||taxon||'#genome', 'rdf:type',
+             'owl:Class', false, NULL FROM gen
+           UNION ALL SELECT 'NCBITaxon:'||taxon||'#genome',
+             'rdfs:subClassOf', 'SO:0001026', false, NULL FROM gen
+           UNION ALL SELECT 'NCBITaxon:'||taxon||'#genome', 'rdfs:label',
+             glabel||' genome', true, NULL FROM gen) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
