@@ -1338,6 +1338,93 @@ object RdfQueries {
         graft.engine.MonochromSource.read(s, d))
         .dropDuplicates("s", "p", "o", "lit", "dt")),
 
+    // §3.2 end-to-end ingest #31 — AnimalQTLdb shape (AnimalQTLdb.py):
+    // the three tiers through AnimalQtlSource's real plan — ATO trait
+    // vocabulary from nation, per-species cM QTL tables from orders
+    // (linkage-map chromosomes, fuzzy FALDO ranges, dbSNP peaks, NCBI
+    // candidate genes, is-marker-for associations), and a GFF bp tier
+    // with attribute-bag parsing on UCSC builds.
+    "p31_animalqtldb_pipeline" -> ((s, d) => {
+      val nk = col("n_nationkey")
+      val traits = Tables.nation(s, d).select(
+        when(nk % 3 === 0, concat(lit("VT:"), lpad(nk.cast("string"), 7, "0")))
+          .otherwise(lit("N/A")).as("VT"),
+        when(nk % 4 === 0, concat(lit("LPT:"), nk)).otherwise(lit(""))
+          .as("LPT"),
+        when(nk % 2 === 0, concat(lit("CMO:"), nk)).otherwise(lit("-"))
+          .as("CMO"),
+        concat(lit("[ATO #"), lpad(nk.cast("string"), 6, "0"),
+          lit("] trait "), col("n_name")).as("ATO"),
+        lit("cattle").as("Species"), lit("Meat").as("Class"),
+        lit("QTL").as("Type"), lit("1").as("QTL_Count"))
+      val ok = col("o_orderkey")
+      val cm = Tables.orders(s, d).select(Seq(
+        ok.cast("string").as("QTL_ID"),
+        when(ok % 2 === 0, concat(lit("Sym"), ok % 100)).otherwise(lit(""))
+          .as("QTL_symbol"),
+        concat(lit("trait "), ok % 300).as("Trait_name"),
+        lit("QTL").as("assotype"), lit("").as("empty"),
+        element_at(array(lit("1"), lit("2"), lit("X"), lit("chr3")),
+          (ok % 4 + 1).cast("int")).as("Chromosome"),
+        element_at(array(concat(ok % 90, lit(".5")), (ok % 90).cast("string"),
+          lit(""), lit(""), lit("")), (ok % 5 + 1).cast("int"))
+          .as("Position_cm"),
+        element_at(array(lit(""), lit(""),
+          concat(ok % 50, lit(".2-"), ok % 50 + 10, lit(".9")),
+          concat(ok % 50, lit(".2-"), ok % 50 + 10, lit(".9")),
+          lit("12-34(Mb)")), (ok % 5 + 1).cast("int")).as("range_cm"),
+        lit("").as("FlankMark_A2"), lit("").as("FlankMark_A1"),
+        element_at(array(concat(lit("rs"), ok % 1000), lit("."), lit(""),
+          lit(""), lit(""), lit("")), (ok % 6 + 1).cast("int"))
+          .as("Peak_Mark"),
+        lit("").as("FlankMark_B1"), lit("").as("FlankMark_B2"),
+        lit("").as("Exp_ID"), lit("Mendelian").as("Model"),
+        lit("Genome-wise").as("testbase"), lit("Significant").as("siglevel"),
+        lit("").as("LOD_score"), lit("").as("LS_mean"),
+        element_at(array(lit("0.05"), lit("<3"), lit("2,5"), lit("")),
+          (ok % 4 + 1).cast("int")).as("P_values"),
+        lit("").as("F_Statistics"), lit("").as("VARIANCE"),
+        lit("").as("Bayes_value"), lit("").as("LikelihoodR"),
+        (ok % 300).cast("string").as("TRAIT_ID"),
+        lit("").as("Dom_effect"), lit("").as("Add_effect"),
+        element_at(array(concat(lit("ISU"), ok % 50), ok.cast("string"),
+          lit("")), (ok % 3 + 1).cast("int")).as("PUBMED_ID"),
+        element_at(array(lit(""), (ok % 500).cast("string"),
+          concat(lit("uncharacterized "), ok % 500),
+          concat(lit("LOC"), ok), concat(ok % 500, lit(","))),
+          (ok % 5 + 1).cast("int")).as("geneID"),
+        when(ok % 7 === 0, lit("NCBIgene")).otherwise(lit(""))
+          .as("geneIDsrc"),
+        lit("").as("geneIDtype"),
+        element_at(array(lit("cattle"), lit("chicken"), lit("pig")),
+          (ok % 3 + 1).cast("int")).as("species")): _*)
+      val bp = Tables.orders(s, d).select(
+        element_at(array(lit("Chr.Z"), lit("chr13"), lit("5")),
+          (ok % 3 + 1).cast("int")).as("SEQNAME"),
+        lit("Animal QTLdb").as("SOURCE"),
+        lit("Production_QTL").as("FEATURE"),
+        when(ok % 4 === 0, lit("")).otherwise((ok * 10).cast("string"))
+          .as("START"),
+        (ok * 10 + 500).cast("string").as("END"),
+        lit("").as("SCORE"),
+        element_at(array(lit("+"), lit("-"), lit(".")),
+          (ok % 3 + 1).cast("int")).as("STRAND"),
+        lit(".").as("FRAME"),
+        concat(lit("QTL_ID="), ok, lit(";Name=\"Body weight\";Abbrev=\"BW\";"),
+          element_at(array(concat(lit("PUBMED_ID=ISU"), ok % 50, lit(";")),
+            concat(lit("PUBMED_ID="), ok, lit(";")), lit("")),
+            (ok % 3 + 1).cast("int")),
+          lit("trait_ID="), ok % 300, lit(";trait=\"Body weight\""),
+          element_at(array(lit(";P-value=\"<0.05\""), lit(";P-value=\"7\""),
+            lit(""), lit("")), (ok % 4 + 1).cast("int")),
+          lit(";Map_Type=Linkage;badattr")).as("ATTRIBUTE"),
+        element_at(array(lit("Btau_4.6"), lit("GG_5.0"), lit("XX_9")),
+          (ok % 3 + 1).cast("int")).as("build"))
+      graft.engine.AnimalQtlSource.transform(s,
+        Map("traits" -> traits, "qtl_cm" -> cm, "qtl_bp" -> bp))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -3740,6 +3827,279 @@ object RdfQueries {
              'rdfs:subClassOf', 'SO:0001026', false, NULL FROM gen
            UNION ALL SELECT 'NCBITaxon:'||taxon||'#genome', 'rdfs:label',
              glabel||' genome', true, NULL FROM gen) t""",
+    "p31_animalqtldb_pipeline" ->
+      """WITH tr AS (
+           SELECT n_nationkey AS nk,
+                  'AQTLTrait:'||lpad(n_nationkey::VARCHAR,6,'0') AS ato,
+                  'trait '||n_name AS atolabel
+           FROM nation),
+         cm0 AS (
+           SELECT o_orderkey AS ok, o_orderkey%2 AS m2, o_orderkey%3 AS m3,
+                  o_orderkey%4 AS m4, o_orderkey%5 AS m5, o_orderkey%6 AS m6,
+                  o_orderkey%7 AS m7
+           FROM orders),
+         cm1 AS (
+           SELECT *,
+             list_extract(['cattle','chicken','pig'], m3::int+1) AS sp,
+             list_extract(['9913','9031','9823'], m3::int+1) AS taxnum,
+             list_extract(['1','2','X','3'], m4::int+1) AS chrom
+           FROM cm0),
+         cm2 AS (
+           SELECT *,
+             sp||'QTL:'||ok AS qtl,
+             sp||'QTL:'||(ok%300) AS trait,
+             'trait '||(ok%300) AS traitname,
+             'NCBITaxon:'||taxnum AS taxon,
+             'MONARCH:'||sp||'-linkage' AS buildid,
+             sp||' genetic map' AS buildlabel,
+             'MONARCH:'||sp||'-linkagechr'||chrom AS cin,
+             'CHR:'||taxnum||'chr'||chrom AS chromclass,
+             CASE WHEN m5 IN (2,3) THEN ok%50
+                  WHEN m5=4 THEN 12
+                  WHEN m5=0 THEN ok%90 END AS qstart,
+             CASE WHEN m5 IN (2,3) THEN ok%50+10
+                  WHEN m5=4 THEN 34
+                  WHEN m5=0 THEN ok%90 END AS qstop,
+             CASE WHEN m6=0 THEN 'dbSNP:rs'||(ok%1000) END AS dbsnp,
+             CASE WHEN m5 IN (1,2,4) OR (m5=3 AND m7=0)
+                  THEN CASE WHEN m5=3 THEN 'NCBIGene:LOC'||ok
+                       ELSE 'NCBIGene:'||(ok%500) END END AS gene,
+             CASE WHEN m3=0 THEN 'AQTLPub:ISU'||(ok%50)
+                  WHEN m3=1 THEN 'PMID:'||ok END AS pub,
+             CASE WHEN m4=1 THEN '3.0' END AS score
+           FROM cm1),
+         cm3 AS (
+           SELECT *,
+             CASE WHEN dbsnp IS NOT NULL AND gene IS NOT NULL THEN
+               '_:b'||substr(md5(replace(gene,':','')||'-rs'||(ok%1000)),2,19)
+             END AS vl,
+             '_:b'||substr(md5('EX:animalqtldb+'||qtl||'+RO:0002607+'||
+               trait),2,19) AS aid1,
+             CASE WHEN dbsnp IS NOT NULL THEN
+               '_:b'||substr(md5('EX:animalqtldb+'||dbsnp||'+RO:0002607+'||
+                 trait),2,19) END AS aid2,
+             CASE WHEN m5<>1 THEN
+               '_:b'||substr(md5('region+'||qtl||'+'||qstart||'+'||qstop||
+                 '+'||cin),2,19) END AS region
+           FROM cm2),
+         cm4 AS (
+           SELECT *,
+             CASE WHEN region IS NOT NULL THEN
+               '_:b'||substr(md5('pos+'||region||'+begin+'||qstart),2,19)
+             END AS beginp,
+             CASE WHEN region IS NOT NULL THEN
+               '_:b'||substr(md5('pos+'||region||'+end+'||qstop),2,19)
+             END AS endp
+           FROM cm3),
+         bp0 AS (
+           SELECT o_orderkey AS ok, o_orderkey%3 AS m3, o_orderkey%4 AS m4
+           FROM orders WHERE o_orderkey%3 <> 2),
+         bp1 AS (
+           SELECT *,
+             CASE m3 WHEN 0 THEN 'cattle' ELSE 'chicken' END AS sp,
+             CASE m3 WHEN 0 THEN '9913' ELSE '9031' END AS taxnum,
+             CASE m3 WHEN 0 THEN 'Btau_4.6' ELSE 'GG_5.0' END AS build,
+             CASE m3 WHEN 0 THEN 'bosTau7' ELSE 'galGal5' END AS bshort,
+             CASE m3 WHEN 0 THEN 'Z' ELSE '13' END AS chrom,
+             CASE m3 WHEN 0 THEN 'faldo:ForwardStrandPosition'
+                  ELSE 'faldo:ReverseStrandPosition' END AS strandt,
+             CASE WHEN m4=0 THEN NULL ELSE (ok*10)::VARCHAR END AS qstart,
+             (ok*10+500)::VARCHAR AS qstop
+           FROM bp0),
+         bp2 AS (
+           SELECT *,
+             sp||'QTL:'||ok AS qtl,
+             'AQTLTrait:'||(ok%300) AS trait,
+             'NCBITaxon:'||taxnum AS taxon,
+             'UCSCBuild:'||bshort AS buildlocal,
+             'MONARCH:'||bshort||'chr'||chrom AS cin,
+             'CHR:'||taxnum||'chr'||chrom AS chromclass,
+             CASE WHEN m3=0 THEN 'AQTLPub:ISU'||(ok%50)
+                  ELSE 'PMID:'||ok END AS pub,
+             CASE WHEN m4=1 THEN '7.0' END AS score
+           FROM bp1),
+         bp3 AS (
+           SELECT *,
+             '_:b'||substr(md5('EX:animalqtldb+'||qtl||'+RO:0002607+'||
+               trait),2,19) AS aid,
+             '_:b'||substr(md5('region+'||qtl||'+'||coalesce(qstart,'UN')||
+               '+'||qstop||'+'||cin),2,19) AS region
+           FROM bp2),
+         bp4 AS (
+           SELECT *,
+             CASE WHEN qstart IS NOT NULL THEN
+               '_:b'||substr(md5('pos+'||region||'+begin+'||qstart),2,19)
+             END AS beginp,
+             '_:b'||substr(md5('pos+'||region||'+end+'||qstop),2,19) AS endp
+           FROM bp3)
+         SELECT DISTINCT * FROM (
+           SELECT ato AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM tr
+           UNION ALL SELECT ato, 'rdfs:label', atolabel, true, NULL FROM tr
+           UNION ALL SELECT 'VT:'||lpad(nk::VARCHAR,7,'0'), 'rdf:type',
+             'owl:Class', false, NULL FROM tr WHERE nk%3=0
+           UNION ALL SELECT ato, 'owl:equivalentClass',
+             'VT:'||lpad(nk::VARCHAR,7,'0'), false, NULL FROM tr
+             WHERE nk%3=0
+           UNION ALL SELECT 'LPT:'||nk, 'rdf:type', 'owl:Class', false,
+             NULL FROM tr WHERE nk%4=0
+           UNION ALL SELECT ato, 'oboInOwl:hasDbXref', 'LPT:'||nk, false,
+             NULL FROM tr WHERE nk%4=0
+           UNION ALL SELECT 'CMO:'||nk, 'rdf:type', 'owl:Class', false,
+             NULL FROM tr WHERE nk%2=0
+           UNION ALL SELECT ato, 'oboInOwl:hasDbXref', 'CMO:'||nk, false,
+             NULL FROM tr WHERE nk%2=0
+           UNION ALL SELECT qtl, 'rdf:type', 'SO:0000771', false, NULL
+             FROM cm4
+           UNION ALL SELECT qtl, 'rdfs:label', 'Sym'||(ok%100), true, NULL
+             FROM cm4 WHERE m2=0
+           UNION ALL SELECT qtl, 'RO:0002162', taxon, false, NULL FROM cm4
+           UNION ALL SELECT buildid, 'rdf:type', 'SO:0001505', false, NULL
+             FROM cm4
+           UNION ALL SELECT buildid, 'rdfs:label', buildlabel, true, NULL
+             FROM cm4
+           UNION ALL SELECT buildid, 'RO:0002162', taxon, false, NULL
+             FROM cm4
+           UNION ALL SELECT cin, 'rdf:type', 'SO:0000340', false, NULL
+             FROM cm4
+           UNION ALL SELECT cin, 'rdf:type', chromclass, false, NULL
+             FROM cm4
+           UNION ALL SELECT cin, 'rdfs:label',
+             'chr'||chrom||' ('||buildlabel||')', true, NULL FROM cm4
+           UNION ALL SELECT buildid, 'RO:0002351', cin, false, NULL
+             FROM cm4
+           UNION ALL SELECT cin, 'RO:0002350', buildid, false, NULL
+             FROM cm4
+           UNION ALL SELECT trait, 'rdf:type', 'owl:Class', false, NULL
+             FROM cm4
+           UNION ALL SELECT trait, 'rdfs:label', traitname, true, NULL
+             FROM cm4
+           UNION ALL SELECT dbsnp, 'rdf:type', 'SO:0001059', false, NULL
+             FROM cm4 WHERE dbsnp IS NOT NULL
+           UNION ALL SELECT qtl, 'oboInOwl:hasDbXref', dbsnp, false, NULL
+             FROM cm4 WHERE dbsnp IS NOT NULL
+           UNION ALL SELECT gene, 'rdf:type', 'owl:Class', false, NULL
+             FROM cm4 WHERE gene IS NOT NULL
+           UNION ALL SELECT gene, 'rdfs:subClassOf', 'SO:0000704', false,
+             NULL FROM cm4 WHERE gene IS NOT NULL
+           UNION ALL SELECT qtl, 'GENO:0000418', gene, false, NULL
+             FROM cm4 WHERE gene IS NOT NULL
+           UNION ALL SELECT vl, 'GENO:0000382', dbsnp, false, NULL
+             FROM cm4 WHERE vl IS NOT NULL
+           UNION ALL SELECT vl, 'GENO:0000418', gene, false, NULL
+             FROM cm4 WHERE vl IS NOT NULL
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000311', false, NULL
+             FROM cm4 WHERE pub LIKE 'AQTLPub:%'
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM cm4 WHERE pub LIKE 'PMID:%'
+           UNION ALL SELECT qtl, 'rdf:type', 'faldo:Region', false, NULL
+             FROM cm4 WHERE m5=1
+           UNION ALL SELECT qtl, 'faldo:location', region, false, NULL
+             FROM cm4 WHERE region IS NOT NULL
+           UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false,
+             NULL FROM cm4 WHERE region IS NOT NULL
+           UNION ALL SELECT region, 'faldo:begin', beginp, false, NULL
+             FROM cm4 WHERE region IS NOT NULL
+           UNION ALL SELECT region, 'faldo:end', endp, false, NULL
+             FROM cm4 WHERE region IS NOT NULL
+           UNION ALL SELECT beginp, 'rdf:type', 'faldo:FuzzyPosition',
+             false, NULL FROM cm4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'faldo:position', qstart::VARCHAR,
+             true, 'xsd:integer' FROM cm4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'faldo:reference', cin, false, NULL
+             FROM cm4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT endp, 'rdf:type', 'faldo:FuzzyPosition',
+             false, NULL FROM cm4 WHERE endp IS NOT NULL
+           UNION ALL SELECT endp, 'faldo:position', qstop::VARCHAR, true,
+             'xsd:integer' FROM cm4 WHERE endp IS NOT NULL
+           UNION ALL SELECT endp, 'faldo:reference', cin, false, NULL
+             FROM cm4 WHERE endp IS NOT NULL
+           UNION ALL SELECT qtl, 'RO:0002607', trait, false, NULL FROM cm4
+           UNION ALL SELECT aid1, 'rdf:type', 'OBAN:association', false,
+             NULL FROM cm4
+           UNION ALL SELECT aid1, 'OBAN:association_has_subject', qtl,
+             false, NULL FROM cm4
+           UNION ALL SELECT aid1, 'OBAN:association_has_predicate',
+             'RO:0002607', false, NULL FROM cm4
+           UNION ALL SELECT aid1, 'OBAN:association_has_object', trait,
+             false, NULL FROM cm4
+           UNION ALL SELECT aid1, 'RO:0002558', 'ECO:0000061', false,
+             NULL FROM cm4
+           UNION ALL SELECT aid1, 'dc:source', pub, false, NULL FROM cm4
+             WHERE pub IS NOT NULL
+           UNION ALL SELECT aid1, 'EXP:score', score, true, 'xsd:double'
+             FROM cm4 WHERE score IS NOT NULL
+           UNION ALL SELECT dbsnp, 'RO:0002607', trait, false, NULL
+             FROM cm4 WHERE dbsnp IS NOT NULL
+           UNION ALL SELECT aid2, 'rdf:type', 'OBAN:association', false,
+             NULL FROM cm4 WHERE aid2 IS NOT NULL
+           UNION ALL SELECT aid2, 'OBAN:association_has_subject', dbsnp,
+             false, NULL FROM cm4 WHERE aid2 IS NOT NULL
+           UNION ALL SELECT aid2, 'OBAN:association_has_predicate',
+             'RO:0002607', false, NULL FROM cm4 WHERE aid2 IS NOT NULL
+           UNION ALL SELECT aid2, 'OBAN:association_has_object', trait,
+             false, NULL FROM cm4 WHERE aid2 IS NOT NULL
+           UNION ALL SELECT aid2, 'RO:0002558', 'ECO:0000061', false,
+             NULL FROM cm4 WHERE aid2 IS NOT NULL
+           UNION ALL SELECT aid2, 'dc:source', pub, false, NULL FROM cm4
+             WHERE aid2 IS NOT NULL AND pub IS NOT NULL
+           UNION ALL SELECT aid2, 'EXP:score', score, true, 'xsd:double'
+             FROM cm4 WHERE aid2 IS NOT NULL AND score IS NOT NULL
+           UNION ALL SELECT qtl, 'rdf:type', 'SO:0000771', false, NULL
+             FROM bp4
+           UNION ALL SELECT qtl, 'RO:0002162', taxon, false, NULL FROM bp4
+           UNION ALL SELECT cin, 'rdf:type', 'SO:0000340', false, NULL
+             FROM bp4
+           UNION ALL SELECT cin, 'rdf:type', chromclass, false, NULL
+             FROM bp4
+           UNION ALL SELECT cin, 'rdfs:label',
+             'chr'||chrom||' ('||build||')', true, NULL FROM bp4
+           UNION ALL SELECT buildlocal, 'RO:0002351', cin, false, NULL
+             FROM bp4
+           UNION ALL SELECT cin, 'RO:0002350', buildlocal, false, NULL
+             FROM bp4
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000311', false, NULL
+             FROM bp4 WHERE pub LIKE 'AQTLPub:%'
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM bp4 WHERE pub LIKE 'PMID:%'
+           UNION ALL SELECT qtl, 'faldo:location', region, false, NULL
+             FROM bp4
+           UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false,
+             NULL FROM bp4
+           UNION ALL SELECT region, 'faldo:begin', beginp, false, NULL
+             FROM bp4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT region, 'faldo:end', endp, false, NULL
+             FROM bp4
+           UNION ALL SELECT beginp, 'rdf:type', 'faldo:FuzzyPosition',
+             false, NULL FROM bp4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'rdf:type', strandt, false, NULL
+             FROM bp4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'faldo:position', qstart, true,
+             'xsd:integer' FROM bp4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'faldo:reference', cin, false, NULL
+             FROM bp4 WHERE beginp IS NOT NULL
+           UNION ALL SELECT endp, 'rdf:type', 'faldo:FuzzyPosition',
+             false, NULL FROM bp4
+           UNION ALL SELECT endp, 'rdf:type', strandt, false, NULL
+             FROM bp4
+           UNION ALL SELECT endp, 'faldo:position', qstop, true,
+             'xsd:integer' FROM bp4
+           UNION ALL SELECT endp, 'faldo:reference', cin, false, NULL
+             FROM bp4
+           UNION ALL SELECT qtl, 'RO:0002607', trait, false, NULL FROM bp4
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM bp4
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', qtl,
+             false, NULL FROM bp4
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002607', false, NULL FROM bp4
+           UNION ALL SELECT aid, 'OBAN:association_has_object', trait,
+             false, NULL FROM bp4
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000061', false, NULL
+             FROM bp4
+           UNION ALL SELECT aid, 'dc:source', pub, false, NULL FROM bp4
+           UNION ALL SELECT aid, 'EXP:score', score, true, 'xsd:double'
+             FROM bp4 WHERE score IS NOT NULL) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
