@@ -1425,6 +1425,89 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #32 — FlyBase shape (FlyBase.py): the four
+    // tiers through FlyBaseSource's real plan — @term@ phenotype
+    // descriptors with qualifier-folded association digests, the
+    // species-prefix allele/gene tier with foreign-transgenic exclusion,
+    // disease models with FBrf→PMID rerouting, and gene xref cliques.
+    "p32_flybase_pipeline" -> ((s, d) => {
+      val nk = col("n_nationkey")
+      val speciesDf = Tables.nation(s, d).select(
+        concat(lit("Sp"), nk).as("prefix"),
+        when(nk % 3 === 0, lit("drosophilid"))
+          .otherwise(lit("non-drosophilid eukaryote")).as("taxgroup"),
+        concat(lit("NCBITaxon:"), nk + 7000).as("taxon"))
+      val ok = col("o_orderkey")
+      val sp9 = ok % 25
+      val fbal = concat(lit("FBal"), lpad(ok.cast("string"), 7, "0"))
+      val fbgn = concat(lit("FBgn"), lpad((ok % 2000).cast("string"), 7, "0"))
+      val ag = Tables.orders(s, d).select(
+        fbal.as("AlleleID"),
+        element_at(array(
+          concat(lit("Sp"), sp9, lit("\\a"), ok),
+          concat(lit("a"), ok),
+          concat(lit("Zz\\a"), ok),
+          concat(lit("a"), ok)), (ok % 4 + 1).cast("int")).as("AlleleSymbol"),
+        fbgn.as("GeneID"),
+        element_at(array(
+          concat(lit("Sp"), sp9, lit("\\g"), ok % 2000),
+          concat(lit("g"), ok % 2000),
+          concat(lit("Zz\\g"), ok % 2000),
+          concat(lit("Qq\\g"), ok % 2000)), (ok % 4 + 1).cast("int"))
+          .as("GeneSymbol"))
+      val ap = Tables.orders(s, d).select(
+        fbal.as("allele_id"),
+        element_at(array(
+          concat(lit("@FBcv"), lpad((ok % 900).cast("string"), 7, "0"),
+            lit(":lethal@")),
+          concat(lit("@FBcv"), lpad((ok % 900).cast("string"), 7, "0"),
+            lit(":lethal@ | @FBal"), lpad((ok % 500).cast("string"), 7, "0"),
+            lit(":some<up>x</up>@")),
+          concat(lit("@FBcv"), lpad((ok % 900).cast("string"), 7, "0"),
+            lit(":sterile@ | @:heat sensitive@ | @GO"),
+            lpad((ok % 300).cast("string"), 7, "0"), lit(":nucleus@")),
+          lit("no terms here")),
+          when(ok % 13 === 0, lit(4)).otherwise(ok % 3 + 1).cast("int"))
+          .as("pheno_desc"),
+        when(ok % 11 === 0, lit("derived_pheno_manifest"))
+          .otherwise(lit("derived_pheno_class")).as("pheno_type"),
+        concat(lit("FBrf"), ok % 400).as("pub_id"),
+        concat(lit("title "), ok % 400).as("pub_title"),
+        when(ok % 3 === 0, lit("")).otherwise((ok % 10000).cast("string"))
+          .as("pmid_id"))
+      val refPub = Tables.orders(s, d)
+        .filter((ok % 400) % 2 === 0)
+        .select(concat(lit("FBrf"), ok % 400).as("FBrf"),
+          (ok % 400 + 90000).cast("string").as("PMID"),
+          lit("").as("PMCID"), lit("").as("DOI"),
+          lit("paper").as("pub_type"), lit("").as("miniref"),
+          lit("").as("pmid_added"))
+        .dropDuplicates("FBrf")
+      val dm = Tables.orders(s, d).select(
+        fbgn.as("fbgn"), lit("sym").as("gene_symbol"),
+        lit("HGNC:1").as("hgnc"),
+        when(ok % 5 === 0, lit("ameliorates")).otherwise(lit("model of"))
+          .as("do_qualifier"),
+        concat(lit("DOID:"), ok % 800).as("do_id"),
+        lit("a disease").as("do_term"),
+        when(ok % 9 === 0, lit("")).otherwise(fbal).as("allele_id"),
+        lit("asym").as("allele_symbol"), lit("").as("ortho_hgnc"),
+        lit("").as("ortho_symbol"),
+        when(ok % 2 === 0, lit("inferred from mutant phenotype"))
+          .otherwise(concat(lit("evtext "), ok % 50)).as("evidence"),
+        when(ok % 6 === 0, lit("")).otherwise(concat(lit("FBrf"), ok % 400))
+          .as("fbrf"))
+      val xr = Tables.orders(s, d).select(
+        fbgn.as("gene_id"), (ok % 3000).cast("string").as("xref_id"),
+        when(ok % 2 === 0, lit("EntrezGene")).otherwise(lit("HGNC"))
+          .as("xref_source"))
+      graft.engine.FlyBaseSource.transform(s, Map(
+        "allele_phenotype" -> ap, "gene_xref" -> xr,
+        "species_map" -> speciesDf, "allele_gene" -> ag,
+        "ref_pubmed" -> refPub, "disease_model" -> dm))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -4100,6 +4183,104 @@ object RdfQueries {
            UNION ALL SELECT aid, 'dc:source', pub, false, NULL FROM bp4
            UNION ALL SELECT aid, 'EXP:score', score, true, 'xsd:double'
              FROM bp4 WHERE score IS NOT NULL) t""",
+    "p32_flybase_pipeline" ->
+      """WITH r0 AS (
+           SELECT o_orderkey AS ok, o_orderkey%2 AS m2, o_orderkey%3 AS m3,
+                  o_orderkey%4 AS am, o_orderkey%5 AS m5, o_orderkey%6 AS m6,
+                  o_orderkey%9 AS m9, o_orderkey%11 AS m11,
+                  o_orderkey%13 AS m13, o_orderkey%25 AS sp9,
+                  o_orderkey%400 AS rr
+           FROM orders),
+         r1 AS (
+           SELECT *,
+             (sp9%3=0) AS droso,
+             (am=2 OR (am=0 AND sp9%3<>0)) AS transg,
+             'FlyBase:FBal'||lpad(ok::VARCHAR,7,'0') AS allele,
+             'FlyBase:FBgn'||lpad((ok%2000)::VARCHAR,7,'0') AS gene
+           FROM r0),
+         ag AS (SELECT * FROM r1 WHERE NOT transg),
+         ap0 AS (
+           SELECT *, 'FBcv:'||lpad((ok%900)::VARCHAR,7,'0') AS pheno,
+             CASE WHEN m3=0 THEN 'FlyBase:FBrf'||rr
+                  ELSE 'PMID:'||(ok%10000) END AS ref,
+             CASE m3 WHEN 1 THEN '+FBal'||lpad((ok%500)::VARCHAR,7,'0')
+                  WHEN 2 THEN '++GO'||lpad((ok%300)::VARCHAR,7,'0')
+                  ELSE '' END AS qsuffix
+           FROM r1 WHERE NOT transg AND m11<>0 AND m13<>0),
+         ap AS (
+           SELECT *, '_:b'||substr(md5('EX:flybase+'||allele||
+             '+RO:0002200+'||pheno||qsuffix),2,19) AS aid
+           FROM ap0),
+         dm0 AS (
+           SELECT *, 'DOID:'||(ok%800) AS doid,
+             CASE WHEN m6=0 THEN NULL
+                  WHEN rr%2=0 THEN 'PMID:'||(rr+90000)
+                  ELSE 'FlyBase:FBrf'||rr END AS ref
+           FROM r1 WHERE NOT transg AND m9<>0 AND m5<>0),
+         dm AS (
+           SELECT *, '_:b'||substr(md5('EX:flybase+'||allele||
+             '+RO:0003301+'||doid),2,19) AS aid
+           FROM dm0)
+         SELECT DISTINCT * FROM (
+           SELECT allele AS s, 'rdf:type' AS p, 'GENO:0000512' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM ag
+           UNION ALL SELECT allele, 'rdfs:label',
+             CASE WHEN am=0 THEN 'Sp'||sp9||'\a'||ok ELSE 'a'||ok END,
+             true, NULL FROM ag
+           UNION ALL SELECT allele, 'RO:0002162',
+             CASE WHEN am=0 THEN 'NCBITaxon:'||(7000+sp9)
+                  ELSE 'NCBITaxon:7227' END, false, NULL FROM ag
+           UNION ALL SELECT gene, 'RO:0002162', 'NCBITaxon:'||(7000+sp9),
+             false, NULL FROM ag WHERE am=0
+           UNION ALL SELECT gene, 'rdf:type', 'owl:Class', false, NULL
+             FROM ag
+           UNION ALL SELECT gene, 'rdfs:subClassOf', 'SO:0000704', false,
+             NULL FROM ag
+           UNION ALL SELECT gene, 'rdfs:label',
+             CASE WHEN am=0 THEN 'Sp'||sp9||'\g'||(ok%2000)
+                  ELSE 'g'||(ok%2000) END, true, NULL FROM ag WHERE am IN (0,1)
+           UNION ALL SELECT allele, 'GENO:0000418', gene, false, NULL
+             FROM ag WHERE am IN (0,1)
+           UNION ALL SELECT allele, 'RO:0002200', pheno, false, NULL
+             FROM ap
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM ap
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', allele,
+             false, NULL FROM ap
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM ap
+           UNION ALL SELECT aid, 'OBAN:association_has_object', pheno,
+             false, NULL FROM ap
+           UNION ALL SELECT aid, 'dc:source', ref, false, NULL FROM ap
+           UNION ALL SELECT ref, 'rdf:type', 'IAO:0000311', false, NULL
+             FROM ap WHERE m3=0
+           UNION ALL SELECT ref, 'rdfs:label', 'title '||rr, true, NULL
+             FROM ap WHERE m3=0
+           UNION ALL SELECT aid, 'GENO:0000580',
+             'FlyBase:FBal'||lpad((ok%500)::VARCHAR,7,'0'), false, NULL
+             FROM ap WHERE m3=1
+           UNION ALL SELECT aid, 'GENO:0000580',
+             'GO:'||lpad((ok%300)::VARCHAR,7,'0'), false, NULL
+             FROM ap WHERE m3=2
+           UNION ALL SELECT allele, 'RO:0003301', doid, false, NULL
+             FROM dm
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM dm
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', allele,
+             false, NULL FROM dm
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0003301', false, NULL FROM dm
+           UNION ALL SELECT aid, 'OBAN:association_has_object', doid,
+             false, NULL FROM dm
+           UNION ALL SELECT aid, 'dc:source', ref, false, NULL FROM dm
+             WHERE ref IS NOT NULL
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000015', false, NULL
+             FROM dm WHERE m2=0
+           UNION ALL SELECT aid, 'dc:description', 'evtext '||(ok%50),
+             true, NULL FROM dm WHERE m2<>0
+           UNION ALL SELECT gene, 'owl:equivalentClass',
+             (CASE WHEN m2=0 THEN 'NCBIGene:' ELSE 'HGNC:' END)||(ok%3000),
+             false, NULL FROM r1) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
