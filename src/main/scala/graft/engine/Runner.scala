@@ -48,7 +48,8 @@ object Runner {
     ReactomeSource, EbiG2PSource, RgdSource, ZfinSlimSource, MgiSlimSource,
     SgdSource, MonarchSource, GeneReviewsSource, EomSource,
     MyDrugSource, EnsemblSource, XenbaseSource, CoriellSource,
-    MmrrcSource, MonochromSource, AnimalQtlSource, FlyBaseSource
+    MmrrcSource, MonochromSource, AnimalQtlSource, FlyBaseSource,
+    WormBaseSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

@@ -1508,6 +1508,100 @@ object RdfQueries {
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
+    // §3.2 end-to-end ingest #33 — WormBase shape (WormBase.py): the five
+    // active tiers through WormBaseSource's real plan — the gene
+    // dimension with Dead-gene deprecation, the phenotype GAF with the
+    // REF⇄WITH unswap and WBVar/WBRNAi routing, the RNAi reagent sets,
+    // the GFF feature tier with attribute-bag ids and both-ends-at-start
+    // FALDO, and gene-level disease models.
+    "p33_wormbase_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val gk = ok % 4000
+      val wbg = concat(lit("WBGene"), lpad(gk.cast("string"), 8, "0"))
+      val wbvar = concat(lit("WBVar"), lpad((ok % 900).cast("string"), 8, "0"))
+      val wbrnai = concat(lit("WBRNAi"), lpad((ok % 400).cast("string"), 8, "0"))
+      val wbpaper = concat(lit("WBPaper"), lpad((ok % 300).cast("string"), 8, "0"))
+      val geneIds = Tables.orders(s, d).select(
+        lit("6239").as("taxon_num"), wbg.as("gene_num"),
+        when(gk % 5 === 0, lit("")).otherwise(concat(lit("sym"), gk))
+          .as("gene_symbol"),
+        when(gk % 3 === 0, concat(lit("Y"), gk, lit(".1"))).otherwise(lit(""))
+          .as("gene_synonym"),
+        when(gk % 17 === 0, lit("Dead")).otherwise(lit("Live")).as("live"),
+        lit("protein_coding_gene").as("gene_type"))
+      def gaf(obj: Column, ref: Column, eco: Column, wf: Column) =
+        Tables.orders(s, d).select(
+          lit("WB").as("DB"), wbg.as("DB_Object_ID"),
+          lit("gsym").as("DB_Object_Symbol"),
+          when(ok % 19 === 0, lit("NOT")).otherwise(lit("")).as("Qualifier"),
+          obj.as("GO_ID"), ref.as("DB_Reference"), eco.as("Evidence_Code"),
+          wf.as("With_or_From"), lit("P").as("Aspect"),
+          lit("").as("DB_Object_Name"), lit("").as("DB_Object_Synonym"),
+          lit("gene").as("DB_Object_Type"), lit("taxon:6239").as("Taxon"),
+          lit("20200101").as("Date"), lit("WB").as("Assigned_By"),
+          lit("").as("Annotation_Extension"),
+          lit("").as("Gene_Product_Form_ID"))
+      val ap = gaf(
+        concat(lit("WBPhenotype:"), lpad((ok % 700).cast("string"), 7, "0")),
+        element_at(array(concat(lit("WB_REF:"), wbpaper),
+          concat(lit("WB:"), wbvar), concat(lit("WB_REF:"), wbpaper),
+          concat(lit("WB:"), wbrnai)), (ok % 4 + 1).cast("int")),
+        when(ok % 2 === 0, lit("IMP")).when(ok % 7 === 0, lit("XYZ"))
+          .otherwise(lit("IEA")),
+        element_at(array(concat(lit("WB:"), wbvar),
+          concat(lit("WB:WBPerson"), ok % 80),
+          concat(lit("WB:"), wbvar, lit("|WB:"), wbrnai),
+          lit("")), (ok % 4 + 1).cast("int")))
+      val rp = Tables.orders(s, d).select(
+        wbg.as("gene_num"), concat(lit("alt"), gk).as("gene_alt_symbol"),
+        lit("locomotion variant").as("phenotype_label"),
+        concat(lit("WBPhenotype:"), lpad((ok % 700).cast("string"), 7, "0"))
+          .as("phenotype_id"),
+        element_at(array(
+          concat(wbrnai, lit("|"), wbpaper),
+          concat(wbrnai, lit("|"), wbpaper, lit(" WBRNAi"),
+            lpad((ok % 450).cast("string"), 8, "0"), lit("|WBPaper"),
+            lpad((ok % 350).cast("string"), 8, "0")),
+          concat(wbrnai, lit("|a|b"))), (ok % 3 + 1).cast("int"))
+          .as("rnai_and_refs"))
+      val v0 = concat(lit("ID=Gene:"), wbg, lit(";Name="), wbg,
+        lit(";biotype=protein_coding;sequence_name=Y1.1"))
+      val fl = Tables.orders(s, d).select(
+        element_at(array(lit("I"), lit("II"), lit("X")),
+          (ok % 3 + 1).cast("int")).as("seqid"),
+        lit("WormBase").as("source"),
+        element_at(array(lit("gene"), lit("point_mutation"),
+          lit("biological_region"), lit("pseudogene")),
+          (ok % 4 + 1).cast("int")).as("ftype"),
+        when(ok % 6 === 0, lit("")).otherwise((ok % 100000).cast("string"))
+          .as("start"),
+        (ok % 100000 + 500).cast("string").as("end"),
+        lit(".").as("score"),
+        element_at(array(lit("+"), lit("-"), lit(".")),
+          (ok % 3 + 1).cast("int")).as("strand"),
+        lit(".").as("phase"),
+        concat(
+          when(ok % 4 === 0, v0).otherwise(element_at(array(
+            concat(lit("ID=Variation:"), wbvar, lit(";Name=abc"), ok % 50),
+            concat(lit("variation="), wbvar, lit(";public_name=gk"),
+              ok % 900, lit(";substitution=C/T;strain=VC1")),
+            lit("ID=gmap:spe-13;gmap=spe-13"),
+            concat(lit("Name=WBsf"), lpad((ok % 600).cast("string"), 6, "0"),
+              lit(";tf_id=X"))), (ok % 5 % 4 + 1).cast("int"))),
+          when(ok % 23 === 0, lit(";polymorphism=1")).otherwise(lit("")))
+          .as("attributes"),
+        lit("WS274").as("build"))
+      val da = gaf(
+        concat(lit("DOID:"), ok % 600),
+        when(ok % 6 === 0, lit("")).otherwise(concat(lit("WB_REF:"), wbpaper)),
+        when(ok % 2 === 0, lit("IMP")).otherwise(lit("IEA")),
+        lit(""))
+      graft.engine.WormBaseSource.transform(s, Map(
+        "gene_ids" -> geneIds, "allele_pheno" -> ap, "rnai_pheno" -> rp,
+        "feature_loc" -> fl, "disease_assoc" -> da))
+        .dropDuplicates("s", "p", "o", "lit", "dt")
+    }),
+
     // §2.4 Support long tail — Evidence (SEPIO line/item/publication +
     // measurement data), Provenance (assertion/agent), Reference (typed
     // publication with pages), Family membership, Environment condition,
@@ -4281,6 +4375,223 @@ object RdfQueries {
            UNION ALL SELECT gene, 'owl:equivalentClass',
              (CASE WHEN m2=0 THEN 'NCBIGene:' ELSE 'HGNC:' END)||(ok%3000),
              false, NULL FROM r1) t""",
+    "p33_wormbase_pipeline" ->
+      """WITH o0 AS (
+           SELECT o_orderkey AS ok, o_orderkey%3 AS m3, o_orderkey%4 AS m4,
+                  o_orderkey%5 AS m5, o_orderkey%6 AS m6, o_orderkey%7 AS m7,
+                  o_orderkey%19 AS m19, o_orderkey%23 AS m23,
+                  o_orderkey%4000 AS gk
+           FROM orders),
+         o1 AS (
+           SELECT *,
+             'WormBase:WBGene'||lpad(gk::VARCHAR,8,'0') AS gene,
+             'WBGene'||lpad(gk::VARCHAR,8,'0') AS gnum,
+             'WormBase:WBVar'||lpad((ok%900)::VARCHAR,8,'0') AS wbvar,
+             'WormBase:WBRNAi'||lpad((ok%400)::VARCHAR,8,'0') AS wbrnai,
+             'WormBase:WBPaper'||lpad((ok%300)::VARCHAR,8,'0') AS wbpaper,
+             'WBPhenotype:'||lpad((ok%700)::VARCHAR,7,'0') AS pheno,
+             CASE WHEN ok%2=0 THEN 'ECO:0000315'
+                  WHEN m7=0 THEN NULL ELSE 'ECO:0000501' END AS eco
+           FROM o0),
+         gt AS (SELECT DISTINCT gk, gene FROM o1),
+         apall AS (
+           SELECT *, wbvar AS allele, true AS isvar FROM o1
+             WHERE m19<>0 AND m4 IN (0,1,2)
+           UNION ALL SELECT *, wbrnai, false FROM o1
+             WHERE m19<>0 AND m4 IN (2,3)),
+         ap2 AS (
+           SELECT *,
+             '_:b'||substr(md5('EX:wormbase+'||allele||'+RO:0002200+'||
+               pheno),2,19) AS aid,
+             CASE WHEN m4 IN (0,2) THEN wbpaper
+                  WHEN m4=1 THEN 'WormBase:WBPerson'||(ok%80) END AS ref,
+             (m4=1) AS isperson
+           FROM apall),
+         rp1 AS (
+           SELECT *, ok%400 AS rn, ok%300 AS rf FROM o1 WHERE m3 IN (0,1)
+           UNION ALL SELECT *, ok%450, ok%350 FROM o1 WHERE m3=1),
+         rp2 AS (
+           SELECT *,
+             'WormBase:WBRNAi'||lpad(rn::VARCHAR,8,'0') AS rnai,
+             'WormBase:WBPaper'||lpad(rf::VARCHAR,8,'0') AS rpaper,
+             '_:b'||substr(md5(gnum||'-WBRNAi'||
+               lpad(rn::VARCHAR,8,'0')),2,19) AS rtg,
+             'alt'||gk||'<WBRNAi'||lpad(rn::VARCHAR,8,'0')||'>' AS rtglabel
+           FROM rp1),
+         rp3 AS (
+           SELECT *, '_:b'||substr(md5('EX:wormbase+'||rtg||
+             '+RO:0002200+'||pheno),2,19) AS aid
+           FROM rp2),
+         fl0 AS (
+           SELECT *, (ok%4)::int AS f, ((ok%5)%4)::int AS av,
+             list_extract(['I','II','X'], m3::int+1) AS chrom,
+             CASE m3 WHEN 0 THEN 'faldo:ForwardStrandPosition'
+                  WHEN 1 THEN 'faldo:ReverseStrandPosition'
+                  ELSE 'faldo:BothStrandsPosition' END AS strandt,
+             CASE WHEN m6=0 THEN NULL ELSE ok%100000 END AS sp
+           FROM o1 WHERE ok%4<>3 AND m23<>0),
+         fl1 AS (
+           SELECT *, gene AS fid, CAST(NULL AS VARCHAR) AS flabel,
+             CAST(NULL AS VARCHAR) AS fdesc, 'SO:0001217' AS ftype,
+             true AS isgene
+           FROM fl0 WHERE f=0
+           UNION ALL
+           SELECT *, wbvar, 'abc'||(ok%50), NULL,
+             CASE f WHEN 1 THEN 'SO:1000008' ELSE 'SO:0001411' END, false
+           FROM fl0 WHERE f IN (1,2) AND av=0
+           UNION ALL
+           SELECT *, wbvar, 'gk'||(ok%900), 'substitution=C/T',
+             CASE f WHEN 1 THEN 'SO:1000008' ELSE 'SO:0001411' END, false
+           FROM fl0 WHERE f IN (1,2) AND av=1
+           UNION ALL
+           SELECT *, 'WormBase:WBsf'||lpad((ok%600)::VARCHAR,6,'0'), NULL,
+             NULL, CASE f WHEN 1 THEN 'SO:1000008' ELSE 'SO:0001411' END,
+             false
+           FROM fl0 WHERE f IN (1,2) AND av=3),
+         fl2 AS (
+           SELECT *, 'CHR:WS274chr'||chrom AS chrid,
+             'MONARCH:WS274chr'||chrom AS cin,
+             CASE WHEN sp IS NOT NULL THEN
+               '_:b'||substr(md5('region+'||fid||'+'||sp||'+'||sp||'+'||
+                 'CHR:WS274chr'||chrom),2,19) END AS region
+           FROM fl1),
+         fl3 AS (
+           SELECT *,
+             CASE WHEN region IS NOT NULL THEN
+               '_:b'||substr(md5('pos+'||region||'+begin+'||sp),2,19)
+             END AS beginp,
+             CASE WHEN region IS NOT NULL THEN
+               '_:b'||substr(md5('pos+'||region||'+end+'||sp),2,19)
+             END AS endp
+           FROM fl2),
+         da2 AS (
+           SELECT *, 'DOID:'||(ok%600) AS doid,
+             CASE WHEN ok%2=0 THEN 'ECO:0000315'
+                  ELSE 'ECO:0000501' END AS deco,
+             CASE WHEN m6=0 THEN NULL ELSE wbpaper END AS dref,
+             '_:b'||substr(md5('EX:wormbase+'||gene||'+RO:0003301+DOID:'||
+               (ok%600)),2,19) AS aid
+           FROM o1 WHERE m19<>0)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM gt
+           UNION ALL SELECT gene, 'rdfs:subClassOf', 'SO:0000704', false,
+             NULL FROM gt
+           UNION ALL SELECT gene, 'rdfs:label',
+             CASE WHEN gk%5<>0 THEN 'sym'||gk ELSE 'Y'||gk||'.1' END,
+             true, NULL FROM gt WHERE gk%5<>0 OR gk%3=0
+           UNION ALL SELECT gene, 'owl:deprecated', 'true', true,
+             'xsd:boolean' FROM gt WHERE gk%17=0
+           UNION ALL SELECT gene, 'RO:0002162', 'NCBITaxon:6239', false,
+             NULL FROM gt
+           UNION ALL SELECT gene, 'oboInOwl:hasExactSynonym',
+             'Y'||gk||'.1', true, NULL FROM gt WHERE gk%3=0
+           UNION ALL SELECT allele, 'rdf:type', 'GENO:0000504', false,
+             NULL FROM ap2 WHERE NOT isvar
+           UNION ALL SELECT allele, 'GENO:0000443', gene, false, NULL
+             FROM ap2 WHERE NOT isvar
+           UNION ALL SELECT allele, 'rdf:type', 'SO:0001059', false, NULL
+             FROM ap2 WHERE isvar
+           UNION ALL SELECT allele, 'GENO:0000408', gene, false, NULL
+             FROM ap2 WHERE isvar
+           UNION ALL SELECT allele, 'RO:0002200', pheno, false, NULL
+             FROM ap2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM ap2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', allele,
+             false, NULL FROM ap2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM ap2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', pheno,
+             false, NULL FROM ap2
+           UNION ALL SELECT aid, 'RO:0002558', eco, false, NULL FROM ap2
+             WHERE eco IS NOT NULL
+           UNION ALL SELECT aid, 'dc:source', ref, false, NULL FROM ap2
+             WHERE ref IS NOT NULL
+           UNION ALL SELECT ref, 'rdf:type', 'foaf:Person', false, NULL
+             FROM ap2 WHERE isperson
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000001', false, NULL
+             FROM ap2 WHERE isperson
+           UNION ALL SELECT ref, 'rdf:type', 'IAO:0000311', false, NULL
+             FROM ap2 WHERE NOT isperson AND ref IS NOT NULL
+           UNION ALL SELECT rnai, 'rdf:type', 'SO:0000337', false, NULL
+             FROM rp3
+           UNION ALL SELECT rnai, 'GENO:0000414', gene, false, NULL
+             FROM rp3
+           UNION ALL SELECT rtg, 'rdf:type', 'GENO:0000504', false, NULL
+             FROM rp3
+           UNION ALL SELECT rtg, 'rdfs:label', rtglabel, true, NULL
+             FROM rp3
+           UNION ALL SELECT rtg, 'GENO:0000443', gene, false, NULL
+             FROM rp3
+           UNION ALL SELECT rtg, 'GENO:0000634', rnai, false, NULL
+             FROM rp3
+           UNION ALL SELECT rtg, 'RO:0002200', pheno, false, NULL FROM rp3
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM rp3
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', rtg,
+             false, NULL FROM rp3
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM rp3
+           UNION ALL SELECT aid, 'OBAN:association_has_object', pheno,
+             false, NULL FROM rp3
+           UNION ALL SELECT aid, 'dc:source', rpaper, false, NULL
+             FROM rp3
+           UNION ALL SELECT fid, 'rdf:type',
+             CASE WHEN isgene THEN 'owl:Class' ELSE ftype END, false,
+             NULL FROM fl3
+           UNION ALL SELECT fid, 'rdfs:subClassOf', ftype, false, NULL
+             FROM fl3 WHERE isgene
+           UNION ALL SELECT fid, 'rdfs:label', flabel, true, NULL
+             FROM fl3 WHERE flabel IS NOT NULL
+           UNION ALL SELECT fid, 'dc:description', fdesc, true, NULL
+             FROM fl3 WHERE fdesc IS NOT NULL
+           UNION ALL SELECT cin, 'rdf:type', 'SO:0000340', false, NULL
+             FROM fl3
+           UNION ALL SELECT cin, 'rdfs:label', 'chr'||chrom||' (WS274)',
+             true, NULL FROM fl3
+           UNION ALL SELECT 'WormBase:WS274', 'RO:0002351', cin, false,
+             NULL FROM fl3
+           UNION ALL SELECT cin, 'RO:0002350', 'WormBase:WS274', false,
+             NULL FROM fl3
+           UNION ALL SELECT fid, 'faldo:location', region, false, NULL
+             FROM fl3 WHERE region IS NOT NULL
+           UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false,
+             NULL FROM fl3 WHERE region IS NOT NULL
+           UNION ALL SELECT region, 'faldo:begin', beginp, false, NULL
+             FROM fl3 WHERE region IS NOT NULL
+           UNION ALL SELECT region, 'faldo:end', endp, false, NULL
+             FROM fl3 WHERE region IS NOT NULL
+           UNION ALL SELECT beginp, 'rdf:type', 'faldo:ExactPosition',
+             false, NULL FROM fl3 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'rdf:type', strandt, false, NULL
+             FROM fl3 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'faldo:position', sp::VARCHAR, true,
+             'xsd:integer' FROM fl3 WHERE beginp IS NOT NULL
+           UNION ALL SELECT beginp, 'faldo:reference', chrid, false, NULL
+             FROM fl3 WHERE beginp IS NOT NULL
+           UNION ALL SELECT endp, 'rdf:type', 'faldo:ExactPosition',
+             false, NULL FROM fl3 WHERE endp IS NOT NULL
+           UNION ALL SELECT endp, 'rdf:type', strandt, false, NULL
+             FROM fl3 WHERE endp IS NOT NULL
+           UNION ALL SELECT endp, 'faldo:position', sp::VARCHAR, true,
+             'xsd:integer' FROM fl3 WHERE endp IS NOT NULL
+           UNION ALL SELECT endp, 'faldo:reference', chrid, false, NULL
+             FROM fl3 WHERE endp IS NOT NULL
+           UNION ALL SELECT gene, 'RO:0003301', doid, false, NULL
+             FROM da2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM da2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM da2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0003301', false, NULL FROM da2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', doid,
+             false, NULL FROM da2
+           UNION ALL SELECT aid, 'dc:source', dref, false, NULL FROM da2
+             WHERE dref IS NOT NULL
+           UNION ALL SELECT aid, 'RO:0002558', deco, false, NULL
+             FROM da2) t""",
     "p05_omim_pipeline" ->
       """WITH e AS (
            SELECT c_custkey AS k, c_custkey % 7 AS m,
