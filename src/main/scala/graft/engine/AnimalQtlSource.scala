@@ -65,6 +65,16 @@ object AnimalQtlSource extends GraftSource {
     "Btau_4.6" -> "cattle", "GG_5.0" -> "chicken", "SS_11.1" -> "pig",
     "OAR_4.0" -> "sheep", "EquCab2.0" -> "horse")
 
+  /** GFF build token → preferred UCSC build curie (the reference keeps
+    * these in its local table; they are terminal curie VALUES that never
+    * re-resolve through the global table, so like CoriellSource's
+    * collection map they live in code — the tt lint requires local
+    * values to be global labels). */
+  private[engine] val buildCurie = Map(
+    "Btau_4.6" -> "UCSCBuild:bosTau7", "GG_5.0" -> "UCSCBuild:galGal5",
+    "SS_11.1" -> "UCSCBuild:susScr11", "OAR_4.0" -> "UCSCBuild:oviAri4",
+    "EquCab2.0" -> "UCSCBuild:equCab2")
+
   private def schemaOf(names: Seq[String]) =
     StructType(names.map(StructField(_, StringType)))
 
@@ -360,7 +370,7 @@ object AnimalQtlSource extends GraftSource {
           .withColumn("trait", concat(lit("AQTLTrait:"), attr("trait_ID")))
           .withColumn("pub", pubCol(coalesce(attr("PUBMED_ID"), lit(""))))
           .withColumn("score", scoreCol(coalesce(attr("P-value"), lit(""))))
-          .withColumn("buildLocal", tt.resolveCol(col("build")))
+          .withColumn("buildLocal", element_at(typedLit(buildCurie), col("build")))
           .withColumn("buildShort", split(col("buildLocal"), ":")(1))
           .withColumn("chrom",
             chromScrub(regexp_replace(col("chrom0"), "Chr\\.", "")))
