@@ -16,6 +16,15 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+
+  /** Orders widened through the scan guard — for queries that stack a
+    * heavy synthesized projection (an ingest-shaped parse) directly on
+    * the scan: the small parquet packs into one split, and without the
+    * widen the parse serializes on one core (ScanStats.widen; the
+    * barrier keeps downstream filters from sinking back below the
+    * exchange). */
+  def ordersWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScanStats.widen(orders(s, d))
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

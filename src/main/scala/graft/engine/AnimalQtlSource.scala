@@ -111,26 +111,36 @@ object AnimalQtlSource extends GraftSource {
          else empty))
   }
 
-  /** FALDO location pattern with fuzzy positions and nullable
-    * coordinates: region digest over (feature, start|UN, stop|UN, ref);
-    * a coordinate-less side emits no position node; both sides null →
-    * the feature itself typed faldo:Region (the reference's
-    * add_region=False branch, GenomicFeature.py addFeatureToGraph). */
+  /** Hoist the FALDO region/position digests into a projection BELOW the
+    * explode — each md5 computed once per row, not once per struct field
+    * that references it (the ColumnEmit.g2pAssoc hoist discipline; an
+    * inlined version measured ~6× slower on the cm tier: the begin/end
+    * digests each re-embed the region digest, so one row paid ~20 md5
+    * evaluations and the generate expression fell out of codegen). */
+  private def withFuzzyLocation(df: DataFrame, qtl: Column, cin: Column,
+                                start: Column, stop: Column): DataFrame =
+    df.withColumn("__region",
+        when(start.isNotNull || stop.isNotNull,
+          concat(lit("_:"), Digest.md5Id(concat_ws("+",
+            lit("region"), qtl, coalesce(start.cast("string"), lit("UN")),
+            coalesce(stop.cast("string"), lit("UN")), cin)))))
+      .withColumn("__begin",
+        when(start.isNotNull, concat(lit("_:"), Digest.md5Id(
+          concat(lit("pos+"), col("__region"), lit("+begin+"), start)))))
+      .withColumn("__end",
+        when(stop.isNotNull, concat(lit("_:"), Digest.md5Id(
+          concat(lit("pos+"), col("__region"), lit("+end+"), stop)))))
+
+  /** Struct patterns over the hoisted `__region`/`__begin`/`__end`
+    * columns. Both sides null → the feature itself typed faldo:Region
+    * (the reference's add_region=False branch, GenomicFeature.py
+    * addFeatureToGraph); a coordinate-less side emits no position node. */
   private def fuzzyLocation(qtl: Column, cin: Column, start: Column,
                             stop: Column, strandT: Column): Seq[Column] = {
-    val hasRegion = start.isNotNull || stop.isNotNull
-    val region = when(hasRegion, concat(lit("_:"), Digest.md5Id(concat_ws("+",
-      lit("region"), qtl, coalesce(start.cast("string"), lit("UN")),
-      coalesce(stop.cast("string"), lit("UN")), cin))))
-    val begin = when(start.isNotNull,
-      concat(lit("_:"), Digest.md5Id(concat(lit("pos+"), region,
-        lit("+begin+"), start))))
-    val endN = when(stop.isNotNull,
-      concat(lit("_:"), Digest.md5Id(concat(lit("pos+"), region,
-        lit("+end+"), stop))))
+    val (region, begin, endN) = (col("__region"), col("__begin"), col("__end"))
     val fuzzy = lit("faldo:FuzzyPosition")
     Seq(
-      res(when(!hasRegion, qtl), lit(Vocab.a), lit(Vocab.faldoRegion)),
+      res(when(region.isNull, qtl), lit(Vocab.a), lit(Vocab.faldoRegion)),
       res(qtl, lit(Vocab.faldoLocation), region),
       res(region, lit(Vocab.a), lit(Vocab.faldoRegion)),
       res(region, lit(Vocab.faldoBegin), begin),
@@ -147,19 +157,23 @@ object AnimalQtlSource extends GraftSource {
       res(endN, lit(Vocab.faldoReference), cin))
   }
 
+  /** Hoist an association digest (same discipline as above); gated on
+    * both endpoints — a null subject or trait must null the whole
+    * pattern (concat_ws would silently skip the null part and mint a
+    * ghost association node). */
+  private def withAssocId(df: DataFrame, aidCol: String, sub: Column,
+                          trait0: Column): DataFrame =
+    df.withColumn(aidCol, when(sub.isNotNull && trait0.isNotNull,
+      concat(lit("_:"), Digest.md5Id(concat_ws("+",
+        lit(definedBy), sub, lit(Vocab.isMarkerFor), trait0)))))
+
   /** The `is marker for` OBAN association with evidence/source/score
-    * (G2PAssoc through py:574-596). */
-  private def markerAssoc(sub: Column, trait0: Column, pub: Column,
-                          score: Column): Seq[Column] = {
+    * (G2PAssoc through py:574-596), over a hoisted aid column. */
+  private def markerAssoc(aid: Column, sub: Column, trait0: Column,
+                          pub: Column, score: Column): Seq[Column] = {
     val pred = lit(Vocab.isMarkerFor)
     val eco = lit(TranslationTable.default
       .resolve("quantitative trait analysis evidence"))
-    // aid gated on both endpoints: a null subject or trait must null the
-    // whole pattern (concat_ws would silently skip the null part and mint
-    // a ghost association node)
-    val aid = when(sub.isNotNull && trait0.isNotNull,
-      concat(lit("_:"), Digest.md5Id(concat_ws("+",
-        lit(definedBy), sub, pred, trait0))))
     Seq(
       res(sub, pred, trait0),
       res(aid, lit(Vocab.a), lit(Vocab.association)),
@@ -232,7 +246,8 @@ object AnimalQtlSource extends GraftSource {
 
     // ---- genetic (cM) tier (py:380-629) ---------------------------------
     val cmTriples = in.get("qtl_cm").filter(_.columns.contains("QTL_ID"))
-      .map { cm =>
+      .map { cm0 =>
+        val cm = graft.operators.ScanStats.widen(cm0)
         val rows = cm
           .filter(trim(coalesce(col("QTL_ID"), lit(""))) =!= "")
           .select(col("species"),
@@ -302,50 +317,75 @@ object AnimalQtlSource extends GraftSource {
           .withColumn("pub", pubCol(col("pm")))
           .withColumn("score", scoreCol(col("pvals")))
 
-        val base = ColumnEmit.emitFiltered(rows,
+        // Dimension tiers from DISTINCT projections — the linkage builds,
+        // chromosome instances, and trait vocabulary are bounded by
+        // species × karyotype × trait-catalog size, never by QTL-table
+        // volume; emitting them per fact row just feeds the set-dedup
+        // (measured: the inline version generated ~2× the struct volume
+        // at sf0.1 for identical output)
+        val buildDim = ColumnEmit.emit(
+          rows.select("buildId", "buildLabel", "taxon").distinct(),
+          res(col("buildId"), lit(Vocab.a), lit("SO:0001505")),
+          strT(col("buildId"), lit(Vocab.label), col("buildLabel")),
+          res(col("buildId"), lit(Vocab.inTaxon), col("taxon")))
+        val cinDim = ColumnEmit.emit(
+          rows.select("cin", "chrom", "buildId", "buildLabel", "chromClass")
+            .distinct(),
+          res(col("cin"), lit(Vocab.a), lit(Vocab.chromosome)),
+          res(col("cin"), lit(Vocab.a), col("chromClass")),
+          strT(col("cin"), lit(Vocab.label), concat(lit("chr"),
+            col("chrom"), lit(" ("), col("buildLabel"), lit(")"))),
+          res(col("buildId"), lit(Vocab.hasMember), col("cin")),
+          res(col("cin"), lit(Vocab.memberOf), col("buildId")))
+        val traitDim = ColumnEmit.emitFiltered(
+          rows.select("trait", "traitName").distinct(),
+          res(col("trait"), lit(Vocab.a), lit(Vocab.owlClass)),
+          strT(col("trait"), lit(Vocab.label),
+            when(col("traitName") =!= "", col("traitName"))))
+
+        val hoisted = withAssocId(
+          withFuzzyLocation(rows, col("qtl"), col("cin"), col("start"),
+            col("stop")),
+          "__aid1", col("qtl"), col("trait"))
+        val qtlCore = ColumnEmit.emitFiltered(hoisted,
           Seq(
             res(col("qtl"), lit(Vocab.a), lit(g.resolve("QTL"))),
             strT(col("qtl"), lit(Vocab.label),
               when(col("symbol") =!= "", col("symbol"))),
-            res(col("qtl"), lit(Vocab.inTaxon), col("taxon")),
-            // the linkage-map pseudo-build (py:462-469)
-            res(col("buildId"), lit(Vocab.a), lit("SO:0001505")),
-            strT(col("buildId"), lit(Vocab.label), col("buildLabel")),
-            res(col("buildId"), lit(Vocab.inTaxon), col("taxon")),
-            // chromosome instance in the linkage build
-            res(col("cin"), lit(Vocab.a), lit(Vocab.chromosome)),
-            res(col("cin"), lit(Vocab.a), col("chromClass")),
-            strT(col("cin"), lit(Vocab.label), concat(lit("chr"),
-              col("chrom"), lit(" ("), col("buildLabel"), lit(")"))),
-            res(col("buildId"), lit(Vocab.hasMember), col("cin")),
-            res(col("cin"), lit(Vocab.memberOf), col("buildId")),
-            // trait class with label (py:556-559)
-            res(col("trait"), lit(Vocab.a), lit(Vocab.owlClass)),
-            strT(col("trait"), lit(Vocab.label),
-              when(col("traitName") =!= "", col("traitName"))),
-            // peak marker (py:505-516)
-            res(col("dbsnp"), lit(Vocab.a), lit(Vocab.sequenceAlteration)),
-            res(when(col("dbsnp").isNotNull, col("qtl")),
-              lit(Vocab.hasDbXref), col("dbsnp")),
-            // candidate gene (py:544-554)
-            res(col("gene"), lit(Vocab.a), lit(Vocab.owlClass)),
-            res(col("gene"), lit(Vocab.subClassOf), lit(Vocab.gene)),
-            res(when(col("gene").isNotNull, col("qtl")),
-              lit(Vocab.hasAffectedLocus), col("gene")),
-            res(col("vl"), lit(Vocab.hasVariantPart), col("dbsnp")),
-            res(col("vl"), lit(Vocab.hasAffectedLocus), col("gene"))) ++
+            res(col("qtl"), lit(Vocab.inTaxon), col("taxon"))) ++
             pubTypeTriples(col("pub")) ++
             fuzzyLocation(col("qtl"), col("cin"), col("start"), col("stop"),
               lit(null).cast("string")) ++
-            markerAssoc(col("qtl"), col("trait"), col("pub"), col("score")) ++
-            markerAssoc(when(col("dbsnp").isNotNull, col("dbsnp")),
-              col("trait"), col("pub"), col("score")): _*)
-        base
+            markerAssoc(col("__aid1"), col("qtl"), col("trait"), col("pub"),
+              col("score")): _*)
+
+        // peak-marker subtree only over rows that HAVE one (py:505-516);
+        // same for candidate genes — structs gated by a row filter, not
+        // emitted-null-then-dropped
+        val dbsnpRows = withAssocId(rows.filter(col("dbsnp").isNotNull),
+          "__aid2", col("dbsnp"), col("trait"))
+        val dbsnpTriples = ColumnEmit.emitFiltered(dbsnpRows,
+          Seq(
+            res(col("dbsnp"), lit(Vocab.a), lit(Vocab.sequenceAlteration)),
+            res(col("qtl"), lit(Vocab.hasDbXref), col("dbsnp")),
+            res(col("vl"), lit(Vocab.hasVariantPart), col("dbsnp")),
+            res(col("vl"), lit(Vocab.hasAffectedLocus), col("gene"))) ++
+            markerAssoc(col("__aid2"), col("dbsnp"), col("trait"),
+              col("pub"), col("score")): _*)
+        val geneTriples = ColumnEmit.emit(
+          rows.filter(col("gene").isNotNull),
+          res(col("gene"), lit(Vocab.a), lit(Vocab.owlClass)),
+          res(col("gene"), lit(Vocab.subClassOf), lit(Vocab.gene)),
+          res(col("qtl"), lit(Vocab.hasAffectedLocus), col("gene")))
+
+        buildDim.union(cinDim).union(traitDim)
+          .union(qtlCore).union(dbsnpTriples).union(geneTriples)
       }
 
     // ---- genomic (bp) tier (py:632-786) ---------------------------------
     val bpTriples = in.get("qtl_bp").filter(_.columns.contains("ATTRIBUTE"))
-      .map { bp =>
+      .map { bp0 =>
+        val bp = graft.operators.ScanStats.widen(bp0)
         val speciesM = typedLit(buildSpecies)
         def attr(k: String) = {
           val c = regexp_extract(col("attrClean"),
@@ -388,21 +428,29 @@ object AnimalQtlSource extends GraftSource {
             when(col("strand") === "+", lit(Vocab.faldoPlusStrand))
               .when(col("strand") === "-", lit(Vocab.faldoMinusStrand)))
 
-        ColumnEmit.emitFiltered(rows,
+        // chromosome-instance dimension (see the cm tier note)
+        val cinDim = ColumnEmit.emit(
+          rows.select("cin", "chrom", "build", "buildLocal", "chromClass")
+            .distinct(),
+          res(col("cin"), lit(Vocab.a), lit(Vocab.chromosome)),
+          res(col("cin"), lit(Vocab.a), col("chromClass")),
+          strT(col("cin"), lit(Vocab.label), concat(lit("chr"),
+            col("chrom"), lit(" ("), col("build"), lit(")"))),
+          res(col("buildLocal"), lit(Vocab.hasMember), col("cin")),
+          res(col("cin"), lit(Vocab.memberOf), col("buildLocal")))
+        val hoisted = withAssocId(
+          withFuzzyLocation(rows, col("qtl"), col("cin"), col("start"),
+            col("stop")),
+          "__aid1", col("qtl"), col("trait"))
+        cinDim.union(ColumnEmit.emitFiltered(hoisted,
           Seq(
             res(col("qtl"), lit(Vocab.a), lit(g.resolve("QTL"))),
-            res(col("qtl"), lit(Vocab.inTaxon), col("taxon")),
-            res(col("cin"), lit(Vocab.a), lit(Vocab.chromosome)),
-            res(col("cin"), lit(Vocab.a), col("chromClass")),
-            strT(col("cin"), lit(Vocab.label), concat(lit("chr"),
-              col("chrom"), lit(" ("), col("build"), lit(")"))),
-            res(col("buildLocal"), lit(Vocab.hasMember), col("cin")),
-            res(col("cin"), lit(Vocab.memberOf), col("buildLocal"))) ++
+            res(col("qtl"), lit(Vocab.inTaxon), col("taxon"))) ++
             pubTypeTriples(col("pub")) ++
             fuzzyLocation(col("qtl"), col("cin"), col("start"), col("stop"),
               col("strandT")) ++
-            markerAssoc(col("qtl"), col("trait"), col("pub"),
-              col("score")): _*)
+            markerAssoc(col("__aid1"), col("qtl"), col("trait"), col("pub"),
+              col("score")): _*))
       }
 
     (traitTriples.toSeq ++ cmTriples.toSeq ++ bpTriples.toSeq)

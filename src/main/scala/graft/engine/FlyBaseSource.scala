@@ -108,7 +108,7 @@ object FlyBaseSource extends GraftSource {
       .join(fileSpecies.select("prefix"), Seq("prefix"), "left_anti")
     val species = broadcast(fileSpecies.union(added))
 
-    val ag = in("allele_gene").select(
+    val ag = graft.operators.ScanStats.widen(in("allele_gene")).select(
       col("AlleleID").as("aid0"), col("AlleleSymbol").as("alabel"),
       col("GeneID").as("gid0"), col("GeneSymbol").as("glabel"))
       .withColumn("aprefix", speciesPrefix(col("alabel")))
@@ -124,7 +124,7 @@ object FlyBaseSource extends GraftSource {
 
     // ---- allele_phenotype tier (py:215-345) -----------------------------
     val termRe = "@(\\w*):[^:@]*@"
-    val pheno0 = in("allele_phenotype")
+    val pheno0 = graft.operators.ScanStats.widen(in("allele_phenotype"))
       .select(trim(col("allele_id")).as("allele_id"),
         coalesce(col("pheno_desc"), lit("")).as("desc"),
         coalesce(col("pheno_type"), lit("")).as("ptype"),
@@ -217,7 +217,7 @@ object FlyBaseSource extends GraftSource {
       .select(trim(col("FBrf")).as("fbrf_key"),
         concat(lit("PMID:"), trim(col("PMID"))).as("pmidCurie"))
       .dropDuplicates("fbrf_key"))
-    val dm = in("disease_model")
+    val dm = graft.operators.ScanStats.widen(in("disease_model"))
       .select(trim(coalesce(col("allele_id"), lit(""))).as("allele_id"),
         trim(coalesce(col("fbrf"), lit(""))).as("fbrf"),
         coalesce(col("evidence"), lit("")).as("evidence"),
@@ -249,7 +249,7 @@ object FlyBaseSource extends GraftSource {
         lit(Vocab.description), col("evidence")))
 
     // ---- gene_xref tier (py:499-545) ------------------------------------
-    val xr = in("gene_xref")
+    val xr = graft.operators.ScanStats.widen(in("gene_xref"))
       .select(trim(col("gene_id")).as("gene_id"),
         trim(col("xref_id")).as("xref_id"),
         trim(col("xref_source")).as("src"))

@@ -63,7 +63,7 @@ object MmrrcSource extends GraftSource {
 
     def clean(c: Column) = trim(coalesce(c, lit("")))
 
-    val rows = in("catalog")
+    val rows = graft.operators.ScanStats.widen(in("catalog"))
       // the reference's only row skip outside test mode (MMRRC.py:174-176)
       .filter(coalesce(col("GENE_NAME"), lit("")) =!= "withdrawn")
       .select(
@@ -96,7 +96,13 @@ object MmrrcSource extends GraftSource {
           .otherwise(col("gene0")))
 
     // ---- row tier -------------------------------------------------------
-    val strainTriples = ColumnEmit.emitFiltered(rows,
+    // strain-level triples from the DISTINCT strain projection: the
+    // catalog repeats a strain across its mutation rows (the reference
+    // re-adds the individual per row and relies on store dedup); the
+    // distinct is strain-dimension-bounded and keeps the per-row emit
+    // volume proportional to what actually survives the set-dedup
+    val strainTriples = ColumnEmit.emitFiltered(
+      rows.select("strain", "state", "strainLabel", "research").distinct(),
       res(col("strain"), lit(Vocab.a),
         when(col("state") === "ES", lit(stemCell)).otherwise(lit(mouse))),
       strT(col("strain"), lit(Vocab.label),
@@ -117,7 +123,7 @@ object MmrrcSource extends GraftSource {
         explode(split(col("pubs"), ",")).as("pm"))
       .withColumn("pmid", regexp_replace(col("pm"), "\\s+", ""))
       .filter(col("pmid") =!= "")
-    val pubTriples = ColumnEmit.emit(pubRows,
+    val pubTriples = ColumnEmit.emit(pubRows.select("pmid").distinct(),
       res(col("pmid"), lit(Vocab.a), lit(journalArticle)))
 
     // MP ids from "label [MP:0001393]" entries; the bracket check is the
@@ -128,14 +134,17 @@ object MmrrcSource extends GraftSource {
       .withColumn("pid",
         regexp_extract(trim(col("mp0")), "\\[(MP:.{7})\\]$", 1))
       .filter(col("pid") =!= "")
-    val phenoClassTriples = ColumnEmit.emit(phenoRows,
+    // phenotype vocabulary is MP-bounded — emit classes once per term
+    val phenoClassTriples = ColumnEmit.emit(
+      phenoRows.select("pid").distinct(),
       res(col("pid"), lit(Vocab.a), lit(Vocab.owlClass)))
 
     val assocRows = phenoRows.filter(col("allele") =!= "")
       .withColumn("aid", concat(lit("_:"), Digest.md5Id(concat_ws("+",
         lit(definedBy), col("allele"), lit(Vocab.hasPhenotype),
         col("pid")))))
-    val assocTriples = ColumnEmit.emit(assocRows,
+    val assocTriples = ColumnEmit.emit(
+      assocRows.select("allele", "pid", "aid").distinct(),
       res(col("allele"), lit(Vocab.hasPhenotype), col("pid")),
       res(col("aid"), lit(Vocab.a), lit(Vocab.association)),
       res(col("aid"), lit(Vocab.assocHasSubject), col("allele")),

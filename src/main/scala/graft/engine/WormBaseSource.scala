@@ -116,7 +116,7 @@ object WormBaseSource extends GraftSource {
     def clean(c: Column) = trim(coalesce(c, lit("")))
 
     // ---- geneIDs tier (py:316-362) --------------------------------------
-    val genes = in("gene_ids")
+    val genes = graft.operators.ScanStats.widen(in("gene_ids"))
       .filter(clean(col("gene_num")) =!= "")
       .select(clean(col("taxon_num")).as("taxNum"),
         clean(col("gene_num")).as("gnum"),
@@ -139,7 +139,7 @@ object WormBaseSource extends GraftSource {
         when(col("syn") =!= "", col("syn"))))
 
     // ---- allele/RNAi phenotype GAF tier (py:411-572) --------------------
-    val ap0 = in("allele_pheno")
+    val ap0 = graft.operators.ScanStats.widen(in("allele_pheno"))
       .filter(!coalesce(col("DB"), lit("")).startsWith("!") &&
         clean(col("DB_Object_ID")) =!= "" &&
         coalesce(col("Qualifier"), lit("")) =!= "NOT")
@@ -198,7 +198,7 @@ object WormBaseSource extends GraftSource {
         lit(Vocab.publication)))
 
     // ---- rnai_phenotypes tier (py:574-649) ------------------------------
-    val rp = in("rnai_pheno")
+    val rp = graft.operators.ScanStats.widen(in("rnai_pheno"))
       .filter(clean(col("gene_num")) =!= "")
       .select(clean(col("gene_num")).as("gnum"),
         clean(col("gene_alt_symbol")).as("altSym"),
@@ -240,7 +240,7 @@ object WormBaseSource extends GraftSource {
     }
     val typeM = typedLit(keptFeatureTypes.filter(_ != "gene")
       .map(t => t -> g.resolve(t)).toMap)
-    val fl0 = in("feature_loc")
+    val fl0 = graft.operators.ScanStats.widen(in("feature_loc"))
       .filter(clean(col("ftype")).isin(keptFeatureTypes: _*))
       .select(col("build"), clean(col("seqid")).as("chrom0"),
         clean(col("ftype")).as("ftl"), clean(col("start")).as("startRaw"),
@@ -306,6 +306,16 @@ object WormBaseSource extends GraftSource {
         concat(lit("_:"), Digest.md5Id(concat(lit("pos+"), col("region"),
           lit("+end+"), col("start"))))))
 
+    // chromosome instances in the WS build (py:822-824) — a
+    // karyotype-bounded dimension, emitted once per (build, chrom)
+    val cinDim = ColumnEmit.emit(
+      fl0.select("cin", "chrom", "build", "buildId").distinct(),
+      res(col("cin"), lit(Vocab.a), lit(Vocab.chromosome)),
+      strT(col("cin"), lit(Vocab.label),
+        concat(lit("chr"), col("chrom"), lit(" ("), col("build"), lit(")"))),
+      res(col("buildId"), lit(Vocab.hasMember), col("cin")),
+      res(col("cin"), lit(Vocab.memberOf), col("buildId")))
+
     val isGene = col("ftl") === "gene"
     val flTriples = ColumnEmit.emitFiltered(fl0,
       // typing: gene → class with subClassOf biotype; else individual
@@ -318,12 +328,6 @@ object WormBaseSource extends GraftSource {
       strT(col("fid"), lit(Vocab.hasExactSynonym), attr("other_name")),
       strT(col("fid"), lit(Vocab.description), col("desc")),
       strT(col("fid"), lit(Vocab.description), attr("Note")),
-      // chromosome instance in the WS build (py:822-824)
-      res(col("cin"), lit(Vocab.a), lit(Vocab.chromosome)),
-      strT(col("cin"), lit(Vocab.label),
-        concat(lit("chr"), col("chrom"), lit(" ("), col("build"), lit(")"))),
-      res(col("buildId"), lit(Vocab.hasMember), col("cin")),
-      res(col("cin"), lit(Vocab.memberOf), col("buildId")),
       // FALDO (engine digest scheme)
       res(col("fid"), lit(Vocab.faldoLocation), col("region")),
       res(col("region"), lit(Vocab.a), lit(Vocab.faldoRegion)),
@@ -341,7 +345,7 @@ object WormBaseSource extends GraftSource {
       res(col("endP"), lit(Vocab.faldoReference), col("chrId")))
 
     // ---- disease GAF tier (py:854-901) ----------------------------------
-    val da = in("disease_assoc")
+    val da = graft.operators.ScanStats.widen(in("disease_assoc"))
       .filter(!coalesce(col("DB"), lit("")).startsWith("!") &&
         clean(col("DB_Object_ID")) =!= "" &&
         coalesce(col("Qualifier"), lit("")) =!= "NOT")
@@ -367,6 +371,7 @@ object WormBaseSource extends GraftSource {
     geneTriples
       .union(apTriples)
       .union(rpTriples)
+      .union(cinDim)
       .union(flTriples)
       .union(daTriples)
   }

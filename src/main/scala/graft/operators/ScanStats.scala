@@ -57,4 +57,36 @@ private[graft] object ScanStats {
     if (unknown) df.rdd.getNumPartitions
     else math.min(total, Int.MaxValue.toLong).toInt
   }
+
+  /** Widen guard (the p08 1-split-scan lesson): a small landed file
+    * packs into 1-2 scan splits, serializing every downstream map-side
+    * emission stage on a 32-core executor; repartition to default
+    * parallelism when the estimate says so. The repartition is also the
+    * one Exchange that AQE's ReuseExchange shares across the plan's
+    * branching consumers.
+    *
+    * The always-true nondeterministic filter above the exchange is a
+    * PREDICATE PUSHDOWN BARRIER: without it the optimizer pushes every
+    * downstream row filter — with its full derived-expression subtree
+    * (regex chains, digests) inlined — through the repartition onto the
+    * narrow scan side, silently re-serializing exactly the work the
+    * exchange exists to spread (measured: the WormBase GFF tier ran
+    * cpu≈wall single-core with filters sunk, 6× wall with them held
+    * above). Predicates cannot reorder across a nondeterministic
+    * filter, and a seeded always-true `rand` costs one PRNG call per
+    * row. When the scan is already wide the guard is a no-op and
+    * pushdown stays fully enabled. */
+  def widen(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.rand
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // already widened upstream (e.g. the caller repartitioned the raw
+    // scan so its parse projection parallelizes) — don't shuffle twice
+    val alreadyWide = df.queryExecution.analyzed.exists {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        r.numPartitions >= target
+      case _ => false
+    }
+    if (!alreadyWide && estimatedScanPartitions(df) < target)
+      df.repartition(target).filter(rand(7) >= -1) else df
+  }
 }

@@ -1290,7 +1290,7 @@ object RdfQueries {
       val sk = ok % 997
       val an = ok % 50 + 100
       val gn = ok % 40
-      val rows = Tables.orders(s, d).select(
+      val rows = Tables.ordersWide(s, d).select(
         concat(lit("MMRRC:"), lpad(sk.cast("string"), 6, "0"), lit("-UNC"))
           .as("STRAIN/STOCK_ID"),
         concat(lit("STOCK "), sk).as("STRAIN/STOCK_DESIGNATION"),
@@ -1358,7 +1358,7 @@ object RdfQueries {
         lit("cattle").as("Species"), lit("Meat").as("Class"),
         lit("QTL").as("Type"), lit("1").as("QTL_Count"))
       val ok = col("o_orderkey")
-      val cm = Tables.orders(s, d).select(Seq(
+      val cm = Tables.ordersWide(s, d).select(Seq(
         ok.cast("string").as("QTL_ID"),
         when(ok % 2 === 0, concat(lit("Sym"), ok % 100)).otherwise(lit(""))
           .as("QTL_symbol"),
@@ -1398,7 +1398,7 @@ object RdfQueries {
         lit("").as("geneIDtype"),
         element_at(array(lit("cattle"), lit("chicken"), lit("pig")),
           (ok % 3 + 1).cast("int")).as("species")): _*)
-      val bp = Tables.orders(s, d).select(
+      val bp = Tables.ordersWide(s, d).select(
         element_at(array(lit("Chr.Z"), lit("chr13"), lit("5")),
           (ok % 3 + 1).cast("int")).as("SEQNAME"),
         lit("Animal QTLdb").as("SOURCE"),
@@ -1441,7 +1441,7 @@ object RdfQueries {
       val sp9 = ok % 25
       val fbal = concat(lit("FBal"), lpad(ok.cast("string"), 7, "0"))
       val fbgn = concat(lit("FBgn"), lpad((ok % 2000).cast("string"), 7, "0"))
-      val ag = Tables.orders(s, d).select(
+      val ag = Tables.ordersWide(s, d).select(
         fbal.as("AlleleID"),
         element_at(array(
           concat(lit("Sp"), sp9, lit("\\a"), ok),
@@ -1455,7 +1455,7 @@ object RdfQueries {
           concat(lit("Zz\\g"), ok % 2000),
           concat(lit("Qq\\g"), ok % 2000)), (ok % 4 + 1).cast("int"))
           .as("GeneSymbol"))
-      val ap = Tables.orders(s, d).select(
+      val ap = Tables.ordersWide(s, d).select(
         fbal.as("allele_id"),
         element_at(array(
           concat(lit("@FBcv"), lpad((ok % 900).cast("string"), 7, "0"),
@@ -1475,7 +1475,7 @@ object RdfQueries {
         concat(lit("title "), ok % 400).as("pub_title"),
         when(ok % 3 === 0, lit("")).otherwise((ok % 10000).cast("string"))
           .as("pmid_id"))
-      val refPub = Tables.orders(s, d)
+      val refPub = Tables.ordersWide(s, d)
         .filter((ok % 400) % 2 === 0)
         .select(concat(lit("FBrf"), ok % 400).as("FBrf"),
           (ok % 400 + 90000).cast("string").as("PMID"),
@@ -1483,7 +1483,7 @@ object RdfQueries {
           lit("paper").as("pub_type"), lit("").as("miniref"),
           lit("").as("pmid_added"))
         .dropDuplicates("FBrf")
-      val dm = Tables.orders(s, d).select(
+      val dm = Tables.ordersWide(s, d).select(
         fbgn.as("fbgn"), lit("sym").as("gene_symbol"),
         lit("HGNC:1").as("hgnc"),
         when(ok % 5 === 0, lit("ameliorates")).otherwise(lit("model of"))
@@ -1497,7 +1497,7 @@ object RdfQueries {
           .otherwise(concat(lit("evtext "), ok % 50)).as("evidence"),
         when(ok % 6 === 0, lit("")).otherwise(concat(lit("FBrf"), ok % 400))
           .as("fbrf"))
-      val xr = Tables.orders(s, d).select(
+      val xr = Tables.ordersWide(s, d).select(
         fbgn.as("gene_id"), (ok % 3000).cast("string").as("xref_id"),
         when(ok % 2 === 0, lit("EntrezGene")).otherwise(lit("HGNC"))
           .as("xref_source"))
@@ -1521,7 +1521,9 @@ object RdfQueries {
       val wbvar = concat(lit("WBVar"), lpad((ok % 900).cast("string"), 8, "0"))
       val wbrnai = concat(lit("WBRNAi"), lpad((ok % 400).cast("string"), 8, "0"))
       val wbpaper = concat(lit("WBPaper"), lpad((ok % 300).cast("string"), 8, "0"))
-      val geneIds = Tables.orders(s, d).select(
+      // one row per gene — the real geneIDs file shape (the orders fold
+      // onto gk would otherwise replay each gene ~40x through the scan)
+      val geneIds = Tables.ordersWide(s, d).filter(ok < 4000).select(
         lit("6239").as("taxon_num"), wbg.as("gene_num"),
         when(gk % 5 === 0, lit("")).otherwise(concat(lit("sym"), gk))
           .as("gene_symbol"),
@@ -1530,7 +1532,7 @@ object RdfQueries {
         when(gk % 17 === 0, lit("Dead")).otherwise(lit("Live")).as("live"),
         lit("protein_coding_gene").as("gene_type"))
       def gaf(obj: Column, ref: Column, eco: Column, wf: Column) =
-        Tables.orders(s, d).select(
+        Tables.ordersWide(s, d).select(
           lit("WB").as("DB"), wbg.as("DB_Object_ID"),
           lit("gsym").as("DB_Object_Symbol"),
           when(ok % 19 === 0, lit("NOT")).otherwise(lit("")).as("Qualifier"),
@@ -1552,7 +1554,7 @@ object RdfQueries {
           concat(lit("WB:WBPerson"), ok % 80),
           concat(lit("WB:"), wbvar, lit("|WB:"), wbrnai),
           lit("")), (ok % 4 + 1).cast("int")))
-      val rp = Tables.orders(s, d).select(
+      val rp = Tables.ordersWide(s, d).select(
         wbg.as("gene_num"), concat(lit("alt"), gk).as("gene_alt_symbol"),
         lit("locomotion variant").as("phenotype_label"),
         concat(lit("WBPhenotype:"), lpad((ok % 700).cast("string"), 7, "0"))
@@ -1566,7 +1568,7 @@ object RdfQueries {
           .as("rnai_and_refs"))
       val v0 = concat(lit("ID=Gene:"), wbg, lit(";Name="), wbg,
         lit(";biotype=protein_coding;sequence_name=Y1.1"))
-      val fl = Tables.orders(s, d).select(
+      val fl = Tables.ordersWide(s, d).select(
         element_at(array(lit("I"), lit("II"), lit("X")),
           (ok % 3 + 1).cast("int")).as("seqid"),
         lit("WormBase").as("source"),
@@ -4393,7 +4395,7 @@ object RdfQueries {
              CASE WHEN ok%2=0 THEN 'ECO:0000315'
                   WHEN m7=0 THEN NULL ELSE 'ECO:0000501' END AS eco
            FROM o0),
-         gt AS (SELECT DISTINCT gk, gene FROM o1),
+         gt AS (SELECT DISTINCT gk, gene FROM o1 WHERE ok < 4000),
          apall AS (
            SELECT *, wbvar AS allele, true AS isvar FROM o1
              WHERE m19<>0 AND m4 IN (0,1,2)
