@@ -77,7 +77,7 @@ object CoriellSource extends GraftSource {
 
     def clean(c: Column) = trim(coalesce(c, lit("")))
 
-    val rows = in("lines")
+    val rows = graft.operators.ScanStats.widen(in("lines"))
       .filter(clean(col("catalog_id")) =!= "")
       .select(
         clean(col("catalog_id")).as("catalog"),

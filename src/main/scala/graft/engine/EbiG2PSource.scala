@@ -73,7 +73,7 @@ object EbiG2PSource extends GraftSource {
     val mondo = in("mondo_map")
       .select(col("disease_label"), col("mondo_id")).distinct()
 
-    val rows = in("developmental_disorders")
+    val rows = graft.operators.ScanStats.widen(in("developmental_disorders"))
       .filter(coalesce(col("hgnc_id"), lit("")) =!= "")
       .join(mondo, Seq("disease_label"), "left")
       .select(

@@ -60,7 +60,7 @@ object EnsemblSource extends GraftSource {
     val g = graft.core.TranslationTable.default
     val c = (n: String) => col(s"`$n`")
 
-    val rows0 = in("genes")
+    val rows0 = graft.operators.ScanStats.widen(in("genes"))
       .filter(coalesce(trim(c("Gene stable ID")), lit("")) =!= "")
     val rows = (if (taxa.isEmpty) rows0
                 else rows0.filter(col("taxid").isin(taxa: _*)))

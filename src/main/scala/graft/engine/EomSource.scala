@@ -57,7 +57,7 @@ object EomSource extends GraftSource {
     def dotted(c: Column): Column =
       when(c =!= "" && !c.rlike("\\.$"), concat(c, lit("."))).otherwise(c)
 
-    val terms = in("terms").select(
+    val terms = graft.operators.ScanStats.widen(in("terms")).select(
       clean(col("morphology_term_id")).as("id"),
       clean(col("morphology_term_label")).as("tlabel"),
       clean(col("morphology_term_url")).as("turl"),

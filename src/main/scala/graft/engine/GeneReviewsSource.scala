@@ -56,7 +56,7 @@ object GeneReviewsSource extends GraftSource {
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     val g = graft.core.TranslationTable.default
 
-    val titles = in("titles")
+    val titles = graft.operators.ScanStats.widen(in("titles"))
       .filter(coalesce(trim(col("NBK_id")), lit("")) =!= "")
       .select(concat(lit("GeneReviews:"), trim(col("NBK_id"))).as("gr_id"),
         trim(col("GR_Title")).as("title"),
@@ -70,7 +70,7 @@ object GeneReviewsSource extends GraftSource {
       res(col("gr_id"), lit(Vocab.subClassOf),
         lit(g.resolve("disease or disorder"))))
 
-    val idmap = in("idmap")
+    val idmap = graft.operators.ScanStats.widen(in("idmap"))
       .filter(coalesce(trim(col("NBK_id")), lit("")) =!= "")
       .select(trim(col("NBK_id")).as("nbk"),
         concat(lit("GeneReviews:"), trim(col("NBK_id"))).as("gr_id"),

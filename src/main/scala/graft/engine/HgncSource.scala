@@ -74,7 +74,7 @@ object HgncSource extends GraftSource {
     val g = graft.core.TranslationTable.default
     val leaderPred = g.resolve("clique_leader")
 
-    val rows0 = in("genes")
+    val rows0 = graft.operators.ScanStats.widen(in("genes"))
       .filter(col("status") === "Approved")
       .select(col("hgnc_id").as("id"), col("symbol"),
         when(coalesce(col("name"), lit("")) =!= "", col("name")).as("gname"),

@@ -50,7 +50,7 @@ object MonarchSource extends GraftSource {
     val pred = Vocab.hasPhenotype
     val c = (n: String) => col(s"`$n`")
 
-    val rows = in("omia_d2p")
+    val rows = graft.operators.ScanStats.widen(in("omia_d2p"))
       .filter(coalesce(trim(c("Phenotype ID")), lit("")) =!= "")
       .select(
         // zfill only when short (py:165-166) — Spark lpad would TRUNCATE

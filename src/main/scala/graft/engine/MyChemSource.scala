@@ -96,7 +96,7 @@ object MyChemSource extends GraftSource {
     // never the raw JSON.
     val wide = {
       val target = spark.sparkContext.defaultParallelism
-      val lines = in("drugs")
+      val lines = graft.operators.ScanStats.widen(in("drugs"))
       if (graft.operators.ScanStats.estimatedScanPartitions(lines) < target)
         lines.repartition(target) else lines
     }

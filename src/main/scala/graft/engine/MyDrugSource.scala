@@ -53,7 +53,7 @@ object MyDrugSource extends GraftSource {
     // the Monarch agent is the prefix-map base (MyDrug.py:155-157)
     val base = "EX:"
 
-    val docs = in("aeolus")
+    val docs = graft.operators.ScanStats.widen(in("aeolus"))
       .filter(col("aeolus.rxcui").isNotNull)
       .select(
         concat(lit("RXCUI:"), col("aeolus.rxcui")).as("rxcui"),

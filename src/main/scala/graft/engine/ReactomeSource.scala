@@ -74,8 +74,8 @@ object ReactomeSource extends GraftSource {
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     val ecoMap = graft.core.FlatYaml.fromResource("/graft/gaf_eco.yaml")
-    family(in("ensembl2pathway"), "ENSEMBL", ecoMap)
-      .union(family(in("chebi2pathway"), "CHEBI", ecoMap))
+    family(graft.operators.ScanStats.widen(in("ensembl2pathway")), "ENSEMBL", ecoMap)
+      .union(family(graft.operators.ScanStats.widen(in("chebi2pathway")), "CHEBI", ecoMap))
   }
 
   override def testIds: Seq[String] = Seq("REACT:R-HSA-201688")

@@ -57,7 +57,7 @@ object RgdSource extends GraftSource {
     def reroute(c: org.apache.spark.sql.Column) =
       when(c.contains("PMID"), c).otherwise(regexp_replace(c, "RGD", "RGDRef"))
 
-    val rows = in("rat_gene2mammalian_phenotype")
+    val rows = graft.operators.ScanStats.widen(in("rat_gene2mammalian_phenotype"))
       .filter(Seq("DB", "DB_Object_ID", "GO_ID", "Evidence_Code")
         .map(c => coalesce(col(c), lit("")) =!= "").reduce(_ && _))
       .filter(!coalesce(col("Qualifier"), lit("")).rlike("NOT"))

@@ -67,7 +67,7 @@ object SgdSource extends GraftSource {
     def nan(x: Column): Column =
       when(coalesce(trim(x), lit("")) === "", lit("nan")).otherwise(trim(x))
 
-    val base = in("sgd_phenotype")
+    val base = graft.operators.ScanStats.widen(in("sgd_phenotype"))
       .filter(coalesce(trim(c("Gene Name")), lit("")) =!= "")
       .select(
         concat(lit("SGD:"), trim(c("SGDID"))).as("gene"),

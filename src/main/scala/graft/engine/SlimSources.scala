@@ -81,7 +81,7 @@ object ZfinSlimSource extends GraftSource {
       .filter(col("zpkey").isNotNull)
 
     val c = (n: String) => col(s"`$n`")
-    val rows = in("g2p_clean")
+    val rows = graft.operators.ScanStats.widen(in("g2p_clean"))
       .filter(trim(coalesce(c("Phenotype Tag"), lit(""))) === "abnormal")
       .select(
         concat(lit("ZFIN:"), trim(c("Gene ID"))).as("gene"),
@@ -149,7 +149,7 @@ object MgiSlimSource extends GraftSource {
     val g = graft.core.TranslationTable.default
     val mouse = g.resolve("Mus musculus")
 
-    val rows = in("annotations")
+    val rows = graft.operators.ScanStats.widen(in("annotations"))
       .select(
         trim(col("`subject.primaryIdentifier`")).as("gene"),
         trim(col("`ontologyTerm.identifier`")).as("mp"),

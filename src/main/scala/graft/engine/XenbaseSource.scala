@@ -57,7 +57,7 @@ object XenbaseSource extends GraftSource {
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     val g = graft.core.TranslationTable.default
 
-    val g2p = in("g2p_assertions")
+    val g2p = graft.operators.ScanStats.widen(in("g2p_assertions"))
       .filter(coalesce(trim(col("SUBJECT")), lit("")) =!= "")
       .select(
         trim(col("SUBJECT")).as("gene"),
@@ -111,7 +111,7 @@ object XenbaseSource extends GraftSource {
 
     // literature: comma-split pages, id = token before ' ', KeyError-
     // style drop via inner join (py:238-252)
-    val mentions = in("gene_literature")
+    val mentions = graft.operators.ScanStats.widen(in("gene_literature"))
       .filter(coalesce(trim(col("pmid")), lit("")) =!= "")
       .select(concat(lit("PMID:"), trim(col("pmid"))).as("pmid"),
         explode(split(coalesce(col("gene_pages"), lit("")), ",")).as("gp"))
