@@ -77,7 +77,7 @@ private[graft] object ScanStats {
     * row. When the scan is already wide the guard is a no-op and
     * pushdown stays fully enabled. */
   def widen(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.rand
+    import org.apache.spark.sql.functions.{isnan, not, rand}
     val target = df.sparkSession.sparkContext.defaultParallelism
     // already widened upstream (e.g. the caller repartitioned the raw
     // scan so its parse projection parallelizes) — don't shuffle twice
@@ -86,7 +86,11 @@ private[graft] object ScanStats {
         r.numPartitions >= target
       case _ => false
     }
+    // NOTE: `rand(7) >= -1` does NOT work as the barrier — Spark 4's
+    // range analysis folds it to TRUE and PruneFilters deletes it;
+    // rand never produces NaN, so this stays always-true while opaque
+    // to the optimizer
     if (!alreadyWide && estimatedScanPartitions(df) < target)
-      df.repartition(target).filter(rand(7) >= -1) else df
+      df.repartition(target).filter(not(isnan(rand(7)))) else df
   }
 }

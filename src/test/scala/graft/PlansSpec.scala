@@ -69,4 +69,45 @@ class PlansSpec extends SparkSpec {
     assert(!oneSided.queryExecution.optimizedPlan.toString.contains("explode"))
     assert(oneSided.count() == 2) // (10>=5), (20>=5)
   }
+
+  test("scan widen guard: spreads a 1-split scan and blocks filter sink-back") {
+    import graft.operators.ScanStats
+    val dir = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    spark.range(10000).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    val narrow = spark.read.parquet(s"$dir/t.parquet")
+    assert(ScanStats.estimatedScanPartitions(narrow) <
+      spark.sparkContext.defaultParallelism)
+
+    val wide = ScanStats.widen(narrow)
+    assert(wide.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+
+    // a downstream filter must STAY above the exchange — without the
+    // barrier the optimizer sinks it (with its whole expression subtree)
+    // onto the single-split scan side, re-serializing the work
+    val filtered = wide.filter(col("id") % 7 === 0)
+    val optimized = filtered.queryExecution.optimizedPlan
+    var sawRepartition = false
+    var filterBelowExchange = false
+    optimized.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        sawRepartition = true
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if sawRepartition && f.condition.deterministic =>
+        filterBelowExchange = true
+      case _ =>
+    }
+    assert(sawRepartition, optimized.toString.take(500))
+    assert(!filterBelowExchange,
+      "deterministic filter sank below the widen exchange:\n" +
+        optimized.toString.take(800))
+    assert(filtered.count() == 10000 / 7 + 1)
+
+    // already-wide inputs are untouched: no second exchange, pushdown free
+    val rewiden = ScanStats.widen(wide)
+    val reps = rewiden.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+    }
+    assert(reps.size == 1, s"widen re-shuffled an already-wide input: $reps")
+  }
 }
