@@ -446,4 +446,55 @@ class EngineSpec extends SparkSpec {
     assert(ax("dc:source") == "owl:AnnotationProperty")
     assert(ax("OBAN:association_has_subject") == "owl:ObjectProperty")
   }
+
+  test("round-5 coverage wave: mmrrc/animalqtldb/flybase/wormbase through Runner") {
+    // end-to-end over the golden inputs: registry wiring, scan, emit,
+    // NT sink — semantic spot checks per source (the exact triple sets
+    // are locked by GoldenSpec's corpus compare)
+    def run(name: String): Set[String] = {
+      val out = Files.createTempDirectory(s"graft-$name").toString
+      val res = Runner.run(spark, Runner.RunConfig(Seq(name), out),
+        s"src/test/resources/golden/$name/input")
+      assert(res.head.triples > 0, name)
+      spark.read.text(s"$out/$name.nt").as[String].collect().toSet
+    }
+
+    val mmrrc = run("mmrrc")
+    // two alleles on one strain: GVC assembled over two VSLCs
+    assert(mmrrc.exists(l => l.contains("GENO_0000009")))
+    // MP association with dc:source PMID fan-out
+    assert(mmrrc.exists(l => l.contains("MP_0001393")))
+    assert(mmrrc.exists(l => l.contains("dc/elements/1.1/source") &&
+      l.contains("pubmed/8356452")))
+
+    val aqtl = run("animalqtldb")
+    // cm-tier QTL on the linkage map; bp-tier on the UCSC build
+    assert(aqtl.exists(l => l.contains("cattle-linkagechr14")))
+    assert(aqtl.exists(l => l.contains("bosTau7chr14")))
+    // is-marker-for association with the p-value digit-survival quirk
+    assert(aqtl.exists(l => l.contains("RO_0002607")))
+    assert(aqtl.exists(l => l.contains("\"5.0\"") &&
+      l.contains("XMLSchema#double")))
+
+    val fb = run("flybase")
+    // foreign transgenic allele excluded from the allele tier but alive
+    // as a qualifier on the phenotype association
+    assert(!fb.exists(l =>
+      l.contains("flybase/FBal0130657> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")))
+    assert(fb.exists(l => l.contains("GENO_0000580") &&
+      l.contains("FBal0130657")))
+    // FBrf→PMID reroute in the disease tier
+    assert(fb.exists(l => l.contains("DOID_5555")) &&
+      fb.exists(l => l.contains("pubmed/30328653")))
+
+    val wb = run("wormbase")
+    // REF⇄WITH unswap: the person lands as a typed source
+    assert(wb.exists(l => l.contains("WBPerson557") &&
+      l.contains("foaf/0.1/Person")))
+    // Dead gene deprecated; RNAi reagent targets its gene
+    assert(wb.exists(l => l.contains("WBGene00000003") &&
+      l.contains("owl#deprecated")))
+    assert(wb.exists(l => l.contains("WBRNAi00025129") &&
+      l.contains("GENO_0000414")))
+  }
 }
