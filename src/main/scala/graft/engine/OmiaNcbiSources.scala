@@ -146,11 +146,8 @@ object OmiaSource extends GraftSource {
     * relations inherit the scan's split count, serializing the emit
     * stages at test SF; the repartition also becomes the one Exchange
     * every downstream consumer reuses. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (graft.operators.ScanStats.estimatedScanPartitions(df) < target)
-      df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame =
+    graft.operators.ScanStats.widen(df)
 
   /** XML dump tables (OMIA.py:140-143 table list; the same landed
     * `omia_dump.xml` the omia_phenes source scans) + the OMIM mimTitles
