@@ -35,10 +35,7 @@ object Dedup {
     * provide parallelism and this is a no-op; locally (and on any corpus
     * packed into few files) a small scan is 1-2 splits, which would run
     * the most expensive map stage of the whole operator on 1-2 cores. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (ScanStats.estimatedScanPartitions(df) < target) df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame = ScanStats.widen(df)
 
   /** Distinct (id, shingle) exploded relation. Tokenization is projected
     * BELOW the explode so it runs once per document inside whole-stage

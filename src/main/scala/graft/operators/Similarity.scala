@@ -27,10 +27,7 @@ object Similarity {
     * corpus arrives in thousands of splits and this is a no-op, but a
     * corpus packed into one or two files would otherwise run every
     * pairwise dot product of the join on one or two cores. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (ScanStats.estimatedScanPartitions(df) < target) df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame = ScanStats.widen(df)
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
