@@ -96,7 +96,15 @@ object WormBaseSource extends GraftSource {
           "phase", "attributes"), comment = Some('#'))
         .withColumn("build", lit(build)),
       "disease_assoc" -> scan("disease_association*", "\t", gafColumns,
-        comment = Some('!')))
+        comment = Some('!'))) ++
+      // pub_xrefs is present-but-disabled in the reference's parse
+      // (WormBase.py:650-688, commented out of py:306-313) — exposed
+      // here as an OPT-IN input: the tier runs only when the file is
+      // landed, so default runs match the reference's output exactly
+      (if (new java.io.File(dataDir, "pub_xrefs.txt").exists())
+         Map("pub_xrefs" -> scan("pub_xrefs.txt", "\t",
+           Seq("wb_ref", "xref")))
+       else Map.empty)
   }
 
   private lazy val gafEco: Map[String, String] =
@@ -368,12 +376,38 @@ object WormBaseSource extends GraftSource {
       res(col("aid"), lit(Vocab.source), col("ref")),
       res(col("aid"), lit(Vocab.hasEvidence), col("eco")))
 
-    geneTriples
-      .union(apTriples)
-      .union(rpTriples)
-      .union(cinDim)
-      .union(flTriples)
-      .union(daTriples)
+    // ---- optional pub_xrefs tier (py:650-688; opt-in, see read) ---------
+    val pubXrefTriples = in.get("pub_xrefs").map { px =>
+      val rows = px
+        .select(trim(coalesce(col("wb_ref"), lit(""))).as("wbref"),
+          // strip the trailing '<BR>' (py:661 `strip()[:-4]`)
+          expr("substring(trim(coalesce(xref, '')), 1, " +
+            "greatest(length(trim(coalesce(xref, ''))) - 4, 0))").as("x"))
+        .filter(col("wbref") =!= "")
+        .withColumn("dbxref",
+          when(col("x").startsWith("pmid"),
+            concat(lit("PMID:"), substring(col("x"), 5, Int.MaxValue)))
+            .when(col("x").rlike("[\\(\\)<>\\[\\]\\s]"),
+              lit(null).cast("string"))
+            .when(col("x").startsWith("doi"),
+              concat(lit("DOI:"), substring(col("x"), 4, Int.MaxValue))))
+        .filter(col("dbxref").isNotNull)
+        .withColumn("refCurie", concat(lit("WormBase:"), col("wbref")))
+      ColumnEmit.emit(rows,
+        res(col("dbxref"), lit(Vocab.a),
+          when(col("dbxref").startsWith("PMID:"),
+            lit(g.resolve("journal article")))
+            .otherwise(lit(Vocab.publication))),
+        res(col("refCurie"), lit(Vocab.sameAs), col("dbxref")))
+    }
+
+    pubXrefTriples.foldLeft(
+      geneTriples
+        .union(apTriples)
+        .union(rpTriples)
+        .union(cinDim)
+        .union(flTriples)
+        .union(daTriples))(_.union(_))
   }
 
   override def testIds: Seq[String] =
