@@ -139,10 +139,18 @@ object PipelineQueries {
     // Lloyd k-means refinement of the IVF seed centroids (the
     // production-IVF training step): two deterministic assign/mean
     // rounds, per-iteration rounding pins the distributed-mean floats.
-    // Fully oracle-checked — the SQL unrolls both iterations.
+    // Fully oracle-checked — the SQL unrolls both iterations. The
+    // array-valued centroid is exploded to scalar (cell, dim, value)
+    // rows for the artifact: array columns defeat the driver's
+    // sort-then-hash comparator, and the exploded shape carries the
+    // identical information (dim is 1-based to match SQL list indexing).
     "s06_kmeans_refine" -> ((s, d) =>
       Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 8, iters = 2)),
+        k = 8, iters = 2)
+        .select(col("cell"),
+          posexplode(col("centroid")).as(Seq("pos", "value")))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+          col("value"))),
 
     // Int8-quantized ANN: per-vector symmetric quantization (4× smaller
     // candidate state at scale), then the exact top-k machinery over the
@@ -877,7 +885,8 @@ object PipelineQueries {
                  FROM m2 GROUP BY cell),
          c2 AS (SELECT c1.cid, coalesce(c2v.cv, c1.cv) AS cv
                 FROM c1 LEFT JOIN c2v ON c1.cid = c2v.cid)
-         SELECT cid AS cell, cv AS centroid FROM c2""",
+         SELECT cid AS cell, dims.dim AS dim, cv[dims.dim] AS value
+         FROM c2, dims""",
     "s01_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
