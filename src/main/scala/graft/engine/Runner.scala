@@ -49,7 +49,7 @@ object Runner {
     SgdSource, MonarchSource, GeneReviewsSource, EomSource,
     MyDrugSource, EnsemblSource, XenbaseSource, CoriellSource,
     MmrrcSource, MonochromSource, AnimalQtlSource, FlyBaseSource,
-    WormBaseSource
+    WormBaseSource, ZfinFishSource
   ).map(s => s.name -> s).toMap
 
   /** A cross-source augmentation: when one run includes every source in

@@ -1,0 +1,498 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Digest, Triple, Vocab}
+import graft.emit.{Assoc, Environment, Model, Reference, Genotype => G}
+
+/** ZFIN depth wave: the fish/extrinsic-genotype assembly, gene-marker
+  * relationships, knockdown reagents, environments, and the
+  * fish-to-phenotype (G2P) associations — the passes of the reference's
+  * largest source that sit ABOVE the intrinsic-genotype core already
+  * covered by [[ZfinGenotypeSource]].
+  *
+  * Reference provenance (all `/root/reference/dipper/sources/ZFIN.py`):
+  *  - `process_fish` (ZFIN.py:522-768): a fish is an *effective
+  *    genotype* = intrinsic genotype + a set of affectors; the extrinsic
+  *    genotype is assembled from `affectors − intrinsic alleles` (the
+  *    set difference this tier exists for), with each reagent-targeted
+  *    gene minted as a bnode `md5(gene-reagent…)`, reagents grouped
+  *    per targeted gene, and the extrinsic id digested from the sorted
+  *    targeted-gene list. Allele→construct provenance rides the same
+  *    file (`sequence derives from` + transgenic-part partonomy).
+  *  - `_process_wildtypes` (ZFIN.py:1264-1328): wildtype genotypes are
+  *    genomic backgrounds; a fish whose intrinsic genotype is wildtype
+  *    attaches it with `has_reference_part` instead of
+  *    `has_variant_part`.
+  *  - `_process_gene_marker_relationships` (ZFIN.py:1785-1933): of the
+  *    ~13 relationship kinds only four are consumed — knockdown
+  *    targeting, coding-sequence / promoter transgene parts, and
+  *    miRNA `transcript targets gene`.
+  *  - `_process_targeting_reagents` (ZFIN.py:2069-2199): morpholino /
+  *    TALEN / CRISPR reagent declarations + publication mentions; one
+  *    unified input frame here (the three reference files share the
+  *    normalized `kol` column shape the reference itself defines).
+  *  - `_process_pheno_enviro` (ZFIN.py:2201-2332): environments with
+  *    ZECO condition components and the composed
+  *    "Environment that includes: …" label (this engine emits the
+  *    per-component partonomy the reference's refactor left TODO —
+  *    component = the ZECO condition itself).
+  *  - `_process_g2p` (ZFIN.py:1376-1521) + `_load_zp_mappings`
+  *    (ZFIN.py:2774-2820): the EQ octuple → ZP mapping is a broadcast
+  *    join against the zp-map table (the reference's dict probe,
+  *    re-expressed); abnormal rows become stage/environment-qualified
+  *    OBAN associations, `normal`-tagged rows demote to a publication
+  *    `mentions` link, unmapped octuples drop (the reference's warn
+  *    path).
+  *
+  * Scale shape: every mapping relation (reagent→gene, construct→part,
+  * zp-map, environment components, wildtype set) is dimension-sized and
+  * broadcast; the two fact aggregations (per-genotype intrinsic-allele
+  * set, per-fish affector set) are single-shuffle hash aggregates keyed
+  * by their natural keys; the per-fish assembly is ONE further shuffle
+  * (groupByKey on fish) over the exploded extrinsic rows; G2P and all
+  * declaration tiers are shuffle-free map-side flatMaps. Ids are md5
+  * content digests (sha1 in the reference) so the DuckDB oracle can
+  * reproduce them and so emission stays deterministic under partition
+  * retries at cluster scale.
+  */
+object ZfinFishSource extends GraftSource {
+  val name = "zfin_fish"
+  private val definedBy = "EX:zfin"
+
+  private val taxonId = "NCBITaxon:7955"
+  private val extrinsicGenotype = "GENO:0000524"
+  private val effectiveGenotype = "GENO:0000525"
+  private val intrinsicGenotype = "GENO:0000719"
+  private val unspecifiedBackground = "GENO:0000649"
+  private val codingTransgeneFeature = "GENO:0000638"
+  private val regulatoryTransgeneFeature = "GENO:0000637"
+  private val mentions = "IAO:0000142"
+  private val expPhenoEvidence = "ECO:0000059"
+  private val abnormal = "PATO:0000460"
+  private val hasGenotype = "GENO:0000222"
+
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  private def schemaOf(cols: String*): StructType =
+    StructType(cols.map(StructField(_, StringType)))
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] =
+    graft.sources.DelimitedSource.readManifest(spark, Map(
+      "fish_components" -> graft.sources.SourceFile(
+        s"$dataDir/fish_components.tsv",
+        schemaOf("FishID", "FishName", "AffectorID", "ConstructID",
+          "GenotypeID")),
+      "genotype_features" -> graft.sources.SourceFile(
+        s"$dataDir/genotype_features.tsv",
+        schemaOf("GenotypeID", "GenotypeName", "AlleleID", "AlleleName",
+          "GeneID", "GeneSymbol", "Zygosity")),
+      "wildtypes" -> graft.sources.SourceFile(
+        s"$dataDir/wildtypes.tsv",
+        schemaOf("FishID", "FishName", "FishAbbreviation", "GenotypeID")),
+      "gene_marker_rel" -> graft.sources.SourceFile(
+        s"$dataDir/gene_marker_rel.tsv",
+        schemaOf("GeneID", "GeneSOID", "GeneSymbol", "MarkerID",
+          "MarkerSOID", "MarkerSymbol", "Relationship")),
+      "reagents" -> graft.sources.SourceFile(
+        s"$dataDir/reagents.tsv",
+        schemaOf("GeneID", "GeneSOID", "GeneSymbol", "ReagentID",
+          "ReagentSOID", "ReagentSymbol", "Publications", "Note")),
+      "pheno_environment" -> graft.sources.SourceFile(
+        s"$dataDir/pheno_environment.tsv",
+        schemaOf("EnvironmentID", "ZecoTermID", "ZecoTermName")),
+      "pheno" -> graft.sources.SourceFile(
+        s"$dataDir/pheno.tsv",
+        schemaOf("FishID", "StartStageID", "EndStageID",
+          "Subterm1ID", "Subterm1Name", "Postcomp1RelID", "Superterm1ID",
+          "Superterm1Name", "QualityID", "QualityName", "Tag",
+          "Subterm2ID", "Subterm2Name", "Postcomp2RelID", "Superterm2ID",
+          "Superterm2Name", "PublicationID", "EnvironmentID")),
+      "zp_map" -> graft.sources.SourceFile(
+        s"$dataDir/zp_map.tsv",
+        schemaOf("ZpID", "OctupleID"))))
+
+  private def strip(s: String): String = s.replaceAll("(ZFIN)?:", "")
+  private def nzc(c: Column): Column =
+    when(coalesce(c, lit("")) === "", lit(null)).otherwise(c)
+
+  /** The four gene_marker_rel relationship kinds the reference consumes
+    * (ZFIN.py:1846-1852; 'gene product recognized by antibody' is a
+    * reference TODO and is filtered with the rest). */
+  private val keptRels = Seq("knockdown reagent targets gene",
+    "coding sequence of", "promoter of", "transcript targets gene")
+
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+
+    val tiers = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def df(ts: org.apache.spark.sql.Dataset[Triple]): DataFrame = ts.toDF()
+
+    // ---- dimension relations shared across tiers ----------------------
+    val gmr = in.get("gene_marker_rel").map(_.filter(
+      col("Relationship").isin(keptRels: _*)).cache())
+
+    // reagent/allele → affected genes (the reference's variant_loci_genes
+    // hash, built from genotype_features ZFIN.py:898-901, the reagent
+    // files ZFIN.py:2190-2194, and gene_marker_rel knockdown rows).
+    // Dimension-sized (bounded by alleles+reagents) → broadcast.
+    val vlgParts = Seq(
+      in.get("genotype_features").map(_
+        .filter(nzc(col("GeneID")).isNotNull && nzc(col("AlleleID")).isNotNull)
+        .select(col("AlleleID").as("aff"), col("AlleleName").as("affLabel"),
+          col("GeneID").as("gene"), col("GeneSymbol").as("geneLabel"))),
+      in.get("reagents").map(_
+        .filter(nzc(col("GeneID")).isNotNull)
+        .select(col("ReagentID").as("aff"), col("ReagentSymbol").as("affLabel"),
+          col("GeneID").as("gene"), col("GeneSymbol").as("geneLabel"))),
+      gmr.map(_.filter(col("Relationship") === "knockdown reagent targets gene")
+        .select(col("MarkerID").as("aff"), col("MarkerSymbol").as("affLabel"),
+          col("GeneID").as("gene"), col("GeneSymbol").as("geneLabel")))
+    ).flatten
+    val vlg = vlgParts.reduceOption(_ unionByName _).map(
+      _.groupBy(col("aff"), col("gene"))
+        .agg(max(col("affLabel")).as("affLabel"),
+          max(col("geneLabel")).as("geneLabel")))
+
+    // construct → transgenic parts (coding / promoter rows;
+    // ZFIN.py:1869-1906 build, 744-768 attach)
+    val tgParts = gmr.map(_
+      .filter(col("Relationship").isin("coding sequence of", "promoter of"))
+      .select(col("MarkerID").as("construct"),
+        col("GeneID").as("pgene"), col("Relationship").as("prel")))
+
+    // ---- fish / extrinsic-genotype assembly (process_fish) ------------
+    for {
+      fishes <- in.get("fish_components")
+      feats <- in.get("genotype_features")
+    } {
+      val intrinsic = feats
+        .filter(nzc(col("AlleleID")).isNotNull)
+        .groupBy(col("GenotypeID").as("gid"))
+        .agg(max(col("GenotypeName")).as("gname"),
+          collect_set(col("AlleleID")).as("intrinsicAlleles"))
+      val wildSet = in.get("wildtypes")
+        .map(_.select(col("GenotypeID").as("gid")).distinct()
+          .withColumn("isWt", lit(true)))
+        .getOrElse(spark.emptyDataset[(String, Boolean)].toDF("gid", "isWt"))
+
+      val fishAgg = fishes
+        .groupBy(col("FishID").as("fish"))
+        .agg(max(col("FishName")).as("fishName"),
+          max(col("GenotypeID")).as("gid"),
+          collect_set(col("AffectorID")).as("affectors"))
+        .join(intrinsic, Seq("gid"), "left")
+        .join(broadcast(wildSet), Seq("gid"), "left")
+        .select(col("fish"), col("fishName"), col("gid"),
+          coalesce(col("gname"), lit("")).as("gname"),
+          coalesce(col("isWt"), lit(false)).as("isWt"),
+          array_sort(array_except(col("affectors"),
+            coalesce(col("intrinsicAlleles"),
+              array().cast("array<string>")))).as("extrinsic"))
+
+      // the reference skips 'ALT' ids inside the reagent walk
+      // (ZFIN.py:631-633): ALT extrinsics stay out of the gene join but
+      // must not drop the fish row — explode_outer + null-gene carry
+      val exploded = fishAgg
+        .select(col("fish"), col("fishName"), col("gid"), col("gname"),
+          col("isWt"), explode_outer(col("extrinsic")).as("aff"))
+        .withColumn("effAff",
+          when(col("aff").isNull || col("aff").contains("ALT"), lit(null))
+            .otherwise(col("aff")))
+      val joined = vlg match {
+        case Some(m) => exploded.join(broadcast(m),
+          exploded("effAff") === m("aff"), "left")
+          .select(exploded("fish"), exploded("fishName"), exploded("gid"),
+            exploded("gname"), exploded("isWt"), col("effAff"),
+            coalesce(col("affLabel"), col("effAff")).as("affLabel"),
+            col("gene"), col("geneLabel"))
+        case None => exploded
+          .select(col("fish"), col("fishName"), col("gid"), col("gname"),
+            col("isWt"), col("effAff"), col("effAff").as("affLabel"),
+            lit(null).cast("string").as("gene"),
+            lit(null).cast("string").as("geneLabel"))
+      }
+      val fishTriples = joined
+        .as[(String, String, String, String, Boolean, String, String,
+             String, String)]
+        .groupByKey(_._1)
+        .flatMapGroups { (fishNum, it) =>
+          val rows = it.toSeq.sortBy(r => (Option(r._6).getOrElse(""),
+            Option(r._8).getOrElse("")))
+          val head = rows.head
+          val (fishName, gid, gname, isWt) = (head._2, head._3, head._4,
+            head._5)
+          val fish = s"ZFIN:$fishNum"
+          val gt = s"ZFIN:$gid"
+
+          // gene → sorted reagent list (the inside-out inversion,
+          // ZFIN.py:640-651)
+          val geneReagents = rows
+            .filter(r => r._8 != null && r._6 != null)
+            .groupBy(r => (r._8, r._9))
+            .toSeq
+            .map { case ((gene, geneLabel), rs) =>
+              val reag = rs.map(r => (r._6, r._7)).distinct.sortBy(_._1)
+              val eid = reag.map(_._1).mkString("-")
+              val tgId = "_:" + Digest.md5IdScala(strip(s"$gene-$eid"))
+              val elabel = reag.map(_._2).mkString(", ")
+              (tgId, s"${Option(geneLabel).getOrElse(gene)}<$elabel>",
+                s"ZFIN:$gene", reag)
+            }
+            .sortBy(_._1)
+
+          val targetedTriples = geneReagents.flatMap {
+            case (tgId, tgLabel, geneCurie, reag) =>
+              Model.addLabel(tgId, tgLabel) ++
+                reag.flatMap { case (rid, _) =>
+                  G.addReagentTargetedGene(s"ZFIN:$rid", geneCurie, tgId)
+                }
+          }
+
+          val (extrinsicTriples, extLabelOpt) =
+            if (geneReagents.isEmpty) (Nil, None)
+            else {
+              val src = geneReagents.map(_._1.stripPrefix("_:"))
+                .mkString("-")
+              val exId = "_:" + Digest.md5IdScala(src)
+              val exLabel = geneReagents.map(_._2).mkString("; ")
+              val ts = G.addGenotype(exId, exLabel, extrinsicGenotype) ++
+                geneReagents.flatMap(tg =>
+                  G.addParts(tg._1, exId, Vocab.hasVariantPart)) ++
+                G.addParts(exId, fish, Vocab.hasVariantPart)
+              (ts, Some(exLabel))
+            }
+
+          // intrinsic attach: wildtype → reference part of a genomic
+          // background; otherwise variant part of an intrinsic genotype
+          // (ZFIN.py:706-718)
+          val (intRel, intType) =
+            if (isWt) (Vocab.hasReferencePart, Vocab.genomicBackground)
+            else (Vocab.hasVariantPart, intrinsicGenotype)
+          val intrinsicTriples =
+            G.addGenotype(gt, gname, intType) ++
+              G.addParts(gt, fish, intRel)
+
+          val fishLevel =
+            G.addGenotype(fish, gname, effectiveGenotype) ++
+              G.addTaxon(taxonId, fish) ++
+              (if (fishName != null && fishName.nonEmpty)
+                 Model.addSynonym(fish, fishName) else Nil)
+
+          targetedTriples ++ extrinsicTriples ++ intrinsicTriples ++
+            fishLevel
+        }
+      tiers += df(fishTriples)
+
+      // allele → construct provenance + transgenic-part partonomy
+      // (ZFIN.py:744-768): file-global, independent of the per-fish walk
+      val alleleConstruct = fishes
+        .filter(nzc(col("ConstructID")).isNotNull &&
+          nzc(col("AffectorID")).isNotNull)
+        .select(col("AffectorID").as("aff"), col("ConstructID").as("construct"))
+        .distinct()
+      val derives = alleleConstruct
+        .as[(String, String)]
+        .flatMap { case (aff, c) =>
+          G.addSequenceDerivesFrom(s"ZFIN:$aff", s"ZFIN:$c")
+        }
+      tiers += df(derives)
+      tgParts.foreach { parts =>
+        val attach = alleleConstruct
+          .join(broadcast(parts),
+            alleleConstruct("construct") === parts("construct"))
+          .select(col("aff"), col("pgene"), col("prel"),
+            alleleConstruct("construct").as("c"))
+          .distinct()
+          .as[(String, String, String, String)]
+          .flatMap { case (aff, pgene, prel, c) =>
+            val partId = transgenePartId(s"ZFIN:$c", s"ZFIN:$pgene", prel)
+            // promoter parts attach with plain has_part (the reference's
+            // in-code HACK, ZFIN.py:761-766)
+            val rel = if (prel == "promoter of") Vocab.hasPart
+                      else Vocab.hasVariantPart
+            G.addParts(partId, s"ZFIN:$aff", rel)
+          }
+        tiers += df(attach)
+      }
+    }
+
+    // ---- wildtype genomic backgrounds (_process_wildtypes) ------------
+    in.get("wildtypes").foreach { wt =>
+      val ts = wt.select(col("FishID"), col("FishName"),
+          col("FishAbbreviation"), col("GenotypeID"))
+        .as[(String, String, String, String)]
+        .flatMap { case (fishNum, fishName, abbrev, gid) =>
+          val gt = s"ZFIN:$gid"
+          val bgType = if (gid == "ZDB-GENO-030619-2") unspecifiedBackground
+                       else Vocab.genomicBackground
+          Model.addType(gt, bgType) ++ Model.addLabel(gt, abbrev) ++
+            Model.addDescription(gt, fishName) ++
+            Model.addTriple(s"ZFIN:$fishNum", hasGenotype, gt)
+        }
+      tiers += df(ts)
+    }
+
+    // ---- gene-marker relationships ------------------------------------
+    gmr.foreach { rel =>
+      val ts = rel.select(col("GeneID"), col("GeneSOID"), col("GeneSymbol"),
+          col("MarkerID"), col("MarkerSOID"), col("MarkerSymbol"),
+          col("Relationship"))
+        .as[(String, String, String, String, String, String, String)]
+        .flatMap { case (g, gSo, gSym, m, mSo, mSym, r) =>
+          val gene = s"ZFIN:$g"
+          val marker = s"ZFIN:$m"
+          val geneTs = G.addGene(gene, gSym,
+            Option(gSo).filter(_.nonEmpty).getOrElse(Vocab.gene))
+          val relTs = r match {
+            case "knockdown reagent targets gene" =>
+              G.addGeneTargetingReagent(marker, mSym,
+                Option(mSo).filter(_.nonEmpty).getOrElse("SO:0000695"),
+                Some(gene))
+            case "coding sequence of" | "promoter of" =>
+              val partType = if (r == "promoter of")
+                regulatoryTransgeneFeature else codingTransgeneFeature
+              val partId = transgenePartId(marker, gene, r)
+              G.addConstruct(marker, mSym) ++
+                Model.individualTriples(partId, s"Tg($r $gSym)",
+                  Some(partType)) ++
+                G.addSequenceDerivesFrom(partId, gene)
+            case "transcript targets gene" =>
+              Model.individualTriples(marker, mSym,
+                Option(mSo).filter(_.nonEmpty)) ++
+                Model.addTriple(marker, "EXP:targets_gene", gene)
+            case _ => Nil
+          }
+          geneTs ++ relTs
+        }
+      tiers += df(ts)
+    }
+
+    // ---- knockdown reagents (morph/talen/crispr) -----------------------
+    in.get("reagents").foreach { reag =>
+      val ts = reag.select(col("GeneID"), col("GeneSymbol"),
+          col("ReagentID"), col("ReagentSOID"), col("ReagentSymbol"),
+          col("Publications"), col("Note"))
+        .as[(String, String, String, String, String, String, String)]
+        .flatMap { case (g, _, rid, rSo, rSym, pubs, note) =>
+          val reagent = s"ZFIN:$rid"
+          val geneOpt = Option(g).filter(_.nonEmpty).map("ZFIN:" + _)
+          G.addGeneTargetingReagent(reagent, rSym,
+            Option(rSo).filter(_.nonEmpty).getOrElse("SO:0000695"),
+            geneOpt) ++
+            Option(pubs).filter(_.nonEmpty).toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+              .flatMap { p =>
+                val pub = s"ZFIN:$p"
+                Reference.triples(pub) ++
+                  Model.addTriple(pub, mentions, reagent)
+              } ++
+            Option(note).filter(_.nonEmpty).toSeq
+              .flatMap(n => Model.addComment(reagent, n))
+        }
+      tiers += df(ts)
+    }
+
+    // ---- environments (_process_pheno_enviro) ---------------------------
+    val envRows = in.get("pheno_environment").map(_
+      .filter(nzc(col("ZecoTermID")).isNotNull)
+      .select(col("EnvironmentID").as("env"), col("ZecoTermID").as("zeco"),
+        col("ZecoTermName").as("zecoName"))
+      .distinct().cache())
+    envRows.foreach { er =>
+      val compTs = er.select(col("zeco"), col("zecoName")).distinct()
+        .as[(String, String)]
+        .flatMap { case (z, zn) => Environment.condition(z, zn) }
+      val partTs = er.as[(String, String, String)]
+        .flatMap { case (env, z, _) =>
+          Environment.hasPart(s"ZFIN:$env", z)
+        }
+      val envTs = er.groupBy(col("env"))
+        .agg(sort_array(collect_set(col("zecoName"))).as("names"))
+        .as[(String, Seq[String])]
+        .flatMap { case (env, names) =>
+          Environment.environment(s"ZFIN:$env",
+            "Environment that includes: " + names.mkString("; "))
+        }
+      tiers += df(compTs); tiers += df(partTs); tiers += df(envTs)
+    }
+
+    // ---- G2P (fish → phenotype, _process_g2p) ---------------------------
+    in.get("pheno").foreach { pheno =>
+      val key7 = concat_ws("-",
+        Seq("Subterm1ID", "Postcomp1RelID", "Superterm1ID", "QualityID",
+          "Subterm2ID", "Postcomp2RelID", "Superterm2ID")
+          .map(c => coalesce(nzc(col(c)), lit("0"))): _*)
+      // free-text modifier → PATO (the reference's resolve() step,
+      // ZFIN.py:2742-2746); zp-map rows all carry the implicit abnormal
+      // modifier (ZFIN.py:2799-2801), so only abnormal-resolving rows
+      // can match
+      val modId = when(col("Tag") === "abnormal", lit(abnormal))
+        .otherwise(lit(null).cast("string"))
+      val withKey = pheno.withColumn("key7", key7).withColumn("mod", modId)
+      val mapped = in.get("zp_map") match {
+        case Some(zp) => withKey.join(
+          broadcast(zp.select(col("ZpID").as("zp"),
+            col("OctupleID").as("okey")).distinct()),
+          withKey("key7") === col("okey") && withKey("mod") === abnormal,
+          "left")
+        case None => withKey.withColumn("zp", lit(null).cast("string"))
+      }
+      val envKnown = envRows
+        .map(_.select(col("env")).distinct()
+          .withColumn("envHasComp", lit(true)))
+        .getOrElse(spark.emptyDataset[(String, Boolean)]
+          .toDF("env", "envHasComp"))
+      val rows = mapped.join(broadcast(envKnown),
+          mapped("EnvironmentID") === envKnown("env"), "left")
+        .select(col("FishID"), col("StartStageID"), col("EndStageID"),
+          col("Tag"), col("PublicationID"), col("EnvironmentID"),
+          col("zp"), coalesce(col("envHasComp"), lit(false)).as("envOk"))
+        .as[(String, String, String, String, String, String, String,
+             Boolean)]
+      val ts = rows.flatMap {
+        case (fishNum, start, end, tag, pub, envId, zp, envOk) =>
+          val fish = s"ZFIN:$fishNum"
+          val pubOpt = Option(pub).filter(_.nonEmpty).map("ZFIN:" + _)
+          val pubTs = pubOpt.toSeq.flatMap(p => Reference.triples(p))
+          if (tag != null && tag.startsWith("normal")) {
+            // normal phenotypes demote to pub-mentions-fish
+            // (ZFIN.py:1500-1516)
+            pubTs ++ pubOpt.toSeq.flatMap(p =>
+              Model.addTriple(p, mentions, fish))
+          } else if (zp == null) {
+            // unmapped octuple: reference warns and skips (ZFIN.py:1479)
+            pubTs
+          } else {
+            val startOpt = Option(start).filter(_.nonEmpty).map("ZFIN:" + _)
+            val endOpt = Option(end).filter(_.nonEmpty).map("ZFIN:" + _)
+            val envOpt = if (envOk) Some(s"ZFIN:$envId") else None
+            val attrs = envOpt.toSeq ++ startOpt.toSeq ++ endOpt.toSeq
+            val assocId = "_:" + Digest.md5IdScala(
+              (Seq(definedBy, fish, Vocab.hasPhenotype, zp) ++ attrs)
+                .mkString("+"))
+            pubTs ++
+              Assoc.g2p(definedBy, fish, zp, startOpt, endOpt, envOpt,
+                evidence = Seq(expPhenoEvidence), sources = pubOpt.toSeq,
+                digest = Digest.md5IdScala) ++
+              Option(envId).filter(_.nonEmpty).toSeq.flatMap(e =>
+                Model.addComment(assocId, s"Legacy environment id ZFIN:$e"))
+          }
+      }
+      tiers += df(ts)
+    }
+
+    tiers.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[Triple].toDF())
+  }
+
+  /** `_make_transgene_part_id` (ZFIN.py:1928-1933): digest of
+    * `construct-gene-relationship` with non-word runs hyphenated and
+    * ZFIN: prefixes stripped. */
+  private def transgenePartId(construct: String, gene: String,
+                              rel: String): String =
+    "_:" + Digest.md5IdScala(strip(
+      s"$construct-$gene-${rel.replaceAll("\\W+", "-")}"))
+
+  override def testIds: Seq[String] = Seq("ZFIN:ZDB-FISH-150901-10750")
+}

@@ -1714,6 +1714,163 @@ object RdfQueries {
             Triple.res(fam, Vocab.hasMember, gA),
             Triple.res(fam, Vocab.hasMember, gB))
         }.toDF().distinct()
+    }),
+
+    // §3.2 end-to-end ingest — ZFIN fish tier (the depth wave over p03):
+    // effective-genotype assembly with the affectors−intrinsic set
+    // difference, reagent-targeted genes from the global reagent→gene
+    // map, extrinsic-genotype digests, wildtype reference-part dispatch,
+    // allele→construct provenance with transgenic-part partonomy, the
+    // four consumed gene-marker relationship kinds, and reagent
+    // declarations with publication mentions (ZFIN.py:522-768,
+    // 1264-1328, 1785-1933, 2069-2199). The oracle re-derives the exact
+    // distinct triple set from the same TPC-H synthesis in SQL.
+    "p34_zfin_fish_pipeline" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 5 === 0)
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_partkey").as("pk"))
+        .agg(min(col("l_linenumber")).as("ln"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"))),
+          col("pk") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("sk") === col("s_suppkey"))
+        .select(col("ok"), col("sk"), col("pk"), col("ln"),
+          col("p_name").as("pn"), col("s_name").as("sn"))
+      val feats = base.select(
+        concat(lit("G"), col("ok")).as("GenotypeID"),
+        concat(lit("genotype "), col("ok")).as("GenotypeName"),
+        concat(lit("A"), col("pk")).as("AlleleID"),
+        col("pn").as("AlleleName"),
+        concat(lit("S"), col("sk")).as("GeneID"),
+        col("sn").as("GeneSymbol"),
+        lit("heterozygous").as("Zygosity"))
+      val fishIntr = base.select(
+        concat(lit("F"), col("ok")).as("FishID"),
+        concat(lit("fish "), col("ok")).as("FishName"),
+        concat(lit("A"), col("pk")).as("AffectorID"),
+        when(col("pk") % 4 === 0, concat(lit("TC"), col("sk")))
+          .otherwise(lit("")).as("ConstructID"),
+        concat(lit("G"), col("ok")).as("GenotypeID"))
+      val fishExtr = base.filter(col("ok") % 2 === 0).select(
+        concat(lit("F"), col("ok")).as("FishID"),
+        concat(lit("fish "), col("ok")).as("FishName"),
+        when(col("pk") % 10 === 0, concat(lit("ALT"), col("pk")))
+          .otherwise(concat(lit("MO"), col("pk"))).as("AffectorID"),
+        lit("").as("ConstructID"),
+        concat(lit("G"), col("ok")).as("GenotypeID"))
+      val wt = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 25 === 0).select(
+          concat(lit("WF"), col("o_orderkey")).as("FishID"),
+          concat(lit("wt fish "), col("o_orderkey")).as("FishName"),
+          concat(lit("WT"), col("o_orderkey")).as("FishAbbreviation"),
+          concat(lit("G"), col("o_orderkey")).as("GenotypeID"))
+      val reag = base.filter(col("ok") % 2 === 0 && col("pk") % 10 =!= 0)
+        .select(
+          concat(lit("S"), col("sk")).as("GeneID"),
+          lit("SO:0000704").as("GeneSOID"),
+          col("sn").as("GeneSymbol"),
+          concat(lit("MO"), col("pk")).as("ReagentID"),
+          lit("SO:0000034").as("ReagentSOID"),
+          concat(lit("mo "), col("pn")).as("ReagentSymbol"),
+          when(col("pk") % 3 === 0, concat(lit("PUB-"), col("pk") % 7))
+            .otherwise(lit("")).as("Publications"),
+          when(col("pk") % 5 === 0, concat(lit("note "), col("pk")))
+            .otherwise(lit("")).as("Note"))
+        .distinct()
+      def gmrRow(marker: Column, mSo: String, mSym: Column, rel: Column) =
+        Seq(concat(lit("S"), col("sk")).as("GeneID"),
+          lit("SO:0000704").as("GeneSOID"), col("sn").as("GeneSymbol"),
+          marker.as("MarkerID"), lit(mSo).as("MarkerSOID"),
+          mSym.as("MarkerSymbol"), rel.as("Relationship"))
+      val gmr = base.filter(
+          col("ok") % 2 === 0 && col("pk") % 10 =!= 0 && col("pk") % 2 === 0)
+        .select(gmrRow(concat(lit("MO"), col("pk")), "SO:0000034",
+          concat(lit("mo "), col("pn")),
+          lit("knockdown reagent targets gene")): _*)
+        .unionByName(base.filter(col("pk") % 4 === 0)
+          .select(gmrRow(concat(lit("TC"), col("sk")), "SO:0000804",
+            concat(lit("tg "), col("sn")),
+            when(col("sk") % 2 === 0, lit("coding sequence of"))
+              .otherwise(lit("promoter of"))): _*))
+        .unionByName(base.filter(col("pk") % 7 === 0)
+          .select(gmrRow(concat(lit("MIR"), col("pk")), "SO:0000276",
+            concat(lit("mir "), col("pn")),
+            lit("transcript targets gene")): _*))
+        .unionByName(base.filter(col("pk") % 11 === 0)
+          .select(gmrRow(concat(lit("MK"), col("pk")), "SO:0000110",
+            concat(lit("mk "), col("pn")),
+            lit("gene produces transcript")): _*))
+        .distinct()
+      graft.engine.ZfinFishSource.transform(s, Map(
+        "fish_components" -> fishIntr.unionByName(fishExtr),
+        "genotype_features" -> feats,
+        "wildtypes" -> wt,
+        "gene_marker_rel" -> gmr,
+        "reagents" -> reag)).distinct()
+    }),
+
+    // §3.2 end-to-end ingest — ZFIN G2P tier: EQ-octuple → ZP broadcast
+    // mapping, stage/environment-qualified OBAN associations with the
+    // legacy-environment comment, normal-tag demotion to pub-mentions,
+    // and ZECO-component environments with the composed label
+    // (ZFIN.py:1376-1521, 2201-2332, 2774-2820).
+    "p35_zfin_g2p_pipeline" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 5 === 0)
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_partkey").as("pk"))
+        .agg(min(col("l_linenumber")).as("ln"))
+      val phBase = base.select(
+        concat(lit("F"), col("ok")).as("FishID"),
+        when(col("ln") % 2 === 0, concat(lit("STG-"), col("ln") % 5))
+          .otherwise(lit("")).as("StartStageID"),
+        when(col("ln") % 3 === 0, concat(lit("STG-"), col("ln") % 5 + 1))
+          .otherwise(lit("")).as("EndStageID"),
+        concat(lit("ZFA:00000"), col("pk") % 20).as("Subterm1ID"),
+        concat(lit("term "), col("pk") % 20).as("Subterm1Name"),
+        when(col("pk") % 2 === 0, lit("BFO:0000050")).otherwise(lit(""))
+          .as("Postcomp1RelID"),
+        concat(lit("ZFA:9"), col("sk") % 10).as("Superterm1ID"),
+        concat(lit("region "), col("sk") % 10).as("Superterm1Name"),
+        concat(lit("PATO:00"), col("pk") % 15).as("QualityID"),
+        concat(lit("quality "), col("pk") % 15).as("QualityName"),
+        // ok is always a multiple of 5 here, so the tag dispatch keys on
+        // ok%20 (values 0/5/10/15): a quarter normal, a quarter with an
+        // unmappable free-text modifier, half abnormal
+        when(col("ok") % 20 === 5, lit("normal"))
+          .when(col("ok") % 20 === 0, lit("ambiguous"))
+          .otherwise(lit("abnormal")).as("Tag"),
+        lit("").as("Subterm2ID"), lit("").as("Subterm2Name"),
+        lit("").as("Postcomp2RelID"),
+        lit("").as("Superterm2ID"), lit("").as("Superterm2Name"),
+        when(col("ok") % 2 === 0, concat(lit("PUB-"), col("ok") % 7))
+          .otherwise(lit("")).as("PublicationID"),
+        // ok%11 is coprime with the ok-multiple-of-5 lattice, so env ids
+        // cover ENV0..ENV10 — ENV7..ENV10 are absent from the
+        // environment table and exercise the unknown-env path
+        when(col("ok") % 3 === 0, concat(lit("ENV"), col("ok") % 11))
+          .otherwise(lit("")).as("EnvironmentID"),
+        col("pk"))
+      val key7 = concat_ws("-", col("Subterm1ID"),
+        when(col("Postcomp1RelID") === "", lit("0"))
+          .otherwise(col("Postcomp1RelID")),
+        col("Superterm1ID"), col("QualityID"),
+        lit("0"), lit("0"), lit("0"))
+      val zmap = phBase.filter(col("pk") % 3 =!= 0)
+        .select(concat(lit("ZP:"), substring(md5(key7), 1, 8)).as("ZpID"),
+          key7.as("OctupleID"))
+        .distinct()
+      val penv = Tables.nation(s, d).select(
+        concat(lit("ENV"), col("n_nationkey") % 7).as("EnvironmentID"),
+        concat(lit("ZECO:000"), col("n_nationkey") % 5).as("ZecoTermID"),
+        concat(lit("cond "), col("n_nationkey") % 5).as("ZecoTermName"))
+      graft.engine.ZfinFishSource.transform(s, Map(
+        "pheno" -> phBase.drop("pk"),
+        "zp_map" -> zmap,
+        "pheno_environment" -> penv)).distinct()
     })
   )
 
@@ -4749,6 +4906,289 @@ object RdfQueries {
            UNION ALL SELECT aid, 'OBAN:association_has_object', gb, false, NULL FROM x
            UNION ALL SELECT fam, 'rdf:type', 'SO:0000854', false, NULL FROM x
            UNION ALL SELECT fam, 'RO:0002351', ga, false, NULL FROM x
-           UNION ALL SELECT fam, 'RO:0002351', gb, false, NULL FROM x) t"""
+           UNION ALL SELECT fam, 'RO:0002351', gb, false, NULL FROM x) t""",
+    "p34_zfin_fish_pipeline" ->
+      """WITH base AS (
+           SELECT l_orderkey AS ok, l_suppkey AS sk, l_partkey AS pk,
+                  min(l_linenumber) AS ln
+           FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1, 2, 3),
+         b2 AS (
+           SELECT ok, sk, pk, ln, p.p_name AS pn, su.s_name AS sn
+           FROM base JOIN part p ON pk = p.p_partkey
+           JOIN supplier su ON sk = su.s_suppkey),
+         reag AS (
+           SELECT DISTINCT 'S'||sk::varchar AS gene, sn,
+                  'MO'||pk::varchar AS mo, 'mo '||pn AS mol,
+                  CASE WHEN pk % 3 = 0 THEN 'PUB-'||(pk % 7)::varchar
+                       ELSE '' END AS pub,
+                  CASE WHEN pk % 5 = 0 THEN 'note '||pk::varchar
+                       ELSE '' END AS note
+           FROM b2 WHERE ok % 2 = 0 AND pk % 10 <> 0),
+         moGenes AS (SELECT DISTINCT mo, gene, sn, mol FROM reag),
+         fishMo AS (
+           SELECT DISTINCT 'F'||ok::varchar AS fish, ok,
+                  'MO'||pk::varchar AS mo
+           FROM b2 WHERE ok % 2 = 0 AND pk % 10 <> 0),
+         fg AS (
+           SELECT f.fish, f.ok, m.gene, m.sn,
+                  string_agg(m.mo, '-' ORDER BY m.mo) AS eid,
+                  string_agg(m.mol, ', ' ORDER BY m.mo) AS elabel
+           FROM fishMo f JOIN moGenes m ON f.mo = m.mo
+           GROUP BY 1, 2, 3, 4),
+         tg AS (
+           SELECT fish, ok, gene, sn, eid, elabel,
+                  '_:b'||substr(md5(gene||'-'||eid), 2, 19) AS tgid,
+                  sn||'<'||elabel||'>' AS tglabel
+           FROM fg),
+         tgr AS (
+           SELECT DISTINCT t.tgid, t.gene, f.mo
+           FROM tg t JOIN fishMo f ON t.fish = f.fish
+           JOIN moGenes m ON f.mo = m.mo AND m.gene = t.gene),
+         exg AS (
+           SELECT fish, ok,
+                  '_:b'||substr(md5(string_agg(substr(tgid, 3), '-'
+                    ORDER BY tgid)), 2, 19) AS exid,
+                  string_agg(tglabel, '; ' ORDER BY tgid) AS exlabel
+           FROM tg GROUP BY 1, 2),
+         fishAll AS (
+           SELECT DISTINCT 'F'||ok::varchar AS fish, ok,
+                  'fish '||ok::varchar AS fname,
+                  'G'||ok::varchar AS gid, 'genotype '||ok::varchar AS gname,
+                  (ok % 25 = 0) AS iswt
+           FROM b2),
+         ac AS (
+           SELECT DISTINCT 'A'||pk::varchar AS aid, 'TC'||sk::varchar AS cid,
+                  sk
+           FROM b2 WHERE pk % 4 = 0),
+         tcp AS (
+           SELECT DISTINCT 'TC'||sk::varchar AS cid, 'S'||sk::varchar AS pgene,
+                  sn,
+                  CASE WHEN sk % 2 = 0 THEN 'coding sequence of'
+                       ELSE 'promoter of' END AS prel,
+                  (sk % 2 = 0) AS iscoding
+           FROM b2 WHERE pk % 4 = 0),
+         tcp2 AS (
+           SELECT *, '_:b'||substr(md5(cid||'-'||pgene||'-'||
+                    replace(prel, ' ', '-')), 2, 19) AS pid,
+                  'Tg('||prel||' '||sn||')' AS plabel
+           FROM tcp),
+         wts AS (
+           SELECT 'WF'||o_orderkey::varchar AS wfish,
+                  'wt fish '||o_orderkey::varchar AS wname,
+                  'WT'||o_orderkey::varchar AS wab,
+                  'G'||o_orderkey::varchar AS gid
+           FROM orders WHERE o_orderkey % 25 = 0),
+         gmrk AS (
+           SELECT DISTINCT 'S'||sk::varchar AS gene, sn,
+                  'MO'||pk::varchar AS marker, 'mo '||pn AS msym
+           FROM b2 WHERE ok % 2 = 0 AND pk % 10 <> 0 AND pk % 2 = 0),
+         gmrm AS (
+           SELECT DISTINCT 'S'||sk::varchar AS gene, sn,
+                  'MIR'||pk::varchar AS marker, 'mir '||pn AS msym
+           FROM b2 WHERE pk % 7 = 0)
+         SELECT DISTINCT * FROM (
+           SELECT tgid AS s, 'rdfs:label' AS p, tglabel AS o, true AS lit,
+                  CAST(NULL AS VARCHAR) AS dt FROM tg
+           UNION ALL SELECT tgid, 'rdf:type', 'GENO:0000504', false, NULL
+             FROM tgr
+           UNION ALL SELECT tgid, 'GENO:0000639', 'ZFIN:'||gene, false, NULL
+             FROM tgr
+           UNION ALL SELECT tgid, 'GENO:0000634', 'ZFIN:'||mo, false, NULL
+             FROM tgr
+           UNION ALL SELECT exid, 'rdf:type', 'GENO:0000524', false, NULL
+             FROM exg
+           UNION ALL SELECT exid, 'rdfs:label', exlabel, true, NULL FROM exg
+           UNION ALL SELECT e.exid, 'GENO:0000382', t.tgid, false, NULL
+             FROM tg t JOIN exg e ON t.fish = e.fish
+           UNION ALL SELECT 'ZFIN:'||fish, 'GENO:0000382', exid, false, NULL
+             FROM exg
+           UNION ALL SELECT 'ZFIN:'||gid, 'rdf:type',
+             CASE WHEN iswt THEN 'GENO:0000611' ELSE 'GENO:0000719' END,
+             false, NULL FROM fishAll
+           UNION ALL SELECT 'ZFIN:'||gid, 'rdfs:label', gname, true, NULL
+             FROM fishAll
+           UNION ALL SELECT 'ZFIN:'||fish,
+             CASE WHEN iswt THEN 'GENO:0000385' ELSE 'GENO:0000382' END,
+             'ZFIN:'||gid, false, NULL FROM fishAll
+           UNION ALL SELECT 'ZFIN:'||fish, 'rdf:type', 'GENO:0000525',
+             false, NULL FROM fishAll
+           UNION ALL SELECT 'ZFIN:'||fish, 'rdfs:label', gname, true, NULL
+             FROM fishAll
+           UNION ALL SELECT 'ZFIN:'||fish, 'RO:0002162', 'NCBITaxon:7955',
+             false, NULL FROM fishAll
+           UNION ALL SELECT 'ZFIN:'||fish, 'oboInOwl:hasExactSynonym',
+             fname, true, NULL FROM fishAll
+           UNION ALL SELECT 'ZFIN:'||aid, 'RO:0002510', 'ZFIN:'||cid,
+             false, NULL FROM ac
+           UNION ALL SELECT 'ZFIN:'||a.aid,
+             CASE WHEN t.iscoding THEN 'GENO:0000382' ELSE 'BFO:0000051' END,
+             t.pid, false, NULL
+             FROM ac a JOIN tcp2 t ON a.cid = t.cid
+           UNION ALL SELECT 'ZFIN:'||gid, 'rdf:type', 'GENO:0000611',
+             false, NULL FROM wts
+           UNION ALL SELECT 'ZFIN:'||gid, 'rdfs:label', wab, true, NULL
+             FROM wts
+           UNION ALL SELECT 'ZFIN:'||gid, 'dc:description', wname, true,
+             NULL FROM wts
+           UNION ALL SELECT 'ZFIN:'||wfish, 'GENO:0000222', 'ZFIN:'||gid,
+             false, NULL FROM wts
+           UNION ALL SELECT 'ZFIN:'||gene, 'rdf:type', 'SO:0000704', false,
+             NULL FROM gmrk
+           UNION ALL SELECT 'ZFIN:'||gene, 'rdfs:label', sn, true, NULL
+             FROM gmrk
+           UNION ALL SELECT 'ZFIN:'||marker, 'rdf:type', 'SO:0000034',
+             false, NULL FROM gmrk
+           UNION ALL SELECT 'ZFIN:'||marker, 'rdfs:label', msym, true, NULL
+             FROM gmrk
+           UNION ALL SELECT 'ZFIN:'||marker, 'EXP:targets_gene',
+             'ZFIN:'||gene, false, NULL FROM gmrk
+           UNION ALL SELECT 'ZFIN:'||pgene, 'rdf:type', 'SO:0000704',
+             false, NULL FROM tcp2
+           UNION ALL SELECT 'ZFIN:'||pgene, 'rdfs:label', sn, true, NULL
+             FROM tcp2
+           UNION ALL SELECT 'ZFIN:'||cid, 'rdf:type', 'SO:0000804', false,
+             NULL FROM tcp2
+           UNION ALL SELECT 'ZFIN:'||cid, 'rdfs:label', 'tg '||sn, true,
+             NULL FROM tcp2
+           UNION ALL SELECT pid, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM tcp2
+           UNION ALL SELECT pid, 'rdfs:label', plabel, true, NULL FROM tcp2
+           UNION ALL SELECT pid, 'rdf:type',
+             CASE WHEN iscoding THEN 'GENO:0000638' ELSE 'GENO:0000637' END,
+             false, NULL FROM tcp2
+           UNION ALL SELECT pid, 'RO:0002510', 'ZFIN:'||pgene, false, NULL
+             FROM tcp2
+           UNION ALL SELECT 'ZFIN:'||gene, 'rdf:type', 'SO:0000704', false,
+             NULL FROM gmrm
+           UNION ALL SELECT 'ZFIN:'||gene, 'rdfs:label', sn, true, NULL
+             FROM gmrm
+           UNION ALL SELECT 'ZFIN:'||marker, 'rdf:type',
+             'owl:NamedIndividual', false, NULL FROM gmrm
+           UNION ALL SELECT 'ZFIN:'||marker, 'rdfs:label', msym, true, NULL
+             FROM gmrm
+           UNION ALL SELECT 'ZFIN:'||marker, 'rdf:type', 'SO:0000276',
+             false, NULL FROM gmrm
+           UNION ALL SELECT 'ZFIN:'||marker, 'EXP:targets_gene',
+             'ZFIN:'||gene, false, NULL FROM gmrm
+           UNION ALL SELECT 'ZFIN:'||mo, 'rdf:type', 'SO:0000034', false,
+             NULL FROM reag
+           UNION ALL SELECT 'ZFIN:'||mo, 'rdfs:label', mol, true, NULL
+             FROM reag
+           UNION ALL SELECT 'ZFIN:'||mo, 'EXP:targets_gene', 'ZFIN:'||gene,
+             false, NULL FROM reag
+           UNION ALL SELECT 'ZFIN:'||pub, 'rdf:type', 'IAO:0000311', false,
+             NULL FROM reag WHERE pub <> ''
+           UNION ALL SELECT 'ZFIN:'||pub, 'IAO:0000142', 'ZFIN:'||mo,
+             false, NULL FROM reag WHERE pub <> ''
+           UNION ALL SELECT 'ZFIN:'||mo, 'rdfs:comment', note, true, NULL
+             FROM reag WHERE note <> '') t""",
+    "p35_zfin_g2p_pipeline" ->
+      """WITH base AS (
+           SELECT l_orderkey AS ok, l_suppkey AS sk, l_partkey AS pk,
+                  min(l_linenumber) AS ln
+           FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1, 2, 3),
+         ph AS (
+           SELECT 'F'||ok::varchar AS fish,
+                  CASE WHEN ln % 2 = 0 THEN 'STG-'||(ln % 5)::varchar
+                       ELSE '' END AS st,
+                  CASE WHEN ln % 3 = 0 THEN 'STG-'||(ln % 5 + 1)::varchar
+                       ELSE '' END AS en,
+                  'ZFA:00000'||(pk % 20)::varchar AS sub1,
+                  CASE WHEN pk % 2 = 0 THEN 'BFO:0000050' ELSE '' END AS pc1,
+                  'ZFA:9'||(sk % 10)::varchar AS sup1,
+                  'PATO:00'||(pk % 15)::varchar AS q,
+                  CASE WHEN ok % 20 = 5 THEN 'normal'
+                       WHEN ok % 20 = 0 THEN 'ambiguous'
+                       ELSE 'abnormal' END AS tag,
+                  CASE WHEN ok % 2 = 0 THEN 'PUB-'||(ok % 7)::varchar
+                       ELSE '' END AS pub,
+                  CASE WHEN ok % 3 = 0 THEN 'ENV'||(ok % 11)::varchar
+                       ELSE '' END AS env,
+                  pk
+           FROM base),
+         ph2 AS (
+           SELECT *, sub1||'-'||(CASE WHEN pc1 = '' THEN '0' ELSE pc1 END)
+                  ||'-'||sup1||'-'||q||'-0-0-0' AS key7
+           FROM ph),
+         zmap AS (
+           SELECT DISTINCT key7, 'ZP:'||substr(md5(key7), 1, 8) AS zp
+           FROM ph2 WHERE pk % 3 <> 0),
+         pe AS (
+           SELECT DISTINCT 'ENV'||(n_nationkey % 7)::varchar AS env,
+                  'ZECO:000'||(n_nationkey % 5)::varchar AS zeco,
+                  'cond '||(n_nationkey % 5)::varchar AS zn
+           FROM nation),
+         envs AS (SELECT DISTINCT env FROM pe),
+         g AS (
+           SELECT p2.fish, p2.st, p2.en, p2.tag, p2.pub, p2.env, z.zp,
+                  (e.env IS NOT NULL) AS envok
+           FROM ph2 p2 LEFT JOIN zmap z
+             ON p2.key7 = z.key7 AND p2.tag = 'abnormal'
+           LEFT JOIN envs e ON p2.env = e.env),
+         ab AS (
+           SELECT DISTINCT fish, st, en, pub, env, zp, envok,
+                  (env <> '' AND envok) AS envq,
+                  CASE WHEN st <> '' THEN 'ZFIN:'||st END AS stc,
+                  CASE WHEN en <> '' THEN 'ZFIN:'||en END AS enc
+           FROM g WHERE tag = 'abnormal' AND zp IS NOT NULL),
+         ab2 AS (
+           SELECT *, '_:b'||substr(md5('EX:zfin+ZFIN:'||fish
+                    ||'+RO:0002200+'||zp
+                    ||(CASE WHEN envq THEN '+ZFIN:'||env ELSE '' END)
+                    ||(CASE WHEN stc IS NOT NULL THEN '+'||stc ELSE '' END)
+                    ||(CASE WHEN enc IS NOT NULL THEN '+'||enc ELSE '' END)),
+                    2, 19) AS aid,
+                  coalesce(stc, 'None')||'-'||coalesce(enc, 'None') AS stlbl
+           FROM ab),
+         ab3 AS (
+           SELECT *, '_:b'||substr(md5(stlbl), 2, 19) AS sid,
+                  (stc IS NOT NULL OR enc IS NOT NULL) AS hasstage
+           FROM ab2)
+         SELECT DISTINCT * FROM (
+           SELECT 'ZFIN:'||pub AS s, 'rdf:type' AS p, 'IAO:0000311' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt
+           FROM g WHERE pub <> ''
+           UNION ALL SELECT 'ZFIN:'||pub, 'IAO:0000142', 'ZFIN:'||fish,
+             false, NULL FROM g WHERE tag = 'normal' AND pub <> ''
+           UNION ALL SELECT 'ZFIN:'||fish, 'RO:0002200', zp, false, NULL
+             FROM ab3
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM ab3
+           UNION ALL SELECT aid, 'OBAN:association_has_subject',
+             'ZFIN:'||fish, false, NULL FROM ab3
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM ab3
+           UNION ALL SELECT aid, 'OBAN:association_has_object', zp, false,
+             NULL FROM ab3
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000059', false, NULL
+             FROM ab3
+           UNION ALL SELECT aid, 'dc:source', 'ZFIN:'||pub, false, NULL
+             FROM ab3 WHERE pub <> ''
+           UNION ALL SELECT sid, 'rdf:type', 'GO:0032502', false, NULL
+             FROM ab3 WHERE hasstage
+           UNION ALL SELECT sid, 'rdfs:label', stlbl, true, NULL
+             FROM ab3 WHERE hasstage
+           UNION ALL SELECT sid, 'RO:0002091', stc, false, NULL
+             FROM ab3 WHERE stc IS NOT NULL
+           UNION ALL SELECT sid, 'RO:0002093', enc, false, NULL
+             FROM ab3 WHERE enc IS NOT NULL
+           UNION ALL SELECT aid, 'GENO:0000580', sid, false, NULL
+             FROM ab3 WHERE hasstage
+           UNION ALL SELECT aid, 'GENO:0000580', 'ZFIN:'||env, false, NULL
+             FROM ab3 WHERE envq
+           UNION ALL SELECT aid, 'rdfs:comment',
+             'Legacy environment id ZFIN:'||env, true, NULL
+             FROM ab3 WHERE env <> ''
+           UNION ALL SELECT zeco, 'rdf:type', 'XCO:0000000', false, NULL
+             FROM pe
+           UNION ALL SELECT zeco, 'rdfs:label', zn, true, NULL FROM pe
+           UNION ALL SELECT 'ZFIN:'||env, 'BFO:0000051', zeco, false, NULL
+             FROM pe
+           UNION ALL SELECT 'ZFIN:'||env, 'rdf:type', 'ENVO:01000254',
+             false, NULL FROM pe
+           UNION ALL SELECT 'ZFIN:'||env, 'rdfs:label',
+             'Environment that includes: '||names, true, NULL
+             FROM (SELECT env, string_agg(DISTINCT zn, '; ' ORDER BY zn)
+                     AS names FROM pe GROUP BY env) t2) t"""
   )
 }

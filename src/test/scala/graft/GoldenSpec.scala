@@ -483,4 +483,135 @@ class GoldenSpec extends SparkSpec {
     assert(nt2.contains(line("OMIA:000419-9796", "rdf:type", "owl:Class")))
     assert(!nt2.exists(_.contains("000420")))
   }
+
+  test("zfin_fish ingest: extrinsic assembly, G2P env associations, markers") {
+    val dir = "src/test/resources/golden/zfin_fish/input"
+    val out = Files.createTempDirectory("graft-zfish-out").toString
+    val res = Runner.run(spark, Runner.RunConfig(Seq("zfin_fish"), out), dir)
+    assert(res.head.triples > 0)
+    val nt = spark.read.text(s"$out/zfin_fish.nt").as[String].collect().toSet
+
+    val cm = Runner.curieMap
+    def t(c: String) = "<" + cm.expand(c) + ">"
+    def line(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} ${t(o0)} ."
+    def lineLit(s0: String, p0: String, o0: String) = s"${t(s0)} ${t(p0)} \"$o0\" ."
+
+    // FISH-1: affectors {ALT-1, MRPHLNO-1, MRPHLNO-2} − intrinsic {ALT-1}
+    // → extrinsic reagents MO1 (targets GENE-1 via the reagent file) and
+    // MO2 (targets GENE-2 via a gene_marker_rel knockdown row)
+    val tg1 = "_:" + Digest.md5IdScala("ZDB-GENE-1-ZDB-MRPHLNO-1")
+    val tg2 = "_:" + Digest.md5IdScala("ZDB-GENE-2-ZDB-MRPHLNO-2")
+    val sorted = Seq(tg1, tg2).sorted
+    val ex1 = "_:" + Digest.md5IdScala(
+      sorted.map(_.stripPrefix("_:")).mkString("-"))
+    val labelOf = Map(tg1 -> "fgf8a<MO1-fgf8a>", tg2 -> "shha<MO2-shha>")
+    assert(nt.contains(line(tg1, "rdf:type", "GENO:0000504")))
+    assert(nt.contains(line(tg1, "GENO:0000639", "ZFIN:ZDB-GENE-1")))
+    assert(nt.contains(line(tg1, "GENO:0000634", "ZFIN:ZDB-MRPHLNO-1")))
+    assert(nt.contains(lineLit(tg1, "rdfs:label", "fgf8a<MO1-fgf8a>")))
+    assert(nt.contains(line(ex1, "rdf:type", "GENO:0000524")))
+    assert(nt.contains(
+      lineLit(ex1, "rdfs:label", sorted.map(labelOf).mkString("; "))))
+    assert(nt.contains(line(ex1, "GENO:0000382", tg1)))
+    assert(nt.contains(line(ex1, "GENO:0000382", tg2)))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-1", "GENO:0000382", ex1)))
+    // intrinsic attach: GENO-1 is not wildtype → variant part, intrinsic
+    // genotype type; the fish is an effective genotype in taxon 7955
+    assert(nt.contains(line("ZFIN:ZDB-FISH-1", "GENO:0000382", "ZFIN:ZDB-GENO-1")))
+    assert(nt.contains(line("ZFIN:ZDB-GENO-1", "rdf:type", "GENO:0000719")))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-1", "rdf:type", "GENO:0000525")))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-1", "RO:0002162", "NCBITaxon:7955")))
+    assert(nt.contains(
+      lineLit("ZFIN:ZDB-FISH-1", "oboInOwl:hasExactSynonym", "fgf8a+MO")))
+
+    // FISH-2: wildtype intrinsic → has_reference_part + genomic background;
+    // single-reagent extrinsic digest chains off tg1 alone
+    val ex2 = "_:" + Digest.md5IdScala(tg1.stripPrefix("_:"))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-2", "GENO:0000385", "ZFIN:ZDB-GENO-2")))
+    assert(nt.contains(line("ZFIN:ZDB-GENO-2", "rdf:type", "GENO:0000611")))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-2", "GENO:0000382", ex2)))
+
+    // FISH-3: its only extrinsic affector is an ALT → skipped in the
+    // reagent walk → no extrinsic genotype part on the fish
+    assert(!nt.exists(l => l.startsWith(t("ZFIN:ZDB-FISH-3")) &&
+      l.contains("GENO_0000382") && l.contains("_:b")))
+
+    // wildtypes tier: abbreviation label + description + fish has_genotype
+    assert(nt.contains(lineLit("ZFIN:ZDB-GENO-2", "rdfs:label", "INDO")))
+    assert(nt.contains(
+      lineLit("ZFIN:ZDB-GENO-2", "dc:description", "INDO wildtype")))
+    assert(nt.contains(
+      line("ZFIN:ZDB-FISH-WT-1", "GENO:0000222", "ZFIN:ZDB-GENO-2")))
+
+    // allele→construct provenance + transgenic parts: the coding part
+    // attaches as variant part, the promoter part as plain has_part
+    assert(nt.contains(line("ZFIN:ZDB-ALT-1", "RO:0002510",
+      "ZFIN:ZDB-TGCONSTRCT-1")))
+    val coding = "_:" + Digest.md5IdScala(
+      "ZDB-TGCONSTRCT-1-ZDB-GENE-3-coding-sequence-of")
+    val promoter = "_:" + Digest.md5IdScala(
+      "ZDB-TGCONSTRCT-1-ZDB-GENE-4-promoter-of")
+    assert(nt.contains(line("ZFIN:ZDB-ALT-1", "GENO:0000382", coding)))
+    assert(nt.contains(line("ZFIN:ZDB-ALT-1", "BFO:0000051", promoter)))
+    assert(nt.contains(line(coding, "rdf:type", "GENO:0000638")))
+    assert(nt.contains(line(promoter, "rdf:type", "GENO:0000637")))
+    assert(nt.contains(line(coding, "RO:0002510", "ZFIN:ZDB-GENE-3")))
+
+    // gene_marker_rel: miRNA targets-gene row kept, unconsumed
+    // relationship dropped entirely
+    assert(nt.contains(line("ZFIN:ZDB-MIR-1", "EXP:targets_gene",
+      "ZFIN:ZDB-GENE-5")))
+    assert(!nt.exists(_.contains("ZDB-MRK-1")))
+
+    // reagents tier: pub mentions + note comment
+    assert(nt.contains(line("ZFIN:ZDB-PUB-1", "IAO:0000142",
+      "ZFIN:ZDB-MRPHLNO-1")))
+    assert(nt.contains(line("ZFIN:ZDB-PUB-2", "IAO:0000142",
+      "ZFIN:ZDB-MRPHLNO-1")))
+    assert(nt.contains(lineLit("ZFIN:ZDB-MRPHLNO-1", "rdfs:comment",
+      "works well")))
+
+    // environments: composed label over sorted ZECO component names
+    assert(nt.contains(lineLit("ZFIN:ZDB-EXP-1", "rdfs:label",
+      "Environment that includes: chemical treatment; temperature exposure")))
+    assert(nt.contains(line("ZFIN:ZDB-EXP-1", "rdf:type", "ENVO:01000254")))
+    assert(nt.contains(line("ZFIN:ZDB-EXP-1", "BFO:0000051", "ZECO:0000111")))
+    assert(nt.contains(lineLit("ZECO:0000111", "rdfs:label",
+      "chemical treatment")))
+
+    // G2P row 1: mapped octuple, known environment → qualified assoc
+    val a1 = "_:" + Digest.md5IdScala(Seq("EX:zfin", "ZFIN:ZDB-FISH-1",
+      "RO:0002200", "ZP:0000001", "ZFIN:ZDB-EXP-1", "ZFIN:ZDB-STAGE-1",
+      "ZFIN:ZDB-STAGE-2").mkString("+"))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-1", "RO:0002200", "ZP:0000001")))
+    assert(nt.contains(line(a1, "GENO:0000580", "ZFIN:ZDB-EXP-1")))
+    assert(nt.contains(line(a1, "RO:0002558", "ECO:0000059")))
+    assert(nt.contains(line(a1, "dc:source", "ZFIN:ZDB-PUB-1")))
+    assert(nt.contains(lineLit(a1, "rdfs:comment",
+      "Legacy environment id ZFIN:ZDB-EXP-1")))
+    // stage bnode bridges both bounds
+    val stg = "_:" + Digest.md5IdScala("ZFIN:ZDB-STAGE-1-ZFIN:ZDB-STAGE-2")
+    assert(nt.contains(line(a1, "GENO:0000580", stg)))
+    assert(nt.contains(line(stg, "RO:0002091", "ZFIN:ZDB-STAGE-1")))
+    assert(nt.contains(line(stg, "RO:0002093", "ZFIN:ZDB-STAGE-2")))
+
+    // G2P row 2 (normal tag): demoted to pub-mentions-fish, no assoc
+    assert(nt.contains(line("ZFIN:ZDB-PUB-2", "IAO:0000142",
+      "ZFIN:ZDB-FISH-2")))
+    assert(!nt.contains(line("ZFIN:ZDB-FISH-2", "RO:0002200", "ZP:0000001")))
+
+    // G2P row 3: unknown environment → assoc WITHOUT env qualifier but
+    // WITH the legacy-id comment
+    val a3 = "_:" + Digest.md5IdScala(Seq("EX:zfin", "ZFIN:ZDB-FISH-2",
+      "RO:0002200", "ZP:0000002").mkString("+"))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-2", "RO:0002200", "ZP:0000002")))
+    assert(!nt.exists(l => l.startsWith(t(a3)) && l.contains("ZDB-EXP-9") &&
+      l.contains("GENO_0000580")))
+    assert(nt.contains(lineLit(a3, "rdfs:comment",
+      "Legacy environment id ZFIN:ZDB-EXP-9")))
+
+    // G2P row 4: unmapped octuple → nothing emitted for that fish
+    assert(!nt.exists(l => l.startsWith(t("ZFIN:ZDB-FISH-3")) &&
+      l.contains("RO_0002200")))
+  }
 }
