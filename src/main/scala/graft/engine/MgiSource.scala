@@ -77,7 +77,19 @@ object MgiGenotypeSource extends GraftSource {
       "gxd_allelepair_view" -> view(
         "SELECT allelepair_key, genotype_key, allele_key_1, allele_key_2, allele1, allele2, allelestate FROM gxd_allelepair_view"),
       "bib_acc_view" -> view(
-        "SELECT accid, prefixpart, numericpart, object_key, logicaldb, logicaldb_key FROM bib_acc_view"))
+        "SELECT accid, prefixpart, numericpart, object_key, logicaldb, logicaldb_key FROM bib_acc_view"),
+      "mrk_acc_view" -> view(
+        "SELECT accid, prefixpart, object_key, preferred FROM mrk_acc_view"),
+      "all_allele_view" -> view(
+        "SELECT allele_key, marker_key, strain_key, symbol, name, iswildtype FROM all_allele_view"),
+      "all_allele_mutation_view" -> view(
+        "SELECT allele_key, mutation FROM all_allele_mutation_view"),
+      "voc_annot_view" -> view(
+        "SELECT annot_key, annottype, object_key, term_key, qualifier_key, qualifier, accid FROM voc_annot_view"),
+      "evidence_view" -> view(
+        "SELECT annotevidence_key, annot_key, evidencecode, jnumid, term, value FROM evidence_view"),
+      "mgi_note_vocevidence_view" -> view(
+        "SELECT object_key, note FROM mgi_note_vocevidence_view"))
   }
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
@@ -200,10 +212,191 @@ object MgiGenotypeSource extends GraftSource {
           Triple.res(jid, Vocab.sameAs, pubId)
       }
 
+    // ---- depth wave: marker dim, allele/seq-alteration, annotation,
+    // evidence, and note views (round-6 extension) -----------------------
+
+    // marker idhash (_process_mrk_acc_view MGI.py:1738-1776): preferred
+    // MGI-prefixed accession per marker key; dimension → broadcast
+    val markerDim = in("mrk_acc_view")
+      .filter(col("preferred") === 1 && col("prefixpart") === "MGI:")
+      .select(col("object_key").as("marker_key"), col("accid").as("mid"))
+
+    // _process_all_allele_view (MGI.py:750-915), scoped to the
+    // variant/reference-locus typing + seq-alteration chain: allele
+    // individuals, internal seqalt bnodes ('mgiseqaltkey<key>', the
+    // make_internal_identifier scheme MGI.py:2966-2981), allele→marker
+    // locus edges, and strain sequence provenance through the SAME
+    // internal strain bnodes the genotype tier mints. The
+    // label-collision HACK (allele label == marker label → seqalt
+    // collapses onto the allele, MGI.py:858-872) needs the unported
+    // mrk_marker_view label hash and is intentionally absent.
+    val allele2 = in("all_allele_view")
+      .join(broadcast(alleleDim.select(
+        col("object_key").as("allele_key"), col("aid"))), Seq("allele_key"))
+      .join(broadcast(markerDim), Seq("marker_key"), "left")
+      // a nonempty marker key that misses the marker idhash skips the
+      // row (MGI.py:829-835); allele-idhash misses skipped by the inner
+      // join above (MGI.py:817-822)
+      .filter(col("marker_key").isNull || col("mid").isNotNull)
+      .join(broadcast(genoDim.select(col("strain_key"),
+        lit(true).as("strainKnown")).dropDuplicates("strain_key")),
+        Seq("strain_key"), "left")
+      .select(col("allele_key"), col("aid"), col("mid"), col("strain_key"),
+        col("strainKnown"), col("symbol"), col("name"), col("iswildtype"))
+
+    val alleleLocusTriples = allele2
+      .as[(Int, String, Option[String], Int, Option[Boolean], String,
+           String, String)]
+      .flatMap { case (ak, aid, mid, sk, strainKnown, symbol, name, iswt) =>
+        val iseqalt = "_:" + Digest.md5IdScala(s"mgiseqaltkey$ak")
+        val (locusType, locusRel) =
+          if (iswt == "0") (Some(Vocab.variantLocus), Vocab.isAlleleOf)
+          else if (iswt == "1") (Some("GENO:0000036"), "GENO:0000610")
+          else (None, null)
+        val indiv = Model.individualTriples(aid, symbol, locusType)
+        val markerEdge =
+          if (locusRel == null) Nil
+          else mid.toSeq.flatMap(m => Model.addTriple(aid, locusRel, m))
+        val seqAlt =
+          if (iswt != "0") Nil
+          else {
+            // sequence-alteration label reformat (MGI.py:1126-1151)
+            val (saId, saLabel0, attach) =
+              if (mid.isDefined) {
+                val l =
+                  if (symbol.matches(".*<.*>.*")) symbol.replaceAll(".*<", "<")
+                  else if (symbol.startsWith("+")) "<+>"
+                  else symbol
+                (iseqalt, l, Model.addTriple(aid, Vocab.hasVariantPart, iseqalt))
+              } else (aid, symbol, Nil)
+            val saLabel = saLabel0.replaceAll("[<>]", "")
+            attach ++ G.addSequenceAlteration(saId, saLabel) ++
+              Model.addDescription(saId, name) ++
+              (if (strainKnown.contains(true))
+                 G.addSequenceDerivesFrom(aid,
+                   "_:" + Digest.md5IdScala(s"mgistrain+$sk"))
+               else Nil)
+          }
+        indiv ++ markerEdge ++ seqAlt
+      }
+
+    // _process_all_allele_mutation_view (MGI.py:1089-1157): mutation →
+    // SO class on the internal seqalt bnode; inner join = the
+    // seqalt-idhash-miss skip; unmapped mutations default to plain
+    // sequence_alteration; the Tg( label hack promotes to
+    // transgenic_insertion
+    val mutationTriples = in("all_allele_mutation_view")
+      .join(allele2.select(col("allele_key"), col("symbol")),
+        Seq("allele_key"))
+      .select(col("allele_key"), col("mutation"), col("symbol"))
+      .as[(Int, String, String)]
+      .flatMap { case (ak, mutation, symbol) =>
+        val iseqalt = "_:" + Digest.md5IdScala(s"mgiseqaltkey$ak")
+        val mapped = localTt.resolve(mutation, mandatory = false,
+          default = Some("SO:0001059"))
+        val saType =
+          if (symbol.contains("Tg(")) "SO:0001218" else mapped
+        Model.individualTriples(iseqalt, null, Some(saType))
+      }
+
+    // _process_voc_annot_view (MGI.py:1158-1287): four consumed
+    // annotation types. 'norm' qualifier rows are measured-but-normal →
+    // skipped; DO/Genotype NOT-qualifier (key 1614157) skipped.
+    val annots = in("voc_annot_view")
+      .filter(coalesce(col("qualifier"), lit("")) =!= "norm")
+    val gtAnnots = annots
+      .filter(col("annottype").isin(
+        "Mammalian Phenotype/Genotype", "DO/Genotype") &&
+        !(col("annottype") === "DO/Genotype" &&
+          col("qualifier_key") === 1614157))
+      .join(broadcast(genoDim.select(
+        col("genotype_key").as("object_key"), col("gt").as("sub"))),
+        Seq("object_key"))
+      .select(col("annot_key"), col("annottype"), col("sub"), col("accid"))
+    val alleleAnnots = annots.filter(col("annottype") === "DO/Allele")
+      .join(broadcast(alleleDim.select(
+        col("object_key"), col("aid").as("sub"))), Seq("object_key"))
+      .select(col("annot_key"), col("annottype"), col("sub"), col("accid"))
+    val annotAssoc = gtAnnots.unionByName(alleleAnnots)
+      .withColumn("rel",
+        when(col("annottype") === "Mammalian Phenotype/Genotype",
+          lit(Vocab.hasPhenotype)).otherwise(lit(Vocab.isModelOf)))
+      .withColumn("assoc", concat(lit("_:"),
+        Digest.assocIdMd5("EX:mgi", col("sub"), col("rel"), col("accid"))))
+
+    // the MP phenotype class is declared BEFORE the genotype lookup in
+    // the reference (MGI.py:1221-1224) — it lands even when the
+    // genotype idhash misses
+    val mpClassTriples = annots
+      .filter(col("annottype") === "Mammalian Phenotype/Genotype")
+      .select(col("accid")).distinct()
+      .as[String]
+      .flatMap(a => Model.classTriples(a, null))
+
+    val annotTriples = annotAssoc
+      .select(col("annot_key"), col("sub"), col("accid"),
+        col("rel"), col("assoc"))
+      .as[(Int, String, String, String, String)]
+      .flatMap { case (annotKey, sub, accid, rel, assoc) =>
+        graft.emit.Association("EX:mgi", sub, rel, accid,
+          explicitId = Some(assoc)).triples ++
+          Model.addComment(assoc, s"annot_key:$annotKey")
+      }
+
+    // MCV/Marker: marker category term-key → SO class via the localtt
+    // (MGI.py:1249-1263); unmapped keys warn-skip
+    val mcvTriples = annots.filter(col("annottype") === "MCV/Marker")
+      .join(broadcast(markerDim.select(
+        col("marker_key").as("object_key"), col("mid"))), Seq("object_key"))
+      .select(col("mid"), col("term_key"))
+      .as[(String, Int)]
+      .flatMap { case (mid, termKey) =>
+        val t = localTt.resolve(termKey.toString, mandatory = false)
+        if (t == termKey.toString) Nil else Model.addType(mid, t)
+      }
+
+    // _process_evidence_view (MGI.py:1288-1371): ECO + J-number citation
+    // per captured annotation, MP-Sex-Specificity qualifier. Annotations
+    // and evidence are both fact relations at MGI scale — this is a
+    // shuffle equi-join on annot_key, NOT a broadcast.
+    val evidence = in("evidence_view")
+      .join(annotAssoc.select(col("annot_key"), col("assoc"))
+        .dropDuplicates("annot_key", "assoc"), Seq("annot_key"))
+      .select(col("annotevidence_key"), col("assoc"), col("evidencecode"),
+        col("jnumid"), col("term"), col("value"))
+    val evidenceTriples = evidence
+      .as[(Int, String, String, String, String, String)]
+      .flatMap { case (_, assoc, code, jnum, term, value) =>
+        val eco = localTt.resolve(code, mandatory = false)
+        graft.emit.Reference.triples(jnum) ++
+          Model.addTriple(assoc, Vocab.hasEvidence, eco) ++
+          Model.addTriple(assoc, Vocab.source, jnum) ++
+          (if (term == "MP-Sex-Specificity" && (value == "M" || value == "F"))
+             Model.addSexSpecificity(assoc,
+               localTt.resolve(value, mandatory = false))
+           else Nil)
+      }
+
+    // _process_mgi_note_vocevidence_view (MGI.py:2030-2072): free-text
+    // description through the notes→evidence→annot chain; again a
+    // fact⋈fact equi-join on the evidence key
+    val noteTriples = in("mgi_note_vocevidence_view")
+      .join(evidence.select(
+        col("annotevidence_key").as("object_key"), col("assoc"))
+        .dropDuplicates("object_key", "assoc"), Seq("object_key"))
+      .select(col("assoc"), col("note"))
+      .as[(String, String)]
+      .flatMap { case (assoc, note) =>
+        Model.addDescription(assoc, note.trim)
+      }
+
     // the reference's graph store is a set (rdflib.Graph) — dedup here
     // so repeated strain/pub patterns collapse exactly once
     genoTriples.union(alleleTriples).union(vslcTriples)
       .union(gvcTriples).union(jTriples).union(pubTriples)
+      .union(alleleLocusTriples).union(mutationTriples)
+      .union(mpClassTriples).union(annotTriples).union(mcvTriples)
+      .union(evidenceTriples).union(noteTriples)
       .toDF().dropDuplicates("s", "p", "o", "lit", "dt")
   }
 
@@ -223,8 +416,10 @@ object MgiDb {
   def conf(spark: SparkSession, dataDir: String): JdbcConf =
     seeded.getOrElseUpdate(dataDir, synchronized { seed(spark, dataDir) })
 
+  // the path carries a schema version: adding a view must not collide
+  // with a database persisted by an older build under the same dataDir
   private def dbPath(dataDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_mgi_derby/" +
+    s"${sys.props("java.io.tmpdir")}/graft_mgi_derby_v2/" +
       Digest.md5IdScala(dataDir) + "/db"
 
   private def seed(spark: SparkSession, dataDir: String): JdbcConf = {
@@ -243,6 +438,12 @@ object MgiDb {
         st.execute("CREATE TABLE all_summary_view (object_key INT NOT NULL, preferred INT, mgiid VARCHAR(32), description VARCHAR(128), short_description VARCHAR(64))")
         st.execute("CREATE TABLE gxd_allelepair_view (allelepair_key INT NOT NULL, genotype_key INT, allele_key_1 INT, allele_key_2 INT, allele1 VARCHAR(64), allele2 VARCHAR(64), allelestate VARCHAR(32))")
         st.execute("CREATE TABLE bib_acc_view (accid VARCHAR(64), prefixpart VARCHAR(8), numericpart INT, object_key INT, logicaldb VARCHAR(32), logicaldb_key INT)")
+        st.execute("CREATE TABLE mrk_acc_view (accid VARCHAR(32), prefixpart VARCHAR(8), object_key INT, preferred INT)")
+        st.execute("CREATE TABLE all_allele_view (allele_key INT, marker_key INT, strain_key INT, symbol VARCHAR(80), name VARCHAR(64), iswildtype VARCHAR(2))")
+        st.execute("CREATE TABLE all_allele_mutation_view (allele_key INT, mutation VARCHAR(64))")
+        st.execute("CREATE TABLE voc_annot_view (annot_key INT, annottype VARCHAR(64), object_key INT, term_key INT, qualifier_key INT, qualifier VARCHAR(16), accid VARCHAR(32))")
+        st.execute("CREATE TABLE evidence_view (annotevidence_key INT, annot_key INT, evidencecode VARCHAR(8), jnumid VARCHAR(16), term VARCHAR(32), value VARCHAR(8))")
+        st.execute("CREATE TABLE mgi_note_vocevidence_view (object_key INT, note VARCHAR(256))")
         st.close()
 
         import spark.implicits._
@@ -311,6 +512,95 @@ object MgiDb {
             ps.setString(1, accid); ps.setString(2, prefix)
             ps.setInt(3, num); ps.setInt(4, ok)
             ps.setString(5, db); ps.setInt(6, dbKey)
+        }
+        // markers ← part (odd keys; every 9th non-preferred so some
+        // marker-key lookups miss, the skip path at MGI.py:829-835)
+        val markers = Tables.part(spark, dataDir)
+          .filter(col("p_partkey") % 2 === 1)
+          .select(col("p_partkey").cast("int")).as[Int].collect()
+        batch(conn, "INSERT INTO mrk_acc_view VALUES (?,?,?,?)", markers) {
+          case (ps, pk) =>
+            ps.setString(1, s"MGI:M$pk"); ps.setString(2, "MGI:")
+            ps.setInt(3, pk); ps.setInt(4, if (pk % 9 == 0) 0 else 1)
+        }
+        // alleles-with-context ← part (even keys, aligned with
+        // all_summary_view): marker every 2 of 3, strain keys straddling
+        // the genotype tier's nation-derived strain range, symbol shapes
+        // exercising the Tg( / angle-bracket / '+' label reformats
+        val alleleCtx = Tables.part(spark, dataDir)
+          .filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey").cast("int"), col("p_name"), col("p_type"))
+          .as[(Int, String, String)].collect()
+        batch(conn, "INSERT INTO all_allele_view VALUES (?,?,?,?,?,?)",
+          alleleCtx) {
+          case (ps, (pk, name, ptype)) =>
+            ps.setInt(1, pk)
+            if (pk % 3 == 0) ps.setNull(2, java.sql.Types.INTEGER)
+            else ps.setInt(2, pk + 1)
+            ps.setInt(3, pk % 30)
+            ps.setString(4, pk % 5 match {
+              case 0 => s"Tg($name)"
+              case 1 => s"${name.take(8)}<$pk>"
+              case 2 => "+"
+              case _ => name
+            })
+            ps.setString(5, ptype)
+            ps.setString(6, if (pk % 7 == 0) "1" else "0")
+        }
+        batch(conn, "INSERT INTO all_allele_mutation_view VALUES (?,?)",
+          alleleCtx) {
+          case (ps, (pk, _, _)) =>
+            ps.setInt(1, pk)
+            ps.setString(2, Seq("Deletion", "Insertion", "Duplication",
+              "Nucleotide substitutions", "Intragenic deletion",
+              "Frobnication")((pk % 6)))
+        }
+        // annotations ← orders: five annotation types (one ignored),
+        // 'norm' + NOT-qualifier skip rows, object keys that partially
+        // miss each idhash
+        val annotRows = Tables.orders(spark, dataDir)
+          .select(col("o_orderkey").cast("int"), col("o_custkey").cast("int"))
+          .as[(Int, Int)].collect()
+        batch(conn, "INSERT INTO voc_annot_view VALUES (?,?,?,?,?,?,?)",
+          annotRows) {
+          case (ps, (ok, ck)) =>
+            ps.setInt(1, ok)
+            val atype = Seq("Mammalian Phenotype/Genotype", "DO/Genotype",
+              "MCV/Marker", "DO/Allele", "Protein/Marker")(ok % 5)
+            ps.setString(2, atype)
+            ps.setInt(3, atype match {
+              case "MCV/Marker" => 2 * (ok % 1000) + 1
+              case "DO/Allele"  => 2 * (ok % 1000) + 2
+              case _            => ck - (ck % 4)
+            })
+            ps.setInt(4, Seq(6238160, 6238161, 6238162, 6238170, 7313348,
+              999999)(ok % 6))
+            ps.setInt(5, if (ok % 20 == 1) 1614157 else 0)
+            ps.setString(6, if (ok % 17 == 0) "norm" else "")
+            ps.setString(7, atype match {
+              case "Mammalian Phenotype/Genotype" => s"MP:${ok % 800}"
+              case "MCV/Marker" => s"MCV:${ok % 6}"
+              case _ => s"DOID:${ok % 400}"
+            })
+        }
+        // evidence ← even order keys; notes ← every 6th, chained through
+        // the evidence key (annotevidence_key = annot_key + 1)
+        val evRows = annotRows.filter(_._1 % 2 == 0)
+        batch(conn, "INSERT INTO evidence_view VALUES (?,?,?,?,?,?)",
+          evRows) {
+          case (ps, (ok, _)) =>
+            ps.setInt(1, ok + 1); ps.setInt(2, ok)
+            ps.setString(3, Seq("EXP", "IDA", "TAS", "IGI")(ok % 4))
+            ps.setString(4, s"J:${ok % 97}")
+            ps.setString(5, if (ok % 4 == 0) "MP-Sex-Specificity"
+                            else "external ref")
+            ps.setString(6, Seq("M", "F", "NA")(ok % 3))
+        }
+        batch(conn, "INSERT INTO mgi_note_vocevidence_view VALUES (?,?)",
+          evRows.filter(_._1 % 6 == 0)) {
+          case (ps, (ok, _)) =>
+            ps.setInt(1, ok + 1)
+            ps.setString(2, s"phenotype note $ok")
         }
       }
     } finally conn.close()

@@ -4841,7 +4841,108 @@ object RdfQueries {
                     string_agg(vslc, '-' ORDER BY vslc),'_',''),':','')),2,19) AS gvcid,
                   string_agg(vlabel, '; ' ORDER BY vslc) AS gvclabel,
                   min(vslc) AS v1
-           FROM pairsl GROUP BY gt)
+           FROM pairsl GROUP BY gt),
+         mrk AS (
+           SELECT p_partkey AS marker_key, 'MGI:M'||p_partkey::varchar AS mid
+           FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 9 <> 0),
+         aav0 AS (
+           SELECT p_partkey AS ak,
+                  CASE WHEN p_partkey % 3 = 0 THEN NULL
+                       ELSE p_partkey + 1 END AS mk,
+                  p_partkey % 30 AS strain_key,
+                  CASE (p_partkey % 5)
+                    WHEN 0 THEN 'Tg('||p_name||')'
+                    WHEN 1 THEN substr(p_name,1,8)||'<'||p_partkey::varchar||'>'
+                    WHEN 2 THEN '+'
+                    ELSE p_name END AS symbol,
+                  p_type AS aname,
+                  CASE WHEN p_partkey % 7 = 0 THEN '1' ELSE '0' END AS iswt
+           FROM part WHERE p_partkey % 2 = 0),
+         gvstrains AS (SELECT DISTINCT strain_key FROM gv),
+         aav AS (
+           SELECT a.*, pr.aid, m.mid,
+                  (gs.strain_key IS NOT NULL) AS strainok,
+                  '_:b'||substr(md5('mgiseqaltkey'||a.ak::varchar),2,19) AS iseqalt,
+                  '_:b'||substr(md5('mgistrain+'||a.strain_key::varchar),2,19) AS strainid
+           FROM aav0 a
+           JOIN pref pr ON a.ak = pr.object_key
+           LEFT JOIN mrk m ON a.mk = m.marker_key
+           LEFT JOIN gvstrains gs ON a.strain_key = gs.strain_key
+           WHERE a.mk IS NULL OR m.mid IS NOT NULL),
+         aav2 AS (
+           SELECT *,
+                  CASE WHEN mid IS NOT NULL THEN iseqalt ELSE aid END AS said,
+                  replace(replace(
+                    CASE WHEN mid IS NULL THEN symbol
+                         WHEN symbol LIKE '%<%>%'
+                           THEN regexp_replace(symbol, '.*<', '<')
+                         WHEN symbol LIKE '+%' THEN '<+>'
+                         ELSE symbol END, '<', ''), '>', '') AS salabel
+           FROM aav),
+         mut AS (
+           SELECT ak, iseqalt,
+                  CASE WHEN symbol LIKE '%Tg(%' THEN 'SO:0001218'
+                       ELSE CASE (ak % 6)
+                         WHEN 0 THEN 'SO:0000159' WHEN 1 THEN 'SO:0000667'
+                         WHEN 2 THEN 'SO:1000035' WHEN 3 THEN 'SO:0002007'
+                         WHEN 4 THEN 'SO:0000159'
+                         ELSE 'SO:0001059' END END AS satype
+           FROM aav),
+         va AS (
+           SELECT o_orderkey AS ak2, o_custkey AS ck,
+                  CASE (o_orderkey % 5)
+                    WHEN 0 THEN 'Mammalian Phenotype/Genotype'
+                    WHEN 1 THEN 'DO/Genotype' WHEN 2 THEN 'MCV/Marker'
+                    WHEN 3 THEN 'DO/Allele' ELSE 'Protein/Marker' END AS atype,
+                  CASE WHEN o_orderkey % 5 = 2 THEN 2*(o_orderkey % 1000)+1
+                       WHEN o_orderkey % 5 = 3 THEN 2*(o_orderkey % 1000)+2
+                       ELSE o_custkey - (o_custkey % 4) END AS obj,
+                  list_extract([6238160,6238161,6238162,6238170,7313348,
+                    999999], (o_orderkey % 6)::int + 1) AS tk,
+                  CASE WHEN o_orderkey % 20 = 1 THEN 1614157 ELSE 0 END AS qk,
+                  CASE WHEN o_orderkey % 17 = 0 THEN 'norm' ELSE '' END AS qual,
+                  CASE WHEN o_orderkey % 5 = 0
+                         THEN 'MP:'||(o_orderkey % 800)::varchar
+                       WHEN o_orderkey % 5 = 2
+                         THEN 'MCV:'||(o_orderkey % 6)::varchar
+                       ELSE 'DOID:'||(o_orderkey % 400)::varchar END AS accid
+           FROM orders),
+         va1 AS (SELECT * FROM va WHERE qual <> 'norm'),
+         aa AS (
+           SELECT u.ak2, u.sub, u.accid, u.rel,
+                  '_:b'||substr(md5('EX:mgi+'||u.sub||'+'||u.rel||'+'
+                    ||u.accid),2,19) AS assoc
+           FROM (
+             SELECT v.ak2, g.gt AS sub, v.accid,
+                    CASE WHEN v.atype = 'Mammalian Phenotype/Genotype'
+                         THEN 'RO:0002200' ELSE 'RO:0003301' END AS rel
+             FROM va1 v JOIN gv g ON v.obj = g.genotype_key
+             WHERE v.atype IN ('Mammalian Phenotype/Genotype','DO/Genotype')
+               AND NOT (v.atype = 'DO/Genotype' AND v.qk = 1614157)
+             UNION ALL
+             SELECT v.ak2, p.aid AS sub, v.accid, 'RO:0003301' AS rel
+             FROM va1 v JOIN pref p ON v.obj = p.object_key
+             WHERE v.atype = 'DO/Allele') u),
+         mcv AS (
+           SELECT DISTINCT m.mid,
+                  CASE v.tk WHEN 6238160 THEN 'SO:0000704'
+                    WHEN 6238161 THEN 'SO:0001217'
+                    WHEN 6238162 THEN 'SO:0001263'
+                    WHEN 6238170 THEN 'SO:0001500'
+                    WHEN 7313348 THEN 'SO:0000336' END AS tid
+           FROM va1 v JOIN mrk m ON v.obj = m.marker_key
+           WHERE v.atype = 'MCV/Marker' AND v.tk <> 999999),
+         ev AS (
+           SELECT a.ak2 + 1 AS evk, a.assoc,
+                  list_extract(['ECO:0000006','ECO:0000314','ECO:0000304',
+                    'ECO:0000316'], (a.ak2 % 4)::int + 1) AS eco,
+                  'J:'||(a.ak2 % 97)::varchar AS jnum,
+                  (a.ak2 % 4 = 0) AS sexterm,
+                  list_extract(['M','F','NA'], (a.ak2 % 3)::int + 1) AS sexval
+           FROM aa a WHERE a.ak2 % 2 = 0),
+         nt AS (
+           SELECT assoc, 'phenotype note '||(evk - 1)::varchar AS note
+           FROM ev WHERE (evk - 1) % 6 = 0)
          SELECT DISTINCT * FROM (
            SELECT gt AS s, 'rdf:type' AS p, 'GENO:0000536' AS o,
                   false AS lit, CAST(NULL AS VARCHAR) AS dt FROM gv
@@ -4880,7 +4981,55 @@ object RdfQueries {
            UNION ALL SELECT 'MGI:P'||s_suppkey::varchar, 'rdf:type',
              'IAO:0000311', false, NULL FROM supplier
            UNION ALL SELECT 'J:'||s_suppkey::varchar, 'owl:sameAs',
-             'MGI:P'||s_suppkey::varchar, false, NULL FROM supplier) t""",
+             'MGI:P'||s_suppkey::varchar, false, NULL FROM supplier
+           UNION ALL SELECT aid, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM aav2
+           UNION ALL SELECT aid, 'rdfs:label', symbol, true, NULL FROM aav2
+           UNION ALL SELECT aid, 'rdf:type',
+             CASE WHEN iswt = '0' THEN 'GENO:0000002'
+                  ELSE 'GENO:0000036' END, false, NULL FROM aav2
+           UNION ALL SELECT aid,
+             CASE WHEN iswt = '0' THEN 'GENO:0000408'
+                  ELSE 'GENO:0000610' END, mid, false, NULL
+             FROM aav2 WHERE mid IS NOT NULL
+           UNION ALL SELECT aid, 'GENO:0000382', iseqalt, false, NULL
+             FROM aav2 WHERE iswt = '0' AND mid IS NOT NULL
+           UNION ALL SELECT said, 'rdf:type', 'SO:0001059', false, NULL
+             FROM aav2 WHERE iswt = '0'
+           UNION ALL SELECT said, 'rdfs:label', salabel, true, NULL
+             FROM aav2 WHERE iswt = '0' AND salabel <> ''
+           UNION ALL SELECT said, 'dc:description', aname, true, NULL
+             FROM aav2 WHERE iswt = '0'
+           UNION ALL SELECT aid, 'RO:0002510', strainid, false, NULL
+             FROM aav2 WHERE iswt = '0' AND strainok
+           UNION ALL SELECT iseqalt, 'rdf:type', 'owl:NamedIndividual',
+             false, NULL FROM mut
+           UNION ALL SELECT iseqalt, 'rdf:type', satype, false, NULL
+             FROM mut
+           UNION ALL SELECT accid, 'rdf:type', 'owl:Class', false, NULL
+             FROM va1 WHERE atype = 'Mammalian Phenotype/Genotype'
+           UNION ALL SELECT sub, rel, accid, false, NULL FROM aa
+           UNION ALL SELECT assoc, 'rdf:type', 'OBAN:association', false,
+             NULL FROM aa
+           UNION ALL SELECT assoc, 'OBAN:association_has_subject', sub,
+             false, NULL FROM aa
+           UNION ALL SELECT assoc, 'OBAN:association_has_predicate', rel,
+             false, NULL FROM aa
+           UNION ALL SELECT assoc, 'OBAN:association_has_object', accid,
+             false, NULL FROM aa
+           UNION ALL SELECT assoc, 'rdfs:comment',
+             'annot_key:'||ak2::varchar, true, NULL FROM aa
+           UNION ALL SELECT mid, 'rdf:type', tid, false, NULL FROM mcv
+           UNION ALL SELECT jnum, 'rdf:type', 'IAO:0000311', false, NULL
+             FROM ev
+           UNION ALL SELECT assoc, 'RO:0002558', eco, false, NULL FROM ev
+           UNION ALL SELECT assoc, 'dc:source', jnum, false, NULL FROM ev
+           UNION ALL SELECT assoc, 'EXP:has_sex_specificity',
+             CASE sexval WHEN 'M' THEN 'PATO:0000384'
+                  ELSE 'PATO:0000383' END, false, NULL
+             FROM ev WHERE sexterm AND sexval IN ('M','F')
+           UNION ALL SELECT assoc, 'dc:description', note, true, NULL
+             FROM nt) t""",
     "r14_ancestor_closure" ->
       """WITH RECURSIVE
            e AS (SELECT doc_id AS child, doc_id // 2 AS parent
