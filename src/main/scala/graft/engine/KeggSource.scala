@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -58,7 +58,25 @@ object KeggSource extends GraftSource {
       "ds" -> graft.sources.SourceFile(s"$dataDir/kegg_pathway_disease.tsv",
         schemaOf("disease_id", "kegg_pathway_num"), hasHeader = false),
       "ko" -> graft.sources.SourceFile(s"$dataDir/kegg_pathway_ko.tsv",
-        schemaOf("ko_id", "pathway_id"), hasHeader = false)))
+        schemaOf("ko_id", "pathway_id"), hasHeader = false),
+      // the two dormant mapping files (their _process methods exist at
+      // KEGG.py:392-559 but are commented out of parse() at
+      // KEGG.py:147-149) — landed and parsed here so a consumer who
+      // re-enables them gets identical semantics; `hsa_gene2pathway`
+      // stays unlanded because the reference fetches it and never
+      // parses it at all (manifest KEGG.py:53-56, no _process)
+      "disease_gene" -> graft.sources.SourceFile(
+        s"$dataDir/kegg_disease_gene.tsv",
+        schemaOf("gene_id", "disease_id"), hasHeader = false),
+      "omim2gene" -> graft.sources.SourceFile(
+        s"$dataDir/kegg_omim2gene.tsv",
+        schemaOf("kegg_gene_id", "omim_id", "link_type"),
+        hasHeader = false),
+      // stand-in for the reference's cross-source omim_type hash (OMIM
+      // mimTitles-derived entry types consulted at KEGG.py:518-526)
+      "omim_types" -> graft.sources.SourceFile(
+        s"$dataDir/kegg_omim_types.tsv",
+        schemaOf("omim_id", "omim_type"), hasHeader = false)))
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     val tt = graft.core.TranslationTable.default
@@ -193,11 +211,99 @@ object KeggSource extends GraftSource {
       res(col("omim"), lit(Vocab.a), lit(Vocab.owlClass)),
       res(col("kegg"), lit(Vocab.equivalentClass), col("omim")))
 
-    pathwayTriples.union(diseaseTriples)
+    // ---- dormant-pass tiers (round-6 depth wave) ----------------------
+
+    // label hashes consulted by _make_variant_locus_id (KEGG.py:794-822)
+    val geneLabels = genes.select(col("gid"),
+      trim(element_at(col("symbols"), 1)).as("glabel"))
+
+    def altLocus(gid: Column, target: Column): Column =
+      concat(lit("_:"), Digest.md5Id(concat_ws("-",
+        regexp_replace(gid, ":", ""), regexp_replace(target, ":", ""),
+        lit("VL"))))
+
+    def altTriples(rows: DataFrame, target: Column): DataFrame = {
+      val withIds = rows
+        .withColumn("alt", altLocus(col("gid"), target))
+        .withColumn("altLabel",
+          when(coalesce(col("glabel"), lit("")) =!= "",
+            concat(lit("some variant of "), col("glabel"),
+              when(coalesce(col("dlabel"), lit("")) =!= "",
+                concat(lit(" that is associated with "), col("dlabel")))
+                .otherwise(lit("")))))
+        .withColumn("aid", concat(lit("_:"), Digest.assocIdMd5("EX:kegg",
+          col("alt"), lit(tt.resolve("is marker for")), target)))
+      ColumnEmit.emitFiltered(withIds,
+        res(col("alt"), lit(Vocab.a), lit(Vocab.namedIndividual)),
+        str(col("alt"), lit(Vocab.label), col("altLabel")),
+        res(col("alt"), lit(Vocab.a), lit(Vocab.variantLocus)),
+        res(col("alt"), lit(Vocab.hasAffectedLocus), col("gid")),
+        ColumnEmit.typed(col("alt"), lit(tt.resolve("is_anonymous")),
+          lit("true"), "xsd:boolean"),
+        res(col("alt"), lit(tt.resolve("is marker for")), target),
+        res(col("aid"), lit(Vocab.a), lit(Vocab.association)),
+        res(col("aid"), lit(Vocab.assocHasSubject), col("alt")),
+        res(col("aid"), lit(Vocab.assocHasPredicate),
+          lit(tt.resolve("is marker for"))),
+        res(col("aid"), lit(Vocab.assocHasObject), target))
+    }
+
+    // _process_kegg_disease2gene (KEGG.py:392-464): disease→gene rows
+    // for diseases with NO omim mapping (the kegg_disease_hash guard)
+    // and no 'includ'-marked grouping label; the association subject is
+    // the anonymous alternate variant locus, not the wildtype gene
+    val d2gTriples = in.get("disease_gene").map { dg =>
+      val keggWithOmim = o2d.select(col("kegg").as("did")).distinct()
+      val rows = dg.filter(coalesce(col("gene_id"), lit("")) =!= "")
+        .select(concat(lit("KEGG-"), trim(col("gene_id"))).as("gid"),
+          concat(lit("KEGG-"), trim(col("disease_id"))).as("did"))
+        .join(broadcast(keggWithOmim), Seq("did"), "left_anti")
+        .join(broadcast(diseases), Seq("did"), "left")
+        .join(broadcast(geneLabels), Seq("gid"), "left")
+        .filter(!coalesce(col("dlabel"), lit("")).contains("includ"))
+      ColumnEmit.emitFiltered(rows,
+        res(col("did"), lit(Vocab.a), lit(Vocab.owlClass)),
+        str(col("did"), lit(Vocab.label), col("dlabel")))
+        .union(altTriples(rows, col("did")))
+    }
+
+    // _process_omim2gene (KEGG.py:466-559): equivalent links become
+    // gene x-refs gated on the OMIM entry type being a gene; reverse
+    // links become disease→alt-locus marker associations; original
+    // links are logged and skipped (the omim_replaced remap needs the
+    // OMIM source's moved-id state and is documented as absent)
+    val o2gTriples = in.get("omim2gene").map { og =>
+      val omimGeneSet = in.get("omim_types")
+        .map(_.filter(col("omim_type") === Vocab.gene)
+          .select(col("omim_id").as("omim0")).distinct()
+          .withColumn("isGene", lit(true)))
+      val base = og.filter(coalesce(col("kegg_gene_id"), lit("")) =!= "")
+        .select(concat(lit("KEGG-"), trim(col("kegg_gene_id"))).as("gid"),
+          regexp_replace(col("omim_id"), "omim", "OMIM").as("omim"),
+          col("link_type"))
+      val equiv0 = base.filter(col("link_type") === "equivalent")
+      val equiv = omimGeneSet match {
+        case Some(g) => equiv0.join(broadcast(g),
+          equiv0("omim") === g("omim0"), "left")
+        case None => equiv0.withColumn("isGene", lit(false))
+      }
+      val equivTriples = ColumnEmit.emitFiltered(equiv,
+        res(col("omim"), lit(Vocab.a), lit(Vocab.owlClass)),
+        res(col("gid"), lit(Vocab.a), lit(Vocab.gene)),
+        res(col("gid"), lit(Vocab.equivalentClass),
+          when(col("isGene") === true, col("omim"))))
+      val reverse = base.filter(col("link_type") === "reverse")
+        .join(broadcast(geneLabels), Seq("gid"), "left")
+        .withColumn("dlabel", lit(null).cast("string"))
+      equivTriples.union(altTriples(reverse, col("omim")))
+    }
+
+    val core = pathwayTriples.union(diseaseTriples)
       .union(geneTriples).union(geneSynonyms)
       .union(okcTriples).union(okcSynonyms).union(okcXrefs)
       .union(k2nTriples).union(pubTriples).union(pdTriples)
       .union(koTriples).union(o2dTriples)
+    (d2gTriples.toSeq ++ o2gTriples.toSeq).foldLeft(core)(_ union _)
   }
 
   override def testIds: Seq[String] = Seq("KEGG-ds:H00409", "KEGG-path:map04130")

@@ -606,10 +606,34 @@ object RdfQueries {
           .as("ko_id"),
         concat(lit("path:map"), lpad((ok % 90).cast("string"), 5, "0"))
           .as("pathway_id"))
+      // dormant-pass inputs (round-6 depth wave): grouping-labeled
+      // diseases exercise the 'includ' skip, disease_gene ids straddle
+      // the omim-mapped set, omim2gene cycles all three link types, and
+      // the type table gates the equivalence branch
+      val grouping = orders.filter(ok % 31 === 0).select(
+        concat(lit("ds:HG"), ok % 50).as("disease_id"),
+        concat(lit("grouping including "), ok % 50).as("disease_name"))
+      val dg = orders.filter(ok % 23 === 0).select(
+        concat(lit("hsa:"), col("o_custkey")).as("gene_id"),
+        when(ok % 3 === 0, concat(lit("ds:HG"), ok % 50))
+          .when(ok % 3 === 1, concat(lit("ds:H"), ok % 12000))
+          .otherwise(concat(lit("ds:H"), lpad((ok % 80).cast("string"), 5, "0")))
+          .as("disease_id"))
+      val o2g = orders.filter(ok % 29 === 0).select(
+        concat(lit("hsa:"), col("o_custkey")).as("kegg_gene_id"),
+        concat(lit("omim:"), ok % 900 + 200000).as("omim_id"),
+        element_at(array(lit("equivalent"), lit("reverse"), lit("original")),
+          (ok % 3 + 1).cast("int")).as("link_type"))
+      val otypes = cust.select(
+        concat(lit("OMIM:"), (c * 7) % 900 + 200000).as("omim_id"),
+        when(c % 2 === 0, lit("SO:0000704")).otherwise(lit("MONDO:0000001"))
+          .as("omim_type"))
       graft.engine.KeggSource.transform(s, Map(
-        "pathway" -> pathway, "disease" -> disease, "hsa_genes" -> hsaGenes,
+        "pathway" -> pathway, "disease" -> disease.unionByName(grouping),
+        "hsa_genes" -> hsaGenes,
         "ortholog_classes" -> okc, "omim" -> omim, "ncbi" -> ncbi,
-        "pubmed" -> pubmed, "ds" -> pd, "ko" -> ko))
+        "pubmed" -> pubmed, "ds" -> pd, "ko" -> ko,
+        "disease_gene" -> dg, "omim2gene" -> o2g, "omim_types" -> otypes))
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
 
@@ -2788,7 +2812,11 @@ object RdfQueries {
          ds AS (
            SELECT 'KEGG-ds:H'||lpad((o_orderkey%80)::varchar,5,'0') AS did,
                   'disease '||(o_orderkey%80) AS dlabel
-           FROM orders WHERE o_orderkey%7=0),
+           FROM orders WHERE o_orderkey%7=0
+           UNION ALL
+           SELECT 'KEGG-ds:HG'||(o_orderkey%50),
+                  'grouping including '||(o_orderkey%50)
+           FROM orders WHERE o_orderkey%31=0),
          g AS (
            SELECT 'KEGG-hsa:'||c_custkey AS gid, 'G'||c_custkey AS glabel,
                   CASE WHEN c_custkey%3 IN (0,1)
@@ -2832,7 +2860,62 @@ object RdfQueries {
            FROM orders WHERE o_orderkey%19=0),
          kog AS (
            SELECT *, '_:b'||substr(md5(replace(koid,':','')||'product'),2,19) AS gp
-           FROM ko)
+           FROM ko),
+         dgx AS (
+           SELECT 'KEGG-hsa:'||o_custkey::varchar AS gid,
+                  CASE WHEN o_orderkey%3=0 THEN 'KEGG-ds:HG'||(o_orderkey%50)
+                       WHEN o_orderkey%3=1 THEN 'KEGG-ds:H'||(o_orderkey%12000)
+                       ELSE 'KEGG-ds:H'||lpad((o_orderkey%80)::varchar,5,'0')
+                  END AS did
+           FROM orders WHERE o_orderkey%23=0),
+         omimkegg AS (SELECT DISTINCT kegg FROM o2d),
+         dlab AS (SELECT did, max(dlabel) AS dlabel FROM ds GROUP BY did),
+         dg2 AS (
+           SELECT d.gid, d.did, dl.dlabel, gg.glabel,
+                  '_:b'||substr(md5(replace(d.gid,':','')||'-'||
+                    replace(d.did,':','')||'-VL'),2,19) AS alt
+           FROM dgx d
+           LEFT JOIN omimkegg ok2 ON d.did = ok2.kegg
+           LEFT JOIN dlab dl ON d.did = dl.did
+           LEFT JOIN g gg ON d.gid = gg.gid
+           WHERE ok2.kegg IS NULL
+             AND NOT coalesce(dl.dlabel,'') LIKE '%includ%'),
+         dg3 AS (
+           SELECT *,
+                  CASE WHEN coalesce(glabel,'') <> ''
+                       THEN 'some variant of '||glabel||
+                         CASE WHEN coalesce(dlabel,'') <> ''
+                              THEN ' that is associated with '||dlabel
+                              ELSE '' END END AS altlabel,
+                  '_:b'||substr(md5('EX:kegg+'||alt||'+RO:0002607+'||did),
+                    2,19) AS aid
+           FROM dg2),
+         o2gx AS (
+           SELECT 'KEGG-hsa:'||o_custkey::varchar AS gid,
+                  'OMIM:'||(o_orderkey%900+200000)::varchar AS omim,
+                  list_extract(['equivalent','reverse','original'],
+                    (o_orderkey%3)::int+1) AS lt
+           FROM orders WHERE o_orderkey%29=0),
+         otyp AS (
+           SELECT DISTINCT 'OMIM:'||((c_custkey*7)%900+200000)::varchar AS omim
+           FROM customer WHERE c_custkey%2=0),
+         oeq AS (
+           SELECT o.gid, o.omim, (t.omim IS NOT NULL) AS isgene
+           FROM o2gx o LEFT JOIN otyp t ON o.omim = t.omim
+           WHERE o.lt = 'equivalent'),
+         orev AS (
+           SELECT o.gid, o.omim, gg.glabel,
+                  '_:b'||substr(md5(replace(o.gid,':','')||'-'||
+                    replace(o.omim,':','')||'-VL'),2,19) AS alt
+           FROM o2gx o LEFT JOIN g gg ON o.gid = gg.gid
+           WHERE o.lt = 'reverse'),
+         orev2 AS (
+           SELECT *,
+                  CASE WHEN coalesce(glabel,'') <> ''
+                       THEN 'some variant of '||glabel END AS altlabel,
+                  '_:b'||substr(md5('EX:kegg+'||alt||'+RO:0002607+'||omim),
+                    2,19) AS aid
+           FROM orev)
          SELECT DISTINCT * FROM (
            SELECT pid AS s, 'rdf:type' AS p, 'owl:Class' AS o,
                   false AS lit, CAST(NULL AS VARCHAR) AS dt FROM pw
@@ -2874,7 +2957,52 @@ object RdfQueries {
            UNION ALL SELECT gp, 'rdf:type', 'CHEBI:33695', false, NULL FROM kog
            UNION ALL SELECT gp, 'rdfs:label', path, false, NULL FROM kog
            UNION ALL SELECT koid, 'RO:0002205', gp, false, NULL FROM kog
-           UNION ALL SELECT gp, 'RO:0002331', path, false, NULL FROM kog) t""",
+           UNION ALL SELECT gp, 'RO:0002331', path, false, NULL FROM kog
+           UNION ALL SELECT did, 'rdf:type', 'owl:Class', false, NULL FROM dg3
+           UNION ALL SELECT did, 'rdfs:label', dlabel, true, NULL FROM dg3
+             WHERE dlabel IS NOT NULL
+           UNION ALL SELECT alt, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM dg3
+           UNION ALL SELECT alt, 'rdfs:label', altlabel, true, NULL FROM dg3
+             WHERE altlabel IS NOT NULL
+           UNION ALL SELECT alt, 'rdf:type', 'GENO:0000002', false, NULL
+             FROM dg3
+           UNION ALL SELECT alt, 'GENO:0000418', gid, false, NULL FROM dg3
+           UNION ALL SELECT alt, 'MONARCH:anonymous', 'true', true,
+             'xsd:boolean' FROM dg3
+           UNION ALL SELECT alt, 'RO:0002607', did, false, NULL FROM dg3
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL
+             FROM dg3
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', alt, false,
+             NULL FROM dg3
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002607', false, NULL FROM dg3
+           UNION ALL SELECT aid, 'OBAN:association_has_object', did, false,
+             NULL FROM dg3
+           UNION ALL SELECT omim, 'rdf:type', 'owl:Class', false, NULL
+             FROM oeq
+           UNION ALL SELECT gid, 'rdf:type', 'SO:0000704', false, NULL
+             FROM oeq
+           UNION ALL SELECT gid, 'owl:equivalentClass', omim, false, NULL
+             FROM oeq WHERE isgene
+           UNION ALL SELECT alt, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM orev2
+           UNION ALL SELECT alt, 'rdfs:label', altlabel, true, NULL
+             FROM orev2 WHERE altlabel IS NOT NULL
+           UNION ALL SELECT alt, 'rdf:type', 'GENO:0000002', false, NULL
+             FROM orev2
+           UNION ALL SELECT alt, 'GENO:0000418', gid, false, NULL FROM orev2
+           UNION ALL SELECT alt, 'MONARCH:anonymous', 'true', true,
+             'xsd:boolean' FROM orev2
+           UNION ALL SELECT alt, 'RO:0002607', omim, false, NULL FROM orev2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false, NULL
+             FROM orev2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', alt, false,
+             NULL FROM orev2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002607', false, NULL FROM orev2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', omim, false,
+             NULL FROM orev2) t""",
     "p13_mychem_pipeline" ->
       """WITH src AS (
            SELECT 'UNII:U'||o_orderkey AS unii, o_custkey AS ck,

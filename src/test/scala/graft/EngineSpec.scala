@@ -124,6 +124,26 @@ class EngineSpec extends SparkSpec {
       && l.contains("\"ROCK2\"")))
     assert(nt.exists(l => l.contains("hsa:9475") && l.contains("ExactSynonym")
       && l.contains("\"ROCK-II\"")))
+    // dormant-pass tiers: disease2gene alt-locus association only for
+    // no-omim, non-grouping diseases
+    val alt = "_:" + graft.core.Digest.md5IdScala("KEGG-hsa101-KEGG-dsH00999-VL")
+    assert(nt.exists(l => l.contains(alt.drop(2)) &&
+      l.contains("\"some variant of SINGLE that is associated with Solo disease\"")))
+    assert(nt.exists(l => l.contains(alt.drop(2)) && l.contains("RO_0002607") &&
+      l.contains("kegg.disease/H00999")))
+    // omim-mapped disease H00056 and grouping-labeled H00888 are excluded
+    assert(!nt.exists(l => l.contains("RO_0002607") && l.contains("H00056")))
+    assert(!nt.exists(l => l.contains("H00888") && l.contains("RO_0002607")))
+    // omim2gene: equivalence only when the OMIM entry type is gene
+    assert(nt.exists(l => l.contains("kegg.genes/hsa:100") &&
+      l.contains("equivalentClass") && l.contains("mim/608958")))
+    assert(!nt.exists(l => l.contains("equivalentClass") && l.contains("102700")))
+    // reverse link → alt-locus marker association against the OMIM id
+    val altRev = "_:" + graft.core.Digest.md5IdScala("KEGG-hsa100-OMIM300100-VL")
+    assert(nt.exists(l => l.contains(altRev.drop(2)) && l.contains("RO_0002607") &&
+      l.contains("mim/300100")))
+    // original links are skipped
+    assert(!nt.exists(l => l.contains("604002")))
   }
 
   test("mychem ingest: nested-JSON navigation through Runner") {
