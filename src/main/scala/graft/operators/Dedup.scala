@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -182,33 +182,62 @@ object Dedup {
   }
 
   /** MinHash signatures: one aggregation pass computes all `numPerm`
-    * permutation minima. The permutation family is `xxhash64(shingle, i)`
-    * (multi-column hash — the permutation index is hashed as a second
-    * column), NOT `xxhash64(concat(shingle, "#i"))`: the concat form
-    * allocates numPerm strings per shingle row (an 8M+ allocation storm
-    * per pass at sf0.1 that degrades badly under heap pressure). */
+    * permutation minima.
+    *
+    * Two permutation families, selected by `family` (the same
+    * production-vs-oracle split the sources' `transformDigest` uses):
+    *
+    *  - `"xxhash64"` (production default): `xxhash64(shingle, i)` —
+    *    multi-column hash, the permutation index hashed as a second
+    *    column, NOT `xxhash64(concat(shingle, "#i"))`: the concat form
+    *    allocates numPerm strings per shingle row (an 8M+ allocation
+    *    storm per pass at sf0.1 that degrades badly under heap
+    *    pressure).
+    *  - `"md5"` (oracle family): the first 15 hex chars (60 bits, fits a
+    *    signed long exactly) of `md5(shingle || "#i")` parsed base-16 —
+    *    every step is reproducible in DuckDB SQL
+    *    (`('0x'||substr(md5(...),1,15))::BIGINT`), so the whole
+    *    MinHash+LSH pipeline gets a value-level oracle instead of a
+    *    rows-only check. Pays the concat allocation cost, which is why
+    *    it is the oracle device and not the default. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numPerm: Int = 32, shingleN: Int = 3): DataFrame = {
+                        numPerm: Int = 32, shingleN: Int = 3,
+                        family: String = "xxhash64"): DataFrame = {
     val sh = shingleRel(docs, idCol, textCol, shingleN)
-    val mins = (0 until numPerm).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    def perm(i: Int): Column = family match {
+      case "md5" =>
+        conv(substring(md5(concat(col("sh"), lit(s"#$i"))), 1, 15), 16, 10)
+          .cast("long")
+      case _ => xxhash64(col("sh"), lit(i))
+    }
+    val mins = (0 until numPerm).map(i => min(perm(i)).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs + signature-estimated Jaccard ≥ `threshold`.
-    * bands × rowsPerBand must equal numPerm. */
+    * bands × rowsPerBand must equal numPerm. The band bucket key is
+    * murmur `hash(...)` for the production family and the `|`-joined
+    * decimal band values for the `"md5"` oracle family (bucket keys are
+    * an equality proxy — a wider string key only changes constants, and
+    * DuckDB reproduces it verbatim). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+                   threshold: Double = 0.5, shingleN: Int = 3,
+                   family: String = "xxhash64"): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN)
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN,
+      family)
     val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
     // Materialize: the numPerm-aggregate signature subtree would otherwise
     // be codegen'd three times (band hashing + both self-join sides).
     val withSig = materialize(sigs.select(col("id"), sigArr.as("sig")))
-    val bandHashes = array((0 until bands).map(b =>
-      hash((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)): _*)
+    def bandKey(b: Int): Column = {
+      val cols = (b * rows until (b + 1) * rows).map(i => col("sig")(i))
+      if (family == "md5") concat_ws("|", cols: _*).as(s"b$b")
+      else hash(cols: _*).cast("string").as(s"b$b")
+    }
+    val bandHashes = array((0 until bands).map(bandKey): _*)
     val buckets = withSig
       .select(col("id"), col("sig"), posexplode(bandHashes).as(Seq("band", "bh")))
     val cand = buckets.as("a").join(buckets.as("b"),
@@ -512,11 +541,22 @@ object Dedup {
 
   /** 64-bit SimHash fingerprints from term-frequency-weighted word
     * hashes — one explode + one aggregation, builtins only. */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(docs: DataFrame, idCol: String, textCol: String,
+                family: String = "xxhash64"): DataFrame = {
+    // `family` follows the minhash convention: xxhash64 is the 64-bit
+    // production hash; "md5" is the DuckDB-reproducible oracle family —
+    // the first 15 hex chars of md5(word) parsed base-16 (60 bits, so
+    // fingerprint bits 60..63 are structurally 0: a 60-bit SimHash,
+    // identical on both sides, with the top banding chunk carrying 12
+    // effective bits)
+    val wordHash: Column =
+      if (family == "md5")
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("w"))
     val terms = widen(docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), explode(TextOps.words(col("text"))).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", wordHash)
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
         .otherwise(-col("cnt"))).as(s"b$j"))
@@ -530,10 +570,11 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming`, candidates from 16-bit
     * chunk-equality banding. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   family: String = "xxhash64"): DataFrame = {
     // Materialize for the same reason as minhashPairs: the 64-bit-sum
     // aggregation subtree feeds both sides of the candidate self-join.
-    val sigs = materialize(simhash64(docs, idCol, textCol))
+    val sigs = materialize(simhash64(docs, idCol, textCol, family))
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)

@@ -9,9 +9,11 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data-pipeline operator coverage: deduplication, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
-  * `embeddings`. Hash/LSH-family queries (d03/d04/s02) use engine hash
-  * functions the oracle can't reproduce → rows-only checks; everything
-  * else has a DuckDB oracle.
+  * `embeddings`. Every query is value-checked against a DuckDB oracle:
+  * the hash-family queries (d03 MinHash, d04 SimHash) run their
+  * md5-arithmetic oracle families here — the xxhash64 production
+  * defaults keep ScalaTest coverage — and s02's hyperplane buckets are
+  * plane-literal-reproducible like d06's.
   */
 object PipelineQueries {
 
@@ -36,15 +38,23 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8)),
 
-    // MinHash+LSH banding near-dup (the linear-cost scale path).
+    // MinHash+LSH banding near-dup (the linear-cost scale path). Runs
+    // the md5-arithmetic permutation family so the WHOLE pipeline
+    // (shingles → 32 permutation minima → band buckets → candidate join
+    // → signature-estimated Jaccard) is value-checked against DuckDB;
+    // the xxhash64 production family keeps its ScalaTest coverage.
     "d03_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        numPerm = 32, bands = 8, threshold = 0.5)),
+        numPerm = 32, bands = 8, threshold = 0.5, family = "md5")),
 
-    // SimHash 64-bit fingerprint near-dup (chunk-banded candidates).
+    // SimHash fingerprint near-dup (chunk-banded candidates). Runs the
+    // md5 oracle family (60-bit fingerprints) so the bit-sum vote, chunk
+    // banding, and Hamming verification are all value-checked against
+    // DuckDB; the 64-bit xxhash64 production family keeps ScalaTest
+    // coverage.
     "d04_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)),
+        maxHamming = 3, family = "md5")),
 
     // Embedding-cosine near-dup pairs (exact, double-precision).
     // 0.45 is calibrated to this corpus (max pairwise cosine ≈ 0.51/0.60
@@ -494,7 +504,66 @@ object PipelineQueries {
          SELECT id_a, id_b, round(sim, 6) AS sim FROM cand WHERE sim > $threshold"""
   }
 
+  /** s02 oracle: the single-band hyperplane bucket (same SplitMix64
+    * planes the engine ships as literals), bucket-equality candidates,
+    * exact cosine, per-query top-k. */
+  private def lshTopKOracle(dim: Int, k: Int, nbits: Int): String = {
+    def planeLit(p: Int): String =
+      graft.operators.Similarity.hyperplane(p, dim)
+        .map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]::DOUBLE[]")
+    val bucketExpr = (0 until nbits).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  $bucketExpr AS bucket
+           FROM embeddings),
+         q AS (SELECT * FROM b WHERE vec_id < 10),
+         sims AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+                  list_dot_product(q.v, c.v)
+                    / (sqrt(list_dot_product(q.v, q.v))
+                       * sqrt(list_dot_product(c.v, c.v))) AS sim
+           FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                  AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+           <= $k"""
+  }
+
   val oracles: ListMap[String, String] = ListMap(
+    "s02_ann_lsh" -> lshTopKOracle(64, 3, 8),
+    "d04_dedup_simhash" ->
+      """WITH terms AS (
+           SELECT doc_id, w, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents) t
+           GROUP BY 1, 2),
+         h AS (SELECT doc_id, cnt,
+                 ('0x'||substr(md5(w),1,15))::BIGINT AS h
+               FROM terms),
+         bits AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+           FROM h, (SELECT unnest(range(0, 64)) AS j) jj
+           GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         chunks AS (
+           SELECT doc_id, simhash, c, (simhash >> (c*16)::int) & 65535 AS cv
+           FROM sig, (SELECT unnest(range(0, 4)) AS c) cc),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+           FROM chunks a JOIN chunks b
+             ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
     "d06_dedup_embedding_lsh" -> lshNearDupOracle(64, 0.45, 8, 4),
     "d13_duplicate_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -686,6 +755,31 @@ object PipelineQueries {
          JOIN sizes sa ON sa.doc_id=id_a
          JOIN sizes sb ON sb.doc_id=id_b
          WHERE i::double / (sa.sz + sb.sz - i) > 0.8""",
+    "d03_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         perms AS (SELECT unnest(range(0, 32)) AS i),
+         hs AS (SELECT doc_id, i,
+                  min(('0x'||substr(md5(sh||'#'||i::varchar),1,15))::BIGINT) AS h
+                FROM sh, perms GROUP BY 1, 2),
+         sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY 1),
+         bnd AS (SELECT doc_id, sig, b,
+                  array_to_string(list_slice(sig, b*4+1, b*4+4), '|') AS bh
+                 FROM sig, (SELECT unnest(range(0, 8)) AS b) bb),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sa, b.sig AS sb
+                  FROM bnd a JOIN bnd b
+                    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b,
+                   len(list_filter(range(1, 33), i -> sa[i] = sb[i]))/32.0
+                     AS ej
+                 FROM cand)
+         SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+         FROM est WHERE ej >= 0.5""",
     "d07_dedup_clusters" ->
       """WITH RECURSIVE
            pairs AS (

@@ -451,10 +451,10 @@ class EngineSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
-    // rows-only queries (no oracle) must stay the documented three
+    // every registered query is value-checked — the former rows-only
+    // hash-family trio graduated to md5-arithmetic oracle families
     val rowsOnly = qs -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("d03_dedup_minhash", "d04_dedup_simhash",
-      "s02_ann_lsh"), s"undocumented rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"undocumented rows-only queries: $rowsOnly")
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
