@@ -181,6 +181,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Mersenne-prime modulus of the md5-arithmetic permutation family. */
+  val minhashP: Long = 2147483647L
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** (a, b) coefficients of permutation `i` in the md5-arithmetic
+    * family — SplitMix64-derived so the SQL oracle builder generates the
+    * identical literals. */
+  def minhashCoeffs(i: Int): (Long, Long) = (
+    java.lang.Math.floorMod(mix64(0xA5EED00L + i), minhashP - 1) + 1,
+    java.lang.Math.floorMod(mix64(0xB1A5EDL + i), minhashP))
+
   /** MinHash signatures: one aggregation pass computes all `numPerm`
     * permutation minima.
     *
@@ -193,22 +210,29 @@ object Dedup {
     *    allocates numPerm strings per shingle row (an 8M+ allocation
     *    storm per pass at sf0.1 that degrades badly under heap
     *    pressure).
-    *  - `"md5"` (oracle family): the first 15 hex chars (60 bits, fits a
-    *    signed long exactly) of `md5(shingle || "#i")` parsed base-16 —
-    *    every step is reproducible in DuckDB SQL
-    *    (`('0x'||substr(md5(...),1,15))::BIGINT`), so the whole
-    *    MinHash+LSH pipeline gets a value-level oracle instead of a
-    *    rows-only check. Pays the concat allocation cost, which is why
-    *    it is the oracle device and not the default. */
+    *  - `"md5"` (oracle family): ONE md5 per shingle — the first 15 hex
+    *    chars (60 bits, exact in a signed long) parsed base-16, reduced
+    *    mod the Mersenne prime 2^31−1 — then `numPerm` universal-hash
+    *    permutations `(aᵢ·h + bᵢ) mod p` with [[minhashCoeffs]]
+    *    literals. Every operand stays < 2^62 (no overflow in either
+    *    engine, where DuckDB would error), and every step is plain SQL
+    *    arithmetic, so the whole MinHash+LSH pipeline gets a value-level
+    *    oracle instead of a rows-only check, at near-xxhash64 cost (the
+    *    earlier md5-per-permutation form measured 5× slower at sf0.1). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numPerm: Int = 32, shingleN: Int = 3,
                         family: String = "xxhash64"): DataFrame = {
-    val sh = shingleRel(docs, idCol, textCol, shingleN)
-    def perm(i: Int): Column = family match {
+    val sh0 = shingleRel(docs, idCol, textCol, shingleN)
+    val (sh, perm: (Int => Column)) = family match {
       case "md5" =>
-        conv(substring(md5(concat(col("sh"), lit(s"#$i"))), 1, 15), 16, 10)
-          .cast("long")
-      case _ => xxhash64(col("sh"), lit(i))
+        val base = sh0.withColumn("h0",
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+            % minhashP)
+        (base, (i: Int) => {
+          val (a, b) = minhashCoeffs(i)
+          (col("h0") * a + b) % minhashP
+        })
+      case _ => (sh0, (i: Int) => xxhash64(col("sh"), lit(i)))
     }
     val mins = (0 until numPerm).map(i => min(perm(i)).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)

@@ -504,6 +504,48 @@ object PipelineQueries {
          SELECT id_a, id_b, round(sim, 6) AS sim FROM cand WHERE sim > $threshold"""
   }
 
+  /** d03 oracle: the md5-arithmetic permutation family — one md5 per
+    * shingle reduced mod 2^31−1, then the engine's exact
+    * [[graft.operators.Dedup.minhashCoeffs]] (aᵢ·h+bᵢ) mod p
+    * permutations as generated literals, band buckets as joined decimal
+    * values, estimated Jaccard over the signature lists. */
+  private def minhashOracle(numPerm: Int, bands: Int,
+                            threshold: Double): String = {
+    val rows = numPerm / bands
+    val mins = (0 until numPerm).map { i =>
+      val (a, b) = graft.operators.Dedup.minhashCoeffs(i)
+      s"min(($a*h0+$b)%2147483647) AS h$i"
+    }.mkString(",\n                  ")
+    val sigList = (0 until numPerm).map(i => s"h$i").mkString("[", ",", "]")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         base AS (SELECT doc_id,
+                    ('0x'||substr(md5(sh),1,15))::BIGINT % 2147483647 AS h0
+                  FROM sh),
+         hs AS (SELECT doc_id,
+                  $mins
+                FROM base GROUP BY 1),
+         sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+         bnd AS (SELECT doc_id, sig, b,
+                  array_to_string(list_slice(sig, b*$rows+1, b*$rows+$rows),
+                    '|') AS bh
+                 FROM sig, (SELECT unnest(range(0, $bands)) AS b) bb),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sa, b.sig AS sb
+                  FROM bnd a JOIN bnd b
+                    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b,
+                   len(list_filter(range(1, ${numPerm + 1}),
+                     i -> sa[i] = sb[i]))/$numPerm.0 AS ej
+                 FROM cand)
+         SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+         FROM est WHERE ej >= $threshold"""
+  }
+
   /** s02 oracle: the single-band hyperplane bucket (same SplitMix64
     * planes the engine ships as literals), bucket-equality candidates,
     * exact cosine, per-query top-k. */
@@ -755,31 +797,8 @@ object PipelineQueries {
          JOIN sizes sa ON sa.doc_id=id_a
          JOIN sizes sb ON sb.doc_id=id_b
          WHERE i::double / (sa.sz + sb.sz - i) > 0.8""",
-    "d03_dedup_minhash" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
-                FROM (SELECT doc_id, ws,
-                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
-                      FROM w) t),
-         perms AS (SELECT unnest(range(0, 32)) AS i),
-         hs AS (SELECT doc_id, i,
-                  min(('0x'||substr(md5(sh||'#'||i::varchar),1,15))::BIGINT) AS h
-                FROM sh, perms GROUP BY 1, 2),
-         sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY 1),
-         bnd AS (SELECT doc_id, sig, b,
-                  array_to_string(list_slice(sig, b*4+1, b*4+4), '|') AS bh
-                 FROM sig, (SELECT unnest(range(0, 8)) AS b) bb),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                    a.sig AS sa, b.sig AS sb
-                  FROM bnd a JOIN bnd b
-                    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         est AS (SELECT id_a, id_b,
-                   len(list_filter(range(1, 33), i -> sa[i] = sb[i]))/32.0
-                     AS ej
-                 FROM cand)
-         SELECT id_a, id_b, round(ej, 6) AS est_jaccard
-         FROM est WHERE ej >= 0.5""",
+    "d03_dedup_minhash" -> minhashOracle(numPerm = 32, bands = 8,
+      threshold = 0.5),
     "d07_dedup_clusters" ->
       """WITH RECURSIVE
            pairs AS (
