@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Digest, Triple, Vocab}
-import graft.emit.{Assoc, Environment, Model, Reference, Genotype => G}
+import graft.emit.{Assoc, Environment, Model, Reference,
+  Association => Assoc0, Genotype => G}
 
 /** ZFIN depth wave: the fish/extrinsic-genotype assembly, gene-marker
   * relationships, knockdown reagents, environments, and the
@@ -110,7 +111,30 @@ object ZfinFishSource extends GraftSource {
           "Superterm2Name", "PublicationID", "EnvironmentID")),
       "zp_map" -> graft.sources.SourceFile(
         s"$dataDir/zp_map.tsv",
-        schemaOf("ZpID", "OctupleID"))))
+        schemaOf("ZpID", "OctupleID")),
+      "genes" -> graft.sources.SourceFile(
+        s"$dataDir/genes.tsv",
+        schemaOf("ZfinID", "SoID", "Symbol", "NcbiGeneID")),
+      "stages" -> graft.sources.SourceFile(
+        s"$dataDir/stages.tsv",
+        schemaOf("StageID", "StageOboID", "StageName")),
+      "uniprot" -> graft.sources.SourceFile(
+        s"$dataDir/uniprot.tsv",
+        schemaOf("ZfinID", "SoID", "Symbol", "UniProtID")),
+      "human_orthos" -> graft.sources.SourceFile(
+        s"$dataDir/human_orthos.tsv",
+        schemaOf("ZfinID", "ZfinSymbol", "ZfinName", "HumanSymbol",
+          "HumanName", "OmimID", "GeneID", "HgncID", "Evidence", "PubID")),
+      "fish_disease_models" -> graft.sources.SourceFile(
+        s"$dataDir/fish_disease_models.tsv",
+        schemaOf("FishID", "EnvironmentID", "Rel", "DoTermID", "DoTermName",
+          "PubID", "PubMedID", "EvidenceCode")),
+      // GFF3 — headerless; the '##gff-version' pragma and comment lines
+      // are filtered in the transform (the reference's two next() calls)
+      "gene_coordinates" -> graft.sources.SourceFile(
+        s"$dataDir/gene_coordinates.gff3",
+        schemaOf("Chromosome", "Source", "Type", "Start", "End", "Score",
+          "Strand", "Phase", "Attributes"), hasHeader = false)))
 
   private def strip(s: String): String = s.replaceAll("(ZFIN)?:", "")
   private def nzc(c: Column): Column =
@@ -482,9 +506,157 @@ object ZfinFishSource extends GraftSource {
       tiers += df(ts)
     }
 
+    // ---- gene dictionary (_process_genes, ZFIN.py:1522-1575) ----------
+    in.get("genes").foreach { g =>
+      val ts = g.select(col("ZfinID"), col("Symbol"), col("NcbiGeneID"))
+        .as[(String, String, String)]
+        .flatMap { case (gid, sym, ncbi) =>
+          val gene = s"ZFIN:${gid.trim}"
+          G.addGene(gene, sym) ++
+            Model.addEquivalentClass(gene, s"NCBIGene:${ncbi.trim}") ++
+            G.addTaxon(taxonId, gene)
+        }
+      tiers += df(ts)
+    }
+
+    // ---- developmental stages (_process_stages, ZFIN.py:1329-1374) ----
+    in.get("stages").foreach { st =>
+      val ts = st.select(col("StageID"), col("StageOboID"), col("StageName"))
+        .as[(String, String, String)]
+        .flatMap { case (sid, obo, name) =>
+          val stage = s"ZFIN:${sid.trim}"
+          Model.classTriples(stage, name) ++
+            Model.addEquivalentClass(stage, obo)
+        }
+      tiers += df(ts)
+    }
+
+    // ---- UniProt gene products (_process_uniprot_ids,
+    // ZFIN.py:2427-2484) ------------------------------------------------
+    in.get("uniprot").foreach { up =>
+      val ts = up.select(col("ZfinID"), col("Symbol"), col("UniProtID"))
+        .as[(String, String, String)]
+        .flatMap { case (gid, sym, prot) =>
+          val gene = s"ZFIN:${gid.trim}"
+          val protein = s"UniProtKB:${prot.trim}"
+          G.addGene(gene, sym) ++
+            Model.individualTriples(protein, null, Some("SO:0000104")) ++
+            Model.addTriple(gene, "RO:0002205", protein)
+        }
+      tiers += df(ts)
+    }
+
+    // ---- ZFIN-curated human orthology (_process_human_orthos,
+    // ZFIN.py:2485-2563): both genes declared with descriptions, the
+    // default orthology association decorated with the ZFIN publication
+    // and the abbreviation→ECO evidence map
+    // (get_orthology_evidence_code, ZFIN.py:3040-3083) -------------------
+    in.get("human_orthos").foreach { ho =>
+      val ts = ho.select(col("ZfinID"), col("ZfinSymbol"), col("ZfinName"),
+          col("HumanSymbol"), col("HumanName"), col("GeneID"),
+          col("Evidence"), col("PubID"))
+        .as[(String, String, String, String, String, String, String,
+             String)]
+        .flatMap { case (zid, zsym, zname, hsym, hname, ncbi, ev, pub) =>
+          val zfin = s"ZFIN:${zid.trim}"
+          val human = s"NCBIGene:${ncbi.trim}"
+          val sources = Option(pub).filter(_.startsWith("ZDB-PUB-"))
+            .map("ZFIN:" + _).toSeq
+          val evidence = orthoEvidence.get(ev).flatten.toSeq
+          G.addGene(zfin, zsym) ++ Model.addDescription(zfin, zname) ++
+            G.addGene(human, hsym) ++ Model.addDescription(human, hname) ++
+            Assoc0(definedBy, zfin, Vocab.inOrthologyRelationshipWith,
+              human, evidence = evidence, sources = sources,
+              explicitId = Some("_:" + Digest.assocIdScalaMd5(definedBy,
+                zfin, Vocab.inOrthologyRelationshipWith, human))).triples
+        }
+      tiers += df(ts)
+    }
+
+    // ---- fish disease models (process_fish_disease_models,
+    // ZFIN.py:2631-2720): the experimental-model animal bnode
+    // (make_experimental_model_with_genotype, Genotype.py:689-703), an
+    // is-model-of association with the composed description, ZFIN
+    // publication source, and PMID equivalence with clique leadership.
+    // Labels fall back to curies — the reference's id_label_map fallback
+    // path (ZFIN.py:2685-2692); the synthesized fish labels live in the
+    // fish tier's per-group state, not a cross-tier hash. ---------------
+    in.get("fish_disease_models").foreach { fdm =>
+      val ts = fdm.filter(coalesce(col("FishID"), lit("")) =!= "")
+        .select(col("FishID"), col("EnvironmentID"), col("DoTermID"),
+          col("DoTermName"), col("PubID"), col("PubMedID"))
+        .as[(String, String, String, String, String, String)]
+        .flatMap { case (fishNum, envId, doId, doName, pub, pmid) =>
+          val fish = s"ZFIN:${fishNum.trim}"
+          val envLabel = Option(envId).filter(_.nonEmpty)
+            .map("ZFIN:" + _).getOrElse("ZFIN:")
+          val animal = "_:" + Digest.md5IdScala(
+            s"$taxonId-with-$fish".replace(":", ""))
+          val pubOpt = Option(pub).filter(_.nonEmpty).map("ZFIN:" + _)
+          val desc = s"A fish with genotype $fish is a model for disease " +
+            s"$doName under the condition of $envLabel"
+          val aid = "_:" + Digest.assocIdScalaMd5(definedBy, fish,
+            Vocab.isModelOf, doId)
+          Model.individualTriples(animal, s"$fish zebrafish",
+            Some(taxonId)) ++
+            Model.addTriple(animal, hasGenotype, fish) ++
+            Assoc0(definedBy, fish, Vocab.isModelOf, doId,
+              sources = pubOpt.toSeq, explicitId = Some(aid)).triples ++
+            Model.addDescription(aid, desc) ++
+            Option(pmid).filter(_.nonEmpty).toSeq.flatMap { p =>
+              val pm = s"PMID:${p.trim}"
+              pubOpt.toSeq.flatMap(z => Model.addSameIndividual(z, pm)) ++
+                Seq(Triple.typed(pm, "MONARCH:cliqueLeader", "true",
+                  "xsd:boolean"))
+            }
+        }
+      tiers += df(ts)
+    }
+
+    // ---- gene coordinates (_process_gene_coordinates,
+    // ZFIN.py:2565-2630): GFF3 rows → FALDO intervals on the hardcoded
+    // danRer10 build (the reference's own FIXME), gene_id pulled from
+    // the attributes column ----------------------------------------------
+    in.get("gene_coordinates").foreach { gc =>
+      val build = "UCSC:danRer10"
+      val rows = gc
+        .filter(!col("Chromosome").startsWith("#") &&
+          coalesce(col("Attributes"), lit("")) =!= "")
+        .withColumn("gene_id", regexp_extract(
+          regexp_replace(col("Attributes"), "\"", ""),
+          "gene_id=([^;]+)", 1))
+        .filter(col("gene_id") =!= "")
+        .select(col("Chromosome"), col("Start").cast("long"),
+          col("End").cast("long"), col("Strand"), col("gene_id"))
+      val ts = rows.as[(String, Long, Long, String, String)]
+        .flatMap { case (chrom, start, end, strand, gid) =>
+          val gene = s"ZFIN:$gid"
+          val chromClass = s"CHR:${taxonId.replace(":", "-")}$chrom"
+          val chromInBuild = s"$build#chr$chrom"
+          Model.addType(chromClass, Vocab.owlClass) ++
+            G.addChromosomeInstance(chrom, build, chromClass) ++
+            graft.emit.Feature.featureTriples(gene, null, null,
+              chromInBuild, start, end, strand,
+              digest = Digest.md5IdScala)
+        }
+      tiers += df(ts)
+    }
+
     tiers.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[Triple].toDF())
   }
+
+  /** Orthology-evidence abbreviation → ECO
+    * (get_orthology_evidence_code, ZFIN.py:3040-3083; NS/OT unmapped). */
+  private val orthoEvidence: Map[String, Option[String]] = Map(
+    "AA" -> Some("ECO:0000031"), "CE" -> Some("ECO:0000008"),
+    "CL" -> Some("ECO:0000044"), "FC" -> Some("ECO:0000012"),
+    "FH" -> Some("ECO:0000064"), "IX" -> Some("ECO:0000040"),
+    "NS" -> None, "NT" -> Some("ECO:0000032"),
+    "SI" -> Some("ECO:0000094"), "SL" -> Some("ECO:0000122"),
+    "SS" -> Some("ECO:0000024"), "SU" -> Some("ECO:0000027"),
+    "XH" -> Some("ECO:0000002"), "PT" -> Some("ECO:0000080"),
+    "OT" -> None)
 
   /** `_make_transgene_part_id` (ZFIN.py:1928-1933): digest of
     * `construct-gene-relationship` with non-word runs hyphenated and

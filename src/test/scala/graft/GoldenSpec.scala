@@ -613,5 +613,56 @@ class GoldenSpec extends SparkSpec {
     // G2P row 4: unmapped octuple → nothing emitted for that fish
     assert(!nt.exists(l => l.startsWith(t("ZFIN:ZDB-FISH-3")) &&
       l.contains("RO_0002200")))
+
+    // wave 2 — gene dictionary: NCBI equivalence + taxon
+    assert(nt.contains(line("ZFIN:ZDB-GENE-1", "owl:equivalentClass",
+      "NCBIGene:30538")))
+    assert(nt.contains(line("ZFIN:ZDB-GENE-1", "RO:0002162",
+      "NCBITaxon:7955")))
+    // stages: class + ZFS equivalence
+    assert(nt.contains(lineLit("ZFIN:ZDB-STAGE-1", "rdfs:label",
+      "Pharyngula:Prim-5")))
+    assert(nt.contains(line("ZFIN:ZDB-STAGE-1", "owl:equivalentClass",
+      "ZFS:0000016")))
+    // uniprot: polypeptide individual + has-gene-product
+    assert(nt.contains(line("UniProtKB:Q99P47", "rdf:type", "SO:0000104")))
+    assert(nt.contains(line("ZFIN:ZDB-GENE-1", "RO:0002205",
+      "UniProtKB:Q99P47")))
+    // human orthology: default rel, pub source, AA→ECO evidence;
+    // NS evidence and a non-ZDB-PUB source add nothing
+    val oa = "_:" + Digest.assocIdScalaMd5("EX:zfin", "ZFIN:ZDB-GENE-1",
+      "RO:HOM0000017", "NCBIGene:2253")
+    assert(nt.contains(line("ZFIN:ZDB-GENE-1", "RO:HOM0000017",
+      "NCBIGene:2253")))
+    assert(nt.contains(line(oa, "RO:0002558", "ECO:0000031")))
+    assert(nt.contains(line(oa, "dc:source", "ZFIN:ZDB-PUB-1")))
+    assert(nt.contains(
+      lineLit("NCBIGene:2253", "dc:description", "fibroblast growth factor 8")))
+    val ob = "_:" + Digest.assocIdScalaMd5("EX:zfin", "ZFIN:ZDB-GENE-2",
+      "RO:HOM0000017", "NCBIGene:6469")
+    assert(!nt.exists(l => l.startsWith(t(ob)) && l.contains("RO_0002558")))
+    assert(!nt.exists(l => l.startsWith(t(ob)) && l.contains("source")))
+    // fish disease model: experimental-model animal bnode, is-model-of
+    // assoc with description, PMID equivalence + clique leadership
+    val animal = "_:" + Digest.md5IdScala("NCBITaxon7955-with-ZFINZDB-FISH-1")
+    assert(nt.contains(line(animal, "rdf:type", "NCBITaxon:7955")))
+    assert(nt.contains(line(animal, "GENO:0000222", "ZFIN:ZDB-FISH-1")))
+    assert(nt.contains(line("ZFIN:ZDB-FISH-1", "RO:0003301", "DOID:5603")))
+    val ma = "_:" + Digest.assocIdScalaMd5("EX:zfin", "ZFIN:ZDB-FISH-1",
+      "RO:0003301", "DOID:5603")
+    assert(nt.contains(lineLit(ma, "dc:description",
+      "A fish with genotype ZFIN:ZDB-FISH-1 is a model for disease " +
+        "acute T cell leukemia under the condition of ZFIN:ZDB-EXP-1")))
+    assert(nt.contains(line("ZFIN:ZDB-PUB-3", "owl:sameAs", "PMID:21552289")))
+    assert(nt.exists(l => l.startsWith(t("PMID:21552289")) &&
+      l.contains("cliqueLeader")))
+    // gene coordinates: FALDO interval on the danRer10 build instance
+    assert(nt.contains(line("UCSC:danRer10#chr5", "rdf:type",
+      "CHR:NCBITaxon-79555")))
+    val region = "_:" + Digest.md5IdScala(
+      "region+ZFIN:ZDB-GENE-1+100+2000+UCSC:danRer10#chr5")
+    assert(nt.contains(line("ZFIN:ZDB-GENE-1", "faldo:location", region)))
+    val begin = "_:" + Digest.md5IdScala(s"pos+$region+begin+100")
+    assert(nt.contains(line(begin, "rdf:type", "faldo:ForwardStrandPosition")))
   }
 }
