@@ -25,8 +25,9 @@ object Genotype {
               geneType: String = Vocab.gene): Seq[Triple] =
     Model.addType(id, geneType) ++ Model.addLabel(id, label)
 
-  def addConstruct(id: String, label: String): Seq[Triple] =
-    Model.addType(id, "SO:0000804") ++ Model.addLabel(id, label)
+  def addConstruct(id: String, label: String,
+                   constructType: String = "SO:0000804"): Seq[Triple] =
+    Model.addType(id, constructType) ++ Model.addLabel(id, label)
 
   def addDerivesFrom(child: String, parent: String): Seq[Triple] =
     Model.addTriple(child, Vocab.derivesFrom, parent)
@@ -71,8 +72,9 @@ object Genotype {
                rel: String = Vocab.hasPart): Seq[Triple] =
     Model.addTriple(whole, rel, part)
 
-  def addSequenceAlteration(id: String, label: String): Seq[Triple] =
-    Model.addType(id, Vocab.sequenceAlteration) ++ Model.addLabel(id, label)
+  def addSequenceAlteration(id: String, label: String,
+                            saType: String = Vocab.sequenceAlteration): Seq[Triple] =
+    Model.addType(id, saType) ++ Model.addLabel(id, label)
 
   def addGenomicBackground(id: String, label: String): Seq[Triple] =
     Model.addType(id, Vocab.genomicBackground) ++ Model.addLabel(id, label)

@@ -134,7 +134,26 @@ object ZfinFishSource extends GraftSource {
       "gene_coordinates" -> graft.sources.SourceFile(
         s"$dataDir/gene_coordinates.gff3",
         schemaOf("Chromosome", "Source", "Type", "Start", "End", "Score",
-          "Strand", "Phase", "Attributes"), hasHeader = false)))
+          "Strand", "Phase", "Attributes"), hasHeader = false),
+      "features" -> graft.sources.SourceFile(
+        s"$dataDir/features.tsv",
+        schemaOf("GenomicFeatureID", "FeatureSoID", "Abbreviation",
+          "Name", "ConstructID", "ConstructName", "ConstructSoID")),
+      "features_affected_genes" -> graft.sources.SourceFile(
+        s"$dataDir/features_affected_genes.tsv",
+        schemaOf("GenomicFeatureID", "FeatureSoID", "Abbreviation",
+          "GeneSymbol", "GeneID", "GeneSoID", "Relationship")),
+      "pubs" -> graft.sources.SourceFile(
+        s"$dataDir/pubs.tsv",
+        schemaOf("PubID", "PubMedID", "Authors", "Title", "Journal",
+          "Year", "Volume", "Pages")),
+      "pub2pubmed" -> graft.sources.SourceFile(
+        s"$dataDir/pub2pubmed.tsv",
+        schemaOf("PubID", "PubMedID")),
+      "mappings" -> graft.sources.SourceFile(
+        s"$dataDir/mappings.tsv",
+        schemaOf("ZfinID", "Symbol", "PanelSymbol", "Chromosome",
+          "Location", "Metric"))))
 
   private def strip(s: String): String = s.replaceAll("(ZFIN)?:", "")
   private def nzc(c: Column): Column =
@@ -642,9 +661,178 @@ object ZfinFishSource extends GraftSource {
       tiers += df(ts)
     }
 
+    // ---- sequence-alteration dictionary (_process_features,
+    // ZFIN.py:1576-1650): every alteration is an individual of its SO
+    // type; construct-derived alterations get the construct declaration
+    // + `sequence derives from` provenance -------------------------------
+    in.get("features").foreach { f =>
+      val ts = f.select(col("GenomicFeatureID"), col("FeatureSoID"),
+          col("Abbreviation"), col("Name"), col("ConstructID"),
+          col("ConstructName"), col("ConstructSoID"))
+        .as[(String, String, String, String, String, String, String)]
+        .flatMap { case (fid, soId, abbrev, name, cid, cname, cso) =>
+          val feat = s"ZFIN:${fid.trim}"
+          Model.individualTriples(feat, name, Some(soId)) ++
+            Option(abbrev).filter(_.nonEmpty).toSeq
+              .flatMap(Model.addSynonym(feat, _)) ++
+            Option(cid).map(_.trim).filter(_.nonEmpty).toSeq.flatMap { c =>
+              val construct = s"ZFIN:$c"
+              G.addConstruct(construct, cname,
+                Option(cso).filter(_.nonEmpty).getOrElse("SO:0000804")) ++
+                G.addSequenceDerivesFrom(feat, construct)
+            }
+        }
+      tiers += df(ts)
+    }
+
+    // ---- alteration → affected gene (_process_feature_affected_genes,
+    // ZFIN.py:1651-1784): 'is allele of' rows mint the variant locus
+    // (same digest form as the genotype-feature walk,
+    // _make_variant_locus_id ZFIN.py:2890-2904) between the alteration
+    // and its gene; deficiencies/translocations spanning several genes
+    // stay locus-less. The reference's literal gate compares
+    // `globaltcid[feature_so_id]` — an SO TYPE, so its variant-locus
+    // branch is dead code; this engine applies the documented intent
+    // (the Genomic Feature - Marker Relationship column). ----------------
+    in.get("features_affected_genes").foreach { fg =>
+      val ts = fg.select(col("GenomicFeatureID"), col("FeatureSoID"),
+          col("Abbreviation"), col("GeneSymbol"), col("GeneID"),
+          col("GeneSoID"), col("Relationship"))
+        .as[(String, String, String, String, String, String, String)]
+        .flatMap { case (fid, soId, abbrev, gsym, gid, gso, rel) =>
+          val feat = s"ZFIN:${fid.trim}"
+          val gene = s"ZFIN:${gid.trim}"
+          G.addGene(gene, gsym,
+            Option(gso).filter(_.nonEmpty).getOrElse(Vocab.gene)) ++
+            G.addSequenceAlteration(feat, abbrev,
+              Option(soId).filter(_.nonEmpty)
+                .getOrElse(Vocab.sequenceAlteration)) ++
+            (if (rel == "is allele of") {
+              val vl = "_:" + Digest.md5IdScala(strip(s"$gene-$feat"))
+              G.addParts(feat, vl, Vocab.hasVariantPart) ++
+                Model.individualTriples(vl,
+                  G.makeVariantLocusLabel(gsym, abbrev),
+                  Some(Vocab.variantLocus)) ++
+                G.addAlleleOfGene(vl, gene)
+            } else Nil)
+        }
+      tiers += df(ts)
+    }
+
+    // ---- publication dictionary (_process_pubinfo, ZFIN.py:1935-2013):
+    // the et-al-shortened citation label, dc:title, journal-article
+    // typing when a PMID exists (document otherwise), PMID equivalence
+    // with clique leadership ---------------------------------------------
+    in.get("pubs").foreach { p =>
+      val ts = p.select(col("PubID"), col("PubMedID"), col("Authors"),
+          col("Title"), col("Journal"), col("Year"), col("Volume"),
+          col("Pages"))
+        .as[(String, String, String, String, String, String, String,
+             String)]
+        .flatMap { case (pid, pmid, authors, title, journal, year, vol,
+                         pages) =>
+          val pub = s"ZFIN:${pid.trim}"
+          val alist = Option(authors).getOrElse("").split(",")
+          val astring =
+            if (alist.length > 1) alist(0).trim + " et al" else authors
+          val label = Seq(astring, title, journal, year, vol, pages)
+            .map(Option(_).getOrElse("")).mkString("; ")
+          val pm = Option(pmid).map(_.trim).filter(_.nonEmpty)
+          val refType = if (pm.isDefined) journalArticle else "IAO:0000310"
+          Model.individualTriples(pub, label, Some(refType)) ++
+            Option(title).filter(_.nonEmpty).toSeq
+              .map(t => Triple.str(pub, "dc:title", t)) ++
+            pm.toSeq.flatMap { n =>
+              val pmCurie = s"PMID:$n"
+              Model.individualTriples(pmCurie, null, Some(journalArticle)) ++
+                Model.addSameIndividual(pub, pmCurie) ++
+                Seq(Triple.typed(pmCurie, "MONARCH:cliqueLeader", "true",
+                  "xsd:boolean"))
+            }
+        }
+      tiers += df(ts)
+    }
+
+    // ---- supplementary PMID links (_process_pub2pubmed,
+    // ZFIN.py:2014-2068): blank PMIDs drop; both ends typed journal
+    // article, no leader bit (the reference emits none here) -------------
+    in.get("pub2pubmed").foreach { pp =>
+      val ts = pp
+        .filter(trim(coalesce(col("PubMedID"), lit(""))) =!= "")
+        .select(col("PubID"), col("PubMedID"))
+        .as[(String, String)]
+        .flatMap { case (pid, pmid) =>
+          val pub = s"ZFIN:${pid.trim}"
+          val pm = s"PMID:${pmid.trim}"
+          Model.individualTriples(pub, null, Some(journalArticle)) ++
+            Model.individualTriples(pm, null, Some(journalArticle)) ++
+            Model.addSameIndividual(pub, pm)
+        }
+      tiers += df(ts)
+    }
+
+    // ---- linkage-panel mappings (_process_mappings, ZFIN.py:2333-2426):
+    // genes stay classes / alleles individuals (typed elsewhere), both
+    // clique leaders in-taxon; the panel is a reference genome (the
+    // static six-panel hash, _get_mapping_panel_info ZFIN.py:2853-2888)
+    // carrying a panel chromosome instance the feature is a
+    // subsequence of -----------------------------------------------------
+    in.get("mappings").foreach { mp =>
+      val taxonLabel = "Danio rerio"
+      tiers += df(spark.createDataset(G.addGenome(taxonId, taxonLabel)))
+      val ts = mp.select(col("ZfinID"), col("PanelSymbol"),
+          col("Chromosome"))
+        .as[(String, String, String)]
+        .flatMap { case (znum0, panel0, chrom0) =>
+          val znum = znum0.trim
+          val chrom = chrom0.trim
+          val panel = Option(panel0).map(_.trim).getOrElse("")
+          val zfin = s"ZFIN:$znum"
+          val entity =
+            if (znum.startsWith("ZDB-GENE-"))
+              Some(Model.addType(zfin, Vocab.owlClass))
+            else if (znum.startsWith("ZDB-ALT-"))
+              Some(Model.addType(zfin, Vocab.namedIndividual))
+            else None // BAC ends, ESTs, SSLPs… skipped (the reference's else)
+          entity.toSeq.flatMap { base =>
+            val chrClass = s"CHR:${taxonId.replace(":", "-")}$chrom"
+            base ++ G.addTaxon(taxonId, zfin) ++
+              Seq(Triple.typed(zfin, "MONARCH:cliqueLeader", "true",
+                "xsd:boolean")) ++
+              G.addChromosomeClass(chrom, taxonId, taxonLabel) ++
+              mappingPanels.get(panel).toSeq.flatMap {
+                case (pid, pname, ptype) =>
+                  val panelCurie = s"ZFIN:$pid"
+                  G.addReferenceGenome(panelCurie, s"$panel $ptype map",
+                    taxonId) ++
+                    Model.addSynonym(panelCurie, panel) ++
+                    Model.addDescription(panelCurie, pname) ++
+                    G.addChromosomeInstance(chrom, panelCurie, chrClass) ++
+                    graft.emit.Feature.subsequenceOf(zfin,
+                      s"$panelCurie#chr$chrom")
+              }
+          }
+        }
+      tiers += df(ts)
+    }
+
     tiers.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[Triple].toDF())
   }
+
+  private val journalArticle = "IAO:0000013"
+
+  /** The six ZFIN mapping panels → (refcross id, name, map type)
+    * (_get_mapping_panel_info, ZFIN.py:2853-2888). */
+  private val mappingPanels: Map[String, (String, String, String)] = Map(
+    "HS" -> (("ZDB-REFCROSS-000320-1", "Heat Shock", "meiotic")),
+    "GAT" -> (("ZDB-REFCROSS-990308-7", "Gates et al", "meiotic")),
+    "LN54" -> (("ZDB-REFCROSS-990426-6", "Loeb/NIH/5000/4000",
+      "Radiation Hybrid")),
+    "MGH" -> (("ZDB-REFCROSS-980521-11", "Boston MGH Cross", "meiotic")),
+    "MOP" -> (("ZDB-REFCROSS-980526-5", "Mother of Pearl", "meiotic")),
+    "T51" -> (("ZDB-REFCROSS-990707-1", "Goodfellow T51",
+      "Radiation Hybrid")))
 
   /** Orthology-evidence abbreviation → ECO
     * (get_orthology_evidence_code, ZFIN.py:3040-3083; NS/OT unmapped). */

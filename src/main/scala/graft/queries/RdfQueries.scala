@@ -1916,6 +1916,67 @@ object RdfQueries {
         "pheno" -> phBase.drop("pk"),
         "zp_map" -> zmap,
         "pheno_environment" -> penv)).distinct()
+    }),
+
+    // §3.2 end-to-end ingest — ZFIN dictionary tiers: sequence-alteration
+    // features with construct provenance, alteration→gene variant-locus
+    // minting, the publication dictionary with et-al citations + PMID
+    // clique leadership, supplementary pub→PMID links, and linkage-panel
+    // mappings with the six-panel reference-genome hash
+    // (ZFIN.py:1576-1784, 1935-2068, 2333-2426).
+    "p36_zfin_dict_pipeline" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), col("s_name").as("nm"))
+      val feats = sup.select(
+        concat(lit("ALT"), col("k")).as("GenomicFeatureID"),
+        when(col("k") % 2 === 0, lit("SO:1000008"))
+          .otherwise(lit("SO:0001218")).as("FeatureSoID"),
+        concat(lit("ab"), col("k")).as("Abbreviation"),
+        concat(lit("alteration "), col("nm")).as("Name"),
+        when(col("k") % 4 === 0, concat(lit("TC"), col("k")))
+          .otherwise(lit("")).as("ConstructID"),
+        concat(lit("Tg("), col("nm"), lit(")")).as("ConstructName"),
+        lit("SO:0000902").as("ConstructSoID"))
+      val fag = sup.select(
+        concat(lit("ALT"), col("k")).as("GenomicFeatureID"),
+        lit("SO:1000008").as("FeatureSoID"),
+        concat(lit("ab"), col("k")).as("Abbreviation"),
+        concat(lit("g"), col("k") % 50).as("GeneSymbol"),
+        concat(lit("GENE"), col("k") % 50).as("GeneID"),
+        lit("SO:0001217").as("GeneSoID"),
+        when(col("k") % 3 === 0, lit("is allele of"))
+          .otherwise(lit("affects expression of")).as("Relationship"))
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val pubs = cust.select(
+        concat(lit("PUB-"), col("k")).as("PubID"),
+        when(col("k") % 2 === 0, (col("k") + 10000000).cast("string"))
+          .otherwise(lit("")).as("PubMedID"),
+        when(col("k") % 3 === 0,
+          concat(lit("A"), col("k"), lit(", B"), col("k")))
+          .otherwise(concat(lit("A"), col("k"))).as("Authors"),
+        concat(lit("title "), col("k")).as("Title"),
+        lit("J Fish").as("Journal"), lit("2020").as("Year"),
+        (col("k") % 40).cast("string").as("Volume"),
+        lit("1-9").as("Pages"))
+      val p2p = cust.filter(col("k") % 5 === 0).select(
+        concat(lit("PUB-"), col("k")).as("PubID"),
+        when(col("k") % 10 === 0, (col("k") + 20000000).cast("string"))
+          .otherwise(lit("")).as("PubMedID"))
+      val panelSyms = Seq("HS", "GAT", "LN54", "MGH", "MOP", "T51")
+      val maps = Tables.part(s, d).select(col("p_partkey").as("k"))
+        .select(
+          when(col("k") % 3 === 0, concat(lit("ZDB-GENE-"), col("k")))
+            .when(col("k") % 3 === 1, concat(lit("ZDB-ALT-"), col("k")))
+            .otherwise(concat(lit("ZDB-EST-"), col("k"))).as("ZfinID"),
+          concat(lit("sym"), col("k")).as("Symbol"),
+          element_at(array(panelSyms.map(lit): _*),
+            (col("k") % 6 + 1).cast("int")).as("PanelSymbol"),
+          (col("k") % 25 + 1).cast("string").as("Chromosome"),
+          lit("1.0").as("Location"), lit("cM").as("Metric"))
+      graft.engine.ZfinFishSource.transform(s, Map(
+        "features" -> feats, "features_affected_genes" -> fag,
+        "pubs" -> pubs, "pub2pubmed" -> p2p,
+        "mappings" -> maps)).distinct()
     })
   )
 
@@ -5487,6 +5548,160 @@ object RdfQueries {
            UNION ALL SELECT 'ZFIN:'||env, 'rdfs:label',
              'Environment that includes: '||names, true, NULL
              FROM (SELECT env, string_agg(DISTINCT zn, '; ' ORDER BY zn)
-                     AS names FROM pe GROUP BY env) t2) t"""
+                     AS names FROM pe GROUP BY env) t2) t""",
+    "p36_zfin_dict_pipeline" ->
+      """WITH sup AS (SELECT s_suppkey AS k, s_name AS nm FROM supplier),
+         feats AS (
+           SELECT k, nm, 'ZFIN:ALT'||k::varchar AS feat,
+                  CASE WHEN k % 2 = 0 THEN 'SO:1000008'
+                       ELSE 'SO:0001218' END AS so,
+                  'ab'||k::varchar AS ab, 'alteration '||nm AS name,
+                  (k % 4 = 0) AS hasc, 'ZFIN:TC'||k::varchar AS con,
+                  'Tg('||nm||')' AS conname
+           FROM sup),
+         fag AS (
+           SELECT k, 'ZFIN:ALT'||k::varchar AS feat, 'ab'||k::varchar AS ab,
+                  'g'||(k % 50)::varchar AS gsym,
+                  'ZFIN:GENE'||(k % 50)::varchar AS gene,
+                  (k % 3 = 0) AS isall,
+                  '_:b'||substr(md5('GENE'||(k % 50)::varchar||
+                    '-ALT'||k::varchar), 2, 19) AS vl
+           FROM sup),
+         cust AS (SELECT c_custkey AS k FROM customer),
+         pubs AS (
+           SELECT k, 'ZFIN:PUB-'||k::varchar AS pub, (k % 2 = 0) AS haspm,
+                  'PMID:'||(k + 10000000)::varchar AS pm,
+                  CASE WHEN k % 3 = 0 THEN 'A'||k::varchar||' et al'
+                       ELSE 'A'||k::varchar END AS astr,
+                  'title '||k::varchar AS title, (k % 40)::varchar AS vol
+           FROM cust),
+         pubs2 AS (
+           SELECT *, astr||'; '||title||'; J Fish; 2020; '||vol||'; 1-9'
+                    AS label,
+                  CASE WHEN haspm THEN 'IAO:0000013'
+                       ELSE 'IAO:0000310' END AS rtype
+           FROM pubs),
+         p2p AS (
+           SELECT k, 'ZFIN:PUB-'||k::varchar AS pub,
+                  'PMID:'||(k + 20000000)::varchar AS pm
+           FROM cust WHERE k % 10 = 0),
+         mp AS (
+           SELECT k,
+                  CASE WHEN k % 3 = 0 THEN 'ZDB-GENE-'||k::varchar
+                       ELSE 'ZDB-ALT-'||k::varchar END AS znum,
+                  (k % 3 = 0) AS isgene,
+                  CASE k % 6 WHEN 0 THEN 'HS' WHEN 1 THEN 'GAT'
+                       WHEN 2 THEN 'LN54' WHEN 3 THEN 'MGH'
+                       WHEN 4 THEN 'MOP' ELSE 'T51' END AS psym,
+                  ((k % 25) + 1)::varchar AS chrom
+           FROM (SELECT p_partkey AS k FROM part) p WHERE k % 3 < 2),
+         mp2 AS (
+           SELECT k, 'ZFIN:'||znum AS zfin, isgene, chrom, psym,
+                  CASE psym WHEN 'HS' THEN 'ZDB-REFCROSS-000320-1'
+                       WHEN 'GAT' THEN 'ZDB-REFCROSS-990308-7'
+                       WHEN 'LN54' THEN 'ZDB-REFCROSS-990426-6'
+                       WHEN 'MGH' THEN 'ZDB-REFCROSS-980521-11'
+                       WHEN 'MOP' THEN 'ZDB-REFCROSS-980526-5'
+                       ELSE 'ZDB-REFCROSS-990707-1' END AS pid,
+                  CASE psym WHEN 'HS' THEN 'Heat Shock'
+                       WHEN 'GAT' THEN 'Gates et al'
+                       WHEN 'LN54' THEN 'Loeb/NIH/5000/4000'
+                       WHEN 'MGH' THEN 'Boston MGH Cross'
+                       WHEN 'MOP' THEN 'Mother of Pearl'
+                       ELSE 'Goodfellow T51' END AS pname,
+                  CASE WHEN psym IN ('LN54', 'T51')
+                       THEN 'Radiation Hybrid' ELSE 'meiotic' END AS ptype
+           FROM mp),
+         mp3 AS (
+           SELECT *, 'ZFIN:'||pid AS pcurie,
+                  'ZFIN:'||pid||'#chr'||chrom AS chin,
+                  'CHR:NCBITaxon-7955'||chrom AS chcls
+           FROM mp2)
+         SELECT DISTINCT * FROM (
+           SELECT feat AS s, 'rdf:type' AS p, 'owl:NamedIndividual' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM feats
+           UNION ALL SELECT feat, 'rdf:type', so, false, NULL FROM feats
+           UNION ALL SELECT feat, 'rdfs:label', name, true, NULL FROM feats
+           UNION ALL SELECT feat, 'oboInOwl:hasExactSynonym', ab, true,
+             NULL FROM feats
+           UNION ALL SELECT con, 'rdf:type', 'SO:0000902', false, NULL
+             FROM feats WHERE hasc
+           UNION ALL SELECT con, 'rdfs:label', conname, true, NULL
+             FROM feats WHERE hasc
+           UNION ALL SELECT feat, 'RO:0002510', con, false, NULL
+             FROM feats WHERE hasc
+           UNION ALL SELECT gene, 'rdf:type', 'SO:0001217', false, NULL
+             FROM fag
+           UNION ALL SELECT gene, 'rdfs:label', gsym, true, NULL FROM fag
+           UNION ALL SELECT feat, 'rdf:type', 'SO:1000008', false, NULL
+             FROM fag
+           UNION ALL SELECT feat, 'rdfs:label', ab, true, NULL FROM fag
+           UNION ALL SELECT vl, 'GENO:0000382', feat, false, NULL
+             FROM fag WHERE isall
+           UNION ALL SELECT vl, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM fag WHERE isall
+           UNION ALL SELECT vl, 'rdf:type', 'GENO:0000002', false, NULL
+             FROM fag WHERE isall
+           UNION ALL SELECT vl, 'rdfs:label', gsym||'<'||ab||'>', true,
+             NULL FROM fag WHERE isall
+           UNION ALL SELECT vl, 'GENO:0000408', gene, false, NULL
+             FROM fag WHERE isall
+           UNION ALL SELECT pub, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM pubs2
+           UNION ALL SELECT pub, 'rdf:type', rtype, false, NULL FROM pubs2
+           UNION ALL SELECT pub, 'rdfs:label', label, true, NULL FROM pubs2
+           UNION ALL SELECT pub, 'dc:title', title, true, NULL FROM pubs2
+           UNION ALL SELECT pm, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM pubs2 WHERE haspm
+           UNION ALL SELECT pm, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM pubs2 WHERE haspm
+           UNION ALL SELECT pub, 'owl:sameAs', pm, false, NULL
+             FROM pubs2 WHERE haspm
+           UNION ALL SELECT pm, 'MONARCH:cliqueLeader', 'true', true,
+             'xsd:boolean' FROM pubs2 WHERE haspm
+           UNION ALL SELECT pub, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM p2p
+           UNION ALL SELECT pub, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM p2p
+           UNION ALL SELECT pm, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM p2p
+           UNION ALL SELECT pm, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM p2p
+           UNION ALL SELECT pub, 'owl:sameAs', pm, false, NULL FROM p2p
+           UNION ALL SELECT 'NCBITaxon:7955#genome', 'rdf:type',
+             'SO:0001026', false, NULL
+           UNION ALL SELECT 'NCBITaxon:7955#genome', 'rdfs:label',
+             'Danio rerio genome', true, NULL
+           UNION ALL SELECT zfin, 'rdf:type',
+             CASE WHEN isgene THEN 'owl:Class'
+                  ELSE 'owl:NamedIndividual' END, false, NULL FROM mp3
+           UNION ALL SELECT zfin, 'RO:0002162', 'NCBITaxon:7955', false,
+             NULL FROM mp3
+           UNION ALL SELECT zfin, 'MONARCH:cliqueLeader', 'true', true,
+             'xsd:boolean' FROM mp3
+           UNION ALL SELECT chcls, 'rdf:type', 'owl:Class', false, NULL
+             FROM mp3
+           UNION ALL SELECT chcls, 'rdfs:label',
+             'Danio rerio chromosome '||chrom, true, NULL FROM mp3
+           UNION ALL SELECT chcls, 'rdfs:subClassOf', 'SO:0000340', false,
+             NULL FROM mp3
+           UNION ALL SELECT pcurie, 'rdf:type', 'SO:0001505', false, NULL
+             FROM mp3
+           UNION ALL SELECT pcurie, 'rdfs:label', psym||' '||ptype||' map',
+             true, NULL FROM mp3
+           UNION ALL SELECT pcurie, 'RO:0002162', 'NCBITaxon:7955', false,
+             NULL FROM mp3
+           UNION ALL SELECT pcurie, 'oboInOwl:hasExactSynonym', psym, true,
+             NULL FROM mp3
+           UNION ALL SELECT pcurie, 'dc:description', pname, true, NULL
+             FROM mp3
+           UNION ALL SELECT chin, 'rdf:type', chcls, false, NULL FROM mp3
+           UNION ALL SELECT chin, 'rdfs:label',
+             'chr'||chrom||' (ZFIN:'||pid||')', true, NULL FROM mp3
+           UNION ALL SELECT chin, 'RO:0002525', pcurie, false, NULL
+             FROM mp3
+           UNION ALL SELECT zfin, 'RO:0002525', chin, false, NULL FROM mp3
+           UNION ALL SELECT chin, 'RO:0002524', zfin, false, NULL
+             FROM mp3) t"""
   )
 }

@@ -664,5 +664,46 @@ class GoldenSpec extends SparkSpec {
     assert(nt.contains(line("ZFIN:ZDB-GENE-1", "faldo:location", region)))
     val begin = "_:" + Digest.md5IdScala(s"pos+$region+begin+100")
     assert(nt.contains(line(begin, "rdf:type", "faldo:ForwardStrandPosition")))
+
+    // wave 3 — features: SO-typed individual + synonym; construct branch
+    assert(nt.contains(line("ZFIN:ZDB-ALT-1", "rdf:type", "SO:1000008")))
+    assert(nt.contains(lineLit("ZFIN:ZDB-ALT-1",
+      "oboInOwl:hasExactSynonym", "fgf8a^ti282")))
+    assert(nt.contains(line("ZFIN:ZDB-TGCONSTRCT-1", "rdf:type",
+      "SO:0000902")))
+    assert(nt.contains(line("ZFIN:ZDB-ALT-1", "RO:0002510",
+      "ZFIN:ZDB-TGCONSTRCT-1")))
+    // feature-affected-genes: 'is allele of' mints the variant locus,
+    // other relationships don't
+    val vl3 = "_:" + Digest.md5IdScala("ZDB-GENE-1-ZDB-ALT-1")
+    assert(nt.contains(line(vl3, "rdf:type", "GENO:0000002")))
+    assert(nt.contains(line(vl3, "GENO:0000382", "ZFIN:ZDB-ALT-1")))
+    assert(nt.contains(line(vl3, "GENO:0000408", "ZFIN:ZDB-GENE-1")))
+    assert(nt.contains(lineLit(vl3, "rdfs:label", "fgf8a<fgf8a^ti282>")))
+    assert(!nt.contains(line(
+      "_:" + Digest.md5IdScala("ZDB-GENE-2-ZDB-ALT-9"),
+      "rdf:type", "GENO:0000002")))
+    // pubinfo: et-al citation label, dc:title, PMID same-as + leader;
+    // the no-PMID pub stays a plain document
+    assert(nt.contains(lineLit("ZFIN:ZDB-PUB-1", "rdfs:label",
+      "Smith J et al; Fish fins; Dev Biol; 2011; 352; 10-20")))
+    assert(nt.contains(lineLit("ZFIN:ZDB-PUB-1", "dc:title", "Fish fins")))
+    assert(nt.contains(line("ZFIN:ZDB-PUB-1", "rdf:type", "IAO:0000013")))
+    assert(nt.contains(line("ZFIN:ZDB-PUB-9", "rdf:type", "IAO:0000310")))
+    // pub2pubmed: supplementary link types both ends journal article
+    assert(nt.contains(line("ZFIN:ZDB-PUB-9", "owl:sameAs",
+      "PMID:11111111")))
+    assert(nt.contains(line("PMID:11111111", "rdf:type", "IAO:0000013")))
+    // mappings: panel as reference genome, panel chromosome instance,
+    // feature subsequence-of; the EST row is skipped
+    assert(nt.contains(lineLit("ZFIN:ZDB-REFCROSS-000320-1", "rdfs:label",
+      "HS meiotic map")))
+    assert(nt.contains(line("ZFIN:ZDB-REFCROSS-000320-1#chr13",
+      "RO:0002525", "ZFIN:ZDB-REFCROSS-000320-1")))
+    assert(nt.contains(line("ZFIN:ZDB-GENE-1", "RO:0002525",
+      "ZFIN:ZDB-REFCROSS-000320-1#chr13")))
+    assert(nt.contains(line("ZFIN:ZDB-ALT-1", "RO:0002525",
+      "ZFIN:ZDB-REFCROSS-990707-1#chr13")))
+    assert(!nt.exists(_.contains("ZDB-EST-5")))
   }
 }
