@@ -153,7 +153,12 @@ object ZfinFishSource extends GraftSource {
       "mappings" -> graft.sources.SourceFile(
         s"$dataDir/mappings.tsv",
         schemaOf("ZfinID", "Symbol", "PanelSymbol", "Chromosome",
-          "Location", "Metric"))))
+          "Location", "Metric")),
+      "zmine_ortho_evidence" -> graft.sources.SourceFile(
+        s"$dataDir/zmine_ortho_evidence.tsv",
+        schemaOf("zfin_gene_num", "zfin_gene_symbol",
+          "ortholog_gene_symbol", "ortholog_ncbigene_num", "evidence_code",
+          "zfin_pub_num", "pubmed_num"))))
 
   private def strip(s: String): String = s.replaceAll("(ZFIN)?:", "")
   private def nzc(c: Column): Column =
@@ -812,6 +817,39 @@ object ZfinFishSource extends GraftSource {
                       s"$panelCurie#chr$chrom")
               }
           }
+        }
+      tiers += df(ts)
+    }
+
+    // ---- ZebrafishMine orthology evidence (process_orthology_evidence,
+    // ZFIN.py:2981-3038): the same default orthology association as
+    // human_orthos, but sourced from BOTH the ZFIN publication (typed
+    // document) and the PMID (typed journal article), evidence via the
+    // shared abbreviation→ECO map ----------------------------------------
+    in.get("zmine_ortho_evidence").foreach { oe =>
+      val ts = oe.filter(coalesce(col("zfin_gene_num"), lit("")) =!= "" &&
+          coalesce(col("ortholog_ncbigene_num"), lit("")) =!= "")
+        .select(col("zfin_gene_num"), col("ortholog_ncbigene_num"),
+          col("evidence_code"), col("zfin_pub_num"), col("pubmed_num"))
+        .as[(String, String, String, String, String)]
+        .flatMap { case (znum, onum, ev, zpub, pmid) =>
+          val zfin = s"ZFIN:${znum.trim}"
+          val ortho = s"NCBIGene:${onum.trim}"
+          val zpubOpt = Option(zpub).map(_.trim).filter(_.nonEmpty)
+            .map("ZFIN:" + _)
+          val pmOpt = Option(pmid).map(_.trim).filter(_.nonEmpty)
+            .map("PMID:" + _)
+          val evidence = Option(ev).filter(_.nonEmpty).toSeq
+            .flatMap(e => orthoEvidence.get(e).flatten)
+          zpubOpt.toSeq.flatMap(p =>
+            Model.individualTriples(p, null, Some("IAO:0000310"))) ++
+            pmOpt.toSeq.flatMap(p =>
+              Model.individualTriples(p, null, Some(journalArticle))) ++
+            Assoc0(definedBy, zfin, Vocab.inOrthologyRelationshipWith,
+              ortho, evidence = evidence,
+              sources = zpubOpt.toSeq ++ pmOpt.toSeq,
+              explicitId = Some("_:" + Digest.assocIdScalaMd5(definedBy,
+                zfin, Vocab.inOrthologyRelationshipWith, ortho))).triples
         }
       tiers += df(ts)
     }

@@ -705,5 +705,16 @@ class GoldenSpec extends SparkSpec {
     assert(nt.contains(line("ZFIN:ZDB-ALT-1", "RO:0002525",
       "ZFIN:ZDB-REFCROSS-990707-1#chr13")))
     assert(!nt.exists(_.contains("ZDB-EST-5")))
+    // zmine orthology evidence: same assoc-id convention as human_orthos,
+    // decorated with the CL→ECO evidence and BOTH sources (ZFIN pub as
+    // document, PMID as journal article); the gene-less row is dropped
+    val oz = "_:" + Digest.assocIdScalaMd5("EX:zfin", "ZFIN:ZDB-GENE-3",
+      "RO:HOM0000017", "NCBIGene:5076")
+    assert(nt.contains(line("ZFIN:ZDB-GENE-3", "RO:HOM0000017",
+      "NCBIGene:5076")))
+    assert(nt.contains(line(oz, "RO:0002558", "ECO:0000044")))
+    assert(nt.contains(line(oz, "dc:source", "ZFIN:ZDB-PUB-1")))
+    assert(nt.contains(line(oz, "dc:source", "PMID:21552289")))
+    assert(!nt.exists(_.contains("NCBIGene:123")))
   }
 }
