@@ -79,7 +79,21 @@ object MgiGenotypeSource extends GraftSource {
       "bib_acc_view" -> view(
         "SELECT accid, prefixpart, numericpart, object_key, logicaldb, logicaldb_key FROM bib_acc_view"),
       "mrk_acc_view" -> view(
-        "SELECT accid, prefixpart, object_key, preferred FROM mrk_acc_view"),
+        "SELECT accid, prefixpart, object_key, preferred, logicaldb_key, organism_key FROM mrk_acc_view"),
+      "mrk_marker_view" -> view(
+        "SELECT marker_key, organism_key, marker_status_key, symbol, name, latin_name, marker_type FROM mrk_marker_view"),
+      "mrk_summary_view" -> view(
+        "SELECT accid, logicaldb_key, object_key, preferred, mgiid, subtype FROM mrk_summary_view"),
+      "mrk_location_cache" -> view(
+        "SELECT marker_key, organism_key, chromosome, startcoordinate, endcoordinate, strand, version FROM mrk_location_cache"),
+      "gxd_genotype_summary_view" -> view(
+        "SELECT object_key, preferred, mgiid, subtype, short_description FROM gxd_genotype_summary_view"),
+      "prb_strain_view" -> view(
+        "SELECT strain_key, strain, species FROM prb_strain_view"),
+      "prb_strain_acc_view" -> view(
+        "SELECT accid, prefixpart, logicaldb_key, object_key, preferred FROM prb_strain_acc_view"),
+      "prb_strain_genotype_view" -> view(
+        "SELECT strain_key, genotype_key FROM prb_strain_genotype_view"),
       "all_allele_view" -> view(
         "SELECT allele_key, marker_key, strain_key, symbol, name, iswildtype FROM all_allele_view"),
       "all_allele_mutation_view" -> view(
@@ -390,6 +404,281 @@ object MgiGenotypeSource extends GraftSource {
         Model.addDescription(assoc, note.trim)
       }
 
+    // ---- depth wave 2: marker dictionary + equivalences, strain
+    // registry, genotype labels, marker locations (round-6 extension) ----
+
+    // _process_mrk_marker_view (MGI.py:1556-1659): non-withdrawn mouse
+    // markers; gene/pseudogene → class, everything else individual;
+    // exact-synonym name, taxon from the latin name (unknown_taxa →
+    // genus Mus, unmapped → Mus musculus — the reference's default), MGI
+    // as clique leader for mouse markers. The class/individual partition
+    // (the reference's markers['classes'/'indiv'] lists) feeds the two
+    // equivalence passes and the location tier as a broadcast dimension.
+    val unknownTaxa = Set("Not Applicable", "Not Specified")
+    val markerRows = in("mrk_marker_view")
+      .filter(col("marker_status_key") =!= 2 && col("organism_key") === 1)
+      .join(broadcast(markerDim), Seq("marker_key"))
+      .select(col("marker_key"), col("mid"), col("symbol"), col("name"),
+        col("latin_name"), col("marker_type"))
+      .as[(Int, String, String, String, String, String)]
+      .map { case (mk, mid, symbol, name, latin, mtype) =>
+        val mapped = localTt.resolve(mtype)
+        val isClass = mapped == "SO:0000704" || mapped == "SO:0000336"
+        val taxon =
+          if (unknownTaxa.contains(latin)) "NCBITaxon:10088"
+          else localTt.resolve(latin, mandatory = false,
+            default = Some("NCBITaxon:10090"))
+        (mk, mid, symbol, name, mapped, isClass, taxon)
+      }
+      .toDF("marker_key", "mid", "symbol", "name", "mtype", "isclass",
+        "taxon")
+
+    val markerTriples = markerRows
+      .as[(Int, String, String, String, String, Boolean, String)]
+      .flatMap { case (_, mid, symbol, name, mtype, isClass, taxon) =>
+        (if (isClass)
+           Model.classTriples(mid, symbol, subClassOf = Some(mtype),
+             description = Some(name))
+         else
+           Model.individualTriples(mid, symbol, Some(mtype)) ++
+             Model.addDescription(mid, name)) ++
+          Model.addSynonym(mid, name) ++
+          G.addTaxon(taxon, mid) ++
+          (if (taxon == "NCBITaxon:10090")
+             Seq(Triple.typed(mid, "MONARCH:cliqueLeader", "true",
+               "xsd:boolean"))
+           else Nil)
+      }
+
+    val markerKinds = markerRows.select(col("marker_key"), col("isclass"))
+
+    // _process_mrk_summary_view (MGI.py:1660-1737): ENSEMBL(60)/NCBI(55)
+    // equivalences on preferred non-self accessions; class-ness from the
+    // marker dictionary with the Gene/Pseudogene subtype fallback
+    val summaryEquivTriples = in("mrk_summary_view")
+      .filter(col("preferred") === 1 && col("accid") =!= col("mgiid") &&
+        col("logicaldb_key").isin(55, 60))
+      .join(broadcast(markerKinds.withColumnRenamed(
+        "marker_key", "object_key")), Seq("object_key"), "left")
+      .select(col("accid"), col("logicaldb_key"), col("mgiid"),
+        col("subtype"), col("isclass"))
+      .as[(String, Int, String, String, Option[Boolean])]
+      .flatMap { case (accid, ldb, mgiid, subtype, isclass) =>
+        val mapped =
+          if (ldb == 60) s"ENSEMBL:$accid" else s"NCBIGene:$accid"
+        if (isclass.contains(true) ||
+            Seq("Gene", "Pseudogene").contains(subtype))
+          Model.addType(mapped, Vocab.owlClass) ++
+            Model.addEquivalentClass(mgiid, mapped)
+        else if (isclass.contains(false))
+          Model.addType(mapped, Vocab.namedIndividual) ++
+            Model.addSameIndividual(mgiid, mapped)
+        else Nil
+      }
+
+    // _process_mrk_acc_view_for_equiv (MGI.py:1778-1853): second pass
+    // over the accession table for mouse markers — NCBI (55), ENSEMBL
+    // (60), and non-MGI logicaldb-1 accessions; idhash misses skip, and
+    // a marker absent from both class/indiv partitions skips (the
+    // reference error-logs it)
+    val accEquivTriples = in("mrk_acc_view")
+      .filter(col("organism_key") === 1 && col("preferred") === 1 &&
+        (col("logicaldb_key").isin(55, 60) ||
+          (col("logicaldb_key") === 1 && col("prefixpart") =!= "MGI:")))
+      .join(broadcast(markerDim.select(col("marker_key").as("object_key"),
+        col("mid").as("mgiid"))), Seq("object_key"))
+      .join(broadcast(markerKinds.withColumnRenamed(
+        "marker_key", "object_key")), Seq("object_key"), "left")
+      .select(col("accid"), col("logicaldb_key"), col("mgiid"),
+        col("isclass"))
+      .as[(String, Int, String, Option[Boolean])]
+      .flatMap { case (accid, ldb, mgiid, isclass) =>
+        val markerId =
+          if (ldb == 55) s"NCBIGene:$accid"
+          else if (ldb == 60) s"ENSEMBL:$accid"
+          else accid
+        isclass match {
+          case Some(true) =>
+            Model.addType(markerId, Vocab.owlClass) ++
+              Model.addEquivalentClass(mgiid, markerId)
+          case Some(false) =>
+            Model.addType(markerId, Vocab.namedIndividual) ++
+              Model.addSameIndividual(mgiid, markerId)
+          case None => Nil
+        }
+      }
+
+    // _process_prb_strain_acc_view pass 1 (MGI.py:1854-1910): the
+    // preferred-MGI strain idhash, typed intrinsic genotype in-taxon.
+    // (The reference's addIndividualToGraph call passes the GENO curie
+    // in the LABEL slot and the taxon as the type — an argument-order
+    // slip; the docstring's triples are emitted here.)
+    val strainAcc = in("prb_strain_acc_view")
+    val strainIdDim = strainAcc
+      .filter(col("logicaldb_key") === 1 && col("prefixpart") === "MGI:" &&
+        col("preferred") === 1)
+      .select(col("object_key").as("strain_key"), col("accid").as("sid"))
+    val strainDeclTriples = strainIdDim.as[(Int, String)]
+      .flatMap { case (_, sid) =>
+        Model.individualTriples(sid, null, Some("GENO:0000719")) ++
+          G.addTaxon("NCBITaxon:10090", sid)
+      }
+
+    // pass 2 (MGI.py:1941-2028): external stock-center registries —
+    // JAX(22), EMMA(37, EM:→EMMA:), MMRRC(38, clique leader), ORNL(40,
+    // deprecated under JAX + synonym + comment), NCIMR(54),
+    // neuromice(56, raw MGI ids), RIKEN(70), MUGEN(87), APB(90)
+    val strainEquivTriples = strainAcc
+      .filter(col("preferred") === 1 &&
+        col("logicaldb_key").isin(22, 37, 38, 40, 54, 56, 70, 87, 90))
+      .join(broadcast(strainIdDim.withColumnRenamed(
+        "strain_key", "object_key")), Seq("object_key"))
+      .select(col("accid"), col("logicaldb_key"), col("sid"))
+      .as[(String, Int, String)]
+      .flatMap { case (accid0, ldb, mgiid) =>
+        val accid = accid0.replace("`", "").trim
+        val (strainId, deprecated, comment) = ldb match {
+          case 22 => (s"JAX:$accid", false, None)
+          case 37 =>
+            ("EMMA:" + accid.replaceAll("^(EM:)*", ""), false, None)
+          case 38 =>
+            (if (accid.startsWith("MMRRC:")) accid else s"MMRRC:$accid",
+             false, None)
+          case 40 =>
+            (s"JAX:$accid", true, Some("Originally from ORNL."))
+          case 54 => (s"NCIMR:$accid", false, None)
+          case 56 => (accid, false, None)
+          case 70 => (s"RBRC:RBRC$accid", false, None)
+          case 87 => (s"MUGEN:$accid", false, None)
+          case _  => (s"APB:$accid", false, None)
+        }
+        Model.individualTriples(strainId, null, Some("NCBITaxon:10090")) ++
+          (if (deprecated)
+             Model.deprecatedTriples(strainId, replacedBy = Seq(mgiid)) ++
+               Model.addSynonym(mgiid, accid)
+           else Model.addSameIndividual(mgiid, strainId)) ++
+          (if (strainId.startsWith("MMRRC"))
+             Seq(Triple.typed(strainId, "MONARCH:cliqueLeader", "true",
+               "xsd:boolean"))
+           else Nil) ++
+          comment.toSeq.flatMap(Model.addComment(strainId, _))
+      }
+
+    // _process_prb_strain_view (MGI.py:1486-1555): strain labels +
+    // species typing, with the code-level fallbacks — unknown_taxa →
+    // genus Mus, 'M. m. domesticus ' prefix → Mus musculus, any other
+    // unmapped species → genus Mus
+    val strainViewTriples = in("prb_strain_view")
+      .join(broadcast(strainIdDim), Seq("strain_key"))
+      .select(col("sid"), col("strain"), col("species"))
+      .as[(String, String, String)]
+      .flatMap { case (sid, strain, species0) =>
+        val species = species0.trim
+        val resolved = localTt.resolve(species, mandatory = false)
+        val sp =
+          if (unknownTaxa.contains(species)) "NCBITaxon:10088"
+          else if (resolved != species) resolved
+          else if (species.startsWith("M. m. domesticus "))
+            "NCBITaxon:10090"
+          else "NCBITaxon:10088"
+        Model.addType(sp, Vocab.owlClass) ++
+          G.addTaxon(sp, sid) ++
+          Model.individualTriples(sid, strain, Some(sp))
+      }
+
+    // _process_prb_strain_genotype_view (MGI.py:2267-2323): strain
+    // has_genotype genotype; idhash misses fall back to the internal
+    // digest ids (the reference's _make_internal_identifier scheme,
+    // same 'mgistrain+<key>' convention the genotype tier mints)
+    val strainGenotypeTriples = in("prb_strain_genotype_view")
+      .join(broadcast(strainIdDim), Seq("strain_key"), "left")
+      .join(broadcast(genoDim.select(col("genotype_key"), col("gt"))),
+        Seq("genotype_key"), "left")
+      .select(col("strain_key"), col("sid"), col("genotype_key"),
+        col("gt"))
+      .as[(Int, Option[String], Int, Option[String])]
+      .map { case (sk, sid, gk, gt) =>
+        Triple.res(
+          sid.getOrElse("_:" + Digest.md5IdScala(s"mgistrain+$sk")),
+          "GENO:0000222",
+          gt.getOrElse("_:" + Digest.md5IdScala(s"mgigenotype+$gk")))
+      }
+
+    // _process_gxd_genotype_summary_view (MGI.py:587-667): preferred
+    // rows aggregate their VSLC short-descriptions per public genotype —
+    // label '<gvc> [subtype]' with commas slashed, sorted; the internal
+    // genotype key rides as a comment (the reference's
+    // _make_internal_identifier); ONE hash-aggregate, no shuffled state
+    val genoSummaryTriples = in("gxd_genotype_summary_view")
+      .filter(col("preferred") === 1)
+      .select(col("mgiid"), col("object_key"),
+        regexp_replace(col("short_description"), ",", "/").as("d"),
+        col("subtype"))
+      .groupBy(col("mgiid"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"),
+        max(col("subtype")).as("subtype"),
+        max(col("object_key")).as("okey"))
+      .as[(String, Seq[String], String, Int)]
+      .flatMap { case (gt, ds, subtype, okey) =>
+        val label = ds.mkString("; ") + " [" + subtype + "]"
+        G.addGenotype(gt, label.trim) ++
+          Model.addComment(gt,
+            "_:" + Digest.md5IdScala(s"mgigenotype+$okey"))
+      }
+
+    // _process_mrk_location_cache (MGI.py:2073-2146): mouse markers on
+    // taxon CHR classes — or build chromosome instances when an assembly
+    // version is present — with exact FALDO intervals; a missing start
+    // degrades to a fuzzy begin position (no coordinate literal), a
+    // missing end is simply not emitted
+    val locTriples = in("mrk_location_cache")
+      .filter(col("organism_key") === 1 && col("chromosome") =!= "UN")
+      .join(broadcast(markerDim), Seq("marker_key"))
+      .select(col("mid"), col("chromosome"), col("startcoordinate"),
+        col("endcoordinate"), col("strand"), col("version"))
+      .as[(String, String, String, String, String, String)]
+      .flatMap { case (mid, chrom, start0, end0, strand0, version0) =>
+        def nn(s: String) =
+          Option(s).map(_.trim).filter(v => v.nonEmpty && v != "(null)")
+        val chromClass = s"CHR:NCBITaxon-10090$chrom"
+        val (ref, buildTriples) = nn(version0) match {
+          case Some(v) =>
+            val buildId = s"NCBIGenome:$v"
+            (s"$buildId#chr$chrom",
+              G.addChromosomeInstance(chrom, buildId, chromClass))
+          case None => (chromClass, Seq.empty[Triple])
+        }
+        val strand = nn(strand0).getOrElse(".")
+        val st = graft.emit.Feature.strandType(strand)
+        val start = nn(start0).map(_.toDouble.toLong)
+        val end = nn(end0).map(_.toDouble.toLong)
+        val interval = (start, end) match {
+          case (Some(s0), Some(e0)) =>
+            graft.emit.Feature.featureTriples(mid, null, null, ref, s0,
+              e0, strand, digest = Digest.md5IdScala)
+          case (None, e1) =>
+            // fuzzy begin: position node typed FuzzyPosition, no
+            // coordinate literal (GenomicFeature.py FuzzyPosition arm)
+            val region = "_:" + Digest.md5IdScala(
+              s"region+$mid++${e1.getOrElse("")}+$ref")
+            val begin = "_:" + Digest.md5IdScala(s"pos+$region+begin+")
+            Seq(
+              Triple.res(mid, Vocab.faldoLocation, region),
+              Triple.res(region, Vocab.a, Vocab.faldoRegion),
+              Triple.res(region, Vocab.faldoBegin, begin),
+              Triple.res(begin, Vocab.a, "faldo:FuzzyPosition"),
+              Triple.res(begin, Vocab.a, st),
+              Triple.res(begin, Vocab.faldoReference, ref)) ++
+              e1.toSeq.flatMap { e0 =>
+                val endN = "_:" + Digest.md5IdScala(s"pos+$region+end+$e0")
+                Triple.res(region, Vocab.faldoEnd, endN) +:
+                  graft.emit.Feature.positionTriples(endN, e0, ref, st)
+              }
+          case (Some(_), None) => Nil
+        }
+        buildTriples ++ interval
+      }
+
     // the reference's graph store is a set (rdflib.Graph) — dedup here
     // so repeated strain/pub patterns collapse exactly once
     genoTriples.union(alleleTriples).union(vslcTriples)
@@ -397,6 +686,11 @@ object MgiGenotypeSource extends GraftSource {
       .union(alleleLocusTriples).union(mutationTriples)
       .union(mpClassTriples).union(annotTriples).union(mcvTriples)
       .union(evidenceTriples).union(noteTriples)
+      .union(markerTriples).union(summaryEquivTriples)
+      .union(accEquivTriples).union(strainDeclTriples)
+      .union(strainEquivTriples).union(strainViewTriples)
+      .union(strainGenotypeTriples).union(genoSummaryTriples)
+      .union(locTriples)
       .toDF().dropDuplicates("s", "p", "o", "lit", "dt")
   }
 
@@ -419,7 +713,7 @@ object MgiDb {
   // the path carries a schema version: adding a view must not collide
   // with a database persisted by an older build under the same dataDir
   private def dbPath(dataDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_mgi_derby_v2/" +
+    s"${sys.props("java.io.tmpdir")}/graft_mgi_derby_v3/" +
       Digest.md5IdScala(dataDir) + "/db"
 
   private def seed(spark: SparkSession, dataDir: String): JdbcConf = {
@@ -438,7 +732,14 @@ object MgiDb {
         st.execute("CREATE TABLE all_summary_view (object_key INT NOT NULL, preferred INT, mgiid VARCHAR(32), description VARCHAR(128), short_description VARCHAR(64))")
         st.execute("CREATE TABLE gxd_allelepair_view (allelepair_key INT NOT NULL, genotype_key INT, allele_key_1 INT, allele_key_2 INT, allele1 VARCHAR(64), allele2 VARCHAR(64), allelestate VARCHAR(32))")
         st.execute("CREATE TABLE bib_acc_view (accid VARCHAR(64), prefixpart VARCHAR(8), numericpart INT, object_key INT, logicaldb VARCHAR(32), logicaldb_key INT)")
-        st.execute("CREATE TABLE mrk_acc_view (accid VARCHAR(32), prefixpart VARCHAR(8), object_key INT, preferred INT)")
+        st.execute("CREATE TABLE mrk_acc_view (accid VARCHAR(32), prefixpart VARCHAR(8), object_key INT, preferred INT, logicaldb_key INT, organism_key INT)")
+        st.execute("CREATE TABLE mrk_marker_view (marker_key INT, organism_key INT, marker_status_key INT, symbol VARCHAR(32), name VARCHAR(64), latin_name VARCHAR(32), marker_type VARCHAR(32))")
+        st.execute("CREATE TABLE mrk_summary_view (accid VARCHAR(32), logicaldb_key INT, object_key INT, preferred INT, mgiid VARCHAR(32), subtype VARCHAR(32))")
+        st.execute("CREATE TABLE mrk_location_cache (marker_key INT, organism_key INT, chromosome VARCHAR(8), startcoordinate VARCHAR(16), endcoordinate VARCHAR(16), strand VARCHAR(8), version VARCHAR(16))")
+        st.execute("CREATE TABLE gxd_genotype_summary_view (object_key INT, preferred INT, mgiid VARCHAR(32), subtype VARCHAR(32), short_description VARCHAR(64))")
+        st.execute("CREATE TABLE prb_strain_view (strain_key INT, strain VARCHAR(64), species VARCHAR(64))")
+        st.execute("CREATE TABLE prb_strain_acc_view (accid VARCHAR(32), prefixpart VARCHAR(8), logicaldb_key INT, object_key INT, preferred INT)")
+        st.execute("CREATE TABLE prb_strain_genotype_view (strain_key INT, genotype_key INT)")
         st.execute("CREATE TABLE all_allele_view (allele_key INT, marker_key INT, strain_key INT, symbol VARCHAR(80), name VARCHAR(64), iswildtype VARCHAR(2))")
         st.execute("CREATE TABLE all_allele_mutation_view (allele_key INT, mutation VARCHAR(64))")
         st.execute("CREATE TABLE voc_annot_view (annot_key INT, annottype VARCHAR(64), object_key INT, term_key INT, qualifier_key INT, qualifier VARCHAR(16), accid VARCHAR(32))")
@@ -518,10 +819,72 @@ object MgiDb {
         val markers = Tables.part(spark, dataDir)
           .filter(col("p_partkey") % 2 === 1)
           .select(col("p_partkey").cast("int")).as[Int].collect()
-        batch(conn, "INSERT INTO mrk_acc_view VALUES (?,?,?,?)", markers) {
+        // primary MGI rows (ldb 1, mouse) + equivalence accessions:
+        // NCBI (55) on pk%4==1, ENSEMBL (60) on pk%4==3, a non-MGI
+        // logicaldb-1 accession on pk%8==5 (the raw-accid branch), and
+        // a non-mouse row on pk%16==9 (skipped by the organism filter)
+        val accRows = markers.flatMap { pk =>
+          Seq((s"MGI:M$pk", "MGI:", pk, if (pk % 9 == 0) 0 else 1, 1, 1)) ++
+            (if (pk % 4 == 1)
+               Seq(((pk * 3 + 2).toString, "", pk, 1, 55, 1)) else Nil) ++
+            (if (pk % 4 == 3)
+               Seq((s"ENSMUSG$pk", "", pk, 1, 60, 1)) else Nil) ++
+            (if (pk % 8 == 5)
+               Seq((s"XX:$pk", "XX:", pk, 1, 1, 1)) else Nil) ++
+            (if (pk % 16 == 9)
+               Seq((s"YY$pk", "", pk, 1, 55, 2)) else Nil)
+        }
+        batch(conn, "INSERT INTO mrk_acc_view VALUES (?,?,?,?,?,?)", accRows) {
+          case (ps, (accid, prefix, pk, pref, ldb, org)) =>
+            ps.setString(1, accid); ps.setString(2, prefix)
+            ps.setInt(3, pk); ps.setInt(4, pref)
+            ps.setInt(5, ldb); ps.setInt(6, org)
+        }
+        // marker dictionary ← odd part keys aligned with mrk_acc_view:
+        // every 11th foreign-organism, every 13th withdrawn, six marker
+        // types cycling, latin name unknown every 7th
+        val markerTypes = Seq("Gene", "Pseudogene", "DNA Segment",
+          "Cytogenetic Marker", "BAC/YAC end", "Transgene")
+        batch(conn, "INSERT INTO mrk_marker_view VALUES (?,?,?,?,?,?,?)",
+          markers) {
           case (ps, pk) =>
-            ps.setString(1, s"MGI:M$pk"); ps.setString(2, "MGI:")
-            ps.setInt(3, pk); ps.setInt(4, if (pk % 9 == 0) 0 else 1)
+            ps.setInt(1, pk)
+            ps.setInt(2, if (pk % 11 == 3) 2 else 1)
+            ps.setInt(3, if (pk % 13 == 5) 2 else 1)
+            ps.setString(4, s"mrk$pk"); ps.setString(5, s"marker $pk")
+            ps.setString(6, if (pk % 7 == 0) "Not Specified"
+                            else "Mus musculus")
+            ps.setString(7, markerTypes(((pk - 1) / 2) % 6))
+        }
+        // marker summary ← one accession per odd key: ENSEMBL / NCBI /
+        // the self-row (accid == mgiid, skipped); every 9th non-preferred
+        batch(conn, "INSERT INTO mrk_summary_view VALUES (?,?,?,?,?,?)",
+          markers) {
+          case (ps, pk) =>
+            val (accid, ldb) = pk % 3 match {
+              case 0 => (s"ENSMUSG0$pk", 60)
+              case 1 => ((pk * 7 + 1).toString, 55)
+              case _ => (s"MGI:M$pk", 1)
+            }
+            ps.setString(1, accid); ps.setInt(2, ldb); ps.setInt(3, pk)
+            ps.setInt(4, if (pk % 9 == 0) 0 else 1)
+            ps.setString(5, s"MGI:M$pk")
+            ps.setString(6, markerTypes(((pk - 1) / 2) % 6))
+        }
+        // marker locations ← odd keys: every 11th foreign, every 23rd
+        // unlocalized ('UN'), every 17th start-less (fuzzy begin), every
+        // 5th carrying an assembly version (build chromosome instance)
+        batch(conn, "INSERT INTO mrk_location_cache VALUES (?,?,?,?,?,?,?)",
+          markers) {
+          case (ps, pk) =>
+            ps.setInt(1, pk)
+            ps.setInt(2, if (pk % 11 == 3) 2 else 1)
+            ps.setString(3, if (pk % 23 == 0) "UN"
+                            else ((pk % 19) + 1).toString)
+            ps.setString(4, if (pk % 17 == 0) "(null)" else s"${pk * 1000}.0")
+            ps.setString(5, s"${pk * 1000 + 500}.0")
+            ps.setString(6, Seq("+", "-", "(null)")(((pk - 1) / 2) % 3))
+            ps.setString(7, if (pk % 5 == 0) "GRCm38" else "(null)")
         }
         // alleles-with-context ← part (even keys, aligned with
         // all_summary_view): marker every 2 of 3, strain keys straddling
@@ -601,6 +964,70 @@ object MgiDb {
           case (ps, (ok, _)) =>
             ps.setInt(1, ok + 1)
             ps.setString(2, s"phenotype note $ok")
+        }
+        // genotype summary ← the genotype keys (customer %4): one VSLC
+        // row each (comma-bearing every 12th — the comma→slash rule), a
+        // second VSLC every 8th, non-preferred every 16th-from-4
+        val summaryRows = geno.flatMap { case (ck, _) =>
+          val pref = if (ck % 16 == 4) 0 else 1
+          val short1 = if (ck % 12 == 0) s"a<$ck>,+" else s"a<$ck>/+"
+          Seq((ck, pref, short1)) ++
+            (if (ck % 8 == 0) Seq((ck, 1, s"b<$ck>/+")) else Nil)
+        }
+        batch(conn,
+          "INSERT INTO gxd_genotype_summary_view VALUES (?,?,?,?,?)",
+          summaryRows) {
+          case (ps, (ck, pref, short)) =>
+            ps.setInt(1, ck); ps.setInt(2, pref)
+            ps.setString(3, s"MGI:G$ck")
+            ps.setString(4, s"B6.${ck % 9}")
+            ps.setString(5, short)
+        }
+        // strain registry ← the nation-key strain range (0..24): labels
+        // + species cycling the resolve fallbacks; the MGI accession row
+        // is absent for every 10th-from-7 key (idhash-miss path), and
+        // each key carries one external stock-center accession
+        val strainSpecies = Seq("laboratory mouse", "M. m. domesticus",
+          "Not Specified", "M. m. domesticus Weird", "Cricetus sp.")
+        val strainKeys = (0 until 25).toSeq
+        batch(conn, "INSERT INTO prb_strain_view VALUES (?,?,?)",
+          strainKeys) {
+          case (ps, k) =>
+            ps.setInt(1, k); ps.setString(2, s"strain $k")
+            ps.setString(3, strainSpecies(k % 5))
+        }
+        val strainAccRows = strainKeys.flatMap { k =>
+          (if (k % 10 != 7)
+             Seq((s"MGI:S$k", "MGI:", 1, k, 1)) else Nil) ++
+            Seq(k % 9 match {
+              case 0 => (s"000$k", "", 22, k, 1)
+              case 1 => (s"MMRRC:0$k", "", 38, k, 1)
+              case 2 => (s"EM:0$k", "", 37, k, 1)
+              case 3 => (s"AB$k", "", 90, k, 1)
+              case 4 => (s"OR$k", "", 40, k, 1)
+              case 5 => (s"NC$k", "", 54, k, 1)
+              case 6 => (s"MGI:X$k", "MGI:", 56, k, 1)
+              case 7 => (s"00$k", "", 70, k, 1)
+              case _ => (s"MU`$k", "", 87, k, 1)
+            }) ++
+            (if (k % 11 == 3) Seq((s"ZZ$k", "", 22, k, 0)) else Nil)
+        }
+        batch(conn, "INSERT INTO prb_strain_acc_view VALUES (?,?,?,?,?)",
+          strainAccRows) {
+          case (ps, (accid, prefix, ldb, k, pref)) =>
+            ps.setString(1, accid); ps.setString(2, prefix)
+            ps.setInt(3, ldb); ps.setInt(4, k); ps.setInt(5, pref)
+        }
+        // strain⇄genotype bridge ← every 3rd genotype key; every 24th
+        // points at an unknown strain, every 36th at an unknown genotype
+        // (the internal-identifier fallback paths)
+        val sgRows = geno.filter(_._1 % 3 == 0).map { case (ck, nk) =>
+          (if (ck % 24 == 0) nk + 100 else nk,
+           if (ck % 36 == 0) ck + 2 else ck)
+        }
+        batch(conn, "INSERT INTO prb_strain_genotype_view VALUES (?,?)",
+          sgRows) {
+          case (ps, (sk, gk)) => ps.setInt(1, sk); ps.setInt(2, gk)
         }
       }
     } finally conn.close()

@@ -5152,7 +5152,135 @@ object RdfQueries {
            FROM aa a WHERE a.ak2 % 2 = 0),
          nt AS (
            SELECT assoc, 'phenotype note '||(evk - 1)::varchar AS note
-           FROM ev WHERE (evk - 1) % 6 = 0)
+           FROM ev WHERE (evk - 1) % 6 = 0),
+         mrk2 AS (
+           SELECT m.marker_key AS pk, m.mid,
+                  'mrk'||m.marker_key::varchar AS msym,
+                  'marker '||m.marker_key::varchar AS mname,
+                  list_extract(['SO:0000704','SO:0000336','SO:0000110',
+                    'SO:0001645','SO:0000150','SO:0000902'],
+                    (((m.marker_key-1)//2) % 6)::int + 1) AS mtype,
+                  list_extract(['SO:0000704','SO:0000336','SO:0000110',
+                    'SO:0001645','SO:0000150','SO:0000902'],
+                    (((m.marker_key-1)//2) % 6)::int + 1)
+                    IN ('SO:0000704','SO:0000336') AS isclass,
+                  CASE WHEN m.marker_key % 7 = 0 THEN 'NCBITaxon:10088'
+                       ELSE 'NCBITaxon:10090' END AS mtaxon
+           FROM mrk m
+           WHERE m.marker_key % 13 <> 5 AND m.marker_key % 11 <> 3),
+         msum AS (
+           SELECT p.p_partkey AS pk, 'MGI:M'||p.p_partkey::varchar AS mgiid,
+                  CASE WHEN p.p_partkey % 3 = 0
+                       THEN 'ENSEMBL:ENSMUSG0'||p.p_partkey::varchar
+                       ELSE 'NCBIGene:'||(p.p_partkey*7+1)::varchar
+                       END AS mapped,
+                  m.isclass,
+                  list_extract(['Gene','Pseudogene','DNA Segment',
+                    'Cytogenetic Marker','BAC/YAC end','Transgene'],
+                    (((p.p_partkey-1)//2) % 6)::int + 1) AS subtype
+           FROM part p LEFT JOIN mrk2 m ON p.p_partkey = m.pk
+           WHERE p.p_partkey % 2 = 1 AND p.p_partkey % 9 <> 0
+             AND p.p_partkey % 3 < 2),
+         msum2 AS (
+           SELECT *, (coalesce(isclass, false)
+             OR subtype IN ('Gene','Pseudogene')) AS asclass
+           FROM msum),
+         macc AS (
+           SELECT * FROM (
+             SELECT m.pk, m.mid, m.isclass,
+               CASE WHEN m.pk % 4 = 1 THEN 'NCBIGene:'||(m.pk*3+2)::varchar
+                    WHEN m.pk % 4 = 3 THEN 'ENSEMBL:ENSMUSG'||m.pk::varchar
+                    END AS eq
+             FROM mrk2 m
+             UNION ALL
+             SELECT m.pk, m.mid, m.isclass, 'XX:'||m.pk::varchar AS eq
+             FROM mrk2 m WHERE m.pk % 8 = 5) u
+           WHERE eq IS NOT NULL),
+         sv AS (SELECT k::int AS k FROM range(0,25) t(k)),
+         sacc AS (
+           SELECT k, 'MGI:S'||k::varchar AS sid FROM sv WHERE k % 10 <> 7),
+         sext AS (
+           SELECT s.k, a.sid,
+             CASE (s.k % 9)
+               WHEN 0 THEN 'JAX:000'||s.k::varchar
+               WHEN 1 THEN 'MMRRC:0'||s.k::varchar
+               WHEN 2 THEN 'EMMA:0'||s.k::varchar
+               WHEN 3 THEN 'APB:AB'||s.k::varchar
+               WHEN 4 THEN 'JAX:OR'||s.k::varchar
+               WHEN 5 THEN 'NCIMR:NC'||s.k::varchar
+               WHEN 6 THEN 'MGI:X'||s.k::varchar
+               WHEN 7 THEN 'RBRC:RBRC00'||s.k::varchar
+               ELSE 'MUGEN:MU'||s.k::varchar END AS eid,
+             (s.k % 9 = 4) AS isdep,
+             'OR'||s.k::varchar AS rawacc
+           FROM sv s JOIN sacc a ON s.k = a.k),
+         spv AS (
+           SELECT a.sid, 'strain '||s.k::varchar AS slabel,
+             CASE (s.k % 5)
+               WHEN 0 THEN 'NCBITaxon:10090' WHEN 1 THEN 'NCBITaxon:10092'
+               WHEN 2 THEN 'NCBITaxon:10088' WHEN 3 THEN 'NCBITaxon:10090'
+               ELSE 'NCBITaxon:10088' END AS sp
+           FROM sv s JOIN sacc a USING (k)),
+         sg AS (
+           SELECT CASE WHEN c_custkey % 24 = 0 THEN c_nationkey + 100
+                       ELSE c_nationkey END AS sk,
+                  CASE WHEN c_custkey % 36 = 0 THEN c_custkey + 2
+                       ELSE c_custkey END AS gk
+           FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 3 = 0),
+         sg2 AS (
+           SELECT coalesce(a.sid,
+               '_:b'||substr(md5('mgistrain+'||sg.sk::varchar),2,19)) AS ssid,
+             coalesce(g.gt,
+               '_:b'||substr(md5('mgigenotype+'||sg.gk::varchar),2,19)) AS ggt
+           FROM sg LEFT JOIN sacc a ON sg.sk = a.k
+                   LEFT JOIN gv g ON sg.gk = g.genotype_key),
+         gsum AS (
+           SELECT c_custkey AS ck, 'MGI:G'||c_custkey::varchar AS gt,
+                  (CASE WHEN c_custkey % 8 = 0
+                     THEN 'a<'||c_custkey::varchar||'>/+; b<'||
+                          c_custkey::varchar||'>/+'
+                     ELSE 'a<'||c_custkey::varchar||'>/+' END)
+                    ||' ['||'B6.'||(c_custkey % 9)::varchar||']' AS glabel,
+                  '_:b'||substr(md5(
+                    'mgigenotype+'||c_custkey::varchar),2,19) AS gcomment
+           FROM customer
+           WHERE c_custkey % 4 = 0 AND c_custkey % 16 <> 4),
+         loc AS (
+           SELECT m.marker_key AS pk, m.mid,
+                  ((m.marker_key % 19) + 1)::varchar AS chrom,
+                  (m.marker_key % 17 <> 0) AS hasstart,
+                  m.marker_key * 1000 AS startc,
+                  m.marker_key * 1000 + 500 AS endc,
+                  (m.marker_key % 5 = 0) AS hasver,
+                  CASE (((m.marker_key-1)//2) % 3)
+                    WHEN 0 THEN 'faldo:ForwardStrandPosition'
+                    WHEN 1 THEN 'faldo:ReverseStrandPosition'
+                    ELSE 'faldo:BothStrandsPosition' END AS st
+           FROM mrk m
+           WHERE m.marker_key % 11 <> 3 AND m.marker_key % 23 <> 0),
+         loc2 AS (
+           SELECT *, 'CHR:NCBITaxon-10090'||chrom AS chcls,
+             CASE WHEN hasver THEN 'NCBIGenome:GRCm38#chr'||chrom
+                  ELSE 'CHR:NCBITaxon-10090'||chrom END AS rref
+           FROM loc),
+         loc3 AS (
+           SELECT *,
+             CASE WHEN hasstart
+               THEN '_:b'||substr(md5('region+'||mid||'+'||startc::varchar
+                 ||'+'||endc::varchar||'+'||rref),2,19)
+               ELSE '_:b'||substr(md5('region+'||mid||'++'
+                 ||endc::varchar||'+'||rref),2,19) END AS region
+           FROM loc2),
+         loc4 AS (
+           SELECT *,
+             CASE WHEN hasstart
+               THEN '_:b'||substr(md5('pos+'||region||'+begin+'
+                 ||startc::varchar),2,19)
+               ELSE '_:b'||substr(md5('pos+'||region||'+begin+'),2,19)
+               END AS bnode,
+             '_:b'||substr(md5('pos+'||region||'+end+'
+               ||endc::varchar),2,19) AS enode
+           FROM loc3)
          SELECT DISTINCT * FROM (
            SELECT gt AS s, 'rdf:type' AS p, 'GENO:0000536' AS o,
                   false AS lit, CAST(NULL AS VARCHAR) AS dt FROM gv
@@ -5239,7 +5367,105 @@ object RdfQueries {
                   ELSE 'PATO:0000383' END, false, NULL
              FROM ev WHERE sexterm AND sexval IN ('M','F')
            UNION ALL SELECT assoc, 'dc:description', note, true, NULL
-             FROM nt) t""",
+             FROM nt
+           UNION ALL SELECT mid, 'rdf:type',
+             CASE WHEN isclass THEN 'owl:Class'
+                  ELSE 'owl:NamedIndividual' END, false, NULL FROM mrk2
+           UNION ALL SELECT mid, 'rdfs:subClassOf', mtype, false, NULL
+             FROM mrk2 WHERE isclass
+           UNION ALL SELECT mid, 'rdf:type', mtype, false, NULL
+             FROM mrk2 WHERE NOT isclass
+           UNION ALL SELECT mid, 'rdfs:label', msym, true, NULL FROM mrk2
+           UNION ALL SELECT mid, 'dc:description', mname, true, NULL
+             FROM mrk2
+           UNION ALL SELECT mid, 'oboInOwl:hasExactSynonym', mname, true,
+             NULL FROM mrk2
+           UNION ALL SELECT mid, 'RO:0002162', mtaxon, false, NULL
+             FROM mrk2
+           UNION ALL SELECT mid, 'MONARCH:cliqueLeader', 'true', true,
+             'xsd:boolean' FROM mrk2 WHERE mtaxon = 'NCBITaxon:10090'
+           UNION ALL SELECT mapped, 'rdf:type', 'owl:Class', false, NULL
+             FROM msum2 WHERE asclass
+           UNION ALL SELECT mgiid, 'owl:equivalentClass', mapped, false,
+             NULL FROM msum2 WHERE asclass
+           UNION ALL SELECT mapped, 'rdf:type', 'owl:NamedIndividual',
+             false, NULL FROM msum2 WHERE NOT asclass AND isclass = false
+           UNION ALL SELECT mgiid, 'owl:sameAs', mapped, false, NULL
+             FROM msum2 WHERE NOT asclass AND isclass = false
+           UNION ALL SELECT eq, 'rdf:type', 'owl:Class', false, NULL
+             FROM macc WHERE isclass
+           UNION ALL SELECT mid, 'owl:equivalentClass', eq, false, NULL
+             FROM macc WHERE isclass
+           UNION ALL SELECT eq, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM macc WHERE NOT isclass
+           UNION ALL SELECT mid, 'owl:sameAs', eq, false, NULL
+             FROM macc WHERE NOT isclass
+           UNION ALL SELECT sid, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM sacc
+           UNION ALL SELECT sid, 'rdf:type', 'GENO:0000719', false, NULL
+             FROM sacc
+           UNION ALL SELECT sid, 'RO:0002162', 'NCBITaxon:10090', false,
+             NULL FROM sacc
+           UNION ALL SELECT eid, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM sext
+           UNION ALL SELECT eid, 'rdf:type', 'NCBITaxon:10090', false,
+             NULL FROM sext
+           UNION ALL SELECT sid, 'owl:sameAs', eid, false, NULL
+             FROM sext WHERE NOT isdep
+           UNION ALL SELECT eid, 'owl:deprecated', 'true', true,
+             'xsd:boolean' FROM sext WHERE isdep
+           UNION ALL SELECT eid, 'IAO:0100001', sid, false, NULL
+             FROM sext WHERE isdep
+           UNION ALL SELECT sid, 'oboInOwl:hasExactSynonym', rawacc, true,
+             NULL FROM sext WHERE isdep
+           UNION ALL SELECT eid, 'rdfs:comment', 'Originally from ORNL.',
+             true, NULL FROM sext WHERE isdep
+           UNION ALL SELECT eid, 'MONARCH:cliqueLeader', 'true', true,
+             'xsd:boolean' FROM sext WHERE eid LIKE 'MMRRC%'
+           UNION ALL SELECT sp, 'rdf:type', 'owl:Class', false, NULL
+             FROM spv
+           UNION ALL SELECT sid, 'RO:0002162', sp, false, NULL FROM spv
+           UNION ALL SELECT sid, 'rdf:type', 'owl:NamedIndividual', false,
+             NULL FROM spv
+           UNION ALL SELECT sid, 'rdfs:label', slabel, true, NULL FROM spv
+           UNION ALL SELECT sid, 'rdf:type', sp, false, NULL FROM spv
+           UNION ALL SELECT ssid, 'GENO:0000222', ggt, false, NULL
+             FROM sg2
+           UNION ALL SELECT gt, 'rdf:type', 'GENO:0000536', false, NULL
+             FROM gsum
+           UNION ALL SELECT gt, 'rdfs:label', glabel, true, NULL FROM gsum
+           UNION ALL SELECT gt, 'rdfs:comment', gcomment, true, NULL
+             FROM gsum
+           UNION ALL SELECT 'NCBIGenome:GRCm38#chr'||chrom, 'rdf:type',
+             chcls, false, NULL FROM loc2 WHERE hasver
+           UNION ALL SELECT 'NCBIGenome:GRCm38#chr'||chrom, 'rdfs:label',
+             'chr'||chrom||' (NCBIGenome:GRCm38)', true, NULL
+             FROM loc2 WHERE hasver
+           UNION ALL SELECT 'NCBIGenome:GRCm38#chr'||chrom, 'RO:0002525',
+             'NCBIGenome:GRCm38', false, NULL FROM loc2 WHERE hasver
+           UNION ALL SELECT mid, 'faldo:location', region, false, NULL
+             FROM loc4
+           UNION ALL SELECT region, 'rdf:type', 'faldo:Region', false,
+             NULL FROM loc4
+           UNION ALL SELECT region, 'faldo:begin', bnode, false, NULL
+             FROM loc4
+           UNION ALL SELECT region, 'faldo:end', enode, false, NULL
+             FROM loc4
+           UNION ALL SELECT bnode, 'rdf:type',
+             CASE WHEN hasstart THEN 'faldo:ExactPosition'
+                  ELSE 'faldo:FuzzyPosition' END, false, NULL FROM loc4
+           UNION ALL SELECT bnode, 'rdf:type', st, false, NULL FROM loc4
+           UNION ALL SELECT bnode, 'faldo:position', startc::varchar,
+             true, 'xsd:integer' FROM loc4 WHERE hasstart
+           UNION ALL SELECT bnode, 'faldo:reference', rref, false, NULL
+             FROM loc4
+           UNION ALL SELECT enode, 'rdf:type', 'faldo:ExactPosition',
+             false, NULL FROM loc4
+           UNION ALL SELECT enode, 'rdf:type', st, false, NULL FROM loc4
+           UNION ALL SELECT enode, 'faldo:position', endc::varchar, true,
+             'xsd:integer' FROM loc4
+           UNION ALL SELECT enode, 'faldo:reference', rref, false, NULL
+             FROM loc4) t""",
     "r14_ancestor_closure" ->
       """WITH RECURSIVE
            e AS (SELECT doc_id AS child, doc_id // 2 AS parent
