@@ -158,7 +158,16 @@ object OmiaSource extends GraftSource {
     def xml(table: String, cols: String*): DataFrame =
       graft.sources.XmlDumpSource.read(spark, dump, table, cols)
     Map(
-      "species" -> xml("Species_gb", "gb_species_id", "sci_name"),
+      "species" -> xml("Species_gb", "gb_species_id", "sci_name",
+        "com_name"),
+      "articles" -> xml("Articles", "article_id", "title", "year",
+        "journal", "pubmed_id"),
+      "article_breed" -> xml("Article_Breed", "article_id", "breed_id"),
+      "article_phene" -> xml("Article_Phene", "article_id", "phene_id"),
+      "lida_links" -> xml("Lida_Links", "omia_id", "lidaurl"),
+      "omia_group" -> xml("OMIA_Group", "omia_id", "group_name",
+        "group_summary", "group_category"),
+      "group_mpo" -> xml("Group_MPO", "omia_id", "MPO_no"),
       "breed" -> xml("Breed", "breed_id", "breed_name", "gb_species_id"),
       "phene" -> xml("Phene", "phene_id", "omia_id", "phene_name",
         "gb_species_id", "summary"),
@@ -180,16 +189,28 @@ object OmiaSource extends GraftSource {
     def scope(df: DataFrame): DataFrame =
       if (taxa.isEmpty) df else df.filter(col("gb_species_id").isin(taxa: _*))
 
-    val species = in("species")
+    val species0 = in("species")
       .filter(coalesce(col("gb_species_id"), lit("")) =!= "")
-      .select(col("gb_species_id").as("spid"), col("sci_name"))
+    // com_name arrived with the wave-2 dump read; partial input maps
+    // (the p11 derivation) may omit the column entirely
+    val comName =
+      if (species0.columns.contains("com_name"))
+        when(coalesce(col("com_name"), lit("")) =!= "", col("com_name"))
+      else lit(null).cast("string")
+    val species = species0.select(col("gb_species_id").as("spid"),
+      col("sci_name"), comName.as("com_name"),
+      coalesce(comName, col("sci_name")).as("slabel"))
 
-    // species classes with scientific-name labels (_process_species_row)
+    // species classes with scientific-name labels + common-name synonym;
+    // the reference's label_hash — which the breed labels read — prefers
+    // the common name (_process_species_table_row OMIA.py:293-307)
     val speciesTriples = ColumnEmit.emitFiltered(species,
       res(concat(lit("NCBITaxon:"), col("spid")), lit(Vocab.a),
         lit(Vocab.owlClass)),
       str(concat(lit("NCBITaxon:"), col("spid")), lit(Vocab.label),
-        col("sci_name")))
+        col("sci_name")),
+      str(concat(lit("NCBITaxon:"), col("spid")),
+        lit(Vocab.hasExactSynonym), col("com_name")))
 
     // breeds: named individuals typed by taxon, labeled
     // "breed (species sci name)" (_process_breed_row OMIA.py:309-333)
@@ -198,8 +219,8 @@ object OmiaSource extends GraftSource {
       .join(species, col("gb_species_id") === col("spid"), "left")
       .select(col("breed_id").as("bkey"),
         concat(lit("OMIA-breed:"), col("breed_id")).as("breed"),
-        when(col("sci_name").isNotNull,
-          concat(col("breed_name"), lit(" ("), col("sci_name"), lit(")")))
+        when(col("slabel").isNotNull,
+          concat(col("breed_name"), lit(" ("), col("slabel"), lit(")")))
           .otherwise(col("breed_name")).as("blabel"),
         concat(lit("NCBITaxon:"), col("gb_species_id")).as("btax"))
     val breedTriples = ColumnEmit.emitFiltered(breeds,
@@ -345,10 +366,128 @@ object OmiaSource extends GraftSource {
     val pgAssoc = ColumnEmit.assocReified(pg, "EX:omia",
       col("vid"), lit(Vocab.hasPhenotype), col("spPhene"))
 
-    speciesTriples
-      .union(breedTriples).union(pheneTriples).union(xrefTriples)
-      .union(bpAssoc).union(moTriples)
-      .union(geneTriples).union(pgTriples).union(pgAssoc)
+    // ---- wave 2: article dictionary, group taxonomy, literature links,
+    // LIDA xrefs, group-MP associations (round-6 extension) --------------
+
+    val extra = Seq.newBuilder[DataFrame]
+
+    // article dictionary (_process_article_row OMIA.py:447-471):
+    // internal '_:omiaarticlekey<id>' bnodes (the reference's literal
+    // _make_internal_id concatenation, OMIA.py:790-792 — NOT a digest),
+    // journal-article typing when a journal is named, title-as-label,
+    // PMID equivalence with the internal key echoed as a comment. The
+    // id_hash that the is-about passes read prefers the PMID.
+    val articles = in.get("articles").map { a =>
+      a.filter(coalesce(col("article_id"), lit("")) =!= "")
+        .select(col("article_id").as("akey"),
+          concat(lit("_:omiaarticlekey"), col("article_id")).as("iart"),
+          when(coalesce(col("title"), lit("")) =!= "",
+            trim(col("title"))).as("title"),
+          (coalesce(col("journal"), lit("")) =!= "").as("isJournal"),
+          when(coalesce(col("pubmed_id"), lit("")) =!= "",
+            concat(lit("PMID:"), col("pubmed_id"))).as("pmid"))
+        .withColumn("aref", coalesce(col("pmid"), col("iart")))
+    }
+    articles.foreach { art =>
+      extra += ColumnEmit.emitFiltered(art,
+        res(col("iart"), lit(Vocab.a), lit(Vocab.namedIndividual)),
+        res(col("iart"), lit(Vocab.a),
+          when(col("isJournal"), lit(Vocab.journalArticle))
+            .otherwise(lit("IAO:0000310"))),
+        str(col("iart"), lit(Vocab.label), col("title")),
+        str(col("iart"), lit("dc:title"), col("title")),
+        res(col("iart"), lit(Vocab.sameAs), col("pmid")),
+        str(col("pmid"), lit(Vocab.comment),
+          when(col("pmid").isNotNull,
+            concat(lit("omiaarticlekey"), col("akey")))))
+    }
+
+    // article → breed literature links (_process_article_breed_row
+    // OMIA.py:528-544): is-about through the article id_hash
+    for (art <- articles; ab <- in.get("article_breed"))
+      extra += ColumnEmit.emit(ab
+        .select(col("article_id").as("akey"), col("breed_id").as("bkey"))
+        .join(broadcast(art.select(col("akey"), col("aref"))), Seq("akey"))
+        .join(broadcast(breeds.select(col("bkey"), col("breed"))),
+          Seq("bkey")),
+        res(col("aref"), lit("IAO:0000136"), col("breed")))
+
+    // article → species-phene links (_process_article_phene_row
+    // OMIA.py:546-564). The reference's guard reads `if self.test_mode
+    // or omia_id not in self.test_ids[...]` — an inverted conjunction
+    // that suppresses the pass outside its test fixture; the documented
+    // intent (article is-about phene) is emitted here.
+    for (art <- articles; ap <- in.get("article_phene"))
+      extra += ColumnEmit.emit(ap
+        .select(col("article_id").as("akey"), col("phene_id").as("pkey"))
+        .join(broadcast(art.select(col("akey"), col("aref"))), Seq("akey"))
+        .join(broadcast(phene.select(col("pkey"), col("spPhene"))),
+          Seq("pkey")),
+        res(col("aref"), lit("IAO:0000136"), col("spPhene")))
+
+    // LIDA links (_process_lida_links_row OMIA.py:635-646): the URL
+    // rides as a urllib-quoted literal xref
+    in.get("lida_links").foreach { ll =>
+      import spark.implicits._
+      val ts = ll.filter(coalesce(col("omia_id"), lit("")) =!= "" &&
+          coalesce(col("lidaurl"), lit("")) =!= "")
+        .select(col("omia_id"), col("lidaurl"))
+        .as[(String, String)]
+        .map { case (omiaId, url) =>
+          // urllib.parse.quote semantics: '/' stays, space → %20
+          val quoted = java.net.URLEncoder.encode(url, "UTF-8")
+            .replace("+", "%20").replace("%2F", "/").replace("%3A", ":")
+          graft.core.Triple.str(s"OMIA:$omiaId", Vocab.hasDbXref, quoted)
+        }
+      extra += ts.toDF()
+    }
+
+    // OMIA group taxonomy (_process_omia_group_row OMIA.py:472-511):
+    // the group class with name/summary under its category's disease
+    // superclass (group_category → localtt → global, defaulting to
+    // 'disease or disorder'); an embryonic-lethality category adds a
+    // D2P association on top of the subclass edge
+    in.get("omia_group").foreach { og =>
+      val localTt = graft.core.TranslationTable.forSource("omia")
+      val catCol = concat(lit("group_category:"),
+        when(coalesce(col("group_category"), lit("")) === "", lit("None"))
+          .otherwise(col("group_category")))
+      val groups = og.filter(coalesce(col("omia_id"), lit("")) =!= "")
+        .select(concat(lit("OMIA:"), col("omia_id")).as("omia"),
+          when(coalesce(col("group_name"), lit("")) =!= "",
+            col("group_name")).as("gname"),
+          when(coalesce(col("group_summary"), lit("")) =!= "",
+            col("group_summary")).as("gsummary"),
+          coalesce(localTt.resolveCol(catCol),
+            lit("MONDO:0000001")).as("disease"))
+        .withColumn("disease",
+          when(col("disease").startsWith("group_category:"),
+            lit("MONDO:0000001")).otherwise(col("disease")))
+      extra += ColumnEmit.emitFiltered(groups,
+        res(col("disease"), lit(Vocab.a), lit(Vocab.owlClass)),
+        res(col("omia"), lit(Vocab.a), lit(Vocab.owlClass)),
+        str(col("omia"), lit(Vocab.label), col("gname")),
+        str(col("omia"), lit(Vocab.description), col("gsummary")),
+        res(col("omia"), lit(Vocab.subClassOf), col("disease")))
+      extra += ColumnEmit.assocReified(
+        groups.filter(col("disease") === "MP:0008762"), "EX:omia",
+        col("omia"), lit(Vocab.hasPhenotype), col("disease"))
+    }
+
+    // group → MP associations (_process_group_mpo_row OMIA.py:681-692):
+    // zero-padded MP ids through the default D2P association
+    in.get("group_mpo").foreach { gm =>
+      extra += ColumnEmit.assocReified(
+        gm.filter(coalesce(col("omia_id"), lit("")) =!= "" &&
+            coalesce(col("MPO_no"), lit("")) =!= "")
+          .select(concat(lit("OMIA:"), col("omia_id")).as("omia"),
+            concat(lit("MP:"), lpad(col("MPO_no"), 7, "0")).as("mpo")),
+        "EX:omia", col("omia"), lit(Vocab.hasPhenotype), col("mpo"))
+    }
+
+    (Seq(speciesTriples, breedTriples, pheneTriples, xrefTriples,
+      bpAssoc, moTriples, geneTriples, pgTriples, pgAssoc) ++
+      extra.result()).reduce(_ union _)
   }
 
   override def testIds: Seq[String] = Seq("OMIA-breed:758", "OMIA:000419")

@@ -1977,6 +1977,81 @@ object RdfQueries {
         "features" -> feats, "features_affected_genes" -> fag,
         "pubs" -> pubs, "pub2pubmed" -> p2p,
         "mappings" -> maps)).distinct()
+    }),
+
+    // §3.2 end-to-end ingest — OMIA dictionary tiers: the article
+    // dictionary with internal-key bnodes + PMID equivalence, article
+    // is-about literature links, LIDA url-quoted xrefs, the group
+    // taxonomy with category-resolved disease superclasses (embryonic
+    // lethality doubling as a D2P association), and group→MP
+    // associations (OMIA.py:447-511, 528-564, 635-646, 681-692).
+    "p37_omia_dict_pipeline" -> ((s, d) => {
+      val nation = Tables.nation(s, d)
+      val species = nation.select(
+        (col("n_nationkey") + 9000).cast("string").as("gb_species_id"),
+        concat(lit("Species "), col("n_nationkey")).as("sci_name"),
+        when(col("n_nationkey") % 2 === 0,
+          concat(lit("common"), col("n_nationkey")))
+          .otherwise(lit("")).as("com_name"))
+      val breed = Tables.customer(s, d).filter(col("c_custkey") % 5 === 2)
+        .select(col("c_custkey").cast("string").as("breed_id"),
+          concat(lit("breed "), col("c_custkey")).as("breed_name"),
+          (col("c_custkey") % 25 + 9000).cast("string")
+            .as("gb_species_id"))
+      val prt = Tables.part(s, d).select(col("p_partkey").as("k"))
+      val phene = prt.filter(col("k") % 6 === 0).select(
+        col("k").cast("string").as("phene_id"),
+        lpad((col("k") % 900).cast("string"), 6, "0").as("omia_id"),
+        concat(lit("phene "), col("k")).as("phene_name"),
+        (col("k") % 25 + 9000).cast("string").as("gb_species_id"),
+        lit("").as("summary"))
+      val articles = Tables.supplier(s, d).select(col("s_suppkey").as("k"))
+        .select(col("k").cast("string").as("article_id"),
+          concat(lit("title "), col("k")).as("title"),
+          lit("2001").as("year"),
+          when(col("k") % 3 =!= 0, lit("J Anim")).otherwise(lit(""))
+            .as("journal"),
+          when(col("k") % 2 === 0, (col("k") + 5000000).cast("string"))
+            .otherwise(lit("")).as("pubmed_id"))
+      val articleBreed = Tables.customer(s, d)
+        .filter(col("c_custkey") % 4 === 1)
+        .select(((col("c_custkey") * 3) % 101 + 1).cast("string")
+          .as("article_id"),
+          col("c_custkey").cast("string").as("breed_id"))
+      val articlePhene = prt.filter(col("k") % 12 === 0)
+        .select(((col("k") % 89) + 1).cast("string").as("article_id"),
+          col("k").cast("string").as("phene_id"))
+      val lida = nation.select(
+        lpad(col("n_nationkey").cast("string"), 6, "0").as("omia_id"),
+        concat(lit("http://x/"), col("n_nationkey"), lit(" q"))
+          .as("lidaurl"))
+      val groups = prt.filter(col("k") % 10 === 0).select(
+        lpad(col("k").cast("string"), 6, "0").as("omia_id"),
+        concat(lit("group "), col("k")).as("group_name"),
+        when(col("k") % 3 === 0, concat(lit("summary "), col("k")))
+          .otherwise(lit("")).as("group_summary"),
+        element_at(array(lit(""), lit("1"), lit("6"), lit("13"),
+          lit("99")), ((col("k") % 50) / 10 + 1).cast("int"))
+          .as("group_category"))
+      val mpo = prt.filter(col("k") % 15 === 0).select(
+        lpad(col("k").cast("string"), 6, "0").as("omia_id"),
+        (col("k") % 9999).cast("string").as("MPO_no"))
+      graft.engine.OmiaSource.transform(s, Map(
+        "species" -> species, "breed" -> breed, "phene" -> phene,
+        "breed_phene" -> breed.limit(0)
+          .select(col("breed_id"), lit("").as("phene_id")),
+        "omim_xref" -> phene.limit(0)
+          .select(col("omia_id"), lit("").as("omim_id")),
+        "phene_gene" -> phene.limit(0)
+          .select(col("phene_id"), lit("").as("gene_id")),
+        "genes" -> phene.limit(0).select(lit("").as("gene_id"),
+          lit("").as("gb_species_id"), lit("").as("symbol"),
+          lit("").as("gene_type")),
+        "omim_types" -> phene.limit(0).select(lit("").as("prefix"),
+          lit("").as("mim_number"), lit("").as("preferred_title")),
+        "articles" -> articles, "article_breed" -> articleBreed,
+        "article_phene" -> articlePhene, "lida_links" -> lida,
+        "omia_group" -> groups, "group_mpo" -> mpo)).distinct()
     })
   )
 
@@ -5928,6 +6003,148 @@ object RdfQueries {
              FROM mp3
            UNION ALL SELECT zfin, 'RO:0002525', chin, false, NULL FROM mp3
            UNION ALL SELECT chin, 'RO:0002524', zfin, false, NULL
-             FROM mp3) t"""
+             FROM mp3) t""",
+    "p37_omia_dict_pipeline" ->
+      """WITH sp AS (
+           SELECT n_nationkey AS nk,
+                  'NCBITaxon:'||(n_nationkey + 9000)::varchar AS tax,
+                  'Species '||n_nationkey::varchar AS sci,
+                  CASE WHEN n_nationkey % 2 = 0
+                       THEN 'common'||n_nationkey::varchar END AS com,
+                  CASE WHEN n_nationkey % 2 = 0
+                       THEN 'common'||n_nationkey::varchar
+                       ELSE 'Species '||n_nationkey::varchar END AS slabel
+           FROM nation),
+         br AS (
+           SELECT c_custkey AS ck, 'OMIA-breed:'||c_custkey::varchar
+                    AS breed,
+                  s.tax AS btax,
+                  'breed '||c_custkey::varchar||' ('||s.slabel||')'
+                    AS blabel
+           FROM customer JOIN sp s ON s.nk = c_custkey % 25
+           WHERE c_custkey % 5 = 2),
+         ph AS (
+           SELECT p_partkey AS k,
+                  'OMIA:'||lpad((p_partkey % 900)::varchar, 6, '0')
+                    AS omia,
+                  'OMIA:'||lpad((p_partkey % 900)::varchar, 6, '0')||'-'||
+                    (p_partkey % 25 + 9000)::varchar AS sphene,
+                  'phene '||p_partkey::varchar AS plabel,
+                  'NCBITaxon:'||(p_partkey % 25 + 9000)::varchar AS ptax
+           FROM part WHERE p_partkey % 6 = 0),
+         art AS (
+           SELECT s_suppkey AS k,
+                  '_:omiaarticlekey'||s_suppkey::varchar AS iart,
+                  'title '||s_suppkey::varchar AS title,
+                  (s_suppkey % 3 <> 0) AS isj,
+                  CASE WHEN s_suppkey % 2 = 0
+                       THEN 'PMID:'||(s_suppkey + 5000000)::varchar
+                       END AS pmid
+           FROM supplier),
+         art2 AS (SELECT *, coalesce(pmid, iart) AS aref FROM art),
+         ab AS (
+           SELECT a.aref, b.breed
+           FROM customer c
+           JOIN art2 a ON a.k = (c.c_custkey * 3) % 101 + 1
+           JOIN br b ON b.ck = c.c_custkey
+           WHERE c.c_custkey % 4 = 1),
+         ap AS (
+           SELECT a.aref, p.sphene
+           FROM ph p JOIN art2 a ON a.k = (p.k % 89) + 1
+           WHERE p.k % 12 = 0),
+         li AS (
+           SELECT 'OMIA:'||lpad(n_nationkey::varchar, 6, '0') AS omia,
+                  'http://x/'||n_nationkey::varchar||'%20q' AS quoted
+           FROM nation),
+         gr AS (
+           SELECT p_partkey AS k,
+                  'OMIA:'||lpad(p_partkey::varchar, 6, '0') AS omia,
+                  'group '||p_partkey::varchar AS gname,
+                  CASE WHEN p_partkey % 3 = 0
+                       THEN 'summary '||p_partkey::varchar END AS gsum,
+                  CASE ((p_partkey % 50) // 10)
+                    WHEN 1 THEN 'MONDO:0019052'
+                    WHEN 2 THEN 'MONDO:0002051'
+                    WHEN 3 THEN 'MP:0008762'
+                    ELSE 'MONDO:0000001' END AS disease
+           FROM part WHERE p_partkey % 10 = 0),
+         grl AS (
+           SELECT *, '_:b'||substr(md5('EX:omia+'||omia
+             ||'+RO:0002200+MP:0008762'),2,19) AS aid
+           FROM gr WHERE disease = 'MP:0008762'),
+         gm AS (
+           SELECT 'OMIA:'||lpad(p_partkey::varchar, 6, '0') AS omia,
+                  'MP:'||lpad((p_partkey % 9999)::varchar, 7, '0') AS mpo
+           FROM part WHERE p_partkey % 15 = 0),
+         gm2 AS (
+           SELECT *, '_:b'||substr(md5('EX:omia+'||omia
+             ||'+RO:0002200+'||mpo),2,19) AS aid
+           FROM gm)
+         SELECT DISTINCT * FROM (
+           SELECT tax AS s, 'rdf:type' AS p, 'owl:Class' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM sp
+           UNION ALL SELECT tax, 'rdfs:label', sci, true, NULL FROM sp
+           UNION ALL SELECT tax, 'oboInOwl:hasExactSynonym', com, true,
+             NULL FROM sp WHERE com IS NOT NULL
+           UNION ALL SELECT breed, 'rdf:type', 'owl:NamedIndividual',
+             false, NULL FROM br
+           UNION ALL SELECT breed, 'rdf:type', btax, false, NULL FROM br
+           UNION ALL SELECT breed, 'rdfs:label', blabel, true, NULL
+             FROM br
+           UNION ALL SELECT sphene, 'rdf:type', 'owl:Class', false, NULL
+             FROM ph
+           UNION ALL SELECT sphene, 'rdfs:label', plabel, true, NULL
+             FROM ph
+           UNION ALL SELECT sphene, 'rdfs:subClassOf', omia, false, NULL
+             FROM ph
+           UNION ALL SELECT sphene, 'RO:0002162', ptax, false, NULL
+             FROM ph
+           UNION ALL SELECT iart, 'rdf:type', 'owl:NamedIndividual',
+             false, NULL FROM art2
+           UNION ALL SELECT iart, 'rdf:type',
+             CASE WHEN isj THEN 'IAO:0000013' ELSE 'IAO:0000310' END,
+             false, NULL FROM art2
+           UNION ALL SELECT iart, 'rdfs:label', title, true, NULL
+             FROM art2
+           UNION ALL SELECT iart, 'dc:title', title, true, NULL FROM art2
+           UNION ALL SELECT iart, 'owl:sameAs', pmid, false, NULL
+             FROM art2 WHERE pmid IS NOT NULL
+           UNION ALL SELECT pmid, 'rdfs:comment',
+             'omiaarticlekey'||k::varchar, true, NULL
+             FROM art2 WHERE pmid IS NOT NULL
+           UNION ALL SELECT aref, 'IAO:0000136', breed, false, NULL
+             FROM ab
+           UNION ALL SELECT aref, 'IAO:0000136', sphene, false, NULL
+             FROM ap
+           UNION ALL SELECT omia, 'oboInOwl:hasDbXref', quoted, true,
+             NULL FROM li
+           UNION ALL SELECT disease, 'rdf:type', 'owl:Class', false, NULL
+             FROM gr
+           UNION ALL SELECT omia, 'rdf:type', 'owl:Class', false, NULL
+             FROM gr
+           UNION ALL SELECT omia, 'rdfs:label', gname, true, NULL FROM gr
+           UNION ALL SELECT omia, 'dc:description', gsum, true, NULL
+             FROM gr WHERE gsum IS NOT NULL
+           UNION ALL SELECT omia, 'rdfs:subClassOf', disease, false, NULL
+             FROM gr
+           UNION ALL SELECT omia, 'RO:0002200', 'MP:0008762', false, NULL
+             FROM grl
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM grl
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', omia,
+             false, NULL FROM grl
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM grl
+           UNION ALL SELECT aid, 'OBAN:association_has_object',
+             'MP:0008762', false, NULL FROM grl
+           UNION ALL SELECT omia, 'RO:0002200', mpo, false, NULL FROM gm2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM gm2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', omia,
+             false, NULL FROM gm2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM gm2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', mpo,
+             false, NULL FROM gm2) t"""
   )
 }

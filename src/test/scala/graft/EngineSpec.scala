@@ -61,12 +61,14 @@ class EngineSpec extends SparkSpec {
     // …but its xref survives (cleaning narrows the MAP, not the xrefs)
     assert(nt.exists(l => l.contains("omia/000162") && l.contains("hasDbXref")
       && l.contains("OMIM:603470")))
-    // model-of association carries descendant evidence + description with
-    // the species-suffix strip (OMIA.py:614-630)
+    // model-of association carries descendant evidence + description;
+    // with a common name in the dump, the breed label's parenthesized
+    // species is 'dog', so the sci-name phene suffix does NOT strip —
+    // exactly the reference's sp_label mechanics (OMIA.py:611-630)
     assert(nt.exists(_.contains(cm.expand("ECO:0000214"))))
-    assert(nt.exists(_.contains("High incidence of Ectodermal dysplasia in " +
-      "German Shepherd Dog (Canis lupus familiaris) suggests it to be a " +
-      "model of disease OMIM:305100.")))
+    assert(nt.exists(_.contains("High incidence of Ectodermal dysplasia " +
+      "in Canis lupus familiaris in German Shepherd Dog (dog) suggests " +
+      "it to be a model of disease OMIM:305100.")))
 
     // ---- ortholog augmentation landed in omia's graph ----
     val orthRel = "<" + cm.expand("RO:HOM0000017") + ">"
