@@ -104,6 +104,26 @@ object WormBaseSource extends GraftSource {
       (if (new java.io.File(dataDir, "pub_xrefs.txt").exists())
          Map("pub_xrefs" -> scan("pub_xrefs.txt", "\t",
            Seq("wb_ref", "xref")))
+       else Map.empty) ++
+      // gene_interaction is IN-PROGRESS upstream (py:903-981) and
+      // gene_desc 'currently unsupported' (py:364-409) — both landed as
+      // OPT-IN tiers like pub_xrefs: present file ⇒ reference-faithful
+      // emission, absent ⇒ byte-identical default output. The 12th
+      // interaction column exists only to detect >2-participant rows
+      // (the reference's num_interactors != 2 skip).
+      (if (new java.io.File(dataDir, "gene_interactions.txt").exists())
+         Map("gene_interaction" -> scan("gene_interactions.txt", "\t",
+           Seq("interaction_num", "interaction_type",
+             "interaction_subtype", "summary", "citation", "a_id",
+             "a_name", "a_role", "b_id", "b_name", "b_role", "overflow"),
+           comment = Some('#')))
+       else Map.empty) ++
+      (if (new java.io.File(dataDir, "gene_descriptions.txt").exists())
+         Map("gene_desc" -> scan("gene_descriptions.txt", "\t",
+           Seq("gene_num", "public_name", "molecular_name",
+             "concise_description", "provisional_description",
+             "detailed_description", "automated_description",
+             "gene_class_description"), comment = Some('#')))
        else Map.empty)
   }
 
@@ -401,13 +421,75 @@ object WormBaseSource extends GraftSource {
         res(col("refCurie"), lit(Vocab.sameAs), col("dbxref")))
     }
 
-    pubXrefTriples.foldLeft(
-      geneTriples
-        .union(apTriples)
-        .union(rpTriples)
-        .union(cinDim)
-        .union(flTriples)
-        .union(daTriples))(_.union(_))
+    // ---- optional gene_interaction tier (py:903-981; opt-in): kept to
+    // 2-participant rows (overflow column null), association id is the
+    // EXPLICIT WormBase interaction id (set_association_id py:975) typed
+    // by the Genetic/Physical/Regulatory dispatch with the
+    // InteractionAssoc 'interacts with' default for anything else
+    val interactionTriples = in.get("gene_interaction").map { gi =>
+      val rows = gi
+        .filter(coalesce(col("interaction_num"), lit("")) =!= "" &&
+          col("overflow").isNull &&
+          coalesce(col("b_id"), lit("")) =!= "")
+        .select(
+          concat(lit("WormBase:"), col("interaction_num")).as("iid"),
+          when(col("interaction_type") === "Genetic", lit("RO:0002435"))
+            .when(col("interaction_type") === "Physical",
+              lit("RO:0002436"))
+            .when(col("interaction_type") === "Regulatory",
+              lit("RO:0002448"))
+            .otherwise(lit("RO:0002434")).as("rel"),
+          concat(lit("WormBase:"), col("a_id")).as("ga"),
+          concat(lit("WormBase:"), col("b_id")).as("gb"),
+          when(coalesce(col("summary"), lit("")) =!= "", col("summary"))
+            .as("summary"))
+      ColumnEmit.emitFiltered(rows,
+        res(col("ga"), col("rel"), col("gb")),
+        res(col("iid"), lit(Vocab.a), lit(Vocab.association)),
+        res(col("iid"), lit(Vocab.assocHasSubject), col("ga")),
+        res(col("iid"), lit(Vocab.assocHasPredicate), col("rel")),
+        res(col("iid"), lit(Vocab.assocHasObject), col("gb")),
+        strT(col("iid"), lit(Vocab.description), col("summary")))
+    }
+
+    // ---- optional gene_desc tier (py:364-409; opt-in): concise
+    // description → definition; the four other variants land
+    // ' [tag]'-suffixed unless duplicate of concise / 'none…' / empty
+    val geneDescTriples = in.get("gene_desc").map { gd =>
+      def cleanCol(c: String) = trim(coalesce(col(c), lit("")))
+      val rows = gd
+        // the reference skips one header row (py:374 next(reader))
+        .filter(cleanCol("gene_num") =!= "" &&
+          col("gene_num") =!= "gene_num")
+        .select(
+          concat(lit("WormBase:"), trim(col("gene_num"))).as("gene"),
+          cleanCol("concise_description").as("concise"),
+          cleanCol("provisional_description").as("provisional"),
+          cleanCol("detailed_description").as("detailed"),
+          cleanCol("automated_description").as("automated"),
+          cleanCol("gene_class_description").as("gene_class"))
+      def descArm(name: String, tag: String) =
+        strT(when(col(name) =!= col("concise") &&
+            !col(name).startsWith("none") && col(name) =!= "",
+          col("gene")), lit(Vocab.description),
+          concat(col(name), lit(s" [$tag]")))
+      ColumnEmit.emitFiltered(rows,
+        strT(when(!col("concise").isin("none available", ""),
+          col("gene")), lit("IAO:0000115"), col("concise")),
+        descArm("provisional", "provisional"),
+        descArm("detailed", "detailed"),
+        descArm("automated", "automated"),
+        descArm("gene_class", "gene class"))
+    }
+
+    (pubXrefTriples.toSeq ++ interactionTriples ++ geneDescTriples)
+      .foldLeft(
+        geneTriples
+          .union(apTriples)
+          .union(rpTriples)
+          .union(cinDim)
+          .union(flTriples)
+          .union(daTriples))(_.union(_))
   }
 
   override def testIds: Seq[String] =
