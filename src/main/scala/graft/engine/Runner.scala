@@ -423,9 +423,30 @@ object ChemDiseaseSource extends GraftSource {
       .map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))
 
+  private def ctdSchema(cols: String*) =
+    org.apache.spark.sql.types.StructType(cols.map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
+
   def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
     "chemicals_diseases" -> graft.sources.DelimitedSource.read(spark,
-      graft.sources.SourceFile(s"$dataDir/chemicals_diseases.tsv", schema)))
+      graft.sources.SourceFile(s"$dataDir/chemicals_diseases.tsv", schema))) ++
+    // the two other CTD row shapes (CTD.py:233-271 genes_pathways,
+    // py:313-424 genes_diseases) — OPT-IN like WormBase's dormant tiers:
+    // present file ⇒ reference-faithful emission, absent ⇒ identical
+    // default output
+    (if (new java.io.File(dataDir, "genes_pathways.tsv").exists())
+       Map("genes_pathways" -> graft.sources.DelimitedSource.read(spark,
+         graft.sources.SourceFile(s"$dataDir/genes_pathways.tsv",
+           ctdSchema("GeneSymbol", "GeneID", "PathwayName", "PathwayID"))))
+     else Map.empty) ++
+    (if (new java.io.File(dataDir, "genes_diseases.tsv").exists())
+       Map("genes_diseases" -> graft.sources.DelimitedSource.read(spark,
+         graft.sources.SourceFile(s"$dataDir/genes_diseases.tsv",
+           ctdSchema("GeneSymbol", "GeneID", "DiseaseName", "DiseaseID",
+             "DirectEvidence", "InferenceChemicalName", "InferenceScore",
+             "OmimIDs", "PubMedIDs"))))
+     else Map.empty)
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     import graft.emit.ColumnEmit
@@ -456,7 +477,84 @@ object ChemDiseaseSource extends GraftSource {
     val pubTriples = ColumnEmit.emit(pubs,
       ColumnEmit.res(col("a"), lit(Vocab.source), col("pmid")),
       ColumnEmit.res(col("pmid"), lit(Vocab.a), lit(Vocab.journalArticle)))
-    assoc.union(classes).union(pubTriples)
+
+    // ---- optional genes_pathways tier (CTD.py:233-271): generic-
+    // pathway scrub, KEGG id rewrite, gene typing, pathway class +
+    // gene-product involvement (the same models/Pathway.py idiom the
+    // KEGG ko tier proves, incl. the resource-label quirk of
+    // Pathway.py:69-70)
+    val pathwayArm = in.get("genes_pathways").map { gp =>
+      val scrub = Seq("REACT:REACT_116125", "REACT:REACT_111045",
+        "REACT:REACT_200794", "REACT:REACT_13685")
+      val rows2 = gp
+        .filter(coalesce(col("PathwayID"), lit("")) =!= "" &&
+          !col("PathwayID").isin(scrub: _*))
+        .select(concat(lit("NCBIGene:"), col("GeneID")).as("gene"),
+          col("PathwayName").as("pname"),
+          when(col("PathwayID").startsWith("KEGG:"),
+            regexp_replace(col("PathwayID"), "^KEGG:", "KEGG-path:map"))
+            .otherwise(col("PathwayID")).as("path"))
+        .withColumn("gprod", concat(lit("_:"), Digest.md5Id(
+          concat(regexp_replace(col("gene"), ":", ""), lit("product")))))
+      ColumnEmit.emitFiltered(rows2,
+        ColumnEmit.res(col("gene"), lit(Vocab.a), lit(Vocab.gene)),
+        ColumnEmit.res(col("path"), lit(Vocab.a), lit(Vocab.owlClass)),
+        ColumnEmit.str(col("path"), lit(Vocab.label), col("pname")),
+        ColumnEmit.res(col("path"), lit(Vocab.subClassOf),
+          lit("GO:0009987")),
+        ColumnEmit.res(col("path"), lit(Vocab.subClassOf),
+          lit("PW:0000001")),
+        ColumnEmit.res(col("gprod"), lit(Vocab.a), lit("CHEBI:33695")),
+        ColumnEmit.res(col("gprod"), lit(Vocab.label), col("path")),
+        ColumnEmit.res(col("gene"), lit("RO:0002205"), col("gprod")),
+        ColumnEmit.res(col("gprod"), lit(Vocab.involvedIn), col("path")))
+    }
+
+    // ---- optional genes_diseases tier (CTD.py:313-424): direct
+    // marker/mechanism rows only, generic-disease scrub, OMIM-preferred
+    // disease id (a single omim_ids entry over a MESH disease id),
+    // MESH-only labels, G2P association with per-PMID journal-article
+    // sources carrying traceable-author-statement evidence
+    val d2gArm = in.get("genes_diseases").map { gd =>
+      val scrub = Seq("MESH:D004283", "MESH:D004195", "MESH:D030342",
+        "MESH:D040181", "MESH:D020022")
+      val rel = lit(Vocab.isMarkerFor)
+      val rows2 = gd
+        .filter(coalesce(col("DirectEvidence"), lit("")) ===
+          "marker/mechanism" && !col("DiseaseID").isin(scrub: _*))
+        .select(concat(lit("NCBIGene:"), col("GeneID")).as("gene"),
+          col("DiseaseName").as("dname"), col("DiseaseID").as("did"),
+          col("OmimIDs").as("omims"), col("PubMedIDs").as("pubs"))
+        .withColumn("disease",
+          when(!col("did").startsWith("OMIM:") &&
+            coalesce(col("omims"), lit("")) =!= "" &&
+            !col("omims").contains("|"),
+            concat(lit("OMIM:"), col("omims"))).otherwise(col("did")))
+        .withColumn("dlabel",
+          when(col("disease").startsWith("MESH"), col("dname")))
+      val assoc2 = ColumnEmit.assocReified(rows2, "EX:ctd",
+        col("gene"), rel, col("disease"))
+      val classes2 = ColumnEmit.emitFiltered(
+        rows2.select("gene", "disease", "dlabel").distinct(),
+        ColumnEmit.res(col("gene"), lit(Vocab.a), lit(Vocab.owlClass)),
+        ColumnEmit.res(col("disease"), lit(Vocab.a), lit(Vocab.owlClass)),
+        ColumnEmit.str(col("disease"), lit(Vocab.label), col("dlabel")))
+      val aid2 = concat(lit("_:"), Digest.md5Id(concat_ws("+",
+        lit("EX:ctd"), col("gene"), rel, col("disease"))))
+      val pubs2 = rows2
+        .filter(coalesce(col("pubs"), lit("")) =!= "")
+        .select(aid2.as("a"), explode(split(col("pubs"), "\\|")).as("pm"))
+        .select(col("a"), concat(lit("PMID:"), col("pm")).as("pmid"))
+      assoc2.union(classes2).union(ColumnEmit.emit(pubs2,
+        ColumnEmit.res(col("a"), lit(Vocab.source), col("pmid")),
+        ColumnEmit.res(col("pmid"), lit(Vocab.a),
+          lit(Vocab.journalArticle)),
+        ColumnEmit.res(col("a"), lit(Vocab.hasEvidence),
+          lit("ECO:0000033"))))
+    }
+
+    (pathwayArm.toSeq ++ d2gArm)
+      .foldLeft(assoc.union(classes).union(pubTriples))(_.union(_))
   }
   override def testIds: Seq[String] = Seq("MESH:D014635")
 }
