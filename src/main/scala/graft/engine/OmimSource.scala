@@ -42,7 +42,34 @@ object OmimApiSource extends GraftSource {
         StructField("preferredTitle", StringType),
         StructField("alternativeTitles", StringType)))),
       StructField("movedTo", StringType))))))
-    Map("entries" -> JsonSource.read(spark, path, Some(schema)))
+    Map("entries" -> JsonSource.read(spark, path, Some(schema))) ++
+      // the two OMIM flat-file passes (_process_morbidmap OMIM.py:512-705,
+      // _process_phenotypicseries OMIM.py:867-943) — OPT-IN like the
+      // engine's other dormant tiers: present file ⇒ reference-faithful
+      // emission, absent ⇒ identical default output. mim2gene stands in
+      // for the omim→ncbigene idmap the reference accumulates from the
+      // API entries' externalLinks.geneIDs (OMIM.py:1019-1035).
+      (if (new java.io.File(dataDir, "morbidmap.txt").exists())
+         Map("morbidmap" -> spark.read.option("sep", "\t")
+           .option("comment", "#")
+           .schema(StructType(Seq("phenotype", "gene_symbols",
+             "mim_number", "cyto_location")
+             .map(StructField(_, StringType))))
+           .csv(s"$dataDir/morbidmap.txt"))
+       else Map.empty) ++
+      (if (new java.io.File(dataDir, "phenotypicSeries.txt").exists())
+         Map("phenotypic_series" -> spark.read.option("sep", "\t")
+           .schema(StructType(Seq("ps_title", "ps_number")
+             .map(StructField(_, StringType))))
+           .csv(s"$dataDir/phenotypicSeries.txt"))
+       else Map.empty) ++
+      (if (new java.io.File(dataDir, "mim2gene.tsv").exists())
+         Map("mim2gene" -> spark.read.option("sep", "\t")
+           .option("comment", "#")
+           .schema(StructType(Seq("mim_number", "mim_type", "entrez_id",
+             "hgnc", "ensembl").map(StructField(_, StringType))))
+           .csv(s"$dataDir/mim2gene.tsv"))
+       else Map.empty)
   }
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
@@ -83,8 +110,87 @@ object OmimApiSource extends GraftSource {
     val header = spark.createDataset(
       Model.classTriples("NCBITaxon:9606", "Homo sapiens") ++
         G.addGenome("NCBITaxon:9606", "Homo sapiens"))
-    entryTriples.union(header)
-      .toDF().dropDuplicates("s", "p", "o", "lit", "dt")
+
+    // ---- optional morbidmap tier (_process_morbidmap OMIM.py:512-705):
+    // gene→disorder rows through the disorder regex (label, 6-digit mim,
+    // optional phene key); nogene rows resolve through the mim2gene
+    // idmap — one association per mapped NCBI gene, an anonymous
+    // '_:feature<mim>' otherwise; the bracket/brace/question-mark label
+    // prefixes pick the relation, the phene key the ECO evidence
+    val morbidTriples = in.get("morbidmap").map { mm =>
+      val tt = graft.core.TranslationTable.forSource("omim")
+      val idmap: Map[String, Seq[String]] = in.get("mim2gene") match {
+        case Some(m2g) =>
+          m2g.filter(coalesce(col("entrez_id"), lit("")) =!= "")
+            .select(col("mim_number"), col("entrez_id"))
+            .as[(String, String)].collect().toSeq
+            .groupBy(_._1.trim).map { case (k, v) =>
+              k -> v.map(_._2.trim)
+            }
+        case None => Map.empty
+      }
+      val idmapB = spark.sparkContext.broadcast(idmap)
+      val ts = mm
+        .filter(coalesce(col("phenotype"), lit("")) =!= "" &&
+          coalesce(col("mim_number"), lit("")) =!= "")
+        .select(col("phenotype"), col("mim_number"))
+        .as[(String, String)]
+        .flatMap { case (disorder, geneNum0) =>
+          val geneNum = geneNum0.trim
+          val disorderRe = """(.*), (\d{6})\s*(?:\((\d+)\))?""".r
+          val nogeneRe = """(.*)\s+\((\d+)\)""".r
+          def assoc(subj: String, disorderNum: String, label: String,
+                    pheneKey: String): Seq[Triple] = {
+            val disorderId = s"OMIM:$disorderNum"
+            val rel =
+              if (label.startsWith("[")) Vocab.isMarkerFor
+              else if (label.startsWith("{")) "RO:0002326"
+              else if (label.startsWith("?")) "RO:0002326"
+              else "RO:0003303"
+            val evidence = Option(pheneKey).filter(_.nonEmpty)
+              .map(k => tt.resolve(k, mandatory = false))
+              .filter(e => e != pheneKey).toSeq
+            graft.emit.Association("EX:omim", subj, rel, disorderId,
+              evidence = evidence,
+              explicitId = Some("_:" + Digest.assocIdScalaMd5("EX:omim",
+                subj, rel, disorderId))).triples
+          }
+          disorder match {
+            case disorderRe(label, num, key) =>
+              assoc(s"OMIM:$geneNum", num, label,
+                Option(key).getOrElse(""))
+            case nogeneRe(label, key) =>
+              idmapB.value.get(geneNum) match {
+                case Some(genes) =>
+                  genes.flatMap(g =>
+                    assoc(s"NCBIGene:$g", geneNum, label, key))
+                case None =>
+                  assoc(s"_:feature$geneNum", geneNum, label, key)
+              }
+            case _ => Nil // misformatted row (reference warns)
+          }
+        }
+      ts.toDF()
+    }
+
+    // ---- optional phenotypic-series tier (_process_phenotypicseries
+    // OMIM.py:867-910): OMIMPS grouping classes; the file's 4 prose
+    // header lines + the column header are not PS rows and filter out
+    val psTriples = in.get("phenotypic_series").map { ps =>
+      ps.filter(coalesce(col("ps_number"), lit("")).rlike("^PS\\d+"))
+        .select(col("ps_title"), col("ps_number"))
+        .as[(String, String)]
+        .flatMap { case (title, num) =>
+          // the full 'PS…' token stays in the local part
+          // (curie_map 'OMIMPS' → …/phenotypicSeries/, OMIM.py:908)
+          Model.classTriples(s"OMIMPS:${num.trim}", title.trim)
+        }
+        .toDF()
+    }
+
+    (morbidTriples.toSeq ++ psTriples)
+      .foldLeft(entryTriples.union(header).toDF())(_ union _)
+      .dropDuplicates("s", "p", "o", "lit", "dt")
   }
 
   override def testIds: Seq[String] = Seq("OMIM:5")
