@@ -309,9 +309,28 @@ object DiseasePhenotypeSource extends GraftSource {
       .map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))
 
+  private val commonSchema = org.apache.spark.sql.types.StructType(
+    Seq("Disease ID", "Disease Name", "Gene ID", "Gene Name", "Genotype",
+      "Gene Symbol(s)", "Phenotype ID", "Phenotype Name",
+      "Age of Onset ID", "Age of Onset Name", "Evidence ID",
+      "Evidence Name", "Frequency", "Sex ID", "Sex Name", "Negation ID",
+      "Negation Name", "Description", "Pub", "Assigned by",
+      "Date Created")
+      .map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
+
   def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = Map(
     "annotations" -> graft.sources.DelimitedSource.read(spark,
-      graft.sources.SourceFile(s"$dataDir/annotations.tsv", schema)))
+      graft.sources.SourceFile(s"$dataDir/annotations.tsv", schema))) ++
+    // the common-disease small-file pass
+    // (process_common_disease_file HPOAnnotations.py:430-545) — OPT-IN:
+    // the landed concatenation of the per-disease git files, 21-column
+    // small-file format (py:84-110)
+    (if (new java.io.File(dataDir, "common_diseases.tsv").exists())
+       Map("common_diseases" -> graft.sources.DelimitedSource.read(spark,
+         graft.sources.SourceFile(s"$dataDir/common_diseases.tsv",
+           commonSchema)))
+     else Map.empty)
 
   def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame = {
     import graft.emit.ColumnEmit
@@ -397,8 +416,68 @@ object DiseasePhenotypeSource extends GraftSource {
       auto(col("aid"), lit(Vocab.onset), col("onq")),
       auto(col("aid"), lit(Vocab.frequency), col("frq")))
 
-    preClasses.union(hpClasses).union(sexTriples)
-      .union(pubTriples).union(coreTriples)
+    // ---- optional common-disease tier (process_common_disease_file
+    // HPOAnnotations.py:430-545): DOID/MESH id scrub, negated rows
+    // skipped, D2P with onset+frequency folded into the digest,
+    // evidence through the same hpoa localtt (ITM fallback on unknown
+    // codes), description, ';'-split sources with the malformed /
+    // self-referential skips. Unlike the main tier, the association
+    // lands whether or not any reference routes (py:533 sits OUTSIDE
+    // the pub loop). The reference's unpadded-DOID remap runs against a
+    // stopgap-empty set (py:418-419) — a no-op, not re-modeled.
+    val commonTriples = in.get("common_diseases").map { cd =>
+      val rows = cd
+        .filter(coalesce(col("Negation ID"), lit("")) === "" &&
+          coalesce(col("Disease ID"), lit("")) =!= "" &&
+          coalesce(col("Phenotype ID"), lit("")) =!= "")
+        .select(
+          regexp_replace(regexp_replace(trim(col("Disease ID")),
+            "DO(ID)?[-:](DOID:)?", "DOID:"), "MESH-", "MESH:").as("dz"),
+          trim(col("Phenotype ID")).as("hp"),
+          when(coalesce(col("Age of Onset ID"), lit("")) =!= "",
+            col("Age of Onset ID")).as("onq"),
+          when(coalesce(col("Frequency"), lit("")) =!= "",
+            col("Frequency")).as("frq"),
+          coalesce(tt.resolveCol(coalesce(col("Evidence ID"), lit(""))),
+            lit(tt.resolve("ITM"))).as("eco0"),
+          when(coalesce(col("Description"), lit("")) =!= "",
+            col("Description")).as("desc"),
+          coalesce(col("Pub"), lit("")).as("refs"))
+        // an unknown evidence code resolves to itself — remap to ITM
+        // (py:506-508)
+        .withColumn("eco", when(col("eco0").startsWith("ECO:"),
+          col("eco0")).otherwise(lit(tt.resolve("ITM"))))
+        .withColumn("aid", concat(lit("_:"), graft.core.Digest.md5Id(
+          concat_ws("+", lit(definedBy), col("dz"),
+            lit(Vocab.hasPhenotype), col("hp"), col("onq"), col("frq")))))
+      val core2 = ColumnEmit.emitFiltered(rows,
+        res(col("dz"), lit(Vocab.hasPhenotype), col("hp")),
+        res(col("aid"), lit(Vocab.a), lit(Vocab.association)),
+        res(col("aid"), lit(Vocab.assocHasSubject), col("dz")),
+        res(col("aid"), lit(Vocab.assocHasPredicate),
+          lit(Vocab.hasPhenotype)),
+        res(col("aid"), lit(Vocab.assocHasObject), col("hp")),
+        res(col("aid"), lit(Vocab.hasEvidence), col("eco")),
+        auto(col("aid"), lit(Vocab.onset), col("onq")),
+        auto(col("aid"), lit(Vocab.frequency), col("frq")),
+        ColumnEmit.str(col("aid"), lit(Vocab.description), col("desc")))
+      val pubs2 = rows
+        .select(col("aid"), col("desc"),
+          explode(split(col("refs"), ";")).as("pub0"))
+        .withColumn("pub", regexp_replace(col("pub0"), " +", ""))
+        .filter(col("pub") =!= "" &&
+          (col("pub").startsWith("http") ||
+            col("pub").rlike(graft.core.Triple.CurieShape)) &&
+          !col("pub").rlike("DOID|MESH") &&
+          !coalesce(col("desc"), lit(""))
+            .contains("Disease name contained"))
+      core2.union(ColumnEmit.emit(pubs2,
+        res(col("aid"), lit(Vocab.source), col("pub"))))
+    }
+
+    commonTriples.foldLeft(
+      preClasses.union(hpClasses).union(sexTriples)
+        .union(pubTriples).union(coreTriples))(_.union(_))
   }
   override def testIds: Seq[String] = Seq("OMIM:119600")
 }
