@@ -33,15 +33,21 @@ import graft.sources.JsonSource
 object OmimApiSource extends GraftSource {
   val name = "omim_api"
 
-  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
-    val path = OmimApiLanding.ensure(spark, dataDir)
-    val schema = StructType(Seq(StructField("entry", StructType(Seq(
+  /** The landed entry-envelope schema (one JSON entry per line,
+    * OMIM.py:269-306). Public so query derivations can build an empty
+    * entries relation when exercising only the flat-file tiers. */
+  val entriesSchema: StructType = StructType(Seq(StructField("entry",
+    StructType(Seq(
       StructField("mimNumber", LongType),
       StructField("prefix", StringType),
       StructField("titles", StructType(Seq(
         StructField("preferredTitle", StringType),
         StructField("alternativeTitles", StringType)))),
       StructField("movedTo", StringType))))))
+
+  def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
+    val path = OmimApiLanding.ensure(spark, dataDir)
+    val schema = entriesSchema
     Map("entries" -> JsonSource.read(spark, path, Some(schema))) ++
       // the two OMIM flat-file passes (_process_morbidmap OMIM.py:512-705,
       // _process_phenotypicseries OMIM.py:867-943) — OPT-IN like the

@@ -2081,6 +2081,205 @@ object RdfQueries {
         "articles" -> articles, "article_breed" -> articleBreed,
         "article_phene" -> articlePhene, "lida_links" -> lida,
         "omia_group" -> groups, "group_mpo" -> mpo)).distinct()
+    }),
+
+    // §3.2 end-to-end ingest — OMIM morbidmap + phenotypic series
+    // (OMIM.py:512-705, 867-910): the disorder regex across all four
+    // label prefixes (plain / [nondisease] / {susceptibility} /
+    // ?provisional), the nogene arm through the mim2gene idmap with the
+    // anonymous-feature fallback, phene-key ECO evidence, and OMIMPS
+    // grouping classes. Entries relation empty — only the flat-file
+    // tiers + the per-run header are under test.
+    "p38_omim_morbidmap_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val dnum = lpad((ok % 900 + 100000).cast("string"), 6, "0")
+      val morbid = Tables.orders(s, d).select(
+        when(ok % 5 === 0, concat(lit("Disorder "), ok % 1000, lit(", "),
+          dnum, lit(" (1)")))
+          .when(ok % 5 === 1, concat(lit("[Nondisease "), ok % 1000,
+            lit("], "), dnum, lit(" (3)")))
+          .when(ok % 5 === 2, concat(lit("{Susceptibility "), ok % 1000,
+            lit("}, "), dnum, lit(" (2)")))
+          .when(ok % 5 === 3, concat(lit("?Provisional "), ok % 1000,
+            lit(", "), dnum))
+          .otherwise(concat(lit("Nogene trait "), ok % 1000, lit(" (2)")))
+          .as("phenotype"),
+        lit("SYM").as("gene_symbols"),
+        (ok % 700 + 600000).cast("string").as("mim_number"),
+        lit("1p1").as("cyto_location"))
+      val mim2gene = Tables.customer(s, d)
+        .filter(col("c_custkey") % 3 === 0).select(
+          (col("c_custkey") % 700 + 600000).cast("string")
+            .as("mim_number"),
+          lit("phenotype").as("mim_type"),
+          (col("c_custkey") * 13).cast("string").as("entrez_id"),
+          lit("").as("hgnc"), lit("").as("ensembl"))
+      val ps = Tables.nation(s, d).select(
+        concat(lit("Series "), col("n_nationkey")).as("ps_title"),
+        concat(lit("PS"), col("n_nationkey") + 100000).as("ps_number"))
+      val entries = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.engine.OmimApiSource.entriesSchema)
+      graft.engine.OmimApiSource.transform(s, Map(
+        "entries" -> entries, "morbidmap" -> morbid,
+        "mim2gene" -> mim2gene, "phenotypic_series" -> ps)).distinct()
+    }),
+
+    // §3.2 end-to-end ingest — WormBase dormant tiers (gene_interaction
+    // WormBase.py:903-981, gene_desc py:364-409): 2-participant
+    // interactions with the explicit WormBase association id and the
+    // Genetic/Physical/Regulatory/default relation dispatch (>2-gene
+    // rows skipped via the overflow column), and the five-way gene
+    // description routing with 'none…'/duplicate/empty skips. Base
+    // WormBase inputs empty — only the dormant tiers are under test.
+    "p39_wormbase_dormant_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      def emptyDf(cols: Seq[String]) = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(cols.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType))))
+      val gi = Tables.orders(s, d).select(
+        concat(lit("WBInteraction"), ok).as("interaction_num"),
+        element_at(array(lit("Genetic"), lit("Physical"),
+          lit("Regulatory"), lit("Epistatic")), (ok % 4 + 1).cast("int"))
+          .as("interaction_type"),
+        lit("").as("interaction_subtype"),
+        when(ok % 3 === 0, concat(lit("summary "), ok)).otherwise(lit(""))
+          .as("summary"),
+        lit("WBPaper1").as("citation"),
+        concat(lit("WBGene"), ok % 5000).as("a_id"),
+        lit("a").as("a_name"), lit("Effector").as("a_role"),
+        concat(lit("WBGene"), (ok * 7 + 1) % 5000).as("b_id"),
+        lit("b").as("b_name"), lit("Effected").as("b_role"),
+        when(ok % 11 === 0, lit("x")).otherwise(lit(null).cast("string"))
+          .as("overflow"))
+      val c = col("c_custkey")
+      val gd = Tables.customer(s, d).select(
+        concat(lit("WBGene"), c).as("gene_num"),
+        lit("pn").as("public_name"), lit("mn").as("molecular_name"),
+        when(c % 4 === 0, lit("none available"))
+          .otherwise(concat(lit("concise "), c))
+          .as("concise_description"),
+        when(c % 3 === 0, concat(lit("prov "), c)).otherwise(lit(""))
+          .as("provisional_description"),
+        when(c % 5 === 0, concat(lit("concise "), c))
+          .otherwise(concat(lit("detail "), c))
+          .as("detailed_description"),
+        lit("none available").as("automated_description"),
+        when(c % 7 === 0, concat(lit("class "), c)).otherwise(lit(""))
+          .as("gene_class_description"))
+      graft.engine.WormBaseSource.transform(s, Map(
+        "gene_ids" -> emptyDf(Seq("taxon_num", "gene_num", "gene_symbol",
+          "gene_synonym", "live", "gene_type")),
+        "allele_pheno" -> emptyDf(graft.engine.WormBaseSource.gafColumns),
+        "rnai_pheno" -> emptyDf(Seq("gene_num", "gene_alt_symbol",
+          "phenotype_label", "phenotype_id", "rnai_and_refs")),
+        "feature_loc" -> emptyDf(Seq("seqid", "source", "ftype", "start",
+          "end", "score", "strand", "phase", "attributes", "build")),
+        "disease_assoc" -> emptyDf(graft.engine.WormBaseSource.gafColumns),
+        "gene_interaction" -> gi, "gene_desc" -> gd)).distinct()
+    }),
+
+    // §3.2 end-to-end ingest — CTD dormant tiers (genes_pathways
+    // CTD.py:233-271, genes_diseases py:313-424): generic-pathway scrub
+    // + KEGG rewrite + gene-product involvement, and the
+    // marker/mechanism-only G2D arm with the generic-disease scrub, the
+    // OMIM-preferred disease id (single omim over MESH), MESH-only
+    // labels and per-PMID TAS-decorated sources. The chem↔disease base
+    // input is empty — only the dormant tiers are under test.
+    "p40_ctd_dict_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val pk = col("p_partkey")
+      def emptyDf(cols: Seq[String]) = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(cols.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType))))
+      val gp = Tables.part(s, d).select(
+        lit("SYM").as("GeneSymbol"),
+        (pk % 3000).cast("string").as("GeneID"),
+        concat(lit("pathway "), pk % 200).as("PathwayName"),
+        when(pk % 4 === 0, concat(lit("KEGG:"),
+          lpad((pk % 200).cast("string"), 5, "0")))
+          .when(pk % 17 === 0, lit("REACT:REACT_116125"))
+          .otherwise(concat(lit("REACT:REACT_"), pk % 200))
+          .as("PathwayID"))
+      val gdd = Tables.orders(s, d).select(
+        lit("SYM").as("GeneSymbol"),
+        (ok % 4000).cast("string").as("GeneID"),
+        concat(lit("disease "), ok % 300).as("DiseaseName"),
+        when(ok % 6 === 0, concat(lit("OMIM:"), ok % 300 + 300000))
+          .when(ok % 6 === 1, lit("MESH:D004283"))
+          .otherwise(concat(lit("MESH:D"),
+            lpad((ok % 300).cast("string"), 6, "0"))).as("DiseaseID"),
+        when(ok % 5 === 4, lit("therapeutic"))
+          .otherwise(lit("marker/mechanism")).as("DirectEvidence"),
+        lit("").as("InferenceChemicalName"),
+        lit("").as("InferenceScore"),
+        when(ok % 7 === 0, (ok % 300 + 300000).cast("string"))
+          .when(ok % 7 === 1, concat((ok % 300 + 300000).cast("string"),
+            lit("|"), (ok % 300 + 300001).cast("string")))
+          .otherwise(lit("")).as("OmimIDs"),
+        when(ok % 3 === 0, concat((ok + 900000).cast("string"), lit("|"),
+          (ok + 900001).cast("string"))).otherwise(lit(""))
+          .as("PubMedIDs"))
+      graft.engine.ChemDiseaseSource.transform(s, Map(
+        "chemicals_diseases" -> emptyDf(Seq("ChemicalName", "ChemicalID",
+          "CasRN", "DiseaseName", "DiseaseID", "DirectEvidence",
+          "InferenceGeneSymbol", "InferenceScore", "OmimIDs",
+          "PubMedIDs")),
+        "genes_pathways" -> gp, "genes_diseases" -> gdd)).distinct()
+    }),
+
+    // §3.2 end-to-end ingest — HPOA common-disease small files
+    // (process_common_disease_file HPOAnnotations.py:430-545): the
+    // DOID-DOID:/MESH- id scrubs, negation skip, onset+frequency folded
+    // digests, localtt evidence with the ITM fallback, and the
+    // ';'-split source routing (space scrub, DOID/MESH self-reference
+    // skip, http pass-through). Main annotations input empty.
+    "p41_hpoa_common_pipeline" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      def emptyDf(cols: Seq[String]) = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(cols.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType))))
+      val cd = Tables.orders(s, d).select(
+        when(ok % 7 === 0, concat(lit("DOID-DOID:"), ok % 400))
+          .when(ok % 7 === 1, concat(lit("MESH-D"),
+            lpad((ok % 400).cast("string"), 6, "0")))
+          .otherwise(concat(lit("DOID:"), ok % 400)).as("Disease ID"),
+        lit("dn").as("Disease Name"), lit("").as("Gene ID"),
+        lit("").as("Gene Name"), lit("").as("Genotype"),
+        lit("").as("Gene Symbol(s)"),
+        concat(lit("HP:"), lpad((ok % 600).cast("string"), 7, "0"))
+          .as("Phenotype ID"),
+        lit("pn").as("Phenotype Name"),
+        when(ok % 4 === 0, concat(lit("HP:000"), ok % 9 + 1))
+          .otherwise(lit("")).as("Age of Onset ID"),
+        lit("").as("Age of Onset Name"),
+        element_at(array(lit("IEA"), lit("TAS"), lit("PCS"), lit("XYZ")),
+          (ok % 4 + 1).cast("int")).as("Evidence ID"),
+        lit("").as("Evidence Name"),
+        when(ok % 5 === 0, concat((ok % 30).cast("string"), lit("/45")))
+          .otherwise(lit("")).as("Frequency"),
+        lit("").as("Sex ID"), lit("").as("Sex Name"),
+        when(ok % 13 === 0, lit("HP:0003674")).otherwise(lit(""))
+          .as("Negation ID"),
+        lit("").as("Negation Name"),
+        when(ok % 9 === 0, concat(lit("desc "), ok)).otherwise(lit(""))
+          .as("Description"),
+        when(ok % 3 === 0, concat(lit("PMID:"), ok + 700000,
+          lit(";DOID:99")))
+          .when(ok % 3 === 1, lit("http://x/y z")).otherwise(lit(""))
+          .as("Pub"),
+        lit("").as("Assigned by"), lit("").as("Date Created"))
+      graft.engine.DiseasePhenotypeSource.transform(s, Map(
+        "annotations" -> emptyDf(Seq("DatabaseID", "DiseaseName",
+          "Qualifier", "HPO_ID", "Reference", "Evidence", "Onset",
+          "Frequency", "Sex", "Modifier", "Aspect", "Biocuration")),
+        "common_diseases" -> cd)).distinct()
     })
   )
 
@@ -6174,6 +6373,233 @@ object RdfQueries {
            UNION ALL SELECT aid, 'OBAN:association_has_predicate',
              'RO:0002200', false, NULL FROM gm2
            UNION ALL SELECT aid, 'OBAN:association_has_object', mpo,
-             false, NULL FROM gm2) t"""
+             false, NULL FROM gm2) t""",
+    "p38_omim_morbidmap_pipeline" ->
+      """WITH m AS (
+           SELECT o_orderkey AS ok,
+                  (o_orderkey % 900 + 100000)::varchar AS dnum,
+                  (o_orderkey % 700 + 600000)::varchar AS gnum
+           FROM orders),
+         dis AS (
+           SELECT ok, 'OMIM:'||gnum AS subj, 'OMIM:'||dnum AS obj,
+             CASE (ok % 5) WHEN 0 THEN 'RO:0003303'
+                  WHEN 1 THEN 'RO:0002607' ELSE 'RO:0002326' END AS rel,
+             CASE (ok % 5) WHEN 0 THEN 'ECO:0000306'
+                  WHEN 1 THEN 'ECO:0000220'
+                  WHEN 2 THEN 'ECO:0000177' END AS eco
+           FROM m WHERE ok % 5 < 4),
+         m2g AS (
+           SELECT DISTINCT (c_custkey % 700 + 600000)::varchar AS gnum,
+                  'NCBIGene:'||(c_custkey * 13)::varchar AS gene
+           FROM customer WHERE c_custkey % 3 = 0),
+         nog0 AS (SELECT DISTINCT gnum FROM m WHERE ok % 5 = 4),
+         nog AS (
+           SELECT n.gnum,
+                  coalesce(g.gene, '_:feature'||n.gnum) AS subj
+           FROM nog0 n LEFT JOIN m2g g USING (gnum)),
+         assocs AS (
+           SELECT subj, rel, obj, eco FROM dis
+           UNION ALL
+           SELECT subj, 'RO:0003303', 'OMIM:'||gnum, 'ECO:0000177'
+           FROM nog),
+         a2 AS (
+           SELECT DISTINCT subj, rel, obj, eco,
+             '_:b'||substr(md5('EX:omim+'||subj||'+'||rel||'+'||obj),
+               2, 19) AS aid
+           FROM assocs)
+         SELECT DISTINCT * FROM (
+           SELECT subj AS s, rel AS p, obj AS o, false AS lit,
+                  CAST(NULL AS VARCHAR) AS dt FROM a2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM a2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', subj,
+             false, NULL FROM a2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate', rel,
+             false, NULL FROM a2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', obj,
+             false, NULL FROM a2
+           UNION ALL SELECT aid, 'RO:0002558', eco, false, NULL
+             FROM a2 WHERE eco IS NOT NULL
+           UNION ALL SELECT 'OMIMPS:PS'||(n_nationkey+100000)::varchar,
+             'rdf:type', 'owl:Class', false, NULL FROM nation
+           UNION ALL SELECT 'OMIMPS:PS'||(n_nationkey+100000)::varchar,
+             'rdfs:label', 'Series '||n_nationkey::varchar, true, NULL
+             FROM nation
+           UNION ALL SELECT 'NCBITaxon:9606', 'rdf:type', 'owl:Class',
+             false, NULL
+           UNION ALL SELECT 'NCBITaxon:9606', 'rdfs:label',
+             'Homo sapiens', true, NULL
+           UNION ALL SELECT 'NCBITaxon:9606#genome', 'rdf:type',
+             'SO:0001026', false, NULL
+           UNION ALL SELECT 'NCBITaxon:9606#genome', 'rdfs:label',
+             'Homo sapiens genome', true, NULL) t""",
+    "p39_wormbase_dormant_pipeline" ->
+      """WITH gi AS (
+           SELECT 'WormBase:WBInteraction'||o_orderkey::varchar AS iid,
+             CASE (o_orderkey % 4) WHEN 0 THEN 'RO:0002435'
+                  WHEN 1 THEN 'RO:0002436' WHEN 2 THEN 'RO:0002448'
+                  ELSE 'RO:0002434' END AS rel,
+             'WormBase:WBGene'||(o_orderkey % 5000)::varchar AS ga,
+             'WormBase:WBGene'||((o_orderkey*7+1) % 5000)::varchar AS gb,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'summary '||o_orderkey::varchar END AS summ
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         gd AS (
+           SELECT 'WormBase:WBGene'||c_custkey::varchar AS gene,
+             c_custkey AS c,
+             CASE WHEN c_custkey % 4 = 0 THEN 'none available'
+                  ELSE 'concise '||c_custkey::varchar END AS concise
+           FROM customer)
+         SELECT DISTINCT * FROM (
+           SELECT ga AS s, rel AS p, gb AS o, false AS lit,
+                  CAST(NULL AS VARCHAR) AS dt FROM gi
+           UNION ALL SELECT iid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM gi
+           UNION ALL SELECT iid, 'OBAN:association_has_subject', ga,
+             false, NULL FROM gi
+           UNION ALL SELECT iid, 'OBAN:association_has_predicate', rel,
+             false, NULL FROM gi
+           UNION ALL SELECT iid, 'OBAN:association_has_object', gb,
+             false, NULL FROM gi
+           UNION ALL SELECT iid, 'dc:description', summ, true, NULL
+             FROM gi WHERE summ IS NOT NULL
+           UNION ALL SELECT gene, 'IAO:0000115', concise, true, NULL
+             FROM gd WHERE c % 4 <> 0
+           UNION ALL SELECT gene, 'dc:description',
+             'prov '||c::varchar||' [provisional]', true, NULL
+             FROM gd WHERE c % 3 = 0
+           UNION ALL SELECT gene, 'dc:description',
+             'concise '||c::varchar||' [detailed]', true, NULL
+             FROM gd WHERE c % 5 = 0 AND c % 4 = 0
+           UNION ALL SELECT gene, 'dc:description',
+             'detail '||c::varchar||' [detailed]', true, NULL
+             FROM gd WHERE c % 5 <> 0
+           UNION ALL SELECT gene, 'dc:description',
+             'class '||c::varchar||' [gene class]', true, NULL
+             FROM gd WHERE c % 7 = 0) t""",
+    "p40_ctd_dict_pipeline" ->
+      """WITH gp AS (
+           SELECT 'NCBIGene:'||(p_partkey % 3000)::varchar AS gene,
+             'pathway '||(p_partkey % 200)::varchar AS pname,
+             CASE WHEN p_partkey % 4 = 0
+               THEN 'KEGG-path:map'||lpad((p_partkey % 200)::varchar,5,'0')
+               ELSE 'REACT:REACT_'||(p_partkey % 200)::varchar END AS path
+           FROM part
+           WHERE p_partkey % 4 = 0 OR p_partkey % 17 <> 0),
+         gp2 AS (
+           SELECT *, '_:b'||substr(md5(replace(gene, ':', '')
+             ||'product'),2,19) AS gprod
+           FROM gp),
+         gdd0 AS (
+           SELECT o_orderkey AS ok,
+             'NCBIGene:'||(o_orderkey % 4000)::varchar AS gene,
+             'disease '||(o_orderkey % 300)::varchar AS dname,
+             CASE WHEN o_orderkey % 6 = 0
+                  THEN 'OMIM:'||(o_orderkey % 300 + 300000)::varchar
+                  ELSE 'MESH:D'||lpad((o_orderkey % 300)::varchar,6,'0')
+                  END AS did,
+             (o_orderkey % 7 = 0) AS singleomim,
+             'OMIM:'||(o_orderkey % 300 + 300000)::varchar AS omim1
+           FROM orders
+           WHERE o_orderkey % 5 <> 4 AND o_orderkey % 6 <> 1),
+         gdd AS (
+           SELECT *,
+             CASE WHEN did NOT LIKE 'OMIM:%' AND singleomim THEN omim1
+                  ELSE did END AS disease
+           FROM gdd0),
+         gdd2 AS (
+           SELECT *, '_:b'||substr(md5('EX:ctd+'||gene
+             ||'+RO:0002607+'||disease),2,19) AS aid
+           FROM gdd),
+         pubs AS (
+           SELECT aid, 'PMID:'||(ok + 900000)::varchar AS pm1,
+                  'PMID:'||(ok + 900001)::varchar AS pm2
+           FROM gdd2 WHERE ok % 3 = 0)
+         SELECT DISTINCT * FROM (
+           SELECT gene AS s, 'rdf:type' AS p, 'SO:0000704' AS o,
+                  false AS lit, CAST(NULL AS VARCHAR) AS dt FROM gp
+           UNION ALL SELECT path, 'rdf:type', 'owl:Class', false, NULL
+             FROM gp
+           UNION ALL SELECT path, 'rdfs:label', pname, true, NULL FROM gp
+           UNION ALL SELECT path, 'rdfs:subClassOf', 'GO:0009987',
+             false, NULL FROM gp
+           UNION ALL SELECT path, 'rdfs:subClassOf', 'PW:0000001',
+             false, NULL FROM gp
+           UNION ALL SELECT gprod, 'rdf:type', 'CHEBI:33695', false,
+             NULL FROM gp2
+           UNION ALL SELECT gprod, 'rdfs:label', path, false, NULL
+             FROM gp2
+           UNION ALL SELECT gene, 'RO:0002205', gprod, false, NULL
+             FROM gp2
+           UNION ALL SELECT gprod, 'RO:0002331', path, false, NULL
+             FROM gp2
+           UNION ALL SELECT gene, 'RO:0002607', disease, false, NULL
+             FROM gdd2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM gdd2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', gene,
+             false, NULL FROM gdd2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002607', false, NULL FROM gdd2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', disease,
+             false, NULL FROM gdd2
+           UNION ALL SELECT gene, 'rdf:type', 'owl:Class', false, NULL
+             FROM gdd2
+           UNION ALL SELECT disease, 'rdf:type', 'owl:Class', false,
+             NULL FROM gdd2
+           UNION ALL SELECT disease, 'rdfs:label', dname, true, NULL
+             FROM gdd2 WHERE disease LIKE 'MESH%'
+           UNION ALL SELECT aid, 'dc:source', pm1, false, NULL FROM pubs
+           UNION ALL SELECT aid, 'dc:source', pm2, false, NULL FROM pubs
+           UNION ALL SELECT pm1, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM pubs
+           UNION ALL SELECT pm2, 'rdf:type', 'IAO:0000013', false, NULL
+             FROM pubs
+           UNION ALL SELECT aid, 'RO:0002558', 'ECO:0000033', false,
+             NULL FROM pubs) t""",
+    "p41_hpoa_common_pipeline" ->
+      """WITH cd AS (
+           SELECT o_orderkey AS ok,
+             CASE WHEN o_orderkey % 7 = 1
+                  THEN 'MESH:D'||lpad((o_orderkey % 400)::varchar,6,'0')
+                  ELSE 'DOID:'||(o_orderkey % 400)::varchar END AS dz,
+             'HP:'||lpad((o_orderkey % 600)::varchar,7,'0') AS hp,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN 'HP:000'||(o_orderkey % 9 + 1)::varchar END AS onq,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN (o_orderkey % 30)::varchar||'/45' END AS frq,
+             CASE (o_orderkey % 4) WHEN 0 THEN 'ECO:0000501'
+                  WHEN 1 THEN 'ECO:0000304' WHEN 2 THEN 'ECO:0000269'
+                  ELSE 'ECO:0000246' END AS eco,
+             CASE WHEN o_orderkey % 9 = 0
+                  THEN 'desc '||o_orderkey::varchar END AS descr,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'PMID:'||(o_orderkey + 700000)::varchar
+                  WHEN o_orderkey % 3 = 1 THEN 'http://x/yz' END AS pub
+           FROM orders WHERE o_orderkey % 13 <> 0),
+         cd2 AS (
+           SELECT *, '_:b'||substr(md5(concat_ws('+', 'EX:hpoa', dz,
+             'RO:0002200', hp, onq, frq)),2,19) AS aid
+           FROM cd)
+         SELECT DISTINCT * FROM (
+           SELECT dz AS s, 'RO:0002200' AS p, hp AS o, false AS lit,
+                  CAST(NULL AS VARCHAR) AS dt FROM cd2
+           UNION ALL SELECT aid, 'rdf:type', 'OBAN:association', false,
+             NULL FROM cd2
+           UNION ALL SELECT aid, 'OBAN:association_has_subject', dz,
+             false, NULL FROM cd2
+           UNION ALL SELECT aid, 'OBAN:association_has_predicate',
+             'RO:0002200', false, NULL FROM cd2
+           UNION ALL SELECT aid, 'OBAN:association_has_object', hp,
+             false, NULL FROM cd2
+           UNION ALL SELECT aid, 'RO:0002558', eco, false, NULL FROM cd2
+           UNION ALL SELECT aid, 'EXP:onset', onq, false, NULL
+             FROM cd2 WHERE onq IS NOT NULL
+           UNION ALL SELECT aid, 'EXP:frequency', frq, true, NULL
+             FROM cd2 WHERE frq IS NOT NULL
+           UNION ALL SELECT aid, 'dc:description', descr, true, NULL
+             FROM cd2 WHERE descr IS NOT NULL
+           UNION ALL SELECT aid, 'dc:source', pub, false, NULL
+             FROM cd2 WHERE pub IS NOT NULL) t"""
   )
 }
