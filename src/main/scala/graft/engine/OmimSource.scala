@@ -125,24 +125,27 @@ object OmimApiSource extends GraftSource {
     // prefixes pick the relation, the phene key the ECO evidence
     val morbidTriples = in.get("morbidmap").map { mm =>
       val tt = graft.core.TranslationTable.forSource("omim")
-      val idmap: Map[String, Seq[String]] = in.get("mim2gene") match {
+      // the reference's omim→ncbigene idmap as a RELATION, not a driver
+      // hash: mim2gene is dimension-sized, so the per-mim gene list
+      // broadcasts as a left join against the morbidmap fact rows — no
+      // collect, no driver path, holds at any morbidmap volume
+      val idmapDf = in.get("mim2gene") match {
         case Some(m2g) =>
           m2g.filter(coalesce(col("entrez_id"), lit("")) =!= "")
-            .select(col("mim_number"), col("entrez_id"))
-            .as[(String, String)].collect().toSeq
-            .groupBy(_._1.trim).map { case (k, v) =>
-              k -> v.map(_._2.trim)
-            }
-        case None => Map.empty
+            .groupBy(trim(col("mim_number")).as("mim_number"))
+            .agg(collect_list(trim(col("entrez_id"))).as("gene_ids"))
+        case None =>
+          spark.emptyDataset[(String, Seq[String])]
+            .toDF("mim_number", "gene_ids")
       }
-      val idmapB = spark.sparkContext.broadcast(idmap)
       val ts = mm
         .filter(coalesce(col("phenotype"), lit("")) =!= "" &&
           coalesce(col("mim_number"), lit("")) =!= "")
-        .select(col("phenotype"), col("mim_number"))
-        .as[(String, String)]
-        .flatMap { case (disorder, geneNum0) =>
-          val geneNum = geneNum0.trim
+        .select(col("phenotype"), trim(col("mim_number")).as("mim_number"))
+        .join(broadcast(idmapDf), Seq("mim_number"), "left")
+        .select(col("phenotype"), col("mim_number"), col("gene_ids"))
+        .as[(String, String, Option[Seq[String]])]
+        .flatMap { case (disorder, geneNum, geneIds) =>
           val disorderRe = """(.*), (\d{6})\s*(?:\((\d+)\))?""".r
           val nogeneRe = """(.*)\s+\((\d+)\)""".r
           def assoc(subj: String, disorderNum: String, label: String,
@@ -166,7 +169,7 @@ object OmimApiSource extends GraftSource {
               assoc(s"OMIM:$geneNum", num, label,
                 Option(key).getOrElse(""))
             case nogeneRe(label, key) =>
-              idmapB.value.get(geneNum) match {
+              geneIds.filter(_.nonEmpty) match {
                 case Some(genes) =>
                   genes.flatMap(g =>
                     assoc(s"NCBIGene:$g", geneNum, label, key))
