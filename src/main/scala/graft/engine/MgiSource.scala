@@ -401,7 +401,8 @@ object MgiGenotypeSource extends GraftSource {
       .select(col("assoc"), col("note"))
       .as[(String, String)]
       .flatMap { case (assoc, note) =>
-        Model.addDescription(assoc, note.trim)
+        Option(note).map(_.trim).filter(_.nonEmpty).toSeq
+          .flatMap(Model.addDescription(assoc, _))
       }
 
     // ---- depth wave 2: marker dictionary + equivalences, strain

@@ -434,9 +434,12 @@ object OmiaSource extends GraftSource {
         .select(col("omia_id"), col("lidaurl"))
         .as[(String, String)]
         .map { case (omiaId, url) =>
-          // urllib.parse.quote semantics: '/' stays, space → %20
+          // urllib.parse.quote semantics (safe='/'): '/' and '~' stay,
+          // ':' → %3A, '*' → %2A, space → %20 — so 'http://x' becomes
+          // 'http%3A//x', exactly the reference's literal
           val quoted = java.net.URLEncoder.encode(url, "UTF-8")
-            .replace("+", "%20").replace("%2F", "/").replace("%3A", ":")
+            .replace("+", "%20").replace("%2F", "/")
+            .replace("*", "%2A").replace("%7E", "~")
           graft.core.Triple.str(s"OMIA:$omiaId", Vocab.hasDbXref, quoted)
         }
       extra += ts.toDF()

@@ -163,6 +163,11 @@ object ZfinFishSource extends GraftSource {
   private def strip(s: String): String = s.replaceAll("(ZFIN)?:", "")
   private def nzc(c: Column): Column =
     when(coalesce(c, lit("")) === "", lit(null)).otherwise(c)
+  /** Null/blank-safe trim: Spark CSV reads empty unquoted fields as
+    * null — an unguarded `.trim` would fail the whole ingest where the
+    * reference's ''-valued csv fields pass through harmlessly. */
+  private def nzs(s: String): Option[String] =
+    Option(s).map(_.trim).filter(_.nonEmpty)
 
   /** The four gene_marker_rel relationship kinds the reference consumes
     * (ZFIN.py:1846-1852; 'gene product recognized by antibody' is a
@@ -177,8 +182,11 @@ object ZfinFishSource extends GraftSource {
     def df(ts: org.apache.spark.sql.Dataset[Triple]): DataFrame = ts.toDF()
 
     // ---- dimension relations shared across tiers ----------------------
+    // (NOT cached: both shared relations are dimension-sized scans that
+    // recompute for pennies, and a session-lifetime cache entry per run
+    // would accumulate across the Runner's multi-source sessions)
     val gmr = in.get("gene_marker_rel").map(_.filter(
-      col("Relationship").isin(keptRels: _*)).cache())
+      col("Relationship").isin(keptRels: _*)))
 
     // reagent/allele → affected genes (the reference's variant_loci_genes
     // hash, built from genotype_features ZFIN.py:898-901, the reagent
@@ -277,14 +285,21 @@ object ZfinFishSource extends GraftSource {
           // ZFIN.py:640-651)
           val geneReagents = rows
             .filter(r => r._8 != null && r._6 != null)
-            .groupBy(r => (r._8, r._9))
+            // keyed by gene ALONE (gene_to_reagent_hash, ZFIN.py:646-651)
+            // — grouping by (gene, label) would split one targeted gene
+            // in two when the reagent and marker files disagree on the
+            // symbol; label choice is the sorted-first non-null (the
+            // reference's id_label_map holds one file-order-dependent
+            // symbol per gene)
+            .groupBy(_._8)
             .toSeq
-            .map { case ((gene, geneLabel), rs) =>
+            .map { case (gene, rs) =>
               val reag = rs.map(r => (r._6, r._7)).distinct.sortBy(_._1)
               val eid = reag.map(_._1).mkString("-")
               val tgId = "_:" + Digest.md5IdScala(strip(s"$gene-$eid"))
               val elabel = reag.map(_._2).mkString(", ")
-              (tgId, s"${Option(geneLabel).getOrElse(gene)}<$elabel>",
+              val geneLabel = rs.flatMap(r => Option(r._9)).sorted.headOption
+              (tgId, s"${geneLabel.getOrElse(gene)}<$elabel>",
                 s"ZFIN:$gene", reag)
             }
             .sortBy(_._1)
@@ -446,7 +461,7 @@ object ZfinFishSource extends GraftSource {
       .filter(nzc(col("ZecoTermID")).isNotNull)
       .select(col("EnvironmentID").as("env"), col("ZecoTermID").as("zeco"),
         col("ZecoTermName").as("zecoName"))
-      .distinct().cache())
+      .distinct())
     envRows.foreach { er =>
       val compTs = er.select(col("zeco"), col("zecoName")).distinct()
         .as[(String, String)]
@@ -535,10 +550,13 @@ object ZfinFishSource extends GraftSource {
       val ts = g.select(col("ZfinID"), col("Symbol"), col("NcbiGeneID"))
         .as[(String, String, String)]
         .flatMap { case (gid, sym, ncbi) =>
-          val gene = s"ZFIN:${gid.trim}"
-          G.addGene(gene, sym) ++
-            Model.addEquivalentClass(gene, s"NCBIGene:${ncbi.trim}") ++
-            G.addTaxon(taxonId, gene)
+          nzs(gid).toSeq.flatMap { g =>
+            val gene = s"ZFIN:$g"
+            G.addGene(gene, sym) ++
+              nzs(ncbi).toSeq.flatMap(n =>
+                Model.addEquivalentClass(gene, s"NCBIGene:$n")) ++
+              G.addTaxon(taxonId, gene)
+          }
         }
       tiers += df(ts)
     }
@@ -548,9 +566,11 @@ object ZfinFishSource extends GraftSource {
       val ts = st.select(col("StageID"), col("StageOboID"), col("StageName"))
         .as[(String, String, String)]
         .flatMap { case (sid, obo, name) =>
-          val stage = s"ZFIN:${sid.trim}"
-          Model.classTriples(stage, name) ++
-            Model.addEquivalentClass(stage, obo)
+          nzs(sid).toSeq.flatMap { sn =>
+            val stage = s"ZFIN:$sn"
+            Model.classTriples(stage, name) ++
+              nzs(obo).toSeq.flatMap(Model.addEquivalentClass(stage, _))
+          }
         }
       tiers += df(ts)
     }
@@ -561,11 +581,16 @@ object ZfinFishSource extends GraftSource {
       val ts = up.select(col("ZfinID"), col("Symbol"), col("UniProtID"))
         .as[(String, String, String)]
         .flatMap { case (gid, sym, prot) =>
-          val gene = s"ZFIN:${gid.trim}"
-          val protein = s"UniProtKB:${prot.trim}"
-          G.addGene(gene, sym) ++
-            Model.individualTriples(protein, null, Some("SO:0000104")) ++
-            Model.addTriple(gene, "RO:0002205", protein)
+          (nzs(gid), nzs(prot)) match {
+            case (Some(g), Some(p)) =>
+              val gene = s"ZFIN:$g"
+              val protein = s"UniProtKB:$p"
+              G.addGene(gene, sym) ++
+                Model.individualTriples(protein, null,
+                  Some("SO:0000104")) ++
+                Model.addTriple(gene, "RO:0002205", protein)
+            case _ => Nil
+          }
         }
       tiers += df(ts)
     }
@@ -581,6 +606,7 @@ object ZfinFishSource extends GraftSource {
           col("Evidence"), col("PubID"))
         .as[(String, String, String, String, String, String, String,
              String)]
+        .filter(t => nzs(t._1).isDefined && nzs(t._6).isDefined)
         .flatMap { case (zid, zsym, zname, hsym, hname, ncbi, ev, pub) =>
           val zfin = s"ZFIN:${zid.trim}"
           val human = s"NCBIGene:${ncbi.trim}"
@@ -606,7 +632,8 @@ object ZfinFishSource extends GraftSource {
     // path (ZFIN.py:2685-2692); the synthesized fish labels live in the
     // fish tier's per-group state, not a cross-tier hash. ---------------
     in.get("fish_disease_models").foreach { fdm =>
-      val ts = fdm.filter(coalesce(col("FishID"), lit("")) =!= "")
+      val ts = fdm.filter(coalesce(col("FishID"), lit("")) =!= "" &&
+          coalesce(col("DoTermID"), lit("")) =!= "")
         .select(col("FishID"), col("EnvironmentID"), col("DoTermID"),
           col("DoTermName"), col("PubID"), col("PubMedID"))
         .as[(String, String, String, String, String, String)]
@@ -671,7 +698,9 @@ object ZfinFishSource extends GraftSource {
     // type; construct-derived alterations get the construct declaration
     // + `sequence derives from` provenance -------------------------------
     in.get("features").foreach { f =>
-      val ts = f.select(col("GenomicFeatureID"), col("FeatureSoID"),
+      val ts = f
+        .filter(coalesce(col("GenomicFeatureID"), lit("")) =!= "")
+        .select(col("GenomicFeatureID"), col("FeatureSoID"),
           col("Abbreviation"), col("Name"), col("ConstructID"),
           col("ConstructName"), col("ConstructSoID"))
         .as[(String, String, String, String, String, String, String)]
@@ -700,7 +729,10 @@ object ZfinFishSource extends GraftSource {
     // branch is dead code; this engine applies the documented intent
     // (the Genomic Feature - Marker Relationship column). ----------------
     in.get("features_affected_genes").foreach { fg =>
-      val ts = fg.select(col("GenomicFeatureID"), col("FeatureSoID"),
+      val ts = fg
+        .filter(coalesce(col("GenomicFeatureID"), lit("")) =!= "" &&
+          coalesce(col("GeneID"), lit("")) =!= "")
+        .select(col("GenomicFeatureID"), col("FeatureSoID"),
           col("Abbreviation"), col("GeneSymbol"), col("GeneID"),
           col("GeneSoID"), col("Relationship"))
         .as[(String, String, String, String, String, String, String)]
@@ -729,7 +761,9 @@ object ZfinFishSource extends GraftSource {
     // typing when a PMID exists (document otherwise), PMID equivalence
     // with clique leadership ---------------------------------------------
     in.get("pubs").foreach { p =>
-      val ts = p.select(col("PubID"), col("PubMedID"), col("Authors"),
+      val ts = p
+        .filter(coalesce(col("PubID"), lit("")) =!= "")
+        .select(col("PubID"), col("PubMedID"), col("Authors"),
           col("Title"), col("Journal"), col("Year"), col("Volume"),
           col("Pages"))
         .as[(String, String, String, String, String, String, String,
@@ -763,7 +797,8 @@ object ZfinFishSource extends GraftSource {
     // article, no leader bit (the reference emits none here) -------------
     in.get("pub2pubmed").foreach { pp =>
       val ts = pp
-        .filter(trim(coalesce(col("PubMedID"), lit(""))) =!= "")
+        .filter(trim(coalesce(col("PubMedID"), lit(""))) =!= "" &&
+          coalesce(col("PubID"), lit("")) =!= "")
         .select(col("PubID"), col("PubMedID"))
         .as[(String, String)]
         .flatMap { case (pid, pmid) =>
@@ -785,7 +820,10 @@ object ZfinFishSource extends GraftSource {
     in.get("mappings").foreach { mp =>
       val taxonLabel = "Danio rerio"
       tiers += df(spark.createDataset(G.addGenome(taxonId, taxonLabel)))
-      val ts = mp.select(col("ZfinID"), col("PanelSymbol"),
+      val ts = mp
+        .filter(coalesce(col("ZfinID"), lit("")) =!= "" &&
+          coalesce(col("Chromosome"), lit("")) =!= "")
+        .select(col("ZfinID"), col("PanelSymbol"),
           col("Chromosome"))
         .as[(String, String, String)]
         .flatMap { case (znum0, panel0, chrom0) =>

@@ -22,6 +22,37 @@ object RdfQueries {
 
   private val ORTH = Vocab.inOrthologyRelationshipWith // RO:HOM0000017
 
+  /** Write-once parquet staging for a derived relation (the Runner's
+    * materialization posture, engine/Runner.scala:113-120): the stage
+    * key folds the input files' size+mtime (the ArchiveCache staleness
+    * key) so regenerated testdata can never serve a stale stage; bump
+    * the caller's `tag` if the staged semantics change. Shared by every
+    * staging query so the staleness rule lives in ONE place. */
+  private def stageOnce(s: SparkSession, d: String, tag: String,
+                        tables: Seq[String])(build: => DataFrame)
+      : DataFrame = {
+    val stamp = tables.flatMap { t =>
+      val f = new java.io.File(s"$d/$t")
+      val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(
+        if (f.exists()) Seq(f) else Nil)
+      parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+    }.sorted.mkString(",")
+    val stage = s"${sys.props("java.io.tmpdir")}/graft_${tag}_stage_v1/" +
+      graft.core.Digest.md5IdScala(s"$d|$stamp")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(stage)
+    s.read.parquet(stage)
+  }
+
+  /** Empty all-string relation with the given column names — stands in
+    * for an absent input when a transform is exercised tier-by-tier. */
+  private def emptyInput(s: SparkSession, cols: Seq[String]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType))))
+
   val queries: ListMap[String, Q] = ListMap(
 
     // §2.4 Model.addClassToGraph over a dimension: type + label +
@@ -518,29 +549,15 @@ object RdfQueries {
       // relation. A production deployment feeds the augmentation from
       // the staged graph exactly like this, so repeat runs measure the
       // steady state instead of re-paying graph population. Same
-      // persisted-artifact pattern as Similarity.writeIvfIndex (s07);
-      // bump the _v suffix if OmiaSource semantics ever change. The key
-      // folds in the input files' size+mtime (the ArchiveCache staleness
-      // key, sources/ArchiveCache.scala) so regenerated testdata can
-      // never serve a stale graph.
-      val stamp = Seq("orders.parquet", "customer.parquet", "nation.parquet")
-        .flatMap { t =>
-          val f = new java.io.File(s"$d/$t")
-          val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(
-            if (f.exists()) Seq(f) else Nil)
-          parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-        }.sorted.mkString(",")
-      val stage = s"${sys.props("java.io.tmpdir")}/graft_omia_stage_v1/" +
-        graft.core.Digest.md5IdScala(s"$d|$stamp")
-      if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      // persisted-artifact pattern as Similarity.writeIvfIndex (s07).
+      val omia = stageOnce(s, d, "omia",
+        Seq("orders.parquet", "customer.parquet", "nation.parquet")) {
         graft.engine.OmiaSource.transform(s, Map(
           "species" -> species, "breed" -> breed, "phene" -> phene,
           "breed_phene" -> breedPhene, "omim_xref" -> omimXref,
           "phene_gene" -> pheneGene, "genes" -> genes,
           "omim_types" -> mimTitles))
-          .write.mode("overwrite").parquet(stage)
       }
-      val omia = s.read.parquet(stage)
       val geneInfo = cust.select(
         col("c_nationkey").cast("string").as("tax_id"),
         (c + 10000).cast("string").as("GeneID"),
@@ -1783,20 +1800,9 @@ object RdfQueries {
       // the shared base relation stands in for ZFIN's landed raw files
       // (downloaded once) but five input frames re-derive it from the
       // 6M-row lineitem aggregation — stage it to parquet once per data
-      // dir (the p11 write-once pattern; key folds size+mtime so
-      // regenerated testdata can't serve stale rows) so repeat runs
-      // measure the transform, not harness re-derivation
-      val stamp = Seq("lineitem.parquet", "part.parquet",
-        "supplier.parquet")
-        .flatMap { t =>
-          val f = new java.io.File(s"$d/$t")
-          val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(
-            if (f.exists()) Seq(f) else Nil)
-          parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-        }.sorted.mkString(",")
-      val stage = s"${sys.props("java.io.tmpdir")}/graft_zfish_stage_v1/" +
-        graft.core.Digest.md5IdScala(s"$d|$stamp")
-      if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      // dir so repeat runs measure the transform, not re-derivation
+      val base = stageOnce(s, d, "zfish",
+        Seq("lineitem.parquet", "part.parquet", "supplier.parquet")) {
         Tables.lineitem(s, d)
           .filter(col("l_orderkey") % 5 === 0)
           .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
@@ -1810,9 +1816,7 @@ object RdfQueries {
             col("sk") === col("s_suppkey"))
           .select(col("ok"), col("sk"), col("pk"), col("ln"),
             col("p_name").as("pn"), col("s_name").as("sn"))
-          .write.mode("overwrite").parquet(stage)
       }
-      val base = s.read.parquet(stage)
       val feats = base.select(
         concat(lit("G"), col("ok")).as("GenotypeID"),
         concat(lit("genotype "), col("ok")).as("GenotypeName"),
@@ -2134,11 +2138,6 @@ object RdfQueries {
     // WormBase inputs empty — only the dormant tiers are under test.
     "p39_wormbase_dormant_pipeline" -> ((s, d) => {
       val ok = col("o_orderkey")
-      def emptyDf(cols: Seq[String]) = s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(cols.map(
-          org.apache.spark.sql.types.StructField(_,
-            org.apache.spark.sql.types.StringType))))
       val gi = Tables.orders(s, d).select(
         concat(lit("WBInteraction"), ok).as("interaction_num"),
         element_at(array(lit("Genetic"), lit("Physical"),
@@ -2170,14 +2169,14 @@ object RdfQueries {
         when(c % 7 === 0, concat(lit("class "), c)).otherwise(lit(""))
           .as("gene_class_description"))
       graft.engine.WormBaseSource.transform(s, Map(
-        "gene_ids" -> emptyDf(Seq("taxon_num", "gene_num", "gene_symbol",
+        "gene_ids" -> emptyInput(s, Seq("taxon_num", "gene_num", "gene_symbol",
           "gene_synonym", "live", "gene_type")),
-        "allele_pheno" -> emptyDf(graft.engine.WormBaseSource.gafColumns),
-        "rnai_pheno" -> emptyDf(Seq("gene_num", "gene_alt_symbol",
+        "allele_pheno" -> emptyInput(s, graft.engine.WormBaseSource.gafColumns),
+        "rnai_pheno" -> emptyInput(s, Seq("gene_num", "gene_alt_symbol",
           "phenotype_label", "phenotype_id", "rnai_and_refs")),
-        "feature_loc" -> emptyDf(Seq("seqid", "source", "ftype", "start",
+        "feature_loc" -> emptyInput(s, Seq("seqid", "source", "ftype", "start",
           "end", "score", "strand", "phase", "attributes", "build")),
-        "disease_assoc" -> emptyDf(graft.engine.WormBaseSource.gafColumns),
+        "disease_assoc" -> emptyInput(s, graft.engine.WormBaseSource.gafColumns),
         "gene_interaction" -> gi, "gene_desc" -> gd)).distinct()
     }),
 
@@ -2191,11 +2190,6 @@ object RdfQueries {
     "p40_ctd_dict_pipeline" -> ((s, d) => {
       val ok = col("o_orderkey")
       val pk = col("p_partkey")
-      def emptyDf(cols: Seq[String]) = s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(cols.map(
-          org.apache.spark.sql.types.StructField(_,
-            org.apache.spark.sql.types.StringType))))
       val gp = Tables.part(s, d).select(
         lit("SYM").as("GeneSymbol"),
         (pk % 3000).cast("string").as("GeneID"),
@@ -2225,7 +2219,7 @@ object RdfQueries {
           (ok + 900001).cast("string"))).otherwise(lit(""))
           .as("PubMedIDs"))
       graft.engine.ChemDiseaseSource.transform(s, Map(
-        "chemicals_diseases" -> emptyDf(Seq("ChemicalName", "ChemicalID",
+        "chemicals_diseases" -> emptyInput(s, Seq("ChemicalName", "ChemicalID",
           "CasRN", "DiseaseName", "DiseaseID", "DirectEvidence",
           "InferenceGeneSymbol", "InferenceScore", "OmimIDs",
           "PubMedIDs")),
@@ -2240,11 +2234,6 @@ object RdfQueries {
     // skip, http pass-through). Main annotations input empty.
     "p41_hpoa_common_pipeline" -> ((s, d) => {
       val ok = col("o_orderkey")
-      def emptyDf(cols: Seq[String]) = s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(cols.map(
-          org.apache.spark.sql.types.StructField(_,
-            org.apache.spark.sql.types.StringType))))
       val cd = Tables.orders(s, d).select(
         when(ok % 7 === 0, concat(lit("DOID-DOID:"), ok % 400))
           .when(ok % 7 === 1, concat(lit("MESH-D"),
@@ -2276,7 +2265,7 @@ object RdfQueries {
           .as("Pub"),
         lit("").as("Assigned by"), lit("").as("Date Created"))
       graft.engine.DiseasePhenotypeSource.transform(s, Map(
-        "annotations" -> emptyDf(Seq("DatabaseID", "DiseaseName",
+        "annotations" -> emptyInput(s, Seq("DatabaseID", "DiseaseName",
           "Qualifier", "HPO_ID", "Reference", "Evidence", "Onset",
           "Frequency", "Sex", "Modifier", "Aspect", "Biocuration")),
         "common_diseases" -> cd)).distinct()
@@ -6282,7 +6271,7 @@ object RdfQueries {
            WHERE p.k % 12 = 0),
          li AS (
            SELECT 'OMIA:'||lpad(n_nationkey::varchar, 6, '0') AS omia,
-                  'http://x/'||n_nationkey::varchar||'%20q' AS quoted
+                  'http%3A//x/'||n_nationkey::varchar||'%20q' AS quoted
            FROM nation),
          gr AS (
            SELECT p_partkey AS k,
