@@ -138,16 +138,21 @@ object OmimApiSource extends GraftSource {
           spark.emptyDataset[(String, Seq[String])]
             .toDF("mim_number", "gene_ids")
       }
-      val ts = mm
+      // pattern objects hoisted OUT of the per-row lambda — compiling
+      // them per row costs more than the whole match at fact volume
+      val disorderRe = """(.*), (\d{6})\s*(?:\((\d+)\))?""".r
+      val nogeneRe = """(.*)\s+\((\d+)\)""".r
+      // widen barrier: a single-split morbidmap scan would serialize
+      // the per-row regex walk on one core (the ScanStats guard the
+      // other fact pipelines use); no-op on wide production scans
+      val ts = graft.operators.ScanStats.widen(mm
         .filter(coalesce(col("phenotype"), lit("")) =!= "" &&
           coalesce(col("mim_number"), lit("")) =!= "")
-        .select(col("phenotype"), trim(col("mim_number")).as("mim_number"))
+        .select(col("phenotype"), trim(col("mim_number")).as("mim_number")))
         .join(broadcast(idmapDf), Seq("mim_number"), "left")
         .select(col("phenotype"), col("mim_number"), col("gene_ids"))
         .as[(String, String, Option[Seq[String]])]
         .flatMap { case (disorder, geneNum, geneIds) =>
-          val disorderRe = """(.*), (\d{6})\s*(?:\((\d+)\))?""".r
-          val nogeneRe = """(.*)\s+\((\d+)\)""".r
           def assoc(subj: String, disorderNum: String, label: String,
                     pheneKey: String): Seq[Triple] = {
             val disorderId = s"OMIM:$disorderNum"
