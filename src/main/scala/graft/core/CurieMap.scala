@@ -50,10 +50,13 @@ final case class CurieMap(prefixes: Map[String, String]) {
       case (ns, pfx) if iri.startsWith(ns) => s"$pfx:${iri.substring(ns.length)}"
     }
 
-  /** Column expansion: pure builtins, codegen'd end to end. */
+  /** Column expansion: codegen'd end to end. The prefix→namespace table
+    * probes through [[graft.functions.MapLookupExpr]] (O(1) hash, one
+    * virtual call) instead of `element_at(typedLit(...))`, whose
+    * constant-folded literal map linear-scans all ~260 namespaces per
+    * evaluation — and the NT sinks evaluate this 4-5× per triple. */
   def expandCol(c: Column): Column = {
-    val m = typedLit(prefixes)
-    val pfx = substring_index(c, ":", 1)
+    val pfx0 = substring_index(c, ":", 1)
     val localPart = regexp_replace(c, "^[^:]*:", "")
     when(c.isNull, lit(null))
       // reference routes ANY leading '_' to a bnode, stripping '_:' or '_'
@@ -62,7 +65,9 @@ final case class CurieMap(prefixes: Map[String, String]) {
         concat(lit(skolemBase), regexp_replace(c, "^_:?", "")))
       .when(c.startsWith("http://") || c.startsWith("https://") ||
             c.startsWith("ftp://") || c.startsWith("jdbc:"), c)
-      .otherwise(coalesce(concat(element_at(m, pfx), localPart), c))
+      .otherwise(coalesce(concat(
+        graft.functions.MapExpressions.map_lookup(prefixes, pfx0, "curie"),
+        localPart), c))
   }
 }
 

@@ -30,10 +30,17 @@ final case class TranslationTable(local: Map[String, String],
     }
   }
 
-  /** Column form: local→global with passthrough (or default) on miss. */
+  /** Column form: local→global with passthrough (or default) on miss.
+    *
+    * Lookups are [[graft.functions.MapLookupExpr]] hash probes, NOT
+    * `element_at(typedLit(...))`: the literal-map route linear-scans all
+    * ~800 global entries per evaluation, and CollapseProject duplicates
+    * the scan into every emit field that references the resolved column
+    * (measured: 390 CPU-s on one sf0.1 ingest, ~50× the hash route). */
   def resolveCol(c: Column, default: Option[String] = None): Column = {
-    val lm = if (local.isEmpty) c else coalesce(element_at(typedLit(local), c), c)
-    val g = element_at(typedLit(global), lm)
+    import graft.functions.MapExpressions.map_lookup
+    val lm = if (local.isEmpty) c else coalesce(map_lookup(local, c, "local"), c)
+    val g = map_lookup(global, lm, "global")
     default match {
       case Some(d) => coalesce(g, lit(d))
       case None    => coalesce(g, lm)
