@@ -30,6 +30,35 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
       .filter(col("n") > 1)
 
+  /** Snapshot-incremental exact dedup — the recurring-crawl posture:
+    * keep only the rows of `newDocs` whose content digest is absent from
+    * the prior corpus, WITHOUT re-deduplicating the prior corpus.
+    *
+    * Scale shape: a Bloom filter over the old digests (distributed
+    * tree-merge build, see [[BloomJoin.keyBloom]]) splits the new batch
+    * before any shuffle. might-contain=false rows are definite keepers —
+    * a Bloom filter has no false negatives — and bypass the anti join
+    * entirely; only probable duplicates (true re-deliveries + fpp noise)
+    * shuffle against the old digest relation. Against a 100 TB prior
+    * corpus the anti join's new-side shuffle volume drops from |new| to
+    * |re-delivered| + fpp·|new|, and the old side is digests only (16
+    * bytes/doc), not documents. Results are exact: the residual anti
+    * join removes the Bloom's false positives. */
+  def incrementalNew(oldDocs: DataFrame, newDocs: DataFrame,
+                     textCol: String, expectedOld: Long,
+                     fpp: Double = 0.01): DataFrame = {
+    val oldH = oldDocs.select(md5(col(textCol)).as("__h")).distinct()
+    val bf = BloomJoin.keyBloom(oldH, "__h", expectedOld, fpp)
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bf)
+    val withH = newDocs.withColumn("__h", md5(col(textCol)))
+    val probe = BloomJoin.mightContain(bc, col("__h"))
+    val definiteNew = withH.filter(!probe)
+    // USING-join output moves the join column to the front — union by
+    // NAME, a positional union would misalign every column after it
+    val survivors = withH.filter(probe).join(oldH, Seq("__h"), "left_anti")
+    definiteNew.unionByName(survivors).drop("__h")
+  }
+
   /** Widen a narrow scan to the cluster's default parallelism before a
     * CPU-heavy generation stage. At real scale the file splits already
     * provide parallelism and this is a no-op; locally (and on any corpus

@@ -496,4 +496,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** ANN quality audit — per-query recall of an approximate result set
+    * against the exact baseline: `recall(q) = |approx(q) ∩ exact(q)| /
+    * |exact(q)|`. Both inputs are `(qid, nid, …)` top-k relations (the
+    * shape every `*TopK` operator here returns). The production loop for
+    * tuning nlist/nprobe/nbits on a live corpus: sample queries, run both
+    * paths, regress recall. Scale shape: both sides are k·|queries| rows
+    * (never corpus-sized), so the join and the per-query aggregate are
+    * bounded by the query sample — one small shuffle regardless of
+    * corpus size. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("qid"), col("nid"))
+    val a = approx.select(col("qid").as("aqid"), col("nid").as("anid"))
+    e.join(a, col("qid") === col("aqid") && col("nid") === col("anid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
 }

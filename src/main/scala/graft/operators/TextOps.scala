@@ -109,6 +109,42 @@ object TextOps {
     * floor, but the hint is left out so AQE picks broadcast exactly when
     * the built relation is small enough. Returns (id, n_words, logprob).
     */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by
+    * `Σ_tokens [ln p_target(bucket(tok)) − ln p_raw(bucket(tok))]` over a
+    * hashed feature space of `buckets` cells with add-one smoothing —
+    * high weight ⇒ the document looks like the target distribution and
+    * should up-sample in the training mix. `isTarget` marks the rows that
+    * define the target distribution (a curated slice, a quality cut).
+    *
+    * Scale shape: one tokenize+hash pass; the two LMs come from a single
+    * groupBy over the hashed buckets (bounded at `buckets` rows, so the
+    * joined-back LM relation broadcasts no matter the corpus size); the
+    * per-doc weight is one more aggregate of the same exploded relation.
+    * The bucket hash is the md5-arithmetic family (first 15 hex chars
+    * base-16), DuckDB-reproducible like d03's. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 64): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), isTarget.as("__t"),
+        explode(words(col(textCol))).as("w"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+      .select("id", "__t", "b")
+    val counts = toks.groupBy("b").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cs").as("ts"), sum("ct").as("tt"))
+    val lm = broadcast(counts.crossJoin(totals).select(col("b"),
+      log((col("ct") + 1).cast("double") / (col("tt") + buckets)).as("lt"),
+      log((col("cs") + 1).cast("double") / (col("ts") + buckets)).as("ls")))
+    toks.join(lm, "b")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lt") - col("ls")), 4).as("log_weight"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = docs.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
     val freq = w.groupBy("w").agg(count(lit(1)).as("wn"))

@@ -472,7 +472,45 @@ object PipelineQueries {
           "doc_id", "payload", frameBytes = 64, every = 2)
         .select(col("doc_id"), col("frame_no"),
           md5(col("frame")).as("frame_md5"),
-          length(col("frame")).cast("long").as("frame_bytes")))
+          length(col("frame")).cast("long").as("frame_bytes"))),
+
+    // ANN recall audit: per-query recall@3 of the IVF scale path (s03
+    // parameters) against the exact baseline (s01) — the tuning loop a
+    // production ANN deployment runs on every index build. Both sides
+    // are k·|queries| rows, so the audit costs one bounded shuffle
+    // regardless of corpus size.
+    "s08_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 4))
+    }),
+
+    // Snapshot-incremental exact dedup: a fresh crawl batch (the last
+    // doc_id decile + a re-delivered shard under remapped ids) deduped
+    // against the prior corpus by content digest — Bloom-pruned before
+    // the anti join, so only probable re-deliveries shuffle. Survivors
+    // are exactly the genuinely-new rows.
+    "d14_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 10 < 8)
+      val fresh = docs.filter(col("doc_id") % 10 >= 8)
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.incrementalNew(old, fresh, "text", expectedOld = 1L << 20)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // DSIR importance weights: hashed-unigram target/raw likelihood
+    // ratio per document (target = the corpus's English slice), the
+    // importance-resampling score for building a training mix that
+    // matches a curated distribution.
+    "t19_dsir_weights" -> ((s, d) =>
+      TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 64)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
@@ -1127,6 +1165,82 @@ object PipelineQueries {
               md5(substring(d.text, (t.range * 64 + 1)::INT, 64)) AS frame_md5,
               length(substring(d.text, (t.range * 64 + 1)::INT, 64))::BIGINT AS frame_bytes
          FROM documents d CROSS JOIN range(0, 4096, 2) t
-         WHERE t.range * 64 < length(d.text) AND length(d.text) > 0"""
+         WHERE t.range * 64 < length(d.text) AND length(d.text) > 0""",
+    // s01's exact top-3 and s03's IVF top-3 recombined into a per-query
+    // recall: the audit is exact iff both constituents are.
+    "s08_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         exact AS (
+           SELECT qid, nid FROM (
+             SELECT qid, e.vec_id AS nid,
+                    row_number() OVER (PARTITION BY qid ORDER BY
+                      list_cosine_similarity(qv, e.embedding::DOUBLE[]) DESC,
+                      e.vec_id) AS rank
+             FROM q, embeddings e WHERE e.vec_id != qid) t
+           WHERE rank <= 3),
+         c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
+         e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT e2.vec_id AS id, e2.v, c.cid,
+                  list_dot_product(e2.v, c.cv)
+                    / (sqrt(list_dot_product(e2.v, e2.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e2, c),
+         cells AS (
+           SELECT id AS nid, v AS nv, cid AS cell FROM (
+             SELECT id, v, cid,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, v AS qv, cid AS cell FROM (
+             SELECT id, v, cid,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn WHERE id < 10) t WHERE rn <= 4),
+         ivf AS (
+           SELECT qid, nid FROM (
+             SELECT p.qid, s.nid,
+                    row_number() OVER (PARTITION BY p.qid ORDER BY
+                      list_dot_product(p.qv, s.nv)
+                        / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.nv, s.nv))) DESC,
+                      s.nid) AS rank
+             FROM probes p JOIN cells s ON p.cell = s.cell AND s.nid != p.qid) t
+           WHERE rank <= 3)
+         SELECT exact.qid, count(*) AS n_exact, count(ivf.nid) AS n_hit,
+                round(count(ivf.nid)::DOUBLE / count(*), 6) AS recall
+         FROM exact LEFT JOIN ivf
+           ON exact.qid = ivf.qid AND exact.nid = ivf.nid
+         GROUP BY exact.qid""",
+    "d14_incremental_dedup" ->
+      """WITH old AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+         fresh AS (
+           SELECT doc_id, text, source, n_chars FROM documents
+           WHERE doc_id % 10 >= 8
+           UNION ALL
+           SELECT doc_id + 100000, text, source, n_chars FROM documents
+           WHERE doc_id % 10 = 0),
+         oldh AS (SELECT DISTINCT md5(text) AS h FROM old)
+         SELECT f.doc_id, f.source, f.n_chars
+         FROM fresh f LEFT JOIN oldh ON md5(f.text) = oldh.h
+         WHERE oldh.h IS NULL""",
+    "t19_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+         tb AS (SELECT doc_id, t,
+                       ('0x'||substr(md5(w),1,15))::BIGINT % 64 AS b
+                FROM toks),
+         counts AS (SELECT b, count(*) AS cs,
+                           sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+                    FROM tb GROUP BY 1),
+         tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM counts),
+         lm AS (SELECT b, ln((ct + 1)::DOUBLE / (tt + 64)) AS lt,
+                       ln((cs + 1)::DOUBLE / (ts + 64)) AS ls
+                FROM counts CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(sum(lt - ls), 4) AS log_weight
+         FROM tb JOIN lm USING (b)
+         GROUP BY doc_id"""
   )
 }

@@ -583,4 +583,50 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got(1L) - math.log(5.0 / 9.0)) < 1e-3)
     assert(math.abs(got(3L) - math.log(1.0 / 9.0)) < 1e-3)
   }
+
+  test("incremental dedup: re-delivered content dropped, new content kept") {
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "alpha beta"),   // re-delivery of 1 under a new id
+      (11L, "epsilon zeta"), (12L, "gamma delta"), (13L, "eta theta"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(old, fresh, "text", expectedOld = 1024)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+    // ≡ plain anti join (the bloom prune must not change results)
+    val anti = fresh.join(old.select(md5($"text").as("h")).distinct(),
+      md5(fresh("text")) === col("h"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == anti)
+  }
+
+  test("ANN recall audit: identical inputs → recall 1, disjoint → 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("qid", "nid")
+    val same = Similarity.recallAtK(exact, exact)
+      .select("qid", "recall").as[(Long, Double)].collect().toMap
+    assert(same == Map(1L -> 1.0, 2L -> 1.0))
+    val approx = Seq((1L, 11L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("qid", "nid")
+    val got = Similarity.recallAtK(exact, approx)
+      .select("qid", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("DSIR weights: target-like docs outweigh off-target docs") {
+    // target = lang 'en' rows; doc 4 repeats target vocabulary, doc 5
+    // repeats vocabulary that never appears in the target slice
+    val docs = Seq(
+      (1L, "the cat sat", "en"), (2L, "the dog ran", "en"),
+      (3L, "le chat noir", "fr"),
+      (4L, "the the cat", "xx"), (5L, "le le chat", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val w = TextOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 32)
+      .select($"id", $"log_weight").as[(Long, Double)].collect().toMap
+    assert(w(4L) > w(5L))
+    assert(w(1L) > w(3L))
+    // every doc scored, token counts preserved
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
