@@ -278,21 +278,13 @@ object Dedup {
                    threshold: Double = 0.5, shingleN: Int = 3,
                    family: String = "xxhash64"): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val rows = numPerm / bands
     val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN,
       family)
     val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
     // Materialize: the numPerm-aggregate signature subtree would otherwise
     // be codegen'd three times (band hashing + both self-join sides).
     val withSig = materialize(sigs.select(col("id"), sigArr.as("sig")))
-    def bandKey(b: Int): Column = {
-      val cols = (b * rows until (b + 1) * rows).map(i => col("sig")(i))
-      if (family == "md5") concat_ws("|", cols: _*).as(s"b$b")
-      else hash(cols: _*).cast("string").as(s"b$b")
-    }
-    val bandHashes = array((0 until bands).map(bandKey): _*)
-    val buckets = withSig
-      .select(col("id"), col("sig"), posexplode(bandHashes).as(Seq("band", "bh")))
+    val buckets = bandRel(withSig, numPerm, bands, family)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -306,6 +298,84 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard")),
       withSig)
+  }
+
+  /** (id, sig, band, bh) band-bucket relation over a (id, sig) signature
+    * relation — the unit both the in-query LSH join and the persisted
+    * index store. */
+  private def bandRel(withSig: DataFrame, numPerm: Int, bands: Int,
+                      family: String): DataFrame = {
+    val rows = numPerm / bands
+    def bandKey(b: Int): Column = {
+      val cols = (b * rows until (b + 1) * rows).map(i => col("sig")(i))
+      if (family == "md5") concat_ws("|", cols: _*).as(s"b$b")
+      else hash(cols: _*).cast("string").as(s"b$b")
+    }
+    val bandHashes = array((0 until bands).map(bandKey): _*)
+    withSig.select(col("id"), col("sig"),
+      posexplode(bandHashes).as(Seq("band", "bh")))
+  }
+
+  /** Persist the MinHash LSH index: the exploded band-bucket relation
+    * `(id, sig, band, bh)` as a table BUCKETED by bucket hash (via
+    * [[graft.engine.Bucketing]]). The recurring-crawl posture for text
+    * dedup at corpus scale — the prior corpus pays its shingle +
+    * signature pass ONCE at index-build time; every subsequent batch
+    * ([[minhashIncremental]]) joins the bucketed layout with no
+    * recompute and no corpus-side shuffle (the index side is already
+    * co-located on the join key). */
+  def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, path: String, numPerm: Int = 32,
+                        bands: Int = 8, shingleN: Int = 3,
+                        family: String = "xxhash64",
+                        buckets: Int = 8): Unit = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN,
+      family)
+    val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
+    graft.engine.Bucketing.writeBucketed(
+      bandRel(sigs.select(col("id"), sigArr.as("sig")), numPerm, bands,
+        family),
+      table, path, Seq("bh"), buckets)
+  }
+
+  /** Near-dup candidates of a NEW batch against a persisted MinHash
+    * index ([[writeMinhashIndex]]): the batch computes its own
+    * signatures (it was never seen before — that pass is irreducible),
+    * then probes the indexed band buckets; estimated Jaccard comes from
+    * the stored signatures, exactly as [[minhashPairs]] scores its
+    * candidates. Returns `(new_id, old_id, est_jaccard)` with
+    * `est_jaccard ≥ threshold`.
+    *
+    * Scale shape: only the new batch shuffles — the index side streams
+    * its co-located bucket files; cost per batch is ∝ |batch| + the
+    * candidate volume, never ∝ |corpus|. */
+  def minhashIncremental(spark: org.apache.spark.sql.SparkSession,
+                         table: String, newDocs: DataFrame, idCol: String,
+                         textCol: String, numPerm: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5, shingleN: Int = 3,
+                         family: String = "xxhash64"): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val sigs = minhashSignatures(newDocs, idCol, textCol, numPerm, shingleN,
+      family)
+    val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
+    val fresh = materialize(
+      bandRel(sigs.select(col("id"), sigArr.as("sig")), numPerm, bands,
+        family))
+    val idx = graft.engine.Bucketing.readBucketed(spark, table)
+    val cand = fresh.as("a").join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("new_id", "old_id")
+    finalized(cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / numPerm)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard")),
+      fresh)
   }
 
   /** Benchmark decontamination: flag training documents sharing ≥1

@@ -510,7 +510,27 @@ object PipelineQueries {
     "t19_dsir_weights" -> ((s, d) =>
       TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
           isTarget = col("lang") === "en", buckets = 64)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // Persisted-MinHash incremental near-dup (the text twin of s07's
+    // persisted IVF): the prior corpus's band buckets live in a bucketed
+    // index table built once; a fresh batch (last doc_id decile + a
+    // re-delivered shard under remapped ids) probes it — only the batch
+    // computes signatures, only the batch shuffles. md5 permutation
+    // family so the whole incremental pipeline is value-checked.
+    "d15_minhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 10 < 8)
+      val fresh = docs.filter(col("doc_id") % 10 >= 8)
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mh_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Dedup.writeMinhashIndex(old, "doc_id", "text", "graft_mh_index", path,
+        numPerm = 32, bands = 8, family = "md5")
+      Dedup.minhashIncremental(s, "graft_mh_index", fresh, "doc_id", "text",
+        numPerm = 32, bands = 8, threshold = 0.5, family = "md5")
+    })
   )
 
   /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
@@ -581,6 +601,53 @@ object PipelineQueries {
                      i -> sa[i] = sb[i]))/$numPerm.0 AS ej
                  FROM cand)
          SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+         FROM est WHERE ej >= $threshold"""
+  }
+
+  /** d15 oracle: the [[minhashOracle]] machinery over an old/fresh
+    * two-slice corpus with the band join restricted to fresh × old —
+    * exactly what probing the persisted index computes. */
+  private def minhashIncrementalOracle(numPerm: Int, bands: Int,
+                                       threshold: Double): String = {
+    val rows = numPerm / bands
+    val mins = (0 until numPerm).map { i =>
+      val (a, b) = graft.operators.Dedup.minhashCoeffs(i)
+      s"min(($a*h0+$b)%2147483647) AS h$i"
+    }.mkString(",\n                  ")
+    val sigList = (0 until numPerm).map(i => s"h$i").mkString("[", ",", "]")
+    s"""WITH docs2 AS (
+           SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 10 < 8
+           UNION ALL
+           SELECT doc_id, text, 1 FROM documents WHERE doc_id % 10 >= 8
+           UNION ALL
+           SELECT doc_id + 100000, text, 1 FROM documents WHERE doc_id % 10 = 0),
+         w AS (SELECT doc_id, side, string_split(text, ' ') AS ws FROM docs2),
+         sh AS (SELECT DISTINCT doc_id, side,
+                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, side, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         base AS (SELECT doc_id, side,
+                    ('0x'||substr(md5(sh),1,15))::BIGINT % 2147483647 AS h0
+                  FROM sh),
+         hs AS (SELECT doc_id, side,
+                  $mins
+                FROM base GROUP BY 1, 2),
+         sig AS (SELECT doc_id, side, $sigList AS sig FROM hs),
+         bnd AS (SELECT doc_id, side, sig, b,
+                  array_to_string(list_slice(sig, b*$rows+1, b*$rows+$rows),
+                    '|') AS bh
+                 FROM sig, (SELECT unnest(range(0, $bands)) AS b) bb),
+         cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+                    a.sig AS sa, b.sig AS sb
+                  FROM bnd a JOIN bnd b
+                    ON a.b = b.b AND a.bh = b.bh
+                   AND a.side = 1 AND b.side = 0),
+         est AS (SELECT new_id, old_id,
+                   len(list_filter(range(1, ${numPerm + 1}),
+                     i -> sa[i] = sb[i]))/$numPerm.0 AS ej
+                 FROM cand)
+         SELECT new_id, old_id, round(ej, 6) AS est_jaccard
          FROM est WHERE ej >= $threshold"""
   }
 
@@ -1241,6 +1308,8 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_tokens,
                 round(sum(lt - ls), 4) AS log_weight
          FROM tb JOIN lm USING (b)
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    "d15_minhash_incremental" -> minhashIncrementalOracle(numPerm = 32,
+      bands = 8, threshold = 0.5)
   )
 }

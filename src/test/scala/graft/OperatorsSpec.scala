@@ -613,6 +613,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
   }
 
+  test("minhash incremental ≡ cross-slice minhashPairs; batch-only signatures") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val near = base.replace("far", "quite")
+    val other = "completely different words entirely unrelated content nothing shared here at all whatsoever ok then"
+    val old = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val fresh = Seq((10L, near), (11L, "brand new unseen material with zero overlap against anything indexed before now")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("mh-idx").toString
+    Dedup.writeMinhashIndex(old, "doc_id", "text", "mh_spec_idx", path,
+      numPerm = 32, bands = 16)
+    val got = Dedup.minhashIncremental(spark, "mh_spec_idx", fresh,
+        "doc_id", "text", numPerm = 32, bands = 16, threshold = 0.3)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)))
+    // ≡ in-query minhashPairs over the union, restricted to cross-slice
+    val allPairs: Set[(Long, Long)] =
+      Dedup.minhashPairs(old.unionByName(fresh), "doc_id", "text",
+        numPerm = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = allPairs.filter(p => p._1 < 10 && p._2 >= 10).map(p => (p._2, p._1))
+    assert(got == all)
+    spark.sql("DROP TABLE IF EXISTS mh_spec_idx")
+  }
+
   test("DSIR weights: target-like docs outweigh off-target docs") {
     // target = lang 'en' rows; doc 4 repeats target vocabulary, doc 5
     // repeats vocabulary that never appears in the target slice
