@@ -130,6 +130,22 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming snapshot-incremental dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalNew]]: a continuous batch of new
+    * documents anti-joined against a STATIC prior-corpus digest relation
+    * (stream-static anti joins are stateless in Structured Streaming —
+    * the static side is re-read per micro-batch, so a bucketed/cached
+    * digest table keeps it cheap). Combine with [[dedupedStream]]
+    * upstream to also drop within-stream duplicates; this stage only
+    * guarantees no row matching the prior corpus survives. */
+  def incrementalDedupStream(newDocs: DataFrame, oldDigests: DataFrame,
+                             textCol: String): DataFrame =
+    newDocs
+      .withColumn("__digest", md5(col(textCol)))
+      .join(oldDigests.select(col("h").as("__digest")).distinct(),
+        Seq("__digest"), "left_anti")
+      .drop("__digest")
+
   /** StreamedGraph-equivalent sink: incremental triple batches land as
     * deduplicated NT files (per-batch dedup; cross-batch dedup is the
     * downstream `sort -u` contract, same as the reference). */

@@ -68,4 +68,28 @@ class FunctionsSpec extends SparkSpec {
       "ACS5;;\nACS V;;\nNOACK SYNDROME, INCLUDED") ==
       Seq("Acs5", "Acs 5", "Noack Syndrome"))
   }
+
+  test("map_lookup: hash probe ≡ element_at(typedLit), codegen + interpreted") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MapExpressions.map_lookup
+    val dict = Map("a" -> "1", "b" -> "2", "weird key" -> "v")
+    val df = Seq("a", "b", "weird key", "missing", null)
+      .toDF("k")
+    val got = df.select(map_lookup(dict, $"k", "spec").as("v"))
+      .as[Option[String]].collect().toSeq
+    val ref = df.select(element_at(typedLit(dict), $"k").as("v"))
+      .as[Option[String]].collect().toSeq
+    assert(got == ref)
+    assert(got == Seq(Some("1"), Some("2"), Some("v"), None, None))
+    // interpreted path (no codegen) agrees
+    val interp = df.filter(map_lookup(dict, $"k", "spec") === "2")
+      .as[String].collect().toSeq
+    assert(interp == Seq("b"))
+    // the big-table production path: resolveCol over the global table
+    val tt = graft.core.TranslationTable.default
+    val sample = tt.global.keys.take(50).toSeq
+    val viaCol = sample.toDF("w")
+      .select(tt.resolveCol($"w").as("r")).as[String].collect().toSeq
+    assert(viaCol == sample.map(w => tt.resolve(w)))
+  }
 }

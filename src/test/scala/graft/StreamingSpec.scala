@@ -79,6 +79,29 @@ class StreamingSpec extends SparkSpec {
       Seq("doc_id", "text", "ts"))
   }
 
+  test("streaming incremental dedup ≡ batch incrementalNew against a static corpus") {
+    val dir = Files.createTempDirectory("graft-stream-incr").toString
+    val old = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val oldDigests = old.select(org.apache.spark.sql.functions.md5($"text").as("h"))
+    Seq((10L, "alpha text"),   // re-delivery — must drop
+        (11L, "gamma text"),   // genuinely new — must survive
+        (12L, "beta text"))    // re-delivery — must drop
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventStream.incrementalDedupStream(stream, oldDigests, "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incr_out").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.sql("SELECT doc_id FROM incr_out").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // ≡ the batch operator on the same inputs
+    val batch = graft.operators.Dedup.incrementalNew(old,
+        spark.read.parquet(s"$dir/in"), "text", expectedOld = 1024)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batch)
+  }
+
   test("flatMapGroupsWithState gap sessions ≡ batch sessionization (closed)") {
     import graft.streaming.EventStream.SessionEvent
     import org.apache.spark.sql.expressions.Window
