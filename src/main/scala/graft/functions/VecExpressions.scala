@@ -19,13 +19,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object VecFns {
 
-  def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+  def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double =
+    dot2(a, b, isFloat, isFloat)
+
+  /** Mixed-element-type dot: each side reads as its own declared type
+    * (float widens to double exactly — same arithmetic as a cast-then-
+    * multiply). Lets a float embedding column probe a double literal
+    * hyperplane/centroid without a per-row `transform` cast. */
+  def dot2(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
       i += 1
     }
@@ -55,13 +62,15 @@ object VecFns {
 /** `vec_dot(a, b)` — Σ a_i·b_i in double precision. */
 case class VecDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  private lazy val isFloat = VecFns.isFloatArray(left.dataType)
+  private lazy val lFloat = VecFns.isFloatArray(left.dataType)
+  private lazy val rFloat = VecFns.isFloatArray(right.dataType)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecFns.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+    VecFns.dot2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lFloat, rFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecFns.dot($a, $b, $isFloat);")
+      s"${ev.value} = graft.functions.VecFns.dot2($a, $b, $lFloat, $rFloat);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"

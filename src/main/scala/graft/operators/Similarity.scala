@@ -87,12 +87,21 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (`nbits`-bit signature). `band`
     * selects an independent plane family — band b uses planes
     * `b*nbits … b*nbits+nbits-1` — so multiple bands give independent
-    * bucketings (the recall knob, same trick as MinHash banding). */
-  def lshBucket(vec: Column, dim: Int, nbits: Int = 12, band: Int = 0): Column =
+    * bucketings (the recall knob, same trick as MinHash banding).
+    *
+    * Plane dots are the codegen'd [[graft.functions.VecExpressions
+    * .vec_dot]] (mixed float×double), NOT the `aggregate`/`transform`
+    * HOF pair: higher-order functions evaluate interpreted with a boxed
+    * lambda call per element, and this expression runs nbits× per row —
+    * measured 59 CPU-s on d06's 2 000-vector corpus for the HOF form
+    * (the per-plane `transform` cast alone re-boxed the vector 8×). */
+  def lshBucket(vec: Column, dim: Int, nbits: Int = 12, band: Int = 0): Column = {
+    import graft.functions.VecExpressions.vec_dot
     (0 until nbits).map { j =>
       val plane = typedLit(hyperplane(band * nbits + j, dim))
-      when(dot(toDoubleVec(vec), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(vec_dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Bucketed embedding near-dup pair enumeration — the 100 TB path next
     * to the exact [[nearDupPairs]] baseline (an all-pairs theta join that
@@ -112,11 +121,18 @@ object Similarity {
                       dim: Int, threshold: Double,
                       nbits: Int = 8, bands: Int = 4): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    // band buckets hoisted into a projection BELOW the explode:
+    // GenerateExec evaluates generator expressions interpreted (see
+    // TextOps.shinglesOfWords), so inlining the bucket array into
+    // posexplode would run all bands×nbits plane dots outside codegen —
+    // and twice, once per self-join side
     val buckets = widen(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"), col("v"),
-        posexplode(array((0 until bands).map(b =>
-          lshBucket(col("v"), dim, nbits, b)): _*)).as(Seq("band", "bucket")))
-      .withColumn("nrm", vec_norm(col("v")))
+        array((0 until bands).map(b =>
+          lshBucket(col("v"), dim, nbits, b)): _*).as("bks"),
+        vec_norm(col("v")).as("nrm"))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
