@@ -119,4 +119,49 @@ class PropertySpec extends AnyFunSuite {
           ts.count(_.p == "rdf:type") == 1
     })
   }
+
+  test("vec dot2: mixed float×double ≡ widen-then-multiply, any vectors") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecs = for {
+      n <- Gen.chooseNum(0, 128)
+      fs <- Gen.listOfN(n, Gen.chooseNum(-1e3f, 1e3f))
+      ds <- Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3))
+    } yield (fs, ds)
+    check("vec dot2 mixed", Prop.forAll(vecs) { case (fs, ds) =>
+      val fa = new GenericArrayData(fs.toArray)
+      val da = new GenericArrayData(ds.toArray)
+      val mixed = graft.functions.VecFns.dot2(fa, da, true, false)
+      // reference: widen the float side first, then the same-type path
+      val widened = new GenericArrayData(fs.map(_.toDouble).toArray)
+      val ref = graft.functions.VecFns.dot2(widened, da, false, false)
+      java.lang.Double.compare(mixed, ref) == 0
+    })
+  }
+
+  test("minhash md5 permutation family never overflows a signed long") {
+    // every operand of (a·h + b) mod p with h < p must stay below 2^62 —
+    // the bound that lets DuckDB run the identical arithmetic
+    val gen = for {
+      i <- Gen.chooseNum(0, 255)
+      h <- Gen.chooseNum(0L, graft.operators.Dedup.minhashP - 1)
+    } yield (i, h)
+    check("minhash coeff bounds", Prop.forAll(gen) { case (i, h) =>
+      val (a, b) = graft.operators.Dedup.minhashCoeffs(i)
+      val p = graft.operators.Dedup.minhashP
+      a >= 1 && a < p && b >= 0 && b < p &&
+        a * h + b > 0 && a * h + b < (1L << 62)
+    })
+  }
+
+  test("MapLookupExpr probe ≡ Map.get for arbitrary dictionaries") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dicts = Gen.mapOf(Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr))
+    val probe = Gen.alphaNumStr
+    check("map lookup", Prop.forAll(dicts, probe) { (m, k) =>
+      val e = graft.functions.MapLookupExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(k), m, "prop")
+      val got = Option(e.lookupJ(UTF8String.fromString(k))).map(_.toString)
+      got == m.get(k)
+    })
+  }
 }
