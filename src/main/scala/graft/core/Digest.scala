@@ -37,23 +37,40 @@ object Digest {
                  attrs: Column*): Column =
     md5Id(concat_ws("+", (lit(definedBy) +: sub +: pred +: obj +: attrs): _*))
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  // 'b' + hex[1:20] without per-byte String.format (measured ~16 µs per
+  // digest for the format form — it dominated the per-fish assembly tier,
+  // which mints several digests per group)
+  private def idFromDigest(bytes: Array[Byte]): String = {
+    val out = new Array[Char](20)
+    out(0) = 'b'
+    var i = 0
+    while (i < 10) { // hex chars 1..20 come from bytes 0..9
+      val b = bytes(i) & 0xff
+      val hi = hexChars(b >>> 4)
+      val lo = hexChars(b & 0xf)
+      // hex index h lands at out(h); keep h in [1, 19] ('b' + hex[1:20])
+      if (2 * i >= 1) out(2 * i) = hi
+      out(2 * i + 1) = lo // 2i+1 ∈ [1, 19] for i ∈ [0, 9]
+      i += 1
+    }
+    new String(out, 0, 20)
+  }
+
   /** Plain-Scala sha1 form, for emitters that run as `Row => Seq[Triple]`
     * flatMap functions and for golden tests. */
-  def sha1IdScala(value: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-1")
-    val hex = d.digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    "b" + hex.substring(1, 20)
-  }
+  def sha1IdScala(value: String): String =
+    idFromDigest(java.security.MessageDigest.getInstance("SHA-1")
+      .digest(value.getBytes("UTF-8")))
 
   def assocIdScala(definedBy: String, parts: String*): String =
     sha1IdScala((definedBy +: parts).mkString("+"))
 
   /** md5 twin of [[sha1IdScala]] (see [[md5Id]] for why it exists). */
-  def md5IdScala(value: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    "b" + hex.substring(1, 20)
-  }
+  def md5IdScala(value: String): String =
+    idFromDigest(java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes("UTF-8")))
 
   def assocIdScalaMd5(definedBy: String, parts: String*): String =
     md5IdScala((definedBy +: parts).mkString("+"))
