@@ -32,6 +32,22 @@ object ProfAdhoc {
     for (i <- 1 to 3) time(s"$name full") { full(spark, sfDir).count() }
     withoutDedup.foreach { raw =>
       for (i <- 1 to 3) time(s"$name raw (no dedup)") { raw.count() }
+      // per-branch timing when the raw plan is a Union tree
+      def flatten(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+        p match {
+          case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+            u.children.flatMap(flatten)
+          case other => Seq(other)
+        }
+      val branches = flatten(raw.queryExecution.logical)
+      if (branches.size > 1) branches.zipWithIndex.foreach { case (b, i) =>
+        val df = org.apache.spark.sql.classic.ProfShim.ofRows(spark, b)
+        time(f"  branch $i%2d") { df.count() }
+        time(f"  branch $i%2d distinct") {
+          df.dropDuplicates(df.columns.take(5)).count()
+        }
+      }
     }
     spark.stop()
   }

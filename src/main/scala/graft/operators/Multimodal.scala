@@ -52,6 +52,22 @@ object Multimodal {
           lit(frameBytes)).as("frame"))
   }
 
+  /** Cross-payload duplicated-frame detection — the multimodal analog of
+    * [[Dedup.duplicateSpans]]: a frame digest shared by ≥2 distinct
+    * payloads marks reused footage (intros, watermarked stock clips, the
+    * classic video-dedup signal). Input is [[frameSample]]'s output
+    * (id, frame_no, frame); the digest groupBy is the only shuffle and
+    * moves 16-byte digests, never frame bytes. Returns one row per
+    * duplicated digest: (frame_md5, n_docs, n_frames, first_doc). */
+  def duplicateFrames(frames: DataFrame, idCol: String): DataFrame =
+    frames
+      .select(col(idCol).as("id"), md5(col("frame")).as("frame_md5"))
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** STUB resize: deterministic byte-decimation of a decoded frame to
     * `targetBytes` (keeps every ceil(n/target)-th byte). A real
     * implementation would do pixel-space interpolation here; the seam —

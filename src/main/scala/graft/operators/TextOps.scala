@@ -109,6 +109,33 @@ object TextOps {
     * floor, but the hint is left out so AQE picks broadcast exactly when
     * the built relation is small enough. Returns (id, n_words, logprob).
     */
+  /** Deterministic training-order shuffle: every row gets a reproducible
+    * pseudo-random global position derived only from (seed, id) — the
+    * property a training run needs to resume, re-shard, or replay
+    * byte-identically on any cluster size (a `rand()`-based orderBy is
+    * neither stable across retries nor across partitionings).
+    *
+    * Scale shape: NO global sort and NO unpartitioned window. Rows hash
+    * into `buckets` pseudo-random buckets (md5 arithmetic, oracle-
+    * reproducible), rank within their bucket by the same hash (per-bucket
+    * window — each partition sorts only its slice), and interleave
+    * round-robin: `global_pos = rank_in_bucket · buckets + bucket`.
+    * The result is a total order that any reader can reconstruct
+    * independently. Collisions break ties by id, so the order is total
+    * and deterministic even for duplicate hashes. */
+  def deterministicShuffle(docs: DataFrame, idCol: String, seed: String,
+                           buckets: Int = 16): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("h"), col("id"))
+    docs.select(col(idCol).as("id"), h.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+      .withColumn("rank_in_bucket", row_number().over(w).cast("long") - 1)
+      .select(col("id"), col("bucket"), col("rank_in_bucket"),
+        (col("rank_in_bucket") * buckets + col("bucket")).as("global_pos"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each document by
     * `Σ_tokens [ln p_target(bucket(tok)) − ln p_raw(bucket(tok))]` over a

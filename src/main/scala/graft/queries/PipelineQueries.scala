@@ -512,6 +512,24 @@ object PipelineQueries {
           isTarget = col("lang") === "en", buckets = 64)
         .withColumnRenamed("id", "doc_id")),
 
+    // Deterministic training-order shuffle: reproducible pseudo-random
+    // global positions from (seed, id) only — per-bucket windows, no
+    // global sort, so any cluster size reconstructs the same order.
+    "t20_deterministic_shuffle" -> ((s, d) =>
+      TextOps.deterministicShuffle(Tables.documents(s, d), "doc_id",
+          seed = "epoch0", buckets = 16)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Cross-payload duplicated-frame detection: frame digests shared by
+    // ≥2 payloads (reused-footage signal) over the m02 frame sample —
+    // the shuffle moves 16-byte digests, never frame bytes.
+    "m03_duplicate_frames" -> ((s, d) =>
+      Multimodal.duplicateFrames(
+        Multimodal.frameSample(
+          Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", "payload", frameBytes = 64, every = 1),
+        "doc_id")),
+
     // Persisted-MinHash incremental near-dup (the text twin of s07's
     // persisted IVF): the prior corpus's band buckets live in a bucketed
     // index table built once; a fresh batch (last doc_id decile + a
@@ -1310,6 +1328,29 @@ object PipelineQueries {
          FROM tb JOIN lm USING (b)
          GROUP BY doc_id""",
     "d15_minhash_incremental" -> minhashIncrementalOracle(numPerm = 32,
-      bands = 8, threshold = 0.5)
+      bands = 8, threshold = 0.5),
+    "t20_deterministic_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  ('0x'||substr(md5('epoch0'||doc_id::varchar),1,15))::BIGINT AS h
+           FROM documents),
+         b AS (SELECT doc_id AS id, h, h % 16 AS bucket FROM h),
+         r AS (SELECT id, bucket,
+                      row_number() OVER (PARTITION BY bucket
+                        ORDER BY h, id) - 1 AS rank_in_bucket
+               FROM b)
+         SELECT id AS doc_id, bucket, rank_in_bucket,
+                rank_in_bucket * 16 + bucket AS global_pos
+         FROM r""",
+    "m03_duplicate_frames" ->
+      """WITH frames AS (
+           SELECT d.doc_id, md5(substring(d.text, (t.range * 64 + 1)::INT, 64)) AS frame_md5
+           FROM documents d CROSS JOIN range(0, 4096, 1) t
+           WHERE t.range * 64 < length(d.text) AND length(d.text) > 0)
+         SELECT frame_md5, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_frames, min(doc_id) AS first_doc
+         FROM frames
+         GROUP BY frame_md5
+         HAVING count(DISTINCT doc_id) >= 2"""
   )
 }

@@ -636,6 +636,42 @@ class OperatorsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mh_spec_idx")
   }
 
+  test("deterministic shuffle: total order, partitioning-invariant, seed-sensitive") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val a = TextOps.deterministicShuffle(docs, "doc_id", "s1", buckets = 8)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    // a total order: 200 distinct positions
+    assert(a.values.toSet.size == 200)
+    // invariant under input partitioning (the training-resume property)
+    val b = TextOps.deterministicShuffle(docs.repartition(13), "doc_id", "s1",
+        buckets = 8)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // a different seed produces a different order
+    val c = TextOps.deterministicShuffle(docs, "doc_id", "s2", buckets = 8)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(a != c)
+    // round-robin interleave: global_pos ≡ bucket (mod buckets)
+    val rows = TextOps.deterministicShuffle(docs, "doc_id", "s1", buckets = 8)
+      .select("bucket", "global_pos").as[(Long, Long)].collect()
+    assert(rows.forall { case (bk, gp) => gp % 8 == bk })
+  }
+
+  test("duplicate frames: digests shared across payloads only") {
+    val docs = Seq(
+      (1L, "AAAABBBB"), // frames AAAA, BBBB
+      (2L, "AAAACCCC"), // shares AAAA with doc 1
+      (3L, "DDDDDDDD")) // self-repeats DDDD twice — NOT cross-doc
+      .toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(
+      Multimodal.withBinaryPayload(docs, "doc_id", "text"),
+      "doc_id", "payload", frameBytes = 4, every = 1)
+    val dup = Multimodal.duplicateFrames(frames, "doc_id")
+      .select("n_docs", "n_frames", "first_doc")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(dup == Seq((2L, 2L, 1L))) // AAAA across docs 1,2; DDDD excluded
+  }
+
   test("DSIR weights: target-like docs outweigh off-target docs") {
     // target = lang 'en' rows; doc 4 repeats target vocabulary, doc 5
     // repeats vocabulary that never appears in the target slice
