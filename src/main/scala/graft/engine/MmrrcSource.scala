@@ -154,7 +154,12 @@ object MmrrcSource extends GraftSource {
       assocRows.filter(col("pubs") =!= "")
         .select(col("aid"), explode(split(col("pubs"), ",")).as("pm"))
         .withColumn("pmid", regexp_replace(col("pm"), "\\s+", ""))
-        .filter(col("pmid") =!= ""),
+        .filter(col("pmid") =!= "")
+        // (aid, pmid)-bounded: the catalog repeats an (allele, MP, pubs)
+        // combination across its strain rows (measured 87 k raw → 400
+        // surviving at sf0.1); distinct here keeps the emit volume at
+        // what the set-dedup would keep anyway
+        .select("aid", "pmid").distinct(),
       res(col("aid"), lit(Vocab.source), col("pmid")))
 
     // ---- strain tier (strain_hash walk, MMRRC.py:325-409) ---------------
@@ -213,23 +218,41 @@ object MmrrcSource extends GraftSource {
         translate(col("strain"), ":", "")))
       .withColumn("bkgdId", concat(lit("_:"), Digest.md5Id(col("bkgdStr"))))
       .withColumn("genoId", concat(col("gvc"), lit("-"), col("bkgdStr")))
+      // three tiers (vl, vslc, genotype) consume this strain-bounded
+      // aggregate; without a persist each re-runs the full catalog scan
+      // + groupBy + digest chain (measured 3×~1.5 s at sf0.1), and a
+      // LAZY persist doesn't help because the branches race within one
+      // job — force it eagerly (the Dedup.materialize discipline). The
+      // relation is strain-catalog-sized (one row per stock id), so the
+      // cached footprint is dimension-bounded at any corpus scale.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perStrain.count()
 
+    // locus/VSLC dimension rows are allele-catalog-bounded, not
+    // strain-bounded: the same MGI allele appears in many strains with
+    // an identical emission context, so distinct the projected context
+    // before emitting (measured 120 k/199 k raw → 120/200 surviving).
+    // The distinct must run over emission-relevant SCALARS — carrying
+    // the per-strain `genes` array through it keeps every strain's rows
+    // distinct and collapses nothing
     val vlRows = perStrain
       .select(col("nv"), col("ng"), col("genes"),
         explode(col("vls")).as("v"))
-      .select(col("nv"), col("ng"), col("genes"),
+      .select(
+        (col("nv") === 1 && col("ng") === 1).as("oneToOne"),
+        when(col("ng") === 1, element_at(col("genes"), 1)("id")).as("gene1"),
         col("v")("id").as("vl"), col("v")("sym").as("sym"),
         col("v")("gene").as("sgene"), col("v")("geneSym").as("sgeneSym"))
+      .distinct()
     val vlTriples = ColumnEmit.emitFiltered(vlRows,
       res(col("vl"), lit(Vocab.a), lit(Vocab.variantLocus)),
       strT(col("vl"), lit(Vocab.label), when(col("sym") =!= "", col("sym"))),
       // real allele, unambiguous 1:1 → is_allele_of the single gene;
       // ambiguous → typed a plain allele too (the reference's re-call of
       // addAllele with the default type, MMRRC.py:332-337)
-      res(when(col("sgene").isNull && col("nv") === 1 && col("ng") === 1,
-        col("vl")), lit(Vocab.isAlleleOf),
-        when(col("ng") === 1, element_at(col("genes"), 1)("id"))),
-      res(when(col("sgene").isNull && !(col("nv") === 1 && col("ng") === 1),
+      res(when(col("sgene").isNull && col("oneToOne"), col("vl")),
+        lit(Vocab.isAlleleOf), col("gene1")),
+      res(when(col("sgene").isNull && !col("oneToOne"),
         col("vl")), lit(Vocab.a), lit(Vocab.allele)),
       // synthetic locus: the gene class + is_allele_of (MMRRC.py:331-341)
       res(col("sgene"), lit(Vocab.a), lit(Vocab.owlClass)),
@@ -243,6 +266,7 @@ object MmrrcSource extends GraftSource {
       .select(col("gvc"), explode(col("vslcs")).as("v"))
       .select(col("gvc"), col("v")("id").as("vslc"),
         col("v")("sym").as("sym"), col("v")("vl").as("vl"))
+      .distinct()
     val vslcTriples = ColumnEmit.emitFiltered(vslcRows,
       res(col("vslc"), lit(Vocab.a), lit(Vocab.vslc)),
       strT(col("vslc"), lit(Vocab.label), col("sym")),

@@ -1361,7 +1361,11 @@ object RdfQueries {
       val sk = ok % 997
       val an = ok % 50 + 100
       val gn = ok % 40
-      val rows = Tables.ordersWide(s, d).select(
+      // the real MMRRC catalog is ONE landed csv; six transform tiers
+      // re-scanning a staged parquet is the production shape, six
+      // re-derivations of the 33-column orders projection is not
+      val rows = stageOnce(s, d, "mmrrc", Seq("orders.parquet")) {
+        Tables.ordersWide(s, d).select(
         concat(lit("MMRRC:"), lpad(sk.cast("string"), 6, "0"), lit("-UNC"))
           .as("STRAIN/STOCK_ID"),
         concat(lit("STOCK "), sk).as("STRAIN/STOCK_DESIGNATION"),
@@ -1395,6 +1399,7 @@ object RdfQueries {
             ok % 100 + 5001)), (ok % 3 + 1).cast("int")).as("PUBMED_IDS"),
         when(ok % 6 === 0, lit("Cardiology")).otherwise(lit(""))
           .as("RESEARCH_AREAS"))
+      }
       graft.engine.MmrrcSource.transform(s, Map("catalog" -> rows))
         .dropDuplicates("s", "p", "o", "lit", "dt")
     }),
