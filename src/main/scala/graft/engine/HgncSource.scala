@@ -89,35 +89,51 @@ object HgncSource extends GraftSource {
       // EXCEPT the withdrawn branch, which precedes it (HGNC.py:238-243)
       .filter(col("ltype") === "withdrawn" || !col("symbol").endsWith("@"))
 
-    val withdrawn = rows0.filter(col("ltype") === "withdrawn")
-    val live = rows0.filter(col("ltype") =!= "withdrawn")
+    // Row-level tiers fused into ONE emit pass over rows0 (null-gated
+    // patterns through emitFiltered): withdrawn flags, typed class
+    // quads, clique leaders, x-ref equivalences, taxon, and cytogenic
+    // location all project off the same scan — nine union branches were
+    // nine scans of the landed file, each paying its own stage floor
+    // (measured: over half of p15's wall was branch scheduling, not
+    // work). Same triple set row-for-row; the set-dedup sees no change.
+    val isW = col("ltype") === "withdrawn"
+    val typedOk = !isW && col("gtype") =!= col("ltype")
+    val aug = rows0
+      .withColumn("gtype", tt.resolveCol(col("ltype")))
+      // cytogenic location (HGNC.py:278-305): anchored chromosome match,
+      // searched band match, CHR:9606chr… ids, reciprocal subsequence
+      .withColumn("chrom",
+        regexp_extract(col("loc"), "^(\\d+|X|Y|Z|W|MT)[pq$]", 1))
+      .withColumn("parent", when(col("chrom") =!= "",
+        concat(lit("CHR:9606chr"), col("chrom"),
+          regexp_extract(col("loc"), "([pq][A-H\\d]?\\d?(?:\\.\\d+)?)", 1))))
 
-    val withdrawnTriples = ColumnEmit.emit(withdrawn,
-      res(col("id"), lit(Vocab.a), lit(Vocab.owlClass)),
-      ColumnEmit.typed(col("id"), lit(Vocab.deprecated), lit("true"),
-        "xsd:boolean"))
-
-    // typed class quad only when the locus_type resolves (HGNC.py:245-248);
-    // the clique-leader marker is unconditional (py:249)
-    val typedLive = live.withColumn("gtype", tt.resolveCol(col("ltype")))
-    val classTriples = ColumnEmit.emitFiltered(
-      typedLive.filter(col("gtype") =!= col("ltype")),
-      res(col("id"), lit(Vocab.a), lit(Vocab.owlClass)),
-      str(col("id"), lit(Vocab.label), col("symbol")),
-      res(col("id"), lit(Vocab.subClassOf), col("gtype")),
-      str(col("id"), lit(Vocab.description), col("gname")))
-    val leaderTriples = ColumnEmit.emit(live,
-      ColumnEmit.typed(col("id"), lit(leaderPred), lit("true"), "xsd:boolean"))
-
-    // plain x-ref equivalences (HGNC.py:250-252)
-    val entrezTriples = ColumnEmit.emit(
-      rows0.filter(col("entrez") =!= ""),
-      res(col("id"), lit(Vocab.equivalentClass),
-        concat(lit("NCBIGene:"), col("entrez"))))
-    val ensemblTriples = ColumnEmit.emit(
-      rows0.filter(col("ensembl") =!= ""),
-      res(col("id"), lit(Vocab.equivalentClass),
-        concat(lit("ENSEMBL:"), col("ensembl"))))
+    val rowTriples = ColumnEmit.emitFiltered(aug,
+      // withdrawn branch (HGNC.py:238-243)
+      res(when(isW, col("id")), lit(Vocab.a), lit(Vocab.owlClass)),
+      ColumnEmit.typed(when(isW, col("id")), lit(Vocab.deprecated),
+        lit("true"), "xsd:boolean"),
+      // typed class quad only when the locus_type resolves
+      // (HGNC.py:245-248); the clique-leader marker is unconditional
+      // (py:249)
+      res(when(typedOk, col("id")), lit(Vocab.a), lit(Vocab.owlClass)),
+      str(when(typedOk, col("id")), lit(Vocab.label), col("symbol")),
+      res(when(typedOk, col("id")), lit(Vocab.subClassOf), col("gtype")),
+      str(when(typedOk, col("id")), lit(Vocab.description), col("gname")),
+      ColumnEmit.typed(when(!isW, col("id")), lit(leaderPred),
+        lit("true"), "xsd:boolean"),
+      // plain x-ref equivalences (HGNC.py:250-252)
+      res(when(col("entrez") =!= "", col("id")), lit(Vocab.equivalentClass),
+        concat(lit("NCBIGene:"), col("entrez"))),
+      res(when(col("ensembl") =!= "", col("id")), lit(Vocab.equivalentClass),
+        concat(lit("ENSEMBL:"), col("ensembl"))),
+      // taxon (geno.addTaxon + the duplicate addTriple, HGNC.py:265,276)
+      res(col("id"), lit(Vocab.inTaxon), lit(taxon)),
+      // location triples; null parent (no anchored chromosome) drops all
+      res(col("parent"), lit(Vocab.a), lit(Vocab.owlClass)),
+      res(when(col("parent").isNotNull, col("id")),
+        lit(Vocab.isSubsequenceOf), col("parent")),
+      res(col("parent"), lit(Vocab.hasSubsequence), col("id")))
 
     // OMIM equivalence through the mimTitles sidecar (HGNC.py:253-263):
     // Caret mims redirect to their last gene-typed MOVED TO replacement;
@@ -151,10 +167,6 @@ object HgncSource extends GraftSource {
       res(col("id"), lit(Vocab.equivalentClass),
         concat(lit("OMIM:"), col("mim"))))
 
-    // taxon (geno.addTaxon + the duplicate addTriple, HGNC.py:265,276)
-    val taxonTriples = ColumnEmit.emit(rows0,
-      res(col("id"), lit(Vocab.inTaxon), lit(taxon)))
-
     // publications about the gene (HGNC.py:267-273)
     val pubTriples = ColumnEmit.emit(
       rows0.filter(col("pubs") =!= "")
@@ -163,24 +175,7 @@ object HgncSource extends GraftSource {
       res(concat(lit("PMID:"), trim(col("pm"))), lit(g.resolve("is_about")),
         col("id")))
 
-    // cytogenic location (HGNC.py:278-305): anchored chromosome match,
-    // searched band match, CHR:9606chr… ids, reciprocal subsequence pair
-    val located = rows0
-      .withColumn("chrom",
-        regexp_extract(col("loc"), "^(\\d+|X|Y|Z|W|MT)[pq$]", 1))
-      .filter(col("chrom") =!= "")
-      .withColumn("band",
-        regexp_extract(col("loc"), "([pq][A-H\\d]?\\d?(?:\\.\\d+)?)", 1))
-      .withColumn("parent", concat(lit("CHR:9606chr"), col("chrom"),
-        col("band")))
-    val locTriples = ColumnEmit.emit(located,
-      res(col("parent"), lit(Vocab.a), lit(Vocab.owlClass)),
-      res(col("id"), lit(Vocab.isSubsequenceOf), col("parent")),
-      res(col("parent"), lit(Vocab.hasSubsequence), col("id")))
-
-    withdrawnTriples.union(classTriples).union(leaderTriples)
-      .union(entrezTriples).union(ensemblTriples).union(omimTriples)
-      .union(taxonTriples).union(pubTriples).union(locTriples)
+    rowTriples.union(omimTriples).union(pubTriples)
   }
 
   override def testIds: Seq[String] = Seq("HGNC:6407", "HGNC:5")
