@@ -712,4 +712,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming),
       sigs)
   }
+
+  /** Soft dedup: instead of dropping near-duplicates, down-weight them —
+    * every member of a near-dup cluster gets sampling weight 1/|cluster|,
+    * so each distinct content contributes unit mass to the training mix
+    * regardless of how many copies the crawl delivered (the
+    * duplication-aware reweighting alternative to hard removal; keeps
+    * paraphrase diversity a hard keep-one policy throws away).
+    *
+    * `universe` is the full corpus (idCol), `clusterOf` the (id, cluster)
+    * relation from [[clusters]] — which only contains ids that appear in
+    * ≥1 near-dup pair, so unpaired documents are singletons with weight
+    * 1.0 via the left join. Cluster sizes aggregate BEFORE joining back:
+    * the join carries one row per clustered id, never a cluster×cluster
+    * blow-up, and the cluster-size relation is ≤ |clustered ids| ≪
+    * corpus, so AQE broadcasts it when small. Weights are rounded to 6
+    * places to pin the one division's float form across engines. */
+  def softWeights(universe: DataFrame, idCol: String,
+                  clusterOf: DataFrame): DataFrame = {
+    val sizes = clusterOf.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val withSize = clusterOf.join(sizes, "cluster")
+      .select(col("id"), col("cluster"), col("cluster_size"))
+    universe.select(col(idCol).as("id"))
+      .join(withSize, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 6).as("weight"))
+  }
 }

@@ -68,6 +68,25 @@ object Multimodal {
         min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Audio↔video stream alignment: attach to each audio chunk the most
+    * recent video frame at or before the chunk's presentation timestamp,
+    * per media id — the point-in-time join a multimodal training pair
+    * builder runs to caption frames with the audio that accompanies them
+    * (video ~25 fps and audio ~43 chunks/s tick at different rates, so
+    * the match is as-of, not equality). Thin composition over
+    * [[graft.operators.AsofJoin]]: one shuffle on the media id, linear
+    * in |frames|+|chunks|, no per-id range scan — the posture that holds
+    * when one popular video carries millions of chunks.
+    *
+    * `frames` must carry (idCol, frame_no, frame_pts); `chunks`
+    * (idCol, chunk_no, chunk_pts). Chunks that precede the first frame
+    * keep null frame columns (left semantics), so A/V leaders are
+    * visible to the caller rather than silently dropped. */
+  def avSync(frames: DataFrame, chunks: DataFrame, idCol: String): DataFrame =
+    AsofJoin.asof(
+      chunks, frames.select(col(idCol), col("frame_no"), col("frame_pts")),
+      keys = Seq(idCol), leftTs = "chunk_pts", rightTs = "frame_pts")
+
   /** STUB resize: deterministic byte-decimation of a decoded frame to
     * `targetBytes` (keeps every ceil(n/target)-th byte). A real
     * implementation would do pixel-space interpolation here; the seam —

@@ -98,6 +98,65 @@ object TextOps {
   def urlHost(url: Column): Column =
     regexp_extract(url, "https?://([^/ ]+)", 1)
 
+  /** Canonical form of a URL for crawl-level dedup: query string and
+    * fragment dropped (tracking params — utm_*, fbclid, session ids —
+    * all live there), trailing slash stripped, scheme+host lowercased
+    * (path case preserved: it is significant per RFC 3986), and http
+    * folded into https (crawls see both for the same page). Pure
+    * regexp_replace/regexp_extract chain — map-only, codegen'd, and
+    * replayable verbatim in any RE2-compatible engine. */
+  def urlCanonicalize(url: Column): Column = {
+    val bare = regexp_replace(regexp_replace(url, "[?#].*$", ""), "/$", "")
+    val schemeHost = lower(regexp_extract(bare, "^((?i)https?://[^/]+)", 1))
+    val path = regexp_extract(bare, "^(?i)https?://[^/]+(/.*)?$", 1)
+    concat(regexp_replace(schemeHost, "^http://", "https://"), path)
+  }
+
+  /** Corpus-wide first-occurrence chunk dedup with document reassembly
+    * (the CCNet/Gopher paragraph-dedup shape): every document splits into
+    * fixed `chunkWords`-word chunks, each chunk content survives only at
+    * its first occurrence in corpus order (doc id, then position), and
+    * each document is reassembled from its surviving chunks. Returns
+    * (id, n_chunks, n_kept, clean_text) for EVERY input document — a doc
+    * whose text is entirely duplicated elsewhere comes back with
+    * n_kept=0 and empty clean_text, not silently dropped.
+    *
+    * Scale shape: two inherent shuffles — the dedup decision (one window
+    * partitioned by the chunk content, i.e. hash-partitioned on the dedup
+    * key; each partition sorts only its own chunk group) and the per-doc
+    * reassembly groupBy. No corpus-wide sort, no driver state; the
+    * collect_list is bounded by a single document's chunk count. The
+    * real-corpus setting is chunkWords ≈ a paragraph (50–200); tests use
+    * small values so the synthetic vocabulary actually collides. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    val chunks = docs
+      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col("id"), col("ws"),
+        posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
+          lit(chunkWords))).as(Seq("chunk_no", "start")))
+      .select(col("id"), col("chunk_no"),
+        array_join(slice(col("ws"), col("start"), lit(chunkWords)), " ")
+          .as("chunk"))
+    val firstWin = Window.partitionBy(col("chunk"))
+      .orderBy(col("id").asc, col("chunk_no").asc)
+    val kept = chunks
+      .withColumn("rk", row_number().over(firstWin))
+      .filter(col("rk") === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_no"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+    chunks.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the classic cheap LM-quality proxy (docs of
     * rare/garbled vocabulary score low, template-like docs score high).

@@ -548,6 +548,78 @@ object PipelineQueries {
         numPerm = 32, bands = 8, family = "md5")
       Dedup.minhashIncremental(s, "graft_mh_index", fresh, "doc_id", "text",
         numPerm = 32, bands = 8, threshold = 0.5, family = "md5")
+    }),
+
+    // URL-canonicalization dedup: crawl-level keep-first by canonical
+    // URL — tracking params/fragments stripped, host lowercased, http
+    // folded to https — so the 20 delivery variants of each page
+    // collapse to one keeper. URLs are doc_id-salted like t10/t11 (the
+    // corpus text carries none), with case noise and utm junk varied per
+    // doc so the canonicalizer has real work on every row. Map-only
+    // canonicalization + one groupBy on the canonical key.
+    "d16_url_dedup" -> ((s, d) => {
+      val salted = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://Site")).otherwise(lit("http://site")),
+        (col("doc_id") % 20).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".Example.ORG/page/")).otherwise(lit(".example.org/page/")),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=s"), col("doc_id").cast("string"),
+        lit("&utm_campaign=c"), (col("doc_id") % 5).cast("string"),
+        lit("#frag"), (col("doc_id") % 7).cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.urlCanonicalize(salted).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_variants"))
+    }),
+
+    // Corpus-wide chunk dedup with reassembly (paragraph dedup): each
+    // 3-word chunk survives only at its first corpus-order occurrence;
+    // documents come back reassembled from surviving chunks. chunkWords=3
+    // at test SF so the synthetic vocabulary actually collides; the
+    // operator's shape (chunk-hash window + per-doc regroup) is
+    // unchanged at paragraph-sized chunks.
+    "t21_chunk_dedup" -> ((s, d) =>
+      TextOps.chunkDedup(Tables.documents(s, d), "doc_id", "text",
+          chunkWords = 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Soft dedup: near-dup cluster members down-weighted to 1/|cluster|
+    // instead of dropped (duplication-aware reweighting — each distinct
+    // content contributes unit mass to the training mix). Clusters are
+    // d07's connected components over the exact cosine pairs; unpaired
+    // rows are singletons at weight 1.
+    "d17_soft_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.softWeights(emb, "vec_id",
+        Dedup.clusters(
+          Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35),
+          "id_a", "id_b"))
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+    // Audio↔video alignment: every audio chunk (256-byte framing of the
+    // payload, 23 ms tick) attached to the most recent sampled video
+    // frame (64-byte frames, every 2nd kept, 40 ms tick) of the SAME
+    // payload — the as-of join a multimodal pair builder runs. Chunks
+    // before the first kept frame keep nulls (A/V leader visibility).
+    "m04_av_sync" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+      val frames = Multimodal.frameSample(media, "doc_id", "payload",
+          frameBytes = 64, every = 2)
+        .select(col("doc_id"), col("frame_no"),
+          (col("frame_no") * 40L).as("frame_pts"))
+      val chunks = media
+        .filter(col("meta.n_bytes") > 0) // guard the descending-sequence corner
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            floor((col("meta.n_bytes") - 1) / 256).cast("long"))).as("chunk_no"))
+        .select(col("doc_id"), col("chunk_no"),
+          (col("chunk_no") * 23L).as("chunk_pts"))
+      Multimodal.avSync(frames, chunks, "doc_id")
+        .select(col("doc_id"), col("chunk_no"), col("chunk_pts"),
+          col("frame_no"), col("frame_pts"))
     })
   )
 
@@ -1351,6 +1423,88 @@ object PipelineQueries {
                 count(*) AS n_frames, min(doc_id) AS first_doc
          FROM frames
          GROUP BY frame_md5
-         HAVING count(DISTINCT doc_id) >= 2"""
+         HAVING count(DISTINCT doc_id) >= 2""",
+    "d16_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Site' ELSE 'http://site' END)
+                  || (doc_id % 20)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '.Example.ORG/page/' ELSE '.example.org/page/' END)
+                  || (doc_id % 50)
+                  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                  || '?utm_source=s' || doc_id
+                  || '&utm_campaign=c' || (doc_id % 5)
+                  || '#frag' || (doc_id % 7) AS url
+           FROM documents),
+         bare AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(url, '[?#].*$', ''), '/$', '') AS b
+           FROM u),
+         canon AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    lower(regexp_extract(b, '^((?i)https?://[^/]+)', 1)),
+                    '^http://', 'https://')
+                  || regexp_extract(b, '^(?i)https?://[^/]+(/.*)?$', 1) AS canon_url
+           FROM bare)
+         SELECT canon_url, min(doc_id) AS keep_doc_id, count(*) AS n_variants
+         FROM canon GROUP BY canon_url""",
+    "t21_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         ch AS (SELECT doc_id, (n - 1) // 3 AS chunk_no,
+                       array_to_string(ws[n : n + 2], ' ') AS chunk
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws), 1), 3)) AS n
+                      FROM w) t),
+         marked AS (SELECT doc_id, chunk_no, chunk,
+                           row_number() OVER (PARTITION BY chunk
+                             ORDER BY doc_id, chunk_no) AS rk
+                    FROM ch),
+         ka AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(chunk, ' ' ORDER BY chunk_no) AS clean_text
+                FROM marked WHERE rk = 1 GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         SELECT tot.doc_id, n_chunks,
+                coalesce(n_kept, 0) AS n_kept,
+                coalesce(clean_text, '') AS clean_text
+         FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id""",
+    "d17_soft_dedup" ->
+      """WITH RECURSIVE
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+           cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+           sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster)
+         SELECT e.vec_id,
+                coalesce(cl.cluster, e.vec_id) AS cluster,
+                coalesce(sz.cluster_size, 1) AS cluster_size,
+                round(1.0 / coalesce(sz.cluster_size, 1), 6) AS weight
+         FROM embeddings e
+         LEFT JOIN cl ON e.vec_id = cl.id
+         LEFT JOIN sz ON cl.cluster = sz.cluster""",
+    "m04_av_sync" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_bytes
+                    FROM documents WHERE length(text) > 0),
+         fr AS (SELECT doc_id, n AS frame_no, n * 40 AS frame_pts
+                FROM (SELECT doc_id,
+                        unnest(generate_series(0, (n_bytes - 1) // 64, 2)) AS n
+                      FROM m) t),
+         ck AS (SELECT doc_id, n AS chunk_no, n * 23 AS chunk_pts
+                FROM (SELECT doc_id,
+                        unnest(generate_series(0, (n_bytes - 1) // 256)) AS n
+                      FROM m) t)
+         SELECT ck.doc_id, ck.chunk_no, ck.chunk_pts,
+                max(fr.frame_no) AS frame_no,
+                max(fr.frame_pts) AS frame_pts
+         FROM ck LEFT JOIN fr
+           ON ck.doc_id = fr.doc_id AND fr.frame_pts <= ck.chunk_pts
+         GROUP BY 1, 2, 3"""
   )
 }

@@ -688,4 +688,67 @@ class OperatorsSpec extends SparkSpec {
     // every doc scored, token counts preserved
     assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("URL canonicalization: case, scheme, tracking params, trailing slash") {
+    val urls = Seq(
+      "HTTP://Site1.Example.ORG/page/9?utm_source=a#x",
+      "http://site1.example.org/page/9/",
+      "https://site1.example.org/page/9?fbclid=123&utm_campaign=c",
+      "https://other.net/Path/Case",         // path case preserved
+      "https://bare.io",                      // no path at all
+      "https://bare.io/?utm_source=z").toDF("url")
+    val got = urls.select(TextOps.urlCanonicalize($"url")).as[String].collect().toSeq
+    assert(got(0) == "https://site1.example.org/page/9")
+    assert(got(1) == "https://site1.example.org/page/9")
+    assert(got(2) == "https://site1.example.org/page/9")
+    assert(got(3) == "https://other.net/Path/Case")
+    assert(got(4) == "https://bare.io")
+    assert(got(5) == "https://bare.io")
+  }
+
+  test("chunk dedup: first corpus-order occurrence survives, docs reassemble") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // chunks "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" is a dup of doc 1's first chunk
+      (3L, "d e f a b c"),   // both chunks duplicated -> empty survivor
+      (4L, "q r")            // short doc: single partial chunk
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(docs, "doc_id", "text", chunkWords = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d e f")))
+    assert(got(2L) == ((2L, 1L, "x y z")))
+    assert(got(3L) == ((2L, 0L, ""))) // fully-duplicated doc kept, emptied
+    assert(got(4L) == ((1L, 1L, "q r")))
+  }
+
+  test("soft dedup weights: cluster members 1/|C|, singletons 1.0") {
+    val universe = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // {1,2,3} + singles
+    val got = Dedup.softWeights(universe, "id", Dedup.clusters(pairs, "id_a", "id_b"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 3L, 0.333333)))
+    assert(got(2L) == ((1L, 3L, 0.333333)))
+    assert(got(3L) == ((1L, 3L, 0.333333)))
+    assert(got(4L) == ((4L, 1L, 1.0)))
+    assert(got(5L) == ((5L, 1L, 1.0)))
+    // total mass = number of distinct contents (2 clusters + ... here 1+2)
+    assert(math.abs(got.values.map(_._3).sum - 2.999999) < 1e-6)
+  }
+
+  test("A/V sync: chunks attach the latest frame at-or-before, leaders null") {
+    val frames = Seq((7L, 0L, 0L), (7L, 2L, 80L), (8L, 2L, 80L))
+      .toDF("doc_id", "frame_no", "frame_pts")
+    val chunks = Seq((7L, 0L, 0L), (7L, 3L, 69L), (7L, 4L, 92L), (8L, 0L, 0L))
+      .toDF("doc_id", "chunk_no", "chunk_pts")
+    val got = Multimodal.avSync(frames, chunks, "doc_id")
+      .select($"doc_id", $"chunk_no", $"frame_no")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (7L, 0L, Some(0L)),   // tie at pts 0 matches (>= semantics)
+      (7L, 3L, Some(0L)),   // 69 < 80: still frame 0
+      (7L, 4L, Some(2L)),   // 92 >= 80: frame 2
+      (8L, 0L, None)))      // chunk precedes doc 8's first frame
+  }
 }
