@@ -737,6 +737,57 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._3).sum - 2.999999) < 1e-6)
   }
 
+  test("URL canonicalization is idempotent over randomized URL noise") {
+    // one Spark pass over 200 seeded variants: canon(canon(x)) == canon(x)
+    val rnd = new scala.util.Random(42)
+    val urls = (0 until 200).map { i =>
+      val scheme = if (rnd.nextBoolean()) "http" else "HTTPS"
+      val host = s"H${rnd.nextInt(10)}.ExAmple.${if (rnd.nextBoolean()) "org" else "NET"}"
+      val path = if (rnd.nextBoolean()) s"/P${rnd.nextInt(100)}/x" else ""
+      val slash = if (rnd.nextBoolean()) "/" else ""
+      val query = if (rnd.nextBoolean()) s"?utm_source=${rnd.nextInt(9)}&id=$i" else ""
+      val frag = if (rnd.nextBoolean()) s"#s${rnd.nextInt(9)}" else ""
+      s"$scheme://$host$path$slash$query$frag"
+    }.toDF("url")
+    val bad = urls.select(
+        TextOps.urlCanonicalize($"url").as("c1"),
+        TextOps.urlCanonicalize(TextOps.urlCanonicalize($"url")).as("c2"))
+      .filter($"c1" =!= $"c2").count()
+    assert(bad == 0)
+  }
+
+  test("chunk dedup conservation: survivors = distinct chunks, exactly once") {
+    // random small-vocab corpus -> heavy chunk collisions; invariants:
+    // every distinct chunk content survives exactly once corpus-wide,
+    // and per-doc counts are consistent
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docs = (0L until 50L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDedup(docs, "doc_id", "text", chunkWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 50) // every doc present, even fully-duplicated ones
+    assert(out.forall { case (_, nc, nk, _) => nk <= nc && nk >= 0 })
+    // rebuild surviving chunks from each clean_text (2-word regrouping is
+    // exact because survivors concatenate whole chunks in order; a doc's
+    // final chunk may be 1 word — handled by grouped())
+    val survivors = out.flatMap { case (_, _, nk, txt) =>
+      if (txt.isEmpty) Nil
+      else txt.split(" ").toSeq.grouped(2).map(_.mkString(" ")).toSeq
+    }
+    val allChunks = docs.as[(Long, String)].collect().flatMap { case (_, t) =>
+      t.split(" ").toSeq.grouped(2).map(_.mkString(" ")).toSeq
+    }
+    assert(survivors.length == out.map(_._3).sum)
+    // exactly-once: survivor multiset == distinct chunk set...
+    assert(survivors.toSet == allChunks.toSet)
+    // ...except chunk contents can legitimately repeat across a chunk
+    // boundary only if they were distinct chunk instances; first-owner
+    // uniqueness means no content appears twice among survivors
+    assert(survivors.length == survivors.toSet.size)
+  }
+
   test("A/V sync: chunks attach the latest frame at-or-before, leaders null") {
     val frames = Seq((7L, 0L, 0L), (7L, 2L, 80L), (8L, 2L, 80L))
       .toDF("doc_id", "frame_no", "frame_pts")

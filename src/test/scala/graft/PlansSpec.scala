@@ -110,4 +110,49 @@ class PlansSpec extends SparkSpec {
     }
     assert(reps.size == 1, s"widen re-shuffled an already-wide input: $reps")
   }
+
+  /** Count shuffle Exchange nodes in the physical plan string — the
+    * scale-posture metric the round-7 ops lock. String-based because an
+    * AQE root hides its children from `SparkPlan.collect` until
+    * execution; `\bExchange\b` matches the shuffle node but not
+    * BroadcastExchange (no word boundary mid-token). */
+  private def planStr(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "\\bExchange\\b".r.findAllIn(planStr(df)).size
+
+  test("a/v sync plans ONE shuffle (union+window, no join)") {
+    import graft.operators.Multimodal
+    val frames = Seq((1L, 0L, 0L)).toDF("doc_id", "frame_no", "frame_pts")
+    val chunks = Seq((1L, 0L, 5L)).toDF("doc_id", "chunk_no", "chunk_pts")
+    val plan = Multimodal.avSync(frames, chunks, "doc_id")
+    assert(shuffles(plan) == 1, planStr(plan).take(800))
+    // and no join operator anywhere — the as-of is a window, linear in
+    // |frames|+|chunks|, never |frames|×|chunks| candidates
+    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
+  }
+
+  test("chunk dedup plans its two inherent shuffles, nothing more") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = TextOps.chunkDedup(docs, "doc_id", "text", chunkWords = 2)
+    // chunk-content window + per-doc regroup (+ the totals branch reuses
+    // the regroup key); the totals join is on the doc id both sides
+    // already hash on, so AQE/EnsureRequirements adds no extra exchange
+    // beyond one per aggregation side
+    assert(shuffles(plan) <= 4, planStr(plan).take(800))
+    // partial (map-side) aggregation present on the regroup
+    assert(planStr(plan).contains("partial_count"), planStr(plan).take(800))
+  }
+
+  test("url dedup: canonicalization is map-side, one agg shuffle total") {
+    import graft.operators.TextOps
+    val urls = Seq((1L, "http://A.b/c?x=1")).toDF("doc_id", "url")
+    val plan = urls
+      .select(col("doc_id"), TextOps.urlCanonicalize(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_variants"))
+    assert(shuffles(plan) == 1, planStr(plan).take(800))
+    assert(planStr(plan).contains("partial_min"), planStr(plan).take(800))
+  }
 }
