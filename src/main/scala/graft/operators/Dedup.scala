@@ -728,6 +728,32 @@ object Dedup {
     * blow-up, and the cluster-size relation is ≤ |clustered ids| ≪
     * corpus, so AQE broadcasts it when small. Weights are rounded to 6
     * places to pin the one division's float form across engines. */
+  /** Source-priority dedup: when the same content arrives from several
+    * sources (curated dump vs web mirror vs crawl), keep the copy from
+    * the most trusted source instead of an arbitrary one — the keep-best
+    * twin of the keep-first exact dedup. `priority` is a caller-derived
+    * rank column (smaller = more trusted; typically a broadcast join
+    * against a source-trust dimension or a when-chain over the source
+    * name); ties break on the id for determinism. One shuffle on the
+    * content digest (window partition key), like [[d01]]'s groupBy —
+    * the digest is 32 bytes however wide the document is.
+    * Returns the surviving rows (all input columns) + (priority,
+    * n_copies). */
+  def priorityKeep(docs: DataFrame, idCol: String, textCol: String,
+                   priority: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("__pk_digest"))
+    docs
+      .withColumn("__pk_digest", md5(col(textCol)))
+      .withColumn("__pk_prio", priority)
+      .withColumn("__pk_rk", row_number().over(
+        byKey.orderBy(col("__pk_prio").asc, col(idCol).asc)))
+      .withColumn("n_copies", count(lit(1)).over(byKey))
+      .filter(col("__pk_rk") === 1)
+      .select(docs.columns.map(col) ++
+        Seq(col("__pk_prio").as("priority"), col("n_copies")): _*)
+  }
+
   def softWeights(universe: DataFrame, idCol: String,
                   clusterOf: DataFrame): DataFrame = {
     val sizes = clusterOf.groupBy(col("cluster"))

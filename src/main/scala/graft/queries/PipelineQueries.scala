@@ -620,6 +620,34 @@ object PipelineQueries {
       Multimodal.avSync(frames, chunks, "doc_id")
         .select(col("doc_id"), col("chunk_no"), col("chunk_pts"),
           col("frame_no"), col("frame_pts"))
+    }),
+
+    // Source-priority dedup (keep-best): the doc_id%7 slice re-arrives
+    // from an untrusted mirror under remapped ids; per content digest
+    // the most trusted copy survives (trusted original rank 1, mirror
+    // rank 2; ties by id). The keep-best twin of d01's keep-first.
+    "d18_priority_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+      Dedup.priorityKeep(docs.unionByName(mirrored), "doc_id", "text",
+          when(col("source").startsWith("mirror_"), lit(2)).otherwise(lit(1)))
+        .select(col("doc_id"), col("source"), col("priority"), col("n_copies"))
+    }),
+
+    // Deterministic training-shard writer: the corpus lands as JSONL
+    // shards of ≤128 docs in t20's reproducible training order (one
+    // hash repartition on the shard id — one file per shard, no global
+    // sort); the driver-checked output is the manifest read BACK from
+    // the written files, so the whole sink round-trips through the gate.
+    "t22_training_shards" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_shards/" +
+        graft.core.Digest.md5IdScala(d)
+      graft.sinks.TrainingShards.writeJsonlShards(
+        Tables.documents(s, d), "doc_id", Seq("text", "lang", "source"),
+        out, seed = "epoch0", shardRows = 128, buckets = 16)
+      graft.sinks.TrainingShards.manifest(s, out)
     })
   )
 
@@ -1505,6 +1533,35 @@ object PipelineQueries {
                 max(fr.frame_pts) AS frame_pts
          FROM ck LEFT JOIN fr
            ON ck.doc_id = fr.doc_id AND fr.frame_pts <= ck.chunk_pts
-         GROUP BY 1, 2, 3"""
+         GROUP BY 1, 2, 3""",
+    "d18_priority_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, text, 'mirror_' || source
+           FROM documents WHERE doc_id % 7 = 0),
+         ranked AS (
+           SELECT doc_id, source,
+                  CASE WHEN starts_with(source, 'mirror_') THEN 2 ELSE 1 END AS priority,
+                  row_number() OVER (PARTITION BY md5(text)
+                    ORDER BY (CASE WHEN starts_with(source, 'mirror_') THEN 2 ELSE 1 END), doc_id) AS rk,
+                  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+           FROM all_docs)
+         SELECT doc_id, source, priority, n_copies
+         FROM ranked WHERE rk = 1""",
+    "t22_training_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  ('0x'||substr(md5('epoch0'||doc_id::varchar),1,15))::BIGINT AS h
+           FROM documents),
+         b AS (SELECT doc_id AS id, h, h % 16 AS bucket FROM h),
+         r AS (SELECT id, bucket,
+                      row_number() OVER (PARTITION BY bucket
+                        ORDER BY h, id) - 1 AS rank_in_bucket
+               FROM b),
+         p AS (SELECT id, rank_in_bucket * 16 + bucket AS global_pos FROM r)
+         SELECT global_pos // 128 AS shard, count(*) AS n_rows,
+                min(global_pos) AS min_pos, max(global_pos) AS max_pos
+         FROM p GROUP BY 1"""
   )
 }

@@ -788,6 +788,57 @@ class OperatorsSpec extends SparkSpec {
     assert(survivors.length == survivors.toSet.size)
   }
 
+  test("priority dedup: most trusted copy survives, ties break on id") {
+    val docs = Seq(
+      (1L, "same content", "crawl"),
+      (2L, "same content", "curated"),   // rank 1 -> the keeper
+      (3L, "same content", "mirror"),
+      (4L, "other content", "crawl"),
+      (5L, "tie content", "crawl"),
+      (6L, "tie content", "crawl")       // same rank as 5 -> id tie-break
+    ).toDF("doc_id", "text", "source")
+    val prio = when($"source" === "curated", 1)
+      .when($"source" === "crawl", 2).otherwise(3)
+    val got = Dedup.priorityKeep(docs, "doc_id", "text", prio)
+      .select($"doc_id", $"priority", $"n_copies")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((2L, 1, 3L), (4L, 2, 1L), (5L, 2, 2L)))
+  }
+
+  test("training shards: one file per shard, deterministic membership") {
+    val docs = (0L until 100L).map(i => (i, s"text$i", "en")).toDF("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    graft.sinks.TrainingShards.writeJsonlShards(docs, "doc_id",
+      Seq("text", "lang"), out, seed = "s1", shardRows = 25, buckets = 8)
+    // one JSONL part file per shard directory
+    val shardDirs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { dir =>
+      val parts = dir.listFiles.filter(_.getName.endsWith(".json"))
+      assert(parts.length == 1, s"${dir.getName}: ${parts.length} files")
+    }
+    // read-back: all rows present once, shard = pos/25, sizes bounded
+    val back = spark.read.json(out)
+      .select($"doc_id".cast("long"), $"global_pos".cast("long"),
+        $"shard".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(back.length == 100 && back.map(_._1).toSet == (0L until 100L).toSet)
+    assert(back.forall { case (_, pos, sh) => pos / 25 == sh })
+    val expected = TextOps.deterministicShuffle(docs, "doc_id", "s1", buckets = 8)
+      .select($"id", $"global_pos").as[(Long, Long)].collect().toMap
+    assert(back.forall { case (id, pos, _) => expected(id) == pos })
+    assert(back.groupBy(_._3).values.forall(_.length <= 25))
+    // idempotent re-write (mode overwrite): same manifest
+    val m1 = graft.sinks.TrainingShards.manifest(spark, out)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.sinks.TrainingShards.writeJsonlShards(docs, "doc_id",
+      Seq("text", "lang"), out, seed = "s1", shardRows = 25, buckets = 8)
+    val m2 = graft.sinks.TrainingShards.manifest(spark, out)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(m1 == m2)
+  }
+
   test("A/V sync: chunks attach the latest frame at-or-before, leaders null") {
     val frames = Seq((7L, 0L, 0L), (7L, 2L, 80L), (8L, 2L, 80L))
       .toDF("doc_id", "frame_no", "frame_pts")
