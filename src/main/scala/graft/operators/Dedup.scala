@@ -767,4 +767,82 @@ object Dedup {
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 6).as("weight"))
   }
+
+  /** Containment near-dup pairs: excerpt/quote detection. Jaccard misses
+    * a short document wholly contained in a long one (the union term
+    * dilutes it), so news/wiki pipelines also dedup on CONTAINMENT
+    * C = |S(small) ∩ S(big)| / |S(small)| — ≥ `threshold` means the
+    * smaller document's shingles are (almost) all inside the bigger one's
+    * and the small side is the suppression candidate. The smaller side is
+    * by distinct-shingle count, ties toward the lower id.
+    *
+    * Scale shape: same hashed-shingle inverted-index join as
+    * [[ngramJaccardPairsNaive]] (8-byte keys through every shuffle).
+    * PPJoin prefix filtering does NOT apply — containment has no length
+    * filter (a 10-shingle quote can sit inside a 10⁶-shingle book), so
+    * the candidate join runs the full index; production bounds the
+    * blow-up by capping shingle df (a shingle in >maxDf docs is
+    * boilerplate, not evidence — same cap CCNet applies). Returns
+    * (contained_id, container_id, containment). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = shingleRelHashed(docs, idCol, textCol, n)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val pruned = sh.join(freq, "sh").filter(col("df") <= maxDf)
+      .select("id", "sh")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pruned.as("a").join(pruned.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+      // smaller side = fewer distinct shingles, ties toward lower id (id_a)
+      .withColumn("contained_id",
+        when(col("sa") < col("sb"), col("id_a"))
+          .when(col("sb") < col("sa"), col("id_b"))
+          .otherwise(col("id_a")))
+      .withColumn("container_id",
+        when(col("contained_id") === col("id_a"), col("id_b"))
+          .otherwise(col("id_a")))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("sa"), col("sb")))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** Leak-free train/val/test split: every member of a near-dup cluster
+    * lands in the SAME split, so no near-duplicate of a validation
+    * document can sit in the training set — the split discipline any
+    * honest held-out evaluation needs (splitting uniformly at random
+    * leaks ~every duplicated document). The split is decided by a
+    * deterministic hash of the cluster REPRESENTATIVE (min member id, the
+    * [[clusters]] label; unclustered docs represent themselves), so it is
+    * reproducible on any cluster size and stable under re-runs.
+    * `pctTrain`/`pctVal` are percentage cut points of the 0-99 bucket
+    * space; the rest is test.
+    *
+    * Scale shape: the cluster relation is ≤ |clustered ids| ≪ corpus
+    * (AQE broadcasts it); the bucket is md5 arithmetic on the
+    * representative — no shuffle beyond the one left join. Returns
+    * (id, rep, bucket, split). */
+  def leakFreeSplit(universe: DataFrame, idCol: String, clusterOf: DataFrame,
+                    seed: String, pctTrain: Int = 90,
+                    pctVal: Int = 5): DataFrame = {
+    require(pctTrain + pctVal <= 100, "split percentages exceed 100")
+    universe.select(col(idCol).as("id"))
+      .join(clusterOf, Seq("id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("id")))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(concat(lit(seed), col("rep").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < pctTrain, "train")
+          .when(col("bucket") < pctTrain + pctVal, "val")
+          .otherwise("test"))
+      .select(col("id"), col("rep"), col("bucket"), col("split"))
+  }
 }

@@ -123,6 +123,43 @@ object Multimodal {
     out
   }
 
+  /** Interleaved multimodal sequence packing: merge a media item's text
+    * chunks and sampled image frames into ONE presentation-time-ordered
+    * token stream and cut it into fixed-`budget` training sequences —
+    * the layout an interleaved image-text model (Flamingo/MM1-style
+    * corpora, public) trains on. Each image costs a fixed `imageTokens`
+    * (the vision-encoder patch count); text chunks carry their own
+    * n_tokens. Sequence assignment is the same
+    * running-token-count-before-item ÷ budget device as the t16 packer,
+    * so items can straddle a boundary (production truncates/pads inside
+    * the sequence writer; the assignment is the distributed part).
+    *
+    * Order within a media id is (pts, kind, item_no) — total, so packing
+    * is stable across partitioning; at equal pts "image" sorts before
+    * "text" (the frame is on screen when its caption starts). One
+    * shuffle: the per-id window. `frames` must carry (idCol, frame_no,
+    * frame_pts); `chunks` (idCol, chunk_no, chunk_pts, n_tokens).
+    * Returns (idCol, kind, item_no, pts, n_tokens, seq_no). */
+  def interleavedPack(frames: DataFrame, chunks: DataFrame, idCol: String,
+                      imageTokens: Int, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(imageTokens > 0 && budget > 0, "imageTokens and budget must be positive")
+    val f = frames.select(col(idCol), lit("image").as("kind"),
+      col("frame_no").cast("long").as("item_no"),
+      col("frame_pts").cast("long").as("pts"),
+      lit(imageTokens.toLong).as("n_tokens"))
+    val c = chunks.select(col(idCol), lit("text").as("kind"),
+      col("chunk_no").cast("long").as("item_no"),
+      col("chunk_pts").cast("long").as("pts"),
+      col("n_tokens").cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("pts"), col("kind"), col("item_no"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    f.unionByName(c)
+      .withColumn("seq_no",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+  }
+
   /** Partition-batched feature extraction over the binary column —
     * the `mapInPandas`-shaped seam where a real decoder plugs in. */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],

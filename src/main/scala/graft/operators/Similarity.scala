@@ -532,4 +532,57 @@ object Similarity {
       .select(col("qid"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
+
+  /** Johnson–Lindenstrauss random projection to `k` dims with the ±1
+    * sign matrix (Achlioptas 2001, public — database-friendly random
+    * projections): out[j] = Σᵢ s(j,i)·v[i], s the same SplitMix64 sign
+    * family as [[hyperplane]], so the matrix is reproducible anywhere
+    * from (j, i) alone — no stored model, and an external oracle
+    * re-derives it. JL preserves pairwise distances within (1±ε) for
+    * k = O(ln n / ε²), which makes the projected space a valid cheap
+    * pre-filter for ANN (d× fewer bytes per vector through every
+    * downstream shuffle).
+    *
+    * Scale shape: `k` codegen'd [[graft.functions.VecExpressions
+    * .vec_dot]]s in ONE map-only projection — no shuffle, no HOF
+    * boxing; the scan's partitioning is preserved. Values round to 4dp
+    * to pin the float-sum form. Returns (id, pv: array<double>). */
+  def randomProject(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, k: Int): DataFrame = {
+    import graft.functions.VecExpressions.vec_dot
+    val v = col("__rp_v")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__rp_v"))
+      .select(col("id"),
+        array((0 until k).map { j =>
+          round(vec_dot(v, typedLit(hyperplane(j, dim))), 4)
+        }: _*).as("pv"))
+  }
+
+  /** Prototype-based corpus pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws" — public): cluster the corpus (here the IVF
+    * coarse cells), rank every member by cosine to its own cell centroid,
+    * and DROP the most prototypical `dropFrac` of each cell — the
+    * near-centroid examples are the "easy" redundant mass; the kept
+    * tail carries the information. The pruning twin of [[semanticDedup]]
+    * (which drops near-DUPLICATE pairs; this drops near-CENTROID mass).
+    *
+    * Scale shape: cell assignment is the map-side literal argmax of
+    * [[ivfTopK]] (no shuffle); the rank + cell-size windows shuffle once
+    * on the cell id — cells are corpus/nlist-sized, the partition grain
+    * a 100 TB deployment tunes via nlist. Drop count is
+    * floor(dropFrac·|cell|), ties toward the smaller id. Returns the
+    * KEPT rows (id, cell, csim, rank, cell_n). */
+  def prototypePrune(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, dropFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val byCell = Window.partitionBy(col("cell"))
+    val asgn = cellAssignment(corpus, idCol, vecCol, cents)
+      .withColumn("rank", row_number().over(
+        byCell.orderBy(col("csim").desc, col("nid").asc)))
+      .withColumn("cell_n", count(lit(1)).over(byCell))
+    asgn.filter(col("rank") > floor(lit(dropFrac) * col("cell_n")))
+      .select(col("nid").as("id"), col("cell"),
+        round(col("csim"), 6).as("csim"), col("rank"), col("cell_n"))
+  }
 }

@@ -375,4 +375,125 @@ object TextOps {
         size(col("kept")).as("n_kept"),
         array_join(col("kept"), " ").as("clean_text"))
   }
+
+  /** Gopher-style rule-set quality filter (Rae et al. 2021, §A1.1.2 —
+    * public): each document gets one boolean flag PER RULE plus the
+    * overall keep verdict, so a pipeline can audit which rule fired
+    * before committing to a drop — the decision-table twin of the
+    * composite score `t02` computes. Rules: word count in
+    * [minWords, maxWords]; mean word length in [minMeanLen, maxMeanLen];
+    * symbol-to-word ratio ('#' chars + '...' runs) ≤ maxSymbolRatio;
+    * fraction of words containing an alphabetic char ≥ minAlphaFrac;
+    * ≥ minStops DISTINCT stopwords present.
+    *
+    * Scale shape: pure columnar projection over the scan — no shuffle,
+    * no UDF, whole-stage codegen'd end-to-end; at 100 TB this is a
+    * map-only pass whose output is as partitioned as its input.
+    * Ratios round to 4dp so the flag comparisons sit on the same
+    * grid in every engine. Returns (id, n_words, mean_wlen,
+    * symbol_ratio, alpha_frac, n_stop_distinct, ok_* flags, keep). */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                   stops: Seq[String] = stopwords.head._2,
+                   minStops: Int = 2): DataFrame = {
+    val w = col("__qr_ws")
+    val nw = size(w).cast("double")
+    docs
+      .withColumn("__qr_ws", words(col(textCol)))
+      .withColumn("n_words", size(w).cast("long"))
+      .withColumn("mean_wlen", round(
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw, 4))
+      .withColumn("symbol_ratio", round(
+        (regexp_count(col(textCol), lit("#"))
+          + regexp_count(col(textCol), lit("\\.\\.\\."))).cast("double") / nw, 4))
+      .withColumn("alpha_frac", round(
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nw, 4))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(w), typedLit(stops))).cast("long"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_wlen",
+        col("mean_wlen") >= minMeanLen && col("mean_wlen") <= maxMeanLen)
+      .withColumn("ok_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("ok_stops", col("n_stop_distinct") >= minStops)
+      .withColumn("keep", col("ok_words") && col("ok_wlen")
+        && col("ok_symbol") && col("ok_alpha") && col("ok_stops"))
+      .select(col(idCol), col("n_words"), col("mean_wlen"),
+        col("symbol_ratio"), col("alpha_frac"), col("n_stop_distinct"),
+        col("ok_words"), col("ok_wlen"), col("ok_symbol"), col("ok_alpha"),
+        col("ok_stops"), col("keep"))
+  }
+
+  /** Adjacent symbol-pair frequencies — the merge-candidate table of one
+    * BPE training step (Sennrich et al. 2016). Every occurrence of every
+    * word contributes its length−1 adjacent character pairs (overlapping,
+    * the textbook count); the top-k pairs by frequency are the first
+    * merge candidates. Ties break on the pair string.
+    *
+    * Scale shape: tokenize + per-word pair explode is map-only; the
+    * count is one hash aggregate over a key space bounded by |alphabet|²
+    * (map-side partials collapse it early), and only the k survivors see
+    * the rank window — same TakeOrderedAndProject posture as `t05`.
+    * Returns (pair, freq, rank). */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    val freq = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
+    freq.orderBy(col("freq").desc, col("pair").asc).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("pair").asc)))
+  }
+
+  /** `nMerges` iterations of BPE training: each round counts adjacent
+    * symbol pairs corpus-wide, picks the most frequent (ties on the pair
+    * string), and applies the merge greedily left-to-right inside every
+    * word — the `aggregate` fold is the standard non-overlapping single
+    * pass (a freshly merged symbol never re-matches as the LEFT side in
+    * the same round). Returns the merge table (step, left, right, freq).
+    *
+    * The driver loop is over nMerges (a model hyperparameter, tens to
+    * thousands — NOT data-sized); each iteration is one distributed
+    * aggregate over a key space bounded by the growing symbol vocabulary,
+    * so the pattern survives any corpus size. Tokenization state lives in
+    * a symbols array column carried across iterations via localCheckpoint
+    * every few rounds in production; at test scale the lineage is fine. */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var syms = docs.select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(split(col("w"), "").as("syms"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val top = syms
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).as[(String, String, Long)].collect()
+      top.headOption.foreach { case (l, r, f) =>
+        out += ((step, l, r, f))
+        val merged = l + r
+        // greedy left-to-right: append, or fuse with the accumulator's
+        // tail when (tail, current) is exactly the merge pair
+        syms = syms.select(aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === l && s === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(s)))).as("syms"))
+      }
+    }
+    out.toSeq.toDF("step", "left", "right", "freq")
+  }
 }
