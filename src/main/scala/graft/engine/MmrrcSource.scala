@@ -295,7 +295,12 @@ object MmrrcSource extends GraftSource {
         concat(col("gvcLabel"), lit(" [n.s.]"))),
       res(col("strain"), lit(hasGenotype), col("genoId")))
 
-    strainTriples
+    // force the union while perStrain is still cached, then release it —
+    // the Dedup.finalized discipline; without this every transform call
+    // leaks a MEMORY_AND_DISK entry for the session's lifetime. The
+    // persisted result is triples-of-the-strain-catalog sized (small);
+    // callers may drop it with result.unpersist() when done.
+    val result = strainTriples
       .union(taxonClass)
       .union(pubTriples)
       .union(phenoClassTriples)
@@ -304,6 +309,10 @@ object MmrrcSource extends GraftSource {
       .union(vlTriples)
       .union(vslcTriples)
       .union(genotypeTriples)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    perStrain.unpersist(false)
+    result
   }
 
   override def testIds: Seq[String] =

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-release recipe — the composition a training-data
+  * release actually runs, as ONE documented operator instead of four
+  * that merely happen to compose:
+  *
+  *  1. exact keep-best dedup ([[Dedup.priorityKeep]]) — per content
+  *     digest the most trusted delivery survives;
+  *  2. near-dup clusters over the survivors ([[Dedup.ngramJaccardPairs]]
+  *     → [[Dedup.clusters]]) — at corpus scale swap the pair source for
+  *     [[Dedup.minhashPairs]]/LSH unchanged;
+  *  3. duplication-aware soft weights ([[Dedup.softWeights]]) — each
+  *     distinct content contributes unit training mass;
+  *  4. leak-free train/val/test split — every cluster lands whole in one
+  *     split (the [[Dedup.leakFreeSplit]] bucket device applied to the
+  *     cluster column [[Dedup.softWeights]] already carries, so the
+  *     split costs a projection here, not another join);
+  *  5. optionally, the train split lands as deterministic JSONL shards
+  *     ([[graft.sinks.TrainingShards]]).
+  *
+  * Scale shape: one window shuffle on the content digest (step 1), the
+  * bucketed near-dup machinery (step 2), one size aggregate + one
+  * broadcast-able join-back (steps 3-4 share it). Nothing here is new
+  * plan surface — the point is the proven composition.
+  */
+object CorpusRelease {
+
+  /** The release relation: every surviving document with its provenance
+    * (priority, n_copies), cluster stats (cluster = representative id,
+    * cluster_size, weight) and split assignment (bucket, split). */
+  def plan(docs: DataFrame, idCol: String, textCol: String,
+           priority: Column, seed: String,
+           n: Int = 3, threshold: Double = 0.8,
+           pctTrain: Int = 90, pctVal: Int = 5): DataFrame = {
+    require(pctTrain + pctVal <= 100, "split percentages exceed 100")
+    val survivors = Dedup.priorityKeep(docs, idCol, textCol, priority)
+    val cl = Dedup.clusters(
+      Dedup.ngramJaccardPairs(survivors, idCol, textCol, n, threshold),
+      "id_a", "id_b")
+    // softWeights' cluster column is coalesce(cluster, id) — exactly the
+    // representative leakFreeSplit would hash, so bucket and split are
+    // map-side projections over the weights relation (no second join)
+    val weights = Dedup.softWeights(survivors, idCol, cl)
+      .withColumnRenamed("id", idCol)
+    survivors.join(weights, idCol)
+      .withColumn("bucket", Dedup.splitBucket(col("cluster"), seed))
+      .withColumn("split", Dedup.splitLabel(col("bucket"), pctTrain, pctVal))
+  }
+
+  /** [[plan]] + the train split written as deterministic JSONL shards;
+    * returns the read-back shard manifest (the proof of what landed). */
+  def release(spark: SparkSession, docs: DataFrame, idCol: String,
+              textCol: String, priority: Column, seed: String,
+              outDir: String, shardRows: Long,
+              n: Int = 3, threshold: Double = 0.8,
+              pctTrain: Int = 90, pctVal: Int = 5,
+              buckets: Int = 16): DataFrame = {
+    val planned = plan(docs, idCol, textCol, priority, seed,
+      n, threshold, pctTrain, pctVal)
+    graft.sinks.TrainingShards.writeJsonlShards(
+      planned.filter(col("split") === "train"), idCol,
+      Seq(textCol, "weight"), outDir, seed, shardRows, buckets)
+    graft.sinks.TrainingShards.manifest(spark, outDir)
+  }
+}

@@ -51,7 +51,11 @@ object Dedup {
     val bf = BloomJoin.keyBloom(oldH, "__h", expectedOld, fpp)
     val bc = newDocs.sparkSession.sparkContext.broadcast(bf)
     val withH = newDocs.withColumn("__h", md5(col(textCol)))
-    val probe = BloomJoin.mightContain(bc, col("__h"))
+    // null text → null digest → null probe: !null and null are BOTH
+    // filtered, silently dropping the row — diverging from plain
+    // left_anti semantics (a null key never matches, row kept). Route
+    // null digests to the definite-new branch explicitly.
+    val probe = coalesce(BloomJoin.mightContain(bc, col("__h")), lit(false))
     val definiteNew = withH.filter(!probe)
     // USING-join output moves the join column to the front — union by
     // NAME, a positional union would misalign every column after it
@@ -782,7 +786,15 @@ object Dedup {
     * filter (a 10-shingle quote can sit inside a 10⁶-shingle book), so
     * the candidate join runs the full index; production bounds the
     * blow-up by capping shingle df (a shingle in >maxDf docs is
-    * boilerplate, not evidence — same cap CCNet applies). Returns
+    * boilerplate, not evidence — same cap CCNet applies).
+    *
+    * The score is containment over the INFORMATIVE (df ≤ maxDf) shingle
+    * space: boilerplate shingles count toward neither the intersection
+    * nor the denominator, so a true substring still scores 1.0 (scoring
+    * pruned intersections against unpruned sizes would bias every score
+    * low as soon as one shared shingle crossed the cap). Documents whose
+    * shingles are ALL boilerplate have no informative evidence either
+    * way and produce no pairs. Returns
     * (contained_id, container_id, containment). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.9,
@@ -791,7 +803,7 @@ object Dedup {
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val pruned = sh.join(freq, "sh").filter(col("df") <= maxDf)
       .select("id", "sh")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -836,13 +848,22 @@ object Dedup {
     universe.select(col(idCol).as("id"))
       .join(clusterOf, Seq("id"), "left")
       .withColumn("rep", coalesce(col("cluster"), col("id")))
-      .withColumn("bucket", pmod(
-        conv(substring(md5(concat(lit(seed), col("rep").cast("string"))),
-          1, 8), 16, 10).cast("long"), lit(100L)))
-      .withColumn("split",
-        when(col("bucket") < pctTrain, "train")
-          .when(col("bucket") < pctTrain + pctVal, "val")
-          .otherwise("test"))
+      .withColumn("bucket", splitBucket(col("rep"), seed))
+      .withColumn("split", splitLabel(col("bucket"), pctTrain, pctVal))
       .select(col("id"), col("rep"), col("bucket"), col("split"))
   }
+
+  /** 0-99 split bucket of a cluster representative: md5 arithmetic on
+    * (seed, rep) — deterministic on any cluster size, DuckDB-replayable
+    * (t08/t20's device). Shared by [[leakFreeSplit]] and
+    * [[CorpusRelease]]. */
+  private[operators] def splitBucket(rep: Column, seed: String): Column =
+    pmod(conv(substring(md5(concat(lit(seed), rep.cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(100L))
+
+  private[operators] def splitLabel(bucket: Column, pctTrain: Int,
+                                    pctVal: Int): Column =
+    when(bucket < pctTrain, "train")
+      .when(bucket < pctTrain + pctVal, "val")
+      .otherwise("test")
 }

@@ -132,8 +132,11 @@ object TextOps {
                  chunkWords: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(chunkWords >= 1, "chunkWords must be >= 1")
+    // null text folds to "" (one empty chunk) — a null-text doc must
+    // still come back, not vanish at the posexplode of a null array
     val chunks = docs
-      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col(idCol).as("id"),
+        words(coalesce(col(textCol), lit(""))).as("ws"))
       .select(col("id"), col("ws"),
         posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
           lit(chunkWords))).as(Seq("chunk_no", "start")))

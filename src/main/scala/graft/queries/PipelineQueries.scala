@@ -648,6 +648,85 @@ object PipelineQueries {
         Tables.documents(s, d), "doc_id", Seq("text", "lang", "source"),
         out, seed = "epoch0", shardRows = 128, buckets = 16)
       graft.sinks.TrainingShards.manifest(s, out)
+    }),
+
+    // Containment near-dup pairs (excerpt/quote suppression): the corpus
+    // ∪ a 12-word excerpt of every 10th doc (id+300000) — the shape
+    // Jaccard provably misses (the union term dilutes a short quote
+    // inside a long doc). Scored over the informative (df ≤ maxDf)
+    // shingle space, so true excerpts hit containment 1.0 even with the
+    // boilerplate cap active; maxDf=5 genuinely prunes at this SF (max
+    // corpus shingle df is 7).
+    "d19_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val excerpts = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(TextOps.words(col("text")), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(
+        docs.select("doc_id", "text").unionByName(excerpts),
+        "doc_id", "text", n = 3, threshold = 0.9, maxDf = 5)
+    }),
+
+    // Containment APPLY — detection and suppression as separate ops (the
+    // d10/d11 pattern): containment pairs → connected components →
+    // keep-list (survive iff never clustered or the cluster's canonical
+    // minimum). Every planted excerpt dies (its cluster representative
+    // is the original's lower id); chained containments collapse to one
+    // keeper per component.
+    "d20_containment_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val excerpts = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(TextOps.words(col("text")), 1, 12), " ").as("text"),
+          lit("excerpt").as("source"))
+      val all = docs.select("doc_id", "text", "source").unionByName(excerpts)
+      val cl = Dedup.clusters(
+        Dedup.containmentPairs(all, "doc_id", "text",
+          n = 3, threshold = 0.9, maxDf = 5),
+        "contained_id", "container_id")
+      all.join(broadcast(cl), all("doc_id") === cl("id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // Leak-free train/val/test split: every member of a near-dup cluster
+    // (d07's connected components over exact cosine pairs) lands in the
+    // SAME split — no near-duplicate of a val/test doc can sit in train.
+    // The split hashes the cluster REPRESENTATIVE (min member id;
+    // singletons represent themselves), so it is reproducible on any
+    // cluster size and stable under re-runs.
+    "t23_leakfree_split" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.leakFreeSplit(emb, "vec_id",
+        Dedup.clusters(
+          Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35),
+          "id_a", "id_b"),
+        seed = "split0", pctTrain = 80, pctVal = 10)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+    // Interleaved multimodal sequence packing: each media item's sampled
+    // video frames (every 2nd 64-byte frame, 40 ms tick, 16 image
+    // tokens) and text chunks (256-byte framing, 23 ms tick, varying
+    // n_tokens) merge into one pts-ordered stream cut into 64-token
+    // training sequences — the Flamingo/MM1-style interleaved layout.
+    // One shuffle: the per-id running-token window.
+    "m05_interleaved_pack" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+      val frames = Multimodal.frameSample(media, "doc_id", "payload",
+          frameBytes = 64, every = 2)
+        .select(col("doc_id"), col("frame_no"),
+          (col("frame_no") * 40L).as("frame_pts"))
+      val chunks = media
+        .filter(col("meta.n_bytes") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            floor((col("meta.n_bytes") - 1) / 256).cast("long"))).as("chunk_no"))
+        .select(col("doc_id"), col("chunk_no"),
+          (col("chunk_no") * 23L).as("chunk_pts"),
+          (col("chunk_no") % 13 + 1).as("n_tokens"))
+      Multimodal.interleavedPack(frames, chunks, "doc_id",
+        imageTokens = 16, budget = 64)
     })
   )
 
@@ -1562,6 +1641,111 @@ object PipelineQueries {
          p AS (SELECT id, rank_in_bucket * 16 + bucket AS global_pos FROM r)
          SELECT global_pos // 128 AS shard, count(*) AS n_rows,
                 min(global_pos) AS min_pos, max(global_pos) AS max_pos
-         FROM p GROUP BY 1"""
+         FROM p GROUP BY 1""",
+    "d19_containment" ->
+      s"""WITH ${containmentPairsCte(maxDf = 5, threshold = 0.9)}
+         SELECT contained_id, container_id,
+                round(containment, 6) AS containment
+         FROM cpairs""",
+    "d20_containment_apply" ->
+      s"""WITH RECURSIVE
+           ${containmentPairsCte(maxDf = 5, threshold = 0.9)},
+           edges AS (SELECT contained_id AS src, container_id AS dst FROM cpairs
+                     UNION SELECT container_id, contained_id FROM cpairs),
+           reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+           cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         SELECT u.doc_id, u.source
+         FROM (SELECT doc_id, source FROM documents
+               UNION ALL
+               SELECT doc_id + 300000, 'excerpt'
+               FROM documents WHERE doc_id % 10 = 0) u
+         LEFT JOIN cl ON u.doc_id = cl.id
+         WHERE cl.cluster IS NULL OR cl.cluster = u.doc_id""",
+    "t23_leakfree_split" ->
+      """WITH RECURSIVE
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+           cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+           s AS (SELECT e.vec_id, coalesce(cl.cluster, e.vec_id) AS rep
+                 FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.id),
+           b AS (SELECT vec_id, rep,
+                        ('0x'||substr(md5('split0' || rep::varchar), 1, 8))::BIGINT % 100 AS bucket
+                 FROM s)
+         SELECT vec_id, rep, bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b""",
+    "m05_interleaved_pack" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_bytes
+                    FROM documents WHERE length(text) > 0),
+         fr AS (SELECT doc_id, n AS frame_no, n * 40 AS frame_pts
+                FROM (SELECT doc_id,
+                        unnest(generate_series(0, (n_bytes - 1) // 64, 2)) AS n
+                      FROM m) t),
+         ck AS (SELECT doc_id, n AS chunk_no, n * 23 AS chunk_pts,
+                       n % 13 + 1 AS n_tokens
+                FROM (SELECT doc_id,
+                        unnest(generate_series(0, (n_bytes - 1) // 256)) AS n
+                      FROM m) t),
+         u AS (SELECT doc_id, 'image' AS kind, frame_no AS item_no,
+                      frame_pts AS pts, 16::BIGINT AS n_tokens
+               FROM fr
+               UNION ALL
+               SELECT doc_id, 'text', chunk_no, chunk_pts, n_tokens FROM ck)
+         SELECT doc_id, kind, item_no, pts, n_tokens,
+                (coalesce(sum(n_tokens) OVER (PARTITION BY doc_id
+                  ORDER BY pts, kind, item_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 64)::BIGINT AS seq_no
+         FROM u"""
   )
+
+  /** Shared pairs CTE for the d19/d20 oracles: corpus ∪ 12-word excerpts
+    * (doc_id+300000 for every 10th doc), 3-word shingles, df-capped
+    * informative shingle space, containment = |∩| / min pruned size.
+    * Mirrors [[graft.operators.Dedup.containmentPairs]] over string
+    * shingles (the engine's xxhash64 projection conflates nothing at
+    * test SF — same equivalence d02 relies on). Ends with `cpairs`
+    * (contained_id, container_id, containment ≥ threshold). */
+  private def containmentPairsCte(maxDf: Int, threshold: Double): String =
+    s"""all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 300000, array_to_string((string_split(text,' '))[1:12], ' ')
+           FROM documents WHERE doc_id % 10 = 0),
+         w AS (SELECT doc_id, string_split(text,' ') AS ws FROM all_docs),
+         sh AS (SELECT DISTINCT doc_id, ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         pruned AS (SELECT doc_id, s.sh FROM sh s JOIN freq USING (sh)
+                    WHERE df <= $maxDf),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM pruned a JOIN pruned b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         cpairs AS (
+           SELECT CASE WHEN sa.sz < sb.sz THEN id_a
+                       WHEN sb.sz < sa.sz THEN id_b ELSE id_a END AS contained_id,
+                  CASE WHEN sa.sz < sb.sz THEN id_b
+                       WHEN sb.sz < sa.sz THEN id_a ELSE id_b END AS container_id,
+                  i::double / least(sa.sz, sb.sz) AS containment
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE i::double / least(sa.sz, sb.sz) >= $threshold)"""
 }

@@ -33,6 +33,12 @@ object TrainingShards {
     docs.join(pos, idCol) // pos is 1:1 with docs on the id — no fan-out
       .withColumn("shard", (col("global_pos") / shardRows).cast("long"))
       .repartition(col("shard"))
+      // in-FILE order must be the training order too: after the hash
+      // repartition rows arrive in shuffle-fetch order, which varies
+      // across runs/cluster sizes/retries — a per-partition sort on
+      // global_pos (no extra shuffle; each task sorts only its shards)
+      // makes every shard file byte-stable
+      .sortWithinPartitions(col("shard"), col("global_pos"))
       .write.mode("overwrite").partitionBy("shard")
       .json(outDir)
   }

@@ -853,4 +853,79 @@ class OperatorsSpec extends SparkSpec {
       (7L, 4L, Some(2L)),   // 92 >= 80: frame 2
       (8L, 0L, None)))      // chunk precedes doc 8's first frame
   }
+
+  test("containment: true substring scores 1.0 even with the df cap active") {
+    // doc 2 is a strict prefix of doc 1; docs 10..16 are pure boilerplate
+    // ("p q r" — its shingle's df is 9 > maxDf=5, so it is pruned from
+    // docs 1 and 2 as well). Scoring over the PRUNED space keeps the
+    // substring at 1.0; the pre-fix unpruned denominator would have
+    // scored it 5/6 ≈ 0.83 and dropped a true containment.
+    val docs = (Seq(
+      (1L, "p q r a b c d e f"),
+      (2L, "p q r a b c d e"),
+      (3L, "x y z w v u")) ++
+      (10L to 16L).map(i => (i, "p q r"))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.9, maxDf = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((2L, 1L, 1.0))) // contained=2 (smaller side)
+    // invariant sweep at threshold 0: scores all in (0,1], and the
+    // all-boilerplate docs (empty pruned shingle set) produce no pairs
+    val all = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.0, maxDf = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(all.forall { case (_, _, c) => c > 0.0 && c <= 1.0 })
+    assert(all.forall { case (a, b, _) => a < 10L && b < 10L })
+  }
+
+  test("leak-free split: clusters atomic, buckets deterministic, cuts honored") {
+    val universe = (1L to 200L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs, "id_a", "id_b")
+    def run() = Dedup.leakFreeSplit(universe, "id", cl,
+        seed = "s", pctTrain = 80, pctVal = 10)
+      .as[(Long, Long, Long, String)].collect()
+    val got = run()
+    assert(got.length == 200 && got.map(_._1).toSet == (1L to 200L).toSet)
+    val byId = got.map(r => r._1 -> r).toMap
+    // every cluster member shares the representative AND the split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._4).toSet.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).toSet == Set(10L))
+    assert(Seq(10L, 11L).map(byId(_)._4).toSet.size == 1)
+    // singletons represent themselves
+    assert(byId(50L)._2 == 50L)
+    // bucket is the documented md5 device; split honors the cut points
+    got.foreach { case (_, rep, bucket, split) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("s" + rep).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = java.lang.Long.parseLong(hex.take(8), 16) % 100
+      assert(bucket == want)
+      assert(split == (if (bucket < 80) "train"
+                       else if (bucket < 90) "val" else "test"))
+    }
+    // reproducible end to end
+    assert(run().sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  test("interleaved pack: pts order, image-before-text ties, budget cuts") {
+    val frames = Seq((1L, 0L, 0L), (1L, 2L, 80L))
+      .toDF("doc_id", "frame_no", "frame_pts")
+    val chunks = Seq((1L, 0L, 0L, 10L), (1L, 1L, 50L, 20L), (1L, 2L, 100L, 30L))
+      .toDF("doc_id", "chunk_no", "chunk_pts", "n_tokens")
+    val got = Multimodal.interleavedPack(frames, chunks, "doc_id",
+        imageTokens = 16, budget = 32)
+      .select($"kind", $"item_no", $"pts", $"n_tokens", $"seq_no")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._3, r._1, r._2))
+    // running token count BEFORE each item ÷ 32: 0,16,26,46,62
+    assert(got.toSeq == Seq(
+      ("image", 0L, 0L, 16L, 0L),   // 0/32 = 0; tie at pts 0: image first
+      ("text", 0L, 0L, 10L, 0L),    // 16/32 = 0
+      ("text", 1L, 50L, 20L, 0L),   // 26/32 = 0
+      ("image", 2L, 80L, 16L, 1L),  // 46/32 = 1
+      ("text", 2L, 100L, 30L, 1L))) // 62/32 = 1
+    // invariant: seq_no is monotone non-decreasing along the stream order
+    assert(got.map(_._5).sliding(2).forall(w => w(0) <= w(1)))
+  }
 }

@@ -155,4 +155,58 @@ class PlansSpec extends SparkSpec {
     assert(shuffles(plan) == 1, planStr(plan).take(800))
     assert(planStr(plan).contains("partial_min"), planStr(plan).take(800))
   }
+
+  test("containment pairs: df cap filters BOTH sides below the candidate self-join") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, maxDf = 5)
+    // the candidate join is the one on the hashed shingle column; every
+    // such join must see df-capped inputs on BOTH sides — the cap is the
+    // operator's only bound on the inverted-index blow-up, so a plan
+    // where it slid above the join is a scale regression
+    // (condition references both "sh" and "id" — the sh⋈freq join that
+    // PRODUCES the df column matches "sh" alone and is not a candidate)
+    val shingleJoins = plan.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(c =>
+        c.references.exists(_.name == "sh") &&
+          c.references.exists(_.name == "id")) => j
+    }
+    assert(shingleJoins.nonEmpty)
+    shingleJoins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val capped = side.collect {
+          case f: Filter if f.condition.references.exists(_.name == "df") => f
+        }
+        assert(capped.nonEmpty,
+          s"df cap not below the shingle join:\n${j.toString.take(800)}")
+      }
+    }
+  }
+
+  test("leak-free split: one left join, bucket/split map-side (no extra shuffle)") {
+    import graft.operators.Dedup
+    val universe = (1L to 100L).toDF("id")
+    val cl = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    val plan = Dedup.leakFreeSplit(universe, "id", cl,
+      seed = "s", pctTrain = 80, pctVal = 10)
+    // the md5-arithmetic bucket and the split CASE are projections over
+    // the join output — at most the join's own shuffle appears (zero
+    // when AQE broadcasts the cluster relation, which is ≪ corpus)
+    assert(shuffles(plan) <= 1, planStr(plan).take(800))
+    assert("\\bJoin\\b".r.findAllIn(planStr(plan)).size <= 1 ||
+      planStr(plan).contains("BroadcastHashJoin"), planStr(plan).take(800))
+    assert(!planStr(plan).contains("Window"), planStr(plan).take(800))
+  }
+
+  test("interleaved pack plans ONE shuffle (union+window, no join)") {
+    import graft.operators.Multimodal
+    val frames = Seq((1L, 0L, 0L)).toDF("doc_id", "frame_no", "frame_pts")
+    val chunks = Seq((1L, 0L, 0L, 5L)).toDF("doc_id", "chunk_no", "chunk_pts", "n_tokens")
+    val plan = Multimodal.interleavedPack(frames, chunks, "doc_id",
+      imageTokens = 16, budget = 64)
+    assert(shuffles(plan) == 1, planStr(plan).take(800))
+    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
+  }
 }
