@@ -727,6 +727,26 @@ object PipelineQueries {
           (col("chunk_no") % 13 + 1).as("n_tokens"))
       Multimodal.interleavedPack(frames, chunks, "doc_id",
         imageTokens = 16, budget = 64)
+    }),
+
+    // The corpus-release recipe as ONE gated row: d18's keep-best exact
+    // dedup over corpus ∪ untrusted mirror, near-dup clusters (exact
+    // PPJoin Jaccard pairs at 0.8 — the LSH twin swaps in unchanged at
+    // scale), 1/|C| soft weights, and the leak-free split, all from one
+    // composition (graft.operators.CorpusRelease.plan). The oracle
+    // re-derives every stage in SQL.
+    "t24_corpus_release" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+      graft.operators.CorpusRelease.plan(
+          docs.unionByName(mirrored), "doc_id", "text",
+          when(col("source").startsWith("mirror_"), lit(2)).otherwise(lit(1)),
+          seed = "rel0", n = 3, threshold = 0.8,
+          pctTrain = 80, pctVal = 10)
+        .select(col("doc_id"), col("source"), col("n_copies"), col("cluster"),
+          col("cluster_size"), col("weight"), col("bucket"), col("split"))
     })
   )
 
@@ -1709,7 +1729,57 @@ object PipelineQueries {
                   ORDER BY pts, kind, item_no
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   // 64)::BIGINT AS seq_no
-         FROM u"""
+         FROM u""",
+    "t24_corpus_release" ->
+      """WITH RECURSIVE
+           all_docs AS (
+             SELECT doc_id, text, source FROM documents
+             UNION ALL
+             SELECT doc_id + 200000, text, 'mirror_' || source
+             FROM documents WHERE doc_id % 7 = 0),
+           ranked AS (
+             SELECT doc_id, text, source,
+                    row_number() OVER (PARTITION BY md5(text)
+                      ORDER BY (CASE WHEN starts_with(source, 'mirror_') THEN 2 ELSE 1 END), doc_id) AS rk,
+                    count(*) OVER (PARTITION BY md5(text)) AS n_copies
+             FROM all_docs),
+           surv AS (SELECT doc_id, text, source, n_copies FROM ranked WHERE rk = 1),
+           w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+           sh AS (SELECT DISTINCT doc_id, ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                  FROM (SELECT doc_id, ws,
+                          unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                        FROM w) t),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT id_a, id_b FROM inter
+                     JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+                     WHERE i::double / (sa.sz + sb.sz - i) > 0.8),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+           cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+           sz2 AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster),
+           rel AS (SELECT s.doc_id, s.source, s.n_copies,
+                          coalesce(cl.cluster, s.doc_id) AS cluster,
+                          coalesce(sz2.cluster_size, 1) AS cluster_size,
+                          round(1.0 / coalesce(sz2.cluster_size, 1), 6) AS weight
+                   FROM surv s
+                   LEFT JOIN cl ON s.doc_id = cl.id
+                   LEFT JOIN sz2 ON cl.cluster = sz2.cluster),
+           b AS (SELECT *,
+                        ('0x'||substr(md5('rel0' || cluster::varchar), 1, 8))::BIGINT % 100 AS bucket
+                 FROM rel)
+         SELECT doc_id, source, n_copies, cluster, cluster_size, weight, bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b"""
   )
 
   /** Shared pairs CTE for the d19/d20 oracles: corpus ∪ 12-word excerpts
