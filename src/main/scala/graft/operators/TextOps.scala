@@ -430,6 +430,70 @@ object TextOps {
         col("ok_stops"), col("keep"))
   }
 
+  /** Within-document repetition signals — the Gopher-rules repetition
+    * family (Rae et al. 2021, Table A1; carried by RefinedWeb/Dolma/
+    * FineWeb): a document that repeats itself (templated listings, SEO
+    * keyword stuffing, boilerplate loops) is low-quality even when its
+    * length/symbol/stopword stats ([[qualityRules]]) look fine. Word-
+    * occurrence analogue of the paper's character fractions:
+    *
+    *  - `dup_word_frac`  = (occurrences − distinct) / occurrences, words
+    *  - `top_bigram_frac` = most common bigram's share of all bigram
+    *    occurrences
+    *  - `dup_trigram_frac` = (occurrences − distinct) / occurrences,
+    *    trigrams
+    *
+    * plus per-rule flags and the composite `keep`. Single-word docs have
+    * no bigrams/trigrams → those fractions are 0 (nothing repeats).
+    *
+    * Scale shape: grams explode map-side below a (id, gram) hash
+    * aggregate with map-side partials (the t21 chunk-dedup key shape),
+    * then one (id) rollup — two hash-partitioned shuffles, no windows,
+    * no driver state; both keys carry the doc id so skew follows doc
+    * length, which the explode already bounded. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        maxDupWordFrac: Double = 0.5,
+                        maxTopBigramFrac: Double = 0.2,
+                        maxDupTrigramFrac: Double = 0.3): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"), words(coalesce(col(textCol), lit(""))).as("ws"))
+      .select(col("id"), col("ws"),
+        explode(array(lit(1), lit(2), lit(3))).as("n"))
+      .select(col("id"), col("n"),
+        explode(shinglesWithRepeats(col("ws"), col("n"))).as("g"))
+    val perGram = grams.groupBy("id", "n", "g")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("id", "n")
+      .agg(sum("c").as("occ"), count(lit(1)).as("dis"), max("c").as("top"))
+    val wide = perDoc.groupBy("id").agg(
+      sum(when(col("n") === 1, col("occ"))).as("n_words"),
+      round(coalesce(
+        sum(when(col("n") === 1, col("occ") - col("dis"))).cast("double") /
+          sum(when(col("n") === 1, col("occ"))), lit(0.0)), 6).as("dup_word_frac"),
+      round(coalesce(
+        sum(when(col("n") === 2, col("top"))).cast("double") /
+          sum(when(col("n") === 2, col("occ"))), lit(0.0)), 6).as("top_bigram_frac"),
+      round(coalesce(
+        sum(when(col("n") === 3, col("occ") - col("dis"))).cast("double") /
+          sum(when(col("n") === 3, col("occ"))), lit(0.0)), 6).as("dup_trigram_frac"))
+    wide
+      .withColumn("ok_dup_word", col("dup_word_frac") <= maxDupWordFrac)
+      .withColumn("ok_top_bigram", col("top_bigram_frac") <= maxTopBigramFrac)
+      .withColumn("ok_dup_trigram", col("dup_trigram_frac") <= maxDupTrigramFrac)
+      .withColumn("keep",
+        col("ok_dup_word") && col("ok_top_bigram") && col("ok_dup_trigram"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** n-gram array WITH repeats (unlike [[shinglesOfWords]]'s distinct
+    * set) — repetition metrics need every occurrence. Empty array when
+    * the document has fewer than n words. */
+  private def shinglesWithRepeats(w: Column, n: Column): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - n + 1),
+        i => concat_ws(" ", slice(w, i, n))))
+      .otherwise(array().cast("array<string>"))
+
   /** Adjacent symbol-pair frequencies — the merge-candidate table of one
     * BPE training step (Sennrich et al. 2016). Every occurrence of every
     * word contributes its length−1 adjacent character pairs (overlapping,

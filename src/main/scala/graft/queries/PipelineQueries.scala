@@ -747,7 +747,15 @@ object PipelineQueries {
           pctTrain = 80, pctVal = 10)
         .select(col("doc_id"), col("source"), col("n_copies"), col("cluster"),
           col("cluster_size"), col("weight"), col("bucket"), col("split"))
-    })
+    }),
+
+    // Gopher-rules within-document repetition signals: duplicate-word /
+    // top-bigram / duplicate-trigram occurrence fractions + keep flags —
+    // the repetition family qualityRules (t04) doesn't cover. Default
+    // thresholds split THIS corpus on the dup-word rule (median 0.54 vs
+    // the 0.5 cut), so both keep outcomes are exercised.
+    "t25_repetition_signals" -> ((s, d) =>
+      TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text"))
   )
 
   /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
@@ -1779,7 +1787,41 @@ object PipelineQueries {
                 CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split
-         FROM b"""
+         FROM b""",
+    "t25_repetition_signals" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id, 1 AS n, ws[i] AS g
+           FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS i FROM w) t
+           UNION ALL
+           SELECT doc_id, 2, ws[i]||' '||ws[i+1]
+           FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i FROM w) t
+           UNION ALL
+           SELECT doc_id, 3, ws[i]||' '||ws[i+1]||' '||ws[i+2]
+           FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i FROM w) t),
+         pg AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         pd AS (SELECT doc_id, n, sum(c) AS occ, count(*) AS dis, max(c) AS top
+                FROM pg GROUP BY 1, 2),
+         wide AS (
+           SELECT doc_id,
+                  sum(CASE WHEN n=1 THEN occ END)::BIGINT AS n_words,
+                  round(coalesce(sum(CASE WHEN n=1 THEN occ - dis END)::double
+                    / sum(CASE WHEN n=1 THEN occ END), 0), 6) AS dup_word_frac,
+                  round(coalesce(sum(CASE WHEN n=2 THEN top END)::double
+                    / sum(CASE WHEN n=2 THEN occ END), 0), 6) AS top_bigram_frac,
+                  round(coalesce(sum(CASE WHEN n=3 THEN occ - dis END)::double
+                    / sum(CASE WHEN n=3 THEN occ END), 0), 6) AS dup_trigram_frac
+           FROM pd GROUP BY doc_id)
+         SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+                dup_word_frac <= 0.5 AS ok_dup_word,
+                top_bigram_frac <= 0.2 AS ok_top_bigram,
+                dup_trigram_frac <= 0.3 AS ok_dup_trigram,
+                (dup_word_frac <= 0.5 AND top_bigram_frac <= 0.2
+                  AND dup_trigram_frac <= 0.3) AS keep
+         FROM wide"""
   )
 
   /** Shared pairs CTE for the d19/d20 oracles: corpus ∪ 12-word excerpts

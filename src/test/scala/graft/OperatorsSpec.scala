@@ -928,4 +928,22 @@ class OperatorsSpec extends SparkSpec {
     // invariant: seq_no is monotone non-decreasing along the stream order
     assert(got.map(_._5).sliding(2).forall(w => w(0) <= w(1)))
   }
+
+  test("repetition signals: dup-word/top-bigram/dup-trigram fractions, edge docs") {
+    val docs = Seq(
+      (1L, "a a a a"),       // 3/4 dup words, "a a"×3/3 bigrams, "a a a"×2 → 1/2 dup trigrams
+      (2L, "a b c d e"),     // all distinct; 4 unique bigrams → top 1/4
+      (3L, "z"),             // no bigrams/trigrams → fractions 0
+      (4L, "")               // splits to [""] → one word, fractions 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .select($"doc_id", $"n_words", $"dup_word_frac", $"top_bigram_frac",
+        $"dup_trigram_frac", $"keep")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 0.75, 1.0, 0.5, false)))
+    assert(got(2L) == ((2L, 5L, 0.0, 0.25, 0.0, false))) // 0.25 > 0.2 cut
+    assert(got(3L) == ((3L, 1L, 0.0, 0.0, 0.0, true)))
+    assert(got(4L) == ((4L, 1L, 0.0, 0.0, 0.0, true)))
+  }
 }
