@@ -878,6 +878,31 @@ class OperatorsSpec extends SparkSpec {
     assert(all.forall { case (a, b, _) => a < 10L && b < 10L })
   }
 
+  test("containment ≡ brute force on a random corpus (uncapped df)") {
+    // 30 seeded small-vocab docs (heavy shingle collisions); with the df
+    // cap disabled the operator must equal the set-theoretic definition
+    // C = |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) computed directly in Scala
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val raw = (0L until 30L).map(i =>
+      (i, Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val docs = raw.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 1000000)
+      .as[(Long, Long, Double)].collect().toSet
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (ia, ta) <- raw; (ib, tb) <- raw if ia < ib
+      sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty && sb.nonEmpty
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size) if c >= 0.5
+    } yield {
+      val (small, big) = if (sa.size < sb.size || (sa.size == sb.size)) (ia, ib) else (ib, ia)
+      (small, big, math.rint(c * 1e6) / 1e6)
+    }).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("leak-free split: clusters atomic, buckets deterministic, cuts honored") {
     val universe = (1L to 200L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
