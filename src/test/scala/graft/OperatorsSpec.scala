@@ -878,6 +878,26 @@ class OperatorsSpec extends SparkSpec {
     assert(all.forall { case (a, b, _) => a < 10L && b < 10L })
   }
 
+  test("null-text rows survive incremental dedup and chunk dedup") {
+    // left_anti semantics: a null key never matches, so a null-text row
+    // is NEW — it must come through the bloom split, not vanish in the
+    // null-probe gap between filter(p) and filter(!p)
+    val oldDocs = Seq((1L, "seen before"), (2L, "also seen")).toDF("id", "text")
+    val newDocs = Seq((3L, "seen before"), (4L, "fresh"), (5L, null))
+      .toDF("id", "text")
+    val kept = Dedup.incrementalNew(oldDocs, newDocs, "text", expectedOld = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L))
+    // chunkDedup promises a row for EVERY input doc — null text folds to
+    // the empty-text shape instead of dying at the posexplode
+    val out = TextOps.chunkDedup(
+        Seq((1L, "a b"), (2L, null)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkWords = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L)._2 == 1L) // one (empty) chunk, like text=""
+  }
+
   test("containment ≡ brute force on a random corpus (uncapped df)") {
     // 30 seeded small-vocab docs (heavy shingle collisions); with the df
     // cap disabled the operator must equal the set-theoretic definition
