@@ -798,17 +798,32 @@ object Dedup {
     * (contained_id, container_id, containment). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.9,
-                       maxDf: Int = 1000): DataFrame = {
+                       maxDf: Int = 1000): DataFrame =
+    containmentPairsImpl(docs, idCol, textCol, n, threshold, maxDf,
+      cache = true)
+
+  /** [[containmentPairs]] with caching switchable off — `cache = false`
+    * skips the materialize/finalized wrappers so PlansSpec can audit the
+    * logical topology (persisting collapses the plan into an
+    * InMemoryRelation the audit can't see through; the topology itself
+    * is identical either way). */
+  private[graft] def containmentPairsImpl(docs: DataFrame, idCol: String,
+                                          textCol: String, n: Int,
+                                          threshold: Double, maxDf: Int,
+                                          cache: Boolean): DataFrame = {
     val sh = shingleRelHashed(docs, idCol, textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val pruned = sh.join(freq, "sh").filter(col("df") <= maxDf)
+    // three consumers (sizes + both self-join sides) — materialize once
+    // or the whole shingle explode + df aggregate re-executes per branch
+    val prunedRaw = sh.join(freq, "sh").filter(col("df") <= maxDf)
       .select("id", "sh")
+    val pruned = if (cache) materialize(prunedRaw) else prunedRaw
     val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
       // smaller side = fewer distinct shingles, ties toward lower id (id_a)
@@ -824,6 +839,7 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("contained_id"), col("container_id"),
         round(col("containment"), 6).as("containment"))
+    if (cache) finalized(result, pruned) else result
   }
 
   /** Leak-free train/val/test split: every member of a near-dup cluster

@@ -160,8 +160,11 @@ class PlansSpec extends SparkSpec {
     import graft.operators.Dedup
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
-    val plan = Dedup.containmentPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.9, maxDf = 5)
+    // cache=false: the production operator persists the pruned relation,
+    // which collapses the visible plan into an InMemoryRelation; the
+    // uncached build has the identical topology and stays auditable
+    val plan = Dedup.containmentPairsImpl(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, maxDf = 5, cache = false)
     // the candidate join is the one on the hashed shingle column; every
     // such join must see df-capped inputs on BOTH sides — the cap is the
     // operator's only bound on the inverted-index blow-up, so a plan
@@ -177,7 +180,7 @@ class PlansSpec extends SparkSpec {
     shingleJoins.foreach { j =>
       Seq(j.left, j.right).foreach { side =>
         val capped = side.collect {
-          case f: Filter if f.condition.references.exists(_.name == "df") => f
+          case f: Filter if f.condition.references.exists(_.name == "df") => true
         }
         assert(capped.nonEmpty,
           s"df cap not below the shingle join:\n${j.toString.take(800)}")
