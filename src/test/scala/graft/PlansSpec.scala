@@ -203,6 +203,17 @@ class PlansSpec extends SparkSpec {
     assert(!planStr(plan).contains("Window"), planStr(plan).take(800))
   }
 
+  test("priority keep plans ONE shuffle: the content-digest window") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "t", "crawl")).toDF("doc_id", "text", "source")
+    val plan = Dedup.priorityKeep(docs, "doc_id", "text",
+      when(col("source") === "curated", 1).otherwise(2))
+    // rank + copy-count share one Window over the digest — a plan that
+    // grew a second exchange would double the recipe's dedup cost
+    assert(shuffles(plan) == 1, planStr(plan).take(800))
+    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
+  }
+
   test("interleaved pack plans ONE shuffle (union+window, no join)") {
     import graft.operators.Multimodal
     val frames = Seq((1L, 0L, 0L)).toDF("doc_id", "frame_no", "frame_pts")
