@@ -267,7 +267,10 @@ object Dedup {
         })
       case _ => (sh0, (i: Int) => xxhash64(col("sh"), lit(i)))
     }
-    val mins = (0 until numPerm).map(i => min(perm(i)).as(s"h$i"))
+    // distinct-shingle count rides along for free (shingleRel is
+    // distinct) — the size term containment estimation needs
+    val mins = (0 until numPerm).map(i => min(perm(i)).as(s"h$i")) :+
+      count(lit(1)).as("sz")
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
@@ -304,6 +307,60 @@ object Dedup {
       withSig)
   }
 
+  /** MinHash-ESTIMATED containment pairs — the linear-cost scale twin of
+    * [[containmentPairs]] (which runs an exact inverted-index join,
+    * bounded only by the df cap). Containment is derivable from the
+    * signature-estimated Jaccard plus EXACT per-doc distinct-shingle
+    * counts, which ride the signature aggregate for free:
+    * `|A∩B| = Ĵ/(1+Ĵ)·(|A|+|B|)` (from J = I/(|A|+|B|−I)), so
+    * `Ĉ = Ĵ·(|A|+|B|) / ((1+Ĵ)·min(|A|,|B|))`, clamped to 1.
+    *
+    * Caveat vs the exact operator: LSH banding recalls pairs by
+    * JACCARD, and a short quote inside a long book has high containment
+    * but low Jaccard — so this twin is for near-dup-scale containment
+    * (excerpts comparable to their container), while extreme
+    * small-in-huge cases still need [[containmentPairs]]'s index (that
+    * asymmetry is inherent to signature banding, not this
+    * implementation). Candidate generation, banding, and the smaller-
+    * side direction rule are [[minhashPairs]]'s. Returns
+    * (contained_id, container_id, est_containment). */
+  def containmentMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                              numPerm: Int = 32, bands: Int = 8,
+                              threshold: Double = 0.9, shingleN: Int = 3,
+                              family: String = "xxhash64"): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN,
+      family)
+    val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
+    val withSig = materialize(
+      sigs.select(col("id"), sigArr.as("sig"), col("sz")))
+    val buckets = bandRel(withSig, numPerm, bands, family)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+    val estJ = size(filter(zip_with(col("siga"), col("sigb"),
+      (x, y) => x === y), b => b)).cast("double") / numPerm
+    finalized(cand
+      .withColumn("est_containment", round(least(lit(1.0),
+        estJ * (col("sa") + col("sb")) /
+          ((estJ + 1.0) * least(col("sa"), col("sb")))), 6))
+      .filter(col("est_containment") >= threshold)
+      .withColumn("contained_id",
+        when(col("sa") < col("sb"), col("id_a"))
+          .when(col("sb") < col("sa"), col("id_b"))
+          .otherwise(col("id_a")))
+      .withColumn("container_id",
+        when(col("contained_id") === col("id_a"), col("id_b"))
+          .otherwise(col("id_a")))
+      .select(col("contained_id"), col("container_id"),
+        col("est_containment")),
+      withSig)
+  }
+
   /** (id, sig, band, bh) band-bucket relation over a (id, sig) signature
     * relation — the unit both the in-query LSH join and the persisted
     * index store. */
@@ -316,8 +373,10 @@ object Dedup {
       else hash(cols: _*).cast("string").as(s"b$b")
     }
     val bandHashes = array((0 until bands).map(bandKey): _*)
-    withSig.select(col("id"), col("sig"),
-      posexplode(bandHashes).as(Seq("band", "bh")))
+    // generic pass-through: extra caller columns (e.g. the containment
+    // estimator's sz) survive the explode; existing callers pass (id, sig)
+    withSig.select(withSig.columns.map(col) :+
+      posexplode(bandHashes).as(Seq("band", "bh")): _*)
   }
 
   /** Persist the MinHash LSH index: the exploded band-bucket relation

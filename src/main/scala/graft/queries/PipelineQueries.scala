@@ -749,6 +749,26 @@ object PipelineQueries {
           col("cluster_size"), col("weight"), col("bucket"), col("split"))
     }),
 
+    // MinHash-estimated containment (the linear-cost scale twin of d19's
+    // exact inverted-index containment): corpus ∪ tail-truncated
+    // variants of every 5th doc (last 6 words dropped, id+400000) —
+    // near-dup-scale containment, where signature banding recalls the
+    // pair and Ĉ = Ĵ(|A|+|B|)/((1+Ĵ)·min) estimates it from the
+    // signatures + the exact sizes riding the same aggregate. md5
+    // permutation family → the oracle reproduces every signature slot.
+    "d21_containment_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ws = TextOps.words(col("text"))
+      val truncated = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          array_join(slice(ws, lit(1), greatest(size(ws) - 6, lit(1))), " ")
+            .as("text"))
+      Dedup.containmentMinhashPairs(
+        docs.select("doc_id", "text").unionByName(truncated),
+        "doc_id", "text", numPerm = 32, bands = 8, threshold = 0.7,
+        family = "md5")
+    }),
+
     // Gopher-rules within-document repetition signals: duplicate-word /
     // top-bigram / duplicate-trigram occurrence fractions + keep flags —
     // the repetition family qualityRules (t04) doesn't cover. Default
@@ -1821,8 +1841,64 @@ object PipelineQueries {
                 dup_trigram_frac <= 0.3 AS ok_dup_trigram,
                 (dup_word_frac <= 0.5 AND top_bigram_frac <= 0.2
                   AND dup_trigram_frac <= 0.3) AS keep
-         FROM wide"""
+         FROM wide""",
+    "d21_containment_minhash" -> containmentMinhashOracle(numPerm = 32,
+      bands = 8, threshold = 0.7)
   )
+
+  /** d21 oracle: the [[minhashOracle]] signature machinery (same md5
+    * permutation literals) over corpus ∪ tail-truncated variants, with
+    * the exact distinct-shingle count joined in and the containment
+    * estimate Ĉ = Ĵ(sa+sb)/((1+Ĵ)·min(sa,sb)) replayed slot for slot. */
+  private def containmentMinhashOracle(numPerm: Int, bands: Int,
+                                       threshold: Double): String = {
+    val rows = numPerm / bands
+    val mins = (0 until numPerm).map { i =>
+      val (a, b) = graft.operators.Dedup.minhashCoeffs(i)
+      s"min(($a*h0+$b)%2147483647) AS h$i"
+    }.mkString(",\n                  ")
+    val sigList = (0 until numPerm).map(i => s"h$i").mkString("[", ",", "]")
+    val ej = s"(len(list_filter(range(1, ${numPerm + 1}), i -> sga[i] = sgb[i]))/$numPerm.0)"
+    s"""WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 400000,
+                  array_to_string(list_slice(string_split(text, ' '), 1,
+                    greatest(len(string_split(text, ' ')) - 6, 1)), ' ')
+           FROM documents WHERE doc_id % 5 = 0),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         base AS (SELECT doc_id,
+                    ('0x'||substr(md5(sh),1,15))::BIGINT % 2147483647 AS h0
+                  FROM sh),
+         hs AS (SELECT doc_id,
+                  $mins,
+                  count(*) AS sz
+                FROM base GROUP BY 1),
+         sig AS (SELECT doc_id, $sigList AS sig, sz FROM hs),
+         bnd AS (SELECT doc_id, sig, sz, b,
+                  array_to_string(list_slice(sig, b*$rows+1, b*$rows+$rows),
+                    '|') AS bh
+                 FROM sig, (SELECT unnest(range(0, $bands)) AS b) bb),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sga, b.sig AS sgb, a.sz AS sa, b.sz AS sb
+                  FROM bnd a JOIN bnd b
+                    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b, sa, sb,
+                   round(least(1.0, $ej * (sa + sb)
+                     / (($ej + 1.0) * least(sa, sb))), 6) AS ec
+                 FROM cand)
+         SELECT CASE WHEN sa < sb THEN id_a
+                     WHEN sb < sa THEN id_b ELSE id_a END AS contained_id,
+                CASE WHEN sa < sb THEN id_b
+                     WHEN sb < sa THEN id_a ELSE id_b END AS container_id,
+                ec AS est_containment
+         FROM est WHERE ec >= $threshold"""
+  }
 
   /** Shared pairs CTE for the d19/d20 oracles: corpus ∪ 12-word excerpts
     * (doc_id+300000 for every 10th doc), 3-word shingles, df-capped

@@ -923,6 +923,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("minhash containment estimate: exact copy = 1.0, prefix ≈ 1, unrelated absent") {
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")), // exact copy of 1
+      (3L, (0 until 34).map(i => s"w$i").mkString(" ")), // strict prefix of 1
+      (4L, (0 until 40).map(i => s"x$i").mkString(" "))  // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentMinhashPairs(docs, "doc_id", "text",
+        numPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // exact copy: every signature slot agrees, sizes tie → (id_a, id_b)
+    assert(got((1L, 2L)) == 1.0)
+    // true containment of the prefix is 1.0; the estimate must land near
+    // it (Ĵ ≈ 0.84 → Ĉ ≈ 1 via the size correction), and the smaller
+    // side is the contained one
+    Seq((3L, 1L), (3L, 2L)).foreach { k =>
+      assert(got.contains(k) && got(k) >= 0.8 && got(k) <= 1.0, got.toString)
+    }
+    // disjoint doc shares no 4-row band → never a candidate
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("leak-free split: clusters atomic, buckets deterministic, cuts honored") {
     val universe = (1L to 200L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
