@@ -361,6 +361,29 @@ object Dedup {
       withSig)
   }
 
+  /** Pair-level precision/recall audit of an approximate dedup pass
+    * against an exact one — the text-dedup twin of
+    * [[Similarity.recallAtK]], i.e. the tuning loop a production near-dup
+    * deployment runs when picking numPerm/bands/threshold: feed it
+    * [[ngramJaccardPairs]] (exact, PPJoin-filtered) and
+    * [[minhashPairs]] (banded estimate) over the same corpus and read
+    * one summary row (n_exact, n_approx, n_both, precision, recall).
+    *
+    * Scale shape: two distinct projections of 16-byte id pairs + one
+    * semi join; the three counts are single-row aggregates, so the audit
+    * costs a fraction of either dedup pass it grades. */
+  def pairAudit(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("id_a"), col("id_b")).distinct()
+    val a = approx.select(col("id_a"), col("id_b")).distinct()
+    val both = e.join(a, Seq("id_a", "id_b"), "left_semi")
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(a.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(col("n_exact"), col("n_approx"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_approx"), 6).as("precision"),
+        round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** (id, sig, band, bh) band-bucket relation over a (id, sig) signature
     * relation — the unit both the in-query LSH join and the persisted
     * index store. */

@@ -749,6 +749,21 @@ object PipelineQueries {
           col("cluster_size"), col("weight"), col("bucket"), col("split"))
     }),
 
+    // Dedup recall audit (the text twin of s08's ANN audit): one summary
+    // row grading the MinHash+LSH banded estimate against the exact
+    // PPJoin Jaccard pairs at the same 0.5 threshold — the tuning loop a
+    // production near-dup deployment runs when picking numPerm/bands.
+    // Audit cost is two pair distincts + one semi join, a fraction of
+    // either dedup pass it grades.
+    "d22_dedup_recall_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.pairAudit(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5),
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          numPerm = 32, bands = 8, threshold = 0.5, family = "md5"))
+    }),
+
     // MinHash-estimated containment (the linear-cost scale twin of d19's
     // exact inverted-index containment): corpus ∪ tail-truncated
     // variants of every 5th doc (last 6 words dropped, id+400000) —
@@ -1130,23 +1145,7 @@ object PipelineQueries {
          FROM (SELECT * FROM documents
                UNION ALL SELECT * FROM documents WHERE doc_id < 50) t
          GROUP BY md5(text) HAVING count(*) > 1""",
-    "d02_dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
-                FROM (SELECT doc_id, ws,
-                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
-                      FROM w) t),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                   FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id
-                   GROUP BY 1, 2)
-         SELECT id_a, id_b,
-                round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
-         FROM inter
-         JOIN sizes sa ON sa.doc_id=id_a
-         JOIN sizes sb ON sb.doc_id=id_b
-         WHERE i::double / (sa.sz + sb.sz - i) > 0.8""",
+    "d02_dedup_ngram_jaccard" -> jaccardOracle(threshold = 0.8),
     "d03_dedup_minhash" -> minhashOracle(numPerm = 32, bands = 8,
       threshold = 0.5),
     "d07_dedup_clusters" ->
@@ -1843,8 +1842,40 @@ object PipelineQueries {
                   AND dup_trigram_frac <= 0.3) AS keep
          FROM wide""",
     "d21_containment_minhash" -> containmentMinhashOracle(numPerm = 32,
-      bands = 8, threshold = 0.7)
+      bands = 8, threshold = 0.7),
+    "d22_dedup_recall_audit" -> {
+      val exact = jaccardOracle(threshold = 0.5)
+      val approx = minhashOracle(numPerm = 32, bands = 8, threshold = 0.5)
+      s"""SELECT e.n_exact, a.n_approx, b.n_both,
+             round(b.n_both::double / a.n_approx, 6) AS precision,
+             round(b.n_both::double / e.n_exact, 6) AS recall
+         FROM (SELECT count(*) AS n_exact FROM ($exact) t) e,
+              (SELECT count(*) AS n_approx FROM ($approx) t) a,
+              (SELECT count(*) AS n_both FROM ($exact) x JOIN ($approx) y
+                 ON x.id_a = y.id_a AND x.id_b = y.id_b) b"""
+    }
   )
+
+  /** d02's oracle with the threshold parameterized (d22's audit reuses
+    * it at 0.5): distinct 3-word shingles, inverted-index pair join,
+    * exact Jaccard. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                      FROM w) t),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id=id_a
+         JOIN sizes sb ON sb.doc_id=id_b
+         WHERE i::double / (sa.sz + sb.sz - i) > $threshold"""
 
   /** d21 oracle: the [[minhashOracle]] signature machinery (same md5
     * permutation literals) over corpus ∪ tail-truncated variants, with

@@ -923,6 +923,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("pair audit: precision/recall against an exact pair set") {
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (2L, 3L), (6L, 7L), (6L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.pairAudit(exact, approx)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // approx dup row counted once; both = {(1,2),(2,3)}
+    assert(got.toSeq == Seq((4L, 3L, 2L, 0.666667, 0.5)))
+    val perfect = Dedup.pairAudit(exact, exact)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(perfect.toSeq == Seq((4L, 4L, 4L, 1.0, 1.0)))
+  }
+
   test("minhash containment estimate: exact copy = 1.0, prefix ≈ 1, unrelated absent") {
     val docs = Seq(
       (1L, (0 until 40).map(i => s"w$i").mkString(" ")),
