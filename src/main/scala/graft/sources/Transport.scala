@@ -54,8 +54,10 @@ object FileTransport extends Transport {
 /** HTTP(S) transport over `java.net.http` — the reference's
   * Last-Modified + Content-Length freshness probe (Source.py:280-358)
   * as a HEAD request, chunked GET to a temp file (Source.py:435-494).
-  * UNTESTED in this zero-egress environment by construction; the logic
-  * is a direct transcription of the documented contract. */
+  * Exercised end to end against an in-process loopback origin
+  * (HttpSpec: stat, conditional re-fetch on size/mtime change, force,
+  * and the biomart martservice round trip) — zero-egress forbids
+  * external networks, not 127.0.0.1. */
 object HttpTransport extends Transport {
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
