@@ -547,7 +547,10 @@ object TextOps {
       .select(split(col("w"), "").as("syms"))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to nMerges) {
+      // size>=2 guard: sequence(1, 0) is DESCENDING in Spark, so a
+      // single-symbol word would probe element_at(syms, 2) and throw
       val top = syms
+        .filter(size(col("syms")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
           i => struct(element_at(col("syms"), i).as("l"),
             element_at(col("syms"), i + 1).as("r")))).as("p"))

@@ -749,6 +749,39 @@ object PipelineQueries {
           col("cluster_size"), col("weight"), col("bucket"), col("split"))
     }),
 
+    // Prototype-based corpus pruning (Sorscher et al. "Beyond neural
+    // scaling laws"): rank every vector by cosine to its own IVF-cell
+    // centroid, drop the most prototypical 25% of each cell — the
+    // near-centroid redundant mass; the kept tail carries the
+    // information. The pruning twin of d12's near-dup drop.
+    "s09_prototype_prune" -> ((s, d) =>
+      Similarity.prototypePrune(Tables.embeddings(s, d), "vec_id", "embedding",
+          nlist = 8, dropFrac = 0.25)
+        .withColumnRenamed("id", "vec_id")),
+
+    // Random projection to k dims (Johnson-Lindenstrauss sketch over the
+    // deterministic ±1 hyperplane family s02/d06 share): the dimension-
+    // reduction pre-pass a billion-vector ANN build runs before
+    // clustering. Map-only; plane literals replayed by the oracle.
+    "s10_random_projection" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, k = 8)
+        .withColumnRenamed("id", "vec_id")),
+
+    // BPE merge-candidate table: corpus-wide adjacent character-pair
+    // frequencies, top-20 (one training step's candidate ranking).
+    "t26_bpe_pair_counts" -> ((s, d) =>
+      TextOps.bpePairCounts(Tables.documents(s, d), "text", k = 20)),
+
+    // Four iterations of BPE training: per round the most frequent
+    // adjacent symbol pair (ties on the pair) merges greedily
+    // left-to-right in every word. The oracle replays each round
+    // positionally: candidate positions → greedy odd-rank take within
+    // consecutive runs → rebuild, so the fold semantics (a fresh merge
+    // never re-matches as LEFT in the same round) are value-checked.
+    "t27_bpe_merges" -> ((s, d) =>
+      TextOps.bpeMerges(Tables.documents(s, d), "text", nMerges = 4)),
+
     // Dedup recall audit (the text twin of s08's ANN audit): one summary
     // row grading the MinHash+LSH banded estimate against the exact
     // PPJoin Jaccard pairs at the same 0.5 threshold — the tuning loop a
@@ -1853,8 +1886,106 @@ object PipelineQueries {
               (SELECT count(*) AS n_approx FROM ($approx) t) a,
               (SELECT count(*) AS n_both FROM ($exact) x JOIN ($approx) y
                  ON x.id_a = y.id_a AND x.id_b = y.id_b) b"""
-    }
+    },
+    "s09_prototype_prune" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 8),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT e.vec_id AS id, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c),
+         cells AS (
+           SELECT id, cid AS cell, csim FROM (
+             SELECT id, cid, csim,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         r AS (SELECT id, cell, csim,
+                      row_number() OVER (PARTITION BY cell
+                        ORDER BY csim DESC, id) AS rank,
+                      count(*) OVER (PARTITION BY cell) AS cell_n
+               FROM cells)
+         SELECT id AS vec_id, cell, round(csim, 6) AS csim, rank, cell_n
+         FROM r WHERE rank > floor(0.25 * cell_n)""",
+    "s10_random_projection" -> randomProjectionOracle(dim = 64, k = 8),
+    "t26_bpe_pair_counts" ->
+      """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         p AS (SELECT substring(w, i, 2) AS pair
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM wds WHERE len(w) >= 2) t),
+         f AS (SELECT pair, count(*) AS freq FROM p GROUP BY pair)
+         SELECT pair, freq,
+                row_number() OVER (ORDER BY freq DESC, pair ASC) AS rank
+         FROM f ORDER BY freq DESC, pair ASC LIMIT 20""",
+    "t27_bpe_merges" -> bpeMergesOracle(nMerges = 4)
   )
+
+  /** s10 oracle: the deterministic ±1 hyperplanes as DOUBLE[] literals
+    * (the lshNearDupOracle device), dot products replayed
+    * component-for-component. */
+  private def randomProjectionOracle(dim: Int, k: Int): String = {
+    def planeLit(p: Int): String =
+      graft.operators.Similarity.hyperplane(p, dim)
+        .map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]::DOUBLE[]")
+    val comps = (0 until k)
+      .map(j => s"round(list_dot_product(v, ${planeLit(j)}), 4)")
+      .mkString("[", ",\n             ", "]")
+    s"""SELECT vec_id, $comps AS pv
+       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t"""
+  }
+
+  /** t27 oracle: `nMerges` chained rounds, each replayed POSITIONALLY —
+    * candidate positions where (sym[i], sym[i+1]) equals the round's top
+    * pair, greedy non-overlap as odd ranks within consecutive candidate
+    * runs (overlap only occurs when left = right), then a positional
+    * rebuild that drops consumed slots. Exactly the engine fold: a
+    * freshly merged symbol never re-matches as LEFT in the same round. */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT sym[i] AS l, sym[i+1] AS r, count(*) AS freq
+             FROM (SELECT sym, unnest(generate_series(1, len(sym) - 1)) AS i
+                   FROM w${k - 1}) t
+             GROUP BY 1, 2),
+         t$k AS (SELECT l, r, freq FROM p$k
+                 ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
+         cand$k AS (SELECT wid, i
+                    FROM (SELECT wid, sym,
+                            unnest(generate_series(1, len(sym) - 1)) AS i
+                          FROM w${k - 1}) t, t$k
+                    WHERE sym[i] = t$k.l AND sym[i+1] = t$k.r),
+         take$k AS (SELECT wid, i FROM (
+                      SELECT wid, i,
+                             row_number() OVER (PARTITION BY wid, grp
+                               ORDER BY i) AS rn
+                      FROM (SELECT wid, i,
+                              i - row_number() OVER (PARTITION BY wid
+                                ORDER BY i) AS grp
+                            FROM cand$k) g) t
+                    WHERE rn % 2 = 1),
+         w$k AS (
+           SELECT p.wid,
+                  list(CASE WHEN tk.i IS NOT NULL THEN t$k.l || t$k.r
+                            ELSE p.sym[p.j] END ORDER BY p.j) AS sym
+           FROM (SELECT wid, sym, unnest(generate_series(1, len(sym))) AS j
+                 FROM w${k - 1}) p
+           CROSS JOIN t$k
+           LEFT JOIN take$k tk ON tk.wid = p.wid AND tk.i = p.j
+           LEFT JOIN take$k cons ON cons.wid = p.wid AND cons.i = p.j - 1
+           WHERE cons.i IS NULL
+           GROUP BY p.wid, t$k.l, t$k.r)"""
+    }.mkString(",\n         ")
+    val out = (1 to nMerges).map(k =>
+      s"""SELECT $k AS step, l AS "left", r AS "right", freq FROM t$k""")
+      .mkString("\n         UNION ALL ")
+    s"""WITH w0 AS (
+           SELECT row_number() OVER () AS wid, string_split(w, '') AS sym
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+           WHERE len(w) >= 1),
+         $steps
+         $out"""
+  }
 
   /** d02's oracle with the threshold parameterized (d22's audit reuses
     * it at 0.5): distinct 3-word shingles, inverted-index pair join,

@@ -923,6 +923,68 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("bpe pair counts: overlapping adjacent pairs, rank ties on pair") {
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    // aaab×2 → aa,aa,ab each; ab×1 → ab: aa=4, ab=3
+    val got = TextOps.bpePairCounts(docs, "text", k = 5)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(("aa", 4L, 1), ("ab", 3L, 2)))
+  }
+
+  test("bpe merges: greedy non-overlapping fold, hand-computed 3 steps") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    // step1: aa(4) wins; aaab→[aa,a,b] (greedy takes pos 1, consumes 2)
+    // step2: (a,b)=3 beats (aa,a)=2; [aa,a,b]→[aa,ab], [a,b]→[ab]
+    // step3: (aa,ab)=2
+    val got = TextOps.bpeMerges(docs, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+    // single-char words must not blow up the pair probe (sequence(1,0)
+    // is descending in Spark — the corner the size guard covers)
+    val tiny = TextOps.bpeMerges(Seq((1L, "a b a b")).toDF("doc_id", "text"),
+      "text", nMerges = 1).as[(Int, String, String, Long)].collect()
+    assert(tiny.isEmpty) // all words are single symbols: no pairs, no merges
+  }
+
+  test("prototype prune: per-cell drop counts, ranks, full coverage") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val total = emb.count()
+    val kept = Similarity.prototypePrune(emb, "vec_id", "embedding",
+        nlist = 4, dropFrac = 0.25)
+      .as[(Long, Long, Double, Int, Long)].collect()
+    val byCell = kept.groupBy(_._2)
+    // every kept rank sits strictly past the dropped prototypical head,
+    // and each cell keeps exactly n - floor(0.25 n)
+    byCell.values.foreach { cell =>
+      val n = cell.head._5
+      assert(cell.length == n - math.floor(0.25 * n).toLong)
+      assert(cell.forall(r => r._4 > math.floor(0.25 * n) && r._4 <= n))
+      assert(cell.map(_._4).distinct.length == cell.length)
+    }
+    assert(byCell.values.map(_.head._5).sum >= total) // cells partition the corpus
+    // dropFrac 0 keeps everything
+    assert(Similarity.prototypePrune(emb, "vec_id", "embedding", 4, 0.0)
+      .count() == total)
+  }
+
+  test("random projection: components are the hyperplane dot products") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.randomProject(emb, "vec_id", "embedding",
+        dim = 64, k = 4)
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2).toMap
+    val raw = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got.nonEmpty && got.keySet == raw.keySet)
+    got.foreach { case (id, pv) =>
+      assert(pv.length == 4)
+      pv.zipWithIndex.foreach { case (c, j) =>
+        val plane = Similarity.hyperplane(j, 64)
+        val want = raw(id).zip(plane).map { case (x, p) => x.toDouble * p }.sum
+        assert(math.abs(c - math.rint(want * 1e4) / 1e4) < 1e-9, s"id=$id j=$j")
+      }
+    }
+  }
+
   test("pair audit: precision/recall against an exact pair set") {
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val approx = Seq((1L, 2L), (2L, 3L), (6L, 7L), (6L, 7L)).toDF("id_a", "id_b")
