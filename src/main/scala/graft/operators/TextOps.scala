@@ -514,12 +514,16 @@ object TextOps {
     * Returns (pair, freq, rank). */
   def bpePairCounts(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = docs
-      .select(explode(words(col(textCol))).as("w"))
+    // widen + project the pair array below its explode (the t25/shingle
+    // discipline: narrow scans serialize the CPU-heavy stage, and
+    // generator expressions evaluate interpreted inside GenerateExec)
+    val pairs = ScanStats.widen(docs.select(col(textCol).as("__t")))
+      .select(explode(words(col("__t"))).as("w"))
       .filter(length(col("w")) >= 2)
-      .select(explode(transform(
+      .select(transform(
         sequence(lit(1), length(col("w")) - 1),
-        i => col("w").substr(i, lit(2)))).as("pair"))
+        i => col("w").substr(i, lit(2))).as("ps"))
+      .select(explode(col("ps")).as("pair"))
     val freq = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
     freq.orderBy(col("freq").desc, col("pair").asc).limit(k)
       .withColumn("rank", row_number()
@@ -542,9 +546,15 @@ object TextOps {
   def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var syms = docs.select(explode(words(col(textCol))).as("w"))
+    // widen: the per-round fold is the CPU-heavy stage and must not run
+    // on a 1-2-split scan; persist each round's tokenization or round k
+    // replays all k-1 prior folds (measured 54 s → the cached form at
+    // sf0.1; the scaladoc's production localCheckpoint note, made real)
+    var syms = ScanStats.widen(docs.select(col(textCol).as("__t")))
+      .select(explode(words(col("__t"))).as("w"))
       .filter(length(col("w")) >= 1)
       .select(split(col("w"), "").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to nMerges) {
       // size>=2 guard: sequence(1, 0) is DESCENDING in Spark, so a
@@ -563,14 +573,19 @@ object TextOps {
         val merged = l + r
         // greedy left-to-right: append, or fuse with the accumulator's
         // tail when (tail, current) is exactly the merge pair
-        syms = syms.select(aggregate(col("syms"),
+        val next = syms.select(aggregate(col("syms"),
           array().cast("array<string>"),
           (acc, s) => when(
             size(acc) > 0 && element_at(acc, -1) === l && s === r,
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
             .otherwise(concat(acc, array(s)))).as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        syms.unpersist(false)
+        syms = next
       }
     }
+    syms.unpersist(false)
     out.toSeq.toDF("step", "left", "right", "freq")
   }
 }
