@@ -146,6 +146,43 @@ object EventStream {
         Seq("__digest"), "left_anti")
       .drop("__digest")
 
+  final case class KeepBestDoc(digest: String, doc_id: Long, priority: Int,
+                               text: String)
+  final case class BestState(priority: Int, docId: Long)
+
+  /** Streaming source-priority dedup — the streaming twin of
+    * [[graft.operators.Dedup.priorityKeep]]: per content digest, keep
+    * the most trusted delivery seen so far (priority asc, id asc ties),
+    * carried across micro-batches in keyed state. Append mode cannot
+    * retract, so the contract is "last emitted row per digest == the
+    * batch keep-best over everything replayed so far": a batch's winner
+    * is emitted only when it strictly beats the stored best, so a
+    * consumer folding by digest (keep last) converges to the batch
+    * answer. Unbounded state by design at this tier — the digest store
+    * IS the dedup index; horizon-bounded variants compose
+    * [[dedupedStream]]'s watermark instead. */
+  def keepBestStream(docs: Dataset[KeepBestDoc]): Dataset[KeepBestDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.digest)
+      .flatMapGroupsWithState[BestState, KeepBestDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_, batch: Iterator[KeepBestDoc], state: GroupState[BestState]) =>
+          var best = state.getOption
+          var winner: Option[KeepBestDoc] = None
+          batch.foreach { r =>
+            val better = best.forall(b => r.priority < b.priority ||
+              (r.priority == b.priority && r.doc_id < b.docId))
+            if (better) {
+              best = Some(BestState(r.priority, r.doc_id))
+              winner = Some(r)
+            }
+          }
+          best.foreach(state.update)
+          winner.iterator
+      }
+  }
+
   /** StreamedGraph-equivalent sink: incremental triple batches land as
     * deduplicated NT files (per-batch dedup; cross-batch dedup is the
     * downstream `sort -u` contract, same as the reference). */

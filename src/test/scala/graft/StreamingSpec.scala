@@ -102,6 +102,43 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batch)
   }
 
+  test("streaming keep-best dedup converges to batch priorityKeep across batches") {
+    import graft.streaming.EventStream.KeepBestDoc
+    val dir = Files.createTempDirectory("graft-stream-best").toString
+    def row(id: Long, text: String, prio: Int) =
+      KeepBestDoc(java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+        id, prio, text)
+    // batch 1: crawl + curated deliveries of "same"; one "other" crawl
+    Seq(row(1L, "same", 2), row(2L, "same", 1), row(3L, "other", 2))
+      .toDF.write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+      .as[KeepBestDoc]
+    val q = graft.streaming.EventStream.keepBestStream(stream)
+      .toDF.writeStream.outputMode("append").format("memory")
+      .queryName("best_out").start()
+    q.processAllAvailable()
+    // batch 2: a TIE on "same" (same priority, higher id — must not emit)
+    // and a strictly better "other" delivery (must emit)
+    Seq(row(4L, "same", 1), row(5L, "other", 1))
+      .toDF.write.parquet(s"$dir/in/b2")
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.sql("SELECT digest, doc_id FROM best_out")
+      .as[(String, Long)].collect()
+    // improvements only: doc2 + doc3 from batch1, doc5 from batch2
+    assert(emitted.map(_._2).toSet == Set(2L, 3L, 5L))
+    // fold keep-last per digest == batch priorityKeep over the replay
+    val last = emitted.groupBy(_._1).map { case (d, rs) => d -> rs.last._2 }
+    val all = Seq((1L, "same", "crawl"), (2L, "same", "curated"),
+      (3L, "other", "crawl"), (4L, "same", "curated"), (5L, "other", "curated"))
+      .toDF("doc_id", "text", "source")
+    val batch = graft.operators.Dedup.priorityKeep(all, "doc_id", "text",
+        when($"source" === "curated", 1).otherwise(2))
+      .select(md5($"text"), $"doc_id").as[(String, Long)].collect().toMap
+    assert(last == batch)
+  }
+
   test("flatMapGroupsWithState gap sessions ≡ batch sessionization (closed)") {
     import graft.streaming.EventStream.SessionEvent
     import org.apache.spark.sql.expressions.Window
