@@ -203,6 +203,29 @@ class PlansSpec extends SparkSpec {
     assert(!planStr(plan).contains("Window"), planStr(plan).take(800))
   }
 
+  test("repetition signals plan: two hash aggregates, no windows, no joins") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.repetitionSignals(docs, "doc_id", "text")
+    // (id,n,gram) count + (id,n) rollup + (id) pivot — hash-partitioned
+    // aggregates only (+1 widen exchange); a Window or Join here would
+    // be a scale regression on the per-doc metric
+    assert(!planStr(plan).contains("Window"), planStr(plan).take(800))
+    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
+    assert(planStr(plan).contains("partial_count"), planStr(plan).take(800))
+    assert(shuffles(plan) <= 4, planStr(plan).take(800))
+  }
+
+  test("bpe pair counts plan: map-side partials + TakeOrdered, no global sort") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "abc de")).toDF("doc_id", "text")
+    val plan = TextOps.bpePairCounts(docs, "text", k = 5)
+    // the |alphabet|²-bounded aggregate collapses map-side; the top-k is
+    // TakeOrdered over the survivors, never a full Sort of the pair space
+    assert(planStr(plan).contains("partial_count"), planStr(plan).take(800))
+    assert(planStr(plan).contains("TakeOrderedAndProject"), planStr(plan).take(800))
+  }
+
   test("priority keep plans ONE shuffle: the content-digest window") {
     import graft.operators.Dedup
     val docs = Seq((1L, "t", "crawl")).toDF("doc_id", "text", "source")
