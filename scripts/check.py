@@ -32,9 +32,18 @@ for name in sorted(oracle):
     got, exp = got[gc], exp[gc]
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
-    # canonical: stringify, sort rows, compare
-    gs = sorted(map(str, got.itertuples(index=False, name=None)))
-    es = sorted(map(str, exp.itertuples(index=False, name=None)))
+    # canonical: sort rows the way the DRIVER's checker does (pandas
+    # sort_values over every column) so harness-shape failures — e.g. an
+    # array<double> output column, unsortable by pandas — reproduce
+    # locally instead of being masked by a stringify-sort.
+    try:
+        got = got.sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+        exp = exp.sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+    except Exception as e:
+        print(f"FAIL {name}: driver-style sort errs: {type(e).__name__}: {e}")
+        fails += 1; continue
+    gs = [str(t) for t in got.itertuples(index=False, name=None)]
+    es = [str(t) for t in exp.itertuples(index=False, name=None)]
     if gs != es:
         bad = [(a, b) for a, b in zip(gs, es) if a != b][:3]
         print(f"FAIL {name}: value mismatch, e.g. {bad}"); fails += 1; continue

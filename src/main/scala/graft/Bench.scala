@@ -74,6 +74,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val diag = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Dedicated diag artifact: the driver captures a size-capped stdout
+    // tail, which has truncated mid-line and lost exactly the per-pass
+    // data needed to adjudicate an outlier (round-9 p21). Every [diag]
+    // line and the final JSON also append here, flushed per line.
+    val diagPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG", "bench_diag.jsonl")
+    val diagOut = new java.io.PrintWriter(
+      new java.io.FileWriter(diagPath, false), true)
+    def diagLine(s: String): Unit = { diagOut.println(s); diagOut.flush() }
     val (runBusy0, _, runIo0, runSteal0) = hostStat
     val runCpu0 = procCpuNanos
     val t00 = System.nanoTime()
@@ -99,7 +107,9 @@ object Bench {
       // to the query — the production path scans an existing database
       val seedS = graft.engine.MgiDb.drainSeedNanos() / 1e9
       if (seedS > 0.001) diag(name) = f"derby_seed=$seedS%.1f"
-      val dt = (System.nanoTime() - t0) / 1e9 - seedS
+      // clamp at 0: a drained seed can only overlap this query's wall
+      // time, so a negative residue would mean misattributed seed time
+      val dt = math.max(0.0, (System.nanoTime() - t0) / 1e9 - seedS)
       val (busy1, idle1, io1, steal1) = hostStat
       val procS = if (cpu0 >= 0) (procCpuNanos - cpu0) / 1e9 else -1.0
       val stealS = (steal1 - steal0) / hz
@@ -107,6 +117,7 @@ object Bench {
       val otherS = math.max(0.0, (busy1 - busy0) / hz - procS) // other processes' CPU
       val rt = Runtime.getRuntime
       System.err.println(f"[diag] $name%-28s $dt%8.2fs cpu=$procS%7.1fs steal=$stealS%6.1fs iowait=$ioS%5.1fs otherproc=$otherS%6.1fs heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5dM codecache=${poolUsed("Code") / (1 << 20)}%4dM gc+=${gcMillis - gc0}%5dms jit+=${jitMillis - jit0}%6dms")
+      diagLine(f"""{"q":"$name","pass":1,"wall_s":$dt%.2f,"cpu_s":$procS%.1f,"steal_s":$stealS%.1f,"iowait_s":$ioS%.1f,"otherproc_s":$otherS%.1f,"gc_ms":${gcMillis - gc0},"jit_ms":${jitMillis - jit0},"seed_s":$seedS%.1f}""")
       // flag queries whose wall clock is dominated by something other
       // than this process's own CPU (host steal, iowait, co-tenants):
       // > 2 s AND process CPU under half of (wall × cores-busy-equivalent)
@@ -128,7 +139,7 @@ object Bench {
     // whatever wave hit it — and report the per-query MIN, the standard
     // best-of-N practice for removing co-tenant noise from a benchmark.
     // Both timings are recorded in the diag map, so nothing is hidden.
-    def rerun(name: String): Double = {
+    def rerun(name: String, pass: Int): Double = {
       val t0 = System.nanoTime()
       // a failed re-run must never win the min: time-to-failure (e.g. a
       // fast transient OOM) would otherwise be recorded as the query's
@@ -137,6 +148,7 @@ object Bench {
                catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      diagLine(f"""{"q":"$name","pass":$pass,"wall_s":$dt%.2f,"ok":$ok}""")
       if (ok) dt else Double.MaxValue
     }
     // 1.0 s threshold: a contended window inflates the many 1–3 s
@@ -148,11 +160,11 @@ object Bench {
     val retried = results.map { case (name, dt1) =>
       if (dt1 <= 1.0 || errors.contains(name)) name -> dt1
       else {
-        val dt2 = rerun(name)
+        val dt2 = rerun(name, 2)
         // a long wave can straddle both passes (observed: pass1 57.2 s,
         // pass2 10.3 s, clean 1.6 s) — one bounded third attempt when the
         // min is still above any clean per-query time (clean max ≈ 3.4 s)
-        val dt3 = if (math.min(dt1, dt2) > 4.0) rerun(name) else Double.MaxValue
+        val dt3 = if (math.min(dt1, dt2) > 4.0) rerun(name, 3) else Double.MaxValue
         def show(d: Double) = if (d == Double.MaxValue) "fail" else f"$d%.1f"
         diag(name) = diag.get(name).map(_ + ";").getOrElse("") +
           (if (dt3 == Double.MaxValue) s"pass1=${show(dt1)},pass2=${show(dt2)}"
@@ -187,7 +199,10 @@ object Bench {
     val diagJson = diag.map { case (k, v) => s"\"$k\":\"${escape(v)}\"" }
       .mkString("{", ",", "}")
     val total = if (retried.nonEmpty) retried.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"env":$envJson,"contended":$diagJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"env":$envJson,"contended":$diagJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    diagLine(fullLine)
+    diagOut.close()
     // The full line above is ~8 KB — beyond a 2 000-char stdout tail
     // capture. Repeat the contract shape as a compact LAST line: same
     // keys, but "queries" holds only the slowest entries that fit the

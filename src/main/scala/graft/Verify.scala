@@ -24,8 +24,26 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Scalar-schema lint: the driver's checker sorts result rows with
+        // pandas sort_values, which throws on array/map/struct columns —
+        // refuse such an output at dump time so the failure is a loud,
+        // local, named error instead of a harness-shape `err` row
+        // (how s10 shipped red in rounds 8–9).
+        val nonScalar = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType  => true
+          case _: org.apache.spark.sql.types.MapType    => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(nonScalar.isEmpty,
+          s"driver-gate query '$name' returns non-scalar column(s) " +
+          nonScalar.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", ") +
+          " — posexplode/flatten to scalar rows (driver checker cannot sort these)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

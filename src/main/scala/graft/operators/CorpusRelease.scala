@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *  1. exact keep-best dedup ([[Dedup.priorityKeep]]) — per content
   *     digest the most trusted delivery survives;
-  *  2. near-dup clusters over the survivors ([[Dedup.ngramJaccardPairs]]
-  *     → [[Dedup.clusters]]) — at corpus scale swap the pair source for
-  *     [[Dedup.minhashPairs]]/LSH unchanged;
+  *  2. near-dup clusters over the survivors (default
+  *     [[Dedup.ngramJaccardPairs]] → [[Dedup.clusters]]) — the pair
+  *     source is a `pairSource` parameter, so at corpus scale the
+  *     banded [[Dedup.minhashPairs]]/LSH estimate drops in unchanged;
   *  3. duplication-aware soft weights ([[Dedup.softWeights]]) — each
   *     distinct content contributes unit training mass;
   *  4. leak-free train/val/test split — every cluster lands whole in one
@@ -30,16 +31,28 @@ object CorpusRelease {
 
   /** The release relation: every surviving document with its provenance
     * (priority, n_copies), cluster stats (cluster = representative id,
-    * cluster_size, weight) and split assignment (bucket, split). */
+    * cluster_size, weight) and split assignment (bucket, split).
+    *
+    * `pairSource` is the step-2 near-dup pair relation over the exact-
+    * dedup SURVIVORS — any `survivors => (id_a, id_b, …)` DataFrame.
+    * Default: exact PPJoin-filtered [[Dedup.ngramJaccardPairs]] (n,
+    * threshold); at corpus scale pass
+    * `Some(s => Dedup.minhashPairs(s, idCol, textCol, …))` to run the
+    * banded-LSH estimate instead — the rest of the recipe (clusters,
+    * weights, split) is pair-source-agnostic. */
   def plan(docs: DataFrame, idCol: String, textCol: String,
            priority: Column, seed: String,
            n: Int = 3, threshold: Double = 0.8,
-           pctTrain: Int = 90, pctVal: Int = 5): DataFrame = {
+           pctTrain: Int = 90, pctVal: Int = 5,
+           pairSource: Option[DataFrame => DataFrame] = None): DataFrame = {
     require(pctTrain + pctVal <= 100, "split percentages exceed 100")
     val survivors = Dedup.priorityKeep(docs, idCol, textCol, priority)
-    val cl = Dedup.clusters(
-      Dedup.ngramJaccardPairs(survivors, idCol, textCol, n, threshold),
-      "id_a", "id_b")
+    val pairs = pairSource match {
+      case Some(src) => src(survivors)
+      case None => Dedup.ngramJaccardPairs(survivors, idCol, textCol, n,
+        threshold)
+    }
+    val cl = Dedup.clusters(pairs, "id_a", "id_b")
     // softWeights' cluster column is coalesce(cluster, id) — exactly the
     // representative leakFreeSplit would hash, so bucket and split are
     // map-side projections over the weights relation (no second join)
@@ -57,9 +70,10 @@ object CorpusRelease {
               outDir: String, shardRows: Long,
               n: Int = 3, threshold: Double = 0.8,
               pctTrain: Int = 90, pctVal: Int = 5,
-              buckets: Int = 16): DataFrame = {
+              buckets: Int = 16,
+              pairSource: Option[DataFrame => DataFrame] = None): DataFrame = {
     val planned = plan(docs, idCol, textCol, priority, seed,
-      n, threshold, pctTrain, pctVal)
+      n, threshold, pctTrain, pctVal, pairSource)
     graft.sinks.TrainingShards.writeJsonlShards(
       planned.filter(col("split") === "train"), idCol,
       Seq(textCol, "weight"), outDir, seed, shardRows, buckets)

@@ -379,9 +379,17 @@ object Dedup {
     e.agg(count(lit(1)).as("n_exact"))
       .crossJoin(a.agg(count(lit(1)).as("n_approx")))
       .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      // empty-set conventions (guarded — an unguarded /0 is NULL in
+      // Spark but an error in some SQL engines): no approx pairs → no
+      // false positives → precision 1.0; no exact pairs → nothing to
+      // find → recall 1.0
       .select(col("n_exact"), col("n_approx"), col("n_both"),
-        round(col("n_both").cast("double") / col("n_approx"), 6).as("precision"),
-        round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"))
+        when(col("n_approx") > 0,
+          round(col("n_both").cast("double") / col("n_approx"), 6))
+          .otherwise(lit(1.0)).as("precision"),
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double") / col("n_exact"), 6))
+          .otherwise(lit(1.0)).as("recall"))
   }
 
   /** (id, sig, band, bh) band-bucket relation over a (id, sig) signature

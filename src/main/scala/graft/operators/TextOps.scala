@@ -446,6 +446,15 @@ object TextOps {
     * plus per-rule flags and the composite `keep`. Single-word docs have
     * no bigrams/trigrams → those fractions are 0 (nothing repeats).
     *
+    * `minWords` (Gopher's document-length floor, 50 in the paper) adds
+    * an `ok_min_words` flag ANDed into `keep`: the repetition fractions
+    * are statistically meaningless on very short docs (a repetition-free
+    * 2-word doc has top_bigram_frac = 1.0 and would fail the bigram rule
+    * spuriously), so Gopher drops sub-floor docs on length before the
+    * repetition rules ever matter. Default 0 = gate off (every doc has
+    * ≥ 0 words; callers that pre-gate on [[qualityRules]]' n_words keep
+    * the old behavior).
+    *
     * Scale shape: grams explode map-side below a (id, gram) hash
     * aggregate with map-side partials (the t21 chunk-dedup key shape),
     * then one (id) rollup — two hash-partitioned shuffles, no windows,
@@ -454,7 +463,8 @@ object TextOps {
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
                         maxDupWordFrac: Double = 0.5,
                         maxTopBigramFrac: Double = 0.2,
-                        maxDupTrigramFrac: Double = 0.3): DataFrame = {
+                        maxDupTrigramFrac: Double = 0.3,
+                        minWords: Int = 0): DataFrame = {
     // gram arrays are PROJECTED below their explode (the shingleRel
     // discipline: generator expressions evaluate interpreted inside
     // GenerateExec) and the scan is widened first — a narrow 1-2-split
@@ -484,11 +494,13 @@ object TextOps {
         sum(when(col("n") === 3, col("occ") - col("dis"))).cast("double") /
           sum(when(col("n") === 3, col("occ"))), lit(0.0)), 6).as("dup_trigram_frac"))
     wide
+      .withColumn("ok_min_words", col("n_words") >= minWords)
       .withColumn("ok_dup_word", col("dup_word_frac") <= maxDupWordFrac)
       .withColumn("ok_top_bigram", col("top_bigram_frac") <= maxTopBigramFrac)
       .withColumn("ok_dup_trigram", col("dup_trigram_frac") <= maxDupTrigramFrac)
       .withColumn("keep",
-        col("ok_dup_word") && col("ok_top_bigram") && col("ok_dup_trigram"))
+        col("ok_min_words") && col("ok_dup_word") && col("ok_top_bigram") &&
+          col("ok_dup_trigram"))
       .withColumnRenamed("id", idCol)
   }
 
@@ -540,9 +552,11 @@ object TextOps {
     * The driver loop is over nMerges (a model hyperparameter, tens to
     * thousands — NOT data-sized); each iteration is one distributed
     * aggregate over a key space bounded by the growing symbol vocabulary,
-    * so the pattern survives any corpus size. Tokenization state lives in
-    * a symbols array column carried across iterations via localCheckpoint
-    * every few rounds in production; at test scale the lineage is fine. */
+    * so the pattern survives any corpus size. State is the DISTINCT-word
+    * dictionary (syms, count) — Sennrich's vocabulary form — so the
+    * per-round fold costs |vocabulary| regardless of corpus duplication.
+    * The dictionary is carried across iterations via per-round persist
+    * (localCheckpoint every few rounds in production). */
   def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -550,10 +564,18 @@ object TextOps {
     // on a 1-2-split scan; persist each round's tokenization or round k
     // replays all k-1 prior folds (measured 54 s → the cached form at
     // sf0.1; the scaladoc's production localCheckpoint note, made real)
+    // Sennrich's dictionary form: fold over DISTINCT words weighted by
+    // their occurrence count (pair freq = Σ count(w)·pairs-in(w)) — the
+    // CPU-heavy per-round fold then costs |vocabulary|, not |corpus|, so
+    // corpus duplication is free (a 10×-replicated corpus runs the same
+    // per-round work over the same dictionary, only this one groupBy
+    // scan sees the extra rows). Merging never changes the underlying
+    // word string, so the dictionary keying is stable across rounds.
     var syms = ScanStats.widen(docs.select(col(textCol).as("__t")))
       .select(explode(words(col("__t"))).as("w"))
       .filter(length(col("w")) >= 1)
-      .select(split(col("w"), "").as("syms"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to nMerges) {
@@ -561,24 +583,20 @@ object TextOps {
       // single-symbol word would probe element_at(syms, 2) and throw
       val top = syms
         .filter(size(col("syms")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .select(col("n"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("freq"))
+        .agg(sum(col("n")).as("freq"))
         .orderBy(col("freq").desc, col("l").asc, col("r").asc)
         .limit(1).as[(String, String, Long)].collect()
       top.headOption.foreach { case (l, r, f) =>
         out += ((step, l, r, f))
-        val merged = l + r
         // greedy left-to-right: append, or fuse with the accumulator's
         // tail when (tail, current) is exactly the merge pair
-        val next = syms.select(aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, s) => when(
-            size(acc) > 0 && element_at(acc, -1) === l && s === r,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-            .otherwise(concat(acc, array(s)))).as("syms"))
+        val next = syms
+          .select(mergePass(col("syms"), l, r).as("syms"), col("n"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
         syms.unpersist(false)
@@ -587,5 +605,74 @@ object TextOps {
     }
     syms.unpersist(false)
     out.toSeq.toDF("step", "left", "right", "freq")
+  }
+
+  /** One greedy left-to-right merge pass (the [[bpeMerges]] fold) as a
+    * reusable column expression: fuse every non-overlapping (l, r)
+    * adjacency in `syms` into l+r. */
+  private def mergePass(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === l && s === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE ENCODING — apply a trained, ordered merge table to tokenize
+    * text (the inference twin of [[bpeMerges]]; Sennrich et al. 2016
+    * §3: apply merges in learned order). Every word occurrence splits
+    * to characters, then each merge fuses greedily left-to-right —
+    * byte-for-byte the training fold, so encode(corpus) reproduces the
+    * final training-state tokenization.
+    *
+    * Scale shape: `merges` is a MODEL artifact (driver-side literal
+    * list, hyperparameter-sized — tens to thousands), so the whole
+    * encode is ONE map-only projection per word: no shuffle, no state,
+    * the scan's partitioning preserved. A dictionary variant (encode
+    * distinct words once, join back) trades that for a shuffle and wins
+    * only when |vocabulary| ≪ corpus AND the merge list is huge.
+    * Returns (id, word_idx, token_idx, token), indices 0-based. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val base = ScanStats.widen(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), posexplode(words(coalesce(col("__t"), lit("")))))
+      .withColumnRenamed("pos", "word_idx").withColumnRenamed("col", "w")
+      .filter(length(col("w")) >= 1)
+      // project the char split BELOW the token explode (the shingleRel
+      // discipline: generator expressions evaluate interpreted)
+      .select(col("id"), col("word_idx").cast("long").as("word_idx"),
+        merges.foldLeft(split(col("w"), "")) {
+          case (acc, (l, r)) => mergePass(acc, l, r)
+        }.as("syms"))
+    base.select(col("id"), col("word_idx"), posexplode(col("syms")))
+      .select(col("id"), col("word_idx"),
+        col("pos").cast("long").as("token_idx"), col("col").as("token"))
+  }
+
+  /** PII scrubbing (the redaction pass public corpus releases run —
+    * BigScience ROOTS, FineWeb): replace emails, bare IPv4 literals,
+    * and international-format phone numbers with typed placeholder
+    * tokens and count each class. The three patterns are restricted to
+    * a subset that evaluates identically under Java regex (Spark's
+    * codegen'd regexp_replace) and RE2 (the DuckDB oracle): no
+    * lookaround, no backreferences. Redaction is staged email → IPv4 →
+    * phone, each count taken AFTER the previous stage's replacement,
+    * so a `+digits` inside an email local part is never double-counted
+    * as a phone. Map-only; returns (id, clean_text, n_emails, n_ips,
+    * n_phones). */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+[0-9]{7,15}"
+    docs.select(col(idCol).as("id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("n_emails", regexp_count(col("__t"), lit(email)).cast("long"))
+      .withColumn("__t1", regexp_replace(col("__t"), email, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("__t1"), lit(ip)).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), ip, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("__t2"), lit(phone)).cast("long"))
+      .select(col("id"),
+        regexp_replace(col("__t2"), phone, "<PHONE>").as("clean_text"),
+        col("n_emails"), col("n_ips"), col("n_phones"))
   }
 }

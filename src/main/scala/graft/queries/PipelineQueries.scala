@@ -749,6 +749,27 @@ object PipelineQueries {
           col("cluster_size"), col("weight"), col("bucket"), col("split"))
     }),
 
+    // t24's scale path made real: the SAME release recipe with the
+    // banded MinHash+LSH estimate (d03's device) swapped in as the
+    // near-dup pair source — proof the pairSource seam carries the
+    // production configuration, gated with its own banded-estimate
+    // oracle replaying signatures/bands/threshold over the survivors.
+    "t28_corpus_release_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+      graft.operators.CorpusRelease.plan(
+          docs.unionByName(mirrored), "doc_id", "text",
+          when(col("source").startsWith("mirror_"), lit(2)).otherwise(lit(1)),
+          seed = "rel0", pctTrain = 80, pctVal = 10,
+          pairSource = Some(surv => Dedup.minhashPairs(surv, "doc_id",
+            "text", numPerm = 32, bands = 8, threshold = 0.5,
+            family = "md5")))
+        .select(col("doc_id"), col("source"), col("n_copies"), col("cluster"),
+          col("cluster_size"), col("weight"), col("bucket"), col("split"))
+    }),
+
     // Prototype-based corpus pruning (Sorscher et al. "Beyond neural
     // scaling laws"): rank every vector by cosine to its own IVF-cell
     // centroid, drop the most prototypical 25% of each cell — the
@@ -762,11 +783,16 @@ object PipelineQueries {
     // Random projection to k dims (Johnson-Lindenstrauss sketch over the
     // deterministic ±1 hyperplane family s02/d06 share): the dimension-
     // reduction pre-pass a billion-vector ANN build runs before
-    // clustering. Map-only; plane literals replayed by the oracle.
+    // clustering. Map-only; plane literals replayed by the oracle. The
+    // operator returns (id, pv: array<double>); the gate query
+    // posexplodes to scalar (vec_id, component, value) rows because the
+    // driver checker sorts with pandas and cannot order array columns.
     "s10_random_projection" -> ((s, d) =>
       Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
           dim = 64, k = 8)
-        .withColumnRenamed("id", "vec_id")),
+        .withColumnRenamed("id", "vec_id")
+        .selectExpr("vec_id", "posexplode(pv) AS (component, value)")
+        .withColumn("component", col("component").cast("long"))),
 
     // BPE merge-candidate table: corpus-wide adjacent character-pair
     // frequencies, top-20 (one training step's candidate ranking).
@@ -781,6 +807,37 @@ object PipelineQueries {
     // never re-matches as LEFT in the same round) are value-checked.
     "t27_bpe_merges" -> ((s, d) =>
       TextOps.bpeMerges(Tables.documents(s, d), "text", nMerges = 4)),
+
+    // BPE ENCODING — the trained 4-merge table applied back to the
+    // corpus (train → encode round trip in one gated row): every word
+    // occurrence's final tokenization, one scalar row per token. The
+    // oracle replays the same positional fold machinery as t27 with
+    // (doc_id, word_idx) carried through every round.
+    "t29_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeMerges(docs, "text", nMerges = 4)
+        .orderBy("step").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      TextOps.bpeEncode(docs, "doc_id", "text", merges)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // PII redaction over the corpus with deterministically planted
+    // contacts (one email + phone + IPv4 per doc, derived from doc_id,
+    // appended identically by engine and oracle) so the redaction does
+    // real work on every row instead of no-op'ing on synthetic text.
+    "t30_pii_redact" -> ((s, d) => {
+      val salted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or +4915123"),
+          lpad((col("doc_id") % 1000).cast("string"), 4, "0"),
+          lit(" at 10.1.2."), (col("doc_id") % 256).cast("string")
+        ).as("text"))
+      TextOps.piiRedact(salted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
 
     // Dedup recall audit (the text twin of s08's ANN audit): one summary
     // row grading the MinHash+LSH banded estimate against the exact
@@ -823,7 +880,8 @@ object PipelineQueries {
     // thresholds split THIS corpus on the dup-word rule (median 0.54 vs
     // the 0.5 cut), so both keep outcomes are exercised.
     "t25_repetition_signals" -> ((s, d) =>
-      TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text"))
+      TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text",
+        minWords = 5))
   )
 
   /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
@@ -861,41 +919,93 @@ object PipelineQueries {
     * permutations as generated literals, band buckets as joined decimal
     * values, estimated Jaccard over the signature lists. */
   private def minhashOracle(numPerm: Int, bands: Int,
-                            threshold: Double): String = {
+                            threshold: Double): String =
+    s"""WITH ${minhashEstCtes("documents", numPerm, bands)}
+         SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+         FROM mh_est WHERE ej >= $threshold"""
+
+  /** The banded-MinHash estimate as a spliceable CTE chain over `src`
+    * (doc_id, text) — exposes `mh_est` (id_a, id_b, ej). Shared by the
+    * d03/d22 oracles (src = documents) and the t28 release oracle
+    * (src = the exact-dedup survivors). */
+  private def minhashEstCtes(src: String, numPerm: Int, bands: Int): String = {
     val rows = numPerm / bands
     val mins = (0 until numPerm).map { i =>
       val (a, b) = graft.operators.Dedup.minhashCoeffs(i)
       s"min(($a*h0+$b)%2147483647) AS h$i"
     }.mkString(",\n                  ")
     val sigList = (0 until numPerm).map(i => s"h$i").mkString("[", ",", "]")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
+    s"""mh_w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
+         mh_sh AS (SELECT DISTINCT doc_id,
                   ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
                 FROM (SELECT doc_id, ws,
                         unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
-                      FROM w) t),
-         base AS (SELECT doc_id,
+                      FROM mh_w) t),
+         mh_base AS (SELECT doc_id,
                     ('0x'||substr(md5(sh),1,15))::BIGINT % 2147483647 AS h0
-                  FROM sh),
-         hs AS (SELECT doc_id,
+                  FROM mh_sh),
+         mh_hs AS (SELECT doc_id,
                   $mins
-                FROM base GROUP BY 1),
-         sig AS (SELECT doc_id, $sigList AS sig FROM hs),
-         bnd AS (SELECT doc_id, sig, b,
+                FROM mh_base GROUP BY 1),
+         mh_sig AS (SELECT doc_id, $sigList AS sig FROM mh_hs),
+         mh_bnd AS (SELECT doc_id, sig, b,
                   array_to_string(list_slice(sig, b*$rows+1, b*$rows+$rows),
                     '|') AS bh
-                 FROM sig, (SELECT unnest(range(0, $bands)) AS b) bb),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 FROM mh_sig, (SELECT unnest(range(0, $bands)) AS b) bb),
+         mh_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                     a.sig AS sa, b.sig AS sb
-                  FROM bnd a JOIN bnd b
+                  FROM mh_bnd a JOIN mh_bnd b
                     ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         est AS (SELECT id_a, id_b,
+         mh_est AS (SELECT id_a, id_b,
                    len(list_filter(range(1, ${numPerm + 1}),
                      i -> sa[i] = sb[i]))/$numPerm.0 AS ej
-                 FROM cand)
-         SELECT id_a, id_b, round(ej, 6) AS est_jaccard
-         FROM est WHERE ej >= $threshold"""
+                 FROM mh_cand)"""
   }
+
+  /** t28 oracle: the t24 release oracle with its exact pair stage
+    * replaced by the banded-MinHash estimate over the survivors —
+    * every other stage (keep-best rank, connected components, weights,
+    * bucket/split) replayed identically. */
+  private def corpusReleaseLshOracle(numPerm: Int, bands: Int,
+                                     threshold: Double): String =
+    s"""WITH RECURSIVE
+         all_docs AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, text, 'mirror_' || source
+           FROM documents WHERE doc_id % 7 = 0),
+         ranked AS (
+           SELECT doc_id, text, source,
+                  row_number() OVER (PARTITION BY md5(text)
+                    ORDER BY (CASE WHEN starts_with(source, 'mirror_') THEN 2 ELSE 1 END), doc_id) AS rk,
+                  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+           FROM all_docs),
+         surv AS (SELECT doc_id, text, source, n_copies FROM ranked WHERE rk = 1),
+         ${minhashEstCtes("surv", numPerm, bands)},
+         pairs AS (SELECT id_a, id_b FROM mh_est WHERE ej >= $threshold),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         sz2 AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster),
+         rel AS (SELECT s.doc_id, s.source, s.n_copies,
+                        coalesce(cl.cluster, s.doc_id) AS cluster,
+                        coalesce(sz2.cluster_size, 1) AS cluster_size,
+                        round(1.0 / coalesce(sz2.cluster_size, 1), 6) AS weight
+                 FROM surv s
+                 LEFT JOIN cl ON s.doc_id = cl.id
+                 LEFT JOIN sz2 ON cl.cluster = sz2.cluster),
+         b AS (SELECT *,
+                      ('0x'||substr(md5('rel0' || cluster::varchar), 1, 8))::BIGINT % 100 AS bucket
+               FROM rel)
+       SELECT doc_id, source, n_copies, cluster, cluster_size, weight, bucket,
+              CASE WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM b"""
 
   /** d15 oracle: the [[minhashOracle]] machinery over an old/fresh
     * two-slice corpus with the band join restricted to fresh × old —
@@ -1840,6 +1950,8 @@ object PipelineQueries {
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM b""",
+    "t28_corpus_release_lsh" -> corpusReleaseLshOracle(numPerm = 32,
+      bands = 8, threshold = 0.5),
     "t25_repetition_signals" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          g AS (
@@ -1868,10 +1980,11 @@ object PipelineQueries {
                     / sum(CASE WHEN n=3 THEN occ END), 0), 6) AS dup_trigram_frac
            FROM pd GROUP BY doc_id)
          SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+                n_words >= 5 AS ok_min_words,
                 dup_word_frac <= 0.5 AS ok_dup_word,
                 top_bigram_frac <= 0.2 AS ok_top_bigram,
                 dup_trigram_frac <= 0.3 AS ok_dup_trigram,
-                (dup_word_frac <= 0.5 AND top_bigram_frac <= 0.2
+                (n_words >= 5 AND dup_word_frac <= 0.5 AND top_bigram_frac <= 0.2
                   AND dup_trigram_frac <= 0.3) AS keep
          FROM wide""",
     "d21_containment_minhash" -> containmentMinhashOracle(numPerm = 32,
@@ -1880,8 +1993,10 @@ object PipelineQueries {
       val exact = jaccardOracle(threshold = 0.5)
       val approx = minhashOracle(numPerm = 32, bands = 8, threshold = 0.5)
       s"""SELECT e.n_exact, a.n_approx, b.n_both,
-             round(b.n_both::double / a.n_approx, 6) AS precision,
-             round(b.n_both::double / e.n_exact, 6) AS recall
+             CASE WHEN a.n_approx > 0
+               THEN round(b.n_both::double / a.n_approx, 6) ELSE 1.0 END AS precision,
+             CASE WHEN e.n_exact > 0
+               THEN round(b.n_both::double / e.n_exact, 6) ELSE 1.0 END AS recall
          FROM (SELECT count(*) AS n_exact FROM ($exact) t) e,
               (SELECT count(*) AS n_approx FROM ($approx) t) a,
               (SELECT count(*) AS n_both FROM ($exact) x JOIN ($approx) y
@@ -1919,12 +2034,41 @@ object PipelineQueries {
          SELECT pair, freq,
                 row_number() OVER (ORDER BY freq DESC, pair ASC) AS rank
          FROM f ORDER BY freq DESC, pair ASC LIMIT 20""",
-    "t27_bpe_merges" -> bpeMergesOracle(nMerges = 4)
+    "t27_bpe_merges" -> bpeMergesOracle(nMerges = 4),
+    "t29_bpe_encode" -> bpeEncodeOracle(nMerges = 4),
+    "t30_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{7,15}"
+      s"""WITH salted AS (
+           SELECT doc_id,
+                  text || ' contact u' || doc_id::VARCHAR ||
+                    '@example.com or +4915123' ||
+                    lpad((doc_id % 1000)::VARCHAR, 4, '0') ||
+                    ' at 10.1.2.' || (doc_id % 256)::VARCHAR AS text
+           FROM documents),
+         s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+                  regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1
+                FROM salted),
+         s2 AS (SELECT doc_id, n_emails,
+                  len(regexp_extract_all(t1, '$ip'))::BIGINT AS n_ips,
+                  regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+                FROM s1)
+         SELECT doc_id,
+                regexp_replace(t2, '$phone', '<PHONE>', 'g') AS clean_text,
+                n_emails, n_ips,
+                len(regexp_extract_all(t2, '$phone'))::BIGINT AS n_phones
+         FROM s2"""
+    }
   )
 
   /** s10 oracle: the deterministic ±1 hyperplanes as DOUBLE[] literals
     * (the lshNearDupOracle device), dot products replayed
-    * component-for-component. */
+    * component-for-component, then unnested to scalar
+    * (vec_id, component, value) rows via a generate_series subscript
+    * (this DuckDB lacks WITH ORDINALITY) to mirror the gate query's
+    * posexplode. */
   private def randomProjectionOracle(dim: Int, k: Int): String = {
     def planeLit(p: Int): String =
       graft.operators.Similarity.hyperplane(p, dim)
@@ -1932,8 +2076,11 @@ object PipelineQueries {
     val comps = (0 until k)
       .map(j => s"round(list_dot_product(v, ${planeLit(j)}), 4)")
       .mkString("[", ",\n             ", "]")
-    s"""SELECT vec_id, $comps AS pv
-       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t"""
+    s"""WITH proj AS (
+         SELECT vec_id, $comps AS pv
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t)
+       SELECT vec_id, j - 1 AS component, pv[j] AS value
+       FROM proj, unnest(generate_series(1, len(pv))) AS s(j)"""
   }
 
   /** t27 oracle: `nMerges` chained rounds, each replayed POSITIONALLY —
@@ -1942,8 +2089,15 @@ object PipelineQueries {
     * runs (overlap only occurs when left = right), then a positional
     * rebuild that drops consumed slots. Exactly the engine fold: a
     * freshly merged symbol never re-matches as LEFT in the same round. */
-  private def bpeMergesOracle(nMerges: Int): String = {
-    val steps = (1 to nMerges).map { k =>
+  /** The chained per-round BPE CTEs (p/t/cand/take/w per step) shared by
+    * the t27 (training) and t29 (encoding) oracles. `extraKeys` are w0
+    * columns beyond (wid, sym) carried through every rebuild — t29
+    * threads (doc_id, word_idx) so the final tokenization stays
+    * addressable. */
+  private def bpeStepCtes(nMerges: Int, extraKeys: Seq[String]): String = {
+    val xsel = extraKeys.map(k => s", p.$k").mkString
+    val xcarry = extraKeys.map(k => s", $k").mkString
+    (1 to nMerges).map { k =>
       s"""p$k AS (SELECT sym[i] AS l, sym[i+1] AS r, count(*) AS freq
              FROM (SELECT sym, unnest(generate_series(1, len(sym) - 1)) AS i
                    FROM w${k - 1}) t
@@ -1965,17 +2119,21 @@ object PipelineQueries {
                             FROM cand$k) g) t
                     WHERE rn % 2 = 1),
          w$k AS (
-           SELECT p.wid,
+           SELECT p.wid$xsel,
                   list(CASE WHEN tk.i IS NOT NULL THEN t$k.l || t$k.r
                             ELSE p.sym[p.j] END ORDER BY p.j) AS sym
-           FROM (SELECT wid, sym, unnest(generate_series(1, len(sym))) AS j
+           FROM (SELECT wid$xcarry, sym,
+                   unnest(generate_series(1, len(sym))) AS j
                  FROM w${k - 1}) p
            CROSS JOIN t$k
            LEFT JOIN take$k tk ON tk.wid = p.wid AND tk.i = p.j
            LEFT JOIN take$k cons ON cons.wid = p.wid AND cons.i = p.j - 1
            WHERE cons.i IS NULL
-           GROUP BY p.wid, t$k.l, t$k.r)"""
+           GROUP BY p.wid$xsel, t$k.l, t$k.r)"""
     }.mkString(",\n         ")
+  }
+
+  private def bpeMergesOracle(nMerges: Int): String = {
     val out = (1 to nMerges).map(k =>
       s"""SELECT $k AS step, l AS "left", r AS "right", freq FROM t$k""")
       .mkString("\n         UNION ALL ")
@@ -1983,9 +2141,24 @@ object PipelineQueries {
            SELECT row_number() OVER () AS wid, string_split(w, '') AS sym
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
            WHERE len(w) >= 1),
-         $steps
+         ${bpeStepCtes(nMerges, Seq.empty)}
          $out"""
   }
+
+  /** t29 oracle: the t27 fold machinery with (doc_id, word_idx) carried
+    * through every round, final symbols unnested to one row per token
+    * (generate_series subscript — no WITH ORDINALITY here). */
+  private def bpeEncodeOracle(nMerges: Int): String =
+    s"""WITH w0 AS (
+           SELECT doc_id::VARCHAR || ':' || wi::VARCHAR AS wid,
+                  doc_id, wi - 1 AS word_idx,
+                  string_split(ws[wi], '') AS sym
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+                unnest(generate_series(1, len(ws))) AS s(wi)
+           WHERE len(ws[wi]) >= 1),
+         ${bpeStepCtes(nMerges, Seq("doc_id", "word_idx"))}
+         SELECT doc_id, word_idx, j - 1 AS token_idx, sym[j] AS token
+         FROM w$nMerges, unnest(generate_series(1, len(sym))) AS s(j)"""
 
   /** d02's oracle with the threshold parameterized (d22's audit reuses
     * it at 0.5): distinct 3-word shingles, inverted-index pair join,

@@ -101,11 +101,128 @@ object HttpTransport extends Transport {
   def exists(url: String): Boolean = head(url).statusCode() / 100 == 2
 }
 
+/** Native FTP transport — a minimal RFC 959 (+ RFC 3659 SIZE/MDTM)
+  * client over raw sockets, covering exactly the subset the reference's
+  * urllib fetch uses for ftp:// origins (Source.py:435-494): anonymous
+  * or url-embedded credentials, binary mode, passive-mode RETR, and the
+  * SIZE/MDTM freshness probe that mirrors [[HttpTransport]]'s
+  * Content-Length/Last-Modified contract. Exercised end to end against
+  * an in-process loopback FTP origin (FtpSpec) — zero-egress forbids
+  * external networks, not 127.0.0.1. */
+object FtpTransport extends Transport {
+  import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter, PrintWriter}
+  import java.net.{Socket, URI}
+  import java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private final case class Ctrl(sock: Socket, in: BufferedReader,
+                                out: PrintWriter) {
+    /** One reply, collapsing RFC 959 multi-line form (`123-… 123 done`). */
+    def reply(): (Int, String) = {
+      var line = in.readLine()
+      require(line != null && line.length >= 3, "FTP control channel closed")
+      val code = line.take(3)
+      if (line.length > 3 && line.charAt(3) == '-') {
+        var l = in.readLine()
+        while (l != null && !l.startsWith(code + " ")) l = in.readLine()
+        require(l != null, "FTP control channel closed mid-reply")
+        line = l
+      }
+      (code.toInt, line)
+    }
+    def cmd(c: String): (Int, String) = {
+      out.print(c + "\r\n"); out.flush(); reply()
+    }
+  }
+
+  private def connect(u: URI): Ctrl = {
+    val sock = new Socket(u.getHost, if (u.getPort > 0) u.getPort else 21)
+    val c = Ctrl(sock,
+      new BufferedReader(new InputStreamReader(sock.getInputStream, ISO_8859_1)),
+      new PrintWriter(new OutputStreamWriter(sock.getOutputStream, ISO_8859_1)))
+    val (banner, _) = c.reply()
+    require(banner == 220, s"FTP banner $banner from ${u.getHost}")
+    val (user, pass) = Option(u.getUserInfo).map(_.split(":", 2)) match {
+      case Some(Array(us, pw)) => (us, pw)
+      case Some(Array(us))     => (us, "")
+      case _                   => ("anonymous", "anonymous@")
+    }
+    val (uc, _) = c.cmd(s"USER $user")
+    if (uc == 331) {
+      val (pc, _) = c.cmd(s"PASS $pass")
+      require(pc / 100 == 2, s"FTP login failed ($pc)")
+    } else require(uc / 100 == 2, s"FTP USER rejected ($uc)")
+    c
+  }
+
+  private def withCtrl[T](url: String)(f: (Ctrl, String) => T): T = {
+    val u = URI.create(url)
+    val c = connect(u)
+    try f(c, u.getPath)
+    finally {
+      try { c.cmd("QUIT"); () } catch { case _: Throwable => }
+      c.sock.close()
+    }
+  }
+
+  /** MDTM's `YYYYMMDDHHMMSS[.sss]` (UTC per RFC 3659) → epoch millis. */
+  private def mdtmMillis(v: String): Long =
+    java.time.LocalDateTime.parse(v.trim.take(14),
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  private def statOn(c: Ctrl, path: String): Option[(Long, Long)] = {
+    val (sc, sr) = c.cmd(s"SIZE $path")
+    if (sc != 213) None
+    else {
+      val size = sr.drop(4).trim.toLong
+      val (mc, mr) = c.cmd(s"MDTM $path")
+      if (mc != 213) None else Some((size, mdtmMillis(mr.drop(4))))
+    }
+  }
+
+  def stat(url: String): Option[(Long, Long)] =
+    withCtrl(url)((c, path) => statOn(c, path))
+
+  /** `227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)` → data socket. */
+  private def pasv(c: Ctrl): Socket = {
+    val (code, rep) = c.cmd("PASV")
+    require(code == 227, s"PASV -> $code")
+    val nums = "\\d+".r.findAllIn(rep.dropWhile(_ != '(')).map(_.toInt).toSeq
+    require(nums.length >= 6, s"unparseable PASV reply: $rep")
+    new Socket(nums.take(4).mkString("."), nums(4) * 256 + nums(5))
+  }
+
+  def download(url: String, dest: Path): Unit = withCtrl(url) { (c, path) =>
+    val (tc, _) = c.cmd("TYPE I")
+    require(tc / 100 == 2, s"TYPE I -> $tc")
+    val data = pasv(c)
+    val (rc, _) = c.cmd(s"RETR $path")
+    require(rc == 150 || rc == 125, s"RETR $path -> $rc")
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".part")
+    try Files.copy(data.getInputStream, tmp, StandardCopyOption.REPLACE_EXISTING)
+    finally data.close()
+    val (done, _) = c.reply()
+    require(done == 226 || done == 250, s"RETR completion -> $done")
+    Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    // mirror the origin's mtime (HttpTransport's Last-Modified contract)
+    // so the SIZE/MDTM freshness probe is stable across fetches
+    statOn(c, path).foreach { case (_, m) =>
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(m))
+    }
+  }
+
+  def exists(url: String): Boolean =
+    try withCtrl(url)((c, path) => c.cmd(s"SIZE $path")._1 == 213)
+    catch { case _: Throwable => false }
+}
+
 object Transport {
   /** Scheme dispatch (RDFGraph._getnode's http/https/ftp routing is the
-    * same convention). FTP origins in the reference are mirrored over
-    * HTTP in practice; a native FTP transport would slot in here. */
+    * same convention). */
   def forUrl(url: String): Transport =
     if (url.startsWith("http://") || url.startsWith("https://")) HttpTransport
+    else if (url.startsWith("ftp://")) FtpTransport
     else FileTransport
 }

@@ -1,0 +1,131 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter, PrintWriter}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.file.{Files, Path}
+
+import graft.sources.{Fetch, FtpTransport, Transport}
+
+/** Native-FTP transport tests over an in-process loopback origin — the
+  * HttpSpec device applied to ftp:// (zero-egress forbids external
+  * networks, not 127.0.0.1): a minimal RFC 959 + SIZE/MDTM server
+  * serving a temp directory, driven end to end through [[Fetch]]'s
+  * conditional-fetch policy.
+  */
+class FtpSpec extends SparkSpec {
+
+  /** Minimal passive-mode FTP origin over `root`: USER/PASS/TYPE/PASV/
+    * SIZE/MDTM/RETR/QUIT — exactly the subset [[FtpTransport]] speaks. */
+  private def withFtpServer(root: Path)(run: String => Unit): Unit = {
+    val server = new ServerSocket(0, 8, InetAddress.getByName("127.0.0.1"))
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    @volatile var running = true
+    pool.submit(new Runnable {
+      def run(): Unit = while (running) {
+        try {
+          val s = server.accept()
+          pool.submit(new Runnable { def run(): Unit = handle(s, root) })
+        } catch { case _: Throwable => () /* server closed */ }
+      }
+    })
+    try run(s"ftp://127.0.0.1:${server.getLocalPort}")
+    finally { running = false; server.close(); pool.shutdownNow() }
+  }
+
+  private def handle(sock: Socket, root: Path): Unit = {
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, ISO_8859_1))
+    val out = new PrintWriter(
+      new OutputStreamWriter(sock.getOutputStream, ISO_8859_1))
+    def send(s: String): Unit = { out.print(s + "\r\n"); out.flush() }
+    def resolve(arg: String): Path = root.resolve(arg.stripPrefix("/"))
+    var dataSrv: ServerSocket = null
+    send("220 graft test ftpd")
+    var line = in.readLine()
+    while (line != null) {
+      val (cmd, arg) = line.split(" ", 2) match {
+        case Array(c, a) => (c.toUpperCase, a)
+        case Array(c)    => (c.toUpperCase, "")
+      }
+      cmd match {
+        case "USER" => send("331 need password")
+        case "PASS" => send("230 logged in")
+        case "TYPE" => send("200 ok")
+        case "SIZE" =>
+          val f = resolve(arg)
+          if (Files.isRegularFile(f)) send(s"213 ${Files.size(f)}")
+          else send("550 not found")
+        case "MDTM" =>
+          val f = resolve(arg)
+          if (Files.isRegularFile(f)) {
+            val ts = java.time.format.DateTimeFormatter
+              .ofPattern("yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC)
+              .format(Files.getLastModifiedTime(f).toInstant)
+            send(s"213 $ts")
+          } else send("550 not found")
+        case "PASV" =>
+          if (dataSrv != null) dataSrv.close()
+          dataSrv = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
+          val p = dataSrv.getLocalPort
+          send(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+        case "RETR" =>
+          val f = resolve(arg)
+          if (dataSrv == null || !Files.isRegularFile(f)) send("550 can't open")
+          else {
+            send("150 opening data connection")
+            val d = dataSrv.accept()
+            try { Files.copy(f, d.getOutputStream); () } finally d.close()
+            dataSrv.close(); dataSrv = null
+            send("226 transfer complete")
+          }
+        case "QUIT" => send("221 bye"); sock.close(); return
+        case _      => send("502 not implemented")
+      }
+      line = in.readLine()
+    }
+  }
+
+  test("FTP transport: stat + conditional fetch against a loopback origin") {
+    val root = Files.createTempDirectory("graft-ftp-root")
+    val file = root.resolve("omim.txt")
+    Files.write(file, "mim\tlabel\n100100\tx\n".getBytes("UTF-8"))
+    // second-precision mtime: MDTM carries yyyyMMddHHmmss
+    Files.setLastModifiedTime(file,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+    withFtpServer(root) { base =>
+      val url = s"$base/omim.txt"
+      assert(Transport.forUrl(url) eq FtpTransport) // scheme dispatch
+      assert(FtpTransport.exists(url))
+      assert(!FtpTransport.exists(s"$base/definitely-missing"))
+      assert(FtpTransport.stat(url).contains((Files.size(file), 1700000000000L)))
+
+      val dir = Files.createTempDirectory("graft-ftp-cache").toString
+      val f1 = Fetch.fetch(url, dir)
+      assert(f1.refetched)
+      assert(Files.readAllLines(f1.path).get(1) == "100100\tx")
+      // unchanged origin → cache hit, no refetch
+      val f2 = Fetch.fetch(url, dir)
+      assert(!f2.refetched)
+      // origin grows + newer mtime → conditional refetch picks it up
+      Files.write(file, "mim\tlabel\n100100\tx\n100200\ty\n".getBytes("UTF-8"))
+      Files.setLastModifiedTime(file,
+        java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
+      val f3 = Fetch.fetch(url, dir)
+      assert(f3.refetched)
+      assert(Files.readAllLines(f3.path).size == 3)
+    }
+  }
+
+  test("FTP transport: downloaded bytes are binary-exact (TYPE I)") {
+    val root = Files.createTempDirectory("graft-ftp-bin")
+    val file = root.resolve("blob.gz")
+    val bytes = Array.tabulate[Byte](4096)(i => (i * 31 % 256).toByte)
+    Files.write(file, bytes)
+    withFtpServer(root) { base =>
+      val dest = Files.createTempDirectory("graft-ftp-out").resolve("blob.gz")
+      FtpTransport.download(s"$base/blob.gz", dest)
+      assert(java.util.Arrays.equals(Files.readAllBytes(dest), bytes))
+    }
+  }
+}

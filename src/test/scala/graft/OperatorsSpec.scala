@@ -1117,4 +1117,88 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 0.0, 0.0, 0.0, true)))
     assert(got(4L) == ((4L, 1L, 0.0, 0.0, 0.0, true)))
   }
+
+  test("pair audit: empty pair sets give the 1.0 conventions, never NULL") {
+    val some = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // no approx pairs → no false positives → precision 1.0; recall 0
+    val p = Dedup.pairAudit(some, none)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(p.toSeq == Seq((1L, 0L, 0L, 1.0, 0.0)))
+    // no exact pairs → nothing to find → recall 1.0; precision 0
+    val r = Dedup.pairAudit(none, some)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.toSeq == Seq((0L, 1L, 0L, 0.0, 1.0)))
+    val b = Dedup.pairAudit(none, none)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(b.toSeq == Seq((0L, 0L, 0L, 1.0, 1.0)))
+  }
+
+  test("repetition signals: Gopher min-word floor gates short docs on length") {
+    val docs = Seq(
+      (1L, "tiny clean doc"), // 3 words, repetition-free
+      (2L, (0 until 60).map(i => s"w$i").mkString(" ")) // 60 distinct words
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs, "doc_id", "text", minWords = 50)
+      .select($"doc_id", $"ok_min_words", $"keep")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, false, false))) // gated on length, not repetition
+    assert(got(2L) == ((2L, true, true)))
+    // default floor 0 = gate off: the 3-word doc still fails the bigram
+    // rule (top bigram share 0.5 > 0.2) — the documented spurious fail
+    // the Gopher floor exists to pre-empt
+    val dflt = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .select($"doc_id", $"ok_min_words", $"ok_top_bigram", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(dflt(1L) == ((1L, true, false, false)))
+    assert(dflt(2L) == ((2L, true, true, true)))
+  }
+
+  test("bpe encode: ordered merges applied greedily, indices addressable") {
+    val docs = Seq((1L, "aaab ab"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "b")))
+      .as[(Long, Long, Long, String)].collect().toSet
+    // "aaab": a|a|a|b → merge(a,a) greedy left-to-right → aa|a|b;
+    // merge(aa,b) finds no adjacency (aa,a)(a,b) → aa|a|b stands.
+    // "ab": neither merge applies. Empty doc → no words, no rows.
+    assert(got == Set(
+      (1L, 0L, 0L, "aa"), (1L, 0L, 1L, "a"), (1L, 0L, 2L, "b"),
+      (1L, 1L, 0L, "a"), (1L, 1L, 1L, "b")))
+    // no merges = plain character split
+    val raw = TextOps.bpeEncode(docs, "doc_id", "text", Seq.empty)
+      .filter($"word_idx" === 1).as[(Long, Long, Long, String)]
+      .collect().toSet
+    assert(raw == Set((1L, 1L, 0L, "a"), (1L, 1L, 1L, "b")))
+  }
+
+  test("pii redact: staged email→ip→phone, no double counting, null-safe") {
+    val docs = Seq(
+      (1L, "mail bob@x.io or +4912345678 from 192.168.0.1 ok"),
+      (2L, "a+12345678@x.com has a phone-looking local part"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiRedact(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L,
+      "mail <EMAIL> or <PHONE> from <IP> ok", 1L, 1L, 1L)))
+    // the +digits inside the email local part is consumed by the email
+    // stage and must not be re-counted as a phone
+    assert(got(2L) == ((2L,
+      "<EMAIL> has a phone-looking local part", 1L, 0L, 0L)))
+    assert(got(3L) == ((3L, "", 0L, 0L, 0L)))
+  }
+
+  test("derby seed time accrues only on successful seeding") {
+    import graft.engine.MgiDb
+    MgiDb.drainSeedNanos() // clear anything a prior suite accrued
+    intercept[Throwable] {
+      MgiDb.conf(spark, "/nonexistent/graft-no-such-dir")
+    }
+    // a failed seed must leave the accumulator empty — Bench drains it
+    // into the NEXT query's diag, so residue would misattribute harness
+    // failure time to engine work
+    assert(MgiDb.drainSeedNanos() == 0L)
+  }
 }
