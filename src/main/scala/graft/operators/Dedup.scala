@@ -547,6 +547,62 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Cross-document duplicate-span REMOVAL — the transform half of
+    * [[duplicateSpans]]' signal (Lee et al. 2021, arXiv:2107.06499 cuts
+    * the duplicated substrings themselves, not the documents): every
+    * `w`-token window whose fingerprint occurs in ≥ 2 distinct
+    * documents marks its w token positions covered, and each document
+    * is rebuilt from its uncovered tokens in order. Boilerplate shared
+    * across pages disappears from every copy while the surrounding
+    * unique prose survives — the aggressive sibling of dropping whole
+    * near-dup documents.
+    *
+    * Scale shape: the window relation is |tokens| rows of 32-byte
+    * fingerprints; duplicated fingerprints come from one map-side-
+    * combined aggregate; coverage is a per-doc position explode
+    * (bounded by w·dup windows) distinct'd on (id, pos); the rebuild
+    * anti-joins the token relation and re-assembles per doc with one
+    * hash shuffle + in-group sort. Skew follows document length, which
+    * the explode already bounded. Returns (doc_id, clean_text,
+    * n_tokens, n_removed). */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           w: Int = 5): DataFrame = {
+    val base = widen(docs.select(col(idCol).as("id"),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("ws")))
+    // positions+fingerprints PROJECTED below the explode (generator
+    // expressions evaluate interpreted — the shingleRel discipline)
+    val wins = base.filter(size(col("ws")) >= w)
+      .select(col("id"), expr(
+        s"CASE WHEN size(ws) >= $w THEN " +
+          s"transform(sequence(1, size(ws) - ${w - 1}), " +
+          s"p -> struct(p AS p, md5(array_join(slice(ws, p, $w), ' ')) AS fp)) " +
+          s"ELSE cast(array() as array<struct<p:int,fp:string>>) END").as("pfs"))
+      .select(col("id"), explode(col("pfs")).as("pf"))
+      .select(col("id"), col("pf.p").as("p"), col("pf.fp").as("fp"))
+    val dupFps = wins.groupBy("fp")
+      .agg(count_distinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("fp")
+    val covered = wins.join(dupFps, "fp")
+      .select(col("id"), explode(sequence(col("p"), col("p") + lit(w - 1)))
+        .as("pos"))
+      .distinct()
+    val toks = base
+      .select(col("id"), posexplode(col("ws")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(concat_ws(" ",
+      expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+      .as("clean_text"))
+    val removed = covered.groupBy("id").agg(count(lit(1)).as("n_removed"))
+    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .join(removed, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Connected-components clustering over a near-dup pair list — the step
     * that turns pairwise evidence (from [[ngramJaccardPairs]],
     * [[minhashPairs]], [[simhashPairs]] or

@@ -649,6 +649,68 @@ object TextOps {
         col("pos").cast("long").as("token_idx"), col("col").as("token"))
   }
 
+  /** Train a logistic-regression quality classifier over the
+    * [[qualityRules]] signals, distilling the boolean rule verdict into
+    * a smooth scorer — the linear form of the classifier-training step
+    * public pipelines run (fastText quality filters in CCNet/LLaMA,
+    * FineWeb-Edu's scorer): features
+    * x = (1, n_words/100, mean_wlen/10, symbol_ratio, alpha_frac,
+    * n_stop_distinct/10), label y = the rules' `keep`, `epochs`
+    * full-batch gradient steps at rate `lr`, starting from w = 0.
+    *
+    * Determinism pin: weights round to 6 dp at every epoch boundary
+    * (HALF_UP, the cross-engine grid), and the per-epoch accuracy
+    * compares z > 0 — not sigmoid(z) > 0.5 — so the only libm call
+    * (exp) sits strictly inside a rounded sum where a 1-ulp
+    * difference cannot move the result.
+    *
+    * Scale shape: the driver loop is over `epochs` (a hyperparameter);
+    * each epoch is ONE map-side-combined aggregate producing 7 doubles
+    * (6 gradient sums + the hit count) — the model is driver-state by
+    * design, as any 6-weight model should be. The feature relation is
+    * computed once and persisted. Returns one row per epoch:
+    * (epoch, w0..w5, accuracy) where accuracy grades the PRE-step
+    * weights on the batch. */
+  def trainQualityClassifier(docs: DataFrame, idCol: String,
+                             textCol: String, epochs: Int = 3,
+                             lr: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = qualityRules(docs, idCol, textCol)
+      .select(lit(1.0).as("x0"),
+        (col("n_words").cast("double") / 100.0).as("x1"),
+        (col("mean_wlen") / 10.0).as("x2"),
+        col("symbol_ratio").as("x3"),
+        col("alpha_frac").as("x4"),
+        (col("n_stop_distinct").cast("double") / 10.0).as("x5"),
+        col("keep").cast("int").cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feats.count().toDouble
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var wts = Array.fill(6)(0.0)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Double, Double, Double, Double, Double, Double, Double)]
+    for (ep <- 1 to epochs) {
+      // z built LEFT-ASSOCIATIVE to match the oracle's textual sum —
+      // IEEE addition order is part of the cross-engine contract
+      val z = (0 until 6).map(j => col(s"x$j") * lit(wts(j)))
+        .reduceLeft(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val aggCols =
+        (0 until 6).map(j => sum((p - col("y")) * col(s"x$j")).as(s"g$j")) :+
+          sum(when((z > 0.0) === (col("y") > 0.5), 1.0).otherwise(0.0))
+            .as("hits")
+      val row = feats.agg(aggCols.head, aggCols.tail: _*).head()
+      val acc = round6(row.getDouble(6) / n)
+      wts = Array.tabulate(6)(j => round6(wts(j) - lr * row.getDouble(j) / n))
+      out += ((ep, wts(0), wts(1), wts(2), wts(3), wts(4), wts(5), acc))
+    }
+    feats.unpersist(false)
+    out.toSeq.toDF("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "accuracy")
+  }
+
   /** PII scrubbing (the redaction pass public corpus releases run —
     * BigScience ROOTS, FineWeb): replace emails, bare IPv4 literals,
     * and international-format phone numbers with typed placeholder

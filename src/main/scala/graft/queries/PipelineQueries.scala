@@ -881,7 +881,29 @@ object PipelineQueries {
     // the 0.5 cut), so both keep outcomes are exercised.
     "t25_repetition_signals" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text",
-        minWords = 5))
+        minWords = 5)),
+
+    // Duplicate-span REMOVAL (Lee et al.'s actual transform — d13 is the
+    // signal, this cuts the spans): cross-document 5-token windows with
+    // ≥2-doc fingerprints mark their positions covered; docs rebuild
+    // from uncovered tokens.
+    "d23_duplicate_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        w = 5)),
+
+    // The Gopher/C4-style length-symbol-stopword rule battery, previously
+    // spec-less and gate-less (the round-8 unvalidated-code lesson
+    // applied to the one operator that slipped through).
+    "t31_quality_rules" -> ((s, d) =>
+      TextOps.qualityRules(Tables.documents(s, d), "doc_id", "text")),
+
+    // Logistic-regression quality classifier distilling t31's rule
+    // verdict into a smooth scorer: 3 full-batch GD epochs, weights
+    // rounded to 6dp per epoch (the cross-engine determinism grid), the
+    // oracle replaying every epoch as a chained CTE.
+    "t32_quality_classifier" -> ((s, d) =>
+      TextOps.trainQualityClassifier(Tables.documents(s, d), "doc_id",
+        "text", epochs = 3, lr = 1.0))
   )
 
   /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
@@ -2060,7 +2082,35 @@ object PipelineQueries {
                 n_emails, n_ips,
                 len(regexp_extract_all(t2, '$phone'))::BIGINT AS n_phones
          FROM s2"""
-    }
+    },
+    "d23_duplicate_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wins AS (
+           SELECT doc_id, p,
+                  md5(array_to_string(list_slice(ws, p, p + 4), ' ')) AS fp
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS p
+                 FROM t WHERE len(ws) >= 5) x),
+         dup AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd
+                                 FROM wins GROUP BY fp) g WHERE nd >= 2),
+         dwin AS (SELECT w.doc_id, w.p FROM wins w JOIN dup USING (fp)),
+         cov AS (SELECT DISTINCT doc_id, p + k AS pos
+                 FROM dwin, unnest(generate_series(0, 4)) AS s(k)),
+         toks AS (SELECT doc_id, i AS pos, ws[i] AS tok
+                  FROM t, unnest(generate_series(1, len(ws))) AS s(i)),
+         kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+                  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                    WHERE c.doc_id = tk.doc_id
+                                      AND c.pos = tk.pos)),
+         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                 FROM kept GROUP BY doc_id),
+         rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+                len(t.ws)::BIGINT AS n_tokens,
+                coalesce(rem.n_removed, 0)::BIGINT AS n_removed
+         FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+                LEFT JOIN rem ON t.doc_id = rem.doc_id""",
+    "t31_quality_rules" -> qualityRulesOracle,
+    "t32_quality_classifier" -> qualityClassifierOracle(epochs = 3, lr = 1.0)
   )
 
   /** s10 oracle: the deterministic ±1 hyperplanes as DOUBLE[] literals
@@ -2143,6 +2193,75 @@ object PipelineQueries {
            WHERE len(w) >= 1),
          ${bpeStepCtes(nMerges, Seq.empty)}
          $out"""
+  }
+
+  /** t31 oracle: the qualityRules battery replayed column-for-column at
+    * the engine's 4 dp ratio grid and default thresholds. Shared by t32
+    * as its feature/label subquery. */
+  private def qualityRulesOracle: String =
+    """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                  FROM documents),
+       f AS (
+         SELECT doc_id,
+                len(ws)::BIGINT AS n_words,
+                round(list_sum(list_transform(ws, x -> length(x)))::double
+                      / len(ws), 4) AS mean_wlen,
+                round((len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\.\.\.')))::double
+                      / len(ws), 4) AS symbol_ratio,
+                round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::double
+                      / len(ws), 4) AS alpha_frac,
+                len(list_intersect(list_distinct(ws),
+                  ['the','a','and','of','to','in','is','it','that','for']))::BIGINT
+                  AS n_stop_distinct
+         FROM s)
+       SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac,
+              n_stop_distinct,
+              (n_words >= 50 AND n_words <= 100000) AS ok_words,
+              (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_wlen,
+              symbol_ratio <= 0.1 AS ok_symbol,
+              alpha_frac >= 0.8 AS ok_alpha,
+              n_stop_distinct >= 2 AS ok_stops,
+              (n_words >= 50 AND n_words <= 100000
+               AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+               AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+               AND n_stop_distinct >= 2) AS keep
+       FROM f"""
+
+  /** t32 oracle: every GD epoch as a chained CTE over the t31 features —
+    * z is written LEFT-ASSOCIATIVE to match the engine's fold order
+    * (IEEE addition order is part of the contract), weights round to
+    * 6 dp per epoch, accuracy compares z > 0 (no libm boundary). */
+  private def qualityClassifierOracle(epochs: Int, lr: Double): String = {
+    val feats = s"""feats AS (
+         SELECT 1.0 AS x0,
+                n_words::double / 100.0 AS x1,
+                mean_wlen / 10.0 AS x2,
+                symbol_ratio AS x3,
+                alpha_frac AS x4,
+                n_stop_distinct::double / 10.0 AS x5,
+                CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y
+         FROM ($qualityRulesOracle) q)"""
+    val e0 = "e0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, " +
+      "0.0 AS w3, 0.0 AS w4, 0.0 AS w5)"
+    val eks = (1 to epochs).map { k =>
+      val z = (0 until 6).map(j => s"e.w$j * f.x$j").mkString(" + ")
+      val ws = (0 until 6).map(j =>
+        s"round(min(e.w$j) - $lr * sum((1.0/(1.0 + exp(-($z))) - f.y) * f.x$j) / count(*), 6) AS w$j")
+        .mkString(",\n                ")
+      s"""e$k AS (
+         SELECT $ws,
+                round(sum(CASE WHEN (($z) > 0.0) = (f.y > 0.5)
+                          THEN 1.0 ELSE 0.0 END) / count(*), 6) AS acc
+         FROM feats f, e${k - 1} e)"""
+    }.mkString(",\n       ")
+    val out = (1 to epochs).map(k =>
+      s"SELECT $k AS epoch, w0, w1, w2, w3, w4, w5, acc AS accuracy FROM e$k")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $feats,
+       $e0,
+       $eks
+       $out"""
   }
 
   /** t29 oracle: the t27 fold machinery with (doc_id, word_idx) carried

@@ -1190,6 +1190,60 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((3L, "", 0L, 0L, 0L)))
   }
 
+  test("duplicate span removal: shared boilerplate cut from every copy, unique prose kept") {
+    val boiler = "subscribe to our newsletter for more stuff" // 7 words
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, "nothing shared here at all today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", w = 5)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // every 5-window inside the 7-word boilerplate occurs in both docs,
+    // so all 7 boilerplate positions are covered in each; unique words
+    // survive in order
+    assert(got(1L) == ((1L, "alpha beta gamma", 10L, 7L)))
+    assert(got(2L) == ((2L, "delta epsilon zeta", 10L, 7L)))
+    assert(got(3L) == ((3L, "nothing shared here at all today", 6L, 0L)))
+  }
+
+  test("quality rules: each rule gates independently, ratios on the 4dp grid") {
+    val fifty = (0 until 50).map(i => s"the a word$i").mkString(" ") // 150 words, 2 distinct stops
+    val docs = Seq(
+      (1L, fifty),                                  // passes everything
+      (2L, "too short to pass the length floor"),   // < 50 words
+      (3L, (0 until 60).map(i => s"####$i ...").mkString(" ")) // symbol storm
+    ).toDF("doc_id", "text")
+    val got = TextOps.qualityRules(docs, "doc_id", "text")
+      .select($"doc_id", $"ok_words", $"ok_symbol", $"ok_stops", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, true, true, true)))
+    assert(got(2L) == ((2L, false, true, true, false)))
+    assert(got(3L)._3 == false && got(3L)._5 == false) // symbol rule trips
+  }
+
+  test("quality classifier: deterministic weights, separable labels learned") {
+    val docs = Seq.tabulate(40) { i =>
+      // half the corpus passes the rules (long, stop-bearing, clean),
+      // half fails on length — linearly separable on x1
+      if (i % 2 == 0)
+        (i.toLong, (0 until 30).map(j => s"the a and word$j").mkString(" "))
+      else (i.toLong, "short junk")
+    }.toDF("doc_id", "text")
+    val r1 = TextOps.trainQualityClassifier(docs, "doc_id", "text",
+      epochs = 3, lr = 1.0).collect()
+    val r2 = TextOps.trainQualityClassifier(docs, "doc_id", "text",
+      epochs = 3, lr = 1.0).collect()
+    assert(r1.toSeq == r2.toSeq) // 6dp-rounded per-epoch weights are stable
+    assert(r1.length == 3)
+    // the n_words feature separates the classes → its weight moves
+    // positive and accuracy reaches the separable optimum by epoch 3
+    val last = r1.last
+    assert(last.getDouble(2) > 0.0) // w1 (n_words/100)
+    assert(last.getDouble(7) >= 0.9) // accuracy on the pre-step weights
+  }
+
   test("derby seed time accrues only on successful seeding") {
     import graft.engine.MgiDb
     MgiDb.drainSeedNanos() // clear anything a prior suite accrued

@@ -246,4 +246,44 @@ class PlansSpec extends SparkSpec {
     assert(shuffles(plan) == 1, planStr(plan).take(800))
     assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
   }
+
+  test("bpe encode plan: map-only — no shuffle, no join, no window") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val plan = TextOps.bpeEncode(docs, "doc_id", "text", Seq(("a", "b")))
+    // the merge table is a driver-side literal: encoding must stay a
+    // projection over the scan (+1 widen exchange at most) — a shuffle
+    // here would mean the model leaked into the data path
+    assert(shuffles(plan) <= 1, planStr(plan).take(800))
+    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
+    assert(!planStr(plan).contains("Window"), planStr(plan).take(800))
+  }
+
+  test("pii redact plan: pure projection — zero shuffles") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a@b.co")).toDF("doc_id", "text")
+    val plan = TextOps.piiRedact(docs, "doc_id", "text")
+    assert(shuffles(plan) == 0, planStr(plan).take(800))
+    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
+  }
+
+  test("quality rules plan: pure projection — zero shuffles") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "the a cat")).toDF("doc_id", "text")
+    val plan = TextOps.qualityRules(docs, "doc_id", "text")
+    assert(shuffles(plan) == 0, planStr(plan).take(800))
+    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
+  }
+
+  test("duplicate span removal plan: aggregates + one anti join, no window") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Dedup.removeDuplicateSpans(docs, "doc_id", "text", w = 5)
+    // dup-fp aggregate, coverage distinct, rebuild aggregate and the
+    // final assembly joins — all hash-partitioned; a Window (global or
+    // per-doc sort via window) would serialize the rebuild
+    assert(!planStr(plan).contains("Window"), planStr(plan).take(1200))
+    assert(planStr(plan).contains("LeftAnti"), planStr(plan).take(1200))
+    assert(planStr(plan).contains("partial_count"), planStr(plan).take(1200))
+  }
 }
