@@ -625,26 +625,40 @@ object TextOps {
     * final training-state tokenization.
     *
     * Scale shape: `merges` is a MODEL artifact (driver-side literal
-    * list, hyperparameter-sized — tens to thousands), so the whole
-    * encode is ONE map-only projection per word: no shuffle, no state,
-    * the scan's partitioning preserved. A dictionary variant (encode
-    * distinct words once, join back) trades that for a shuffle and wins
-    * only when |vocabulary| ≪ corpus AND the merge list is huge.
+    * list, hyperparameter-sized — tens to thousands). The default
+    * `dictionary = true` path folds each DISTINCT word once and joins
+    * the tokenization back to the occurrence relation — the same
+    * Zipf discipline as [[bpeMerges]]' training state, so the
+    * CPU-heavy merge fold costs |vocabulary| regardless of corpus
+    * duplication; the join side is the vocabulary relation, which AQE
+    * broadcasts when it fits (natural-language vocabularies saturate;
+    * it is NOT force-broadcast because a 100 TB web corpus's typo-tail
+    * vocabulary may not fit an executor). `dictionary = false` is the
+    * ONE map-only projection per word occurrence — no shuffle at all —
+    * which wins when the corpus is near-deduplicated already.
     * Returns (id, word_idx, token_idx, token), indices 0-based. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)],
+                dictionary: Boolean = true): DataFrame = {
     val base = ScanStats.widen(
         docs.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), posexplode(words(coalesce(col("__t"), lit("")))))
       .withColumnRenamed("pos", "word_idx").withColumnRenamed("col", "w")
       .filter(length(col("w")) >= 1)
-      // project the char split BELOW the token explode (the shingleRel
-      // discipline: generator expressions evaluate interpreted)
       .select(col("id"), col("word_idx").cast("long").as("word_idx"),
-        merges.foldLeft(split(col("w"), "")) {
-          case (acc, (l, r)) => mergePass(acc, l, r)
-        }.as("syms"))
-    base.select(col("id"), col("word_idx"), posexplode(col("syms")))
+        col("w"))
+    // the fold is PROJECTED below the token explode either way (the
+    // shingleRel discipline: generator expressions evaluate interpreted)
+    val folded = merges.foldLeft(split(col("w"), "")) {
+      case (acc, (l, r)) => mergePass(acc, l, r)
+    }
+    val withSyms =
+      if (dictionary) {
+        val vocab = base.select(col("w")).distinct()
+          .select(col("w"), folded.as("syms"))
+        base.join(vocab, "w")
+      } else base.withColumn("syms", folded)
+    withSyms.select(col("id"), col("word_idx"), posexplode(col("syms")))
       .select(col("id"), col("word_idx"),
         col("pos").cast("long").as("token_idx"), col("col").as("token"))
   }

@@ -1170,6 +1170,11 @@ class OperatorsSpec extends SparkSpec {
       .filter($"word_idx" === 1).as[(Long, Long, Long, String)]
       .collect().toSet
     assert(raw == Set((1L, 1L, 0L, "a"), (1L, 1L, 1L, "b")))
+    // the direct (map-only) path is row-for-row the dictionary path
+    val direct = TextOps.bpeEncode(docs, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "b")), dictionary = false)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(direct == got)
   }
 
   test("pii redact: staged email→ip→phone, no double counting, null-safe") {

@@ -247,16 +247,21 @@ class PlansSpec extends SparkSpec {
     assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
   }
 
-  test("bpe encode plan: map-only — no shuffle, no join, no window") {
+  test("bpe encode plans: dictionary path folds the vocab once; direct path map-only") {
     import graft.operators.TextOps
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
-    val plan = TextOps.bpeEncode(docs, "doc_id", "text", Seq(("a", "b")))
-    // the merge table is a driver-side literal: encoding must stay a
-    // projection over the scan (+1 widen exchange at most) — a shuffle
-    // here would mean the model leaked into the data path
-    assert(shuffles(plan) <= 1, planStr(plan).take(800))
-    assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
-    assert(!planStr(plan).contains("Window"), planStr(plan).take(800))
+    // dictionary (default): the merge fold sits on the DISTINCT-word
+    // relation joined back to occurrences — duplication-free CPU
+    val dict = TextOps.bpeEncode(docs, "doc_id", "text", Seq(("a", "b")))
+    assert(planStr(dict).contains("Join"), planStr(dict).take(800))
+    assert(!planStr(dict).contains("Window"), planStr(dict).take(800))
+    // direct: one projection over the scan (+1 widen exchange at most) —
+    // a shuffle here would mean the model leaked into the data path
+    val direct = TextOps.bpeEncode(docs, "doc_id", "text", Seq(("a", "b")),
+      dictionary = false)
+    assert(shuffles(direct) <= 1, planStr(direct).take(800))
+    assert(!planStr(direct).contains("Join"), planStr(direct).take(800))
+    assert(!planStr(direct).contains("Window"), planStr(direct).take(800))
   }
 
   test("pii redact plan: pure projection — zero shuffles") {
