@@ -491,6 +491,38 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Two-stage retrieval — PQ candidates, EXACT re-rank (the serving
+    * shape every production ANN deployment runs, IVFADC + refine in
+    * Jégou et al. 2011 §VI): stage 1 takes `kCand` candidates per query
+    * from [[pqTopK]]'s byte-code ADC scores, stage 2 re-scores ONLY
+    * those pairs with exact cosine over the full vectors and keeps the
+    * top `k`. Precision within the candidate set becomes exact; recall
+    * is stage 1's at the kCand budget (graded by [[recallAtK]]).
+    *
+    * Scale shape: stage 2 touches |queries|·kCand pairs — the refine is
+    * candidate-bounded, never a corpus scan; the query side broadcasts
+    * (small by the same contract as [[bruteForceTopK]]) and the corpus
+    * side contributes one id-keyed join for the full vectors. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, dim: Int, k: Int, kCand: Int,
+                   m: Int = 4, ks: Int = 16): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val cand = pqTopK(corpus, queries, idCol, vecCol, dim, kCand, m, ks)
+      .select(col("qid"), col("nid"))
+    val cv = corpus.select(col(idCol).as("nid"),
+      toDoubleVec(col(vecCol)).as("nv"))
+    val qv = broadcast(queries.select(col(idCol).as("qid"),
+      toDoubleVec(col(vecCol)).as("qv")))
+    val scored = cand.join(qv, "qid").join(cv, "nid")
+      .select(col("qid"), col("nid"),
+        (vec_dot(col("qv"), col("nv")) /
+          (vec_norm(col("qv")) * vec_norm(col("nv")))).as("sim"))
+    val w2 = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Bucketed ANN: candidates restricted to the query's LSH bucket, then
     * exact cosine top-k within the bucket. Recall < 1 by construction —
     * this is the documented approximate/scale path next to

@@ -214,9 +214,13 @@ object TextOps {
     * base-16), DuckDB-reproducible like d03's. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 64): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"), isTarget.as("__t"),
-        explode(words(col(textCol))).as("w"))
+    // widen + project the words array BELOW the explode: the per-token
+    // md5 bucketing is the CPU-heavy stage and a 1-2-split scan would
+    // serialize it (bench diag showed wall ≈ proc-CPU, the 1-core tell)
+    val toks = ScanStats.widen(docs
+        .select(col(idCol).as("id"), isTarget.as("__t"),
+          words(col(textCol)).as("__ws")))
+      .select(col("id"), col("__t"), explode(col("__ws")).as("w"))
       .withColumn("b", pmod(
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
         lit(buckets.toLong)))

@@ -184,6 +184,16 @@ object PipelineQueries {
         "vec_id", "embedding", dim = 64, k = 3, m = 4, ks = 16)
     }),
 
+    // Two-stage retrieval (the production ANN serving shape): the same
+    // PQ ADC machinery yields 10 candidates per query, then ONLY those
+    // pairs re-score with exact cosine over the full vectors — top-3
+    // exact-within-candidates, candidate-bounded refine cost.
+    "s11_ann_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3, kCand = 10, m = 4, ks = 16)
+    }),
+
     // Stopword-bank language ID with deterministic argmax tie-break.
     "t01_langid" -> ((s, d) => {
       val t = col("text")
@@ -1525,48 +1535,28 @@ object PipelineQueries {
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     "s05_ann_pq" ->
-      """WITH samp AS (
-           SELECT vec_id AS sid, embedding::DOUBLE[] AS sv,
-                  row_number() OVER (
-                    ORDER BY md5('pq'||vec_id::varchar), vec_id) AS cid
-           FROM embeddings
-           ORDER BY md5('pq'||vec_id::varchar), vec_id LIMIT 16),
-         cb AS (
-           SELECT cid, g.sub,
-                  list_slice(sv, g.sub*16 + 1, g.sub*16 + 16) AS cv
-           FROM samp, (SELECT unnest(range(0, 4)) AS sub) g),
-         cb2 AS (SELECT cid, sub, cv,
-                        list_inner_product(cv, cv) AS cn2 FROM cb),
-         enc0 AS (
-           SELECT e.vec_id AS nid, c.sub AS nsub, c.cid, c.cn2,
-                  c.cn2 - 2 * list_inner_product(
-                    list_slice(e.embedding::DOUBLE[], c.sub*16 + 1, c.sub*16 + 16),
-                    c.cv) AS d2
-           FROM embeddings e CROSS JOIN cb2 c),
-         enc AS (
-           SELECT nid, nsub, cid AS code, cn2 AS coden2
-           FROM (SELECT *, row_number() OVER (
-                   PARTITION BY nid, nsub ORDER BY d2, cid) AS rn
-                 FROM enc0)
-           WHERE rn = 1),
-         qt AS (
-           SELECT q.vec_id AS qid,
-                  sqrt(list_inner_product(q.embedding::DOUBLE[],
-                                          q.embedding::DOUBLE[])) AS qn,
-                  c.sub AS nsub, c.cid AS code,
-                  list_inner_product(
-                    list_slice(q.embedding::DOUBLE[], c.sub*16 + 1, c.sub*16 + 16),
-                    c.cv) AS pdot
-           FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id < 10),
-         sims AS (
-           SELECT qid, nid,
-                  sum(pdot) / (max(qn) * sqrt(sum(coden2))) AS sim
-           FROM enc JOIN qt USING (nsub, code)
-           WHERE nid != qid
-           GROUP BY qid, nid)
+      s"""WITH $pqAdcCtes
          SELECT qid, nid, round(sim, 6) AS sim,
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "s11_ann_pq_rerank" ->
+      s"""WITH $pqAdcCtes,
+         cand AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             FROM sims) t WHERE rn <= 10),
+         ex AS (
+           SELECT c.qid, c.nid,
+                  list_cosine_similarity(q.embedding::DOUBLE[],
+                                         n.embedding::DOUBLE[]) AS sim
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.qid
+           JOIN embeddings n ON n.vec_id = c.nid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM ex
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     "s04_ann_quantized" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2194,6 +2184,53 @@ object PipelineQueries {
          ${bpeStepCtes(nMerges, Seq.empty)}
          $out"""
   }
+
+  /** The s05 PQ-ADC machinery (codebook sample → per-subspace encode →
+    * broadcast ADC tables → per-pair score) as a spliceable CTE chain
+    * exposing `sims` (qid, nid, sim) — shared by the s05 oracle
+    * (rank-cut) and s11 (candidate cut → exact cosine re-rank).
+    * Constants pin the gate configuration: dim 64, m 4 (sub 16),
+    * ks 16, queries vec_id < 10. */
+  private def pqAdcCtes: String =
+    """samp AS (
+           SELECT vec_id AS sid, embedding::DOUBLE[] AS sv,
+                  row_number() OVER (
+                    ORDER BY md5('pq'||vec_id::varchar), vec_id) AS cid
+           FROM embeddings
+           ORDER BY md5('pq'||vec_id::varchar), vec_id LIMIT 16),
+         cb AS (
+           SELECT cid, g.sub,
+                  list_slice(sv, g.sub*16 + 1, g.sub*16 + 16) AS cv
+           FROM samp, (SELECT unnest(range(0, 4)) AS sub) g),
+         cb2 AS (SELECT cid, sub, cv,
+                        list_inner_product(cv, cv) AS cn2 FROM cb),
+         enc0 AS (
+           SELECT e.vec_id AS nid, c.sub AS nsub, c.cid, c.cn2,
+                  c.cn2 - 2 * list_inner_product(
+                    list_slice(e.embedding::DOUBLE[], c.sub*16 + 1, c.sub*16 + 16),
+                    c.cv) AS d2
+           FROM embeddings e CROSS JOIN cb2 c),
+         enc AS (
+           SELECT nid, nsub, cid AS code, cn2 AS coden2
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY nid, nsub ORDER BY d2, cid) AS rn
+                 FROM enc0)
+           WHERE rn = 1),
+         qt AS (
+           SELECT q.vec_id AS qid,
+                  sqrt(list_inner_product(q.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[])) AS qn,
+                  c.sub AS nsub, c.cid AS code,
+                  list_inner_product(
+                    list_slice(q.embedding::DOUBLE[], c.sub*16 + 1, c.sub*16 + 16),
+                    c.cv) AS pdot
+           FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id < 10),
+         sims AS (
+           SELECT qid, nid,
+                  sum(pdot) / (max(qn) * sqrt(sum(coden2))) AS sim
+           FROM enc JOIN qt USING (nsub, code)
+           WHERE nid != qid
+           GROUP BY qid, nid)"""
 
   /** t31 oracle: the qualityRules battery replayed column-for-column at
     * the engine's 4 dp ratio grid and default thresholds. Shared by t32

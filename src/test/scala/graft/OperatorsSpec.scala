@@ -1249,6 +1249,29 @@ class OperatorsSpec extends SparkSpec {
     assert(last.getDouble(7) >= 0.9) // accuracy on the pre-step weights
   }
 
+  test("pq rerank: exact scores within the candidate set, candidates from ADC") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val rer = Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 3, kCand = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    val cand = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 8).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    // every reranked pair came from the ADC candidate stage
+    assert(rer.forall { case (q, n, _, _) => cand((q, n)) } && rer.nonEmpty)
+    // the reranked score is the EXACT cosine (brute-force agreement)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 1000)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rer.forall { case (q, n, s, _) => brute((q, n)) == s })
+    // ranks are dense 1..3 per query in descending sim
+    rer.groupBy(_._1).values.foreach { rs =>
+      assert(rs.sortBy(_._4).map(_._4).toSeq == Seq(1, 2, 3))
+    }
+  }
+
   test("derby seed time accrues only on successful seeding") {
     import graft.engine.MgiDb
     MgiDb.drainSeedNanos() // clear anything a prior suite accrued
