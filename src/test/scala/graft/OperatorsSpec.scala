@@ -1212,6 +1212,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((3L, "nothing shared here at all today", 6L, 0L)))
   }
 
+  test("duplicate span removal ≡ in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 12L).map(i =>
+        (i, Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val w = 3
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val wins = toks.toSeq.flatMap { case (id, ws) =>
+        if (ws.size >= w)
+          (0 to ws.size - w).map(p => (id, p, ws.slice(p, p + w).mkString(" ")))
+        else Nil
+      }
+      val dupFps = wins.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val covered = wins.filter(x => dupFps(x._3))
+        .flatMap(x => (x._2 until x._2 + w).map(p => (x._1, p))).toSet
+      val want = toks.map { case (id, ws) =>
+        val kept = ws.zipWithIndex
+          .filterNot { case (_, i) => covered((id, i)) }.map(_._1)
+        (id, kept.mkString(" "), ws.size.toLong,
+          ws.indices.count(i => covered((id, i))).toLong)
+      }.toSet
+      val got = Dedup.removeDuplicateSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w = 3)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("quality rules: each rule gates independently, ratios on the 4dp grid") {
     val fifty = (0 until 50).map(i => s"the a word$i").mkString(" ") // 150 words, 2 distinct stops
     val docs = Seq(
