@@ -4,6 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Scalar-schema lint: the driver's checker sorts result rows with
+    * pandas sort_values, which throws on array/map/struct columns —
+    * refuse such an output at dump time so the failure is a loud,
+    * local, named error instead of a harness-shape `err` row (how
+    * s10 shipped red in rounds 8–9). */
+  def assertScalarSchema(name: String,
+                         schema: org.apache.spark.sql.types.StructType): Unit = {
+    val nonScalar = schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType  => true
+      case _: org.apache.spark.sql.types.MapType    => true
+      case _: org.apache.spark.sql.types.StructType => true
+      case _ => false
+    })
+    require(nonScalar.isEmpty,
+      s"driver-gate query '$name' returns non-scalar column(s) " +
+      nonScalar.map(f => s"${f.name}: ${f.dataType.simpleString}")
+        .mkString(", ") +
+      " — posexplode/flatten to scalar rows (driver checker cannot sort these)")
+  }
+
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,22 +47,7 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // Scalar-schema lint: the driver's checker sorts result rows with
-        // pandas sort_values, which throws on array/map/struct columns —
-        // refuse such an output at dump time so the failure is a loud,
-        // local, named error instead of a harness-shape `err` row
-        // (how s10 shipped red in rounds 8–9).
-        val nonScalar = df.schema.fields.filter(f => f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType  => true
-          case _: org.apache.spark.sql.types.MapType    => true
-          case _: org.apache.spark.sql.types.StructType => true
-          case _ => false
-        })
-        require(nonScalar.isEmpty,
-          s"driver-gate query '$name' returns non-scalar column(s) " +
-          nonScalar.map(f => s"${f.name}: ${f.dataType.simpleString}")
-            .mkString(", ") +
-          " — posexplode/flatten to scalar rows (driver checker cannot sort these)")
+        assertScalarSchema(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

@@ -1303,6 +1303,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("verify scalar lint refuses the array-column shape that broke s10") {
+    import org.apache.spark.sql.types._
+    val bad = StructType(Seq(StructField("vec_id", LongType),
+      StructField("pv", ArrayType(DoubleType))))
+    val e = intercept[IllegalArgumentException] {
+      Verify.assertScalarSchema("s10_random_projection", bad)
+    }
+    assert(e.getMessage.contains("pv: array<double>"))
+    intercept[IllegalArgumentException] {
+      Verify.assertScalarSchema("m", StructType(Seq(
+        StructField("kv", MapType(StringType, LongType)))))
+    }
+    intercept[IllegalArgumentException] {
+      Verify.assertScalarSchema("st", StructType(Seq(
+        StructField("s", StructType(Seq(StructField("a", LongType)))))))
+    }
+    // every REGISTERED driver query is scalar — the lint that would have
+    // caught s10 before two red rounds, now pinned over the whole gate
+    Verify.assertScalarSchema("ok", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType), StructField("d", BooleanType))))
+  }
+
   test("derby seed time accrues only on successful seeding") {
     import graft.engine.MgiDb
     MgiDb.drainSeedNanos() // clear anything a prior suite accrued
