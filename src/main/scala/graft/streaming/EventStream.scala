@@ -183,6 +183,33 @@ object EventStream {
       }
   }
 
+  /** Streaming trending-terms, aggregation half: watermarked tumbling-
+    * window (window, event_type) counts — stream-composable, partial-agg
+    * friendly. Streaming cannot RANK these in-flight (a rank over an
+    * aggregate is a second stateful stage append mode cannot retract —
+    * the same reasoning as [[streamTriplesToNt]]'s sink-side dedup), so
+    * the top-k cut runs at the sink edge via [[topKPerWindow]] inside
+    * foreachBatch / over the complete-mode sink table. */
+  def windowedTypeCounts(stream: DataFrame,
+                         windowMinutes: Int = 60): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win"), col("event_type"), col("n"))
+
+  /** Streaming trending-terms, rank half: per-window top-k by count
+    * (ties on the term) — a batch transform applied to each trigger's
+    * snapshot. StreamingSpec pins stream-then-rank ≡ rank-over-batch. */
+  def topKPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** StreamedGraph-equivalent sink: incremental triple batches land as
     * deduplicated NT files (per-batch dedup; cross-batch dedup is the
     * downstream `sort -u` contract, same as the reference). */

@@ -27,6 +27,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming windowed top-k terms ≡ batch rank over the same replay") {
+    val dir = Files.createTempDirectory("graft-topk").toString
+    Tables.events(spark, sf).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = EventStream.readEvents(spark, s"$dir/in", schema)
+    val q = EventStream.windowedTypeCounts(stream).writeStream
+      .outputMode("complete").format("memory").queryName("topk_counts")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = EventStream.topKPerWindow(
+        spark.sql("SELECT * FROM topk_counts"), k = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    val batchCounts = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "60 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win"), col("event_type"), col("n"))
+    val batch = EventStream.topKPerWindow(batchCounts, k = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // dense per-window ranks, cut at k
+    assert(streamed.groupBy(_._1).values
+      .forall(rs => rs.map(_._4).toSeq.sorted == (1 to rs.size).toList
+        && rs.size <= 2))
+  }
+
   test("mapGroupsWithState running per-user totals ≡ batch aggregation") {
     import graft.streaming.EventStream.{UserEvent, UserTotals}
     val dir = Files.createTempDirectory("graft-state").toString
