@@ -79,9 +79,16 @@ object Bench {
     // data needed to adjudicate an outlier (round-9 p21). Every [diag]
     // line and the final JSON also append here, flushed per line.
     val diagPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG", "bench_diag.jsonl")
-    val diagOut = new java.io.PrintWriter(
-      new java.io.FileWriter(diagPath, false), true)
-    def diagLine(s: String): Unit = { diagOut.println(s); diagOut.flush() }
+    // never let the diag artifact kill the bench: an unwritable path
+    // degrades to stdout-only, it must not fail the measurement run
+    val diagOut: Option[java.io.PrintWriter] =
+      try Some(new java.io.PrintWriter(new java.io.FileWriter(diagPath, false), true))
+      catch { case e: Throwable =>
+        System.err.println(s"[diag] cannot open $diagPath (${e.getMessage}); diag file disabled")
+        None
+      }
+    def diagLine(s: String): Unit =
+      diagOut.foreach { w => w.println(s); w.flush() }
     val (runBusy0, _, runIo0, runSteal0) = hostStat
     val runCpu0 = procCpuNanos
     val t00 = System.nanoTime()
@@ -202,7 +209,7 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"env":$envJson,"contended":$diagJson,"sf":"$sfDir"}"""
     println(fullLine)
     diagLine(fullLine)
-    diagOut.close()
+    diagOut.foreach(_.close())
     // The full line above is ~8 KB — beyond a 2 000-char stdout tail
     // capture. Repeat the contract shape as a compact LAST line: same
     // keys, but "queries" holds only the slowest entries that fit the
