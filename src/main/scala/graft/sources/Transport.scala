@@ -196,11 +196,12 @@ object FtpTransport extends Transport {
     val (tc, _) = c.cmd("TYPE I")
     require(tc / 100 == 2, s"TYPE I -> $tc")
     val data = pasv(c)
-    val (rc, _) = c.cmd(s"RETR $path")
-    require(rc == 150 || rc == 125, s"RETR $path -> $rc")
     val tmp = dest.resolveSibling(dest.getFileName.toString + ".part")
-    try Files.copy(data.getInputStream, tmp, StandardCopyOption.REPLACE_EXISTING)
-    finally data.close()
+    try {
+      val (rc, _) = c.cmd(s"RETR $path")
+      require(rc == 150 || rc == 125, s"RETR $path -> $rc")
+      Files.copy(data.getInputStream, tmp, StandardCopyOption.REPLACE_EXISTING)
+    } finally data.close()
     val (done, _) = c.reply()
     require(done == 226 || done == 250, s"RETR completion -> $done")
     Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
