@@ -136,22 +136,26 @@ object FtpTransport extends Transport {
 
   private def connect(u: URI): Ctrl = {
     val sock = new Socket(u.getHost, if (u.getPort > 0) u.getPort else 21)
-    val c = Ctrl(sock,
-      new BufferedReader(new InputStreamReader(sock.getInputStream, ISO_8859_1)),
-      new PrintWriter(new OutputStreamWriter(sock.getOutputStream, ISO_8859_1)))
-    val (banner, _) = c.reply()
-    require(banner == 220, s"FTP banner $banner from ${u.getHost}")
-    val (user, pass) = Option(u.getUserInfo).map(_.split(":", 2)) match {
-      case Some(Array(us, pw)) => (us, pw)
-      case Some(Array(us))     => (us, "")
-      case _                   => ("anonymous", "anonymous@")
-    }
-    val (uc, _) = c.cmd(s"USER $user")
-    if (uc == 331) {
-      val (pc, _) = c.cmd(s"PASS $pass")
-      require(pc / 100 == 2, s"FTP login failed ($pc)")
-    } else require(uc / 100 == 2, s"FTP USER rejected ($uc)")
-    c
+    // the socket must not outlive a failed banner/login — exists()
+    // callers swallow the Throwable, so a leak here is one FD per probe
+    try {
+      val c = Ctrl(sock,
+        new BufferedReader(new InputStreamReader(sock.getInputStream, ISO_8859_1)),
+        new PrintWriter(new OutputStreamWriter(sock.getOutputStream, ISO_8859_1)))
+      val (banner, _) = c.reply()
+      require(banner == 220, s"FTP banner $banner from ${u.getHost}")
+      val (user, pass) = Option(u.getUserInfo).map(_.split(":", 2)) match {
+        case Some(Array(us, pw)) => (us, pw)
+        case Some(Array(us))     => (us, "")
+        case _                   => ("anonymous", "anonymous@")
+      }
+      val (uc, _) = c.cmd(s"USER $user")
+      if (uc == 331) {
+        val (pc, _) = c.cmd(s"PASS $pass")
+        require(pc / 100 == 2, s"FTP login failed ($pc)")
+      } else require(uc / 100 == 2, s"FTP USER rejected ($uc)")
+      c
+    } catch { case e: Throwable => sock.close(); throw e }
   }
 
   private def withCtrl[T](url: String)(f: (Ctrl, String) => T): T = {
@@ -183,13 +187,18 @@ object FtpTransport extends Transport {
   def stat(url: String): Option[(Long, Long)] =
     withCtrl(url)((c, path) => statOn(c, path))
 
-  /** `227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)` → data socket. */
+  /** `227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)` → data socket.
+    * Only the PORT is taken from the reply: the data connection reuses
+    * the CONTROL connection's peer address, because a server behind
+    * NAT advertises its private IP in the 227 digits (the standard
+    * modern-client behavior — Python's ftplib does the same since 3.9,
+    * curl unless told otherwise). */
   private def pasv(c: Ctrl): Socket = {
     val (code, rep) = c.cmd("PASV")
     require(code == 227, s"PASV -> $code")
     val nums = "\\d+".r.findAllIn(rep.dropWhile(_ != '(')).map(_.toInt).toSeq
     require(nums.length >= 6, s"unparseable PASV reply: $rep")
-    new Socket(nums.take(4).mkString("."), nums(4) * 256 + nums(5))
+    new Socket(c.sock.getInetAddress, nums(4) * 256 + nums(5))
   }
 
   def download(url: String, dest: Path): Unit = withCtrl(url) { (c, path) =>
@@ -214,8 +223,17 @@ object FtpTransport extends Transport {
     }
   }
 
+  /** 213 = present; 550 = missing/no access = absent. Any OTHER reply
+    * (500/502 = SIZE unsupported on this ftpd) counts as PRESENT so the
+    * fetch proceeds and RETR decides — the HttpTransport degrade
+    * philosophy (stat=None → only `force` refetches) applied to
+    * existence: a server that can serve the file but not RFC 3659 SIZE
+    * must not fail the fetch at the probe. */
   def exists(url: String): Boolean =
-    try withCtrl(url)((c, path) => c.cmd(s"SIZE $path")._1 == 213)
+    try withCtrl(url) { (c, path) =>
+      val (code, _) = c.cmd(s"SIZE $path")
+      code == 213 || (code != 550 && code / 100 != 4)
+    }
     catch { case _: Throwable => false }
 }
 

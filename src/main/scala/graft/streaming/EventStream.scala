@@ -191,9 +191,10 @@ object EventStream {
     * the top-k cut runs at the sink edge via [[topKPerWindow]] inside
     * foreachBatch / over the complete-mode sink table. */
   def windowedTypeCounts(stream: DataFrame,
-                         windowMinutes: Int = 60): DataFrame =
+                         windowMinutes: Int = 60,
+                         horizon: String = "2 hours"): DataFrame =
     stream
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", horizon)
       .groupBy(window(col("ts"), s"$windowMinutes minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))

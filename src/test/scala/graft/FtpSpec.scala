@@ -17,7 +17,8 @@ class FtpSpec extends SparkSpec {
 
   /** Minimal passive-mode FTP origin over `root`: USER/PASS/TYPE/PASV/
     * SIZE/MDTM/RETR/QUIT — exactly the subset [[FtpTransport]] speaks. */
-  private def withFtpServer(root: Path)(run: String => Unit): Unit = {
+  private def withFtpServer(root: Path, supportSize: Boolean = true)
+                           (run: String => Unit): Unit = {
     val server = new ServerSocket(0, 8, InetAddress.getByName("127.0.0.1"))
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     @volatile var running = true
@@ -25,7 +26,9 @@ class FtpSpec extends SparkSpec {
       def run(): Unit = while (running) {
         try {
           val s = server.accept()
-          pool.submit(new Runnable { def run(): Unit = handle(s, root) })
+          pool.submit(new Runnable {
+            def run(): Unit = handle(s, root, supportSize)
+          })
         } catch { case _: Throwable => () /* server closed */ }
       }
     })
@@ -33,7 +36,8 @@ class FtpSpec extends SparkSpec {
     finally { running = false; server.close(); pool.shutdownNow() }
   }
 
-  private def handle(sock: Socket, root: Path): Unit = {
+  private def handle(sock: Socket, root: Path,
+                     supportSize: Boolean = true): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, ISO_8859_1))
     val out = new PrintWriter(
@@ -54,7 +58,8 @@ class FtpSpec extends SparkSpec {
         case "TYPE" => send("200 ok")
         case "SIZE" =>
           val f = resolve(arg)
-          if (Files.isRegularFile(f)) send(s"213 ${Files.size(f)}")
+          if (!supportSize) send("502 SIZE not implemented")
+          else if (Files.isRegularFile(f)) send(s"213 ${Files.size(f)}")
           else send("550 not found")
         case "MDTM" =>
           val f = resolve(arg)
@@ -114,6 +119,22 @@ class FtpSpec extends SparkSpec {
       val f3 = Fetch.fetch(url, dir)
       assert(f3.refetched)
       assert(Files.readAllLines(f3.path).size == 3)
+    }
+  }
+
+  test("FTP transport: SIZE-less ftpd degrades to fetch-and-let-RETR-decide") {
+    val root = Files.createTempDirectory("graft-ftp-nosize")
+    Files.write(root.resolve("f.txt"), "x\ty\n".getBytes("UTF-8"))
+    withFtpServer(root, supportSize = false) { base =>
+      // 502 on SIZE must not read as 'missing': the file is retrievable
+      assert(FtpTransport.exists(s"$base/f.txt"))
+      assert(FtpTransport.stat(s"$base/f.txt").isEmpty) // no metadata
+      val dir = Files.createTempDirectory("graft-ftp-nosize-cache").toString
+      val f1 = Fetch.fetch(s"$base/f.txt", dir)
+      assert(f1.refetched && Files.readAllLines(f1.path).get(0) == "x\ty")
+      // no origin metadata → never stale → only `force` refetches
+      assert(!Fetch.fetch(s"$base/f.txt", dir).refetched)
+      assert(Fetch.fetch(s"$base/f.txt", dir, force = true).refetched)
     }
   }
 

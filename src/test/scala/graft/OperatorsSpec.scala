@@ -1319,11 +1319,20 @@ class OperatorsSpec extends SparkSpec {
       Verify.assertScalarSchema("st", StructType(Seq(
         StructField("s", StructType(Seq(StructField("a", LongType)))))))
     }
-    // every REGISTERED driver query is scalar — the lint that would have
-    // caught s10 before two red rounds, now pinned over the whole gate
+    // a plain scalar row passes (the whole-gate sweep is its own test)
     Verify.assertScalarSchema("ok", StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),
       StructField("c", DoubleType), StructField("d", BooleanType))))
+  }
+
+  test("every registered driver query has a scalar output schema") {
+    // the pre-commit pin the s10 regression lacked: building each gate
+    // query's plan at sf0.001 and linting its schema means a future
+    // array/map/struct output fails `sbt test`, not a driver round
+    SparkEntry.queries.foreach { case (name, fn) =>
+      Verify.assertScalarSchema(name,
+        fn(spark, "/root/testdata/sf0.001").schema)
+    }
   }
 
   test("derby seed time accrues only on successful seeding") {
