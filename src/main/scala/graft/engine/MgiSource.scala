@@ -756,7 +756,14 @@ object MgiDb {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(new java.io.File(path))
+      val root = new java.io.File(path)
+      rm(root)
+      // a lingering handle can make the delete silently partial; booting
+      // Derby with create=true over half-deleted state surfaces as an
+      // opaque boot error later — fail with a named cause instead
+      require(!root.exists(),
+        s"MGI fixture: stale seed residue at $path could not be removed; " +
+          "close other connections to the Derby directory and retry")
       conn = DriverManager.getConnection(url)
     }
     try {

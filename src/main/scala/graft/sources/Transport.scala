@@ -144,9 +144,16 @@ object FtpTransport extends Transport {
         new PrintWriter(new OutputStreamWriter(sock.getOutputStream, ISO_8859_1)))
       val (banner, _) = c.reply()
       require(banner == 220, s"FTP banner $banner from ${u.getHost}")
-      val (user, pass) = Option(u.getUserInfo).map(_.split(":", 2)) match {
-        case Some(Array(us, pw)) => (us, pw)
-        case Some(Array(us))     => (us, "")
+      // RAW userInfo, split on ':' BEFORE decoding, then decode each
+      // part: a password containing ':' or '@' must be percent-encoded
+      // to parse as a URI at all, and decoding first (what getUserInfo
+      // does) would make an encoded ':' indistinguishable from the
+      // user/password separator.
+      def dec(s: String) =
+        java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+      val (user, pass) = Option(u.getRawUserInfo).map(_.split(":", 2)) match {
+        case Some(Array(us, pw)) => (dec(us), dec(pw))
+        case Some(Array(us))     => (dec(us), "")
         case _                   => ("anonymous", "anonymous@")
       }
       val (uc, _) = c.cmd(s"USER $user")
@@ -207,14 +214,22 @@ object FtpTransport extends Transport {
     val data = pasv(c)
     val tmp = dest.resolveSibling(dest.getFileName.toString + ".part")
     try {
-      val (rc, _) = c.cmd(s"RETR $path")
-      require(rc == 150 || rc == 125, s"RETR $path -> $rc")
-      Files.copy(data.getInputStream, tmp, StandardCopyOption.REPLACE_EXISTING)
-    } finally data.close()
-    val (done, _) = c.reply()
-    require(done == 226 || done == 250, s"RETR completion -> $done")
-    Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+      try {
+        val (rc, _) = c.cmd(s"RETR $path")
+        require(rc == 150 || rc == 125, s"RETR $path -> $rc")
+        Files.copy(data.getInputStream, tmp, StandardCopyOption.REPLACE_EXISTING)
+      } finally data.close()
+      val (done, _) = c.reply()
+      require(done == 226 || done == 250, s"RETR completion -> $done")
+      Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      // a refused RETR, mid-stream copy failure, or failed completion
+      // reply must not strand the .part file next to the cache entry —
+      // repeated failed fetches would otherwise accumulate stale partials
+      try Files.deleteIfExists(tmp) catch { case _: Throwable => }
+      throw e
+    }
     // mirror the origin's mtime (HttpTransport's Last-Modified contract)
     // so the SIZE/MDTM freshness probe is stable across fetches
     statOn(c, path).foreach { case (_, m) =>

@@ -17,7 +17,9 @@ class FtpSpec extends SparkSpec {
 
   /** Minimal passive-mode FTP origin over `root`: USER/PASS/TYPE/PASV/
     * SIZE/MDTM/RETR/QUIT — exactly the subset [[FtpTransport]] speaks. */
-  private def withFtpServer(root: Path, supportSize: Boolean = true)
+  private def withFtpServer(root: Path, supportSize: Boolean = true,
+                            creds: Option[(String, String)] = None,
+                            failCompletion: Boolean = false)
                            (run: String => Unit): Unit = {
     val server = new ServerSocket(0, 8, InetAddress.getByName("127.0.0.1"))
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
@@ -27,7 +29,7 @@ class FtpSpec extends SparkSpec {
         try {
           val s = server.accept()
           pool.submit(new Runnable {
-            def run(): Unit = handle(s, root, supportSize)
+            def run(): Unit = handle(s, root, supportSize, creds, failCompletion)
           })
         } catch { case _: Throwable => () /* server closed */ }
       }
@@ -37,7 +39,9 @@ class FtpSpec extends SparkSpec {
   }
 
   private def handle(sock: Socket, root: Path,
-                     supportSize: Boolean = true): Unit = {
+                     supportSize: Boolean = true,
+                     creds: Option[(String, String)] = None,
+                     failCompletion: Boolean = false): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, ISO_8859_1))
     val out = new PrintWriter(
@@ -53,8 +57,12 @@ class FtpSpec extends SparkSpec {
         case Array(c)    => (c.toUpperCase, "")
       }
       cmd match {
-        case "USER" => send("331 need password")
-        case "PASS" => send("230 logged in")
+        case "USER" =>
+          if (creds.forall(_._1 == arg)) send("331 need password")
+          else send("530 unknown user")
+        case "PASS" =>
+          if (creds.forall(_._2 == arg)) send("230 logged in")
+          else send("530 bad password")
         case "TYPE" => send("200 ok")
         case "SIZE" =>
           val f = resolve(arg)
@@ -82,7 +90,8 @@ class FtpSpec extends SparkSpec {
             val d = dataSrv.accept()
             try { Files.copy(f, d.getOutputStream); () } finally d.close()
             dataSrv.close(); dataSrv = null
-            send("226 transfer complete")
+            if (failCompletion) send("451 transfer aborted")
+            else send("226 transfer complete")
           }
         case "QUIT" => send("221 bye"); sock.close(); return
         case _      => send("502 not implemented")
@@ -135,6 +144,51 @@ class FtpSpec extends SparkSpec {
       // no origin metadata → never stale → only `force` refetches
       assert(!Fetch.fetch(s"$base/f.txt", dir).refetched)
       assert(Fetch.fetch(s"$base/f.txt", dir, force = true).refetched)
+    }
+  }
+
+  test("FTP transport: percent-encoded credentials decode before login") {
+    val root = Files.createTempDirectory("graft-ftp-auth")
+    Files.write(root.resolve("f.txt"), "ok\n".getBytes("UTF-8"))
+    // password contains ':' and '@' — only representable percent-encoded
+    // in a URI; the transport must decode before USER/PASS
+    withFtpServer(root, creds = Some(("u@x", "p:w%"))) { base =>
+      val enc = base.replace("ftp://", "ftp://u%40x:p%3Aw%25@")
+      val dest = Files.createTempDirectory("graft-ftp-auth-out").resolve("f.txt")
+      FtpTransport.download(s"$enc/f.txt", dest)
+      assert(Files.readAllLines(dest).get(0) == "ok")
+      // wrong credentials are still rejected (the check is real)
+      val bad = base.replace("ftp://", "ftp://u%40x:nope@")
+      intercept[IllegalArgumentException] {
+        FtpTransport.download(s"$bad/f.txt",
+          dest.resolveSibling("f2.txt"))
+      }
+    }
+  }
+
+  test("FTP transport: failed fetch leaves no stale .part file") {
+    val root = Files.createTempDirectory("graft-ftp-fail")
+    Files.write(root.resolve("f.txt"), "data\n".getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft-ftp-fail-out")
+    def noPartFiles(): Boolean = {
+      val s = Files.list(out)
+      try !s.iterator().asInstanceOf[java.util.Iterator[Path]].hasNext
+      finally s.close()
+    }
+    // refused RETR (missing remote file)
+    withFtpServer(root) { base =>
+      intercept[IllegalArgumentException] {
+        FtpTransport.download(s"$base/missing.txt", out.resolve("m.txt"))
+      }
+      assert(noPartFiles(), "refused RETR stranded files")
+    }
+    // transfer streams fully but completion reply is 451: the .part was
+    // WRITTEN by then — the cleanup path must still remove it
+    withFtpServer(root, failCompletion = true) { base =>
+      intercept[IllegalArgumentException] {
+        FtpTransport.download(s"$base/f.txt", out.resolve("f.txt"))
+      }
+      assert(noPartFiles(), "failed completion stranded the .part file")
     }
   }
 
