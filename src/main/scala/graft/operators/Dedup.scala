@@ -567,8 +567,11 @@ object Dedup {
     * n_tokens, n_removed). */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            w: Int = 5): DataFrame = {
-    val base = widen(docs.select(col(idCol).as("id"),
-        TextOps.words(coalesce(col(textCol), lit(""))).as("ws")))
+    // base feeds THREE consumers (window fingerprints, the token
+    // relation, the per-doc length spine) — persist it or each one
+    // re-scans and re-tokenizes the corpus
+    val base = materialize(widen(docs.select(col(idCol).as("id"),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("ws"))))
     // positions+fingerprints PROJECTED below the explode (generator
     // expressions evaluate interpreted — the shingleRel discipline)
     val wins = base.filter(size(col("ws")) >= w)

@@ -439,36 +439,54 @@ object Similarity {
     * (query tables) on (subspace, code), one more shuffle for the
     * per-(query, vector) sum. Recall < 1 by construction (quantization
     * error), the standard PQ trade. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, dim: Int, k: Int, m: Int = 4,
-             ks: Int = 16): DataFrame = {
-    require(dim % m == 0, "m must divide dim")
+  /** PQ codebook: ks sampled vectors × m subspaces, one row per
+    * (subspace, centroid) with the centroid's squared norm —
+    * (cid, sub, cv, cn2). Deterministic md5-ordered sample. */
+  private def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int, ks: Int): DataFrame = {
+    import graft.functions.VecExpressions.vec_dot
     val sub = dim / m
-    import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    // codebook: ks sampled vectors × m subspaces, exploded to one row
-    // per (subspace, centroid) with the centroid's squared norm
     val sample = corpus.select(col(idCol).as("sid"), toDoubleVec(col(vecCol)).as("sv"))
       .withColumn("r", md5(concat(lit("pq"), col("sid").cast("string"))))
       .orderBy(col("r"), col("sid")).limit(ks)
       .withColumn("cid", row_number().over(Window.orderBy(col("r"), col("sid"))))
-    val codebook = broadcast(sample.select(col("cid"),
+    sample.select(col("cid"),
         posexplode(array((0 until m).map(i =>
           slice(col("sv"), i * sub + 1, sub)): _*)).as(Seq("sub", "cv")))
-      .withColumn("cn2", vec_dot(col("cv"), col("cv"))))
-    // encode: nearest centroid per (corpus vector, subspace) by L2 —
-    // argmin ‖x−c‖² = argmin (‖c‖² − 2·x·c); ties toward smaller cid
-    def subvecs(side: DataFrame, id: String): DataFrame =
-      widen(side.select(col(id).as("id"), toDoubleVec(col(vecCol)).as("v")))
-        .select(col("id"), col("v"),
-          posexplode(array((0 until m).map(i =>
-            slice(col("v"), i * sub + 1, sub)): _*)).as(Seq("sub", "xv")))
-    val encoded = subvecs(corpus, idCol)
-      .join(codebook, "sub")
+      .withColumn("cn2", vec_dot(col("cv"), col("cv")))
+  }
+
+  /** PQ corpus codes: nearest codebook centroid per (vector, subspace)
+    * by L2 — argmin ‖x−c‖² = argmin (‖c‖² − 2·x·c); ties toward smaller
+    * cid. Returns (nid, nsub, code, codeN2). */
+  private def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                       codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    import graft.functions.VecExpressions.vec_dot
+    val sub = dim / m
+    widen(corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("v"), i * sub + 1, sub)): _*)).as(Seq("sub", "xv")))
+      .join(broadcast(codebook), "sub")
       .withColumn("d2", col("cn2") - lit(2.0) * vec_dot(col("xv"), col("cv")))
       .groupBy(col("id").as("nid"), col("sub").as("nsub"))
       .agg(min(struct(col("d2"), col("cid"), col("cn2").as("codeN2"))).as("b"))
       .select(col("nid"), col("nsub"), col("b.cid").as("code"),
         col("b.codeN2").as("codeN2"))
+  }
+
+  /** ADC search over precomputed codes: the query-side distance tables
+    * broadcast against the (nsub, code) relation, asymmetric-distance
+    * scores aggregate per (qid, nid), top-k per query. The encoded side
+    * is streamed — when it arrives bucketed by nid
+    * ([[writePqIndex]]'s layout), the (qid, nid) aggregation reuses the
+    * bucket partitioning and the whole query is shuffle-free. */
+  private def pqAdcSearch(encoded: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String,
+                          codebook: DataFrame, dim: Int, m: Int,
+                          k: Int): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val sub = dim / m
     // ADC tables: query × subspace × centroid partial dot products
     // (query set is small by contract — same as bruteForceTopK)
     val tables = broadcast(queries
@@ -489,6 +507,50 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, k: Int, m: Int = 4,
+             ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+    val encoded = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+    pqAdcSearch(encoded, queries, idCol, vecCol, codebook, dim, m, k)
+  }
+
+  /** Persist a PQ index: the codebook plus the corpus CODES (4 small
+    * ints per vector per subspace — the 64× compression that lets a
+    * 100 TB corpus's index live in a fraction of the raw footprint),
+    * codes bucketed by nid so the query-time (qid, nid) aggregation
+    * reuses the on-disk partitioning. Query with [[pqTopKIndexed]];
+    * the expensive corpus-encode pass runs ONCE here, never per query
+    * batch. */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   table: String, path: String, dim: Int, m: Int = 4,
+                   ks: Int = 16, buckets: Int = 8): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    val spark = corpus.sparkSession
+    val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+    codebook.write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_codebook")
+      .saveAsTable(s"${table}_codebook")
+    graft.engine.Bucketing.writeBucketed(
+      pqEncode(corpus, idCol, vecCol, codebook, dim, m),
+      table, path, Seq("nid"), buckets)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Query a persisted PQ index: identical results to [[pqTopK]] with
+    * the same (dim, m, ks, k) — codebook and codes are read back, not
+    * recomputed, so the ADC scores are bit-identical and the plan has
+    * NO corpus-encode stage (the per-batch cost [[pqTopK]] pays). */
+  def pqTopKIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                    idCol: String, vecCol: String, dim: Int, k: Int,
+                    m: Int = 4): DataFrame = {
+    val codebook = graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_codebook")
+    pqAdcSearch(graft.engine.Bucketing.readBucketed(spark, table),
+      queries, idCol, vecCol, codebook, dim, m, k)
   }
 
   /** Two-stage retrieval — PQ candidates, EXACT re-rank (the serving
