@@ -561,7 +561,8 @@ object TextOps {
     * per-round fold costs |vocabulary| regardless of corpus duplication.
     * The dictionary is carried across iterations via per-round persist
     * (localCheckpoint every few rounds in production). */
-  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                maxDriverVocab: Int = 2000000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // widen: the per-round fold is the CPU-heavy stage and must not run
@@ -581,6 +582,23 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(split(col("w"), "").as("syms"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Driver-dictionary fast path (the Dedup.driverSolve device): the
+    // dictionary is VOCABULARY-sized, not corpus-sized — natural
+    // language saturates at a few million distinct words no matter the
+    // corpus bytes — so when it fits the driver, collect it once and
+    // run the classic incremental merge trainer locally. A production
+    // 32k-merge vocabulary is then one Spark aggregation + a local
+    // loop instead of 32k sequential distributed folds (each a full
+    // dictionary pass with a stage barrier). The distributed fold
+    // below stays as the fallback for typo-tail vocabularies past the
+    // gate. Byte-for-byte identical output: same pair counting, same
+    // freq-desc/(l,r)-asc-in-UTF8-bytes tie-break, same greedy
+    // left-to-right fuse.
+    if (syms.count() <= maxDriverVocab) {
+      val dict = syms.as[(Seq[String], Long)].collect()
+      syms.unpersist(false)
+      return bpeTrainLocal(spark, dict, nMerges)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to nMerges) {
       // size>=2 guard: sequence(1, 0) is DESCENDING in Spark, so a
@@ -608,6 +626,105 @@ object TextOps {
       }
     }
     syms.unpersist(false)
+    out.toSeq.toDF("step", "left", "right", "freq")
+  }
+
+  /** The classic incremental BPE trainer (Sennrich et al. 2016's
+    * dictionary algorithm) over a driver-collected vocabulary: pair
+    * counts maintained in a hash map, an inverted pair→words index so
+    * each merge touches only the words that CONTAIN the merged pair
+    * (subtract their old pairs, fuse, add the new ones) — per-merge
+    * cost proportional to the affected words, not the dictionary.
+    * Semantics pinned to the distributed fold: every adjacent pair
+    * counts (overlaps included), best = max freq then (l, r) ascending
+    * in UTF-8 byte order (Spark's string sort), fuse greedily
+    * left-to-right with a fresh merge never re-matching as LEFT. */
+  private def bpeTrainLocal(spark: org.apache.spark.sql.SparkSession,
+                            dict: Array[(Seq[String], Long)],
+                            nMerges: Int): DataFrame = {
+    import spark.implicits._
+    val wordsArr = dict.map(_._1.toArray)
+    val counts = dict.map(_._2)
+    // UTF-8 unsigned-byte order = Spark's UTF8String binary collation
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val p2w = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val s = wordsArr(wi); val c = counts(wi) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val key = (s(i), s(i + 1))
+        val nv = pc.getOrElse(key, 0L) + c
+        if (nv == 0L) { pc.remove(key); () } else pc(key) = nv
+        if (sign > 0L) {
+          p2w.getOrElseUpdate(key,
+            scala.collection.mutable.Set.empty[Int]) += wi
+          ()
+        }
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < wordsArr.length) { addPairs(wi, 1L); wi += 1 }
+    def fuse(s: Array[String], l: String, r: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+      var i = 0
+      while (i < s.length) {
+        if (out.nonEmpty && out.last == l && s(i) == r)
+          out(out.length - 1) = l + r
+        else out += s(i)
+        i += 1
+      }
+      out.toArray
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= nMerges && !dry) {
+      if (pc.isEmpty) dry = true
+      else {
+        var best: ((String, String), Long) = null
+        pc.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+              (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+            best = kv
+        }
+        val ((l, r), freq) = best
+        out += ((step, l, r, freq))
+        // stale inverted-index entries (words merged past the pair in a
+        // prior round) subtract and re-add identical pair sets — a
+        // no-op; the contains check below skips most of them
+        val affected = p2w.remove((l, r)).map(_.toArray).getOrElse(Array())
+        var a = 0
+        while (a < affected.length) {
+          val w = affected(a); val s = wordsArr(w)
+          var has = false; var i = 0
+          while (!has && i < s.length - 1) {
+            has = s(i) == l && s(i + 1) == r; i += 1
+          }
+          if (has) {
+            addPairs(w, -1L)
+            wordsArr(w) = fuse(s, l, r)
+            addPairs(w, 1L)
+          }
+          a += 1
+        }
+      }
+      step += 1
+    }
     out.toSeq.toDF("step", "left", "right", "freq")
   }
 
@@ -677,56 +794,108 @@ object TextOps {
     * full-batch gradient steps at rate `lr`, starting from w = 0.
     *
     * Determinism pin: weights round to 6 dp at every epoch boundary
-    * (HALF_UP, the cross-engine grid), and the per-epoch accuracy
-    * compares z > 0 — not sigmoid(z) > 0.5 — so the only libm call
-    * (exp) sits strictly inside a rounded sum where a 1-ulp
-    * difference cannot move the result.
+    * (HALF_UP, the cross-engine grid); the per-epoch accuracy compares
+    * z > 0 — not sigmoid(z) > 0.5 — so the only libm call (exp) sits
+    * strictly inside a rounded sum where a 1-ulp difference cannot move
+    * the result; and the gradient sums are EXACT: each per-row
+    * contribution is cast to DECIMAL(30,12) (HALF_UP at the 12 dp grid,
+    * absorbing the per-row exp ulp) and summed as decimal, which both
+    * Spark and DuckDB accumulate exactly — so the sum is independent of
+    * partition count and accumulation order, not merely 6dp-close.
+    *
+    * With `holdout = true` the features first take a leak-free 80/20
+    * train/val split ([[graft.operators.Dedup.leakFreeSplit]] with
+    * exact-text clusters, so byte-identical documents land in the same
+    * split): gradients and `accuracy` are train-side only and a
+    * `val_accuracy` column grades the same pre-step weights on the
+    * held-out rows — the honest generalization readout a rule-distilled
+    * scorer needs before it gates a corpus.
     *
     * Scale shape: the driver loop is over `epochs` (a hyperparameter);
-    * each epoch is ONE map-side-combined aggregate producing 7 doubles
-    * (6 gradient sums + the hit count) — the model is driver-state by
+    * each epoch is ONE map-side-combined aggregate producing 6 decimal
+    * gradient sums + 2 hit counts — the model is driver-state by
     * design, as any 6-weight model should be. The feature relation is
     * computed once and persisted. Returns one row per epoch:
-    * (epoch, w0..w5, accuracy) where accuracy grades the PRE-step
-    * weights on the batch. */
+    * (epoch, w0..w5, accuracy[, val_accuracy]) where accuracy grades
+    * the PRE-step weights. */
   def trainQualityClassifier(docs: DataFrame, idCol: String,
                              textCol: String, epochs: Int = 3,
-                             lr: Double = 1.0): DataFrame = {
+                             lr: Double = 1.0, holdout: Boolean = false,
+                             seed: String = "qsplit",
+                             pctTrain: Int = 80): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = qualityRules(docs, idCol, textCol)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val rules = qualityRules(docs, idCol, textCol)
+    val split =
+      if (holdout) {
+        // exact-text clusters: byte-identical docs share one split
+        val clusterOf = docs
+          .groupBy(md5(col(textCol)).as("__h"))
+          .agg(min(col(idCol)).as("cluster"))
+          .join(docs.select(col(idCol).as("id"), md5(col(textCol)).as("__h")),
+            "__h")
+          .select(col("id"), col("cluster"))
+        graft.operators.Dedup.leakFreeSplit(docs, idCol, clusterOf, seed,
+            pctTrain, 100 - pctTrain)
+          .select(col("id"), (col("split") === "train").as("tr"))
+      } else docs.select(col(idCol).as("id"), lit(true).as("tr"))
+    val feats = rules
+      .join(split, rules(idCol) === split("id"))
       .select(lit(1.0).as("x0"),
         (col("n_words").cast("double") / 100.0).as("x1"),
         (col("mean_wlen") / 10.0).as("x2"),
         col("symbol_ratio").as("x3"),
         col("alpha_frac").as("x4"),
         (col("n_stop_distinct").cast("double") / 10.0).as("x5"),
-        col("keep").cast("int").cast("double").as("y"))
+        col("keep").cast("int").cast("double").as("y"),
+        col("tr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = feats.count().toDouble
+    val nTrain = feats.filter(col("tr")).count().toDouble
+    val nVal = feats.filter(!col("tr")).count().toDouble
+    require(nTrain > 0, "quality classifier: empty training split")
+    require(!holdout || nVal > 0,
+      "quality classifier: empty validation split — corpus too small " +
+        "for a held-out readout at this seed/pctTrain")
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble
     var wts = Array.fill(6)(0.0)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Double, Double, Double, Double, Double, Double, Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     for (ep <- 1 to epochs) {
       // z built LEFT-ASSOCIATIVE to match the oracle's textual sum —
       // IEEE addition order is part of the cross-engine contract
       val z = (0 until 6).map(j => col(s"x$j") * lit(wts(j)))
         .reduceLeft(_ + _)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val hit = (z > 0.0) === (col("y") > 0.5)
       val aggCols =
-        (0 until 6).map(j => sum((p - col("y")) * col(s"x$j")).as(s"g$j")) :+
-          sum(when((z > 0.0) === (col("y") > 0.5), 1.0).otherwise(0.0))
-            .as("hits")
+        (0 until 6).map(j =>
+          sum(when(col("tr"), (p - col("y")) * col(s"x$j"))
+            .otherwise(lit(0.0)).cast(dec)).as(s"g$j")) ++
+          Seq(sum(when(col("tr") && hit, 1.0).otherwise(0.0)).as("hits"),
+            sum(when(!col("tr") && hit, 1.0).otherwise(0.0)).as("vhits"))
       val row = feats.agg(aggCols.head, aggCols.tail: _*).head()
-      val acc = round6(row.getDouble(6) / n)
-      wts = Array.tabulate(6)(j => round6(wts(j) - lr * row.getDouble(j) / n))
-      out += ((ep, wts(0), wts(1), wts(2), wts(3), wts(4), wts(5), acc))
+      val acc = round6(row.getDouble(6) / nTrain)
+      wts = Array.tabulate(6) { j =>
+        // the exact decimal sum → nearest double is engine-independent
+        round6(wts(j) - lr * row.getDecimal(j).doubleValue / nTrain)
+      }
+      val base: Seq[Any] = Seq(ep) ++ wts.toSeq :+ acc
+      out += (if (holdout) base :+ round6(row.getDouble(7) / nVal) else base)
     }
     feats.unpersist(false)
-    out.toSeq.toDF("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "accuracy")
+    val cols = Seq("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "accuracy") ++
+      (if (holdout) Seq("val_accuracy") else Nil)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("epoch",
+        org.apache.spark.sql.types.IntegerType) +:
+      cols.tail.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        out.toSeq.map(org.apache.spark.sql.Row.fromSeq), 1),
+      schema)
   }
 
   /** PII scrubbing (the redaction pass public corpus releases run —

@@ -194,6 +194,23 @@ object PipelineQueries {
         "vec_id", "embedding", dim = 64, k = 3, kCand = 10, m = 4, ks = 16)
     }),
 
+    // Persisted-PQ serving shape: the corpus encodes ONCE into a
+    // bucketed (nid, nsub, code) table + codebook; the query batch
+    // reads codes back and runs ADC only — bit-identical to s05's
+    // in-session pqTopK, with no corpus-encode stage at query time
+    // (PlansSpec pins that) and the (qid, nid) aggregation riding the
+    // on-disk bucket partitioning.
+    "s12_ann_pq_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_pq_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writePqIndex(emb, "vec_id", "embedding",
+        "graft_pq_index", path, dim = 64, m = 4, ks = 16, buckets = 8)
+      Similarity.pqTopKIndexed(s, "graft_pq_index",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3, m = 4)
+    }),
+
     // Stopword-bank language ID with deterministic argmax tie-break.
     "t01_langid" -> ((s, d) => {
       val t = col("text")
@@ -838,8 +855,10 @@ object PipelineQueries {
     // appended identically by engine and oracle) so the redaction does
     // real work on every row instead of no-op'ing on synthetic text.
     "t30_pii_redact" -> ((s, d) => {
+      // coalesce: concat null-propagates, so a NULL text row would
+      // otherwise redact to ("",0,0,0) while the oracle keeps NULL
       val salted = Tables.documents(s, d).select(col("doc_id"),
-        concat(col("text"),
+        concat(coalesce(col("text"), lit("")),
           lit(" contact u"), col("doc_id").cast("string"),
           lit("@example.com or +4915123"),
           lpad((col("doc_id") % 1000).cast("string"), 4, "0"),
@@ -908,12 +927,14 @@ object PipelineQueries {
       TextOps.qualityRules(Tables.documents(s, d), "doc_id", "text")),
 
     // Logistic-regression quality classifier distilling t31's rule
-    // verdict into a smooth scorer: 3 full-batch GD epochs, weights
-    // rounded to 6dp per epoch (the cross-engine determinism grid), the
-    // oracle replaying every epoch as a chained CTE.
+    // verdict into a smooth scorer: leak-free 80/20 holdout, 3
+    // full-batch GD epochs over the train split, weights rounded to
+    // 6dp per epoch with EXACT decimal gradient sums (partition-order
+    // independent), train + held-out accuracy per epoch; the oracle
+    // replays every epoch as a chained CTE.
     "t32_quality_classifier" -> ((s, d) =>
       TextOps.trainQualityClassifier(Tables.documents(s, d), "doc_id",
-        "text", epochs = 3, lr = 1.0))
+        "text", epochs = 3, lr = 1.0, holdout = true))
   )
 
   /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the deterministic
@@ -1540,6 +1561,14 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    // same ADC machinery as s05/s11 — the INDEXED path must be
+    // bit-identical to the in-session one, so the oracle is shared
+    "s12_ann_pq_indexed" ->
+      s"""WITH $pqAdcCtes
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     "s11_ann_pq_rerank" ->
       s"""WITH $pqAdcCtes,
          cand AS (
@@ -2054,7 +2083,7 @@ object PipelineQueries {
       val phone = "\\+[0-9]{7,15}"
       s"""WITH salted AS (
            SELECT doc_id,
-                  text || ' contact u' || doc_id::VARCHAR ||
+                  coalesce(text, '') || ' contact u' || doc_id::VARCHAR ||
                     '@example.com or +4915123' ||
                     lpad((doc_id % 1000)::VARCHAR, 4, '0') ||
                     ' at 10.1.2.' || (doc_id % 256)::VARCHAR AS text
@@ -2267,33 +2296,57 @@ object PipelineQueries {
 
   /** t32 oracle: every GD epoch as a chained CTE over the t31 features —
     * z is written LEFT-ASSOCIATIVE to match the engine's fold order
-    * (IEEE addition order is part of the contract), weights round to
-    * 6 dp per epoch, accuracy compares z > 0 (no libm boundary). */
-  private def qualityClassifierOracle(epochs: Int, lr: Double): String = {
-    val feats = s"""feats AS (
+    * (IEEE addition order is part of the contract), per-row gradient
+    * contributions cast to DECIMAL(30,12) and summed exactly (the
+    * engine's partition-order-independent decimal-sum contract),
+    * weights round to 6 dp per epoch, accuracies compare z > 0 (no
+    * libm boundary). The leak-free 80/20 split replays the engine's
+    * splitBucket: md5(seed || min-doc_id-per-exact-text) arithmetic. */
+  private def qualityClassifierOracle(epochs: Int, lr: Double,
+                                      seed: String = "qsplit",
+                                      pctTrain: Int = 80): String = {
+    val feats = s"""cl AS (
+         SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         FROM documents),
+       sp AS (
+         SELECT doc_id,
+                ('0x'||substr(md5('$seed'||rep::VARCHAR), 1, 8))::BIGINT
+                  % 100 < $pctTrain AS tr
+         FROM cl),
+       feats AS (
          SELECT 1.0 AS x0,
                 n_words::double / 100.0 AS x1,
                 mean_wlen / 10.0 AS x2,
                 symbol_ratio AS x3,
                 alpha_frac AS x4,
                 n_stop_distinct::double / 10.0 AS x5,
-                CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y
-         FROM ($qualityRulesOracle) q)"""
+                CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y,
+                sp.tr AS tr
+         FROM ($qualityRulesOracle) q JOIN sp USING (doc_id))"""
     val e0 = "e0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, " +
       "0.0 AS w3, 0.0 AS w4, 0.0 AS w5)"
+    val nTr = "sum(CASE WHEN f.tr THEN 1.0 ELSE 0.0 END)"
+    val nVa = "sum(CASE WHEN f.tr THEN 0.0 ELSE 1.0 END)"
     val eks = (1 to epochs).map { k =>
       val z = (0 until 6).map(j => s"e.w$j * f.x$j").mkString(" + ")
       val ws = (0 until 6).map(j =>
-        s"round(min(e.w$j) - $lr * sum((1.0/(1.0 + exp(-($z))) - f.y) * f.x$j) / count(*), 6) AS w$j")
+        s"round(min(e.w$j) - $lr * sum(CASE WHEN f.tr THEN " +
+          s"((1.0/(1.0 + exp(-($z))) - f.y) * f.x$j)::DECIMAL(30,12) " +
+          s"ELSE 0::DECIMAL(30,12) END)::DOUBLE / $nTr, 6) AS w$j")
         .mkString(",\n                ")
+      val hit = s"(($z) > 0.0) = (f.y > 0.5)"
       s"""e$k AS (
          SELECT $ws,
-                round(sum(CASE WHEN (($z) > 0.0) = (f.y > 0.5)
-                          THEN 1.0 ELSE 0.0 END) / count(*), 6) AS acc
+                round(sum(CASE WHEN f.tr AND $hit
+                          THEN 1.0 ELSE 0.0 END) / $nTr, 6) AS acc,
+                round(sum(CASE WHEN (NOT f.tr) AND $hit
+                          THEN 1.0 ELSE 0.0 END) / $nVa, 6) AS vacc
          FROM feats f, e${k - 1} e)"""
     }.mkString(",\n       ")
     val out = (1 to epochs).map(k =>
-      s"SELECT $k AS epoch, w0, w1, w2, w3, w4, w5, acc AS accuracy FROM e$k")
+      s"SELECT $k AS epoch, w0, w1, w2, w3, w4, w5, acc AS accuracy, " +
+        s"vacc AS val_accuracy FROM e$k")
       .mkString("\n       UNION ALL ")
     s"""WITH $feats,
        $e0,

@@ -167,6 +167,51 @@ class OperatorsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_centroids")
   }
 
+  test("PQ index round-trip: indexed ADC ≡ in-query pqTopK, no encode at query time") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding",
+      "graft_pq_spec", s"$dir/idx", dim = 64, m = 4, ks = 16, buckets = 4)
+    val qs = emb.filter($"vec_id" < 5)
+    val indexed = Similarity.pqTopKIndexed(spark, "graft_pq_spec", qs,
+      "vec_id", "embedding", dim = 64, k = 3, m = 4)
+    val direct = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 3, m = 4, ks = 16)
+    val a = indexed.as[(Long, Long, Double, Int)].collect().toSet
+    val b = direct.as[(Long, Long, Double, Int)].collect().toSet
+    assert(a.nonEmpty && a == b,
+      "PQ index round-trip must reproduce the in-query ADC results exactly")
+    val plan = indexed.queryExecution.executedPlan.toString
+    // the code relation reads the bucketed layout...
+    assert(plan.contains("Bucketed: true"), s"code scan not bucketed:\n$plan")
+    // ...and the query plan contains NO corpus-encode stage: encoding is
+    // an argmin-over-codebook aggregate keyed by (id, sub) — the only
+    // aggregates at query time are the ADC (qid, nid) sum and the probe
+    // prep; assert the encode's distinctive min(struct(d2 …)) is absent
+    assert(!plan.contains("d2"), s"corpus encode ran at query time:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_spec_codebook")
+  }
+
+  test("BPE driver-dictionary trainer ≡ distributed fold, byte for byte") {
+    val docs = Tables.documents(spark, sf)
+    val fast = TextOps.bpeMerges(docs, "text", nMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val dist = TextOps.bpeMerges(docs, "text", nMerges = 6,
+      maxDriverVocab = 0) // force the distributed fold
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(fast == dist, s"fast=$fast\ndist=$dist")
+    assert(fast.length == 6)
+    // overlap + tie-break corner: 'aaa' counts (a,a) twice; ties order
+    // by UTF-8 bytes of (l, r)
+    val tiny = Seq((1L, "aaa bb bb"), (2L, "ab ab")).toDF("doc_id", "text")
+    val f2 = TextOps.bpeMerges(tiny, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val d2 = TextOps.bpeMerges(tiny, "text", nMerges = 3, maxDriverVocab = 0)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(f2 == d2, s"fast=$f2\ndist=$d2")
+  }
+
   test("kmeans refine: k cells survive, centroids move toward members, deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val k = 4
@@ -1278,6 +1323,31 @@ class OperatorsSpec extends SparkSpec {
     val last = r1.last
     assert(last.getDouble(2) > 0.0) // w1 (n_words/100)
     assert(last.getDouble(7) >= 0.9) // accuracy on the pre-step weights
+  }
+
+  test("quality classifier holdout: leak-free split, val column, partition-stable") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextOps.trainQualityClassifier(docs, "doc_id", "text",
+      epochs = 2, lr = 1.0, holdout = true).collect()
+    assert(r.length == 2)
+    assert(r.head.schema.fieldNames.toSeq ==
+      Seq("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "accuracy",
+        "val_accuracy"))
+    // decimal gradient sums are exact → identical weights at ANY
+    // partitioning of the feature relation (the ADVICE flake class)
+    val r1 = TextOps.trainQualityClassifier(docs.repartition(1), "doc_id",
+      "text", epochs = 2, lr = 1.0, holdout = true).collect()
+    val r17 = TextOps.trainQualityClassifier(docs.repartition(17), "doc_id",
+      "text", epochs = 2, lr = 1.0, holdout = true).collect()
+    assert(r1.map(_.toSeq).toSeq == r17.map(_.toSeq).toSeq)
+    assert(r.map(_.toSeq).toSeq == r1.map(_.toSeq).toSeq)
+    // exact duplicates land in one split: replicate the corpus with new
+    // ids — every copy's split must equal its original's
+    val slim = docs.select($"doc_id", $"text")
+    val dup = slim.select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val both = TextOps.trainQualityClassifier(slim.unionByName(dup),
+      "doc_id", "text", epochs = 1, lr = 1.0, holdout = true).collect()
+    assert(both.length == 1) // runs clean; split reps are text-keyed
   }
 
   test("pq rerank: exact scores within the candidate set, candidates from ADC") {
