@@ -305,6 +305,58 @@ object Similarity {
       probeCells(queries, idCol, vecCol, cents, nprobe), k)
   }
 
+  /** IVFADC — the composed production ANN index (Jégou et al. 2011,
+    * the architecture FAISS ships as IndexIVFPQ): IVF coarse cells
+    * restrict WHICH codes a query scans, PQ ADC scores them without
+    * touching raw vectors. Per-query cost drops to the probed cells'
+    * code rows (m small ints per vector) — the serving shape of a
+    * billion-vector tier, where neither the raw vectors nor the full
+    * code table are scanned per query. The codebook is global
+    * (non-residual PQ — FAISS `by_residual=false`), so ADC scores are
+    * exactly [[pqTopK]]'s restricted to probed cells: recall is
+    * bounded by the IVF probe (grade with [[recallAtK]]), precision by
+    * PQ (refine with [[pqRerankTopK]]'s device when needed).
+    *
+    * Scale shape: cell assignment is the map-side literal argmax of
+    * [[ivfTopK]]; codes come from one (id, sub)-keyed aggregate; the
+    * query side (probes + ADC tables) broadcasts; one (qid, nid)
+    * aggregate scores. Nothing corpus-sized shuffles more than once. */
+  def ivfadcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, dim: Int, k: Int, nlist: Int = 16,
+                 nprobe: Int = 4, m: Int = 4, ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val sub = dim / m
+    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
+      .withColumn("cn", vec_norm(col("cv"))))
+    val cells = cellAssignment(corpus, idCol, vecCol, cents)
+      .select(col("nid"), col("cell"))
+    val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+    val encoded = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+      .join(cells, "nid")
+    val probes = probeCells(queries, idCol, vecCol, cents, nprobe)
+      .select(col("qid"), col("cell"))
+    val tables = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
+      .select(col("qid"), col("qn"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("qv"), i * sub + 1, sub)): _*)).as(Seq("nsub", "qsv")))
+      .join(codebook.withColumnRenamed("sub", "nsub"), "nsub")
+      .select(col("qid"), col("qn"), col("nsub"), col("cid").as("code"),
+        vec_dot(col("qsv"), col("cv")).as("pdot")))
+    val sims = encoded.join(broadcast(probes), "cell")
+      .join(tables, Seq("qid", "nsub", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid")
+      .agg((sum(col("pdot")) / (max(col("qn")) * sqrt(sum(col("codeN2")))))
+        .as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Lloyd refinement of the [[ivfCentroids]] seed: `iters` rounds of
     * assign-to-nearest (cosine, the same map-side literal argmax as
     * [[ivfTopK]] — no shuffle, no ×k relation) followed by the

@@ -412,9 +412,14 @@ object TextOps {
       .withColumn("n_words", size(w).cast("long"))
       .withColumn("mean_wlen", round(
         aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw, 4))
+      // Gopher's symbol-to-word screen, full symbol set: '#', ASCII
+      // '...' AND the Unicode ellipsis '…', plus bullet glyphs
+      // ('•', '‣', '▪') — the characters templated/SEO pages lean on.
+      // One alternation so an ASCII run and its Unicode twin can't
+      // double-count the same span.
       .withColumn("symbol_ratio", round(
-        (regexp_count(col(textCol), lit("#"))
-          + regexp_count(col(textCol), lit("\\.\\.\\."))).cast("double") / nw, 4))
+        regexp_count(col(textCol), lit("#|\\.\\.\\.|…|•|‣|▪"))
+          .cast("double") / nw, 4))
       .withColumn("alpha_frac", round(
         size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nw, 4))
       .withColumn("n_stop_distinct",
@@ -896,6 +901,58 @@ object TextOps {
       spark.sparkContext.parallelize(
         out.toSeq.map(org.apache.spark.sql.Row.fromSeq), 1),
       schema)
+  }
+
+  /** Apply a trained quality classifier ([[trainQualityClassifier]]'s
+    * weight vector) to the corpus and report a CALIBRATION table: the
+    * logit z = w·x per document, bucketed into `nBins` equal-width
+    * logit bins, each bin graded against the rule labels — the
+    * inspect-before-you-filter step a production quality gate runs
+    * (does the score actually separate rule-good from rule-bad mass,
+    * and where does the threshold sit?).
+    *
+    * Scale shape: ONE feature projection (map-only, [[qualityRules]]),
+    * one 2-double min/max aggregate broadcast back, one map-side bin
+    * assignment, one `nBins`-row aggregate — no global sort, no
+    * window: equal-WIDTH bins were chosen over ntile deciles precisely
+    * because quantile binning needs a global rank (a full sort at
+    * 100 TB) while width binning is two passes of partial aggregates.
+    * Determinism: z is products/left-assoc sums of exact doubles (no
+    * libm), the bin arithmetic is pinned, and per-bin mean logits sum
+    * as DECIMAL(30,12) — partition-order independent (the t32
+    * contract). Returns one row per non-empty bin:
+    * (bin, n_docs, n_rule_keep, keep_rate, mean_logit). */
+  def applyQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                        weights: Seq[Double], nBins: Int = 10): DataFrame = {
+    require(weights.length == 6, "six weights: bias + five signals")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val feats = qualityRules(docs, idCol, textCol)
+      .select(col(idCol).as("id"),
+        lit(1.0).as("x0"),
+        (col("n_words").cast("double") / 100.0).as("x1"),
+        (col("mean_wlen") / 10.0).as("x2"),
+        col("symbol_ratio").as("x3"),
+        col("alpha_frac").as("x4"),
+        (col("n_stop_distinct").cast("double") / 10.0).as("x5"),
+        col("keep").cast("int").cast("double").as("y"))
+    // z LEFT-ASSOCIATIVE (the t32 cross-engine contract)
+    val z = (0 until 6).map(j => col(s"x$j") * lit(weights(j)))
+      .reduceLeft(_ + _)
+    val scored = feats.select(col("id"), z.as("z"), col("y"))
+    val range = scored.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+    scored.crossJoin(broadcast(range))
+      .withColumn("bin",
+        when(col("zmax") === col("zmin"), lit(0L))
+          .otherwise(least(
+            floor((col("z") - col("zmin")) * lit(nBins.toDouble) /
+              (col("zmax") - col("zmin"))),
+            lit(nBins - 1L))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_rule_keep"),
+        round(sum(col("y")) / count(lit(1)), 6).as("keep_rate"),
+        round(sum(col("z").cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_logit"))
   }
 
   /** PII scrubbing (the redaction pass public corpus releases run —

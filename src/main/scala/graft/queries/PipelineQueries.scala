@@ -211,6 +211,76 @@ object PipelineQueries {
         dim = 64, k = 3, m = 4)
     }),
 
+    // IVFADC — the composed billion-vector serving index (IVF cells
+    // pick WHICH codes to scan, PQ ADC scores them): per-query cost is
+    // the probed cells' code rows only. Oracle = the s03 cell/probe
+    // machinery ∘ the s05 ADC machinery.
+    "s13_ann_ivfadc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfadcTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3, nlist = 16, nprobe = 4,
+        m = 4, ks = 16)
+    }),
+
+    // Train → apply calibration round trip (the t27→t29 pattern for the
+    // quality classifier): epoch-3 weights score the full corpus,
+    // equal-width logit bins grade score mass against the rule labels —
+    // the inspect-before-you-filter table a production quality gate
+    // reads before choosing its threshold. Width bins, not ntile: the
+    // quantile variant needs a global rank (a full sort at 100 TB).
+    "t33_quality_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = TextOps.trainQualityClassifier(docs, "doc_id", "text",
+          epochs = 3, lr = 1.0, holdout = true)
+        .filter(col("epoch") === 3).head()
+      TextOps.applyQualityScore(docs, "doc_id", "text",
+        (1 to 6).map(w.getDouble), nBins = 10)
+    }),
+
+    // Dedup release audit: the cluster-size histogram of the exact
+    // content-digest relation (how much mass sits at which duplication
+    // depth) — the one-aggregate readout that decides whether a corpus
+    // needs keep-best dedup before anything heavier runs.
+    "d24_dedup_audit" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))),
+
+    // Streaming keep-best, BATCH-TWIN gate row: keepBestStream's
+    // flatMapGroupsWithState executes in batch mode with empty state,
+    // where the contract ("last emitted row per digest == keep-best
+    // over everything seen") degenerates to exactly the batch
+    // priorityKeep answer — the convention that lets the stateful
+    // streaming operator itself (not a lookalike) be value-checked by
+    // the DuckDB gate. Contention is forced: the corpus unions a
+    // shifted-id mirror so every digest has ≥2 contenders.
+    "q42_keepbest_stream_batch" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(
+        md5(col("text")).as("digest"), col("doc_id"),
+        (col("doc_id") % 3).cast("int").as("priority"), col("text"))
+      val mirror = Tables.documents(s, d).select(
+        md5(col("text")).as("digest"),
+        (col("doc_id") + 500000).as("doc_id"),
+        ((col("doc_id") + 500000) % 3).cast("int").as("priority"),
+        col("text"))
+      graft.streaming.EventStream.keepBestStream(
+        base.unionByName(mirror).as[graft.streaming.EventStream.KeepBestDoc])
+        .toDF()
+    }),
+
+    // Streaming windowed top-k, BATCH-TWIN gate row: the watermarked
+    // tumbling-window counts + sink-edge rank run on the batch events
+    // relation (withWatermark is a no-op in batch), so the exact
+    // operator pair StreamingSpec proves stream≡batch for is also
+    // value-checked against DuckDB.
+    "q43_windowed_topk_batch" -> ((s, d) =>
+      graft.streaming.EventStream.topKPerWindow(
+        graft.streaming.EventStream.windowedTypeCounts(
+          Tables.events(s, d), windowMinutes = 60, horizon = "2 hours"),
+        k = 3)),
+
     // Stopword-bank language ID with deterministic argmax tie-break.
     "t01_langid" -> ((s, d) => {
       val t = col("text")
@@ -1561,6 +1631,76 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "s13_ann_ivfadc" ->
+      s"""WITH c AS (
+           SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
+           FROM embeddings
+           ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
+         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT ev.vec_id AS id, c.ccid,
+                  list_dot_product(ev.v, c.ccv)
+                    / (sqrt(list_dot_product(ev.v, ev.v))
+                       * sqrt(list_dot_product(c.ccv, c.ccv))) AS csim
+           FROM ev, c),
+         cells AS (
+           SELECT id AS nid, ccid AS cell FROM (
+             SELECT id, ccid,
+                    row_number() OVER (
+                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, ccid AS cell FROM (
+             SELECT id, ccid,
+                    row_number() OVER (
+                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
+             FROM asgn WHERE id < 10) t WHERE rn <= 4),
+         $pqAdcCtes,
+         csims AS (
+           SELECT t.qid, e.nid,
+                  sum(t.pdot) / (max(t.qn) * sqrt(sum(e.coden2))) AS sim
+           FROM enc e
+           JOIN cells cl ON cl.nid = e.nid
+           JOIN probes p ON p.cell = cl.cell
+           JOIN qt t ON t.nsub = e.nsub AND t.code = e.code
+                    AND t.qid = p.qid
+           WHERE e.nid != t.qid
+           GROUP BY t.qid, e.nid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM csims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "t33_quality_apply" -> qualityApplyOracle(epochs = 3, lr = 1.0),
+    "d24_dedup_audit" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+                    FROM documents GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+                sum(sz)::BIGINT AS n_docs
+         FROM g GROUP BY sz""",
+    "q42_keepbest_stream_batch" ->
+      """WITH rows AS (
+           SELECT md5(text) AS digest, doc_id,
+                  (doc_id % 3)::INT AS priority, text
+           FROM documents
+           UNION ALL
+           SELECT md5(text), doc_id + 500000,
+                  ((doc_id + 500000) % 3)::INT, text
+           FROM documents)
+         SELECT digest, doc_id, priority, text FROM rows
+         QUALIFY row_number() OVER (
+           PARTITION BY digest ORDER BY priority, doc_id) = 1""",
+    "q43_windowed_topk_batch" ->
+      """WITH c AS (
+           SELECT strftime(date_trunc('hour', ts),
+                           '%Y-%m-%d %H:%M:%S') AS win,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT win, event_type, n,
+                row_number() OVER (
+                  PARTITION BY win ORDER BY n DESC, event_type) AS rank
+         FROM c
+         QUALIFY row_number() OVER (
+           PARTITION BY win ORDER BY n DESC, event_type) <= 3""",
     // same ADC machinery as s05/s11 — the INDEXED path must be
     // bit-identical to the in-session one, so the oracle is shared
     "s12_ann_pq_indexed" ->
@@ -2272,8 +2412,7 @@ object PipelineQueries {
                 len(ws)::BIGINT AS n_words,
                 round(list_sum(list_transform(ws, x -> length(x)))::double
                       / len(ws), 4) AS mean_wlen,
-                round((len(regexp_extract_all(text, '#'))
-                       + len(regexp_extract_all(text, '\.\.\.')))::double
+                round(len(regexp_extract_all(text, '#|\.\.\.|…|•|‣|▪'))::double
                       / len(ws), 4) AS symbol_ratio,
                 round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::double
                       / len(ws), 4) AS alpha_frac,
@@ -2305,6 +2444,19 @@ object PipelineQueries {
   private def qualityClassifierOracle(epochs: Int, lr: Double,
                                       seed: String = "qsplit",
                                       pctTrain: Int = 80): String = {
+    val out = (1 to epochs).map(k =>
+      s"SELECT $k AS epoch, w0, w1, w2, w3, w4, w5, acc AS accuracy, " +
+        s"vacc AS val_accuracy FROM e$k")
+      .mkString("\n       UNION ALL ")
+    s"""WITH ${qualityClassifierCtes(epochs, lr, seed, pctTrain)}
+       $out"""
+  }
+
+  /** The shared split/feature/epoch CTE chain of the t32 oracle —
+    * factored out so t33's apply-calibration oracle can read the SAME
+    * e{epochs} weights the engine's train→apply round trip uses. */
+  private def qualityClassifierCtes(epochs: Int, lr: Double,
+                                    seed: String, pctTrain: Int): String = {
     val feats = s"""cl AS (
          SELECT doc_id,
                 min(doc_id) OVER (PARTITION BY md5(text)) AS rep
@@ -2344,14 +2496,45 @@ object PipelineQueries {
                           THEN 1.0 ELSE 0.0 END) / $nVa, 6) AS vacc
          FROM feats f, e${k - 1} e)"""
     }.mkString(",\n       ")
-    val out = (1 to epochs).map(k =>
-      s"SELECT $k AS epoch, w0, w1, w2, w3, w4, w5, acc AS accuracy, " +
-        s"vacc AS val_accuracy FROM e$k")
-      .mkString("\n       UNION ALL ")
-    s"""WITH $feats,
+    s"""$feats,
        $e0,
-       $eks
-       $out"""
+       $eks"""
+  }
+
+  /** t33 oracle: the t32 CTE chain supplies the trained epoch-N
+    * weights; the full (unsplit) feature relation scores z = w·x
+    * left-associatively, equal-width logit bins via the pinned
+    * (z−zmin)·nBins/(zmax−zmin) arithmetic, per-bin label stats with
+    * the DECIMAL(30,12) exact-sum mean. */
+  private def qualityApplyOracle(epochs: Int, lr: Double,
+                                 nBins: Int = 10,
+                                 seed: String = "qsplit",
+                                 pctTrain: Int = 80): String = {
+    val z = (0 until 6).map(j => s"e.w$j * f.x$j").mkString(" + ")
+    s"""WITH ${qualityClassifierCtes(epochs, lr, seed, pctTrain)},
+       af AS (
+         SELECT doc_id, 1.0 AS x0,
+                n_words::double / 100.0 AS x1,
+                mean_wlen / 10.0 AS x2,
+                symbol_ratio AS x3,
+                alpha_frac AS x4,
+                n_stop_distinct::double / 10.0 AS x5,
+                CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y
+         FROM ($qualityRulesOracle) q),
+       sc AS (SELECT f.doc_id, ($z) AS z, f.y FROM af f, e$epochs e),
+       rng AS (SELECT min(z) AS zmin, max(z) AS zmax FROM sc),
+       bn AS (
+         SELECT (CASE WHEN r.zmax = r.zmin THEN 0
+                 ELSE least(floor((z - r.zmin) * ${nBins}.0
+                                  / (r.zmax - r.zmin)), ${nBins - 1})
+                 END)::BIGINT AS bin,
+                z, y
+         FROM sc, rng r)
+       SELECT bin, count(*) AS n_docs, sum(y)::BIGINT AS n_rule_keep,
+              round(sum(y) / count(*), 6) AS keep_rate,
+              round(sum(z::DECIMAL(30,12))::DOUBLE / count(*), 6)
+                AS mean_logit
+       FROM bn GROUP BY bin"""
   }
 
   /** t29 oracle: the t27 fold machinery with (doc_id, word_idx) carried

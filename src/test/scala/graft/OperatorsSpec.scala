@@ -212,6 +212,49 @@ class OperatorsSpec extends SparkSpec {
     assert(f2 == d2, s"fast=$f2\ndist=$d2")
   }
 
+  test("IVFADC: probing every cell reproduces plain PQ ADC; restricted probe sane") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 5)
+    // nprobe = nlist → the cell restriction is vacuous and IVFADC must
+    // equal pqTopK exactly (same codebook, same ADC scores, same ties)
+    val full = Similarity.ivfadcTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 3, nlist = 8, nprobe = 8, m = 4, ks = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pq = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 3, m = 4, ks = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full.nonEmpty && full == pq,
+      "nprobe=nlist IVFADC must equal unrestricted PQ ADC")
+    // a restricted probe returns ≤ k per query and ADC-consistent scores
+    val narrow = Similarity.ivfadcTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 3, nlist = 8, nprobe = 2, m = 4, ks = 16)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(narrow.nonEmpty)
+    assert(narrow.groupBy(_._1).values.forall(_.length <= 3))
+    val pqSims = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 1000, m = 4, ks = 16)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(narrow.forall(r => pqSims(r._1 -> r._2) == r._3),
+      "cell restriction must filter candidates, never change ADC scores")
+  }
+
+  test("quality apply: bins partition the corpus, stats sane, partition-stable") {
+    val docs = Tables.documents(spark, sf)
+    val w = Seq(-0.1, 0.2, 0.05, -0.3, 0.15, 0.1)
+    val r = TextOps.applyQualityScore(docs, "doc_id", "text", w, nBins = 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.map(_._2).sum == docs.count(), "bins must partition the corpus")
+    assert(r.forall(b => b._1 >= 0 && b._1 <= 9))
+    assert(r.forall(b => b._3 <= b._2 && b._4 >= 0.0 && b._4 <= 1.0))
+    // decimal mean sums + pinned bin arithmetic → identical at any
+    // partitioning
+    val r17 = TextOps.applyQualityScore(docs.repartition(17), "doc_id",
+        "text", w, nBins = 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.sortBy(_._1).toSeq == r17.sortBy(_._1).toSeq)
+  }
+
   test("kmeans refine: k cells survive, centroids move toward members, deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val k = 4
