@@ -325,8 +325,7 @@ object Similarity {
                  vecCol: String, dim: Int, k: Int, nlist: Int = 16,
                  nprobe: Int = 4, m: Int = 4, ks: Int = 16): DataFrame = {
     require(dim % m == 0, "m must divide dim")
-    import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    val sub = dim / m
+    import graft.functions.VecExpressions.vec_norm
     val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
       .withColumn("cn", vec_norm(col("cv"))))
     val cells = cellAssignment(corpus, idCol, vecCol, cents)
@@ -334,6 +333,71 @@ object Similarity {
     val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
     val encoded = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
       .join(cells, "nid")
+    ivfadcSearch(encoded, queries, idCol, vecCol, codebook, cents,
+      dim, m, k, nprobe)
+  }
+
+  /** Persist an IVFADC index: one CELL-BUCKETED table of
+    * (nid, cell, nsub, code, codeN2) — the cell assignment and the PQ
+    * codes of every corpus vector, co-located by cell so a query's
+    * probe join streams exactly its cells' bucket files — plus the
+    * codebook and centroid sidecars. This is the table a billion-vector
+    * serving tier actually materializes: m small ints per vector, no
+    * raw vectors, built ONCE. Query with [[ivfadcTopKIndexed]]. */
+  def writeIvfadcIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       table: String, path: String, dim: Int,
+                       nlist: Int = 16, m: Int = 4, ks: Int = 16,
+                       buckets: Int = 8): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    import graft.functions.VecExpressions.vec_norm
+    val spark = corpus.sparkSession
+    val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
+    val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+    codebook.write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_codebook")
+      .saveAsTable(s"${table}_codebook")
+    cents0.write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_centroids")
+      .saveAsTable(s"${table}_centroids")
+    val cells = cellAssignment(corpus, idCol, vecCol, cents)
+      .select(col("nid"), col("cell"))
+    graft.engine.Bucketing.writeBucketed(
+      pqEncode(corpus, idCol, vecCol, codebook, dim, m).join(cells, "nid"),
+      table, path, Seq("cell"), buckets)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Query a persisted IVFADC index: identical results to
+    * [[ivfadcTopK]] with the same (dim, nlist, nprobe, m, ks) — cells,
+    * codes, codebook and centroids are read back, not recomputed, so
+    * at query time the plan touches ONLY the probed cells' code rows:
+    * no assignment pass, no encode pass, no raw-vector scan. */
+  def ivfadcTopKIndexed(spark: SparkSession, table: String,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, k: Int, nprobe: Int = 4,
+                        m: Int = 4): DataFrame = {
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_centroids")
+      .withColumn("cn", vec_norm(col("cv"))))
+    val codebook = graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_codebook")
+    val encoded = graft.engine.Bucketing.readBucketed(spark, table)
+    ivfadcSearch(encoded, queries, idCol, vecCol, codebook, cents,
+      dim, m, k, nprobe)
+  }
+
+  /** The shared IVFADC query tail ([[ivfadcTopK]] in-session,
+    * [[ivfadcTopKIndexed]] over the persisted table): probe cells,
+    * broadcast the ADC tables, score the probed cells' codes, top-k. */
+  private def ivfadcSearch(encodedCells: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String,
+                           codebook: DataFrame, cents: DataFrame,
+                           dim: Int, m: Int, k: Int,
+                           nprobe: Int): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val sub = dim / m
     val probes = probeCells(queries, idCol, vecCol, cents, nprobe)
       .select(col("qid"), col("cell"))
     val tables = broadcast(queries
@@ -345,7 +409,7 @@ object Similarity {
       .join(codebook.withColumnRenamed("sub", "nsub"), "nsub")
       .select(col("qid"), col("qn"), col("nsub"), col("cid").as("code"),
         vec_dot(col("qsv"), col("cv")).as("pdot")))
-    val sims = encoded.join(broadcast(probes), "cell")
+    val sims = encodedCells.join(broadcast(probes), "cell")
       .join(tables, Seq("qid", "nsub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid")

@@ -222,6 +222,23 @@ object PipelineQueries {
         m = 4, ks = 16)
     }),
 
+    // Persisted IVFADC serving index (the s07/s12 persistence device on
+    // the composed index): cells + codes land as ONE cell-bucketed
+    // table built once; the query batch probes its cells' bucket files
+    // and ADC-scores codes — no assignment pass, no encode pass, no
+    // raw-vector scan at query time. Bit-identical to s13.
+    "s14_ann_ivfadc_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfadc_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+        "graft_ivfadc_index", path, dim = 64, nlist = 16, m = 4, ks = 16,
+        buckets = 8)
+      Similarity.ivfadcTopKIndexed(s, "graft_ivfadc_index",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3, nprobe = 4, m = 4)
+    }),
+
     // Train → apply calibration round trip (the t27→t29 pattern for the
     // quality classifier): epoch-3 weights score the full corpus,
     // equal-width logit bins grade score mass against the rule labels —
@@ -1631,45 +1648,10 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
-    "s13_ann_ivfadc" ->
-      s"""WITH c AS (
-           SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
-           FROM embeddings
-           ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
-         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         asgn AS (
-           SELECT ev.vec_id AS id, c.ccid,
-                  list_dot_product(ev.v, c.ccv)
-                    / (sqrt(list_dot_product(ev.v, ev.v))
-                       * sqrt(list_dot_product(c.ccv, c.ccv))) AS csim
-           FROM ev, c),
-         cells AS (
-           SELECT id AS nid, ccid AS cell FROM (
-             SELECT id, ccid,
-                    row_number() OVER (
-                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
-             FROM asgn) t WHERE rn = 1),
-         probes AS (
-           SELECT id AS qid, ccid AS cell FROM (
-             SELECT id, ccid,
-                    row_number() OVER (
-                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
-             FROM asgn WHERE id < 10) t WHERE rn <= 4),
-         $pqAdcCtes,
-         csims AS (
-           SELECT t.qid, e.nid,
-                  sum(t.pdot) / (max(t.qn) * sqrt(sum(e.coden2))) AS sim
-           FROM enc e
-           JOIN cells cl ON cl.nid = e.nid
-           JOIN probes p ON p.cell = cl.cell
-           JOIN qt t ON t.nsub = e.nsub AND t.code = e.code
-                    AND t.qid = p.qid
-           WHERE e.nid != t.qid
-           GROUP BY t.qid, e.nid)
-         SELECT qid, nid, round(sim, 6) AS sim,
-                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-         FROM csims
-         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "s13_ann_ivfadc" -> ivfadcOracle,
+    // the persisted index must be bit-identical to the in-session
+    // composition — one shared oracle
+    "s14_ann_ivfadc_indexed" -> ivfadcOracle,
     "t33_quality_apply" -> qualityApplyOracle(epochs = 3, lr = 1.0),
     "d24_dedup_audit" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
@@ -2500,6 +2482,50 @@ object PipelineQueries {
        $e0,
        $eks"""
   }
+
+  /** s13/s14 oracle: the s03 cell/probe machinery composed with the
+    * s05 ADC machinery — ADC scores restricted to probed cells. Shared
+    * by the in-session composition and the persisted index (their
+    * results are bit-identical by construction). */
+  private def ivfadcOracle: String =
+    s"""WITH c AS (
+           SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
+           FROM embeddings
+           ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
+         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT ev.vec_id AS id, c.ccid,
+                  list_dot_product(ev.v, c.ccv)
+                    / (sqrt(list_dot_product(ev.v, ev.v))
+                       * sqrt(list_dot_product(c.ccv, c.ccv))) AS csim
+           FROM ev, c),
+         cells AS (
+           SELECT id AS nid, ccid AS cell FROM (
+             SELECT id, ccid,
+                    row_number() OVER (
+                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, ccid AS cell FROM (
+             SELECT id, ccid,
+                    row_number() OVER (
+                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
+             FROM asgn WHERE id < 10) t WHERE rn <= 4),
+         $pqAdcCtes,
+         csims AS (
+           SELECT t.qid, e.nid,
+                  sum(t.pdot) / (max(t.qn) * sqrt(sum(e.coden2))) AS sim
+           FROM enc e
+           JOIN cells cl ON cl.nid = e.nid
+           JOIN probes p ON p.cell = cl.cell
+           JOIN qt t ON t.nsub = e.nsub AND t.code = e.code
+                    AND t.qid = p.qid
+           WHERE e.nid != t.qid
+           GROUP BY t.qid, e.nid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM csims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
 
   /** t33 oracle: the t32 CTE chain supplies the trained epoch-N
     * weights; the full (unsplit) feature relation scores z = w·x

@@ -239,6 +239,31 @@ class OperatorsSpec extends SparkSpec {
       "cell restriction must filter candidates, never change ADC scores")
   }
 
+  test("IVFADC index round-trip: indexed ≡ in-session, cell-bucketed, no rebuild") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
+    Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+      "graft_ivfadc_spec", s"$dir/idx", dim = 64, nlist = 8, m = 4, ks = 16,
+      buckets = 4)
+    val qs = emb.filter($"vec_id" < 5)
+    val indexed = Similarity.ivfadcTopKIndexed(spark, "graft_ivfadc_spec",
+      qs, "vec_id", "embedding", dim = 64, k = 3, nprobe = 4, m = 4)
+    val direct = Similarity.ivfadcTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 3, nlist = 8, nprobe = 4, m = 4, ks = 16)
+    val a = indexed.as[(Long, Long, Double, Int)].collect().toSet
+    val b = direct.as[(Long, Long, Double, Int)].collect().toSet
+    assert(a.nonEmpty && a == b,
+      "IVFADC index round-trip must reproduce the in-session results")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"code scan not bucketed:\n$plan")
+    // no assignment (greatest-over-centroids) and no encode (argmin d2)
+    // stage may appear at query time — both are build-time passes
+    assert(!plan.contains("d2"), s"corpus encode ran at query time:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfadc_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfadc_spec_codebook")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfadc_spec_centroids")
+  }
+
   test("quality apply: bins partition the corpus, stats sane, partition-stable") {
     val docs = Tables.documents(spark, sf)
     val w = Seq(-0.1, 0.2, 0.05, -0.3, 0.15, 0.1)
