@@ -656,6 +656,30 @@ object Similarity {
     spark.catalog.refreshTable(table)
   }
 
+  /** Append a NEW vector batch to a persisted PQ index without
+    * rebuilding — the recurring-crawl posture ([[graft.operators.Dedup
+    * .minhashIncremental]]'s device applied to ANN serving, FAISS
+    * `add()` semantics): the batch encodes against the EXISTING
+    * codebook and its codes insert into the bucketed table, so
+    * previously-indexed vectors are never re-encoded and the append
+    * cost is |batch|, not |corpus|. The codebook is a model artifact
+    * and stays fixed across appends; quantizer drift is handled by
+    * periodic rebuild ([[writePqIndex]]), not per-batch retraining.
+    * `buckets` must match the original build (Spark validates the
+    * bucket spec of an append against the catalog). */
+  def appendPqIndex(spark: SparkSession, newVectors: DataFrame,
+                    idCol: String, vecCol: String, table: String,
+                    dim: Int, m: Int = 4, buckets: Int = 8): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    val codebook = graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_codebook")
+    pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "nid").sortBy("nid")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Query a persisted PQ index: identical results to [[pqTopK]] with
     * the same (dim, m, ks, k) — codebook and codes are read back, not
     * recomputed, so the ADC scores are bit-identical and the plan has

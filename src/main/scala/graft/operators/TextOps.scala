@@ -903,6 +903,43 @@ object TextOps {
       schema)
   }
 
+  /** Deterministic text normalization — the canonicalization pre-pass
+    * public corpus pipelines run before hashing/dedup (C4 strips
+    * boilerplate punctuation; CCNet lowercases+strips for its hashes;
+    * every dedup stack folds typographic variants so smart-quoted
+    * copies hash together). This is an explicitly DOCUMENTED SUBSET of
+    * Unicode normalization — typographic folds expressible identically
+    * in Java regex and RE2, NOT full NFKC (no decomposition tables in
+    * SQL): curly single/double quotes → ASCII quotes, en/em/horizontal
+    * dashes and minus → '-', NBSP/thin/zero-width spaces → space (ZWSP
+    * drops), C0/C1 control chars (except \t\n) → removed, then
+    * whitespace runs collapse to one space and the result trims.
+    * Map-only, codegen'd; returns (id, norm_text, n_folds) where
+    * n_folds counts folded/removed code points (the audit column).
+    * Order of stages is pinned — counts depend on it. */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // \\x{...} escapes parse identically in Java regex and RE2 — no
+    // invisible characters in source or oracle SQL
+    val quotes = "[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]"
+    val dquotes = "[\\x{201C}\\x{201D}\\x{201E}\\x{201F}]"
+    val dashes = "[\\x{2012}\\x{2013}\\x{2014}\\x{2015}\\x{2212}]"
+    val spaces = "[\\x{00A0}\\x{2007}\\x{2009}\\x{202F}\\x{3000}]"
+    val zwsp = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+    val ctl = "[\\x{0001}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}-\\x{009F}]"
+    val foldable = s"$quotes|$dquotes|$dashes|$spaces|$zwsp|$ctl"
+    val t0 = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).as("id"), t0.as("__t"))
+      .withColumn("n_folds", regexp_count(col("__t"), lit(foldable)).cast("long"))
+      .withColumn("__t1",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(col("__t"),
+            quotes, "'"), dquotes, "\""), dashes, "-"),
+            spaces, " "), zwsp, ""), ctl, ""))
+      .select(col("id"),
+        trim(regexp_replace(col("__t1"), " +", " ")).as("norm_text"),
+        col("n_folds"))
+  }
+
   /** Apply a trained quality classifier ([[trainQualityClassifier]]'s
     * weight vector) to the corpus and report a CALIBRATION table: the
     * logit z = w·x per document, bucketed into `nBins` equal-width

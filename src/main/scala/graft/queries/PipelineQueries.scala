@@ -239,6 +239,63 @@ object PipelineQueries {
         dim = 64, k = 3, nprobe = 4, m = 4)
     }),
 
+    // Incremental PQ append — the recurring-crawl serving posture: the
+    // index builds on the initial half of the corpus (codebook trained
+    // there, FAISS add() semantics), the second half APPENDS encoding
+    // against that fixed codebook, and the query sees both. Append
+    // cost is |batch|; nothing re-encodes.
+    "s15_ann_pq_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_pq_inc_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writePqIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", "graft_pq_inc", path, dim = 64, m = 4,
+        ks = 16, buckets = 8)
+      Similarity.appendPqIndex(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", "graft_pq_inc", dim = 64, m = 4,
+        buckets = 8)
+      Similarity.pqTopKIndexed(s, "graft_pq_inc",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3, m = 4)
+    }),
+
+    // BPE token-ID encoding — the final artifact a tokenizer pipeline
+    // ships: t29's tokens mapped through a frequency-ranked vocabulary
+    // to integer ids (what the training shards actually store). The
+    // vocab ranking window is over the VOCABULARY relation (model-
+    // artifact-sized, the bpeMerges contract), not the corpus.
+    "t34_bpe_token_ids" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeMerges(docs, "text", nMerges = 4)
+        .orderBy("step").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      val enc = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      val vocab = enc.groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .select(col("token"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("token").asc))
+            .cast("long").as("token_id"))
+      enc.join(vocab, "token")
+        .select(col("id").as("doc_id"), col("word_idx"), col("token_idx"),
+          col("token"), col("token_id"))
+    }),
+
+    // Deterministic text normalization (typographic folds, the
+    // documented RE2∩Java subset of NFKC) over text salted with every
+    // fold class so the gate exercises real folds on every row.
+    "t35_text_normalize" -> ((s, d) => {
+      val salted = Tables.documents(s, d).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          // salt via \u escapes: curly quotes, em dash, NBSP,
+          // ZWSP, a control char — every fold class on every row
+          lit(" \u201Cq\u201D \u2018s\u2019 \u2014 a\u00A0b\u200Bc\u0007d"))
+          .as("text"))
+      TextOps.normalizeText(salted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Train → apply calibration round trip (the t27→t29 pattern for the
     // quality classifier): epoch-3 weights score the full corpus,
     // equal-width logit bins grade score mass against the rule labels —
@@ -1652,6 +1709,24 @@ object PipelineQueries {
     // the persisted index must be bit-identical to the in-session
     // composition — one shared oracle
     "s14_ann_ivfadc_indexed" -> ivfadcOracle,
+    // codebook trained on the initial batch only (vec_id < 250, the
+    // engine's build half); encode/query replay over the full corpus
+    "s15_ann_pq_incremental" ->
+      s"""WITH ${pqAdcCtes("WHERE vec_id < 250")}
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    "t34_bpe_token_ids" ->
+      s"""WITH e AS (${bpeEncodeOracle(nMerges = 4)}),
+         ids AS (
+           SELECT token,
+                  row_number() OVER (ORDER BY count(*) DESC, token)::BIGINT
+                    AS token_id
+           FROM e GROUP BY token)
+         SELECT e.doc_id, e.word_idx, e.token_idx, e.token, ids.token_id
+         FROM e JOIN ids USING (token)""",
+    "t35_text_normalize" -> textNormalizeOracle,
     "t33_quality_apply" -> qualityApplyOracle(epochs = 3, lr = 1.0),
     "d24_dedup_audit" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
@@ -2342,12 +2417,18 @@ object PipelineQueries {
     * (rank-cut) and s11 (candidate cut → exact cosine re-rank).
     * Constants pin the gate configuration: dim 64, m 4 (sub 16),
     * ks 16, queries vec_id < 10. */
-  private def pqAdcCtes: String =
-    """samp AS (
+  private def pqAdcCtes: String = pqAdcCtes("")
+
+  /** `sampWhere` restricts the codebook SAMPLE relation (e.g.
+    * "WHERE vec_id < 250" for the incremental-append oracle, whose
+    * codebook was trained on the initial batch only); encode/query
+    * CTEs always run over the full corpus. */
+  private def pqAdcCtes(sampWhere: String): String =
+    s"""samp AS (
            SELECT vec_id AS sid, embedding::DOUBLE[] AS sv,
                   row_number() OVER (
                     ORDER BY md5('pq'||vec_id::varchar), vec_id) AS cid
-           FROM embeddings
+           FROM embeddings $sampWhere
            ORDER BY md5('pq'||vec_id::varchar), vec_id LIMIT 16),
          cb AS (
            SELECT cid, g.sub,
@@ -2526,6 +2607,44 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM csims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
+
+  /** t35 oracle: [[graft.operators.TextOps.normalizeText]]'s staged
+    * fold chain replayed with the SAME \x{...} classes (RE2 parses
+    * them identically to Java regex), the same planted salt (chr()
+    * codepoints — no invisible characters in source), and 'g' on
+    * every replace (DuckDB defaults to first-match). */
+  private def textNormalizeOracle: String = {
+    val quotes = "[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]"
+    val dquotes = "[\\x{201C}\\x{201D}\\x{201E}\\x{201F}]"
+    val dashes = "[\\x{2012}\\x{2013}\\x{2014}\\x{2015}\\x{2212}]"
+    val spaces = "[\\x{00A0}\\x{2007}\\x{2009}\\x{202F}\\x{3000}]"
+    val zwsp = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+    val ctl = "[\\x{0001}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}-\\x{009F}]"
+    val salt = "' ' || chr(8220) || 'q' || chr(8221) || ' ' || " +
+      "chr(8216) || 's' || chr(8217) || ' ' || chr(8212) || ' a' || " +
+      "chr(160) || 'b' || chr(8203) || 'c' || chr(7) || 'd'"
+    s"""WITH salted AS (
+           SELECT doc_id, coalesce(text, '') || $salt AS text
+           FROM documents),
+         s1 AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text,
+                    '$quotes|$dquotes|$dashes|$spaces|$zwsp|$ctl'))::BIGINT
+                    AS n_folds,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(text,
+                      '$quotes', '''', 'g'),
+                      '$dquotes', '"', 'g'),
+                      '$dashes', '-', 'g'),
+                      '$spaces', ' ', 'g'),
+                      '$zwsp', '', 'g'),
+                      '$ctl', '', 'g') AS t1
+           FROM salted)
+         SELECT doc_id,
+                trim(regexp_replace(t1, ' +', ' ', 'g')) AS norm_text,
+                n_folds
+         FROM s1"""
+  }
 
   /** t33 oracle: the t32 CTE chain supplies the trained epoch-N
     * weights; the full (unsplit) feature relation scores z = w·x

@@ -264,6 +264,59 @@ class OperatorsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivfadc_spec_centroids")
   }
 
+  test("text normalize: typographic folds, fold count, idempotent") {
+    val docs = Seq(
+      (1L, "a \u201Cquoted\u201D word"),
+      (2L, "dash \u2014 here \u2013 too"),
+      (3L, "nb\u00A0sp zw\u200Bsp be\u0007ll"),
+      (4L, "already   plain  text "),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.normalizeText(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "a \"quoted\" word", 2L)))
+    assert(got(2L) == ((2L, "dash - here - too", 2L)))
+    assert(got(3L) == ((3L, "nb sp zwsp bell", 3L)))
+    assert(got(4L) == ((4L, "already plain text", 0L)))
+    assert(got(5L) == ((5L, "", 0L)))
+    // idempotent: a normalized corpus re-normalizes to itself
+    val once = TextOps.normalizeText(docs, "doc_id", "text")
+      .withColumnRenamed("norm_text", "text")
+    val twice = TextOps.normalizeText(once, "id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    got.foreach { case (k, v) =>
+      assert(twice(k)._2 == v._2 && twice(k)._3 == 0L) }
+  }
+
+  test("PQ incremental append: batched appends ≡ one append, codes complete") {
+    val emb = Tables.embeddings(spark, sf)
+    def build(name: String,
+              appends: Seq[org.apache.spark.sql.DataFrame])
+        : Set[(Long, Long, Double, Int)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pqinc").toString
+      Similarity.writePqIndex(emb.filter($"vec_id" < 250), "vec_id",
+        "embedding", name, s"$dir/idx", dim = 64, m = 4, ks = 16, buckets = 4)
+      appends.foreach(b => Similarity.appendPqIndex(spark, b, "vec_id",
+        "embedding", name, dim = 64, m = 4, buckets = 4))
+      val r = Similarity.pqTopKIndexed(spark, name,
+          emb.filter($"vec_id" < 5), "vec_id", "embedding", dim = 64,
+          k = 3, m = 4)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(spark.table(name).count() == emb.count() * 4,
+        "codes table must cover every vector x subspace")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_codebook")
+      r
+    }
+    val one = build("graft_pqinc_a",
+      Seq(emb.filter($"vec_id" >= 250)))
+    val two = build("graft_pqinc_b",
+      Seq(emb.filter($"vec_id" >= 250 && $"vec_id" < 375),
+        emb.filter($"vec_id" >= 375)))
+    assert(one.nonEmpty && one == two,
+      "append must be associative: same codebook, same codes")
+  }
+
   test("quality apply: bins partition the corpus, stats sane, partition-stable") {
     val docs = Tables.documents(spark, sf)
     val w = Seq(-0.1, 0.2, 0.05, -0.3, 0.15, 0.1)
