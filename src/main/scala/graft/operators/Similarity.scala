@@ -413,8 +413,7 @@ object Similarity {
       .join(tables, Seq("qid", "nsub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid")
-      .agg((sum(col("pdot")) / (max(col("qn")) * sqrt(sum(col("codeN2")))))
-        .as("sim"))
+      .agg(adcSim.as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -617,12 +616,24 @@ object Similarity {
     val sims = encoded.join(tables, Seq("nsub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid")
-      .agg((sum(col("pdot")) / (max(col("qn")) * sqrt(sum(col("codeN2")))))
-        .as("sim"))
+      .agg(adcSim.as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** The ADC score aggregate with EXACT partial sums: pdot and codeN2
+    * accumulate as DECIMAL(30,12) (order-independent in Spark AND in
+    * the DuckDB oracle's parallel hash aggregate), so two candidates
+    * whose float sums would differ only in accumulation order can
+    * never swap ranks between engines or between runs — the t32
+    * gradient-sum device applied to retrieval ranking (an s15 rank-3
+    * tie at the 6dp grid exposed the raw-double version as flaky). */
+  private def adcSim: Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    sum(col("pdot").cast(dec)).cast("double") /
+      (max(col("qn")) * sqrt(sum(col("codeN2").cast(dec)).cast("double")))
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

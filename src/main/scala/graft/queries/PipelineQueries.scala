@@ -239,6 +239,19 @@ object PipelineQueries {
         dim = 64, k = 3, nprobe = 4, m = 4)
     }),
 
+    // Recall audit for the composed index (s08's device on s13): how
+    // much of the exact top-3 does IVFADC retain at this (nlist,
+    // nprobe, m)? The tuning readout a deployment reads before raising
+    // nprobe or refining with s11's exact re-rank.
+    "s16_ann_ivfadc_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
+        Similarity.ivfadcTopK(emb, q, "vec_id", "embedding",
+          dim = 64, k = 3, nlist = 16, nprobe = 4, m = 4, ks = 16))
+    }),
+
     // Incremental PQ append — the recurring-crawl serving posture: the
     // index builds on the initial half of the corpus (codebook trained
     // there, FAISS add() semantics), the second half APPENDS encoding
@@ -1709,6 +1722,29 @@ object PipelineQueries {
     // the persisted index must be bit-identical to the in-session
     // composition — one shared oracle
     "s14_ann_ivfadc_indexed" -> ivfadcOracle,
+    "s16_ann_ivfadc_recall" ->
+      s"""WITH xq AS (SELECT vec_id AS xqid, embedding::DOUBLE[] AS xqv
+                    FROM embeddings WHERE vec_id < 10),
+         exact AS (
+           SELECT xqid AS qid, nid FROM (
+             SELECT xqid, e.vec_id AS nid,
+                    row_number() OVER (PARTITION BY xqid ORDER BY
+                      list_cosine_similarity(xqv, e.embedding::DOUBLE[]) DESC,
+                      e.vec_id) AS rank
+             FROM xq, embeddings e WHERE e.vec_id != xqid) t
+           WHERE rank <= 3),
+         $ivfadcCtes,
+         adc AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             FROM csims) t WHERE rank <= 3)
+         SELECT exact.qid, count(*) AS n_exact,
+                count(adc.nid) AS n_hit,
+                round(count(adc.nid)::double / count(*), 6) AS recall
+         FROM exact
+         LEFT JOIN adc ON adc.qid = exact.qid AND adc.nid = exact.nid
+         GROUP BY exact.qid""",
     // codebook trained on the initial batch only (vec_id < 250, the
     // engine's build half); encode/query replay over the full corpus
     "s15_ann_pq_incremental" ->
@@ -2459,7 +2495,9 @@ object PipelineQueries {
            FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id < 10),
          sims AS (
            SELECT qid, nid,
-                  sum(pdot) / (max(qn) * sqrt(sum(coden2))) AS sim
+                  sum(pdot::DECIMAL(30,12))::DOUBLE
+                    / (max(qn) * sqrt(sum(coden2::DECIMAL(30,12))::DOUBLE))
+                    AS sim
            FROM enc JOIN qt USING (nsub, code)
            WHERE nid != qid
            GROUP BY qid, nid)"""
@@ -2569,7 +2607,16 @@ object PipelineQueries {
     * by the in-session composition and the persisted index (their
     * results are bit-identical by construction). */
   private def ivfadcOracle: String =
-    s"""WITH c AS (
+    s"""WITH $ivfadcCtes
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM csims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
+
+  /** The IVFADC CTE chain without its final SELECT — s13/s14 rank it
+    * directly; s16's recall audit joins it against the exact top-k. */
+  private def ivfadcCtes: String =
+    s"""c AS (
            SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
            FROM embeddings
            ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
@@ -2595,18 +2642,16 @@ object PipelineQueries {
          $pqAdcCtes,
          csims AS (
            SELECT t.qid, e.nid,
-                  sum(t.pdot) / (max(t.qn) * sqrt(sum(e.coden2))) AS sim
+                  sum(t.pdot::DECIMAL(30,12))::DOUBLE
+                    / (max(t.qn) * sqrt(sum(e.coden2::DECIMAL(30,12))::DOUBLE))
+                    AS sim
            FROM enc e
            JOIN cells cl ON cl.nid = e.nid
            JOIN probes p ON p.cell = cl.cell
            JOIN qt t ON t.nsub = e.nsub AND t.code = e.code
                     AND t.qid = p.qid
            WHERE e.nid != t.qid
-           GROUP BY t.qid, e.nid)
-         SELECT qid, nid, round(sim, 6) AS sim,
-                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-         FROM csims
-         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
+           GROUP BY t.qid, e.nid)"""
 
   /** t35 oracle: [[graft.operators.TextOps.normalizeText]]'s staged
     * fold chain replayed with the SAME \x{...} classes (RE2 parses
