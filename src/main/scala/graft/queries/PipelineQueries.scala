@@ -328,11 +328,20 @@ object PipelineQueries {
     // content-digest relation (how much mass sits at which duplication
     // depth) — the one-aggregate readout that decides whether a corpus
     // needs keep-best dedup before anything heavier runs.
-    "d24_dedup_audit" -> ((s, d) =>
-      Tables.documents(s, d)
+    // contention forced (the q42 device): every 5th doc gains one
+    // mirror and every 25th a second, so the histogram has real mass
+    // at sizes 1, 2 AND 3 instead of the all-unique corpus's one row
+    "d24_dedup_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m1 = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"), col("text"))
+      val m2 = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+      docs.unionByName(m1).unionByName(m2)
         .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))),
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    }),
 
     // Streaming keep-best, BATCH-TWIN gate row: keepBestStream's
     // flatMapGroupsWithState executes in batch mode with empty state,
@@ -1765,8 +1774,14 @@ object PipelineQueries {
     "t35_text_normalize" -> textNormalizeOracle,
     "t33_quality_apply" -> qualityApplyOracle(epochs = 3, lr = 1.0),
     "d24_dedup_audit" ->
-      """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
-                    FROM documents GROUP BY 1)
+      """WITH rows AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 600000, text FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 700000, text FROM documents WHERE doc_id % 25 = 0),
+         g AS (SELECT md5(text) AS h, count(*) AS sz
+               FROM rows GROUP BY 1)
          SELECT sz AS cluster_size, count(*) AS n_clusters,
                 sum(sz)::BIGINT AS n_docs
          FROM g GROUP BY sz""",
