@@ -368,6 +368,33 @@ object Similarity {
     spark.catalog.refreshTable(table)
   }
 
+  /** Append a new vector batch to a persisted IVFADC index — the
+    * [[appendPqIndex]] posture on the composed index: the batch
+    * assigns to the EXISTING centroids (map-side literal argmax, no
+    * recluster) and encodes against the EXISTING codebook, then its
+    * (cell, code) rows insert into the bucketed table. Append cost is
+    * |batch|; the index's cells and codebook are model artifacts that
+    * only a periodic [[writeIvfadcIndex]] rebuild retrains. */
+  def appendIvfadcIndex(spark: SparkSession, newVectors: DataFrame,
+                        idCol: String, vecCol: String, table: String,
+                        dim: Int, m: Int = 4, buckets: Int = 8): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_centroids")
+      .withColumn("cn", vec_norm(col("cv"))))
+    val codebook = graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_codebook")
+    val cells = cellAssignment(newVectors, idCol, vecCol, cents)
+      .select(col("nid"), col("cell"))
+    pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
+      .join(cells, "nid")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Query a persisted IVFADC index: identical results to
     * [[ivfadcTopK]] with the same (dim, nlist, nprobe, m, ks) — cells,
     * codes, codebook and centroids are read back, not recomputed, so

@@ -239,6 +239,25 @@ object PipelineQueries {
         dim = 64, k = 3, nprobe = 4, m = 4)
     }),
 
+    // Incremental IVFADC append — s15's posture on the composed index:
+    // the batch assigns to the EXISTING centroids and encodes against
+    // the EXISTING codebook (no recluster, no retrain), its rows insert
+    // into the cell-bucketed table, and the query sees both halves.
+    "s17_ann_ivfadc_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_adc_inc_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfadcIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", "graft_adc_inc", path, dim = 64,
+        nlist = 16, m = 4, ks = 16, buckets = 8)
+      Similarity.appendIvfadcIndex(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", "graft_adc_inc", dim = 64, m = 4,
+        buckets = 8)
+      Similarity.ivfadcTopKIndexed(s, "graft_adc_inc",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3, nprobe = 4, m = 4)
+    }),
+
     // Recall audit for the composed index (s08's device on s13): how
     // much of the exact top-3 does IVFADC retain at this (nlist,
     // nprobe, m)? The tuning readout a deployment reads before raising
@@ -1731,6 +1750,14 @@ object PipelineQueries {
     // the persisted index must be bit-identical to the in-session
     // composition — one shared oracle
     "s14_ann_ivfadc_indexed" -> ivfadcOracle,
+    // centroids + codebook from the build half; assignment/encode/query
+    // over the full corpus — exactly what append-without-retrain means
+    "s17_ann_ivfadc_incremental" ->
+      s"""WITH ${ivfadcCtes("WHERE vec_id < 250")}
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM csims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     "s16_ann_ivfadc_recall" ->
       s"""WITH xq AS (SELECT vec_id AS xqid, embedding::DOUBLE[] AS xqv
                     FROM embeddings WHERE vec_id < 10),
@@ -2629,11 +2656,15 @@ object PipelineQueries {
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
 
   /** The IVFADC CTE chain without its final SELECT — s13/s14 rank it
-    * directly; s16's recall audit joins it against the exact top-k. */
-  private def ivfadcCtes: String =
+    * directly; s16's recall audit joins it against the exact top-k;
+    * s17 passes `sampWhere` so centroids AND codebook come from the
+    * build half only (the append batch never retrains either). */
+  private def ivfadcCtes: String = ivfadcCtes("")
+
+  private def ivfadcCtes(sampWhere: String): String =
     s"""c AS (
            SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
-           FROM embeddings
+           FROM embeddings $sampWhere
            ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
          ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          asgn AS (
@@ -2654,7 +2685,7 @@ object PipelineQueries {
                     row_number() OVER (
                       PARTITION BY id ORDER BY csim DESC, ccid) AS rn
              FROM asgn WHERE id < 10) t WHERE rn <= 4),
-         $pqAdcCtes,
+         ${pqAdcCtes(sampWhere)},
          csims AS (
            SELECT t.qid, e.nid,
                   sum(t.pdot::DECIMAL(30,12))::DOUBLE

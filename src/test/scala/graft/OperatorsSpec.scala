@@ -317,6 +317,36 @@ class OperatorsSpec extends SparkSpec {
       "append must be associative: same codebook, same codes")
   }
 
+  test("IVFADC incremental append: batched ≡ one append, cells+codes complete") {
+    val emb = Tables.embeddings(spark, sf)
+    def build(name: String,
+              appends: Seq[org.apache.spark.sql.DataFrame])
+        : Set[(Long, Long, Double, Int)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-adcinc").toString
+      Similarity.writeIvfadcIndex(emb.filter($"vec_id" < 250), "vec_id",
+        "embedding", name, s"$dir/idx", dim = 64, nlist = 8, m = 4,
+        ks = 16, buckets = 4)
+      appends.foreach(b => Similarity.appendIvfadcIndex(spark, b,
+        "vec_id", "embedding", name, dim = 64, m = 4, buckets = 4))
+      val r = Similarity.ivfadcTopKIndexed(spark, name,
+          emb.filter($"vec_id" < 5), "vec_id", "embedding", dim = 64,
+          k = 3, nprobe = 8, m = 4)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(spark.table(name).count() == emb.count() * 4,
+        "every vector x subspace must carry a (cell, code) row")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_codebook")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_centroids")
+      r
+    }
+    val one = build("graft_adcinc_a", Seq(emb.filter($"vec_id" >= 250)))
+    val two = build("graft_adcinc_b",
+      Seq(emb.filter($"vec_id" >= 250 && $"vec_id" < 375),
+        emb.filter($"vec_id" >= 375)))
+    assert(one.nonEmpty && one == two,
+      "append must be associative: fixed centroids + codebook")
+  }
+
   test("quality apply: bins partition the corpus, stats sane, partition-stable") {
     val docs = Tables.documents(spark, sf)
     val w = Seq(-0.1, 0.2, 0.05, -0.3, 0.15, 0.1)
