@@ -982,6 +982,31 @@ object PipelineQueries {
           col("cluster_size"), col("weight"), col("bucket"), col("split"))
     }),
 
+    // The release DATASHEET (the data card every public corpus ships —
+    // Pile/ROOTS/Dolma publish exactly this table): per (source, split)
+    // document, token and soft-weight mass of the t24 release plan.
+    // One aggregate over the plan relation; weights sum as decimal
+    // (the s15 lesson — never rank or publish a float sum).
+    "t36_release_report" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+      val all = docs.unionByName(mirrored)
+      val rel = graft.operators.CorpusRelease.plan(all, "doc_id", "text",
+        when(col("source").startsWith("mirror_"), lit(2)).otherwise(lit(1)),
+        seed = "rel0", n = 3, threshold = 0.8, pctTrain = 80, pctVal = 10)
+      rel.select(col("doc_id"), col("source"), col("split"), col("weight"))
+        .join(all.select(col("doc_id"),
+          size(TextOps.words(col("text"))).cast("long").as("toks")),
+          "doc_id")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          round(sum(col("weight").cast(dec)).cast("double"), 6)
+            .as("total_weight"))
+    }),
+
     // Prototype-based corpus pruning (Sorscher et al. "Beyond neural
     // scaling laws"): rank every vector by cosine to its own IVF-cell
     // centroid, drop the most prototypical 25% of each cell — the
@@ -2216,56 +2241,22 @@ object PipelineQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   // 64)::BIGINT AS seq_no
          FROM u""",
-    "t24_corpus_release" ->
-      """WITH RECURSIVE
-           all_docs AS (
-             SELECT doc_id, text, source FROM documents
-             UNION ALL
-             SELECT doc_id + 200000, text, 'mirror_' || source
-             FROM documents WHERE doc_id % 7 = 0),
-           ranked AS (
-             SELECT doc_id, text, source,
-                    row_number() OVER (PARTITION BY md5(text)
-                      ORDER BY (CASE WHEN starts_with(source, 'mirror_') THEN 2 ELSE 1 END), doc_id) AS rk,
-                    count(*) OVER (PARTITION BY md5(text)) AS n_copies
-             FROM all_docs),
-           surv AS (SELECT doc_id, text, source, n_copies FROM ranked WHERE rk = 1),
-           w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
-           sh AS (SELECT DISTINCT doc_id, ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
-                  FROM (SELECT doc_id, ws,
-                          unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
-                        FROM w) t),
-           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                     GROUP BY 1, 2),
-           pairs AS (SELECT id_a, id_b FROM inter
-                     JOIN sizes sa ON sa.doc_id = id_a
-                     JOIN sizes sb ON sb.doc_id = id_b
-                     WHERE i::double / (sa.sz + sb.sz - i) > 0.8),
-           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                     UNION SELECT id_b, id_a FROM pairs),
-           reach(id, lbl) AS (
-             SELECT DISTINCT src, src FROM edges
-             UNION
-             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
-           cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
-           sz2 AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster),
-           rel AS (SELECT s.doc_id, s.source, s.n_copies,
-                          coalesce(cl.cluster, s.doc_id) AS cluster,
-                          coalesce(sz2.cluster_size, 1) AS cluster_size,
-                          round(1.0 / coalesce(sz2.cluster_size, 1), 6) AS weight
-                   FROM surv s
-                   LEFT JOIN cl ON s.doc_id = cl.id
-                   LEFT JOIN sz2 ON cl.cluster = sz2.cluster),
-           b AS (SELECT *,
-                        ('0x'||substr(md5('rel0' || cluster::varchar), 1, 8))::BIGINT % 100 AS bucket
-                 FROM rel)
-         SELECT doc_id, source, n_copies, cluster, cluster_size, weight, bucket,
-                CASE WHEN bucket < 80 THEN 'train'
-                     WHEN bucket < 90 THEN 'val'
-                     ELSE 'test' END AS split
-         FROM b""",
+    "t24_corpus_release" -> corpusReleaseOracle,
+    "t36_release_report" ->
+      s"""WITH rel AS ($corpusReleaseOracle),
+         all2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+         toks AS (SELECT doc_id,
+                         len(string_split(text, ' '))::BIGINT AS toks
+                  FROM all2)
+         SELECT r.source, r.split, count(*) AS n_docs,
+                sum(t.toks)::BIGINT AS n_tokens,
+                round(sum(r.weight::DECIMAL(30,12))::DOUBLE, 6)
+                  AS total_weight
+         FROM rel r JOIN toks t USING (doc_id)
+         GROUP BY r.source, r.split""",
     "t28_corpus_release_lsh" -> corpusReleaseLshOracle(numPerm = 32,
       bands = 8, threshold = 0.5),
     "t25_repetition_signals" ->
@@ -2698,6 +2689,60 @@ object PipelineQueries {
                     AND t.qid = p.qid
            WHERE e.nid != t.qid
            GROUP BY t.qid, e.nid)"""
+
+  /** t24 oracle (the exact-pair release recipe over the mirrored
+    * corpus) — factored out so t36's per-(source, split) report can
+    * wrap the SAME plan replay as a subquery. */
+  private def corpusReleaseOracle: String =
+      """WITH RECURSIVE
+           all_docs AS (
+             SELECT doc_id, text, source FROM documents
+             UNION ALL
+             SELECT doc_id + 200000, text, 'mirror_' || source
+             FROM documents WHERE doc_id % 7 = 0),
+           ranked AS (
+             SELECT doc_id, text, source,
+                    row_number() OVER (PARTITION BY md5(text)
+                      ORDER BY (CASE WHEN starts_with(source, 'mirror_') THEN 2 ELSE 1 END), doc_id) AS rk,
+                    count(*) OVER (PARTITION BY md5(text)) AS n_copies
+             FROM all_docs),
+           surv AS (SELECT doc_id, text, source, n_copies FROM ranked WHERE rk = 1),
+           w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+           sh AS (SELECT DISTINCT doc_id, ws[n]||' '||ws[n+1]||' '||ws[n+2] AS sh
+                  FROM (SELECT doc_id, ws,
+                          unnest(generate_series(1, greatest(len(ws)-2, 0))) AS n
+                        FROM w) t),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT id_a, id_b FROM inter
+                     JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+                     WHERE i::double / (sa.sz + sb.sz - i) > 0.8),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+           cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+           sz2 AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster),
+           rel AS (SELECT s.doc_id, s.source, s.n_copies,
+                          coalesce(cl.cluster, s.doc_id) AS cluster,
+                          coalesce(sz2.cluster_size, 1) AS cluster_size,
+                          round(1.0 / coalesce(sz2.cluster_size, 1), 6) AS weight
+                   FROM surv s
+                   LEFT JOIN cl ON s.doc_id = cl.id
+                   LEFT JOIN sz2 ON cl.cluster = sz2.cluster),
+           b AS (SELECT *,
+                        ('0x'||substr(md5('rel0' || cluster::varchar), 1, 8))::BIGINT % 100 AS bucket
+                 FROM rel)
+         SELECT doc_id, source, n_copies, cluster, cluster_size, weight, bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b"""
 
   /** t35 oracle: [[graft.operators.TextOps.normalizeText]]'s staged
     * fold chain replayed with the SAME \x{...} classes (RE2 parses
