@@ -47,6 +47,22 @@ object Bench {
     } catch { case _: Throwable => (0L, 0L, 0L, 0L) }
   private val hz = 100.0 // USER_HZ; Linux fixes this at 100 for /proc/stat
 
+  /** Full-evaluation count. A bare `count()` lets Catalyst prune every
+    * unreferenced column AND eliminate final left joins whose right
+    * side is unique-keyed (a groupBy aggregate) — so a query ending in
+    * "spine leftJoin aggregate" benchmarks only its spine (caught on
+    * d23, whose rebuild never ran under count()). Hashing every output
+    * column references them all, forcing the complete plan. */
+  def fullCount(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    // the hash must be CONSUMED (summed), not merely projected — an
+    // unreferenced projection is itself pruned and the count degrades
+    // back to the scan-only plan
+    df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("hs"))
+      .head().getLong(0)
+  }
+
   private def escape(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -105,7 +121,7 @@ object Bench {
       val (busy0, idle0, io0, steal0) = hostStat
       val cpu0 = procCpuNanos
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { fullCount(fn(spark, sfDir)); () }
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
@@ -151,7 +167,7 @@ object Bench {
       // a failed re-run must never win the min: time-to-failure (e.g. a
       // fast transient OOM) would otherwise be recorded as the query's
       // timing even though only the first pass actually succeeded
-      val ok = try { selected(name)(spark, sfDir).count(); true }
+      val ok = try { fullCount(selected(name)(spark, sfDir)); true }
                catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

@@ -32,7 +32,9 @@ object Profile {
     fn(spark, sfDir).explain("formatted")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // full evaluation — a bare count() lets Catalyst eliminate
+      // unique-keyed left joins and prune columns (see Bench.fullCount)
+      val n = Bench.fullCount(fn(spark, sfDir))
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

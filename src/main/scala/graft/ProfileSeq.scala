@@ -26,7 +26,7 @@ object ProfileSeq {
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+      val cnt = Bench.fullCount(SparkEntry.queries(n)(spark, sfDir))
       println(f"[seq] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($cnt rows)")
     }
     spark.stop()

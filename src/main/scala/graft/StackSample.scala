@@ -48,10 +48,10 @@ object StackSample {
     sampler.start()
 
     val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warm up untimed, unsampled
+    Bench.fullCount(fn(spark, sfDir)) // warm up untimed, unsampled
     sampling = true
     val t0 = System.nanoTime()
-    (1 to reps).foreach(_ => fn(spark, sfDir).count())
+    (1 to reps).foreach(_ => Bench.fullCount(fn(spark, sfDir)))
     val dt = (System.nanoTime() - t0) / 1e9
     sampling = false
 

@@ -65,9 +65,19 @@ object TextOps {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** Winnowing-style minimum shingle hash (stable under reordering of
-    * everything but the minimal window). */
+    * everything but the minimal window). Prefer [[minShingleHashOfWords]]
+    * over a PROJECTED words column — this raw-text form inlines the
+    * split into the transform lambda, where HOFs evaluate interpreted
+    * with no subexpression elimination (the shinglesOfWords trap). */
   def minShingleHash(text: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(text, n), s => md5(s)))
+
+  /** [[minShingleHash]] over a pre-split words column — the words array
+    * binds as an attribute, so the tokenization runs once per document
+    * instead of once per element inside the interpreted HOF lambda
+    * (measured 30× on t04 when the raw-text form reached the bench). */
+  def minShingleHashOfWords(w: Column, n: Int = 3): Column =
+    array_min(transform(shinglesOfWords(w, n), s => md5(s)))
 
   /** PII patterns for corpus scrubbing. Deliberately written in the
     * common subset of Java regex and RE2 (no lookaround, no

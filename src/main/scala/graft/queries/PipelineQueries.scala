@@ -440,11 +440,17 @@ object PipelineQueries {
     }),
 
     // Document fingerprinting: normalized-content md5 + min shingle hash.
+    // words PROJECTED below the shingle transform (the shinglesOfWords
+    // discipline): the raw-text form re-splits inside the interpreted
+    // HOF lambda — 6.4 s -> honest sub-second once projected
     "t04_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fp"),
-        TextOps.minShingleHash(col("text"), 3).as("min_shingle"))),
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextOps.words(col("text")).as("__w"))
+        .select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.minShingleHashOfWords(col("__w"), 3).as("min_shingle"))),
 
     // Vocabulary building: corpus-level top-k terms by frequency — the
     // standard first pass of tokenizer training. The top-k runs as a
@@ -475,14 +481,20 @@ object PipelineQueries {
     // Repetition ratio (Gopher-style quality signal): duplicated-3-gram
     // fraction per document; high values mark low-quality repetitive text.
     "t07_repetition_ratio" -> ((s, d) => {
-      val w = TextOps.words(col("text"))
+      // words PROJECTED first — inlining the split expression into the
+      // shingle HOF re-splits the document per element (interpreted
+      // lambda, no CSE): the honest bench showed 12 s for what is a
+      // sub-second projection over the bound array
+      val w = col("__w")
       val total = greatest(size(w) - 2, lit(0))
       val dct = size(TextOps.shinglesOfWords(w, 3))
-      Tables.documents(s, d).select(col("doc_id"),
-        total.as("n_3grams"), dct.as("n_distinct"),
-        round(when(total > 0,
-          lit(1.0) - dct.cast("double") / total.cast("double"))
-          .otherwise(lit(0.0)), 6).as("rep_ratio"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("__w"))
+        .select(col("doc_id"),
+          total.as("n_3grams"), dct.as("n_distinct"),
+          round(when(total > 0,
+            lit(1.0) - dct.cast("double") / total.cast("double"))
+            .otherwise(lit(0.0)), 6).as("rep_ratio"))
     }),
 
     // Deterministic content-hash sampling: md5-derived bucket < 10 of 100

@@ -291,4 +291,15 @@ class PlansSpec extends SparkSpec {
     assert(planStr(plan).contains("LeftAnti"), planStr(plan).take(1200))
     assert(planStr(plan).contains("partial_count"), planStr(plan).take(1200))
   }
+
+  test("Bench.fullCount forces every output column (count() does not)") {
+    // a poisoned projection: assert_true throws IFF the column is
+    // actually evaluated. Bare count() prunes it (and with it, any
+    // final unique-keyed left join — the d23 under-measurement);
+    // fullCount hashes every column, so the poison must fire.
+    val poison = spark.range(3).toDF("id")
+      .selectExpr("id", "assert_true(id < 2) AS probe")
+    assert(poison.count() == 3) // pruned: no evaluation, no error
+    intercept[Exception] { graft.Bench.fullCount(poison) }
+  }
 }
