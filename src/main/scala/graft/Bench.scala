@@ -55,10 +55,26 @@ object Bench {
     * column references them all, forcing the complete plan. */
   def fullCount(df: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DataType, MapType, ArrayType, StructType}
+    // positional aliases first: name-based col() is ambiguous on the
+    // duplicate output names a post-join relation can carry, and a
+    // broken query must never masquerade as a bench error
+    val renamed = df.toDF(df.columns.indices.map(i => s"c$i"): _*)
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType      => true
+      case a: ArrayType    => hasMap(a.elementType)
+      case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+      case _               => false
+    }
+    // xxhash64 rejects map types (unordered); serialize those columns
+    // to JSON first — deterministic per-row and still forces evaluation
+    val cols = renamed.schema.fields.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
     // the hash must be CONSUMED (summed), not merely projected — an
     // unreferenced projection is itself pruned and the count degrades
     // back to the scan-only plan
-    df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+    renamed.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("hs"))
       .head().getLong(0)
   }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Production-shape ANN tuning table for SCALING.md: IVFADC at
+  * nlist=256/1024, m=8 over a 100×-replicated (200 k-vector) corpus,
+  * recall\@k per (nlist, nprobe) graded by [[graft.operators.Similarity
+  * .recallAtK]] against the exact brute-force baseline — the table a
+  * real deployment reads when picking its probe budget. Each copy of a
+  * corpus vector is deterministically perturbed (hash-seeded ±steps) so
+  * the 200 k vectors are UNIQUE — recall over exact duplicates would
+  * grade ties, not retrieval.
+  *
+  * Usage: runMain graft.ProfAnnTune [sfDir] [copies]
+  */
+object ProfAnnTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 100
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Similarity
+
+    val fixturePath = s"/tmp/graft_ann_tune_${copies}x"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixturePath))) {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val reps = spark.range(copies).select(col("id").as("copy"))
+      emb.crossJoin(reps)
+        .select((col("vec_id") + col("copy") * lit(1000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(x + 0.02d * " +
+            "((pmod(hash(vec_id, copy, i), 7)) - 3) as float))").as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(fixturePath)
+      println(s"[tune] fixture written: $fixturePath")
+    }
+    val corpus = spark.read.parquet(fixturePath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[tune] corpus vectors: ${corpus.count()}")
+    val queries = corpus.filter(col("vec_id") < 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[tune] query batch: ${queries.count()}")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val k = 10
+    val (exact, tExact) = timed {
+      val e = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    println(f"[tune] exact baseline (k=$k): $tExact%.1f s")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anntune").toString
+    for (nlist <- Seq(256, 1024)) {
+      val table = s"tune_adc_$nlist"
+      val (_, tBuild) = timed {
+        Similarity.writeIvfadcIndex(corpus, "vec_id", "embedding",
+          table, s"$tmp/$table", dim = 64, nlist = nlist, m = 8, ks = 16,
+          buckets = 32)
+      }
+      val rows = spark.table(table).count()
+      for (nprobe <- Seq(8, 32)) {
+        val (res, tQ) = timed {
+          val r = Similarity.ivfadcTopKIndexed(spark, table, queries,
+            "vec_id", "embedding", dim = 64, k = k, nprobe = nprobe, m = 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        // warm second rep: the serving number (plan reuse, page cache)
+        val (_, tQ2) = timed {
+          Similarity.ivfadcTopKIndexed(spark, table, queries,
+            "vec_id", "embedding", dim = 64, k = k, nprobe = nprobe, m = 8)
+            .count()
+        }
+        val rec = Similarity.recallAtK(exact, res)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[tune] nlist=$nlist%4d nprobe=$nprobe%2d m=8 | build=$tBuild%6.1f s (${rows}%d code rows) | query=$tQ%5.2f s warm=$tQ2%5.2f s | recall@$k=$rec%.3f")
+        res.unpersist()
+      }
+      Seq(table, s"${table}_codebook", s"${table}_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    spark.stop()
+  }
+}

@@ -597,13 +597,18 @@ object Dedup {
       expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
       .as("clean_text"))
     val removed = covered.groupBy("id").agg(count(lit(1)).as("n_removed"))
-    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
+    val result = base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("id"), "left")
       .join(removed, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    // release the corpus-sized token cache once the (document-sized)
+    // result is computed — the sibling operators' materialize/finalized
+    // pairing; without it repeated calls in a long session accumulate
+    // cached token relations
+    finalized(result, base)
   }
 
   /** Connected-components clustering over a near-dup pair list — the step

@@ -239,12 +239,33 @@ object Similarity {
         col("cid").as("cell"))
   }
 
+  /** The probed cell ids as a DRIVER-LOCAL set (bounded by
+    * |queries|·nprobe ≤ nlist ≤ 4096 — the [[cellAssignment]] centroid
+    * contract), pushed as an `isin` LITERAL filter onto the cell-keyed
+    * corpus relation. A broadcast hash join on `cell` only drops rows
+    * AFTER the scan; a literal In on the bucket column reaches
+    * FileSourceStrategy's bucket pruning ([[graft.engine.Bucketing]]),
+    * so a query batch against a persisted index reads ONLY its probed
+    * cells' bucket files — the ~nlist/nprobe scan-I/O factor that
+    * separates an index from a table at production nlist. One bounded
+    * driver action per query batch, the same shape as the probe
+    * ranking itself. */
+  private def pruneToProbedCells(cellKeyed: DataFrame,
+                                 probes: DataFrame): DataFrame = {
+    val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+    require(cells.length <= 4096,
+      s"probed cell set must be driver-bounded, got ${cells.length}")
+    if (cells.isEmpty) cellKeyed.filter(lit(false))
+    else cellKeyed.filter(col("cell").isin(cells.toIndexedSeq: _*))
+  }
+
   /** Exact-cosine search of the probed cells + final top-k window —
     * the shared tail of [[ivfTopK]] and [[ivfTopKIndexed]]. */
   private def probeSearch(assigned: DataFrame, probes: DataFrame,
                           k: Int): DataFrame = {
     import graft.functions.VecExpressions.vec_dot
-    val sims = assigned.join(broadcast(probes), "cell")
+    val sims = pruneToProbedCells(assigned, probes)
+      .join(broadcast(probes), "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
@@ -270,9 +291,12 @@ object Similarity {
     * posture at corpus scale: a production ANN service pays the
     * assignment pass ONCE at index-build time; every subsequent query
     * batch ([[ivfTopKIndexed]]) probes its cells with no assignment
-    * pass and NO shuffle of the corpus — the bucketed layout co-locates
-    * each cell's members, so the probe join streams bucket files
-    * against the broadcast query table. */
+    * pass and NO shuffle of the corpus — and because the probed cell
+    * set is pushed as a literal In filter ([[pruneToProbedCells]]),
+    * the scan BUCKET-PRUNES to exactly the probed cells' bucket files
+    * (IndexPlanSpec pins `SelectedBucketsCount` in the executed plan):
+    * per-batch scan I/O is ~nprobe/nlist of the index, not the whole
+    * table. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     table: String, path: String, nlist: Int = 16,
                     buckets: Int = 8): Unit = {
@@ -339,8 +363,10 @@ object Similarity {
 
   /** Persist an IVFADC index: one CELL-BUCKETED table of
     * (nid, cell, nsub, code, codeN2) — the cell assignment and the PQ
-    * codes of every corpus vector, co-located by cell so a query's
-    * probe join streams exactly its cells' bucket files — plus the
+    * codes of every corpus vector, co-located by cell; at query time
+    * the probed cell set is pushed as a literal In filter
+    * ([[pruneToProbedCells]]) so the scan bucket-prunes to exactly the
+    * probed cells' bucket files (IndexPlanSpec-pinned) — plus the
     * codebook and centroid sidecars. This is the table a billion-vector
     * serving tier actually materializes: m small ints per vector, no
     * raw vectors, built ONCE. Query with [[ivfadcTopKIndexed]]. */
@@ -436,7 +462,8 @@ object Similarity {
       .join(codebook.withColumnRenamed("sub", "nsub"), "nsub")
       .select(col("qid"), col("qn"), col("nsub"), col("cid").as("code"),
         vec_dot(col("qsv"), col("cv")).as("pdot")))
-    val sims = encodedCells.join(broadcast(probes), "cell")
+    val sims = pruneToProbedCells(encodedCells, probes)
+      .join(broadcast(probes), "cell")
       .join(tables, Seq("qid", "nsub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid")

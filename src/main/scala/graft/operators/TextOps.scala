@@ -609,7 +609,17 @@ object TextOps {
     // gate. Byte-for-byte identical output: same pair counting, same
     // freq-desc/(l,r)-asc-in-UTF8-bytes tie-break, same greedy
     // left-to-right fuse.
-    if (syms.count() <= maxDriverVocab) {
+    // gate on ESTIMATED DRIVER BYTES, not just rows: each dictionary
+    // word explodes into per-character String objects (~64 B apiece
+    // with array slot + header), so 2 M long words could be several GB
+    // where 2 M short ones are hundreds of MB. One aggregate yields
+    // both bounds; the distributed fold below is the fallback.
+    val (dictRows, dictSyms) = {
+      val r = syms.agg(count(lit(1)), sum(size(col("syms")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val estBytes = dictSyms * 64L + dictRows * 120L
+    if (dictRows <= maxDriverVocab && estBytes <= (1L << 30)) {
       val dict = syms.as[(Seq[String], Long)].collect()
       syms.unpersist(false)
       return bpeTrainLocal(spark, dict, nMerges)
@@ -644,6 +654,23 @@ object TextOps {
     out.toSeq.toDF("step", "left", "right", "freq")
   }
 
+  /** UTF-8 unsigned-byte string order = Spark's UTF8String binary
+    * collation — the comparator every driver-side rank/tie-break must
+    * use to stay bit-compatible with a distributed `orderBy(asc)`
+    * (Java's String.compareTo orders by UTF-16 code unit, which
+    * diverges on supplementary-plane characters). */
+  def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The classic incremental BPE trainer (Sennrich et al. 2016's
     * dictionary algorithm) over a driver-collected vocabulary: pair
     * counts maintained in a hash map, an inverted pair→words index so
@@ -660,18 +687,6 @@ object TextOps {
     import spark.implicits._
     val wordsArr = dict.map(_._1.toArray)
     val counts = dict.map(_._2)
-    // UTF-8 unsigned-byte order = Spark's UTF8String binary collation
-    def utf8Lt(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      x.length < y.length
-    }
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val p2w = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.Set[Int]]

@@ -294,8 +294,13 @@ object PipelineQueries {
     // BPE token-ID encoding — the final artifact a tokenizer pipeline
     // ships: t29's tokens mapped through a frequency-ranked vocabulary
     // to integer ids (what the training shards actually store). The
-    // vocab ranking window is over the VOCABULARY relation (model-
-    // artifact-sized, the bpeMerges contract), not the corpus.
+    // vocabulary is BOUNDED BY CONSTRUCTION (every encoded token is a
+    // single character or one of the nMerges merge outputs — a model
+    // artifact like the merge table, which is driver-collected anyway),
+    // so the rank is computed on the driver and broadcast-joined back:
+    // no single-partition global window anywhere in the plan. The
+    // driver sort uses the UTF-8 byte comparator so ties match a
+    // distributed `orderBy(token asc)` bit-for-bit.
     "t34_bpe_token_ids" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -303,12 +308,13 @@ object PipelineQueries {
         .orderBy("step").select("left", "right")
         .as[(String, String)].collect().toSeq
       val enc = TextOps.bpeEncode(docs, "doc_id", "text", merges)
-      val vocab = enc.groupBy(col("token"))
+      val vocabLocal = enc.groupBy(col("token"))
         .agg(count(lit(1)).as("freq"))
-        .select(col("token"),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("freq").desc, col("token").asc))
-            .cast("long").as("token_id"))
+        .as[(String, Long)].collect()
+        .sortWith((x, y) =>
+          x._2 > y._2 || (x._2 == y._2 && TextOps.utf8Lt(x._1, y._1)))
+        .zipWithIndex.map { case ((t, _), i) => (t, i + 1L) }
+      val vocab = broadcast(vocabLocal.toSeq.toDF("token", "token_id"))
       enc.join(vocab, "token")
         .select(col("id").as("doc_id"), col("word_idx"), col("token_idx"),
           col("token"), col("token_id"))

@@ -148,9 +148,13 @@ object FtpTransport extends Transport {
       // part: a password containing ':' or '@' must be percent-encoded
       // to parse as a URI at all, and decoding first (what getUserInfo
       // does) would make an encoded ':' indistinguishable from the
-      // user/password separator.
+      // user/password separator. Percent-decode ONLY: URLDecoder speaks
+      // application/x-www-form-urlencoded, where a literal '+' (valid
+      // unencoded in URI userinfo) decodes to a space — escape it first
+      // so credentials with '+' survive verbatim.
       def dec(s: String) =
-        java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+        java.net.URLDecoder.decode(s.replace("+", "%2B"),
+          java.nio.charset.StandardCharsets.UTF_8)
       val (user, pass) = Option(u.getRawUserInfo).map(_.split(":", 2)) match {
         case Some(Array(us, pw)) => (dec(us), dec(pw))
         case Some(Array(us))     => (dec(us), "")

@@ -164,6 +164,15 @@ class FtpSpec extends SparkSpec {
           dest.resolveSibling("f2.txt"))
       }
     }
+    // a LITERAL '+' is valid unencoded in URI userinfo and must reach
+    // the server verbatim — form-urlencoded decoding would turn it into
+    // a space and silently send wrong credentials
+    withFtpServer(root, creds = Some(("plus+user", "a+b:c"))) { base =>
+      val enc = base.replace("ftp://", "ftp://plus+user:a+b%3Ac@")
+      val dest = Files.createTempDirectory("graft-ftp-plus-out").resolve("f.txt")
+      FtpTransport.download(s"$enc/f.txt", dest)
+      assert(Files.readAllLines(dest).get(0) == "ok")
+    }
   }
 
   test("FTP transport: failed fetch leaves no stale .part file") {

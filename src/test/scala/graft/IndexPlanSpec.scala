@@ -3,16 +3,24 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
-/** Plan audits for the persisted-index query paths: the round-11 claim
-  * is that the PQ/IVFADC code tables' bucket layout feeds the
-  * query-time joins/aggregations without re-shuffling corpus-sized
-  * relations. These tests pin the executed plans to that shape.
+/** Plan audits for the persisted-index query paths: the claim is that
+  * the PQ/IVFADC code tables' bucket layout feeds the query-time
+  * joins/aggregations without re-shuffling corpus-sized relations, and
+  * that the cell-bucketed indexes engage BUCKET PRUNING at query time —
+  * a query batch's scan reads only its probed cells' bucket files, not
+  * the whole codes table. These tests pin the executed plans to that
+  * shape, including across appends (the serving posture: build once,
+  * append batches, query forever).
   */
 class IndexPlanSpec extends SparkSpec {
   import spark.implicits._
 
-  private def exchanges(plan: String): Int =
-    "Exchange hashpartitioning".r.findAllIn(plan).length
+  /** `SelectedBucketsCount: x out of y` — emitted by FileSourceScanExec
+    * exactly when bucket pruning produced a bucket subset. Returns
+    * (selected, total) of the FIRST pruned scan in the plan. */
+  private def selectedBuckets(plan: String): Option[(Int, Int)] =
+    """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findFirstMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt))
 
   test("s12 indexed PQ query: code-side aggregation reuses the bucket layout") {
     val emb = Tables.embeddings(spark, sf)
@@ -37,7 +45,7 @@ class IndexPlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_pq_plan_codebook")
   }
 
-  test("s14 indexed IVFADC query: probed-cell scan, no corpus-wide exchange before scoring") {
+  test("s14 indexed IVFADC query: probed-buckets-only scan, no corpus-wide exchange") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-adc-plan").toString
     Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
@@ -50,11 +58,129 @@ class IndexPlanSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"), plan.take(1200))
     // probes and ADC tables broadcast; the codes relation streams from
-    // its buckets into the joins — no assignment or encode stage
-    assert(!plan.contains("d2"), s"encode ran at query time:\n${plan.take(1500)}")
+    // its buckets into the joins — no assignment or encode stage (the
+    // encode's distinctive min(struct(d2#…)) aggregate must be absent)
+    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+      s"encode ran at query time:\n${plan.take(1500)}")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // the probed-cell literal In filter must reach the scan and PRUNE
+    // BUCKET FILES, not just rows: SelectedBucketsCount appears exactly
+    // when FileSourceStrategy produced a bucket subset
+    assert(selectedBuckets(plan).isDefined,
+      s"no bucket pruning at query time:\n${plan.take(1500)}")
+    // and the pushed filter itself is visible on the scan
+    assert(plan.contains("cell#") && plan.contains("PushedFilters"),
+      plan.take(1500))
     spark.sql("DROP TABLE IF EXISTS graft_adc_plan")
     spark.sql("DROP TABLE IF EXISTS graft_adc_plan_codebook")
     spark.sql("DROP TABLE IF EXISTS graft_adc_plan_centroids")
+  }
+
+  test("s07 indexed IVF query: probed-buckets-only scan of the cell-bucketed index") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_plan", s"$dir/idx", nlist = 8, buckets = 8)
+    val q = Similarity.ivfTopKIndexed(spark, "graft_ivf_plan",
+      emb.filter($"vec_id" === 1), "vec_id", "embedding", k = 3, nprobe = 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // one query probing 2 of 8 cells over 8 buckets: the scan must
+    // select a strict subset of bucket files
+    val sel = selectedBuckets(plan)
+    assert(sel.isDefined, s"no bucket pruning:\n${plan.take(1500)}")
+    val (selected, total) = sel.get
+    assert(selected < total,
+      s"pruning selected all buckets ($selected of $total):\n${plan.take(1500)}")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_plan")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_plan_centroids")
+  }
+
+  test("appended PQ index: bucket layout and no-encode plan survive appends; batch-associative") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    val qs = emb.filter($"vec_id" < 5)
+    // index A: one append; index B: the same second batch split in two —
+    // the codebook is batch-1's in both, so query results must be
+    // IDENTICAL (append is batch-associative) and must include
+    // neighbours from appended batches
+    Similarity.writePqIndex(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", "graft_pq_app_a", s"$dir/a", dim = 64, m = 4, ks = 16,
+      buckets = 4)
+    Similarity.appendPqIndex(spark, emb.filter($"vec_id" >= 200),
+      "vec_id", "embedding", "graft_pq_app_a", dim = 64, m = 4, buckets = 4)
+    Similarity.writePqIndex(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", "graft_pq_app_b", s"$dir/b", dim = 64, m = 4, ks = 16,
+      buckets = 4)
+    Similarity.appendPqIndex(spark,
+      emb.filter($"vec_id" >= 200 && $"vec_id" % 2 === 0),
+      "vec_id", "embedding", "graft_pq_app_b", dim = 64, m = 4, buckets = 4)
+    Similarity.appendPqIndex(spark,
+      emb.filter($"vec_id" >= 200 && $"vec_id" % 2 === 1),
+      "vec_id", "embedding", "graft_pq_app_b", dim = 64, m = 4, buckets = 4)
+    assert(spark.table("graft_pq_app_a").count() ==
+      spark.table("graft_pq_app_b").count())
+    val qa = Similarity.pqTopKIndexed(spark, "graft_pq_app_a", qs,
+      "vec_id", "embedding", dim = 64, k = 3, m = 4)
+    val qb = Similarity.pqTopKIndexed(spark, "graft_pq_app_b", qs,
+      "vec_id", "embedding", dim = 64, k = 3, m = 4)
+    val a = qa.as[(Long, Long, Double, Int)].collect().toSet
+    assert(a.nonEmpty && a == qb.as[(Long, Long, Double, Int)].collect().toSet,
+      "append must be batch-associative")
+    assert(a.exists(_._2 >= 200), "appended vectors never surfaced as neighbours")
+    // the plan over the APPENDED table keeps the fresh-index shape:
+    // still bucketed, still no nid exchange, still no encode stage
+    qa.collect()
+    val plan = qa.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"append dropped the bucket layout:\n${plan.take(1200)}")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchangeLines.exists(_.contains("nid")),
+      s"appended codes re-shuffled at query time:\n${exchangeLines.mkString("\n")}")
+    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+      s"encode ran at query time over the appended index:\n${plan.take(1500)}")
+    Seq("graft_pq_app_a", "graft_pq_app_a_codebook",
+        "graft_pq_app_b", "graft_pq_app_b_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("appended IVFADC index: bucket pruning survives appends; batch-associative") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc-app").toString
+    val qs = emb.filter($"vec_id" < 5)
+    Similarity.writeIvfadcIndex(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", "graft_adc_app_a", s"$dir/a", dim = 64, nlist = 8,
+      m = 4, ks = 16, buckets = 4)
+    Similarity.appendIvfadcIndex(spark, emb.filter($"vec_id" >= 200),
+      "vec_id", "embedding", "graft_adc_app_a", dim = 64, m = 4, buckets = 4)
+    Similarity.writeIvfadcIndex(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", "graft_adc_app_b", s"$dir/b", dim = 64, nlist = 8,
+      m = 4, ks = 16, buckets = 4)
+    Similarity.appendIvfadcIndex(spark,
+      emb.filter($"vec_id" >= 200 && $"vec_id" % 2 === 0),
+      "vec_id", "embedding", "graft_adc_app_b", dim = 64, m = 4, buckets = 4)
+    Similarity.appendIvfadcIndex(spark,
+      emb.filter($"vec_id" >= 200 && $"vec_id" % 2 === 1),
+      "vec_id", "embedding", "graft_adc_app_b", dim = 64, m = 4, buckets = 4)
+    val qa = Similarity.ivfadcTopKIndexed(spark, "graft_adc_app_a", qs,
+      "vec_id", "embedding", dim = 64, k = 3, nprobe = 4, m = 4)
+    val qb = Similarity.ivfadcTopKIndexed(spark, "graft_adc_app_b", qs,
+      "vec_id", "embedding", dim = 64, k = 3, nprobe = 4, m = 4)
+    val a = qa.as[(Long, Long, Double, Int)].collect().toSet
+    assert(a.nonEmpty && a == qb.as[(Long, Long, Double, Int)].collect().toSet,
+      "append must be batch-associative")
+    qa.collect()
+    val plan = qa.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"append dropped the bucket layout:\n${plan.take(1200)}")
+    assert(selectedBuckets(plan).isDefined,
+      s"bucket pruning lost after append:\n${plan.take(1500)}")
+    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+      s"encode ran at query time over the appended index:\n${plan.take(1500)}")
+    Seq("graft_adc_app_a", "graft_adc_app_a_codebook", "graft_adc_app_a_centroids",
+        "graft_adc_app_b", "graft_adc_app_b_codebook", "graft_adc_app_b_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

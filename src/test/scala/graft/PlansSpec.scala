@@ -302,4 +302,31 @@ class PlansSpec extends SparkSpec {
     assert(poison.count() == 3) // pruned: no evaluation, no error
     intercept[Exception] { graft.Bench.fullCount(poison) }
   }
+
+  test("t34 token-id plan: vocabulary ranked on the driver, no global window") {
+    // the vocab rank used to be row_number() over an UNPARTITIONED
+    // window — a single-task funnel for the whole vocab relation; the
+    // driver-ranked broadcast-join form must plan with no Window node
+    // and no single-partition exchange anywhere
+    val df = SparkEntry.queries("t34_bpe_token_ids")(spark, sf)
+    val plan = planStr(df)
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(df.count() > 0)
+  }
+
+  test("Bench.fullCount survives duplicate column names and map columns") {
+    // post-join relations can carry duplicate output names, and map
+    // columns reject xxhash64 — neither shape may degrade a bench run
+    // into a recorded query error
+    val a = spark.range(4).toDF("id")
+    val dup = a.join(a.withColumnRenamed("id", "k"), $"id" === $"k")
+      .select($"id", $"k".as("id")) // two columns literally named "id"
+    assert(graft.Bench.fullCount(dup) == 4)
+    val mapped = spark.range(3).toDF("id")
+      .selectExpr("id", "map('k', id) AS m",
+        "named_struct('inner', map('x', id)) AS s")
+    assert(graft.Bench.fullCount(mapped) == 3)
+  }
 }
