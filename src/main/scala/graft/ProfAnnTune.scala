@@ -61,11 +61,44 @@ object ProfAnnTune {
     println(f"[tune] exact baseline (k=$k): $tExact%.1f s")
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-anntune").toString
-    for (nlist <- Seq(256, 1024)) {
-      val table = s"tune_adc_$nlist"
+
+    def recall(res: DataFrame): Double =
+      Similarity.recallAtK(exact, res).agg(avg("recall")).head().getDouble(0)
+
+    // IVF-only rows (exact cosine within probed cells): isolates the
+    // CELL-MISS recall component — IVFADC recall can never exceed this
+    // at the same (nlist, nprobe); the gap below it is quantization loss
+    {
+      val table = "tune_ivf_256"
+      val (_, tBuild) = timed {
+        Similarity.writeIvfIndex(corpus, "vec_id", "embedding",
+          table, s"$tmp/$table", nlist = 256, buckets = 32)
+      }
+      for (nprobe <- Seq(8, 32)) {
+        val (res, tQ) = timed {
+          val r = Similarity.ivfTopKIndexed(spark, table, queries,
+            "vec_id", "embedding", k = k, nprobe = nprobe)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        val (_, tQ2) = timed {
+          Similarity.ivfTopKIndexed(spark, table, queries,
+            "vec_id", "embedding", k = k, nprobe = nprobe).count()
+        }
+        println(f"[tune] IVF-exact nlist= 256 nprobe=$nprobe%2d | build=$tBuild%6.1f s | query=$tQ%5.2f s warm=$tQ2%5.2f s | recall@$k=${recall(res)}%.3f")
+        res.unpersist()
+      }
+      Seq(table, s"${table}_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+
+    // IVFADC grid: nlist × ks (sub-quantizer size — the precision knob;
+    // nprobe stops buying recall once quantization error dominates)
+    for ((nlist, ks) <- Seq((256, 16), (256, 256), (1024, 256))) {
+      val table = s"tune_adc_${nlist}_$ks"
       val (_, tBuild) = timed {
         Similarity.writeIvfadcIndex(corpus, "vec_id", "embedding",
-          table, s"$tmp/$table", dim = 64, nlist = nlist, m = 8, ks = 16,
+          table, s"$tmp/$table", dim = 64, nlist = nlist, m = 8, ks = ks,
           buckets = 32)
       }
       val rows = spark.table(table).count()
@@ -82,9 +115,37 @@ object ProfAnnTune {
             "vec_id", "embedding", dim = 64, k = k, nprobe = nprobe, m = 8)
             .count()
         }
-        val rec = Similarity.recallAtK(exact, res)
-          .agg(avg("recall")).head().getDouble(0)
-        println(f"[tune] nlist=$nlist%4d nprobe=$nprobe%2d m=8 | build=$tBuild%6.1f s (${rows}%d code rows) | query=$tQ%5.2f s warm=$tQ2%5.2f s | recall@$k=$rec%.3f")
+        println(f"[tune] IVFADC nlist=$nlist%4d ks=$ks%3d nprobe=$nprobe%2d m=8 | build=$tBuild%6.1f s (${rows}%d code rows) | query=$tQ%5.2f s warm=$tQ2%5.2f s | recall@$k=${recall(res)}%.3f")
+        res.unpersist()
+      }
+      Seq(table, s"${table}_codebook", s"${table}_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+
+    // By-residual rows (FAISS by_residual=true): same layout, codes
+    // quantize v − centroid(cell) — the knob that moves recall when
+    // nprobe/ks saturate (the non-residual grid above)
+    for ((nlist, ks) <- Seq((256, 16), (256, 256))) {
+      val table = s"tune_res_${nlist}_$ks"
+      val (_, tBuild) = timed {
+        Similarity.writeIvfadcResidualIndex(corpus, "vec_id", "embedding",
+          table, s"$tmp/$table", dim = 64, nlist = nlist, m = 8, ks = ks,
+          buckets = 32)
+      }
+      for (nprobe <- Seq(8, 32)) {
+        val (res, tQ) = timed {
+          val r = Similarity.ivfadcResidualTopKIndexed(spark, table,
+            queries, "vec_id", "embedding", dim = 64, k = k,
+            nprobe = nprobe, m = 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        val (_, tQ2) = timed {
+          Similarity.ivfadcResidualTopKIndexed(spark, table, queries,
+            "vec_id", "embedding", dim = 64, k = k, nprobe = nprobe, m = 8)
+            .count()
+        }
+        println(f"[tune] RESIDUAL nlist=$nlist%4d ks=$ks%3d nprobe=$nprobe%2d m=8 | build=$tBuild%6.1f s | query=$tQ%5.2f s warm=$tQ2%5.2f s | recall@$k=${recall(res)}%.3f")
         res.unpersist()
       }
       Seq(table, s"${table}_codebook", s"${table}_centroids")

@@ -57,6 +57,70 @@ object VecFns {
     case other => throw new IllegalArgumentException(
       s"expected array<float|double>, got $other")
   }
+
+  /** Element-wise a − b in double precision (residual vectors for
+    * by-residual PQ). Truncates to the shorter input, like [[dot2]]. */
+  def sub(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean)
+      : ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      out(i) = x - y
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Spark's SQL double total order (SQLOrderingUtil.compareDoubles):
+    * NaN equals NaN and sorts ABOVE every other value; ±0.0 compare
+    * equal (primitive <,> first — unlike java.lang.Double.compare).
+    * [[bestCell]] must tie-break exactly like a `greatest(struct(csim,
+    * -cid, cid))` over the same values, which uses this ordering. */
+  private def cmpDouble(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1
+    else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+    else if (y.isNaN) -1 else 0
+
+  /** Argmax-over-centroids cell assignment: the nearest (by cosine) of
+    * a driver-bounded centroid matrix, ties toward the smaller cid —
+    * returns struct(cell, csim). Arithmetic is bit-identical to
+    * `vec_dot(v, cv)/(vec_norm(v)·cn)` per centroid (same left-to-right
+    * accumulation, float widened exactly): the per-centroid-literal
+    * `greatest(struct(…))` projection this replaces generated O(nlist)
+    * inline expression code and blew the JVM's 64 KB method limit past
+    * ~100 centroids, silently dropping the whole stage to interpreted
+    * evaluation — this is ONE static call per row at any nlist. */
+  def bestCell(v: ArrayData, vFloat: Boolean, cids: Array[Long],
+               cvs: Array[Array[Double]], cns: Array[Double])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = norm(v, vFloat)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var first = true
+    var j = 0
+    while (j < cids.length) {
+      val cv = cvs(j)
+      val len = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < len) {
+        s += (if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)) * cv(i)
+        i += 1
+      }
+      val csim = s / (n * cns(j))
+      val c = if (first) 1 else cmpDouble(csim, bestSim)
+      if (c > 0 || (c == 0 && cids(j) < bestCid)) {
+        bestSim = csim; bestCid = cids(j)
+      }
+      first = false
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, bestSim))
+  }
 }
 
 /** `vec_dot(a, b)` — Σ a_i·b_i in double precision. */
@@ -89,9 +153,63 @@ case class VecNormExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_norm"
 }
 
+/** `vec_best_cell(v)` — nearest centroid of a driver-bounded matrix by
+  * cosine, ties toward the smaller cid; returns struct(cell: long,
+  * csim: double). The matrix rides in the expression (plan references,
+  * shared per task — NOT per row), so whole-stage codegen emits one
+  * static call regardless of nlist, where the literal-`greatest` form
+  * it replaces overflowed the 64 KB method limit at production nlist
+  * and fell back to interpreted evaluation. */
+case class VecBestCellExpr(child: Expression, cids: Array[Long],
+                           cvs: Array[Array[Double]], cns: Array[Double])
+    extends UnaryExpression {
+  private lazy val isFloat = VecFns.isFloatArray(child.dataType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("csim", DoubleType,
+        nullable = false)))
+  override protected def nullSafeEval(a: Any): Any =
+    VecFns.bestCell(a.asInstanceOf[ArrayData], isFloat, cids, cvs, cns)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val cvsRef = ctx.addReferenceObj("cvs", cvs, "double[][]")
+    val cnsRef = ctx.addReferenceObj("cns", cns, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecFns.bestCell($a, $isFloat, " +
+        s"$cidsRef, $cvsRef, $cnsRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vec_best_cell"
+}
+
+/** `vec_sub(a, b)` — element-wise a − b as array<double>. */
+case class VecSubExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val lFloat = VecFns.isFloatArray(left.dataType)
+  private lazy val rFloat = VecFns.isFloatArray(right.dataType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecFns.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lFloat, rFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecFns.sub($a, $b, $lFloat, $rFloat);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_sub"
+}
+
 object VecExpressions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def vec_norm(a: Column): Column =
     ColumnBridge.column(VecNormExpr(ColumnBridge.expression(a)))
+  def vec_sub(a: Column, b: Column): Column =
+    ColumnBridge.column(VecSubExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vec_best_cell(v: Column, cids: Array[Long], cvs: Array[Array[Double]],
+                    cns: Array[Double]): Column =
+    ColumnBridge.column(VecBestCellExpr(ColumnBridge.expression(v),
+      cids, cvs, cns))
 }

@@ -195,36 +195,29 @@ object Similarity {
         (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x)))
       }
 
-  /** One cell per corpus vector, as a PURE MAP-SIDE literal argmax: the
+  /** One cell per corpus vector, as a PURE MAP-SIDE argmax: the
     * centroid table is driver-bounded (nlist rows — the same bounded-
-    * collect contract as TripleSinks' prefix scan), so each centroid
-    * becomes a literal vector in ONE codegen'd projection and the best
-    * cell is `greatest` over (csim, -cid, cid) structs — the identical
-    * (csim DESC, cid ASC) tie order as the previous max-struct
-    * aggregate, with NO shuffle, no ×nlist row blow-up, and no
-    * SortAggregate fallback (the old aggregate carried the vector in
-    * the max struct — a var-width buffer that fell out of hash
-    * aggregation). At corpus scale assignment now streams: scan →
-    * project → done. Returns (nid, cell, csim, nv, nn). */
+    * collect contract as TripleSinks' prefix scan) and rides in ONE
+    * codegen'd [[graft.functions.VecExpressions.vec_best_cell]]
+    * expression — (csim DESC, cid ASC) tie order, NO shuffle, no
+    * ×nlist row blow-up, and constant generated-code size at any
+    * nlist (the per-centroid-literal `greatest` form this replaces
+    * overflowed the JVM's 64 KB method limit past ~100 centroids and
+    * silently dropped the stage to interpreted evaluation — caught by
+    * the round-12 nlist=256 tuning run). At corpus scale assignment
+    * streams: scan → project → done. Returns (nid, cell, csim, nv,
+    * nn). */
   private def cellAssignment(corpus: DataFrame, idCol: String, vecCol: String,
                              cents: DataFrame): DataFrame = {
-    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    import graft.functions.VecExpressions.{vec_best_cell, vec_norm}
     val local = collectCentroids(cents)
     require(local.nonEmpty && local.length <= 4096,
       s"centroid table must be driver-bounded, got ${local.length}")
-    val v = col("v").cast("array<double>")
-    val n = col("n")
-    val candidates = local.map { case (cid, cv, cn) =>
-      struct((vec_dot(v, typedLit(cv)) / (n * lit(cn))).as("csim"),
-        lit(-cid).as("negc"), lit(cid).as("cell"))
-    }
     corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
-      .withColumn("n", vec_norm(v))
-      .withColumn("b",
-        if (candidates.length == 1) candidates.head
-        else greatest(candidates.toIndexedSeq: _*))
+      .withColumn("b", vec_best_cell(col("v"),
+        local.map(_._1), local.map(_._2.toArray), local.map(_._3)))
       .select(col("nid"), col("b.cell").as("cell"), col("b.csim").as("csim"),
-        col("v").as("nv"), col("n").as("nn"))
+        col("v").as("nv"), vec_norm(col("v")).as("nn"))
   }
 
   /** nprobe nearest cells per query (query set is small by construction
@@ -472,6 +465,197 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Residual relation for by-residual PQ: (nid, cell, rv) with
+    * rv = v − centroid(cell) in double precision (the codegen'd
+    * [[graft.functions.VecExpressions.vec_sub]], not a HOF). */
+  private def residualVectors(corpus: DataFrame, idCol: String,
+                              vecCol: String, cents: DataFrame): DataFrame = {
+    import graft.functions.VecExpressions.vec_sub
+    cellAssignment(corpus, idCol, vecCol, cents)
+      .select(col("nid"), col("cell"), col("nv"))
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("nid"), col("cell"), vec_sub(col("nv"), col("cv")).as("rv"))
+  }
+
+  /** Per-cell per-subspace centroid slices: (cell, nsub, csub) —
+    * broadcast dimension for the codeCdot cross terms. */
+  private def centroidSlices(cents: DataFrame, dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    cents.select(col("cid").as("cell"),
+      posexplode(array((0 until m).map(i =>
+        slice(toDoubleVec(col("cv")), i * sub + 1, sub)): _*))
+        .as(Seq("nsub", "csub")))
+  }
+
+  /** Residual PQ codes with the reconstruction cross term:
+    * (nid, cell, nsub, code, codeN2, codeCdot) where codeCdot =
+    * dot(centroid_sub(cell), codebook(nsub, code)) — precomputed at
+    * build time (FAISS's IVFPQ precomputed-tables device, stored per
+    * code row so query-time scoring is one aggregate). */
+  private def residualCodes(resid: DataFrame, codebook: DataFrame,
+                            cents: DataFrame, dim: Int, m: Int): DataFrame = {
+    import graft.functions.VecExpressions.vec_dot
+    pqEncode(resid, "nid", "rv", codebook, dim, m)
+      .join(resid.select(col("nid"), col("cell")), "nid")
+      .join(broadcast(centroidSlices(cents, dim, m)), Seq("cell", "nsub"))
+      .join(broadcast(codebook.select(col("sub").as("nsub"),
+        col("cid").as("code"), col("cv").as("cbv"))), Seq("nsub", "code"))
+      .withColumn("codeCdot", vec_dot(col("csub"), col("cbv")))
+      .select(col("nid"), col("cell"), col("nsub"), col("code"),
+        col("codeN2"), col("codeCdot"))
+  }
+
+  /** The residual ADC score aggregate — exact reconstruction cosine
+    * cos(q, x̂) with x̂ = centroid(cell) + r̂:
+    * dot(q, x̂)   = qcdot + Σ pdot
+    * ‖x̂‖²        = cn2 + 2·Σ codeCdot + Σ codeN2
+    * Sums accumulate as DECIMAL(30,12) (the [[adcSim]] order-
+    * independence contract); qcdot/cn2 are per-(query, cell) constants
+    * so max() reads them. Because this IS cosine(q, x̂), |sim| ≤ 1 —
+    * an invariant the non-residual global-codebook score does not
+    * have, and one the spec asserts. */
+  private def residualAdcSim: Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    (max(col("qcdot")) + sum(col("pdot").cast(dec)).cast("double")) /
+      (max(col("qn")) * sqrt(max(col("cn2")) +
+        lit(2.0) * sum(col("codeCdot").cast(dec)).cast("double") +
+        sum(col("codeN2").cast(dec)).cast("double")))
+  }
+
+  /** The shared residual-IVFADC query tail: probe cells (carrying the
+    * query⋅centroid and ‖centroid‖² reconstruction terms), broadcast
+    * the residual ADC tables, score the probed cells' codes (scan
+    * bucket-pruned via [[pruneToProbedCells]]), top-k. */
+  private def ivfadcResidualSearch(encodedCells: DataFrame,
+                                   queries: DataFrame, idCol: String,
+                                   vecCol: String, codebook: DataFrame,
+                                   cents: DataFrame, dim: Int, m: Int,
+                                   k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val sub = dim / m
+    val probes = probeCells(queries, idCol, vecCol, cents, nprobe)
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("qid"), col("cell"),
+        vec_dot(col("qv"), col("cv")).as("qcdot"),
+        vec_dot(col("cv"), col("cv")).as("cn2"))
+    val tables = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
+      .select(col("qid"), col("qn"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("qv"), i * sub + 1, sub)): _*)).as(Seq("nsub", "qsv")))
+      .join(codebook.withColumnRenamed("sub", "nsub"), "nsub")
+      .select(col("qid"), col("qn"), col("nsub"), col("cid").as("code"),
+        vec_dot(col("qsv"), col("cv")).as("pdot")))
+    val sims = pruneToProbedCells(encodedCells, probes)
+      .join(broadcast(probes), "cell")
+      .join(tables, Seq("qid", "nsub", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid")
+      .agg(residualAdcSim.as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** By-residual IVFADC — the encoding FAISS actually defaults to
+    * (`by_residual=true`, Jégou et al. 2011 §IV): each vector's PQ
+    * codes quantize its RESIDUAL v − centroid(cell) rather than v
+    * itself. Residuals are small (the coarse quantizer explains most
+    * of the vector), so the same m×ks code budget spends its precision
+    * on the part that distinguishes neighbours within a cell — the
+    * round-12 tuning tier measured non-residual recall\@10 stuck at
+    * 0.16–0.25 across ks 16→256 and nprobe 8→32 on the 200 k corpus;
+    * this is the knob that moves it. Scoring is the exact
+    * reconstruction cosine cos(q, centroid + r̂) via one aggregate
+    * over precomputed cross terms ([[residualCodes]]) — so |sim| ≤ 1
+    * and sim → exact cosine as quantization error → 0. Fully
+    * deterministic (md5-seeded centroids and codebook), oracle-checked
+    * in s18/s19. */
+  def ivfadcResidualTopK(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, dim: Int, k: Int,
+                         nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                         ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
+      .withColumn("cn", vec_norm(col("cv"))))
+    val resid = residualVectors(corpus, idCol, vecCol, cents)
+    val codebook = pqCodebook(resid, "nid", "rv", dim, m, ks)
+    ivfadcResidualSearch(residualCodes(resid, codebook, cents, dim, m),
+      queries, idCol, vecCol, codebook, cents, dim, m, k, nprobe)
+  }
+
+  /** Persist a by-residual IVFADC index: the cell-bucketed residual
+    * codes table (with the precomputed codeCdot cross terms) plus
+    * codebook/centroid sidecars — same serving layout as
+    * [[writeIvfadcIndex]] (bucket-pruned probed-cells-only scans),
+    * better recall per code byte. Query with
+    * [[ivfadcResidualTopKIndexed]]. */
+  def writeIvfadcResidualIndex(corpus: DataFrame, idCol: String,
+                               vecCol: String, table: String, path: String,
+                               dim: Int, nlist: Int = 16, m: Int = 4,
+                               ks: Int = 16, buckets: Int = 8): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    import graft.functions.VecExpressions.vec_norm
+    val spark = corpus.sparkSession
+    val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
+    val resid = residualVectors(corpus, idCol, vecCol, cents)
+    val codebook = pqCodebook(resid, "nid", "rv", dim, m, ks)
+    codebook.write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_codebook")
+      .saveAsTable(s"${table}_codebook")
+    cents0.write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_centroids")
+      .saveAsTable(s"${table}_centroids")
+    graft.engine.Bucketing.writeBucketed(
+      residualCodes(resid, codebook, cents, dim, m),
+      table, path, Seq("cell"), buckets)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Append a new batch to a persisted by-residual index: assign to
+    * the EXISTING centroids, encode residuals against the EXISTING
+    * codebook, insert into the bucketed table — the
+    * [[appendIvfadcIndex]] posture with residual semantics. */
+  def appendIvfadcResidualIndex(spark: SparkSession, newVectors: DataFrame,
+                                idCol: String, vecCol: String,
+                                table: String, dim: Int, m: Int = 4,
+                                buckets: Int = 8): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_centroids")
+      .withColumn("cn", vec_norm(col("cv"))))
+    val codebook = graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_codebook")
+    val resid = residualVectors(newVectors, idCol, vecCol, cents)
+    residualCodes(resid, codebook, cents, dim, m)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Query a persisted by-residual IVFADC index — bit-identical to
+    * [[ivfadcResidualTopK]] at the same parameters; no assignment,
+    * encode, or raw-vector pass, bucket-pruned probed-cell scan. */
+  def ivfadcResidualTopKIndexed(spark: SparkSession, table: String,
+                                queries: DataFrame, idCol: String,
+                                vecCol: String, dim: Int, k: Int,
+                                nprobe: Int = 4, m: Int = 4): DataFrame = {
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_centroids")
+      .withColumn("cn", vec_norm(col("cv"))))
+    val codebook = graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_codebook")
+    ivfadcResidualSearch(graft.engine.Bucketing.readBucketed(spark, table),
+      queries, idCol, vecCol, codebook, cents, dim, m, k, nprobe)
   }
 
   /** Lloyd refinement of the [[ivfCentroids]] seed: `iters` rounds of

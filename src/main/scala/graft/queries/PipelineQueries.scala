@@ -258,6 +258,36 @@ object PipelineQueries {
         dim = 64, k = 3, nprobe = 4, m = 4)
     }),
 
+    // By-residual IVFADC (FAISS by_residual=true, its actual default):
+    // codes quantize v − centroid(cell), so the m×ks budget spends its
+    // precision on what distinguishes neighbours WITHIN a cell; the
+    // score is the exact reconstruction cosine cos(q, centroid + r̂)
+    // via build-time cross terms. The round-12 tuning tier measured
+    // non-residual recall stuck at 0.16–0.25 regardless of ks/nprobe —
+    // this is the knob that moves it.
+    "s18_ann_ivfadc_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfadcResidualTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3, nlist = 16, nprobe = 4,
+        m = 4, ks = 16)
+    }),
+
+    // Persisted by-residual index — the s14 serving layout (one
+    // cell-bucketed codes table, bucket-pruned probed-cell scans) with
+    // residual codes + precomputed reconstruction cross terms.
+    // Bit-identical to s18.
+    "s19_ann_ivfadc_residual_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_adc_res_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfadcResidualIndex(emb, "vec_id", "embedding",
+        "graft_adc_res", path, dim = 64, nlist = 16, m = 4, ks = 16,
+        buckets = 8)
+      Similarity.ivfadcResidualTopKIndexed(s, "graft_adc_res",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3, nprobe = 4, m = 4)
+    }),
+
     // Recall audit for the composed index (s08's device on s13): how
     // much of the exact top-3 does IVFADC retain at this (nlist,
     // nprobe, m)? The tuning readout a deployment reads before raising
@@ -1790,6 +1820,8 @@ object PipelineQueries {
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     "s13_ann_ivfadc" -> ivfadcOracle,
+    "s18_ann_ivfadc_residual" -> ivfadcResidualOracle,
+    "s19_ann_ivfadc_residual_indexed" -> ivfadcResidualOracle,
     // the persisted index must be bit-identical to the in-session
     // composition — one shared oracle
     "s14_ann_ivfadc_indexed" -> ivfadcOracle,
@@ -2707,6 +2739,108 @@ object PipelineQueries {
                     AND t.qid = p.qid
            WHERE e.nid != t.qid
            GROUP BY t.qid, e.nid)"""
+
+  /** s18/s19 oracle: by-residual IVFADC replayed end to end — cell
+    * assignment, residual vectors, residual codebook (md5 'pq' sample
+    * of RESIDUALS), residual argmin encode, the precomputed
+    * centroid⋅code cross terms, and the reconstruction-cosine score
+    * cos(q, centroid + r̂) with DECIMAL(30,12) partial sums. Shared by
+    * the in-session composition and the persisted index (bit-identical
+    * by construction). */
+  private def ivfadcResidualOracle: String =
+    s"""WITH c AS (
+           SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
+           FROM embeddings
+           ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
+         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT ev.vec_id AS id, c.ccid,
+                  list_dot_product(ev.v, c.ccv)
+                    / (sqrt(list_dot_product(ev.v, ev.v))
+                       * sqrt(list_dot_product(c.ccv, c.ccv))) AS csim
+           FROM ev, c),
+         cells AS (
+           SELECT id AS nid, ccid AS cell FROM (
+             SELECT id, ccid,
+                    row_number() OVER (
+                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, ccid AS cell FROM (
+             SELECT id, ccid,
+                    row_number() OVER (
+                      PARTITION BY id ORDER BY csim DESC, ccid) AS rn
+             FROM asgn WHERE id < 10) t WHERE rn <= 4),
+         rv AS (
+           SELECT cl.nid, cl.cell,
+                  list_transform(range(1, 65), i -> e.v[i] - c.ccv[i]) AS rv
+           FROM cells cl
+           JOIN ev e ON e.vec_id = cl.nid
+           JOIN c ON c.ccid = cl.cell),
+         samp AS (
+           SELECT nid AS sid, rv AS sv,
+                  row_number() OVER (
+                    ORDER BY md5('pq'||nid::varchar), nid) AS cid
+           FROM rv
+           ORDER BY md5('pq'||nid::varchar), nid LIMIT 16),
+         cb AS (
+           SELECT cid, g.sub,
+                  list_slice(sv, g.sub*16 + 1, g.sub*16 + 16) AS cv
+           FROM samp, (SELECT unnest(range(0, 4)) AS sub) g),
+         cb2 AS (SELECT cid, sub, cv,
+                        list_inner_product(cv, cv) AS cn2 FROM cb),
+         encr0 AS (
+           SELECT r.nid, b.sub AS nsub, b.cid, b.cn2,
+                  b.cn2 - 2 * list_inner_product(
+                    list_slice(r.rv, b.sub*16 + 1, b.sub*16 + 16),
+                    b.cv) AS d2
+           FROM rv r CROSS JOIN cb2 b),
+         encr AS (
+           SELECT nid, nsub, cid AS code, cn2 AS coden2
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY nid, nsub ORDER BY d2, cid) AS rn
+                 FROM encr0)
+           WHERE rn = 1),
+         ccd AS (
+           SELECT en.nid, cl.cell, en.nsub, en.code, en.coden2,
+                  list_inner_product(
+                    list_slice(c.ccv, en.nsub*16 + 1, en.nsub*16 + 16),
+                    b.cv) AS codecdot
+           FROM encr en
+           JOIN cells cl ON cl.nid = en.nid
+           JOIN c ON c.ccid = cl.cell
+           JOIN cb2 b ON b.sub = en.nsub AND b.cid = en.code),
+         qc AS (
+           SELECT p.qid, p.cell,
+                  list_inner_product(q.v, c.ccv) AS qcdot,
+                  list_inner_product(c.ccv, c.ccv) AS cn2
+           FROM probes p
+           JOIN ev q ON q.vec_id = p.qid
+           JOIN c ON c.ccid = p.cell),
+         qt AS (
+           SELECT q.vec_id AS qid,
+                  sqrt(list_inner_product(q.v, q.v)) AS qn,
+                  b.sub AS nsub, b.cid AS code,
+                  list_inner_product(
+                    list_slice(q.v, b.sub*16 + 1, b.sub*16 + 16),
+                    b.cv) AS pdot
+           FROM ev q CROSS JOIN cb2 b WHERE q.vec_id < 10),
+         rsims AS (
+           SELECT t.qid, en.nid,
+                  (max(qc.qcdot) + sum(t.pdot::DECIMAL(30,12))::DOUBLE)
+                    / (max(t.qn) * sqrt(max(qc.cn2)
+                        + 2 * sum(en.codecdot::DECIMAL(30,12))::DOUBLE
+                        + sum(en.coden2::DECIMAL(30,12))::DOUBLE)) AS sim
+           FROM ccd en
+           JOIN qc ON qc.cell = en.cell
+           JOIN qt t ON t.nsub = en.nsub AND t.code = en.code
+                    AND t.qid = qc.qid
+           WHERE en.nid != t.qid
+           GROUP BY t.qid, en.nid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM rsims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
 
   /** t24 oracle (the exact-pair release recipe over the mirrored
     * corpus) — factored out so t36's per-(source, split) report can

@@ -274,6 +274,80 @@ class OperatorsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivfadc_spec_centroids")
   }
 
+  test("residual IVFADC: cosine-bounded scores, recall ≥ non-residual, indexed ≡ in-session") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 10)
+    val k = 5
+    val res = Similarity.ivfadcResidualTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = k, nlist = 8, nprobe = 8, m = 4, ks = 16)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.nonEmpty)
+    // the residual score IS cos(q, centroid + r̂) — a true cosine, so
+    // |sim| ≤ 1 (+fp slack); the non-residual global-codebook ADC
+    // score has no such bound
+    assert(res.forall(r => math.abs(r._3) <= 1.0 + 1e-9),
+      s"reconstruction cosine out of [-1,1]: ${res.filter(r => math.abs(r._3) > 1.0 + 1e-9).mkString(",")}")
+    // residuals spend the code budget on within-cell structure: recall
+    // vs the exact top-k must not fall below the non-residual encoding
+    // at identical (nlist, nprobe, m, ks) — the property that makes
+    // by_residual the FAISS default (soft margin: tiny corpus)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+    val plain = Similarity.ivfadcTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = k, nlist = 8, nprobe = 8, m = 4, ks = 16)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    val (rRes, rPlain) = (meanRecall(
+      Similarity.ivfadcResidualTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = k, nlist = 8, nprobe = 8, m = 4, ks = 16)), meanRecall(plain))
+    assert(rRes >= rPlain - 0.05,
+      s"residual recall $rRes fell below non-residual $rPlain")
+    // persisted index reproduces the in-session results bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc-res").toString
+    Similarity.writeIvfadcResidualIndex(emb, "vec_id", "embedding",
+      "graft_adc_res_spec", s"$dir/idx", dim = 64, nlist = 8, m = 4,
+      ks = 16, buckets = 4)
+    val indexed = Similarity.ivfadcResidualTopKIndexed(spark,
+      "graft_adc_res_spec", qs, "vec_id", "embedding", dim = 64, k = k,
+      nprobe = 8, m = 4)
+    assert(indexed.as[(Long, Long, Double, Int)].collect().toSet == res.toSet,
+      "residual index round-trip must reproduce the in-session results")
+    Seq("graft_adc_res_spec", "graft_adc_res_spec_codebook",
+        "graft_adc_res_spec_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("residual IVFADC append: batch-associative, appended rows retrievable") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc-res-app").toString
+    Similarity.writeIvfadcResidualIndex(emb.filter($"vec_id" < 200),
+      "vec_id", "embedding", "graft_res_app_a", s"$dir/a", dim = 64,
+      nlist = 8, m = 4, ks = 16, buckets = 4)
+    Similarity.appendIvfadcResidualIndex(spark, emb.filter($"vec_id" >= 200),
+      "vec_id", "embedding", "graft_res_app_a", dim = 64, m = 4, buckets = 4)
+    Similarity.writeIvfadcResidualIndex(emb.filter($"vec_id" < 200),
+      "vec_id", "embedding", "graft_res_app_b", s"$dir/b", dim = 64,
+      nlist = 8, m = 4, ks = 16, buckets = 4)
+    Similarity.appendIvfadcResidualIndex(spark,
+      emb.filter($"vec_id" >= 200 && $"vec_id" % 2 === 0),
+      "vec_id", "embedding", "graft_res_app_b", dim = 64, m = 4, buckets = 4)
+    Similarity.appendIvfadcResidualIndex(spark,
+      emb.filter($"vec_id" >= 200 && $"vec_id" % 2 === 1),
+      "vec_id", "embedding", "graft_res_app_b", dim = 64, m = 4, buckets = 4)
+    val qa = Similarity.ivfadcResidualTopKIndexed(spark, "graft_res_app_a",
+      qs, "vec_id", "embedding", dim = 64, k = 3, nprobe = 8, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val qb = Similarity.ivfadcResidualTopKIndexed(spark, "graft_res_app_b",
+      qs, "vec_id", "embedding", dim = 64, k = 3, nprobe = 8, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(qa.nonEmpty && qa == qb, "residual append must be batch-associative")
+    assert(qa.exists(_._2 >= 200), "appended vectors never surfaced")
+    Seq("graft_res_app_a", "graft_res_app_a_codebook", "graft_res_app_a_centroids",
+        "graft_res_app_b", "graft_res_app_b_codebook", "graft_res_app_b_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("text normalize: typographic folds, fold count, idempotent") {
     val docs = Seq(
       (1L, "a \u201Cquoted\u201D word"),
