@@ -26,14 +26,23 @@ object ProfAnnTune {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Similarity
 
-    val fixturePath = s"/tmp/graft_ann_tune_${copies}x"
+    // GRADED noise: copy c is perturbed with amplitude ∝ (1 + c), so a
+    // query's exact top-k is its low-amplitude copies at cleanly
+    // separated distances. The v1 fixture used a FLAT ±0.06 amplitude,
+    // which made every query's top-10 a near-tie lottery among ~99
+    // equally-distant copies — no coarse quantizer can rank ties that
+    // sit below its resolution, so PQ/IVFADC recall was structurally
+    // ~0.1–0.25 regardless of ks/nprobe/residual (the SCALING.md v1
+    // table; IVF-exact resolved them at 0.965+ because exact scoring
+    // can). Recall on v2 grades the quantizer, not the tie lottery.
+    val fixturePath = s"/tmp/graft_ann_tune_${copies}x_v2"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixturePath))) {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(copies).select(col("id").as("copy"))
       emb.crossJoin(reps)
         .select((col("vec_id") + col("copy") * lit(1000000L)).as("vec_id"),
-          expr("transform(embedding, (x, i) -> cast(x + 0.02d * " +
+          expr("transform(embedding, (x, i) -> cast(x + 0.004d * (1 + copy) * " +
             "((pmod(hash(vec_id, copy, i), 7)) - 3) as float))").as("embedding"))
         .repartition(32)
         .write.mode("overwrite").parquet(fixturePath)

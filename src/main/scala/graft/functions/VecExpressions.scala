@@ -74,6 +74,55 @@ object VecFns {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** PQ encoding of one vector against a driver-bounded per-subspace
+    * codebook: for each of the `m` subspaces, the codebook entry
+    * minimizing ‖x_sub − c‖² (via d2 = ‖c‖² − 2·x_sub·c, ties toward
+    * the smaller cid — the exact semantics of the (id, sub)-keyed
+    * `min(struct(d2, cid, cn2))` aggregate this replaces). Returns an
+    * array of m (code, codeN2) structs. The aggregate formulation
+    * exploded the corpus ×m, joined the broadcast codebook ×ks and
+    * re-aggregated — ×(m·ks) rows through the plan per vector; this is
+    * ONE codegen'd call per vector, so index builds become scan →
+    * project → bucketed write. */
+  def pqCodes(v: ArrayData, vFloat: Boolean, m: Int, sub: Int,
+              cids: Array[Array[Int]], cvs: Array[Array[Array[Double]]],
+              cn2s: Array[Array[Double]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Any](m)
+    val vLen = v.numElements()
+    var s0 = 0
+    while (s0 < m) {
+      var bestD2 = 0.0
+      var bestCid = 0
+      var bestCn2 = 0.0
+      var first = true
+      val scids = cids(s0); val scvs = cvs(s0); val scn2 = cn2s(s0)
+      var j = 0
+      while (j < scids.length) {
+        val cv = scvs(j)
+        var dot = 0.0
+        var i = 0
+        while (i < sub && i < cv.length && s0 * sub + i < vLen) {
+          val x = if (vFloat) v.getFloat(s0 * sub + i).toDouble
+                  else v.getDouble(s0 * sub + i)
+          dot += x * cv(i)
+          i += 1
+        }
+        val d2 = scn2(j) - 2.0 * dot
+        val c = if (first) -1 else cmpDouble(d2, bestD2)
+        if (c < 0 || (c == 0 && scids(j) < bestCid)) {
+          bestD2 = d2; bestCid = scids(j); bestCn2 = scn2(j)
+        }
+        first = false
+        j += 1
+      }
+      out(s0) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](bestCid, bestCn2))
+      s0 += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Spark's SQL double total order (SQLOrderingUtil.compareDoubles):
     * NaN equals NaN and sorts ABOVE every other value; ±0.0 compare
     * equal (primitive <,> first — unlike java.lang.Double.compare).
@@ -184,6 +233,37 @@ case class VecBestCellExpr(child: Expression, cids: Array[Long],
   override def prettyName: String = "vec_best_cell"
 }
 
+/** `vec_pq_codes(v)` — per-subspace PQ argmin codes against a
+  * driver-bounded codebook riding in plan references; returns
+  * array<struct<code: int, codeN2: double>> of length m. One codegen'd
+  * static call per vector — the encode stage of an index build with no
+  * ×(m·ks) row blow-up. */
+case class VecPqCodesExpr(child: Expression, m: Int, sub: Int,
+                          cids: Array[Array[Int]],
+                          cvs: Array[Array[Array[Double]]],
+                          cn2s: Array[Array[Double]])
+    extends UnaryExpression {
+  private lazy val isFloat = VecFns.isFloatArray(child.dataType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("codeN2", DoubleType,
+        nullable = false))), containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    VecFns.pqCodes(a.asInstanceOf[ArrayData], isFloat, m, sub, cids, cvs, cn2s)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[][]")
+    val cvsRef = ctx.addReferenceObj("cvs", cvs, "double[][][]")
+    val cn2sRef = ctx.addReferenceObj("cn2s", cn2s, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecFns.pqCodes($a, $isFloat, $m, $sub, " +
+        s"$cidsRef, $cvsRef, $cn2sRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vec_pq_codes"
+}
+
 /** `vec_sub(a, b)` — element-wise a − b as array<double>. */
 case class VecSubExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -208,6 +288,11 @@ object VecExpressions {
     ColumnBridge.column(VecNormExpr(ColumnBridge.expression(a)))
   def vec_sub(a: Column, b: Column): Column =
     ColumnBridge.column(VecSubExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vec_pq_codes(v: Column, m: Int, sub: Int, cids: Array[Array[Int]],
+                   cvs: Array[Array[Array[Double]]],
+                   cn2s: Array[Array[Double]]): Column =
+    ColumnBridge.column(VecPqCodesExpr(ColumnBridge.expression(v),
+      m, sub, cids, cvs, cn2s))
   def vec_best_cell(v: Column, cids: Array[Long], cvs: Array[Array[Double]],
                     cns: Array[Double]): Column =
     ColumnBridge.column(VecBestCellExpr(ColumnBridge.expression(v),

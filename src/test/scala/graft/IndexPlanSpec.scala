@@ -59,8 +59,8 @@ class IndexPlanSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan.take(1200))
     // probes and ADC tables broadcast; the codes relation streams from
     // its buckets into the joins — no assignment or encode stage (the
-    // encode's distinctive min(struct(d2#…)) aggregate must be absent)
-    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+    // encode's distinctive vec_pq_codes projection must be absent)
+    assert(!plan.contains("vec_pq_codes"),
       s"encode ran at query time:\n${plan.take(1500)}")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     // the probed-cell literal In filter must reach the scan and PRUNE
@@ -139,7 +139,7 @@ class IndexPlanSpec extends SparkSpec {
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(!exchangeLines.exists(_.contains("nid")),
       s"appended codes re-shuffled at query time:\n${exchangeLines.mkString("\n")}")
-    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+    assert(!plan.contains("vec_pq_codes"),
       s"encode ran at query time over the appended index:\n${plan.take(1500)}")
     Seq("graft_pq_app_a", "graft_pq_app_a_codebook",
         "graft_pq_app_b", "graft_pq_app_b_codebook")
@@ -177,7 +177,7 @@ class IndexPlanSpec extends SparkSpec {
       s"append dropped the bucket layout:\n${plan.take(1200)}")
     assert(selectedBuckets(plan).isDefined,
       s"bucket pruning lost after append:\n${plan.take(1500)}")
-    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+    assert(!plan.contains("vec_pq_codes"),
       s"encode ran at query time over the appended index:\n${plan.take(1500)}")
     Seq("graft_adc_app_a", "graft_adc_app_a_codebook", "graft_adc_app_a_centroids",
         "graft_adc_app_b", "graft_adc_app_b_codebook", "graft_adc_app_b_centroids")

@@ -187,16 +187,15 @@ class OperatorsSpec extends SparkSpec {
     // ...and the query plan contains NO corpus-encode stage: encoding is
     // an argmin-over-codebook aggregate keyed by (id, sub) — the only
     // aggregates at query time are the ADC (qid, nid) sum and the probe
-    // prep; assert the encode's DISTINCTIVE min(struct(d2#…)) aggregate
-    // is absent (a bare "d2" substring would also match unrelated
-    // attribute names or codegen ids)
-    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+    // prep; assert the encode stage's distinctive vec_pq_codes
+    // projection is absent
+    assert(!plan.contains("vec_pq_codes"),
       s"corpus encode ran at query time:\n$plan")
     // positive control: the same pattern MUST match the in-query path's
     // plan (which does encode) — a renamed encode column would otherwise
     // turn the absence assertion above into a vacuous pass
     val directPlan = direct.queryExecution.executedPlan.toString
-    assert("""min\(struct\(d2[,#]""".r.findFirstIn(directPlan).nonEmpty,
+    assert(directPlan.contains("vec_pq_codes"),
       s"encode-stage marker not found in the direct plan — pattern stale:\n${directPlan.take(1500)}")
     spark.sql("DROP TABLE IF EXISTS graft_pq_spec")
     spark.sql("DROP TABLE IF EXISTS graft_pq_spec_codebook")
@@ -265,9 +264,9 @@ class OperatorsSpec extends SparkSpec {
       "IVFADC index round-trip must reproduce the in-session results")
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"), s"code scan not bucketed:\n$plan")
-    // no assignment (greatest-over-centroids) and no encode (argmin d2)
+    // no assignment (vec_best_cell argmax) and no encode (vec_pq_codes)
     // stage may appear at query time — both are build-time passes
-    assert("""min\(struct\(d2[,#]""".r.findFirstIn(plan).isEmpty,
+    assert(!plan.contains("vec_pq_codes"),
       s"corpus encode ran at query time:\n$plan")
     spark.sql("DROP TABLE IF EXISTS graft_ivfadc_spec")
     spark.sql("DROP TABLE IF EXISTS graft_ivfadc_spec_codebook")
