@@ -160,6 +160,43 @@ object ProfAnnTune {
       Seq(table, s"${table}_codebook", s"${table}_centroids")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+
+    // Lloyd-TRAINED codebooks (pqCodebookTrained — FAISS always trains;
+    // the sampled codebook is only the init). The residual rows above
+    // show WHY training matters: residuals are near-zero-mean/high-
+    // variance, so sampled residual codewords are terrible — training
+    // is what makes by_residual the better encoding.
+    for ((resFlag, nlist, ks, it) <- Seq(
+        (false, 256, 256, 3), (true, 256, 256, 3), (true, 256, 16, 3))) {
+      val kind = if (resFlag) "RES-TRAINED" else "ADC-TRAINED"
+      val table = s"tune_tr_${if (resFlag) "r" else "a"}_${nlist}_$ks"
+      val (_, tBuild) = timed {
+        if (resFlag)
+          Similarity.writeIvfadcResidualIndex(corpus, "vec_id", "embedding",
+            table, s"$tmp/$table", dim = 64, nlist = nlist, m = 8, ks = ks,
+            buckets = 32, trainIters = it)
+        else
+          Similarity.writeIvfadcIndex(corpus, "vec_id", "embedding",
+            table, s"$tmp/$table", dim = 64, nlist = nlist, m = 8, ks = ks,
+            buckets = 32, trainIters = it)
+      }
+      for (nprobe <- Seq(8, 32)) {
+        val (res, tQ) = timed {
+          val r = (if (resFlag)
+            Similarity.ivfadcResidualTopKIndexed(spark, table, queries,
+              "vec_id", "embedding", dim = 64, k = k, nprobe = nprobe, m = 8)
+          else
+            Similarity.ivfadcTopKIndexed(spark, table, queries,
+              "vec_id", "embedding", dim = 64, k = k, nprobe = nprobe, m = 8))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        println(f"[tune] $kind%-11s nlist=$nlist%4d ks=$ks%3d iters=$it nprobe=$nprobe%2d m=8 | build=$tBuild%6.1f s | query=$tQ%5.2f s | recall@$k=${recall(res)}%.3f")
+        res.unpersist()
+      }
+      Seq(table, s"${table}_codebook", s"${table}_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     spark.stop()
   }
 }

@@ -366,13 +366,15 @@ object Similarity {
   def writeIvfadcIndex(corpus: DataFrame, idCol: String, vecCol: String,
                        table: String, path: String, dim: Int,
                        nlist: Int = 16, m: Int = 4, ks: Int = 16,
-                       buckets: Int = 8): Unit = {
+                       buckets: Int = 8, trainIters: Int = 0): Unit = {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
     val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
-    val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+    val codebook =
+      if (trainIters > 0) pqCodebookTrained(corpus, idCol, vecCol, dim, m, ks, trainIters)
+      else pqCodebook(corpus, idCol, vecCol, dim, m, ks)
     codebook.write.mode("overwrite").format("parquet")
       .option("path", s"${path}_codebook")
       .saveAsTable(s"${table}_codebook")
@@ -598,14 +600,17 @@ object Similarity {
   def writeIvfadcResidualIndex(corpus: DataFrame, idCol: String,
                                vecCol: String, table: String, path: String,
                                dim: Int, nlist: Int = 16, m: Int = 4,
-                               ks: Int = 16, buckets: Int = 8): Unit = {
+                               ks: Int = 16, buckets: Int = 8,
+                               trainIters: Int = 0): Unit = {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
     val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
     val resid = residualVectors(corpus, idCol, vecCol, cents)
-    val codebook = pqCodebook(resid, "nid", "rv", dim, m, ks)
+    val codebook =
+      if (trainIters > 0) pqCodebookTrained(resid, "nid", "rv", dim, m, ks, trainIters)
+      else pqCodebook(resid, "nid", "rv", dim, m, ks)
     codebook.write.mode("overwrite").format("parquet")
       .option("path", s"${path}_codebook")
       .saveAsTable(s"${table}_codebook")
@@ -809,6 +814,83 @@ object Similarity {
       .withColumn("cn2", vec_dot(col("cv"), col("cv")))
   }
 
+  /** Lloyd-trained PQ codebook — what FAISS actually ships (its
+    * ProductQuantizer k-means-trains every sub-codebook; the sampled
+    * [[pqCodebook]] is only the k-means INIT). `iters` rounds of:
+    * assign every subvector to its nearest code (ONE map-only
+    * [[graft.functions.VecExpressions.vec_pq_codes]] projection for
+    * all m subspaces at once) → per-(subspace, code, coordinate) mean.
+    * Fully deterministic: md5-sampled init, fixed iteration count,
+    * (d2, cid) tie order, coordinate means rounded to 6 dp INSIDE each
+    * round (the [[kmeansRefine]] device — pins distributed float-sum
+    * ambiguity before it can amplify through the next assignment);
+    * empty codes keep their previous centroid. Oracle-replayable round
+    * by round (s20).
+    *
+    * Scale shape per round: one map-only assignment pass + one
+    * (subspace, code, coordinate)-keyed aggregate over the |corpus|×dim
+    * value explode (partial-aggregated map-side, ks·dim output rows);
+    * the codebook state lives on the driver between rounds (m·ks rows —
+    * a model artifact), so no lineage accumulates across iterations.
+    * Returns (cid, sub, cv, cn2) — drop-in for [[pqCodebook]]. */
+  def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, m: Int, ks: Int, iters: Int): DataFrame = {
+    import graft.functions.VecExpressions.vec_pq_codes
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    def dotLR(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    // init = the sampled codebook with coordinates rounded to 6 dp
+    // (rounded via Spark SQL so the rounding rule matches the oracle)
+    var bySub: Array[Array[(Int, Array[Double], Double)]] = {
+      val init = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+        .select(col("sub").cast("int"), col("cid").cast("int"),
+          expr("transform(cv, x -> round(x, 6))").as("cv"))
+        .collect()
+      Array.tabulate(m) { s0 =>
+        init.filter(_.getInt(0) == s0).map { r =>
+          val cv = r.getSeq[Double](2).toArray
+          (r.getInt(1), cv, dotLR(cv))
+        }.sortBy(_._1)
+      }
+    }
+    val vecs = widen(corpus.select(col(idCol).as("nid"),
+      toDoubleVec(col(vecCol)).as("v")))
+    for (_ <- 1 to iters) {
+      val codes = vecs
+        .select(col("nid"), vec_pq_codes(col("v"), m, sub,
+          bySub.map(_.map(_._1)), bySub.map(_.map(_._2)),
+          bySub.map(_.map(_._3))).as("cs"))
+        .select(col("nid"), posexplode(col("cs")).as(Seq("nsub", "c")))
+        .select(col("nid"), col("nsub"), col("c.code").as("code"))
+      val means = vecs
+        .select(col("nid"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("nid"), (col("d") / lit(sub)).cast("int").as("nsub"),
+          (col("d") % lit(sub)).cast("int").as("j"), col("x"))
+        .join(codes, Seq("nid", "nsub"))
+        .groupBy("nsub", "code", "j")
+        .agg(round(avg("x"), 6).as("mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      bySub = Array.tabulate(m) { s0 =>
+        bySub(s0).map { case (cid, cv, cn2) =>
+          if (means.contains((s0, cid, 0))) {
+            val ncv = Array.tabulate(sub)(j => means((s0, cid, j)))
+            (cid, ncv, dotLR(ncv))
+          } else (cid, cv, cn2) // empty code keeps its centroid
+        }
+      }
+    }
+    bySub.zipWithIndex.flatMap { case (rows, s0) =>
+      rows.map { case (cid, cv, cn2) => (cid, s0, cv.toSeq, cn2) }
+    }.toSeq.toDF("cid", "sub", "cv", "cn2")
+  }
+
   /** PQ corpus codes: nearest codebook centroid per (vector, subspace)
     * by L2 — argmin ‖x−c‖² = argmin (‖c‖² − 2·x·c); ties toward smaller
     * cid. Returns (nid, nsub, code, codeN2).
@@ -897,9 +979,11 @@ object Similarity {
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, dim: Int, k: Int, m: Int = 4,
-             ks: Int = 16): DataFrame = {
+             ks: Int = 16, trainIters: Int = 0): DataFrame = {
     require(dim % m == 0, "m must divide dim")
-    val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+    val codebook =
+      if (trainIters > 0) pqCodebookTrained(corpus, idCol, vecCol, dim, m, ks, trainIters)
+      else pqCodebook(corpus, idCol, vecCol, dim, m, ks)
     val encoded = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
     pqAdcSearch(encoded, queries, idCol, vecCol, codebook, dim, m, k)
   }
@@ -913,10 +997,13 @@ object Similarity {
     * batch. */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    table: String, path: String, dim: Int, m: Int = 4,
-                   ks: Int = 16, buckets: Int = 8): Unit = {
+                   ks: Int = 16, buckets: Int = 8,
+                   trainIters: Int = 0): Unit = {
     require(dim % m == 0, "m must divide dim")
     val spark = corpus.sparkSession
-    val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
+    val codebook =
+      if (trainIters > 0) pqCodebookTrained(corpus, idCol, vecCol, dim, m, ks, trainIters)
+      else pqCodebook(corpus, idCol, vecCol, dim, m, ks)
     codebook.write.mode("overwrite").format("parquet")
       .option("path", s"${path}_codebook")
       .saveAsTable(s"${table}_codebook")
@@ -991,6 +1078,38 @@ object Similarity {
           (vec_norm(col("qv")) * vec_norm(col("nv")))).as("sim"))
     val w2 = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Two-stage retrieval over a PERSISTED IVFADC index — the actual
+    * serving recipe (ADC candidates from the code table, exact cosine
+    * re-rank against the raw-vector store): stage 1 is
+    * [[ivfadcTopKIndexed]] at `kCand` (bucket-pruned probed-cell scan,
+    * no raw vectors); stage 2 joins ONLY the |queries|·kCand candidate
+    * pairs back to `corpus` (the id-keyed raw-vector relation a
+    * deployment keeps beside the index) and keeps the exact top `k`.
+    * The round-12 tuning tier's recall ceiling argument: ADC recall at
+    * kCand plus exact ordering ≈ IVF-exact recall at code-table scan
+    * cost. */
+  def ivfadcRerankTopKIndexed(spark: SparkSession, table: String,
+                              corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, dim: Int,
+                              k: Int, kCand: Int, nprobe: Int = 4,
+                              m: Int = 4): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val cand = ivfadcTopKIndexed(spark, table, queries, idCol, vecCol,
+      dim, kCand, nprobe, m).select(col("qid"), col("nid"))
+    val cv = corpus.select(col(idCol).as("nid"),
+      toDoubleVec(col(vecCol)).as("nv"))
+    val qv = broadcast(queries.select(col(idCol).as("qid"),
+      toDoubleVec(col(vecCol)).as("qv")))
+    val scored = cand.join(qv, "qid").join(cv, "nid")
+      .select(col("qid"), col("nid"),
+        (vec_dot(col("qv"), col("nv")) /
+          (vec_norm(col("qv")) * vec_norm(col("nv")))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }

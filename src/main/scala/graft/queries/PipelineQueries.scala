@@ -288,6 +288,36 @@ object PipelineQueries {
         dim = 64, k = 3, nprobe = 4, m = 4)
     }),
 
+    // Lloyd-TRAINED PQ codebook (what FAISS's ProductQuantizer always
+    // does — the md5 sample is only the k-means init): two rounds of
+    // assign → per-(subspace, code, coordinate) mean (6 dp-pinned, the
+    // kmeansRefine device), then the standard ADC search against the
+    // trained codebook. The recall knob the round-12 tuning tier
+    // showed ks alone cannot turn.
+    "s20_ann_pq_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3, m = 4, ks = 16,
+        trainIters = 2)
+    }),
+
+    // Two-stage retrieval over the PERSISTED index — the serving
+    // recipe: ADC candidates from the s14 code table (bucket-pruned
+    // probed-cell scan), exact cosine re-rank of the |q|·kCand pairs
+    // against the raw-vector store. Recall ≈ IVF-exact at code-table
+    // scan cost.
+    "s21_ann_ivfadc_rerank_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_adc_rr_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+        "graft_adc_rr", path, dim = 64, nlist = 16, m = 4, ks = 16,
+        buckets = 8)
+      Similarity.ivfadcRerankTopKIndexed(s, "graft_adc_rr", emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3, kCand = 10, nprobe = 4, m = 4)
+    }),
+
     // Recall audit for the composed index (s08's device on s13): how
     // much of the exact top-3 does IVFADC retain at this (nlist,
     // nprobe, m)? The tuning readout a deployment reads before raising
@@ -1822,6 +1852,26 @@ object PipelineQueries {
     "s13_ann_ivfadc" -> ivfadcOracle,
     "s18_ann_ivfadc_residual" -> ivfadcResidualOracle,
     "s19_ann_ivfadc_residual_indexed" -> ivfadcResidualOracle,
+    "s20_ann_pq_trained" -> pqTrainedOracle(iters = 2),
+    // the s11 rerank device over the s13/s14 candidate machinery
+    "s21_ann_ivfadc_rerank_indexed" ->
+      s"""WITH $ivfadcCtes,
+         cand AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             FROM csims) t WHERE rn <= 10),
+         ex AS (
+           SELECT c.qid, c.nid,
+                  list_cosine_similarity(q.embedding::DOUBLE[],
+                                         n.embedding::DOUBLE[]) AS sim
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.qid
+           JOIN embeddings n ON n.vec_id = c.nid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM ex
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     // the persisted index must be bit-identical to the in-session
     // composition — one shared oracle
     "s14_ann_ivfadc_indexed" -> ivfadcOracle,
@@ -2841,6 +2891,93 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM rsims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
+
+  /** s20 oracle: Lloyd-trained PQ replayed round by round — rounded
+    * sampled init, `iters` rounds of argmin-assign + 6 dp-rounded
+    * per-(subspace, code, coordinate) means (empty codes keep their
+    * centroid), then the standard ADC search against the final
+    * codebook with DECIMAL(30,12) partial sums. */
+  private def pqTrainedOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""enc${r}0 AS (
+           SELECT e.vec_id AS nid, b.sub AS nsub, b.cid,
+                  b.cn2 - 2 * list_inner_product(
+                    list_slice(e.v, b.sub*16 + 1, b.sub*16 + 16),
+                    b.cv) AS d2
+           FROM ev e CROSS JOIN cbn${r - 1} b),
+         enc$r AS (
+           SELECT nid, nsub, cid AS code
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY nid, nsub ORDER BY d2, cid) AS rn
+                 FROM enc${r}0)
+           WHERE rn = 1),
+         mm$r AS (
+           SELECT x.nsub, c.code, x.j, round(avg(x.x), 6) AS mx
+           FROM xj x JOIN enc$r c ON c.nid = x.nid AND c.nsub = x.nsub
+           GROUP BY 1, 2, 3),
+         cb${r}v AS (
+           SELECT nsub AS sub, code AS cid, list(mx ORDER BY j) AS cv
+           FROM mm$r GROUP BY 1, 2),
+         cb$r AS (
+           SELECT p.cid, p.sub, coalesce(n.cv, p.cv) AS cv
+           FROM cbn${r - 1} p
+           LEFT JOIN cb${r}v n ON n.sub = p.sub AND n.cid = p.cid),
+         cbn$r AS (SELECT cid, sub, cv,
+                          list_inner_product(cv, cv) AS cn2 FROM cb$r)"""
+    }.mkString(",\n         ")
+    s"""WITH samp AS (
+           SELECT vec_id AS sid, embedding::DOUBLE[] AS sv,
+                  row_number() OVER (
+                    ORDER BY md5('pq'||vec_id::varchar), vec_id) AS cid
+           FROM embeddings
+           ORDER BY md5('pq'||vec_id::varchar), vec_id LIMIT 16),
+         cb0 AS (
+           SELECT cid, g.sub,
+                  list_transform(
+                    list_slice(sv, g.sub*16 + 1, g.sub*16 + 16),
+                    x -> round(x, 6)) AS cv
+           FROM samp, (SELECT unnest(range(0, 4)) AS sub) g),
+         cbn0 AS (SELECT cid, sub, cv,
+                         list_inner_product(cv, cv) AS cn2 FROM cb0),
+         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         xj AS (
+           SELECT e.vec_id AS nid, ((d.dim - 1) // 16)::INT AS nsub,
+                  ((d.dim - 1) % 16)::INT AS j, e.v[d.dim] AS x
+           FROM ev e, (SELECT unnest(range(1, 65)) AS dim) d),
+         $rounds,
+         encf0 AS (
+           SELECT e.vec_id AS nid, b.sub AS nsub, b.cid, b.cn2,
+                  b.cn2 - 2 * list_inner_product(
+                    list_slice(e.v, b.sub*16 + 1, b.sub*16 + 16),
+                    b.cv) AS d2
+           FROM ev e CROSS JOIN cbn$iters b),
+         encf AS (
+           SELECT nid, nsub, cid AS code, cn2 AS coden2
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY nid, nsub ORDER BY d2, cid) AS rn
+                 FROM encf0)
+           WHERE rn = 1),
+         qt AS (
+           SELECT q.vec_id AS qid,
+                  sqrt(list_inner_product(q.v, q.v)) AS qn,
+                  b.sub AS nsub, b.cid AS code,
+                  list_inner_product(
+                    list_slice(q.v, b.sub*16 + 1, b.sub*16 + 16),
+                    b.cv) AS pdot
+           FROM ev q CROSS JOIN cbn$iters b WHERE q.vec_id < 10),
+         sims AS (
+           SELECT qid, nid,
+                  sum(pdot::DECIMAL(30,12))::DOUBLE
+                    / (max(qn) * sqrt(sum(coden2::DECIMAL(30,12))::DOUBLE))
+                    AS sim
+           FROM encf JOIN qt USING (nsub, code)
+           WHERE nid != qid
+           GROUP BY qid, nid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
+  }
 
   /** t24 oracle (the exact-pair release recipe over the mirrored
     * corpus) — factored out so t36's per-(source, split) report can

@@ -316,6 +316,31 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("trained PQ codebook: deterministic across runs, recall not below sampled") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 10)
+    val k = 5
+    // determinism: two independent trainings produce byte-equal results
+    // (seeded init, fixed iters, 6dp-pinned means)
+    def run() = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = k, m = 4, ks = 16, trainIters = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val a = run()
+    assert(a.nonEmpty && a == run(), "trained PQ must be deterministic")
+    // Lloyd rounds move codewords toward the data: recall vs exact must
+    // not fall below the sampled-codebook init (soft margin: tiny corpus)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    val rTrained = meanRecall(Similarity.pqTopK(emb, qs, "vec_id",
+      "embedding", dim = 64, k = k, m = 4, ks = 16, trainIters = 2))
+    val rSampled = meanRecall(Similarity.pqTopK(emb, qs, "vec_id",
+      "embedding", dim = 64, k = k, m = 4, ks = 16))
+    assert(rTrained >= rSampled - 0.05,
+      s"trained recall $rTrained fell below sampled $rSampled")
+  }
+
   test("residual IVFADC append: batch-associative, appended rows retrievable") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.filter($"vec_id" < 5)
