@@ -268,15 +268,29 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** `refineIters` > 0 Lloyd-refines the coarse centroids with
+    * [[kmeansRefine]] before assignment — the trained coarse quantizer
+    * FAISS pairs with its trained PQ; 0 keeps the md5-sampled seed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16,
-              nprobe: Int = 4): DataFrame = {
+              nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
-    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
-      .withColumn("cn", vec_norm(col("cv"))))
+    val cents = broadcast(
+      ivfCentroidTable(corpus, idCol, vecCol, nlist, refineIters)
+        .withColumn("cn", vec_norm(col("cv"))))
     probeSearch(cellAssignment(corpus, idCol, vecCol, cents),
       probeCells(queries, idCol, vecCol, cents, nprobe), k)
   }
+
+  /** The coarse centroid table: the md5-sampled seed, Lloyd-refined
+    * for `refineIters` rounds when requested. (cid, cv). */
+  private def ivfCentroidTable(corpus: DataFrame, idCol: String,
+                               vecCol: String, nlist: Int,
+                               refineIters: Int): DataFrame =
+    if (refineIters > 0)
+      kmeansRefine(corpus, idCol, vecCol, nlist, refineIters)
+        .select(col("cell").as("cid"), col("centroid").as("cv"))
+    else ivfCentroids(corpus, idCol, vecCol, nlist)
 
   /** Persist the IVF index: the cell assignment of every corpus vector
     * as a CELL-BUCKETED table (via [[graft.engine.Bucketing]]) plus the
@@ -292,10 +306,10 @@ object Similarity {
     * table. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     table: String, path: String, nlist: Int = 16,
-                    buckets: Int = 8): Unit = {
+                    buckets: Int = 8, refineIters: Int = 0): Unit = {
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
-    val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val cents0 = ivfCentroidTable(corpus, idCol, vecCol, nlist, refineIters)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
     graft.engine.Bucketing.writeBucketed(
       cellAssignment(corpus, idCol, vecCol, cents).drop("csim"),

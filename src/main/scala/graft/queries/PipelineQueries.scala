@@ -301,6 +301,17 @@ object PipelineQueries {
         trainIters = 2)
     }),
 
+    // IVF search over Lloyd-REFINED coarse centroids (the trained
+    // coarse quantizer FAISS pairs with its trained PQ — s06's
+    // kmeansRefine feeding s03's probe search in one operator):
+    // assignment and probes run against the round-2 centroids.
+    "s22_ann_ivf_refined" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4,
+        refineIters = 2)
+    }),
+
     // Two-stage retrieval over the PERSISTED index — the serving
     // recipe: ADC candidates from the s14 code table (bucket-pruned
     // probed-cell scan), exact cosine re-rank of the |q|·kCand pairs
@@ -1853,6 +1864,71 @@ object PipelineQueries {
     "s18_ann_ivfadc_residual" -> ivfadcResidualOracle,
     "s19_ann_ivfadc_residual_indexed" -> ivfadcResidualOracle,
     "s20_ann_pq_trained" -> pqTrainedOracle(iters = 2),
+    // the s06 Lloyd chain (k=8, 2 rounds → c2) feeding the s03 probe
+    // search — assignment, probes and exact in-cell scoring against
+    // the refined centroid table
+    "s22_ann_ivf_refined" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (
+           SELECT vec_id AS cid,
+                  list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS cv
+           FROM embeddings ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 8),
+         dims AS (SELECT unnest(range(1, 65)) AS dim),
+         a1 AS (
+           SELECT e.id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c0 c),
+         s1 AS (SELECT id, v, cid AS cell FROM (
+                  SELECT id, v, cid, row_number() OVER (
+                    PARTITION BY id ORDER BY csim DESC, cid) AS rn
+                  FROM a1) t WHERE rn = 1),
+         m1 AS (SELECT cell, dim, round(avg(v[dim]), 6) AS m
+                FROM s1, dims GROUP BY cell, dim),
+         c1v AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+                 FROM m1 GROUP BY cell),
+         c1 AS (SELECT c0.cid, coalesce(c1v.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN c1v ON c0.cid = c1v.cid),
+         a2 AS (
+           SELECT e.id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c1 c),
+         s2 AS (SELECT id, v, cid AS cell FROM (
+                  SELECT id, v, cid, row_number() OVER (
+                    PARTITION BY id ORDER BY csim DESC, cid) AS rn
+                  FROM a2) t WHERE rn = 1),
+         m2 AS (SELECT cell, dim, round(avg(v[dim]), 6) AS m
+                FROM s2, dims GROUP BY cell, dim),
+         c2v AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+                 FROM m2 GROUP BY cell),
+         c2 AS (SELECT c1.cid, coalesce(c2v.cv, c1.cv) AS cv
+                FROM c1 LEFT JOIN c2v ON c1.cid = c2v.cid),
+         fa AS (
+           SELECT e.id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c2 c),
+         cells AS (
+           SELECT id AS nid, v AS nv, cid AS cell FROM (
+             SELECT id, v, cid, row_number() OVER (
+               PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM fa) t WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, v AS qv, cid AS cell FROM (
+             SELECT id, v, cid, row_number() OVER (
+               PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM fa WHERE id < 10) t WHERE rn <= 4),
+         sims AS (
+           SELECT p.qid, s.nid,
+                  list_dot_product(p.qv, s.nv)
+                    / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.nv, s.nv))) AS sim
+           FROM probes p JOIN cells s ON p.cell = s.cell AND s.nid != p.qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+
     // the s11 rerank device over the s13/s14 candidate machinery
     "s21_ann_ivfadc_rerank_indexed" ->
       s"""WITH $ivfadcCtes,

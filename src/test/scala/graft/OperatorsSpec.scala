@@ -316,6 +316,25 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("refined-centroid IVF: scores are exact cosines, k per query, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 5)
+    def run() = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 4, refineIters = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val got = run()
+    assert(got.nonEmpty && got == run(),
+      "refined-centroid IVF must be deterministic")
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+    // probed-cell restriction filters candidates but never changes the
+    // score: every returned sim is the exact cosine of its pair
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        k = 1000).as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.forall(r => exact(r._1 -> r._2) == r._3),
+      "refined IVF must score with exact cosine")
+  }
+
   test("trained PQ codebook: deterministic across runs, recall not below sampled") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.filter($"vec_id" < 10)
