@@ -161,6 +161,31 @@ object ProfAnnTune {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
 
+    // Two-stage serving (s21): ADC candidates from the persisted index,
+    // exact re-rank — measures the claim that rerank recovers
+    // IVF-exact-level recall at code-table scan cost
+    {
+      val table = "tune_rr_256_256"
+      val (_, tBuild) = timed {
+        Similarity.writeIvfadcIndex(corpus, "vec_id", "embedding",
+          table, s"$tmp/$table", dim = 64, nlist = 256, m = 8, ks = 256,
+          buckets = 32)
+      }
+      for (kCand <- Seq(20, 50)) {
+        val (res, tQ) = timed {
+          val r = Similarity.ivfadcRerankTopKIndexed(spark, table, corpus,
+            queries, "vec_id", "embedding", dim = 64, k = k, kCand = kCand,
+            nprobe = 8, m = 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        println(f"[tune] RERANK nlist= 256 ks=256 nprobe= 8 kCand=$kCand%3d m=8 | build=$tBuild%6.1f s | query=$tQ%5.2f s | recall@$k=${recall(res)}%.3f")
+        res.unpersist()
+      }
+      Seq(table, s"${table}_codebook", s"${table}_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+
     // Lloyd-TRAINED codebooks (pqCodebookTrained — FAISS always trains;
     // the sampled codebook is only the init). The residual rows above
     // show WHY training matters: residuals are near-zero-mean/high-

@@ -97,6 +97,30 @@ class IndexPlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_plan_centroids")
   }
 
+  test("s19 indexed residual IVFADC: bucket-pruned probed-cell scan, no encode/assign") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-res-plan").toString
+    Similarity.writeIvfadcResidualIndex(emb, "vec_id", "embedding",
+      "graft_res_plan", s"$dir/idx", dim = 64, nlist = 8, m = 4, ks = 16,
+      buckets = 4)
+    val q = Similarity.ivfadcResidualTopKIndexed(spark, "graft_res_plan",
+      emb.filter($"vec_id" < 5), "vec_id", "embedding", dim = 64, k = 3,
+      nprobe = 4, m = 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    assert(selectedBuckets(plan).isDefined,
+      s"no bucket pruning on the residual index:\n${plan.take(1500)}")
+    // neither the residual computation (vec_sub), the encode
+    // (vec_pq_codes) nor the assignment (vec_best_cell) may run at
+    // query time — all three are build-time passes
+    for (marker <- Seq("vec_pq_codes", "vec_sub", "vec_best_cell"))
+      assert(!plan.contains(marker),
+        s"$marker ran at query time:\n${plan.take(1500)}")
+    Seq("graft_res_plan", "graft_res_plan_codebook", "graft_res_plan_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("appended PQ index: bucket layout and no-encode plan survive appends; batch-associative") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-app").toString

@@ -316,6 +316,22 @@ class PlansSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("PQ encode plans map-only: one vec_pq_codes projection, no join or aggregate") {
+    // the encode stage of every index build: scan → vec_pq_codes
+    // projection → explode — no ×ks codebook join, no (id, sub)-keyed
+    // aggregate, no exchange below the search tail (the 109 s → 5.3 s
+    // build fix; this pins the shape so it cannot quietly regress)
+    val emb = Tables.embeddings(spark, sf)
+    val q = graft.operators.Similarity.pqTopK(emb,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding",
+      dim = 64, k = 3, m = 4, ks = 16)
+    val plan = planStr(q)
+    assert(plan.contains("vec_pq_codes"), plan.take(1200))
+    // the only aggregate in the whole query is the ADC (qid, nid) sum —
+    // an encode argmin aggregate would add partial_min lines
+    assert(!plan.contains("partial_min"), plan.take(1200))
+  }
+
   test("Bench.fullCount survives duplicate column names and map columns") {
     // post-join relations can carry duplicate output names, and map
     // columns reject xxhash64 — neither shape may degrade a bench run
