@@ -153,6 +153,97 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // --- native vector expressions vs independent references ---------------
+  // The contract double order: NaN equals NaN and sorts above everything;
+  // ±0.0 compare equal (primitive <,> first) — Spark's SQL total order.
+  private def sqlCmp(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1
+    else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+    else if (y.isNaN) -1 else 0
+
+  private def arr(xs: Seq[Double]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs.toArray)
+
+  private val smallDouble: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-3.0, 3.0), Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5))
+
+  test("vec_best_cell ≡ reference argmax under the SQL double order") {
+    val dim = 4
+    val gen = for {
+      v <- Gen.listOfN(dim, smallDouble)
+      n <- Gen.chooseNum(1, 12)
+      cents <- Gen.listOfN(n, Gen.listOfN(dim, smallDouble))
+    } yield (v, cents)
+    check("best cell", Prop.forAll(gen) { case (v, cents) =>
+      val cids = cents.indices.map(i => (i * 7 + 3).toLong).toArray
+      val cvs = cents.map(_.toArray).toArray
+      val cns = cvs.map(c => math.sqrt(c.map(x => x * x).sum))
+      val got = graft.functions.VecFns.bestCell(arr(v), false, cids, cvs, cns)
+      // reference: score every centroid with the same arithmetic, pick
+      // the max by (csim via sqlCmp desc, cid asc) through a full sort —
+      // a different selection mechanism than bestCell's running best
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        var s = 0.0
+        v.indices.foreach(j => s += v(j) * c(j))
+        (s / (n0 * cns(i)), cids(i))
+      }
+      val best = scored.sortWith { (a, b) =>
+        val c = sqlCmp(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }.head
+      got.getLong(0) == best._2 &&
+        (got.getDouble(1) == best._1 ||
+          (got.getDouble(1).isNaN && best._1.isNaN))
+    })
+  }
+
+  test("vec_pq_codes ≡ reference per-subspace argmin, including short vectors") {
+    val m = 2; val sub = 3
+    val gen = for {
+      vlen <- Gen.oneOf(m * sub, m * sub - 2) // full and truncated
+      v <- Gen.listOfN(vlen, smallDouble)
+      ks <- Gen.chooseNum(1, 6)
+      cb <- Gen.listOfN(m, Gen.listOfN(ks, Gen.listOfN(sub, smallDouble)))
+    } yield (v, cb)
+    check("pq codes", Prop.forAll(gen) { case (v, cb) =>
+      val cids = cb.map(s => s.indices.map(i => i + 1).toArray).toArray
+      val cvs = cb.map(_.map(_.toArray).toArray).toArray
+      val cn2s = cvs.map(_.map(c => c.map(x => x * x).sum))
+      val got = graft.functions.VecFns.pqCodes(arr(v), false, m, sub,
+        cids, cvs, cn2s)
+      (0 until m).forall { s0 =>
+        val scored = cb(s0).zipWithIndex.map { case (c, j) =>
+          var dot = 0.0
+          var i = 0
+          while (i < sub && s0 * sub + i < v.length) {
+            dot += v(s0 * sub + i) * c(i); i += 1
+          }
+          (cn2s(s0)(j) - 2.0 * dot, j + 1, cn2s(s0)(j))
+        }
+        val best = scored.sortWith { (a, b) =>
+          val c = sqlCmp(a._1, b._1)
+          c < 0 || (c == 0 && a._2 < b._2)
+        }.head
+        val row = got.getStruct(s0, 2)
+        row.getInt(0) == best._2 && row.getDouble(1) == best._3
+      }
+    })
+  }
+
+  test("vec_sub ≡ element-wise difference, truncating to the shorter input") {
+    val gen = for {
+      a <- Gen.nonEmptyListOf(smallDouble)
+      b <- Gen.nonEmptyListOf(smallDouble)
+    } yield (a, b)
+    check("vec sub", Prop.forAll(gen) { case (a, b) =>
+      val got = graft.functions.VecFns.sub(arr(a), arr(b), false, false)
+      val n = math.min(a.length, b.length)
+      got.numElements() == n &&
+        (0 until n).forall(i => got.getDouble(i) == a(i) - b(i))
+    })
+  }
+
   test("MapLookupExpr probe ≡ Map.get for arbitrary dictionaries") {
     import org.apache.spark.unsafe.types.UTF8String
     val dicts = Gen.mapOf(Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr))
