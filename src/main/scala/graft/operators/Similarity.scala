@@ -621,20 +621,26 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
+    // resid feeds THREE consumers (codebook sample/training, the
+    // encode pass, the nid→cell join) — persist it for the build or
+    // each one replays the assignment + subtraction over the corpus
     val resid = residualVectors(corpus, idCol, vecCol, cents)
-    val codebook =
-      if (trainIters > 0) pqCodebookTrained(resid, "nid", "rv", dim, m, ks, trainIters)
-      else pqCodebook(resid, "nid", "rv", dim, m, ks)
-    codebook.write.mode("overwrite").format("parquet")
-      .option("path", s"${path}_codebook")
-      .saveAsTable(s"${table}_codebook")
-    cents0.write.mode("overwrite").format("parquet")
-      .option("path", s"${path}_centroids")
-      .saveAsTable(s"${table}_centroids")
-    graft.engine.Bucketing.writeBucketed(
-      residualCodes(resid, codebook, cents, dim, m),
-      table, path, Seq("cell"), buckets)
-    spark.catalog.refreshTable(table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codebook =
+        if (trainIters > 0) pqCodebookTrained(resid, "nid", "rv", dim, m, ks, trainIters)
+        else pqCodebook(resid, "nid", "rv", dim, m, ks)
+      codebook.write.mode("overwrite").format("parquet")
+        .option("path", s"${path}_codebook")
+        .saveAsTable(s"${table}_codebook")
+      cents0.write.mode("overwrite").format("parquet")
+        .option("path", s"${path}_centroids")
+        .saveAsTable(s"${table}_centroids")
+      graft.engine.Bucketing.writeBucketed(
+        residualCodes(resid, codebook, cents, dim, m),
+        table, path, Seq("cell"), buckets)
+      spark.catalog.refreshTable(table)
+    } finally { resid.unpersist(false); () }
   }
 
   /** Append a new batch to a persisted by-residual index: assign to
@@ -652,12 +658,17 @@ object Similarity {
       .withColumn("cn", vec_norm(col("cv"))))
     val codebook = graft.engine.Bucketing
       .readBucketed(spark, s"${table}_codebook")
+    // two consumers of the batch's residual relation (encode + the
+    // nid→cell join) — persist for the duration of the append
     val resid = residualVectors(newVectors, idCol, vecCol, cents)
-    residualCodes(resid, codebook, cents, dim, m)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "cell").sortBy("cell")
-      .saveAsTable(table)
-    spark.catalog.refreshTable(table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      residualCodes(resid, codebook, cents, dim, m)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .saveAsTable(table)
+      spark.catalog.refreshTable(table)
+    } finally { resid.unpersist(false); () }
   }
 
   /** Query a persisted by-residual IVFADC index — bit-identical to
