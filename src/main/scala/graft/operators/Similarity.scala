@@ -591,6 +591,10 @@ object Similarity {
     * and sim → exact cosine as quantization error → 0. Fully
     * deterministic (md5-seeded centroids and codebook), oracle-checked
     * in s18/s19. */
+  /** In-session composition convenience (the gate shape): the
+    * residual chain re-derives per consumer here — the production
+    * posture is [[writeIvfadcResidualIndex]] (which persists the
+    * residual relation for the build) + [[ivfadcResidualTopKIndexed]]. */
   def ivfadcResidualTopK(corpus: DataFrame, queries: DataFrame,
                          idCol: String, vecCol: String, dim: Int, k: Int,
                          nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
@@ -883,9 +887,13 @@ object Similarity {
         }.sortBy(_._1)
       }
     }
+    // vecs feeds two jobs per Lloyd round (assignment codes + the
+    // coordinate means) — persist for the training loop; the returned
+    // codebook is built from driver arrays, so release is safe here
     val vecs = widen(corpus.select(col(idCol).as("nid"),
       toDoubleVec(col(vecCol)).as("v")))
-    for (_ <- 1 to iters) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to iters) {
       val codes = vecs
         .select(col("nid"), vec_pq_codes(col("v"), m, sub,
           bySub.map(_.map(_._1)), bySub.map(_.map(_._2)),
@@ -910,7 +918,7 @@ object Similarity {
           } else (cid, cv, cn2) // empty code keeps its centroid
         }
       }
-    }
+    } finally { vecs.unpersist(false); () }
     bySub.zipWithIndex.flatMap { case (rows, s0) =>
       rows.map { case (cid, cv, cn2) => (cid, s0, cv.toSeq, cn2) }
     }.toSeq.toDF("cid", "sub", "cv", "cn2")
