@@ -36,7 +36,10 @@ object ProfAnnTune {
     // table; IVF-exact resolved them at 0.965+ because exact scoring
     // can). Recall on v2 grades the quantizer, not the tie lottery.
     val fixturePath = s"/tmp/graft_ann_tune_${copies}x_v2"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixturePath))) {
+    // _SUCCESS, not bare existence: a crashed prior run leaves a partial
+    // directory that would silently feed the tuning table wrong numbers
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(fixturePath, "_SUCCESS"))) {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(copies).select(col("id").as("copy"))

@@ -252,11 +252,26 @@ object Similarity {
     else cellKeyed.filter(col("cell").isin(cells.toIndexedSeq: _*))
   }
 
+  /** Execute the (query-bounded) probe relation ONCE and rebuild it as
+    * a LOCAL relation: the probed-cell isin set and the broadcast join
+    * side then share one execution, instead of the probe chain (which
+    * for in-session paths includes the centroid-derivation scan)
+    * running twice — once at collect, once at action time. */
+  private def localizeProbes(probes: DataFrame): DataFrame = {
+    val spark = probes.sparkSession
+    val rows = probes.collect()
+    require(rows.length <= (1 << 20),
+      s"probe relation must be query-bounded, got ${rows.length} rows")
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probes.schema)
+  }
+
   /** Exact-cosine search of the probed cells + final top-k window —
     * the shared tail of [[ivfTopK]] and [[ivfTopKIndexed]]. */
-  private def probeSearch(assigned: DataFrame, probes: DataFrame,
+  private def probeSearch(assigned: DataFrame, probes0: DataFrame,
                           k: Int): DataFrame = {
     import graft.functions.VecExpressions.vec_dot
+    val probes = localizeProbes(probes0)
     val sims = pruneToProbedCells(assigned, probes)
       .join(broadcast(probes), "cell")
       .filter(col("nid") =!= col("qid"))
@@ -460,8 +475,9 @@ object Similarity {
                            nprobe: Int): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
     val sub = dim / m
-    val probes = probeCells(queries, idCol, vecCol, cents, nprobe)
-      .select(col("qid"), col("cell"))
+    val probes = localizeProbes(
+      probeCells(queries, idCol, vecCol, cents, nprobe)
+        .select(col("qid"), col("cell")))
     val tables = broadcast(queries
       .select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))
@@ -551,11 +567,12 @@ object Similarity {
                                    k: Int, nprobe: Int): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
     val sub = dim / m
-    val probes = probeCells(queries, idCol, vecCol, cents, nprobe)
-      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
-      .select(col("qid"), col("cell"),
-        vec_dot(col("qv"), col("cv")).as("qcdot"),
-        vec_dot(col("cv"), col("cv")).as("cn2"))
+    val probes = localizeProbes(
+      probeCells(queries, idCol, vecCol, cents, nprobe)
+        .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+        .select(col("qid"), col("cell"),
+          vec_dot(col("qv"), col("cv")).as("qcdot"),
+          vec_dot(col("cv"), col("cv")).as("cn2")))
     val tables = broadcast(queries
       .select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))
@@ -912,10 +929,13 @@ object Similarity {
         .toMap
       bySub = Array.tabulate(m) { s0 =>
         bySub(s0).map { case (cid, cv, cn2) =>
-          if (means.contains((s0, cid, 0))) {
+          // ALL coordinates must be present (a code assigned only
+          // truncated vectors yields partial means — keep the previous
+          // centroid whole rather than splicing old and new coords)
+          if ((0 until sub).forall(j => means.contains((s0, cid, j)))) {
             val ncv = Array.tabulate(sub)(j => means((s0, cid, j)))
             (cid, ncv, dotLR(ncv))
-          } else (cid, cv, cn2) // empty code keeps its centroid
+          } else (cid, cv, cn2) // empty/partial code keeps its centroid
         }
       }
     } finally { vecs.unpersist(false); () }
