@@ -231,6 +231,24 @@ case class VecBestCellExpr(child: Expression, cids: Array[Long],
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "vec_best_cell"
+  // the Array fields make the synthesized case-class equals/hashCode
+  // reference-based, which hides logically identical expressions from
+  // Catalyst canonicalization / semanticEquals / subexpression
+  // elimination (missed CSE, never wrong results) — compare contents
+  override def equals(o: Any): Boolean = o match {
+    case that: VecBestCellExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(cids, that.cids) &&
+        java.util.Arrays.deepEquals(
+          cvs.asInstanceOf[Array[AnyRef]], that.cvs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(cns, that.cns)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(cids)),
+      Integer.valueOf(java.util.Arrays.deepHashCode(cvs.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(cns)))
 }
 
 /** `vec_pq_codes(v)` — per-subspace PQ argmin codes against a
@@ -262,6 +280,23 @@ case class VecPqCodesExpr(child: Expression, m: Int, sub: Int,
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "vec_pq_codes"
+  // structural equality over the codebook matrices — see VecBestCellExpr
+  override def equals(o: Any): Boolean = o match {
+    case that: VecPqCodesExpr =>
+      child == that.child && m == that.m && sub == that.sub &&
+        java.util.Arrays.deepEquals(
+          cids.asInstanceOf[Array[AnyRef]], that.cids.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          cvs.asInstanceOf[Array[AnyRef]], that.cvs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          cn2s.asInstanceOf[Array[AnyRef]], that.cn2s.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(sub),
+      Integer.valueOf(java.util.Arrays.deepHashCode(cids.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.deepHashCode(cvs.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.deepHashCode(cn2s.asInstanceOf[Array[AnyRef]])))
 }
 
 /** `vec_sub(a, b)` — element-wise a − b as array<double>. */

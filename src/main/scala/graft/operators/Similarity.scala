@@ -22,6 +22,22 @@ object Similarity {
 
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
+  /** The vector column widened ONLY when its element type needs it:
+    * array<float|double> passes through untouched (the native
+    * expressions read both directly — zero per-row cost); any other
+    * numeric element type gets a codegen'd Cast to array<double>, so
+    * public entry points keep the pre-native tolerance for e.g.
+    * array<int> embeddings (ADVICE r12) without paying a
+    * codegen-fallback `transform` on the already-typed hot path. */
+  private def numVec(df: DataFrame, vecCol: String): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, NumericType}
+    scala.util.Try(df.schema(vecCol).dataType).toOption match {
+      case Some(ArrayType(FloatType | DoubleType, _)) => col(vecCol)
+      case Some(ArrayType(_: NumericType, _)) => col(vecCol).cast("array<double>")
+      case _ => col(vecCol) // let the expression raise its typed error
+    }
+  }
+
   /** Widen a narrow scan to default parallelism before a CPU-heavy
     * vector stage — same rationale as the dedup-side twin: a 100 TB
     * corpus arrives in thousands of splits and this is a no-op, but a
@@ -44,9 +60,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), numVec(queries, vecCol).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))
-    val c = widen(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")))
+    val c = widen(corpus.select(col(idCol).as("nid"), numVec(corpus, vecCol).as("nv")))
       .withColumn("nn", vec_norm(col("nv")))
     val sims = c.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -62,9 +78,9 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    val a = widen(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")))
+    val a = widen(corpus.select(col(idCol).as("id_a"), numVec(corpus, vecCol).as("va")))
       .withColumn("na", vec_norm(col("va")))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val b = corpus.select(col(idCol).as("id_b"), numVec(corpus, vecCol).as("vb"))
       .withColumn("nb", vec_norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -153,7 +169,7 @@ object Similarity {
     * external oracle can re-derive the exact cell structure. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int): DataFrame =
-    corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    corpus.select(col(idCol).as("cid"), numVec(corpus, vecCol).as("cv"))
       .withColumn("r", md5(concat(lit("ivf"), col("cid").cast("string"))))
       .orderBy(col("r"), col("cid")).limit(nlist)
       .drop("r")
@@ -176,7 +192,7 @@ object Similarity {
   private def cellSims(side: DataFrame, id: String, vec: String,
                        cents: DataFrame): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
-    side.select(col(id).as("id"), col(vec).as("v"))
+    side.select(col(id).as("id"), numVec(side, vec).as("v"))
       .withColumn("n", vec_norm(col("v")))
       .crossJoin(cents)
       .withColumn("csim", vec_dot(col("v"), col("cv")) / (col("n") * col("cn")))
@@ -213,7 +229,7 @@ object Similarity {
     val local = collectCentroids(cents)
     require(local.nonEmpty && local.length <= 4096,
       s"centroid table must be driver-bounded, got ${local.length}")
-    corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+    corpus.select(col(idCol).as("nid"), numVec(corpus, vecCol).as("v"))
       .withColumn("b", vec_best_cell(col("v"),
         local.map(_._1), local.map(_._2.toArray), local.map(_._3)))
       .select(col("nid"), col("b.cell").as("cell"), col("b.csim").as("csim"),
@@ -244,26 +260,71 @@ object Similarity {
     * driver action per query batch, the same shape as the probe
     * ranking itself. */
   private def pruneToProbedCells(cellKeyed: DataFrame,
-                                 probes: DataFrame): DataFrame = {
-    val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+                                 cells: Array[Any]): DataFrame = {
     require(cells.length <= 4096,
       s"probed cell set must be driver-bounded, got ${cells.length}")
     if (cells.isEmpty) cellKeyed.filter(lit(false))
     else cellKeyed.filter(col("cell").isin(cells.toIndexedSeq: _*))
   }
 
+  /** The probe relation collected to the driver: the rebuilt LOCAL
+    * relation (broadcast-join side) plus the distinct probed-cell set
+    * (the [[pruneToProbedCells]] isin literals), both from ONE
+    * execution and ZERO further Spark jobs — the previous shape ran a
+    * separate distinct().collect() job per query batch on top of the
+    * localizing collect. */
+  private[graft] final case class LocalProbes(df: DataFrame, cells: Array[Any])
+
   /** Execute the (query-bounded) probe relation ONCE and rebuild it as
     * a LOCAL relation: the probed-cell isin set and the broadcast join
     * side then share one execution, instead of the probe chain (which
     * for in-session paths includes the centroid-derivation scan)
-    * running twice — once at collect, once at action time. */
-  private def localizeProbes(probes: DataFrame): DataFrame = {
+    * running twice — once at collect, once at action time.
+    *
+    * Driver-heap gate (the bpeTrain estBytes discipline, ADVICE r12):
+    * schemas carrying array columns (each probe row then holds a
+    * dim-length query vector) get a 2^16 row bound instead of 2^20,
+    * and the collected batch must fit an estimated `maxBytes`
+    * (measured per-row widths, array elements at 8 B) — a row-only
+    * bound admitted ~0.5 GB of driver vectors at dim=64. */
+  private[graft] def localizeProbes(
+      probes: DataFrame, maxBytes: Long = 256L << 20): LocalProbes = {
+    import org.apache.spark.sql.types.ArrayType
     val spark = probes.sparkSession
+    val schema = probes.schema
+    val hasArrays = schema.fields.exists(_.dataType.isInstanceOf[ArrayType])
+    val maxRows = if (hasArrays) 1 << 16 else 1 << 20
     val rows = probes.collect()
-    require(rows.length <= (1 << 20),
-      s"probe relation must be query-bounded, got ${rows.length} rows")
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), probes.schema)
+    require(rows.length <= maxRows,
+      s"probe relation must be query-bounded, got ${rows.length} rows " +
+        s"(max $maxRows for a schema ${if (hasArrays) "with" else "without"} " +
+        "array columns)")
+    var estBytes = 0L
+    val n = schema.length
+    var ri = 0
+    while (ri < rows.length) {
+      val r = rows(ri)
+      var b = 24L + 16L * n
+      var i = 0
+      while (i < n) {
+        r.get(i) match {
+          case s: scala.collection.Seq[_] => b += 24L + 8L * s.length
+          case s: String => b += 40L + 2L * s.length
+          case _ => ()
+        }
+        i += 1
+      }
+      estBytes += b
+      ri += 1
+    }
+    require(estBytes <= maxBytes,
+      s"probe relation must be driver-bounded: estimated $estBytes bytes " +
+        s"(${rows.length} rows) exceeds the $maxBytes-byte gate")
+    val cellIdx = schema.fieldIndex("cell")
+    val cells = rows.map(_.get(cellIdx)).distinct
+    LocalProbes(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+      cells)
   }
 
   /** Exact-cosine search of the probed cells + final top-k window —
@@ -272,8 +333,8 @@ object Similarity {
                           k: Int): DataFrame = {
     import graft.functions.VecExpressions.vec_dot
     val probes = localizeProbes(probes0)
-    val sims = pruneToProbedCells(assigned, probes)
-      .join(broadcast(probes), "cell")
+    val sims = pruneToProbedCells(assigned, probes.cells)
+      .join(broadcast(probes.df), "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
@@ -487,8 +548,8 @@ object Similarity {
       .join(codebook.withColumnRenamed("sub", "nsub"), "nsub")
       .select(col("qid"), col("qn"), col("nsub"), col("cid").as("code"),
         vec_dot(col("qsv"), col("cv")).as("pdot")))
-    val sims = pruneToProbedCells(encodedCells, probes)
-      .join(broadcast(probes), "cell")
+    val sims = pruneToProbedCells(encodedCells, probes.cells)
+      .join(broadcast(probes.df), "cell")
       .join(tables, Seq("qid", "nsub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid")
@@ -582,8 +643,8 @@ object Similarity {
       .join(codebook.withColumnRenamed("sub", "nsub"), "nsub")
       .select(col("qid"), col("qn"), col("nsub"), col("cid").as("code"),
         vec_dot(col("qsv"), col("cv")).as("pdot")))
-    val sims = pruneToProbedCells(encodedCells, probes)
-      .join(broadcast(probes), "cell")
+    val sims = pruneToProbedCells(encodedCells, probes.cells)
+      .join(broadcast(probes.df), "cell")
       .join(tables, Seq("qid", "nsub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid")
@@ -853,6 +914,9 @@ object Similarity {
     val sample = corpus.select(col(idCol).as("sid"), toDoubleVec(col(vecCol)).as("sv"))
       .withColumn("r", md5(concat(lit("pq"), col("sid").cast("string"))))
       .orderBy(col("r"), col("sid")).limit(ks)
+      // post-limit: the unpartitioned window sees only the ks sampled
+      // rows (ks ≤ 65536 by the codebook contract), so the WindowExec
+      // single-partition warning is bounded by design
       .withColumn("cid", row_number().over(Window.orderBy(col("r"), col("sid"))))
     sample.select(col("cid"),
         posexplode(array((0 until m).map(i =>
@@ -975,7 +1039,7 @@ object Similarity {
     require(bySub.forall(_.nonEmpty), s"codebook missing a subspace (m=$m)")
     // the codes array is PROJECTED below the explode (generator
     // expressions evaluate interpreted — the shingleRel discipline)
-    widen(corpus.select(col(idCol).as("nid"), col(vecCol).as("v")))
+    widen(corpus.select(col(idCol).as("nid"), numVec(corpus, vecCol).as("v")))
       .select(col("nid"), vec_pq_codes(col("v"), m, sub,
         bySub.map(_.map(_._1)), bySub.map(_.map(_._2)),
         bySub.map(_.map(_._3))).as("cs"))

@@ -557,6 +557,9 @@ object TextOps {
       .select(explode(col("ps")).as("pair"))
     val freq = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
     freq.orderBy(col("freq").desc, col("pair").asc).limit(k)
+      // post-limit: the unpartitioned window ranks only the k
+      // survivors — the WindowExec single-partition warning is
+      // bounded by design, not a corpus-sized sort
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("freq").desc, col("pair").asc)))
   }

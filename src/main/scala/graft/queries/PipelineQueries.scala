@@ -539,6 +539,8 @@ object PipelineQueries {
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
       freq.orderBy(col("freq").desc, col("term").asc).limit(100)
+        // post-limit: the unpartitioned window ranks only the 100
+        // survivors — bounded by design
         .withColumn("rank", row_number()
           .over(Window.orderBy(col("freq").desc, col("term").asc)))
     }),

@@ -92,4 +92,28 @@ class FunctionsSpec extends SparkSpec {
       .select(tt.resolveCol($"w").as("r")).as[String].collect().toSeq
     assert(viaCol == sample.map(w => tt.resolve(w)))
   }
+
+  test("matrix-carrying vector expressions compare structurally (ADVICE r12)") {
+    import graft.functions.{VecBestCellExpr, VecPqCodesExpr}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val child = BoundReference(0, ArrayType(DoubleType), nullable = false)
+    def mkBest() = VecBestCellExpr(child, Array(1L, 2L),
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)), Array(0.5, 0.6))
+    // two instances built from DISTINCT array objects: the default
+    // case-class equals is reference-based and would miss this —
+    // Catalyst canonicalization / CSE / exchange reuse key on equals
+    val (a, b) = (mkBest(), mkBest())
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    assert(a != mkBest().copy(cns = Array(0.5, 0.7)))
+    def mkPq() = VecPqCodesExpr(child, 2, 1,
+      Array(Array(1, 2), Array(3, 4)),
+      Array(Array(Array(1.0), Array(2.0)), Array(Array(3.0), Array(4.0))),
+      Array(Array(1.0, 4.0), Array(9.0, 16.0)))
+    val (p, q) = (mkPq(), mkPq())
+    assert(p == q && p.hashCode == q.hashCode)
+    assert(p.semanticEquals(q))
+    assert(p != mkPq().copy(m = 1))
+  }
 }

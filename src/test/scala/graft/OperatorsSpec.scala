@@ -1684,6 +1684,55 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("localizeProbes: driver gate is byte-aware, not row-only (ADVICE r12)") {
+    val probes = spark.range(64).select(
+      col("id").as("qid"), (col("id") % 4).as("cell"),
+      array((0 until 16).map(i => (col("id") + i).cast("double")): _*).as("qv"))
+    // comfortably inside the default gate: localized relation + the
+    // distinct probed cells, zero further jobs
+    val ok = Similarity.localizeProbes(probes)
+    assert(ok.df.count() == 64)
+    assert(ok.cells.map(_.asInstanceOf[Long]).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // the same 64 rows carry ~16 doubles each — a 1 KB byte gate must
+    // trip even though the row bound (2^16 for array schemas) is far off
+    val e = intercept[IllegalArgumentException] {
+      Similarity.localizeProbes(probes, maxBytes = 1024L)
+    }
+    assert(e.getMessage.contains("bytes"), e.getMessage)
+  }
+
+  test("vector entry points accept non-float numeric embeddings (ADVICE r12)") {
+    // array<int> corpora went through toDoubleVec/cast before the native
+    // expressions landed; the isFloatArray contract must not regress the
+    // public surface — numVec cast-widens exactly (int→double is exact)
+    val ints = spark.range(50).select(col("id").as("vec_id"),
+      array((0 until 8).map(i =>
+        ((col("id") * 7 + i * 3) % 11 - 5).cast("int")): _*).as("embedding"))
+    val dbls = ints.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val qi = ints.filter(col("vec_id") < 5)
+    val qd = dbls.filter(col("vec_id") < 5)
+    val ivfI = Similarity.ivfTopK(ints, qi, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ivfD = Similarity.ivfTopK(dbls, qd, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivfI.nonEmpty && ivfI == ivfD)
+    val pqI = Similarity.pqTopK(ints, qi, "vec_id", "embedding",
+        dim = 8, k = 3, m = 2, ks = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pqD = Similarity.pqTopK(dbls, qd, "vec_id", "embedding",
+        dim = 8, k = 3, m = 2, ks = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(pqI.nonEmpty && pqI == pqD)
+    val bfI = Similarity.bruteForceTopK(ints, qi, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bfD = Similarity.bruteForceTopK(dbls, qd, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(bfI.nonEmpty && bfI == bfD)
+  }
+
   test("derby seed time accrues only on successful seeding") {
     import graft.engine.MgiDb
     MgiDb.drainSeedNanos() // clear anything a prior suite accrued
