@@ -43,4 +43,65 @@ object Bucketing {
     * on the same files would silently lose the co-location). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Rewrite a bucketed table into the MINIMUM file layout — one file
+    * per (non-empty) bucket — and swap the catalog entry.
+    *
+    * Why this exists: `mode("append").bucketBy(...)` (the index append
+    * paths) adds one file per bucket PER BATCH, so the recurring-crawl
+    * posture — daily appends for a year — turns every bucket-pruned
+    * point scan into hundreds of tiny-file opens and erodes exactly
+    * the scan-minimality the literal-In pruning buys. Periodic
+    * compaction is how every bucketed/bucket-like store (Hive,
+    * Iceberg's rewrite_data_files, FAISS index merges) restores the
+    * layout; this is the Spark-native version.
+    *
+    * Mechanics: read the table, `repartition(numBuckets, bucketKeys)` —
+    * HashPartitioning with the SAME murmur3-pmod arithmetic the bucket
+    * writer uses, so every task holds exactly one bucket's rows and
+    * the bucketed writer emits exactly one file per non-empty bucket —
+    * rewrite into a staging path (ping-ponged `__c1`/`__c2` suffix so
+    * repeated compactions don't grow the path), then swap: drop the
+    * old catalog entry, rename the staging entry over it
+    * (metadata-only, data files immutable throughout; in-flight
+    * readers keep their resolved file list), delete the superseded
+    * directory. Values and bucket residency are byte-identical — only
+    * the file count changes. */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — nothing to compact"))
+    val loc = meta.location.toString.stripSuffix("/")
+    val staging =
+      if (loc.endsWith("__c1")) loc.dropRight(4) + "__c2"
+      else if (loc.endsWith("__c2")) loc.dropRight(4) + "__c1"
+      else loc + "__c1"
+    val tmp = ident.copy(table = ident.table + "__compacting")
+    catalog.dropTable(tmp, ignoreIfNotExists = true, purge = true)
+    val keyCols = spec.bucketColumnNames.map(col)
+    // read the data files by PATH, not via spark.table: against the
+    // catalog's bucketed relation the planner elides the explicit
+    // repartition (the scan claims the bucket partitioning) yet may
+    // still disable the bucketed scan layout, leaving size-packed
+    // splits that write several buckets per task — the path read
+    // forces the real murmur3-pmod shuffle, so task i holds exactly
+    // bucket i and the writer emits one file per non-empty bucket
+    var w = spark.read.schema(meta.schema).parquet(loc)
+      .repartition(spec.numBuckets, keyCols: _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    if (spec.sortColumnNames.nonEmpty)
+      w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    w.option("path", staging).saveAsTable(tmp.unquotedString)
+    catalog.dropTable(ident, ignoreIfNotExists = false, purge = false)
+    catalog.renameTable(tmp, ident)
+    val oldPath = new org.apache.hadoop.fs.Path(loc)
+    oldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(oldPath, true)
+    spark.catalog.refreshTable(table)
+  }
 }

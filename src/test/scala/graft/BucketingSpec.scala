@@ -45,4 +45,48 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("compactBucketed: appended table back to ≤ buckets files, co-location kept") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    Bucketing.writeBucketed(li.filter($"l_orderkey" % 3 === 0),
+      "li_cmp", s"$dir/li", Seq("l_orderkey"), 4)
+    for (r <- Seq(1, 2))
+      li.filter($"l_orderkey" % 3 === r)
+        .write.mode("append").format("parquet")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_cmp")
+    def files() = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("li_cmp")).location
+      Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+    }
+    assert(files() > 4, s"appends should multiply files, got ${files()}")
+    val before = spark.table("li_cmp").as[(Long, Double)].collect().sorted.toSeq
+
+    Bucketing.compactBucketed(spark, "li_cmp")
+    assert(files() <= 4, s"compaction left ${files()} files for 4 buckets")
+    assert(spark.table("li_cmp").as[(Long, Double)].collect().sorted.toSeq
+      == before, "compaction changed table contents")
+
+    // the rewritten table still carries the bucket spec: a point lookup
+    // bucket-prunes exactly as before
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pruned = spark.table("li_cmp").filter($"l_orderkey" === 3L)
+      assert(pruned.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount: 1 out of 4"))
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS li_cmp")
+    }
+    // a non-bucketed table is rejected, not silently rewritten
+    spark.range(10).write.mode("overwrite")
+      .option("path", s"$dir/flat").saveAsTable("flat_cmp")
+    intercept[IllegalArgumentException] {
+      Bucketing.compactBucketed(spark, "flat_cmp")
+    }
+    spark.sql("DROP TABLE IF EXISTS flat_cmp")
+  }
 }
