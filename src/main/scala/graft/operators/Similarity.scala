@@ -349,11 +349,15 @@ object Similarity {
     * FAISS pairs with its trained PQ; 0 keeps the md5-sampled seed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16,
-              nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+              nprobe: Int = 4, refineIters: Int = 0,
+              balanceFactor: Double = 0.0): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
-    val cents = broadcast(
-      ivfCentroidTable(corpus, idCol, vecCol, nlist, refineIters)
-        .withColumn("cn", vec_norm(col("cv"))))
+    val cents0 =
+      if (balanceFactor > 0)
+        balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor,
+          refineIters = refineIters)
+      else ivfCentroidTable(corpus, idCol, vecCol, nlist, refineIters)
+    val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
     probeSearch(cellAssignment(corpus, idCol, vecCol, cents),
       probeCells(queries, idCol, vecCol, cents, nprobe), k)
   }
@@ -382,10 +386,15 @@ object Similarity {
     * table. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     table: String, path: String, nlist: Int = 16,
-                    buckets: Int = 8, refineIters: Int = 0): Unit = {
+                    buckets: Int = 8, refineIters: Int = 0,
+                    balanceFactor: Double = 0.0): Unit = {
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
-    val cents0 = ivfCentroidTable(corpus, idCol, vecCol, nlist, refineIters)
+    val cents0 =
+      if (balanceFactor > 0)
+        balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor,
+          refineIters = refineIters)
+      else ivfCentroidTable(corpus, idCol, vecCol, nlist, refineIters)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
     graft.engine.Bucketing.writeBucketed(
       cellAssignment(corpus, idCol, vecCol, cents).drop("csim"),
@@ -814,6 +823,127 @@ object Similarity {
     cents.select(col("cid").as("cell"), col("cv").as("centroid"))
   }
 
+  /** Cell-size-BALANCED coarse centroids: the [[ivfCentroids]] seed
+    * (optionally Lloyd-refined first), then iterative SPLITTING of
+    * oversized cells — the FAISS balancing move (IndexIVF's answer to
+    * heavy-tailed corpora, where one hot cell = one bucket = one
+    * straggler task at query time and an unprunable scan share).
+    *
+    * Each round: assign the corpus (map-side literal argmax), measure
+    * cell occupancy (one nlist-row aggregate), and split every cell
+    * holding more than `maxFactor` × (N / #cells) vectors: the cell's
+    * two md5-least members seed two sub-centroids, the cell's members
+    * re-assign to the nearer seed (ties to the first), and each side's
+    * 6-dp coordinate mean becomes a new centroid (the
+    * [[kmeansRefine]] mean discipline, restricted to the oversized
+    * subset). Rounds repeat until no cell is oversized or `maxRounds`.
+    * Fully deterministic (md5 seeds, pinned means, pinned ties).
+    *
+    * Scale shape per round: one map-only assignment pass + one
+    * nlist-row count; the split work (2-row-per-member broadcast join
+    * + per-(cell, side, dim) partial-aggregated means) touches ONLY
+    * oversized cells' members. The returned table is (cid, cv) —
+    * drop-in for every IVF/IVFADC build path; cell count grows by the
+    * number of splits, so probe budgets stay comparable when nprobe
+    * scales with nlist. */
+  def balancedIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, maxFactor: Double = 2.0,
+                           maxRounds: Int = 4,
+                           refineIters: Int = 0): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    require(maxFactor > 1.0, s"maxFactor must exceed 1, got $maxFactor")
+    val spark0 = corpus.sparkSession
+    val wide = widen(corpus)
+    // pin the (≤4096-row) centroid relation locally after every round:
+    // round r+1 must not re-execute rounds 1..r's plans — in particular
+    // the corpus-wide md5 seed scan — through the growing lineage
+    def localized(df: DataFrame): DataFrame =
+      spark0.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var cents = localized(
+      ivfCentroidTable(corpus, idCol, vecCol, nlist, refineIters)
+        .select(col("cid").cast("long").as("cid"),
+          expr("transform(cast(cv as array<double>), x -> round(x, 6))").as("cv")))
+    var nCells = nlist.toLong
+    var maxCid = cents.agg(max(col("cid"))).head().getLong(0)
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val assigned = cellAssignment(wide, idCol, vecCol, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = assigned.groupBy("cell").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = sizes.valuesIterator.sum
+      val cap = maxFactor * total.toDouble / nCells
+      // each split nets +1 cell; stay inside the 4096-centroid
+      // driver-bounded-collect contract of cellAssignment
+      val room = (4096L - nCells).toInt
+      val oversized = sizes.filter(_._2 > cap).toArray
+        .sortBy { case (c, n) => (-n, c) }.take(room).map(_._1).sorted
+      if (oversized.isEmpty) { done = true; assigned.unpersist(false) }
+      else {
+        // two md5-least members of each oversized cell seed the split
+        val members = assigned
+          .filter(col("cell").isin(oversized.toIndexedSeq: _*))
+        val wSeed = Window.partitionBy("cell")
+          .orderBy(md5(concat(lit("split"), col("nid").cast("string"))),
+            col("nid"))
+        val seeds = members
+          .withColumn("side", row_number().over(wSeed))
+          .filter(col("side") <= 2)
+          .select(col("cell"), col("side"),
+            col("nv").cast("array<double>").as("sv"))
+          .withColumn("svn", vec_norm(col("sv")))
+        // re-assign the oversized cells' members to the nearer seed
+        // (2 candidate rows per member via the broadcast join; ties
+        // toward side 1 — max(struct(sim, -side)) is the pinned order)
+        val sided = members.join(broadcast(seeds), "cell")
+          .withColumn("ssim",
+            vec_dot(col("nv"), col("sv")) / (col("nn") * col("svn")))
+          .groupBy(col("cell"), col("nid"))
+          .agg(max(struct(col("ssim"), (-col("side")).as("negSide"),
+            col("side"))).as("pick"))
+          .select(col("cell"), col("nid"), col("pick.side").as("side"))
+        // each side's 6-dp coordinate mean is the new centroid
+        val means = members.select(col("cell"), col("nid"),
+            posexplode(col("nv").cast("array<double>")).as(Seq("dim", "x")))
+          .join(sided, Seq("cell", "nid"))
+          .groupBy("cell", "side", "dim").agg(avg("x").as("m"))
+          .groupBy("cell", "side")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("cell"), col("side"),
+            expr("transform(dm, e -> round(e.m, 6))").as("cv"))
+        // deterministic fresh cids for the split halves
+        val cidOf = oversized.zipWithIndex.flatMap { case (c, i) =>
+          Seq((c, 1, maxCid + 2 * i + 1), (c, 2, maxCid + 2 * i + 2))
+        }.map { case (c, s, n) => (c, s) -> n }.toMap
+        val newCents = means.collect().map { r =>
+          (cidOf((r.getLong(0), r.getInt(1))), r.getSeq[Double](2))
+        }
+        import spark0.implicits._
+        cents = localized(cents
+          .filter(!col("cid").isin(oversized.toIndexedSeq: _*))
+          .unionByName(newCents.toSeq.toDF("cid", "cv")))
+        nCells = nCells - oversized.length + newCents.length
+        maxCid += 2L * oversized.length
+        assigned.unpersist(false)
+      }
+    }
+    cents
+  }
+
+  /** Per-cell member counts of `corpus` against a centroid table
+    * (cid, cv) — the occupancy readout a deployment monitors for hot
+    * cells (a cell = a bucket = a task at query time, so max/median
+    * occupancy is the straggler/scan-skew bound) before reaching for
+    * [[balancedIvfCentroids]]. One map-side assignment pass + one
+    * ≤nlist-row aggregate. */
+  def cellOccupancy(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): DataFrame =
+    cellAssignment(corpus, idCol, vecCol, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web scale through semantic
     * deduplication", arXiv:2303.09540): cluster the corpus into `nlist`
@@ -1153,6 +1283,22 @@ object Similarity {
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
   }
+
+  /** Compact a persisted index's bucketed code/assignment table back to
+    * one file per bucket ([[graft.engine.Bucketing.compactBucketed]]).
+    *
+    * Every [[appendPqIndex]]/[[appendIvfadcIndex]]/
+    * [[appendIvfadcResidualIndex]] batch adds a file per bucket, so a
+    * year of daily appends turns each bucket-pruned probed-cell scan
+    * into ~365 tiny-file opens per bucket — compaction restores the
+    * build-time layout (results bit-identical, bucket pruning and the
+    * no-encode query plan untouched; IndexPlanSpec pins both). The
+    * sidecar `_codebook`/`_centroids` tables are write-once model
+    * artifacts and never need it. Run it on the rebuild cadence a
+    * deployment already has (weekly, or when files-per-bucket crosses
+    * a threshold) — it reads and rewrites the whole index once. */
+  def compactIndex(spark: SparkSession, table: String): Unit =
+    graft.engine.Bucketing.compactBucketed(spark, table)
 
   /** Query a persisted PQ index: identical results to [[pqTopK]] with
     * the same (dim, m, ks, k) — codebook and codes are read back, not

@@ -362,6 +362,42 @@ object PipelineQueries {
         dim = 64, k = 3, m = 4)
     }),
 
+    // Index compaction — the maintenance pass the recurring-crawl
+    // posture (s15/s17/s19) needs: every append adds a file per bucket,
+    // so a year of daily batches turns each bucket-pruned probed-cell
+    // scan into thousands of tiny-file opens. compactIndex rewrites the
+    // bucketed code table to ONE file per bucket (same murmur3-pmod
+    // residency, catalog entry swapped atomically) — results must stay
+    // bit-identical to the uncompacted index, which is s15's oracle.
+    "s23_ann_index_compacted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_pq_cmp_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writePqIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", "graft_pq_cmp", path, dim = 64, m = 4,
+        ks = 16, buckets = 8)
+      Similarity.appendPqIndex(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", "graft_pq_cmp", dim = 64, m = 4,
+        buckets = 8)
+      Similarity.compactIndex(s, "graft_pq_cmp")
+      Similarity.pqTopKIndexed(s, "graft_pq_cmp",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3, m = 4)
+    }),
+
+    // Balanced-cell IVF — the FAISS oversized-cell split for
+    // heavy-tailed corpora (a hot cell = one bucket = one straggler
+    // task; ProfAnnSkew measures the histograms). Probing EVERY cell
+    // makes the result exact, so the gate pins the split/reassign
+    // plumbing end-to-end (a vector lost or duplicated by a split
+    // round would break the hash) against the s01 exact oracle.
+    "s24_ann_ivf_balanced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4096,
+        balanceFactor = 1.5)
+    }),
+
     // BPE token-ID encoding — the final artifact a tokenizer pipeline
     // ships: t29's tokens mapped through a frequency-ranked vocabulary
     // to integer ids (what the training shards actually store). The
@@ -1987,6 +2023,24 @@ object PipelineQueries {
     // codebook trained on the initial batch only (vec_id < 250, the
     // engine's build half); encode/query replay over the full corpus
     "s15_ann_pq_incremental" ->
+      s"""WITH ${pqAdcCtes("WHERE vec_id < 250")}
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    // balanced IVF probing every cell is exact: same oracle as s01
+    "s24_ann_ivf_balanced" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         sims AS (SELECT qid, e.vec_id AS nid,
+                    list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                  FROM q, embeddings e WHERE e.vec_id != qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    // compaction must be invisible to results: same oracle as s15
+    "s23_ann_index_compacted" ->
       s"""WITH ${pqAdcCtes("WHERE vec_id < 250")}
          SELECT qid, nid, round(sim, 6) AS sim,
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank

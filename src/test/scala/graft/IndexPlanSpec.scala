@@ -207,4 +207,68 @@ class IndexPlanSpec extends SparkSpec {
         "graft_adc_app_b", "graft_adc_app_b_codebook", "graft_adc_app_b_centroids")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  /** part-* data files under a catalog table's current location. */
+  private def dataFiles(table: String): Seq[String] = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+    val d = new java.io.File(loc)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+  }
+
+  test("compacted index: value-identical, ≤ buckets files, pruned no-encode plan intact") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc-cmp").toString
+    val qs = emb.filter($"vec_id" < 5)
+    val buckets = 4
+    Similarity.writeIvfadcIndex(emb.filter($"vec_id" < 150), "vec_id",
+      "embedding", "graft_adc_cmp", s"$dir/idx", dim = 64, nlist = 8,
+      m = 4, ks = 16, buckets = buckets)
+    // three append batches: each adds a file per non-empty bucket, the
+    // recurring-crawl growth compaction exists to undo
+    for ((lo, hi) <- Seq((150, 250), (250, 350), (350, Int.MaxValue)))
+      Similarity.appendIvfadcIndex(spark,
+        emb.filter($"vec_id" >= lo && $"vec_id" < hi),
+        "vec_id", "embedding", "graft_adc_cmp", dim = 64, m = 4,
+        buckets = buckets)
+    assert(dataFiles("graft_adc_cmp").size > buckets,
+      s"appends should multiply files, got ${dataFiles("graft_adc_cmp")}")
+    def query() = Similarity.ivfadcTopKIndexed(spark, "graft_adc_cmp", qs,
+      "vec_id", "embedding", dim = 64, k = 3, nprobe = 4, m = 4)
+    val before = query().as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(before.nonEmpty)
+
+    Similarity.compactIndex(spark, "graft_adc_cmp")
+    assert(dataFiles("graft_adc_cmp").size <= buckets,
+      s"compaction left ${dataFiles("graft_adc_cmp").size} files for $buckets buckets")
+    val q2 = query()
+    assert(q2.as[(Long, Long, Double, Int)].collect().toSeq.sorted == before,
+      "compaction changed query results")
+    // the query-plan contract survives: bucketed scan, probed-cell
+    // bucket pruning, no encode/assignment stage
+    q2.collect()
+    val plan = q2.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    assert(selectedBuckets(plan).isDefined,
+      s"bucket pruning lost after compaction:\n${plan.take(1500)}")
+    for (marker <- Seq("vec_pq_codes", "vec_best_cell"))
+      assert(!plan.contains(marker),
+        s"$marker ran at query time after compaction:\n${plan.take(1500)}")
+
+    // compaction is idempotent and re-runnable: the staging suffix
+    // ping-pongs instead of growing, a second append+compact cycle
+    // stays value-identical
+    Similarity.compactIndex(spark, "graft_adc_cmp")
+    assert(dataFiles("graft_adc_cmp").size <= buckets)
+    assert(query().as[(Long, Long, Double, Int)].collect().toSeq.sorted == before,
+      "re-compaction changed query results")
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_adc_cmp"))
+      .location.toString
+    assert(loc.endsWith("__c1") || loc.endsWith("__c2"),
+      s"staging suffix should ping-pong, got $loc")
+    Seq("graft_adc_cmp", "graft_adc_cmp_codebook", "graft_adc_cmp_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -1684,6 +1684,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("balancedIvfCentroids: splits hot cells, conserves members, exact when probing all") {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    // power-law corpus: cluster sizes 700/150/100/50 around four nearly
+    // orthogonal directions — the heavy-tailed shape real embedding
+    // corpora have and the md5-sampled seed cannot balance
+    val dim = 8
+    val corpus = spark.range(1000).select(col("id").as("vec_id"))
+      .withColumn("c",
+        when(col("vec_id") < 700, 0).when(col("vec_id") < 850, 1)
+          .when(col("vec_id") < 950, 2).otherwise(3))
+      .withColumn("embedding", array((0 until dim).map(i =>
+        when(col("c") === i % 4, lit(10.0)).otherwise(lit(0.0)) +
+          (pmod(hash(col("vec_id"), lit(i)), lit(7)) - lit(3))
+            .cast("double") * 0.05): _*))
+      .drop("c")
+    import org.apache.spark.sql.expressions.Window
+    def occupancy(cents: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val cn = cents.withColumn("cn", vec_norm(col("cv")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cid").asc)
+      corpus.crossJoin(broadcast(cn))
+        .withColumn("csim", vec_dot(col("embedding"), col("cv")) /
+          (vec_norm(col("embedding")) * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("cid").count()
+        .as[(Long, Long)].collect().toMap
+    }
+    val nlist = 8
+    val seed = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlist)
+      .select(col("cid").cast("long").as("cid"),
+        col("cv").cast("array<double>").as("cv"))
+    val balanced = Similarity.balancedIvfCentroids(corpus, "vec_id",
+      "embedding", nlist, maxFactor = 1.5, maxRounds = 8)
+    val occSeed = occupancy(seed)
+    val occBal = occupancy(balanced)
+    // every vector lands in exactly one cell both ways
+    assert(occSeed.values.sum == 1000 && occBal.values.sum == 1000,
+      s"members lost/duplicated: seed=${occSeed.values.sum} bal=${occBal.values.sum}")
+    // splitting happened and the hot cell shrank materially
+    val nCells = balanced.select("cid").distinct().count()
+    assert(nCells > nlist, s"no cells were split (still $nCells)")
+    assert(occBal.values.max < occSeed.values.max,
+      s"hot cell not reduced: ${occSeed.values.max} -> ${occBal.values.max}")
+    // converged runs respect the cap (1.5 × mean over the final cells)
+    assert(occBal.values.max <= (1.5 * 1000.0 / nCells).ceil.toLong,
+      s"cap violated: max=${occBal.values.max} cells=$nCells")
+    // the full entry point with every cell probed is EXACT — a vector
+    // lost by a split round would surface here
+    val qs = corpus.filter(col("vec_id") % 250 === 0)
+    val bal = Similarity.ivfTopK(corpus, qs, "vec_id", "embedding",
+        k = 3, nlist = nlist, nprobe = 4096, balanceFactor = 1.5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding",
+        k = 3).as[(Long, Long, Double, Int)].collect().toSet
+    assert(bal.nonEmpty && bal == exact)
+  }
+
   test("localizeProbes: driver gate is byte-aware, not row-only (ADVICE r12)") {
     val probes = spark.range(64).select(
       col("id").as("qid"), (col("id") % 4).as("cell"),
