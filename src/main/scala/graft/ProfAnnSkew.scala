@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cell-skew and serving-operating-point measurement for the ANN
+  * family (round-13 items: occupancy histograms, balanced-split
+  * mitigation, Lloyd-training gain on a heavy-tailed corpus, and the
+  * s21 re-rank kCand sweep at its recommended production point).
+  *
+  * Two fixtures:
+  *  - the GRADED 200k corpus ProfAnnTune v2 uses (copy c of each base
+  *    vector perturbed with amplitude ∝ 1+c, so top-k is cleanly
+  *    separated) — near-uniform cluster sizes by construction;
+  *  - a POWER-LAW corpus: 64 cluster directions with Zipf sizes
+  *    (cluster r holds ∝ 1/r of the corpus — the heavy-tailed shape
+  *    real embedding corpora have), graded noise within each cluster.
+  *
+  * Prints `[skew] ...` rows consumed into SCALING.md.
+  */
+object ProfAnnSkew {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 100
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Similarity
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- graded fixture (shared with ProfAnnTune v2) -------------------
+    val gradedPath = s"/tmp/graft_ann_tune_${copies}x_v2"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(gradedPath, "_SUCCESS"))) {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val reps = spark.range(copies).select(col("id").as("copy"))
+      emb.crossJoin(reps)
+        .select((col("vec_id") + col("copy") * lit(1000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(x + 0.004d * (1 + copy) * " +
+            "((pmod(hash(vec_id, copy, i), 7)) - 3) as float))").as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(gradedPath)
+      println(s"[skew] graded fixture written: $gradedPath")
+    }
+    val graded = spark.read.parquet(gradedPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[skew] graded corpus: ${graded.count()}")
+
+    // ---- power-law fixture ---------------------------------------------
+    // 64 cluster directions, cluster r (1-based) holds ∝ 1/r of 200k
+    // vectors; within-cluster graded noise (amplitude ∝ 1 + w%100) keeps
+    // top-k well separated so recall grades the quantizer, not ties.
+    val plPath = "/tmp/graft_ann_skew_pl_v1"
+    val nPl = 200000L
+    val nClusters = 64
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(plPath, "_SUCCESS"))) {
+      val h = (1 to nClusters).map(1.0 / _).sum
+      val sizes = (1 to nClusters).map(r => math.max(1L,
+        math.round(nPl / (r * h))))
+      val bounds = sizes.scanLeft(0L)(_ + _)
+      val bdf = spark.createDataFrame(
+        (1 to nClusters).map(r => (r, bounds(r - 1), bounds(r))))
+        .toDF("cl", "lo", "hi")
+      spark.range(bounds.last).select(col("id").as("vec_id"))
+        .join(broadcast(bdf),
+          col("vec_id") >= col("lo") && col("vec_id") < col("hi"))
+        .select(col("vec_id"), col("cl"), (col("vec_id") - col("lo")).as("w"))
+        .select(col("vec_id"),
+          expr("transform(sequence(0, 63), j -> cast(" +
+            "(pmod(hash('c', cl, j), 1001) / 500.0d - 1.0d) + " +
+            "0.004d * (1 + pmod(w, 100)) * (pmod(hash(vec_id, j), 7) - 3)" +
+            " as float))").as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(plPath)
+      println(s"[skew] power-law fixture written: $plPath " +
+        s"(cluster sizes max=${sizes.max} min=${sizes.min})")
+    }
+    val pl = spark.read.parquet(plPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[skew] power-law corpus: ${pl.count()}")
+
+    // ---- item 2: cell-occupancy histograms -----------------------------
+    def occStats(tag: String, corpus: DataFrame, cents: DataFrame,
+                 nlist: Int): Unit = {
+      val occ = Similarity.cellOccupancy(corpus, "vec_id", "embedding", cents)
+        .orderBy(col("n").desc).collect().map(_.getLong(1))
+      val total = occ.sum
+      val med = occ(occ.length / 2)
+      val top5 = occ.take(5).mkString(",")
+      println(f"[skew] OCC $tag%-34s cells=${occ.length}%4d/$nlist%4d " +
+        f"max=${occ.head}%7d p50=$med%6d mean=${total / occ.length}%6d " +
+        f"max/p50=${occ.head.toDouble / med}%6.1f top5=[$top5]")
+    }
+    for ((name, corpus) <- Seq(("graded", graded), ("powerlaw", pl));
+         nlist <- Seq(256, 1024)) {
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlist)
+      occStats(s"$name nlist=$nlist sampled", corpus, cents, nlist)
+    }
+    // mitigation variants on the heavy-tailed corpus
+    {
+      val refined = Similarity.kmeansRefine(pl, "vec_id", "embedding",
+          k = 256, iters = 2)
+        .select(col("cell").as("cid"), col("centroid").as("cv"))
+      occStats("powerlaw nlist=256 lloyd2", pl, refined, 256)
+      for (rounds <- Seq(8, 16)) {
+        val (balanced, tBal) = timed {
+          val b = Similarity.balancedIvfCentroids(pl, "vec_id", "embedding",
+            nlist = 256, maxFactor = 2.0, maxRounds = rounds)
+          b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          b.count(); b
+        }
+        println(f"[skew] balanced split pass (maxRounds=$rounds): $tBal%.1f s")
+        occStats(s"powerlaw nlist=256 balanced2.0r$rounds", pl, balanced, 256)
+        balanced.unpersist()
+      }
+    }
+
+    // ---- item 5: sampled vs Lloyd-trained PQ codebook, heavy-tailed ----
+    // The v2 graded-FAMILY design (each query's top-k is its own
+    // low-amplitude siblings, cleanly separated — recall grades the
+    // quantizer, not a tie lottery) with ZIPF family multiplicities:
+    // family f keeps min(200, 4000/f) copies, so the md5 codebook
+    // sample over-represents hot families and tail queries meet
+    // codewords far from their neighborhoods — the corpus shape where
+    // training has something to fix. (The first-cut fixture — graded
+    // noise WITHIN 42k-member power-law clusters — put thousands of
+    // near-ties inside every hot cluster: recall ~0 at every ks ×
+    // trainIters, a fixture artifact, not a quantizer reading.)
+    val k = 10
+    val famPath = "/tmp/graft_ann_skew_fam_v1"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(famPath, "_SUCCESS"))) {
+      val base = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("fam"), col("embedding"))
+        .filter(col("fam") >= 1)
+      base.select(col("fam"), col("embedding"),
+          least(lit(200), (lit(4000) / col("fam")).cast("int")).as("sz"))
+        .filter(col("sz") >= 4)
+        .select(col("fam"), col("embedding"),
+          explode(sequence(lit(0), col("sz") - 1)).as("w"))
+        .select((col("fam") * 1000L + col("w")).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(x + 0.004d * (1 + w) * " +
+            "((pmod(hash(fam, w, i), 7)) - 3) as float))").as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(famPath)
+      println(s"[skew] family fixture written: $famPath")
+    }
+    val fam = spark.read.parquet(famPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[skew] family corpus: ${fam.count()}")
+    // queries span the size spectrum: hot (f=1, 200 copies) to tail
+    // (f=256, 15 copies) — all with ≥ k+1 siblings
+    val famQ = fam.filter(col("vec_id").isin(
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L).map(_ * 1000L): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[skew] family query batch: ${famQ.count()}")
+    val (exactFam, tEx) = timed {
+      val e = Similarity.bruteForceTopK(fam, famQ, "vec_id", "embedding", k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    println(f"[skew] family exact baseline: $tEx%.1f s")
+    def recallFam(res: DataFrame): Double =
+      Similarity.recallAtK(exactFam, res).agg(avg("recall")).head().getDouble(0)
+    for (ks <- Seq(64, 256); it <- Seq(0, 3)) {
+      val (res, t) = timed {
+        val r = Similarity.pqTopK(fam, famQ, "vec_id", "embedding",
+            dim = 64, k = k, m = 8, ks = ks, trainIters = it)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count(); r
+      }
+      println(f"[skew] FAM-PQ ks=$ks%3d trainIters=$it | wall=$t%6.1f s | " +
+        f"recall@$k=${recallFam(res)}%.3f")
+      res.unpersist()
+    }
+
+    // ---- item 3: s21 kCand sweep on the graded fixture -----------------
+    val gq = graded.filter(col("vec_id") < 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (exactG, tExG) = timed {
+      val e = Similarity.bruteForceTopK(graded, gq, "vec_id", "embedding", k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    println(f"[skew] graded exact baseline: $tExG%.1f s")
+    def recallG(res: DataFrame): Double =
+      Similarity.recallAtK(exactG, res).agg(avg("recall")).head().getDouble(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annskew").toString
+    locally {
+      val table = "skew_rr_256_256"
+      val (_, tBuild) = timed {
+        Similarity.writeIvfadcIndex(graded, "vec_id", "embedding",
+          table, s"$tmp/$table", dim = 64, nlist = 256, m = 8, ks = 256,
+          buckets = 32)
+      }
+      println(f"[skew] rerank index build: $tBuild%.1f s")
+      for (kCand <- Seq(50, 500, 2000)) {
+        val (res, tQ) = timed {
+          val r = Similarity.ivfadcRerankTopKIndexed(spark, table, graded,
+            gq, "vec_id", "embedding", dim = 64, k = k, kCand = kCand,
+            nprobe = 8, m = 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        val (_, tQ2) = timed {
+          Similarity.ivfadcRerankTopKIndexed(spark, table, graded, gq,
+            "vec_id", "embedding", dim = 64, k = k, kCand = kCand,
+            nprobe = 8, m = 8).count()
+        }
+        println(f"[skew] RERANK kCand=$kCand%4d nprobe=8 | query=$tQ%6.2f s " +
+          f"warm=$tQ2%6.2f s | recall@$k=${recallG(res)}%.3f")
+        res.unpersist()
+      }
+      Seq(table, s"${table}_codebook", s"${table}_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    spark.stop()
+  }
+}
