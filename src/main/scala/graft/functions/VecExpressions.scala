@@ -74,6 +74,31 @@ object VecFns {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** SQ8 quantize∘reconstruct: code = clamp(⌊(x − min)/Δ⌋, 0, 255),
+    * value = min + (code + 0.5)·Δ; a constant dimension (Δ ≤ 0)
+    * reconstructs to its min. Truncated vectors reconstruct their
+    * present coordinates. */
+  def sq8Recon(a: ArrayData, isFloat: Boolean, mins: Array[Double],
+               deltas: Array[Double]): ArrayData = {
+    val n = math.min(a.numElements(), mins.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val d = deltas(i)
+      out(i) =
+        if (d <= 0.0) mins(i)
+        else {
+          var c = math.floor((x - mins(i)) / d)
+          if (c < 0.0) c = 0.0
+          if (c > 255.0) c = 255.0
+          mins(i) + (c + 0.5) * d
+        }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** PQ encoding of one vector against a driver-bounded per-subspace
     * codebook: for each of the `m` subspaces, the codebook entry
     * minimizing ‖x_sub − c‖² (via d2 = ‖c‖² − 2·x_sub·c, ties toward
@@ -299,6 +324,44 @@ case class VecPqCodesExpr(child: Expression, m: Int, sub: Int,
       Integer.valueOf(java.util.Arrays.deepHashCode(cn2s.asInstanceOf[Array[AnyRef]])))
 }
 
+/** `vec_sq8_recon(v)` — scalar-quantize each coordinate to its 8-bit
+  * level over driver-bounded per-dimension [min, max] ranges and
+  * return the RECONSTRUCTED vector (min + (code + 0.5)·Δ) as
+  * array<double> — the encode∘decode of FAISS's
+  * IndexScalarQuantizer(QT_8bit) fused into one codegen'd call (the
+  * stored artifact would be the byte codes; the search math only ever
+  * needs the reconstruction). A constant dimension (Δ ≤ 0)
+  * reconstructs to its min. */
+case class VecSq8ReconExpr(child: Expression, mins: Array[Double],
+                           deltas: Array[Double])
+    extends UnaryExpression {
+  private lazy val isFloat = VecFns.isFloatArray(child.dataType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    VecFns.sq8Recon(a.asInstanceOf[ArrayData], isFloat, mins, deltas)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val deltasRef = ctx.addReferenceObj("deltas", deltas, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecFns.sq8Recon($a, $isFloat, " +
+        s"$minsRef, $deltasRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vec_sq8_recon"
+  // structural equality over the range arrays — see VecBestCellExpr
+  override def equals(o: Any): Boolean = o match {
+    case that: VecSq8ReconExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(mins, that.mins) &&
+        java.util.Arrays.equals(deltas, that.deltas)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(mins)),
+      Integer.valueOf(java.util.Arrays.hashCode(deltas)))
+}
+
 /** `vec_sub(a, b)` — element-wise a − b as array<double>. */
 case class VecSubExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -332,4 +395,8 @@ object VecExpressions {
                     cns: Array[Double]): Column =
     ColumnBridge.column(VecBestCellExpr(ColumnBridge.expression(v),
       cids, cvs, cns))
+  def vec_sq8_recon(v: Column, mins: Array[Double],
+                    deltas: Array[Double]): Column =
+    ColumnBridge.column(VecSq8ReconExpr(ColumnBridge.expression(v),
+      mins, deltas))
 }

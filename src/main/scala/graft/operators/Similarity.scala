@@ -73,6 +73,53 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Scalar-quantized (SQ8) cosine top-k — FAISS's
+    * IndexScalarQuantizer(QT_8bit) (the OTHER production encoding next
+    * to PQ: 4× compression of float32 at near-exact recall, no
+    * codebook to train): per-dimension [min, max] over the corpus
+    * define 256 uniform levels, every corpus vector quantizes to one
+    * byte per dimension, and queries score EXACT cosine against the
+    * reconstructed vectors (min + (code + 0.5)·Δ) — asymmetric
+    * distance, the query side stays full-precision.
+    *
+    * Scale shape: the range table is ONE aggregate over the
+    * coordinate explode (dim-bounded driver collect, same contract as
+    * the PQ codebook); quantize∘reconstruct is one codegen'd
+    * [[graft.functions.VecExpressions.vec_sq8_recon]] projection —
+    * map-only, no shuffle, no ×dim row blow-up; the search tail is
+    * [[bruteForceTopK]]'s broadcast shape (or compose the recon
+    * column with the IVF cell restriction for a quantized-IVF tier).
+    * Deterministic: ranges are exact min/max, the quantization
+    * arithmetic is pinned floor/clamp — an external oracle re-derives
+    * every reconstructed coordinate bit-for-bit. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm, vec_sq8_recon}
+    require(dim > 0 && dim <= 4096, s"dim must be driver-bounded, got $dim")
+    val ranges = corpus
+      .select(posexplode(toDoubleVec(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = Array.tabulate(dim)(i =>
+      ranges.lift(i).map(_._2).getOrElse(0.0))
+    val deltas = Array.tabulate(dim)(i =>
+      ranges.lift(i).map(r => (r._3 - r._2) / 256.0).getOrElse(0.0))
+    val q = queries.select(col(idCol).as("qid"),
+        toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
+    val c = widen(corpus.select(col(idCol).as("nid"),
+        vec_sq8_recon(numVec(corpus, vecCol), mins, deltas).as("nv")))
+      .withColumn("nn", vec_norm(col("nv")))
+    val sims = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** All corpus pairs with cosine above `threshold` (embedding-space
     * near-duplicate detection; id_a < id_b). Per-row norms precomputed. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
@@ -465,11 +512,15 @@ object Similarity {
   def writeIvfadcIndex(corpus: DataFrame, idCol: String, vecCol: String,
                        table: String, path: String, dim: Int,
                        nlist: Int = 16, m: Int = 4, ks: Int = 16,
-                       buckets: Int = 8, trainIters: Int = 0): Unit = {
+                       buckets: Int = 8, trainIters: Int = 0,
+                       balanceFactor: Double = 0.0): Unit = {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
-    val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val cents0 =
+      if (balanceFactor > 0)
+        balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor)
+      else ivfCentroids(corpus, idCol, vecCol, nlist)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
     val codebook =
       if (trainIters > 0) pqCodebookTrained(corpus, idCol, vecCol, dim, m, ks, trainIters)
@@ -706,11 +757,15 @@ object Similarity {
                                vecCol: String, table: String, path: String,
                                dim: Int, nlist: Int = 16, m: Int = 4,
                                ks: Int = 16, buckets: Int = 8,
-                               trainIters: Int = 0): Unit = {
+                               trainIters: Int = 0,
+                               balanceFactor: Double = 0.0): Unit = {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
-    val cents0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val cents0 =
+      if (balanceFactor > 0)
+        balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor)
+      else ivfCentroids(corpus, idCol, vecCol, nlist)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
     // resid feeds THREE consumers (codebook sample/training, the
     // encode pass, the nid→cell join) — persist it for the build or
@@ -831,13 +886,17 @@ object Similarity {
     *
     * Each round: assign the corpus (map-side literal argmax), measure
     * cell occupancy (one nlist-row aggregate), and split every cell
-    * holding more than `maxFactor` × (N / #cells) vectors: the cell's
-    * two md5-least members seed two sub-centroids, the cell's members
-    * re-assign to the nearer seed (ties to the first), and each side's
-    * 6-dp coordinate mean becomes a new centroid (the
-    * [[kmeansRefine]] mean discipline, restricted to the oversized
-    * subset). Rounds repeat until no cell is oversized or `maxRounds`.
-    * Fully deterministic (md5 seeds, pinned means, pinned ties).
+    * holding more than `maxFactor` × (N / #cells) vectors with a
+    * MEDIAN through-center cut: project members onto the tangential
+    * direction of the cell's farthest member and cut at the exact
+    * per-cell median projection (50/50 by construction); the two
+    * side-means (6-dp, the [[kmeansRefine]] discipline) become new
+    * centroids. Rounds repeat until no cell is oversized or
+    * `maxRounds`; on a 132× Zipf tail (200 k vectors, nlist 256) the
+    * cap is reached in 15 rounds — expect ~3× log₂(max/cap) rounds,
+    * the overhead being member churn between a hot cluster's cells.
+    * Fully deterministic (md5/farthest seeds, pinned ties, exact
+    * median).
     *
     * Scale shape per round: one map-only assignment pass + one
     * nlist-row count; the split work (2-row-per-member broadcast join
@@ -848,7 +907,7 @@ object Similarity {
     * scales with nlist. */
   def balancedIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                            nlist: Int, maxFactor: Double = 2.0,
-                           maxRounds: Int = 4,
+                           maxRounds: Int = 16,
                            refineIters: Int = 0): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
     require(maxFactor > 1.0, s"maxFactor must exceed 1, got $maxFactor")
@@ -881,52 +940,90 @@ object Similarity {
       val room = (4096L - nCells).toInt
       val oversized = sizes.filter(_._2 > cap).toArray
         .sortBy { case (c, n) => (-n, c) }.take(room).map(_._1).sorted
+      if (sys.props.contains("graft.balance.debug"))
+        println(f"[bal] round=$round cells=$nCells max=${sizes.values.max} " +
+          f"cap=$cap%.0f oversized=${oversized.length} " +
+          f"top5=${sizes.values.toSeq.sorted.reverse.take(5).mkString(",")}")
       if (oversized.isEmpty) { done = true; assigned.unpersist(false) }
       else {
-        // two md5-least members of each oversized cell seed the split
+        // split = a THROUGH-CENTER cut, one shot: nearest-seed and
+        // 2-means-from-member-seeds both fail on a dense core (the
+        // seed better aligned with the cell center takes ~all members;
+        // measured 17.5k → 15.1k/round — a shave). Instead, cut by the
+        // SIGN of each member's projection onto d = the tangential
+        // component (w.r.t. the centroid direction m̂) of the cell's
+        // farthest member: c·d ≈ 0 by construction, so the sign is the
+        // sign of the member's own noise projection — a balanced
+        // bisection of the core regardless of density, deterministic
+        // (farthest member by the already-computed csim, ties to the
+        // smaller nid; v·d = 0 goes to side 1). Cells whose farthest
+        // member is parallel to the centroid (all-identical vectors)
+        // are left whole: splitting exact duplicates across cells
+        // would hide half of them from a single-cell probe.
         val members = assigned
           .filter(col("cell").isin(oversized.toIndexedSeq: _*))
-        val wSeed = Window.partitionBy("cell")
-          .orderBy(md5(concat(lit("split"), col("nid").cast("string"))),
-            col("nid"))
-        val seeds = members
-          .withColumn("side", row_number().over(wSeed))
-          .filter(col("side") <= 2)
-          .select(col("cell"), col("side"),
-            col("nv").cast("array<double>").as("sv"))
-          .withColumn("svn", vec_norm(col("sv")))
-        // re-assign the oversized cells' members to the nearer seed
-        // (2 candidate rows per member via the broadcast join; ties
-        // toward side 1 — max(struct(sim, -side)) is the pinned order)
-        val sided = members.join(broadcast(seeds), "cell")
-          .withColumn("ssim",
-            vec_dot(col("nv"), col("sv")) / (col("nn") * col("svn")))
-          .groupBy(col("cell"), col("nid"))
-          .agg(max(struct(col("ssim"), (-col("side")).as("negSide"),
-            col("side"))).as("pick"))
-          .select(col("cell"), col("nid"), col("pick.side").as("side"))
-        // each side's 6-dp coordinate mean is the new centroid
-        val means = members.select(col("cell"), col("nid"),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val centVec = cents
+          .filter(col("cid").isin(oversized.toIndexedSeq: _*))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .toMap
+        val farRows = members.groupBy(col("cell"))
+          .agg(min(struct(col("csim"), col("nid"),
+            col("nv").cast("array<double>").as("fv"))).as("far"))
+          .select(col("cell"), col("far.fv").as("fv"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        val splitDirs = farRows.flatMap { case (cell, f) =>
+          val m = centVec(cell)
+          val mn = math.sqrt(m.map(x => x * x).sum)
+          if (mn == 0.0) None
+          else {
+            val mh = m.map(_ / mn)
+            val proj = (0 until math.min(f.length, mh.length))
+              .foldLeft(0.0)((s, i) => s + f(i) * mh(i))
+            val d = Array.tabulate(mh.length)(i =>
+              (if (i < f.length) f(i) else 0.0) - proj * mh(i))
+            val dn = math.sqrt(d.map(x => x * x).sum)
+            if (dn < 1e-9) None else Some(cell -> d.map(_ / dn))
+          }
+        }
+        val splittable = splitDirs.map(_._1).sorted
+        if (splittable.isEmpty) { done = true }
+        import spark0.implicits._
+        val dDf = broadcast(splitDirs.toSeq.toDF("cell", "dv"))
+        // cut at the MEDIAN projection, not at 0: a later-round cell is
+        // itself a half-space whose center the raw sign cut misses
+        // (measured: 54%/46% decaying to 81%/19% down the hot lineage);
+        // the exact per-cell median makes every split 50/50 by
+        // construction (sort-based percentile — deterministic; ties at
+        // the median go to side 1)
+        val proj = members.join(dDf, "cell")
+          .withColumn("p", vec_dot(col("nv"), col("dv")))
+        val medians = proj.groupBy(col("cell"))
+          .agg(expr("percentile(p, 0.5d)").as("med"))
+        val sided = proj.join(broadcast(medians), "cell")
+          .withColumn("side",
+            when(col("p") >= col("med"), 1).otherwise(2))
+        // each side's 6-dp coordinate mean (kmeansRefine discipline)
+        val means = sided.select(col("cell"), col("side"),
             posexplode(col("nv").cast("array<double>")).as(Seq("dim", "x")))
-          .join(sided, Seq("cell", "nid"))
           .groupBy("cell", "side", "dim").agg(avg("x").as("m"))
           .groupBy("cell", "side")
           .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
           .select(col("cell"), col("side"),
             expr("transform(dm, e -> round(e.m, 6))").as("cv"))
         // deterministic fresh cids for the split halves
-        val cidOf = oversized.zipWithIndex.flatMap { case (c, i) =>
+        val cidOf = splittable.zipWithIndex.flatMap { case (c, i) =>
           Seq((c, 1, maxCid + 2 * i + 1), (c, 2, maxCid + 2 * i + 2))
         }.map { case (c, s, n) => (c, s) -> n }.toMap
         val newCents = means.collect().map { r =>
           (cidOf((r.getLong(0), r.getInt(1))), r.getSeq[Double](2))
         }
-        import spark0.implicits._
+        members.unpersist(false)
         cents = localized(cents
-          .filter(!col("cid").isin(oversized.toIndexedSeq: _*))
+          .filter(!col("cid").isin(splittable.toIndexedSeq: _*))
           .unionByName(newCents.toSeq.toDF("cid", "cv")))
-        nCells = nCells - oversized.length + newCents.length
-        maxCid += 2L * oversized.length
+        nCells = nCells - splittable.length + newCents.length
+        maxCid += 2L * splittable.length
         assigned.unpersist(false)
       }
     }

@@ -398,6 +398,18 @@ object PipelineQueries {
         balanceFactor = 1.5)
     }),
 
+    // Scalar-quantized (SQ8) search — FAISS IndexScalarQuantizer's
+    // QT_8bit, the production encoding next to PQ (4× compression, no
+    // codebook training): per-dim corpus min/max ranges, one byte per
+    // coordinate, exact cosine against the reconstructed vectors
+    // (asymmetric — the query side stays full-precision). The oracle
+    // re-derives every reconstructed coordinate bit-for-bit.
+    "s25_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 3)
+    }),
+
     // BPE token-ID encoding — the final artifact a tokenizer pipeline
     // ships: t29's tokens mapped through a frequency-ranked vocabulary
     // to integer ids (what the training shards actually store). The
@@ -2024,6 +2036,34 @@ object PipelineQueries {
     // engine's build half); encode/query replay over the full corpus
     "s15_ann_pq_incremental" ->
       s"""WITH ${pqAdcCtes("WHERE vec_id < 250")}
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    // SQ8: re-derive the per-dim ranges and the clamped-floor
+    // reconstruction, then exact cosine — the same arithmetic the
+    // vec_sq8_recon expression runs (floor/clamp on doubles is
+    // bit-deterministic on both engines)
+    "s25_ann_sq8" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         coords AS (SELECT e.vec_id, d.i, e.embedding[d.i]::DOUBLE AS x
+                    FROM embeddings e, dims d),
+         rng AS (SELECT i, min(x) AS lo,
+                        (max(x) - min(x)) / 256.0 AS delta
+                 FROM coords GROUP BY i),
+         recon AS (SELECT c.vec_id, c.i,
+                     CASE WHEN r.delta <= 0 THEN r.lo
+                          ELSE r.lo + (least(greatest(
+                              floor((c.x - r.lo) / r.delta), 0), 255)
+                            + 0.5) * r.delta END AS v
+                   FROM coords c JOIN rng r USING (i)),
+         rv AS (SELECT vec_id, list(v ORDER BY i) AS nv
+                FROM recon GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         sims AS (SELECT qid, rv.vec_id AS nid,
+                    list_cosine_similarity(qv, nv) AS sim
+                  FROM q, rv WHERE rv.vec_id != qid)
          SELECT qid, nid, round(sim, 6) AS sim,
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims

@@ -226,4 +226,27 @@ object EventStream {
           .write.mode("append").text(outDir)
       }
       .start()
+
+  /** Recurring-crawl ANN ingest: every micro-batch of new vectors
+    * appends to a persisted PQ index
+    * ([[graft.operators.Similarity.appendPqIndex]] — encode against
+    * the FIXED codebook, insert into the bucketed code table; the
+    * streaming form of the daily-batch s15 posture, FAISS add() at the
+    * end of a stream). Append cost per trigger is |batch|; the
+    * codebook/centroid model artifacts never change mid-stream, so a
+    * query against the index between triggers is always consistent.
+    * StreamingSpec proves the drained stream ≡ the batch
+    * build+append. */
+  def pqIndexIngest(vectors: DataFrame, idCol: String, vecCol: String,
+                    table: String, dim: Int, m: Int = 4,
+                    buckets: Int = 8, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.appendPqIndex(batch.sparkSession,
+            batch, idCol, vecCol, table, dim, m, buckets)
+      }
+      .start()
 }

@@ -1741,6 +1741,45 @@ class OperatorsSpec extends SparkSpec {
     assert(bal.nonEmpty && bal == exact)
   }
 
+  test("balanced IVFADC index: probe-all ≡ unrestricted PQ ADC") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc-bal").toString
+    Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+      "graft_adc_bal", s"$dir/idx", dim = 64, nlist = 8, m = 4, ks = 16,
+      buckets = 4, balanceFactor = 1.5)
+    val qs = emb.filter($"vec_id" < 5)
+    // probing every (post-split) cell makes the cell restriction a
+    // no-op: the balanced index must reproduce plain PQ ADC exactly —
+    // a vector lost or double-indexed by the split would surface here
+    val got = Similarity.ivfadcTopKIndexed(spark, "graft_adc_bal", qs,
+        "vec_id", "embedding", dim = 64, k = 3, nprobe = 4096, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 3, m = 4, ks = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.nonEmpty && got == want)
+    Seq("graft_adc_bal", "graft_adc_bal_codebook", "graft_adc_bal_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("sq8TopK: near-exact recall, constant dims and truncated ranges handled") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+    val sq = Similarity.sq8TopK(emb, qs, "vec_id", "embedding", dim = 64, k = 5)
+    val rec = Similarity.recallAtK(exact, sq)
+      .agg(avg("recall")).head().getDouble(0)
+    // 8 bits per dim is near-exact by design (the FAISS SQ8 claim)
+    assert(rec >= 0.8, s"SQ8 recall@5 too low: $rec")
+    // a constant dimension has delta = 0 — must reconstruct to its min,
+    // not divide by zero
+    val emb2 = emb.select($"vec_id",
+      concat($"embedding", array(lit(1.0f))).as("embedding"))
+    val sq2 = Similarity.sq8TopK(emb2, emb2.filter($"vec_id" < 3),
+      "vec_id", "embedding", dim = 65, k = 3)
+    assert(sq2.count() > 0)
+  }
+
   test("localizeProbes: driver gate is byte-aware, not row-only (ADVICE r12)") {
     val probes = spark.range(64).select(
       col("id").as("qid"), (col("id") % 4).as("cell"),

@@ -222,4 +222,47 @@ class StreamingSpec extends SparkSpec {
     assert(lines.size == 2) // per-batch dedup collapsed the duplicate
     assert(lines.forall(_.endsWith(" .")))
   }
+
+  test("streaming ANN index ingest ≡ batch build+append (s15's posture as a stream)") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-sidx").toString
+    val emb = Tables.embeddings(spark, sf)
+    // base index on the first half — the codebook trains there and is
+    // FIXED for every appended micro-batch (FAISS add() semantics)
+    Similarity.writePqIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_sidx", s"$dir/idx", dim = 64, m = 4, ks = 16,
+      buckets = 4)
+    // the second half arrives as two files = two micro-batches
+    emb.filter($"vec_id" >= 250 && $"vec_id" % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/in")
+    emb.filter($"vec_id" >= 250 && $"vec_id" % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = EventStream.pqIndexIngest(stream, "vec_id", "embedding",
+      "graft_sidx", dim = 64, m = 4, buckets = 4,
+      checkpoint = s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val qs = emb.filter($"vec_id" < 5)
+    val streamed = Similarity.pqTopKIndexed(spark, "graft_sidx", qs,
+        "vec_id", "embedding", dim = 64, k = 3, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // batch twin: the s15 shape on a second table
+    Similarity.writePqIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_sidx_twin", s"$dir/twin", dim = 64, m = 4,
+      ks = 16, buckets = 4)
+    Similarity.appendPqIndex(spark, emb.filter($"vec_id" >= 250),
+      "vec_id", "embedding", "graft_sidx_twin", dim = 64, m = 4,
+      buckets = 4)
+    val batch = Similarity.pqTopKIndexed(spark, "graft_sidx_twin", qs,
+        "vec_id", "embedding", dim = 64, k = 3, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._2 >= 250),
+      "streamed vectors never surfaced as neighbours")
+    Seq("graft_sidx", "graft_sidx_codebook",
+        "graft_sidx_twin", "graft_sidx_twin_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
