@@ -223,6 +223,34 @@ object ProfAnnSkew {
       Seq(table, s"${table}_codebook", s"${table}_centroids")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+
+    // ---- SQ8: recall + measured on-disk compression --------------------
+    locally {
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.length()).sum
+      }
+      val table = "skew_sq8"
+      val (_, tBuild) = timed {
+        Similarity.writeSq8Index(graded, "vec_id", "embedding",
+          table, s"$tmp/$table", dim = 64, buckets = 32)
+      }
+      val (res, tQ) = timed {
+        val r = Similarity.sq8TopKIndexed(spark, table, gq,
+            "vec_id", "embedding", dim = 64, k = k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count(); r
+      }
+      val rawMb = dirBytes(gradedPath) / 1e6
+      val codeMb = dirBytes(s"$tmp/$table") / 1e6
+      println(f"[skew] SQ8 build=$tBuild%.1f s query=$tQ%.2f s " +
+        f"recall@$k=${recallG(res)}%.3f | raw=$rawMb%.1f MB " +
+        f"codes=$codeMb%.1f MB ratio=${rawMb / codeMb}%.2f")
+      res.unpersist()
+      Seq(table, s"${table}_ranges")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     spark.stop()
   }
 }

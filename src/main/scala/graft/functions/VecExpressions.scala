@@ -99,6 +99,49 @@ object VecFns {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** SQ8 encode: the clamped-floor level of every coordinate packed
+    * ONE BYTE each (the stored index artifact — dim bytes per vector,
+    * 4× under float32). Same level arithmetic as [[sq8Recon]]. */
+  def sq8Codes(a: ArrayData, isFloat: Boolean, mins: Array[Double],
+               deltas: Array[Double]): Array[Byte] = {
+    val n = math.min(a.numElements(), mins.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val d = deltas(i)
+      val c =
+        if (d <= 0.0) 0.0
+        else {
+          var c0 = math.floor((x - mins(i)) / d)
+          if (c0 < 0.0) c0 = 0.0
+          if (c0 > 255.0) c0 = 255.0
+          c0
+        }
+      out(i) = c.toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** SQ8 decode: byte codes back to the reconstructed vector —
+    * bit-identical to [[sq8Recon]] of the original (both compute
+    * min + (code + 0.5)·Δ from the same integer level). */
+  def sq8Decode(codes: Array[Byte], mins: Array[Double],
+                deltas: Array[Double]): ArrayData = {
+    val n = math.min(codes.length, mins.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val d = deltas(i)
+      out(i) =
+        if (d <= 0.0) mins(i)
+        else mins(i) + ((codes(i) & 0xff) + 0.5) * d
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** PQ encoding of one vector against a driver-bounded per-subspace
     * codebook: for each of the `m` subspaces, the codebook entry
     * minimizing ‖x_sub − c‖² (via d2 = ‖c‖² − 2·x_sub·c, ties toward
@@ -362,6 +405,75 @@ case class VecSq8ReconExpr(child: Expression, mins: Array[Double],
       Integer.valueOf(java.util.Arrays.hashCode(deltas)))
 }
 
+/** `vec_sq8_codes(v)` — the SQ8 byte codes as BINARY (dim bytes per
+  * vector — the stored index artifact, 4× under float32); the ranges
+  * ride in plan references. */
+case class VecSq8CodesExpr(child: Expression, mins: Array[Double],
+                           deltas: Array[Double])
+    extends UnaryExpression {
+  private lazy val isFloat = VecFns.isFloatArray(child.dataType)
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(a: Any): Any =
+    VecFns.sq8Codes(a.asInstanceOf[ArrayData], isFloat, mins, deltas)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val deltasRef = ctx.addReferenceObj("deltas", deltas, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecFns.sq8Codes($a, $isFloat, " +
+        s"$minsRef, $deltasRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vec_sq8_codes"
+  override def equals(o: Any): Boolean = o match {
+    case that: VecSq8CodesExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(mins, that.mins) &&
+        java.util.Arrays.equals(deltas, that.deltas)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(mins)),
+      Integer.valueOf(java.util.Arrays.hashCode(deltas)))
+}
+
+/** `vec_sq8_decode(codes)` — byte codes back to the reconstructed
+  * array<double>; bit-identical to `vec_sq8_recon` of the original
+  * vector under the same ranges. */
+case class VecSq8DecodeExpr(child: Expression, mins: Array[Double],
+                            deltas: Array[Double])
+    extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"expected binary codes, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    VecFns.sq8Decode(a.asInstanceOf[Array[Byte]], mins, deltas)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val deltasRef = ctx.addReferenceObj("deltas", deltas, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecFns.sq8Decode($a, " +
+        s"$minsRef, $deltasRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vec_sq8_decode"
+  override def equals(o: Any): Boolean = o match {
+    case that: VecSq8DecodeExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(mins, that.mins) &&
+        java.util.Arrays.equals(deltas, that.deltas)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(mins)),
+      Integer.valueOf(java.util.Arrays.hashCode(deltas)))
+}
+
 /** `vec_sub(a, b)` — element-wise a − b as array<double>. */
 case class VecSubExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -398,5 +510,13 @@ object VecExpressions {
   def vec_sq8_recon(v: Column, mins: Array[Double],
                     deltas: Array[Double]): Column =
     ColumnBridge.column(VecSq8ReconExpr(ColumnBridge.expression(v),
+      mins, deltas))
+  def vec_sq8_codes(v: Column, mins: Array[Double],
+                    deltas: Array[Double]): Column =
+    ColumnBridge.column(VecSq8CodesExpr(ColumnBridge.expression(v),
+      mins, deltas))
+  def vec_sq8_decode(codes: Column, mins: Array[Double],
+                     deltas: Array[Double]): Column =
+    ColumnBridge.column(VecSq8DecodeExpr(ColumnBridge.expression(codes),
       mins, deltas))
 }

@@ -94,23 +94,43 @@ object Similarity {
     * every reconstructed coordinate bit-for-bit. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int): DataFrame = {
-    import graft.functions.VecExpressions.{vec_dot, vec_norm, vec_sq8_recon}
+    import graft.functions.VecExpressions.{vec_norm, vec_sq8_recon}
     require(dim > 0 && dim <= 4096, s"dim must be driver-bounded, got $dim")
-    val ranges = corpus
-      .select(posexplode(toDoubleVec(col(vecCol))).as(Seq("i", "x")))
-      .groupBy("i").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val mins = Array.tabulate(dim)(i =>
-      ranges.lift(i).map(_._2).getOrElse(0.0))
-    val deltas = Array.tabulate(dim)(i =>
-      ranges.lift(i).map(r => (r._3 - r._2) / 256.0).getOrElse(0.0))
-    val q = queries.select(col(idCol).as("qid"),
-        toDoubleVec(col(vecCol)).as("qv"))
-      .withColumn("qn", vec_norm(col("qv")))
+    val (mins, deltas) = rangeArrays(sq8RangeRows(corpus, vecCol), dim)
     val c = widen(corpus.select(col(idCol).as("nid"),
         vec_sq8_recon(numVec(corpus, vecCol), mins, deltas).as("nv")))
       .withColumn("nn", vec_norm(col("nv")))
+    sq8Search(c, queries, idCol, vecCol, k)
+  }
+
+  /** Per-dimension (i, lo, Δ) over the corpus — ONE aggregate over the
+    * coordinate explode, dim-bounded driver collect (the PQ-codebook
+    * contract). The SQ8 model artifact. */
+  private def sq8RangeRows(corpus: DataFrame,
+                           vecCol: String): Array[(Int, Double, Double)] =
+    corpus.select(posexplode(toDoubleVec(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1),
+        (r.getDouble(2) - r.getDouble(1)) / 256.0))
+      .sortBy(_._1)
+
+  private def rangeArrays(rows: Array[(Int, Double, Double)],
+                          dim: Int): (Array[Double], Array[Double]) = {
+    require(dim > 0 && dim <= 4096, s"dim must be driver-bounded, got $dim")
+    val m = rows.map(t => t._1 -> t).toMap
+    (Array.tabulate(dim)(i => m.get(i).map(_._2).getOrElse(0.0)),
+      Array.tabulate(dim)(i => m.get(i).map(_._3).getOrElse(0.0)))
+  }
+
+  /** Exact-cosine tail over a reconstructed corpus side (nid, nv, nn)
+    * — shared by [[sq8TopK]] and [[sq8TopKIndexed]]. */
+  private def sq8Search(c: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    val q = queries.select(col(idCol).as("qid"),
+        toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
     val sims = c.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
@@ -118,6 +138,75 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Persist an SQ8 index: ONE BYTE per coordinate — an id-bucketed
+    * codes table (nid, code BINARY — dim bytes, 4× under float32,
+    * parquet-measured in SCALING r13) plus the (i, lo, Δ) range
+    * sidecar. The ranges are the model artifact (fixed across
+    * appends, like the PQ codebook); [[sq8TopKIndexed]] decodes codes
+    * straight to reconstructions — no raw-vector scan, results
+    * bit-identical to [[sq8TopK]]. */
+  def writeSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String, path: String, dim: Int,
+                    buckets: Int = 8): Unit = {
+    import graft.functions.VecExpressions.vec_sq8_codes
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = sq8RangeRows(corpus, vecCol)
+    val (mins, deltas) = rangeArrays(rows, dim)
+    rows.toSeq.toDF("i", "lo", "delta")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_ranges")
+      .saveAsTable(s"${table}_ranges")
+    graft.engine.Bucketing.writeBucketed(
+      widen(corpus.select(col(idCol).as("nid"),
+        vec_sq8_codes(numVec(corpus, vecCol), mins, deltas).as("code"))),
+      table, path, Seq("nid"), buckets)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Append a new vector batch to a persisted SQ8 index: the batch
+    * encodes against the EXISTING ranges (out-of-range coordinates
+    * clamp to the edge levels — the FAISS add() posture; range drift
+    * is handled by periodic rebuild, not per-batch retraining). */
+  def appendSq8Index(spark: SparkSession, newVectors: DataFrame,
+                     idCol: String, vecCol: String, table: String,
+                     dim: Int, buckets: Int = 8): Unit = {
+    import graft.functions.VecExpressions.vec_sq8_codes
+    val rows = spark.table(s"${table}_ranges")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val m = rows.map(t => t._1 -> t).toMap
+    val mins = Array.tabulate(dim)(i => m.get(i).map(_._2).getOrElse(0.0))
+    val deltas = Array.tabulate(dim)(i => m.get(i).map(_._3).getOrElse(0.0))
+    newVectors.select(col(idCol).as("nid"),
+        vec_sq8_codes(numVec(newVectors, vecCol), mins, deltas).as("code"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "nid").sortBy("nid")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Query a persisted SQ8 index: decode the byte codes to
+    * reconstructions (one codegen'd `vec_sq8_decode` map pass over
+    * the id-bucketed codes table — no raw-vector scan) and run the
+    * exact-cosine tail. Bit-identical to [[sq8TopK]] with the same
+    * build corpus. */
+  def sq8TopKIndexed(spark: SparkSession, table: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, k: Int): DataFrame = {
+    import graft.functions.VecExpressions.{vec_norm, vec_sq8_decode}
+    val rows = spark.table(s"${table}_ranges")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val m = rows.map(t => t._1 -> t).toMap
+    val mins = Array.tabulate(dim)(i => m.get(i).map(_._2).getOrElse(0.0))
+    val deltas = Array.tabulate(dim)(i => m.get(i).map(_._3).getOrElse(0.0))
+    val c = graft.engine.Bucketing.readBucketed(spark, table)
+      .select(col("nid"), vec_sq8_decode(col("code"), mins, deltas).as("nv"))
+      .withColumn("nn", vec_norm(col("nv")))
+    sq8Search(c, queries, idCol, vecCol, k)
   }
 
   /** All corpus pairs with cosine above `threshold` (embedding-space

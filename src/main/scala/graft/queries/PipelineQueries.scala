@@ -410,6 +410,25 @@ object PipelineQueries {
         "vec_id", "embedding", dim = 64, k = 3)
     }),
 
+    // Incremental persisted SQ8 index — byte codes bucketed by id,
+    // ranges trained on the initial half and FIXED across appends
+    // (out-of-range coordinates clamp to the edge levels; FAISS add()
+    // semantics on the scalar quantizer). The oracle re-derives the
+    // subset ranges and every clamped reconstruction.
+    "s26_ann_sq8_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sq8_inc_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeSq8Index(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", "graft_sq8_inc", path, dim = 64,
+        buckets = 8)
+      Similarity.appendSq8Index(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", "graft_sq8_inc", dim = 64, buckets = 8)
+      Similarity.sq8TopKIndexed(s, "graft_sq8_inc",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 3)
+    }),
+
     // BPE token-ID encoding — the final artifact a tokenizer pipeline
     // ships: t29's tokens mapped through a frequency-ranked vocabulary
     // to integer ids (what the training shards actually store). The
@@ -2051,6 +2070,32 @@ object PipelineQueries {
          rng AS (SELECT i, min(x) AS lo,
                         (max(x) - min(x)) / 256.0 AS delta
                  FROM coords GROUP BY i),
+         recon AS (SELECT c.vec_id, c.i,
+                     CASE WHEN r.delta <= 0 THEN r.lo
+                          ELSE r.lo + (least(greatest(
+                              floor((c.x - r.lo) / r.delta), 0), 255)
+                            + 0.5) * r.delta END AS v
+                   FROM coords c JOIN rng r USING (i)),
+         rv AS (SELECT vec_id, list(v ORDER BY i) AS nv
+                FROM recon GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         sims AS (SELECT qid, rv.vec_id AS nid,
+                    list_cosine_similarity(qv, nv) AS sim
+                  FROM q, rv WHERE rv.vec_id != qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    // incremental SQ8: ranges from the build half only, clamped
+    // reconstruction over the full corpus
+    "s26_ann_sq8_incremental" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         coords AS (SELECT e.vec_id, d.i, e.embedding[d.i]::DOUBLE AS x
+                    FROM embeddings e, dims d),
+         rng AS (SELECT i, min(x) AS lo,
+                        (max(x) - min(x)) / 256.0 AS delta
+                 FROM coords WHERE vec_id < 250 GROUP BY i),
          recon AS (SELECT c.vec_id, c.i,
                      CASE WHEN r.delta <= 0 THEN r.lo
                           ELSE r.lo + (least(greatest(

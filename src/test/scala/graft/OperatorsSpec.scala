@@ -1771,6 +1771,17 @@ class OperatorsSpec extends SparkSpec {
       .agg(avg("recall")).head().getDouble(0)
     // 8 bits per dim is near-exact by design (the FAISS SQ8 claim)
     assert(rec >= 0.8, s"SQ8 recall@5 too low: $rec")
+    // persisted byte-code index: decode(encode(v)) ≡ recon(v), so the
+    // indexed query must be bit-identical to the in-session one
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.writeSq8Index(emb, "vec_id", "embedding",
+      "graft_sq8_spec", s"$dir/idx", dim = 64, buckets = 4)
+    val idx = Similarity.sq8TopKIndexed(spark, "graft_sq8_spec", qs,
+        "vec_id", "embedding", dim = 64, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(idx == sq.as[(Long, Long, Double, Int)].collect().toSet)
+    Seq("graft_sq8_spec", "graft_sq8_spec_ranges")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // a constant dimension has delta = 0 — must reconstruct to its min,
     // not divide by zero
     val emb2 = emb.select($"vec_id",
