@@ -548,12 +548,18 @@ object Similarity {
     * the cosine ranking is bit-identical. */
   def ivfTopKIndexed(spark: SparkSession, table: String, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     nprobe: Int = 4): DataFrame = {
+                     nprobe: Int = 4, pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
-    probeSearch(graft.engine.Bucketing.readBucketed(spark, table),
+    // `pred` is the FILTERED-search predicate every production vector
+    // service exposes (restrict candidates to an attribute slice —
+    // here over the index table's columns, e.g. nid): it lands on the
+    // index scan NEXT TO the probed-cell In filter, so bucket pruning
+    // and the attribute pushdown compose in one FileSourceScan
+    probeSearch(
+      graft.engine.Bucketing.readBucketed(spark, table).filter(pred),
       probeCells(queries, idCol, vecCol, cents, nprobe), k)
   }
 

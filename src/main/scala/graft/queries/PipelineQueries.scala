@@ -146,6 +146,55 @@ object PipelineQueries {
         k = 3, nprobe = 4)
     }),
 
+    // FILTERED vector search — the attribute-restricted query every
+    // production vector service exposes (and every training-data
+    // curation query runs: "nearest neighbours among docs that passed
+    // the quality filter"). The predicate lands on the index scan next
+    // to the probed-cell In filter: bucket pruning + attribute
+    // pushdown compose in one FileSourceScan.
+    "s27_ann_ivf_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_filt_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        "graft_ivf_filt", path, nlist = 16, buckets = 8)
+      Similarity.ivfTopKIndexed(s, "graft_ivf_filt",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nprobe = 4, pred = col("nid") % 3 === 0)
+    }),
+
+    // BM25 lexical retrieval (Okapi, Lucene idf) — queries are the
+    // first 8 tokens of docs 0-2, so the oracle re-derives the exact
+    // query term sets; corpus stats (N, avgdl) are two driver scalars.
+    "t37_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      graft.operators.Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+        "doc_id", "qtext", k = 5)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    // of the BM25 lexical run over `documents` and the exact-cosine
+    // vector run over `embeddings` (the two tables share the id
+    // space). The fusion relation is query-bounded — both runs arrive
+    // top-10'd.
+    "s28_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("nid"), col("rank"))
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val lex = graft.operators.Retrieval.bm25TopK(docs, qs, "doc_id",
+          "text", "doc_id", "qtext", k = 10)
+        .select(col("qid"), col("doc_id").as("nid"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(vec, lex), k = 5)
+    }),
+
     // Lloyd k-means refinement of the IVF seed centroids (the
     // production-IVF training step): two deterministic assign/mean
     // rounds, per-iteration rounding pins the distributed-mean floats.
@@ -1874,6 +1923,108 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    // s07's oracle restricted to the attribute slice (nid % 3 = 0):
+    // the filter composes with the cell restriction, never changes
+    // scores of surviving candidates
+    "s27_ann_ivf_filtered" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings ORDER BY md5('ivf'||vec_id::varchar), vec_id LIMIT 16),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         asgn AS (
+           SELECT e.vec_id AS id, e.v, c.cid,
+                  list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+           FROM e, c),
+         cells AS (
+           SELECT id AS nid, v AS nv, cid AS cell FROM (
+             SELECT id, v, cid,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn) t WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, v AS qv, cid AS cell FROM (
+             SELECT id, v, cid,
+                    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+             FROM asgn WHERE id < 10) t WHERE rn <= 4),
+         sims AS (
+           SELECT p.qid, s.nid,
+                  list_dot_product(p.qv, s.nv)
+                    / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.nv, s.nv))) AS sim
+           FROM probes p JOIN cells s ON p.cell = s.cell AND s.nid != p.qid
+           WHERE s.nid % 3 = 0)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
+    // BM25 with Lucene idf; the constants are written as the same
+    // double expressions the engine computes ((1.2 + 1), 1 - 0.75)
+    "t37_bm25_topk" ->
+      """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM w GROUP BY 1),
+         stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         qt AS (SELECT DISTINCT qid, term FROM (
+                  SELECT doc_id AS qid,
+                         unnest(list_slice(string_split(text, ' '), 1, 8)) AS term
+                  FROM documents WHERE doc_id < 3)),
+         scored AS (
+           SELECT qt.qid, tf.doc,
+                  ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+           FROM qt JOIN tf USING (term) JOIN df USING (term)
+                JOIN dl ON tf.doc = dl.doc CROSS JOIN stats s),
+         agg AS (SELECT qid, doc AS doc_id, sum(sc) AS score
+                 FROM scored GROUP BY 1, 2)
+         SELECT qid, doc_id, round(score, 6) AS score,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         FROM agg
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5""",
+    // RRF of the top-10 BM25 run and the top-10 exact-cosine run
+    "s28_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM w GROUP BY 1),
+         stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         qt AS (SELECT DISTINCT qid, term FROM (
+                  SELECT doc_id AS qid,
+                         unnest(list_slice(string_split(text, ' '), 1, 8)) AS term
+                  FROM documents WHERE doc_id < 3)),
+         scored AS (
+           SELECT qt.qid, tf.doc,
+                  ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+           FROM qt JOIN tf USING (term) JOIN df USING (term)
+                JOIN dl ON tf.doc = dl.doc CROSS JOIN stats s),
+         agg AS (SELECT qid, doc AS nid, sum(sc) AS score
+                 FROM scored GROUP BY 1, 2),
+         bmr AS (SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS rank
+                 FROM agg
+                 QUALIFY row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) <= 10),
+         q2 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3),
+         vsims AS (SELECT qid, e.vec_id AS nid,
+                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                   FROM q2, embeddings e WHERE e.vec_id != qid),
+         vrr AS (SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                 FROM vsims
+                 QUALIFY row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid) <= 10),
+         fused AS (SELECT qid, nid, sum(1.0 / (60 + rank)) AS score
+                   FROM (SELECT * FROM vrr UNION ALL SELECT * FROM bmr)
+                   GROUP BY 1, 2)
+         SELECT qid, nid, round(score, 6) AS score,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         FROM fused
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) <= 5""",
     "s06_kmeans_refine" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          c0 AS (

@@ -208,6 +208,28 @@ class IndexPlanSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("filtered indexed IVF: predicate composes with bucket pruning") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-fplan").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_fplan", s"$dir/idx", nlist = 8, buckets = 8)
+    val q = Similarity.ivfTopKIndexed(spark, "graft_ivf_fplan",
+      emb.filter($"vec_id" === 1), "vec_id", "embedding", k = 3,
+      nprobe = 2, pred = col("nid") % 3 === 0)
+    val rows = q.as[(Long, Long, Double, Int)].collect()
+    // the attribute slice holds on every result, and restricting
+    // candidates must not disturb the bucket-pruned scan shape
+    assert(rows.nonEmpty && rows.forall(_._2 % 3 == 0))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    val sel = selectedBuckets(plan)
+    assert(sel.isDefined && sel.get._1 < sel.get._2,
+      s"bucket pruning lost under the filter:\n${plan.take(1500)}")
+    Seq("graft_ivf_fplan", "graft_ivf_fplan_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** part-* data files under a catalog table's current location. */
   private def dataFiles(table: String): Seq[String] = {
     val loc = spark.sessionState.catalog.getTableMetadata(

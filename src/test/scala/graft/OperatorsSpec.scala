@@ -1762,6 +1762,34 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bm25TopK ranks are dense/positive/monotone; rrfFuse matches hand arithmetic") {
+    val docs = Tables.documents(spark, sf)
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val res = Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+        "doc_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.nonEmpty)
+    res.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4).toSeq
+      assert(sorted.map(_._4) == (1 to rs.size).toList && rs.size <= 5)
+      // BM25 scores are positive (the +1 inside Lucene's idf log) and
+      // non-increasing with rank
+      assert(sorted.forall(_._3 > 0))
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3; case _ => true })
+    }
+    // RRF hand arithmetic: doc 10 in both runs (ranks 1, 2) must beat
+    // the single-run rank-1 docs; absent docs contribute nothing
+    val runA = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "nid", "rank")
+    val runB = Seq((0L, 10L, 2), (0L, 12L, 1)).toDF("qid", "nid", "rank")
+    val fused = Retrieval.rrfFuse(Seq(runA, runB), k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(fused.map(_._2).toSeq == Seq(10L, 12L, 11L))
+    assert(math.abs(fused.head._3 - (1.0 / 61 + 1.0 / 62)) < 1e-6)
+  }
+
   test("sq8TopK: near-exact recall, constant dims and truncated ranges handled") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.filter($"vec_id" < 10)
