@@ -1780,6 +1780,13 @@ class OperatorsSpec extends SparkSpec {
       assert(sorted.sliding(2).forall {
         case Seq(a, b) => a._3 >= b._3; case _ => true })
     }
+    // plan shape: the query-term set and query-bounded df reach the
+    // postings via BROADCAST joins (nothing dictionary-sized shuffles
+    // to the query side; the only corpus-keyed shuffle is the doc-length
+    // join and the tf/dl aggregates themselves)
+    val plan = Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+      "doc_id", "qtext", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     // RRF hand arithmetic: doc 10 in both runs (ranks 1, 2) must beat
     // the single-run rank-1 docs; absent docs contribute nothing
     val runA = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "nid", "rank")
