@@ -35,8 +35,16 @@ object Retrieval {
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val w = docs.select(col(idCol).as("doc"),
       explode(TextOps.words(col(textCol))).as("term"))
+    // tf IS the inverted index — persist it for its four consumers
+    // (corpus stats, dl, df, the scored join); without the cache each
+    // one replays the corpus-wide term explode. A production
+    // deployment materializes this relation once, term-bucketed, like
+    // the ANN code tables.
     val tf = w.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val dl = w.groupBy("doc").agg(count(lit(1)).cast("double").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc length = Σ tf — same values as counting the explode,
+    // one corpus pass cheaper
+    val dl = tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
     val nDocs = stats.getDouble(0)
     val avgdl = stats.getDouble(1)
