@@ -177,6 +177,8 @@ object Similarity {
     val rows = spark.table(s"${table}_ranges")
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
+    require(rows.length == dim,
+      s"index $table stores ${rows.length} dimensions, got dim=$dim")
     val m = rows.map(t => t._1 -> t).toMap
     val mins = Array.tabulate(dim)(i => m.get(i).map(_._2).getOrElse(0.0))
     val deltas = Array.tabulate(dim)(i => m.get(i).map(_._3).getOrElse(0.0))
@@ -200,6 +202,8 @@ object Similarity {
     val rows = spark.table(s"${table}_ranges")
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
+    require(rows.length == dim,
+      s"index $table stores ${rows.length} dimensions, got dim=$dim")
     val m = rows.map(t => t._1 -> t).toMap
     val mins = Array.tabulate(dim)(i => m.get(i).map(_._2).getOrElse(0.0))
     val deltas = Array.tabulate(dim)(i => m.get(i).map(_._3).getOrElse(0.0))
