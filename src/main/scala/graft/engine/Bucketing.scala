@@ -61,13 +61,50 @@ object Bucketing {
     * writer uses, so every task holds exactly one bucket's rows and
     * the bucketed writer emits exactly one file per non-empty bucket —
     * rewrite into a staging path (ping-ponged `__c1`/`__c2` suffix so
-    * repeated compactions don't grow the path), then swap: drop the
-    * old catalog entry, rename the staging entry over it
-    * (metadata-only, data files immutable throughout; in-flight
-    * readers keep their resolved file list), delete the superseded
-    * directory. Values and bucket residency are byte-identical — only
-    * the file count changes. */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    * repeated compactions don't grow the path), then swap.
+    *
+    * Crash- and reader-safety (ADVICE r13): the swap is ONE catalog
+    * operation — `alterTable` re-points the EXISTING entry at the
+    * staged location — so there is no instant at which the table is
+    * unregistered (the previous dropTable→renameTable pair could crash
+    * between the two and strand the data under a staging name). A
+    * crash before the alter leaves the old generation live and the
+    * staging dir reclaimable; after it, the new generation is live.
+    * The superseded directory is RETAINED, not deleted — an in-flight
+    * reader that resolved the old file list finishes its scan (at
+    * production scan durations an eager delete is a mid-query
+    * FileNotFoundException) — and is reclaimed by the NEXT
+    * compaction's overwrite of the ping-pong sibling, or explicitly by
+    * [[vacuumSuperseded]] once no reader can still hold the old list
+    * (the Iceberg expire_snapshots discipline).
+    *
+    * `transform` rewrites rows on the way through (identity by
+    * default) — the seam physical deletes ride
+    * ([[graft.operators.Similarity.compactIndex]] anti-joins the
+    * tombstone set here, so deletes cost nothing beyond the rewrite
+    * compaction already pays). Values and bucket residency are
+    * byte-identical under the identity transform — only the file
+    * count changes. */
+  def compactBucketed(spark: SparkSession, table: String,
+                      transform: DataFrame => DataFrame = identity): Unit = {
+    stageCompaction(spark, table, transform)
+    swapToStaged(spark, table)
+  }
+
+  /** The ping-pong staging path for `loc`'s next generation. */
+  private def stagingFor(loc: String): String =
+    if (loc.endsWith("__c1")) loc.dropRight(4) + "__c2"
+    else if (loc.endsWith("__c2")) loc.dropRight(4) + "__c1"
+    else loc + "__c1"
+
+  /** Phase 1 of [[compactBucketed]]: write the compacted generation at
+    * the staging sibling path (via a `__compacting` scratch catalog
+    * entry). Leaves the live table untouched — a crash anywhere in
+    * here is invisible to readers and the next attempt overwrites the
+    * partial staging output. Exposed private[graft] so the spec can
+    * simulate exactly that crash. */
+  private[graft] def stageCompaction(spark: SparkSession, table: String,
+                                     transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -75,12 +112,12 @@ object Bucketing {
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not bucketed — nothing to compact"))
     val loc = meta.location.toString.stripSuffix("/")
-    val staging =
-      if (loc.endsWith("__c1")) loc.dropRight(4) + "__c2"
-      else if (loc.endsWith("__c2")) loc.dropRight(4) + "__c1"
-      else loc + "__c1"
+    val staging = stagingFor(loc)
     val tmp = ident.copy(table = ident.table + "__compacting")
-    catalog.dropTable(tmp, ignoreIfNotExists = true, purge = true)
+    // a stray scratch entry from a crashed run is dropped catalog-only
+    // (purge=false: external entries never delete data, and after an
+    // alter-then-crash the scratch may point at the LIVE directory)
+    catalog.dropTable(tmp, ignoreIfNotExists = true, purge = false)
     val keyCols = spec.bucketColumnNames.map(col)
     // read the data files by PATH, not via spark.table: against the
     // catalog's bucketed relation the planner elides the explicit
@@ -89,7 +126,7 @@ object Bucketing {
     // splits that write several buckets per task — the path read
     // forces the real murmur3-pmod shuffle, so task i holds exactly
     // bucket i and the writer emits one file per non-empty bucket
-    var w = spark.read.schema(meta.schema).parquet(loc)
+    var w = transform(spark.read.schema(meta.schema).parquet(loc))
       .repartition(spec.numBuckets, keyCols: _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
@@ -97,11 +134,42 @@ object Bucketing {
     if (spec.sortColumnNames.nonEmpty)
       w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     w.option("path", staging).saveAsTable(tmp.unquotedString)
-    catalog.dropTable(ident, ignoreIfNotExists = false, purge = false)
-    catalog.renameTable(tmp, ident)
-    val oldPath = new org.apache.hadoop.fs.Path(loc)
-    oldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(oldPath, true)
+  }
+
+  /** Phase 2 of [[compactBucketed]]: the single-catalog-op swap —
+    * re-point the live entry's location at the staged generation, then
+    * drop the scratch entry (catalog-only). The table resolves at
+    * every instant: old location before the alter, new after. */
+  private[graft] def swapToStaged(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val staging = stagingFor(meta.location.toString.stripSuffix("/"))
+    catalog.alterTable(meta.copy(storage = meta.storage.copy(
+      locationUri = Some(new java.net.URI(staging)))))
+    catalog.dropTable(ident.copy(table = ident.table + "__compacting"),
+      ignoreIfNotExists = true, purge = false)
     spark.catalog.refreshTable(table)
+  }
+
+  /** Reclaim the superseded generation(s) of a compacted table —
+    * deletes every ping-pong sibling directory of the CURRENT
+    * location. Call it once no in-flight reader can still hold the old
+    * file list (operator-decided retention, the expire_snapshots
+    * seam); [[compactBucketed]] itself never deletes under readers. */
+  def vacuumSuperseded(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = catalog.getTableMetadata(ident).location.toString
+      .stripSuffix("/")
+    val base =
+      if (loc.endsWith("__c1") || loc.endsWith("__c2")) loc.dropRight(4)
+      else loc
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(base, base + "__c1", base + "__c2").filterNot(_ == loc).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
   }
 }

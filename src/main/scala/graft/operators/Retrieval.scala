@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -13,8 +13,40 @@ import org.apache.spark.sql.expressions.Window
   * BM25 with Lucene's idf (Robertson et al.; the +1 inside the log
   * keeps idf positive for df > N/2) and reciprocal-rank fusion
   * (Cormack, Clarke & Buettcher 2009).
+  *
+  * Serving posture: retrieval is a RECURRING query against a
+  * slowly-growing corpus (every decontamination probe, every curation
+  * query), so the production shape is [[writeBm25Index]] once +
+  * [[appendBm25Index]] per crawl batch + [[bm25TopKIndexed]] per query
+  * batch — the exact posture the ANN side runs with its persisted code
+  * tables. [[bm25TopK]] is the in-session twin (same floats, same
+  * oracle) for one-shot use.
   */
 object Retrieval {
+
+  /** Materialize a multi-consumer intermediate once (persist + eager
+    * count — the [[graft.operators.Dedup]] materialize/finalized
+    * convention): every downstream consumer plans an
+    * InMemoryTableScan instead of replaying the corpus-wide lineage. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
+  /** Eagerly compute the (query-bounded) result, then RELEASE the
+    * corpus-sized intermediates — without this every [[bm25TopK]] call
+    * leaked one corpus-sized MEMORY_AND_DISK entry for the session
+    * lifetime (ADVICE r13), because the returned DataFrame is lazy and
+    * the operator could never know when to unpersist. The result
+    * itself stays persisted (|q|·k-bounded — small); callers may drop
+    * it with `result.unpersist()` when done. */
+  private def finalized(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
 
   /** BM25 top-k documents per query.
     *
@@ -29,19 +61,20 @@ object Retrieval {
     * query-term set broadcasts onto the postings FIRST, so everything
     * after the tf aggregate is bounded by the query terms' postings,
     * never the corpus dictionary. One (qid, doc) aggregation, one
-    * per-query top-k window. */
+    * per-query top-k window. The corpus-sized tf relation (the
+    * inverted index) is materialized for its four consumers and
+    * RELEASED before return; a recurring deployment persists it once
+    * instead — [[writeBm25Index]]. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, qidCol: String, qtextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val w = docs.select(col(idCol).as("doc"),
       explode(TextOps.words(col(textCol))).as("term"))
-    // tf IS the inverted index — persist it for its four consumers
+    // tf IS the inverted index — materialized for its four consumers
     // (corpus stats, dl, df, the scored join); without the cache each
-    // one replays the corpus-wide term explode. A production
-    // deployment materializes this relation once, term-bucketed, like
-    // the ANN code tables.
-    val tf = w.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one replays the corpus-wide term explode
+    val tf = materialize(
+      w.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     // per-doc length = Σ tf — same values as counting the explode,
     // one corpus pass cheaper
     val dl = tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl"))
@@ -59,15 +92,168 @@ object Retrieval {
       .join(dfq, "term")
       .join(broadcast(qt), "term")
       .select(col("qid"), col("doc"),
-        (log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))).as("s"))
+        bm25Score(nDocs, avgdl, k1, b).as("s"))
     val agg = scored.groupBy("qid", "doc").agg(sum(col("s")).as("score"))
+    finalized(bm25Rank(agg, k), tf)
+  }
+
+  /** The per-(query-term, doc) BM25 partial score over (tf, df, dl)
+    * columns — shared by the in-session and indexed paths so the
+    * floats are bit-identical. */
+  private def bm25Score(nDocs: Double, avgdl: Double,
+                        k1: Double, b: Double): Column =
+    log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+
+  /** The shared (qid, doc, score) → top-k tail. */
+  private def bm25Rank(agg: DataFrame, k: Int): DataFrame = {
     val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc").asc)
     agg.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc").as("doc_id"),
         round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** Persist the BM25 inverted index — the lexical twin of the ANN
+    * code tables ([[Similarity.writePqIndex]]'s posture): retrieval is
+    * a recurring query against a growing corpus, and without this
+    * every call replays the corpus-wide term explode.
+    *
+    * Layout, three tables:
+    *  - `table`: the postings, (term, doc, tf, dl) BUCKETED BY TERM
+    *    ([[graft.engine.Bucketing]]) — the query-term literal-In
+    *    filter then bucket-prunes the scan to the probed terms'
+    *    bucket files, the same scan-I/O device as the probed-cell
+    *    pruning on the ANN side. `dl` is DENORMALIZED into the
+    *    posting row (8 B per posting — the Lucene norms trade) so
+    *    query time needs NO corpus-sized dl join.
+    *  - `table_dl`: (doc, dl) — feeds the stats recompute at append
+    *    time (and dedup/audit consumers); never scanned per query.
+    *  - `table_stats`: ONE row (n_docs, avgdl) — the two driver
+    *    scalars each query reads. dl values are integer-valued
+    *    doubles, so Σdl is EXACT in any partial-aggregation order and
+    *    avgdl is bit-deterministic across build/append/oracle.
+    *
+    * df is NOT persisted: each query derives df(t) by counting the
+    * probed terms' postings — query-term-bounded work that
+    * automatically reflects every append (FAISS-add semantics with no
+    * stale-df window). */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     table: String, path: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val tf = materialize(
+      docs.select(col(idCol).as("doc"),
+          explode(TextOps.words(col(textCol))).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    try {
+      val dl = tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl"))
+      dl.write.mode("overwrite").format("parquet")
+        .option("path", s"${path}_dl").saveAsTable(s"${table}_dl")
+      graft.engine.Bucketing.writeBucketed(
+        tf.join(spark.table(s"${table}_dl"), "doc")
+          .select(col("term"), col("doc"), col("tf"), col("dl")),
+        table, path, Seq("term"), buckets)
+      writeBm25Stats(spark, table, path)
+    } finally { tf.unpersist(false); () }
+  }
+
+  /** Recompute (n_docs, avgdl) from the `_dl` sidecar and overwrite
+    * the `_stats` row — one 2-column aggregate, exact regardless of
+    * partial-agg order (integer-valued dl). */
+  private def writeBm25Stats(spark: SparkSession, table: String,
+                             path: String): Unit =
+    spark.table(s"${table}_dl")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_stats").saveAsTable(s"${table}_stats")
+
+  /** Append a new document batch to a persisted BM25 index (FAISS
+    * add() semantics — ids are new, nothing re-tokenizes): the batch's
+    * postings and dl rows insert into the bucketed/sidecar tables, and
+    * the stats row recomputes from the full `_dl` sidecar (one
+    * 2-column aggregate — NOT a corpus re-tokenize; exact arithmetic,
+    * so an appended index scores identically to a fresh build over the
+    * union). df needs no maintenance — it derives from the postings at
+    * query time. Append cost is |batch| + the dl-sidecar aggregate. */
+  def appendBm25Index(spark: SparkSession, newDocs: DataFrame,
+                      idCol: String, textCol: String, table: String,
+                      buckets: Int = 8): Unit = {
+    val tf = materialize(
+      newDocs.select(col(idCol).as("doc"),
+          explode(TextOps.words(col(textCol))).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    try {
+      val dl = materialize(
+        tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl")))
+      try {
+        dl.write.mode("append").format("parquet")
+          .saveAsTable(s"${table}_dl")
+        tf.join(dl, "doc")
+          .select(col("term"), col("doc"), col("tf"), col("dl"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "term").sortBy("term")
+          .saveAsTable(table)
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val path = meta.location.toString.stripSuffix("/")
+          .replaceAll("__c[12]$", "")
+        writeBm25Stats(spark, table, path)
+        spark.catalog.refreshTable(table)
+      } finally { dl.unpersist(false); () }
+    } finally { tf.unpersist(false); () }
+  }
+
+  /** BM25 top-k from a PERSISTED index — identical results to
+    * [[bm25TopK]] over the same (possibly appended-to) corpus, with NO
+    * corpus-wide term explode and no tf aggregate at query time:
+    *
+    *  1. the distinct query-term set is collected to the driver (one
+    *     bounded action — queries are small by the broadcast-side
+    *     contract) and pushed as a literal In on `term`, the BUCKET
+    *     column, so the postings scan bucket-prunes to the probed
+    *     terms' files;
+    *  2. df(t) is one count over those pruned postings;
+    *  3. dl rides in the posting row — no dl join;
+    *  4. (N, avgdl) are the two stats-sidecar scalars.
+    *
+    * Everything downstream of the pruned scan is bounded by the query
+    * terms' postings, never the corpus. */
+  def bm25TopKIndexed(spark: SparkSession, table: String,
+                      queries: DataFrame, qidCol: String, qtextCol: String,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = spark.table(s"${table}_stats").head()
+    val nDocs = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val qtRows = queries.select(col(qidCol).as("qid"),
+        explode(TextOps.words(col(qtextCol))).as("term"))
+      .distinct().collect()
+    require(qtRows.length <= (1 << 16),
+      s"query-term relation must be query-bounded, got ${qtRows.length} rows")
+    val terms = qtRows.map(_.get(1)).distinct
+    require(terms.length <= 4096,
+      s"probed term set must be driver-bounded, got ${terms.length}")
+    val qt = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*),
+      new org.apache.spark.sql.types.StructType()
+        .add("qid", qtRows.headOption.map(_.schema("qid").dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType))
+        .add("term", org.apache.spark.sql.types.StringType)))
+    val postings =
+      if (terms.isEmpty) graft.engine.Bucketing.readBucketed(spark, table)
+        .filter(lit(false))
+      else graft.engine.Bucketing.readBucketed(spark, table)
+        .filter(col("term").isin(terms.toIndexedSeq: _*))
+    val dfq = broadcast(postings
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
+    val scored = postings
+      .join(dfq, "term")
+      .join(qt, "term")
+      .select(col("qid"), col("doc"),
+        bm25Score(nDocs, avgdl, k1, b).as("s"))
+    val agg = scored.groupBy("qid", "doc").agg(sum(col("s")).as("score"))
+    bm25Rank(agg, k)
   }
 
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. 2009):

@@ -154,6 +154,16 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = sq8RangeRows(corpus, vecCol)
+    // fail fast at BUILD time if the corpus disagrees with `dim`
+    // (ADVICE r13: vectors longer than dim used to write a sidecar
+    // with > dim range rows, and every later sq8TopKIndexed/append
+    // then failed its rows.length == dim check against an index the
+    // build had declared valid — the build and query paths must agree
+    // on dimensionality at the moment the artifact is written)
+    require(rows.length == dim,
+      s"corpus has coordinates at ${rows.length} positions but the " +
+        s"index is declared dim=$dim — writeSq8Index refuses to " +
+        "persist a sidecar its own query path would reject")
     val (mins, deltas) = rangeArrays(rows, dim)
     rows.toSeq.toDF("i", "lo", "delta")
       .write.mode("overwrite").format("parquet")
@@ -197,7 +207,7 @@ object Similarity {
     * build corpus. */
   def sq8TopKIndexed(spark: SparkSession, table: String,
                      queries: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, k: Int): DataFrame = {
+                     dim: Int, k: Int, pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.{vec_norm, vec_sq8_decode}
     val rows = spark.table(s"${table}_ranges")
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
@@ -207,7 +217,10 @@ object Similarity {
     val m = rows.map(t => t._1 -> t).toMap
     val mins = Array.tabulate(dim)(i => m.get(i).map(_._2).getOrElse(0.0))
     val deltas = Array.tabulate(dim)(i => m.get(i).map(_._3).getOrElse(0.0))
-    val c = graft.engine.Bucketing.readBucketed(spark, table)
+    // `pred` (filtered search) lands on the byte-code scan BEFORE the
+    // decode map pass, so a selective slice also skips its decodes
+    val c = withoutDeleted(spark, table,
+        graft.engine.Bucketing.readBucketed(spark, table).filter(pred))
       .select(col("nid"), vec_sq8_decode(col("code"), mins, deltas).as("nv"))
       .withColumn("nn", vec_norm(col("nv")))
     sq8Search(c, queries, idCol, vecCol, k)
@@ -563,7 +576,8 @@ object Similarity {
     // index scan NEXT TO the probed-cell In filter, so bucket pruning
     // and the attribute pushdown compose in one FileSourceScan
     probeSearch(
-      graft.engine.Bucketing.readBucketed(spark, table).filter(pred),
+      withoutDeleted(spark, table,
+        graft.engine.Bucketing.readBucketed(spark, table).filter(pred)),
       probeCells(queries, idCol, vecCol, cents, nprobe), k)
   }
 
@@ -673,14 +687,21 @@ object Similarity {
   def ivfadcTopKIndexed(spark: SparkSession, table: String,
                         queries: DataFrame, idCol: String, vecCol: String,
                         dim: Int, k: Int, nprobe: Int = 4,
-                        m: Int = 4): DataFrame = {
+                        m: Int = 4, pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
     val codebook = graft.engine.Bucketing
       .readBucketed(spark, s"${table}_codebook")
-    val encoded = graft.engine.Bucketing.readBucketed(spark, table)
+    // `pred` — filtered vector search on the SERVING shape (r13
+    // verdict #2: the billion-vector tier serves from the code tables,
+    // so the attribute slice must land here, not only on the 4×-larger
+    // raw index): it pushes onto the codes scan next to the
+    // probed-cell In, composing with bucket pruning in one
+    // FileSourceScan (IndexPlanSpec pins both markers coexist)
+    val encoded = withoutDeleted(spark, table,
+      graft.engine.Bucketing.readBucketed(spark, table).filter(pred))
     ivfadcSearch(encoded, queries, idCol, vecCol, codebook, cents,
       dim, m, k, nprobe)
   }
@@ -922,14 +943,17 @@ object Similarity {
   def ivfadcResidualTopKIndexed(spark: SparkSession, table: String,
                                 queries: DataFrame, idCol: String,
                                 vecCol: String, dim: Int, k: Int,
-                                nprobe: Int = 4, m: Int = 4): DataFrame = {
+                                nprobe: Int = 4, m: Int = 4,
+                                pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
     val codebook = graft.engine.Bucketing
       .readBucketed(spark, s"${table}_codebook")
-    ivfadcResidualSearch(graft.engine.Bucketing.readBucketed(spark, table),
+    ivfadcResidualSearch(
+      withoutDeleted(spark, table,
+        graft.engine.Bucketing.readBucketed(spark, table).filter(pred)),
       queries, idCol, vecCol, codebook, cents, dim, m, k, nprobe)
   }
 
@@ -1066,11 +1090,16 @@ object Similarity {
           .filter(col("cid").isin(oversized.toIndexedSeq: _*))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
           .toMap
+        requireDriverBytes("balanced-split centroid batch", centVec.size,
+          centVec.valuesIterator.map(_.length).maxOption.getOrElse(0))
         val farRows = members.groupBy(col("cell"))
           .agg(min(struct(col("csim"), col("nid"),
             col("nv").cast("array<double>").as("fv"))).as("far"))
           .select(col("cell"), col("far.fv").as("fv"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        requireDriverBytes("balanced-split farthest-member batch",
+          farRows.length,
+          farRows.iterator.map(_._2.length).maxOption.getOrElse(0))
         val splitDirs = farRows.flatMap { case (cell, f) =>
           val m = centVec(cell)
           val mn = math.sqrt(m.map(x => x * x).sum)
@@ -1086,7 +1115,15 @@ object Similarity {
           }
         }
         val splittable = splitDirs.map(_._1).sorted
-        if (splittable.isEmpty) { done = true }
+        if (splittable.isEmpty) {
+          // converged: no oversized cell yields a split direction —
+          // skip the whole split tail (ADVICE r13: the empty-input
+          // projection/median/means joins and their collect otherwise
+          // run as wasted Spark jobs on every converged final round)
+          done = true
+          members.unpersist(false)
+          assigned.unpersist(false)
+        } else {
         import spark0.implicits._
         val dDf = broadcast(splitDirs.toSeq.toDF("cell", "dv"))
         // cut at the MEDIAN projection, not at 0: a later-round cell is
@@ -1117,6 +1154,9 @@ object Similarity {
         val newCents = means.collect().map { r =>
           (cidOf((r.getLong(0), r.getInt(1))), r.getSeq[Double](2))
         }
+        requireDriverBytes("balanced-split replacement centroids",
+          newCents.length,
+          newCents.iterator.map(_._2.length).maxOption.getOrElse(0))
         members.unpersist(false)
         cents = localized(cents
           .filter(!col("cid").isin(splittable.toIndexedSeq: _*))
@@ -1124,9 +1164,62 @@ object Similarity {
         nCells = nCells - splittable.length + newCents.length
         maxCid += 2L * splittable.length
         assigned.unpersist(false)
+        }
       }
     }
     cents
+  }
+
+  /** Driver-heap gate for bounded collects of dim-length double arrays
+    * (the [[localizeProbes]] estBytes discipline applied to the
+    * balanced-split collects): a row bound alone admits gigabytes once
+    * each row carries a vector, so the gate is rows × (row header +
+    * 8 B per coordinate) against the same 256 MB ceiling. */
+  private def requireDriverBytes(what: String, rows: Int, dim: Int,
+                                 maxBytes: Long = 256L << 20): Unit = {
+    val est = rows.toLong * (48L + 8L * dim)
+    require(est <= maxBytes,
+      s"$what must be driver-bounded: estimated $est bytes " +
+        s"($rows rows x dim $dim) exceeds the $maxBytes-byte gate")
+  }
+
+  /** Re-train and re-assign a persisted IVF index's cells in place —
+    * the maintenance move that closes the append-drift loop: appends
+    * assign to FIXED centroids (correct FAISS add() semantics), so a
+    * drifting corpus re-skews cells over time; [[cellOccupancy]] is
+    * the readout, this is the fix. [[balancedIvfCentroids]] retrains
+    * over the FULL stored corpus (original build ∪ every appended
+    * batch — the vectors live in the index, so no external corpus
+    * pass), then every row re-assigns to the new cells and the table
+    * rewrites through [[graft.engine.Bucketing.compactBucketed]]'s
+    * staged single-catalog-op swap (so the rebalance doubles as a
+    * compaction, and the old generation stays readable for in-flight
+    * queries). The `_centroids` sidecar then overwrites — a tiny
+    * metadata write; a crash between the two swaps leaves new
+    * assignments with old centroids until re-run, the residual
+    * non-transactional window a two-artifact index has (re-running
+    * rebalanceIvfIndex repairs it).
+    *
+    * End state ≡ a fresh [[writeIvfIndex]] with the same
+    * (nlist, balanceFactor) over the union corpus — OperatorsSpec pins
+    * the equivalence, ProfRebalance measures the drift → rebalance
+    * cycle (SCALING r14). */
+  def rebalanceIvfIndex(spark: SparkSession, table: String, nlist: Int,
+                        maxFactor: Double = 2.0, maxRounds: Int = 16,
+                        refineIters: Int = 0): Unit = {
+    import graft.functions.VecExpressions.vec_norm
+    val stored = graft.engine.Bucketing.readBucketed(spark, table)
+      .select(col("nid"), col("nv"))
+    val cents0 = balancedIvfCentroids(stored, "nid", "nv", nlist,
+      maxFactor, maxRounds, refineIters)
+    val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
+    graft.engine.Bucketing.compactBucketed(spark, table,
+      df => cellAssignment(df, "nid", "nv", cents).drop("csim"))
+    cents0.write.mode("overwrite").format("parquet")
+      .option("path", s"${indexBasePath(spark, table)}_centroids")
+      .saveAsTable(s"${table}_centroids")
+    spark.catalog.refreshTable(s"${table}_centroids")
+    spark.catalog.refreshTable(table)
   }
 
   /** Per-cell member counts of `corpus` against a centroid table
@@ -1492,9 +1585,81 @@ object Similarity {
     * sidecar `_codebook`/`_centroids` tables are write-once model
     * artifacts and never need it. Run it on the rebuild cadence a
     * deployment already has (weekly, or when files-per-bucket crosses
-    * a threshold) — it reads and rewrites the whole index once. */
-  def compactIndex(spark: SparkSession, table: String): Unit =
-    graft.engine.Bucketing.compactBucketed(spark, table)
+    * a threshold) — it reads and rewrites the whole index once.
+    *
+    * Pending [[deleteFromIndex]] tombstones are PHYSICALLY APPLIED
+    * here (anti-joined out of the rewrite — compaction already
+    * rewrites every row, so deletes ride free) and the tombstone set
+    * is then truncated: post-compaction queries pay no anti-join. */
+  def compactIndex(spark: SparkSession, table: String): Unit = {
+    val tomb = s"${table}_tombstones"
+    if (spark.catalog.tableExists(tomb) && !spark.table(tomb).isEmpty) {
+      val t = broadcast(spark.table(tomb))
+      graft.engine.Bucketing.compactBucketed(spark, table,
+        df => df.join(t, Seq("nid"), "left_anti"))
+      truncateTombstones(spark, table)
+    } else graft.engine.Bucketing.compactBucketed(spark, table)
+  }
+
+  /** Reset a physically-applied tombstone set to empty (same schema,
+    * same sidecar path) — called by [[compactIndex]] after the rewrite
+    * so post-compaction queries pay no anti-join. */
+  private def truncateTombstones(spark: SparkSession, table: String): Unit = {
+    val tomb = s"${table}_tombstones"
+    val schema = spark.table(tomb).schema
+    val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tomb))
+      .location.toString.stripSuffix("/")
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").format("parquet")
+      .option("path", loc).saveAsTable(tomb)
+  }
+
+  /** Mark index rows deleted — FAISS `remove_ids()` semantics on the
+    * persisted indexes: `ids` (any one-column-projectable relation,
+    * e.g. a dedup keep-list's drop side) append to a `_tombstones`
+    * sidecar; every `*TopKIndexed` query anti-joins it out
+    * ([[withoutDeleted]]), and the next [[compactIndex]] applies it
+    * physically and truncates it. Without this the engine's own dedup
+    * verdicts (d10/d20/t24) could never retract an already-indexed
+    * near-duplicate short of a full rebuild. The tombstone set is a
+    * small broadcast side by construction (deletes between compactions,
+    * not the corpus). */
+  def deleteFromIndex(spark: SparkSession, table: String, ids: DataFrame,
+                      idCol: String = "nid"): Unit = {
+    val tomb = s"${table}_tombstones"
+    val rows = ids.select(col(idCol).as("nid")).distinct()
+    if (spark.catalog.tableExists(tomb))
+      rows.write.mode("append").format("parquet").saveAsTable(tomb)
+    else
+      rows.write.mode("overwrite").format("parquet")
+        .option("path", s"${indexBasePath(spark, table)}_tombstones")
+        .saveAsTable(tomb)
+  }
+
+  /** The index table's base data path — its current location with the
+    * compaction ping-pong suffix stripped, so sidecars written after a
+    * [[compactIndex]] land beside the original artifacts. */
+  private[graft] def indexBasePath(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .location.toString.stripSuffix("/").replaceAll("__c[12]$", "")
+
+  /** Anti-join the index's tombstone set, if any — the query-time half
+    * of [[deleteFromIndex]]. No tombstone table, or an empty one →
+    * the relation passes through untouched, so never-deleted indexes
+    * (every other gate row) keep their exact plans. The anti-join
+    * broadcasts the tombstones and sits ABOVE the scan filters, so
+    * bucket pruning and pushed predicates are undisturbed. */
+  private def withoutDeleted(spark: SparkSession, table: String,
+                             df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(s"${table}_tombstones")) df
+    else {
+      val t = spark.table(s"${table}_tombstones")
+      if (t.isEmpty) df
+      else df.join(broadcast(t), Seq("nid"), "left_anti")
+    }
 
   /** Query a persisted PQ index: identical results to [[pqTopK]] with
     * the same (dim, m, ks, k) — codebook and codes are read back, not
@@ -1502,10 +1667,12 @@ object Similarity {
     * NO corpus-encode stage (the per-batch cost [[pqTopK]] pays). */
   def pqTopKIndexed(spark: SparkSession, table: String, queries: DataFrame,
                     idCol: String, vecCol: String, dim: Int, k: Int,
-                    m: Int = 4): DataFrame = {
+                    m: Int = 4, pred: Column = lit(true)): DataFrame = {
     val codebook = graft.engine.Bucketing
       .readBucketed(spark, s"${table}_codebook")
-    pqAdcSearch(graft.engine.Bucketing.readBucketed(spark, table),
+    pqAdcSearch(
+      withoutDeleted(spark, table,
+        graft.engine.Bucketing.readBucketed(spark, table).filter(pred)),
       queries, idCol, vecCol, codebook, dim, m, k)
   }
 
@@ -1555,10 +1722,12 @@ object Similarity {
                               corpus: DataFrame, queries: DataFrame,
                               idCol: String, vecCol: String, dim: Int,
                               k: Int, kCand: Int, nprobe: Int = 4,
-                              m: Int = 4): DataFrame = {
+                              m: Int = 4, pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.{vec_dot, vec_norm}
+    // `pred` restricts stage 1's candidate generation (the codes scan)
+    // — the exact re-rank then only ever sees passing candidates
     val cand = ivfadcTopKIndexed(spark, table, queries, idCol, vecCol,
-      dim, kCand, nprobe, m).select(col("qid"), col("nid"))
+      dim, kCand, nprobe, m, pred).select(col("qid"), col("nid"))
     val cv = corpus.select(col(idCol).as("nid"),
       toDoubleVec(col(vecCol)).as("nv"))
     val qv = broadcast(queries.select(col(idCol).as("qid"),

@@ -235,8 +235,10 @@ object EventStream {
     * end of a stream). Append cost per trigger is |batch|; the
     * codebook/centroid model artifacts never change mid-stream, so a
     * query against the index between triggers is always consistent.
-    * StreamingSpec proves the drained stream ≡ the batch
-    * build+append. */
+    * Idempotent under foreachBatch's at-least-once redelivery (ADVICE
+    * r13) via [[idempotentPqAppend]]. StreamingSpec proves the drained
+    * stream ≡ the batch build+append and that a redelivered batch id
+    * is a no-op. */
   def pqIndexIngest(vectors: DataFrame, idCol: String, vecCol: String,
                     table: String, dim: Int, m: Int = 4,
                     buckets: Int = 8, checkpoint: String): StreamingQuery =
@@ -244,9 +246,43 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Similarity.appendPqIndex(batch.sparkSession,
-            batch, idCol, vecCol, table, dim, m, buckets)
+        idempotentPqAppend(batch, id, idCol, vecCol, table, dim, m, buckets)
       }
       .start()
+
+  /** Apply one micro-batch to the PQ index EXACTLY ONCE per batch id:
+    * foreachBatch is at-least-once — a failure between the index
+    * append and the checkpoint commit redelivers the batch on restart,
+    * which would duplicate (nid, code) rows and change top-k output
+    * (ADVICE r13). Applied batch ids are recorded in a `_batches`
+    * sidecar table checked BEFORE appending, so a redelivered id is a
+    * no-op; the unprotected window shrinks to a crash between the
+    * index append and the one-row sidecar write (the residual gap any
+    * non-transactional two-table commit has — Spark's own foreachBatch
+    * docs prescribe exactly this batchId-dedup discipline; a
+    * transactional store is the upgrade path). */
+  private[graft] def idempotentPqAppend(batch: DataFrame, batchId: Long,
+                                        idCol: String, vecCol: String,
+                                        table: String, dim: Int, m: Int,
+                                        buckets: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val sidecar = s"${table}_batches"
+    val applied = spark.catalog.tableExists(sidecar) &&
+      !spark.table(sidecar)
+        .filter(col("batch_id") === batchId).isEmpty
+    if (!applied) {
+      graft.operators.Similarity.appendPqIndex(spark, batch, idCol,
+        vecCol, table, dim, m, buckets)
+      val row = Seq(batchId).toDF("batch_id")
+      if (spark.catalog.tableExists(sidecar))
+        row.write.mode("append").format("parquet").saveAsTable(sidecar)
+      else {
+        val base = graft.operators.Similarity.indexBasePath(spark, table)
+        row.write.mode("overwrite").format("parquet")
+          .option("path", s"${base}_batches").saveAsTable(sidecar)
+      }
+    }
+  }
 }

@@ -89,4 +89,54 @@ class BucketingSpec extends SparkSpec {
     }
     spark.sql("DROP TABLE IF EXISTS flat_cmp")
   }
+
+  test("compaction swap is crash-safe and never deletes under readers") {
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    Bucketing.writeBucketed(li, "li_crash", s"$dir/li", Seq("l_orderkey"), 4)
+    li.limit(7).write.mode("append").format("parquet")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_crash")
+    val before = spark.table("li_crash").as[(Long, Double)]
+      .collect().sorted.toSeq
+    def loc() = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("li_crash"))
+      .location.toString.stripSuffix("/")
+    val origLoc = loc()
+    try {
+      // CRASH BEFORE THE SWAP: phase 1 (staging write) completes but the
+      // single-catalog-op swap never runs — the live table is untouched
+      // and fully readable (the old dropTable→renameTable pair had a
+      // window with NO entry registered at all)
+      Bucketing.stageCompaction(spark, "li_crash")
+      assert(loc() == origLoc, "a crash before the swap must leave the old generation live")
+      assert(spark.table("li_crash").as[(Long, Double)].collect().sorted.toSeq
+        == before, "table must stay fully readable after a staged-only crash")
+      // recovery is just re-running the compaction (staging overwrites)
+      Bucketing.compactBucketed(spark, "li_crash")
+      assert(loc() == origLoc + "__c1")
+      assert(spark.table("li_crash").as[(Long, Double)].collect().sorted.toSeq
+        == before, "compaction after crash recovery changed contents")
+      // READER SAFETY: the superseded generation is RETAINED — an
+      // in-flight query that resolved the old file list finishes its
+      // scan instead of dying with FileNotFoundException mid-scan
+      assert(new java.io.File(new java.net.URI(origLoc)).exists(),
+        "superseded directory must be retained after the swap")
+      // ... and reclaimed only by the explicit vacuum seam
+      Bucketing.vacuumSuperseded(spark, "li_crash")
+      assert(!new java.io.File(new java.net.URI(origLoc)).exists(),
+        "vacuumSuperseded must reclaim the superseded generation")
+      assert(spark.table("li_crash").as[(Long, Double)].collect().sorted.toSeq
+        == before, "vacuum must not touch the live generation")
+      // the transform hook rewrites rows through the compaction (the
+      // seam tombstone deletes ride)
+      Bucketing.compactBucketed(spark, "li_crash",
+        df => df.filter($"l_orderkey" =!= before.head._1))
+      assert(spark.table("li_crash").as[(Long, Double)].collect().sorted.toSeq
+        == before.filter(_._1 != before.head._1),
+        "transform hook must rewrite rows physically")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_crash")
+      spark.sql("DROP TABLE IF EXISTS li_crash__compacting")
+    }
+  }
 }
