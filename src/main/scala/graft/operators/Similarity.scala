@@ -559,6 +559,28 @@ object Similarity {
     spark.catalog.refreshTable(table)
   }
 
+  /** Append a new vector batch to a persisted raw-vector IVF index —
+    * FAISS add() on the coarse quantizer: the batch assigns to the
+    * EXISTING centroids (map-side literal argmax, no recluster) and
+    * its (nid, cell, nv, nn) rows insert into the cell-bucketed table.
+    * Completes the append family (PQ/IVFADC/residual/SQ8 each have
+    * one). Fixed centroids mean a drifting corpus re-skews cells over
+    * time — [[cellOccupancy]] is the readout, [[rebalanceIvfIndex]]
+    * the repair. */
+  def appendIvfIndex(spark: SparkSession, newVectors: DataFrame,
+                     idCol: String, vecCol: String, table: String,
+                     buckets: Int = 8): Unit = {
+    import graft.functions.VecExpressions.vec_norm
+    val cents = broadcast(graft.engine.Bucketing
+      .readBucketed(spark, s"${table}_centroids")
+      .withColumn("cn", vec_norm(col("cv"))))
+    cellAssignment(newVectors, idCol, vecCol, cents).drop("csim")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Query a persisted IVF index: identical results to [[ivfTopK]] with
     * the same (nlist, nprobe, k) — the assignment is read back, not
     * recomputed, and the stored vectors/norms are the same floats, so

@@ -230,6 +230,76 @@ class IndexPlanSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("filtered indexed IVFADC (the serving shape): filter and bucket pruning share one scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc-fplan").toString
+    Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+      "graft_adc_fplan", s"$dir/idx", dim = 64, nlist = 8, m = 4,
+      ks = 16, buckets = 8)
+    val q = Similarity.ivfadcTopKIndexed(spark, "graft_adc_fplan",
+      emb.filter($"vec_id" < 5), "vec_id", "embedding", dim = 64, k = 3,
+      nprobe = 4, m = 4, pred = col("nid") % 3 === 0)
+    val rows = q.as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 % 3 == 0))
+    val plan = q.queryExecution.executedPlan.toString
+    // the r13 gap: `pred` existed only on the 4×-larger raw-vector
+    // index — on the CODE-TABLE path the attribute slice must compose
+    // with the probed-cell bucket pruning in the SAME FileSourceScan
+    val scanLine = plan.linesIterator
+      .filter(_.contains("FileScan"))
+      .find(_.contains("SelectedBucketsCount"))
+    assert(scanLine.isDefined, s"no bucket-pruned scan:\n${plan.take(1500)}")
+    assert(scanLine.get.contains("nid"),
+      s"attribute filter missing from the pruned codes scan:\n${scanLine.get}")
+    val sel = selectedBuckets(plan)
+    assert(sel.isDefined && sel.get._1 < sel.get._2,
+      s"bucket pruning lost under the filter:\n${plan.take(1500)}")
+    // still no encode/assignment at query time
+    for (marker <- Seq("vec_pq_codes", "vec_best_cell"))
+      assert(!plan.contains(marker), s"$marker ran at query time")
+    Seq("graft_adc_fplan", "graft_adc_fplan_codebook",
+        "graft_adc_fplan_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("indexed BM25: term-bucket-pruned postings scan, no corpus term explode") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-plan").toString
+    // 32 term buckets against a SINGLE 8-token query: ≤ 8 distinct
+    // probed terms can select at most 8 buckets, so a pruned subset is
+    // guaranteed (3 queries × 8 tokens against 8 buckets covered all of
+    // them — pruning held but the subset assertion was vacuous)
+    graft.operators.Retrieval.writeBm25Index(docs, "doc_id", "text",
+      "graft_bm25_plan", s"$dir/idx", buckets = 32)
+    val qs = docs.filter($"doc_id" < 1)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val q = graft.operators.Retrieval.bm25TopKIndexed(spark,
+      "graft_bm25_plan", qs, "doc_id", "qtext", k = 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // positive control: a corpus term explode plans as Generate — the
+    // marker whose absence below is the claim must be live
+    val sessionPlan = docs.select($"doc_id",
+        explode(graft.operators.TextOps.words($"text")).as("term"))
+      .queryExecution.executedPlan.toString
+    assert(sessionPlan.contains("Generate explode"),
+      s"positive control lost:\n${sessionPlan.take(1200)}")
+    // the indexed plan never explodes or re-aggregates the corpus: the
+    // only Generate is the 8-token query side
+    val generates = plan.linesIterator
+      .filter(_.contains("Generate explode")).toSeq
+    assert(generates.forall(_.contains("qtext")),
+      s"corpus explode at query time:\n${generates.mkString("\n")}")
+    // the query-term literal In reaches the postings scan and prunes
+    // term buckets
+    val sel = selectedBuckets(plan)
+    assert(sel.isDefined && sel.get._1 < sel.get._2,
+      s"no term-bucket pruning:\n${plan.take(1500)}")
+    Seq("graft_bm25_plan", "graft_bm25_plan_dl", "graft_bm25_plan_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** part-* data files under a catalog table's current location. */
   private def dataFiles(table: String): Seq[String] = {
     val loc = spark.sessionState.catalog.getTableMetadata(

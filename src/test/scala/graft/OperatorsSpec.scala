@@ -1886,4 +1886,164 @@ class OperatorsSpec extends SparkSpec {
     // failure time to engine work
     assert(MgiDb.drainSeedNanos() == 0L)
   }
+
+  test("persisted BM25 index: build+append ≡ in-session; corpus cache released") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val want0 = Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+      "doc_id", "qtext", k = 5)
+    val want = want0.as[(Long, Long, Double, Int)].collect().toSet
+    // the corpus-sized inverted-index cache is RELEASED before return
+    // (ADVICE r13: it used to leak one MEMORY_AND_DISK entry per call
+    // for the session lifetime); only the |q|·k result stays persisted,
+    // and dropping that leaves the cache manager empty
+    want0.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bm25TopK left a lingering cache entry")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    Retrieval.writeBm25Index(docs.filter($"doc_id" < 250), "doc_id", "text",
+      "graft_bm25_spec", s"$dir/idx", buckets = 4)
+    Retrieval.appendBm25Index(spark, docs.filter($"doc_id" >= 250),
+      "doc_id", "text", "graft_bm25_spec", buckets = 4)
+    // stats recompute exactly across the append (integer-valued dl →
+    // order-independent sums), df derives from the probed postings —
+    // so the indexed scores are bit-identical to the in-session run
+    // over the union corpus
+    val q = Retrieval.bm25TopKIndexed(spark, "graft_bm25_spec", qs,
+      "doc_id", "qtext", k = 5)
+    assert(q.as[(Long, Long, Double, Int)].collect().toSet == want)
+    Seq("graft_bm25_spec", "graft_bm25_spec_dl", "graft_bm25_spec_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("deleteFromIndex: tombstoned ids vanish pre- and post-compaction (FAISS remove_ids)") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding",
+      "graft_pq_delspec", s"$dir/idx", dim = 64, m = 4, ks = 16, buckets = 4)
+    def query(pred: org.apache.spark.sql.Column = lit(true)) =
+      Similarity.pqTopKIndexed(spark, "graft_pq_delspec", qs,
+          "vec_id", "embedding", dim = 64, k = 3, m = 4, pred = pred)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // FAISS remove_ids semantics: the trained quantizer is untouched,
+    // the ids' rows stop being candidates — i.e. exactly the filtered
+    // search over the undeleted index
+    val want = query($"nid" % 5 =!= 0)
+    assert(want.nonEmpty && want != query())
+    Similarity.deleteFromIndex(spark, "graft_pq_delspec",
+      emb.filter($"vec_id" % 5 === 0).select("vec_id"), "vec_id")
+    assert(query() == want, "query-time anti-join path")
+    // compaction applies the tombstones physically and truncates them;
+    // results unchanged, no anti-join needed afterwards
+    Similarity.compactIndex(spark, "graft_pq_delspec")
+    assert(spark.table("graft_pq_delspec_tombstones").isEmpty,
+      "tombstones must truncate once physically applied")
+    assert(spark.table("graft_pq_delspec").filter($"nid" % 5 === 0).isEmpty,
+      "compaction must drop tombstoned rows physically")
+    assert(query() == want, "post-compaction path")
+    // a second delete batch stacks on the compacted index
+    Similarity.deleteFromIndex(spark, "graft_pq_delspec",
+      emb.filter($"vec_id" % 5 === 1).select("vec_id"), "vec_id")
+    val got = query()
+    assert(got == query($"nid" % 5 =!= 0 && $"nid" % 5 =!= 1))
+    assert(got.forall(r => r._2 % 5 != 0 && r._2 % 5 != 1))
+    Seq("graft_pq_delspec", "graft_pq_delspec_codebook",
+        "graft_pq_delspec_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("rebalanceIvfIndex: drifted index ≡ fresh balanced build on the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
+    // the drift posture: build on the first half, append the second —
+    // appended vectors assign to the FIXED build-time centroids
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_ivf_reb", s"$dir/a", nlist = 8, buckets = 4)
+    Similarity.appendIvfIndex(spark, emb.filter($"vec_id" >= 250),
+      "vec_id", "embedding", "graft_ivf_reb", buckets = 4)
+    Similarity.rebalanceIvfIndex(spark, "graft_ivf_reb", nlist = 8,
+      maxFactor = 1.5)
+    // the fresh balanced build over the SAME union corpus — the
+    // rebalanced index must be indistinguishable from it
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", "graft_ivf_fresh",
+      s"$dir/b", nlist = 8, buckets = 4, balanceFactor = 1.5)
+    val cReb = spark.table("graft_ivf_reb_centroids")
+      .as[(Long, Seq[Double])].collect().toSet
+    val cFresh = spark.table("graft_ivf_fresh_centroids")
+      .as[(Long, Seq[Double])].collect().toSet
+    assert(cReb == cFresh, "rebalanced centroids differ from a fresh balanced build")
+    val aReb = spark.table("graft_ivf_reb").select("nid", "cell")
+      .as[(Long, Long)].collect().toSet
+    val aFresh = spark.table("graft_ivf_fresh").select("nid", "cell")
+      .as[(Long, Long)].collect().toSet
+    assert(aReb == aFresh && aReb.size == emb.count(),
+      "rebalanced assignments differ from a fresh balanced build")
+    // oracle-identity through the swap: probe-all ≡ exact (no vector
+    // lost or duplicated by the rebalance rewrite)
+    val qs = emb.filter($"vec_id" < 5)
+    val got = Similarity.ivfTopKIndexed(spark, "graft_ivf_reb", qs,
+        "vec_id", "embedding", k = 3, nprobe = 4096)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    Seq("graft_ivf_reb", "graft_ivf_reb_centroids",
+        "graft_ivf_fresh", "graft_ivf_fresh_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("writeSq8Index fails fast on corpus/dim mismatch; filtered SQ8 serving path") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8-filt").toString
+    // ADVICE r13: a 65-coordinate corpus under dim=64 used to WRITE a
+    // 65-row range sidecar that every subsequent query/append then
+    // rejected — the build must refuse what its query path would
+    val emb65 = emb.select($"vec_id",
+      concat($"embedding", array(lit(1.0f))).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.writeSq8Index(emb65, "vec_id", "embedding",
+        "graft_sq8_bad", s"$dir/bad", dim = 64, buckets = 4)
+    }
+    assert(e.getMessage.contains("65"), e.getMessage)
+    // filtered search on the SQ8 serving path ≡ exact cosine over the
+    // reconstructed-and-filtered corpus (bruteForceTopK shares the
+    // vec_dot/vec_norm arithmetic with the sq8 search tail)
+    Similarity.writeSq8Index(emb, "vec_id", "embedding",
+      "graft_sq8_filt", s"$dir/idx", dim = 64, buckets = 4)
+    val qs = emb.filter($"vec_id" < 5)
+    val got = Similarity.sq8TopKIndexed(spark, "graft_sq8_filt", qs,
+        "vec_id", "embedding", dim = 64, k = 3, pred = $"nid" % 3 === 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.nonEmpty && got.forall(_._2 % 3 == 0))
+    val rows = spark.table("graft_sq8_filt_ranges")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = rows.map(_._2)
+    val deltas = rows.map(_._3)
+    val recon = spark.table("graft_sq8_filt")
+      .filter($"nid" % 3 === 0)
+      .select($"nid".as("vec_id"),
+        graft.functions.VecExpressions.vec_sq8_decode(
+          $"code", mins, deltas).as("embedding"))
+    val want = Similarity.bruteForceTopK(recon, qs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    // the rerank serving path honours the slice end to end
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-adc-filt2").toString
+    Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+      "graft_adc_filt2", s"$dir2/idx", dim = 64, nlist = 8, m = 4,
+      ks = 16, buckets = 4)
+    val rr = Similarity.ivfadcRerankTopKIndexed(spark, "graft_adc_filt2",
+        emb, qs, "vec_id", "embedding", dim = 64, k = 3, kCand = 10,
+        nprobe = 4, m = 4, pred = $"nid" % 3 === 0)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rr.nonEmpty && rr.forall(_._2 % 3 == 0))
+    Seq("graft_sq8_filt", "graft_sq8_filt_ranges", "graft_adc_filt2",
+        "graft_adc_filt2_codebook", "graft_adc_filt2_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

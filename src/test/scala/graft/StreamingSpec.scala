@@ -261,7 +261,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.exists(_._2 >= 250),
       "streamed vectors never surfaced as neighbours")
-    Seq("graft_sidx", "graft_sidx_codebook",
+    // at-least-once redelivery (ADVICE r13): foreachBatch may replay a
+    // micro-batch after a failure between the index append and the
+    // checkpoint commit — a REDELIVERED batch id must be a no-op, not
+    // a duplicate set of (nid, code) rows
+    val rowsBefore = spark.table("graft_sidx").count()
+    val redelivered = emb.filter($"vec_id" >= 250 && $"vec_id" % 2 === 0)
+    EventStream.idempotentPqAppend(redelivered, batchId = 0L,
+      "vec_id", "embedding", "graft_sidx", dim = 64, m = 4, buckets = 4)
+    assert(spark.table("graft_sidx").count() == rowsBefore,
+      "redelivered batch id duplicated index rows")
+    assert(Similarity.pqTopKIndexed(spark, "graft_sidx", qs,
+        "vec_id", "embedding", dim = 64, k = 3, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet == streamed,
+      "redelivery changed top-k output")
+    // ... while a genuinely NEW batch id still applies
+    EventStream.idempotentPqAppend(
+      emb.filter($"vec_id" === 0)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"),
+      batchId = 99L,
+      "vec_id", "embedding", "graft_sidx", dim = 64, m = 4, buckets = 4)
+    assert(spark.table("graft_sidx").count() > rowsBefore,
+      "a new batch id failed to apply")
+    Seq("graft_sidx", "graft_sidx_codebook", "graft_sidx_batches",
         "graft_sidx_twin", "graft_sidx_twin_codebook")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
