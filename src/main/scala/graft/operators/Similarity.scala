@@ -1146,46 +1146,46 @@ object Similarity {
           members.unpersist(false)
           assigned.unpersist(false)
         } else {
-        import spark0.implicits._
-        val dDf = broadcast(splitDirs.toSeq.toDF("cell", "dv"))
-        // cut at the MEDIAN projection, not at 0: a later-round cell is
-        // itself a half-space whose center the raw sign cut misses
-        // (measured: 54%/46% decaying to 81%/19% down the hot lineage);
-        // the exact per-cell median makes every split 50/50 by
-        // construction (sort-based percentile — deterministic; ties at
-        // the median go to side 1)
-        val proj = members.join(dDf, "cell")
-          .withColumn("p", vec_dot(col("nv"), col("dv")))
-        val medians = proj.groupBy(col("cell"))
-          .agg(expr("percentile(p, 0.5d)").as("med"))
-        val sided = proj.join(broadcast(medians), "cell")
-          .withColumn("side",
-            when(col("p") >= col("med"), 1).otherwise(2))
-        // each side's 6-dp coordinate mean (kmeansRefine discipline)
-        val means = sided.select(col("cell"), col("side"),
-            posexplode(col("nv").cast("array<double>")).as(Seq("dim", "x")))
-          .groupBy("cell", "side", "dim").agg(avg("x").as("m"))
-          .groupBy("cell", "side")
-          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-          .select(col("cell"), col("side"),
-            expr("transform(dm, e -> round(e.m, 6))").as("cv"))
-        // deterministic fresh cids for the split halves
-        val cidOf = splittable.zipWithIndex.flatMap { case (c, i) =>
-          Seq((c, 1, maxCid + 2 * i + 1), (c, 2, maxCid + 2 * i + 2))
-        }.map { case (c, s, n) => (c, s) -> n }.toMap
-        val newCents = means.collect().map { r =>
-          (cidOf((r.getLong(0), r.getInt(1))), r.getSeq[Double](2))
-        }
-        requireDriverBytes("balanced-split replacement centroids",
-          newCents.length,
-          newCents.iterator.map(_._2.length).maxOption.getOrElse(0))
-        members.unpersist(false)
-        cents = localized(cents
-          .filter(!col("cid").isin(splittable.toIndexedSeq: _*))
-          .unionByName(newCents.toSeq.toDF("cid", "cv")))
-        nCells = nCells - splittable.length + newCents.length
-        maxCid += 2L * splittable.length
-        assigned.unpersist(false)
+          import spark0.implicits._
+          val dDf = broadcast(splitDirs.toSeq.toDF("cell", "dv"))
+          // cut at the MEDIAN projection, not at 0: a later-round cell is
+          // itself a half-space whose center the raw sign cut misses
+          // (measured: 54%/46% decaying to 81%/19% down the hot lineage);
+          // the exact per-cell median makes every split 50/50 by
+          // construction (sort-based percentile — deterministic; ties at
+          // the median go to side 1)
+          val proj = members.join(dDf, "cell")
+            .withColumn("p", vec_dot(col("nv"), col("dv")))
+          val medians = proj.groupBy(col("cell"))
+            .agg(expr("percentile(p, 0.5d)").as("med"))
+          val sided = proj.join(broadcast(medians), "cell")
+            .withColumn("side",
+              when(col("p") >= col("med"), 1).otherwise(2))
+          // each side's 6-dp coordinate mean (kmeansRefine discipline)
+          val means = sided.select(col("cell"), col("side"),
+              posexplode(col("nv").cast("array<double>")).as(Seq("dim", "x")))
+            .groupBy("cell", "side", "dim").agg(avg("x").as("m"))
+            .groupBy("cell", "side")
+            .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+            .select(col("cell"), col("side"),
+              expr("transform(dm, e -> round(e.m, 6))").as("cv"))
+          // deterministic fresh cids for the split halves
+          val cidOf = splittable.zipWithIndex.flatMap { case (c, i) =>
+            Seq((c, 1, maxCid + 2 * i + 1), (c, 2, maxCid + 2 * i + 2))
+          }.map { case (c, s, n) => (c, s) -> n }.toMap
+          val newCents = means.collect().map { r =>
+            (cidOf((r.getLong(0), r.getInt(1))), r.getSeq[Double](2))
+          }
+          requireDriverBytes("balanced-split replacement centroids",
+            newCents.length,
+            newCents.iterator.map(_._2.length).maxOption.getOrElse(0))
+          members.unpersist(false)
+          cents = localized(cents
+            .filter(!col("cid").isin(splittable.toIndexedSeq: _*))
+            .unionByName(newCents.toSeq.toDF("cid", "cv")))
+          nCells = nCells - splittable.length + newCents.length
+          maxCid += 2L * splittable.length
+          assigned.unpersist(false)
         }
       }
     }
