@@ -152,6 +152,29 @@ object Bucketing {
     spark.catalog.refreshTable(table)
   }
 
+  /** Staged in-place rewrite of a NON-bucketed external table through
+    * the same crash-safe single-catalog-op swap as [[compactBucketed]]
+    * — for sidecar tables that must rewrite alongside their bucketed
+    * primary (the BM25 `_dl` sidecar when deletes apply physically).
+    * Same guarantees: the table resolves at every instant, the
+    * superseded generation is retained for in-flight readers and
+    * reclaimed by the next rewrite or [[vacuumSuperseded]]. */
+  def rewriteTable(spark: SparkSession, table: String,
+                   transform: DataFrame => DataFrame): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    require(meta.bucketSpec.isEmpty,
+      s"$table is bucketed — use compactBucketed, which keeps the layout")
+    val loc = meta.location.toString.stripSuffix("/")
+    val tmp = ident.copy(table = ident.table + "__compacting")
+    catalog.dropTable(tmp, ignoreIfNotExists = true, purge = false)
+    transform(spark.read.schema(meta.schema).parquet(loc))
+      .write.mode("overwrite").format("parquet")
+      .option("path", stagingFor(loc)).saveAsTable(tmp.unquotedString)
+    swapToStaged(spark, table)
+  }
+
   /** Reclaim the superseded generation(s) of a compacted table —
     * deletes every ping-pong sibling directory of the CURRENT
     * location. Call it once no in-flight reader can still hold the old

@@ -142,6 +142,7 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      table: String, path: String, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
+    Similarity.dropTombstones(spark, table)
     val tf = materialize(
       docs.select(col(idCol).as("doc"),
           explode(TextOps.words(col(textCol))).as("term"))
@@ -158,16 +159,80 @@ object Retrieval {
     } finally { tf.unpersist(false); () }
   }
 
-  /** Recompute (n_docs, avgdl) from the `_dl` sidecar and overwrite
-    * the `_stats` row — one 2-column aggregate, exact regardless of
-    * partial-agg order (integer-valued dl). */
+  /** Recompute (n_docs, avgdl) from the `_dl` sidecar — minus any
+    * pending tombstones, because a deleted doc leaves the corpus
+    * statistics too — and overwrite the `_stats` row. One 2-column
+    * aggregate, exact regardless of partial-agg order (integer-valued
+    * dl). */
   private def writeBm25Stats(spark: SparkSession, table: String,
-                             path: String): Unit =
-    spark.table(s"${table}_dl")
-      .agg(count(lit(1)).cast("double").as("n_docs"),
+                             path: String): Unit = {
+    val dl0 = spark.table(s"${table}_dl")
+    val dl = bm25Tombstones(spark, table)
+      .fold(dl0)(t => dl0.join(broadcast(t), Seq("doc"), "left_anti"))
+    dl.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
       .write.mode("overwrite").format("parquet")
       .option("path", s"${path}_stats").saveAsTable(s"${table}_stats")
+  }
+
+  /** The index's pending tombstone set, if any (None when absent or
+    * empty — never-deleted indexes keep their exact plans). */
+  private def bm25Tombstones(spark: SparkSession,
+                             table: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(s"${table}_tombstones")) None
+    else {
+      val t = spark.table(s"${table}_tombstones")
+      if (t.isEmpty) None else Some(t)
+    }
+
+  /** Mark documents deleted from a persisted BM25 index — the
+    * decontamination RETRACTION (t37/s28's whole point is keeping
+    * benchmark docs out of a training corpus; this removes ones that
+    * already got indexed). Unlike an ANN delete, a BM25 delete must
+    * also leave the SCORING model: df derives from the probed postings
+    * at query time (tombstones anti-joined first, so it self-corrects)
+    * and N/avgdl recompute here from `_dl` minus tombstones — a query
+    * after the delete scores exactly as if the index had been built
+    * without those docs ([[compactBm25Index]] then applies the rewrite
+    * physically). */
+  def deleteFromBm25Index(spark: SparkSession, table: String,
+                          ids: DataFrame, idCol: String = "doc"): Unit = {
+    val tomb = s"${table}_tombstones"
+    val rows = ids.select(col(idCol).as("doc")).distinct()
+    if (spark.catalog.tableExists(tomb))
+      rows.write.mode("append").format("parquet").saveAsTable(tomb)
+    else
+      rows.write.mode("overwrite").format("parquet")
+        .option("path",
+          s"${Similarity.indexBasePath(spark, table)}_tombstones")
+        .saveAsTable(tomb)
+    writeBm25Stats(spark, table,
+      Similarity.indexBasePath(spark, table))
+  }
+
+  /** Compact a persisted BM25 index (the appends-decay-the-layout
+    * story of [[Similarity.compactIndex]], on the postings table) and
+    * PHYSICALLY apply pending deletes: tombstoned docs drop from both
+    * the postings rewrite and the `_dl` sidecar (staged crash-safe
+    * swaps on each), then the tombstone set truncates — post-compaction
+    * queries pay no anti-join. */
+  def compactBm25Index(spark: SparkSession, table: String): Unit =
+    bm25Tombstones(spark, table) match {
+      case Some(t0) =>
+        val t = broadcast(t0)
+        graft.engine.Bucketing.compactBucketed(spark, table,
+          df => df.join(t, Seq("doc"), "left_anti"))
+        graft.engine.Bucketing.rewriteTable(spark, s"${table}_dl",
+          df => df.join(t, Seq("doc"), "left_anti"))
+        Similarity.truncateTombstones(spark, table)
+        // stats are already delete-corrected (the delete recomputed
+        // them); re-derive from the clean _dl to keep the invariant
+        // "stats ≡ aggregate of _dl minus tombstones" visibly true
+        writeBm25Stats(spark, table,
+          Similarity.indexBasePath(spark, table))
+      case None =>
+        graft.engine.Bucketing.compactBucketed(spark, table)
+    }
 
   /** Append a new document batch to a persisted BM25 index (FAISS
     * add() semantics — ids are new, nothing re-tokenizes): the batch's
@@ -240,11 +305,15 @@ object Retrieval {
         .add("qid", qtRows.headOption.map(_.schema("qid").dataType)
           .getOrElse(org.apache.spark.sql.types.LongType))
         .add("term", org.apache.spark.sql.types.StringType)))
-    val postings =
+    val postings0 =
       if (terms.isEmpty) graft.engine.Bucketing.readBucketed(spark, table)
         .filter(lit(false))
       else graft.engine.Bucketing.readBucketed(spark, table)
         .filter(col("term").isin(terms.toIndexedSeq: _*))
+    // pending deletes anti-join out BEFORE df is counted, so the idf of
+    // a probed term self-corrects the moment a doc is tombstoned
+    val postings = bm25Tombstones(spark, table)
+      .fold(postings0)(t => postings0.join(broadcast(t), Seq("doc"), "left_anti"))
     val dfq = broadcast(postings
       .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
     val scored = postings

@@ -153,6 +153,7 @@ object Similarity {
     import graft.functions.VecExpressions.vec_sq8_codes
     val spark = corpus.sparkSession
     import spark.implicits._
+    dropTombstones(spark, table)
     val rows = sq8RangeRows(corpus, vecCol)
     // fail fast at BUILD time if the corpus disagrees with `dim`
     // (ADVICE r13: vectors longer than dim used to write a sidecar
@@ -543,6 +544,7 @@ object Similarity {
                     balanceFactor: Double = 0.0): Unit = {
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
+    dropTombstones(spark, table)
     val cents0 =
       if (balanceFactor > 0)
         balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor,
@@ -652,6 +654,7 @@ object Similarity {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
+    dropTombstones(spark, table)
     val cents0 =
       if (balanceFactor > 0)
         balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor)
@@ -904,6 +907,7 @@ object Similarity {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
+    dropTombstones(spark, table)
     val cents0 =
       if (balanceFactor > 0)
         balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor)
@@ -1559,6 +1563,7 @@ object Similarity {
                    trainIters: Int = 0): Unit = {
     require(dim % m == 0, "m must divide dim")
     val spark = corpus.sparkSession
+    dropTombstones(spark, table)
     val codebook =
       if (trainIters > 0) pqCodebookTrained(corpus, idCol, vecCol, dim, m, ks, trainIters)
       else pqCodebook(corpus, idCol, vecCol, dim, m, ks)
@@ -1623,10 +1628,19 @@ object Similarity {
     } else graft.engine.Bucketing.compactBucketed(spark, table)
   }
 
+  /** A fresh build carries no pending deletes: drop any stale
+    * tombstone sidecar a previous generation of `table` left behind
+    * (catalog-only; the overwrite on the next delete reclaims the
+    * files). Called by every write* entry point. */
+  private[graft] def dropTombstones(spark: SparkSession, table: String): Unit =
+    spark.sessionState.catalog.dropTable(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"${table}_tombstones"),
+      ignoreIfNotExists = true, purge = false)
+
   /** Reset a physically-applied tombstone set to empty (same schema,
     * same sidecar path) — called by [[compactIndex]] after the rewrite
     * so post-compaction queries pay no anti-join. */
-  private def truncateTombstones(spark: SparkSession, table: String): Unit = {
+  private[graft] def truncateTombstones(spark: SparkSession, table: String): Unit = {
     val tomb = s"${table}_tombstones"
     val schema = spark.table(tomb).schema
     val loc = spark.sessionState.catalog.getTableMetadata(

@@ -200,6 +200,34 @@ object PipelineQueries {
         qs, "doc_id", "qtext", k = 5)
     }),
 
+    // BM25 index deletes — the decontamination RETRACTION: benchmark
+    // docs that already got indexed must leave BOTH the candidate set
+    // AND the scoring model (df self-corrects via the pre-df
+    // anti-join; N/avgdl recompute from _dl minus tombstones). The
+    // row exercises both tombstone halves like s30: the first batch
+    // is physically applied by compactBm25Index (postings + _dl
+    // staged rewrites, tombstones truncate), the second stays pending.
+    // Scores must equal an index BUILT on the reduced corpus — the
+    // oracle is the t37 formula over documents WHERE doc_id < 400.
+    "t39_bm25_deleted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_del_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      graft.operators.Retrieval.writeBm25Index(docs, "doc_id", "text",
+        "graft_bm25_del", path, buckets = 8)
+      graft.operators.Retrieval.deleteFromBm25Index(s, "graft_bm25_del",
+        docs.filter(col("doc_id") >= 450).select("doc_id"), "doc_id")
+      graft.operators.Retrieval.compactBm25Index(s, "graft_bm25_del")
+      graft.operators.Retrieval.deleteFromBm25Index(s, "graft_bm25_del",
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+          .select("doc_id"), "doc_id")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      graft.operators.Retrieval.bm25TopKIndexed(s, "graft_bm25_del",
+        qs, "doc_id", "qtext", k = 5)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
     // of the lexical and vector runs — recomposed over the SERVING
     // shapes (r13 verdict #1): the vector run answers from the
@@ -2044,6 +2072,9 @@ object PipelineQueries {
     // valued dl), df derives from the probed terms' postings, the
     // score Column is shared — so the oracle IS the in-session one
     "t38_bm25_indexed" -> bm25Oracle,
+    // deletes leave the scoring model too (df/N/avgdl), so the oracle
+    // is BM25 over the reduced corpus — not a post-hoc row filter
+    "t39_bm25_deleted" -> bm25Oracle("WHERE doc_id < 400"),
     // RRF of the top-10 BM25 run and the top-10 exact-cosine run
     "s28_hybrid_rrf" ->
       """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
@@ -3035,10 +3066,14 @@ object PipelineQueries {
     * Constants pin the gate configuration: dim 64, m 4 (sub 16),
     * ks 16, queries vec_id < 10. */
   /** t37/t38 oracle: full-corpus Okapi BM25 with Lucene idf over the
-    * 8-token query prefixes of docs 0-2. */
-  private def bm25Oracle: String =
-    """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
-                  FROM documents),
+    * 8-token query prefixes of docs 0-2. t39 passes a corpus WHERE —
+    * only the w CTE (the indexed corpus) filters; the queries are
+    * given externally and stay unfiltered. */
+  private def bm25Oracle: String = bm25Oracle("")
+
+  private def bm25Oracle(corpusWhere: String): String =
+    s"""WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                  FROM documents $corpusWhere),
        tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
        dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM w GROUP BY 1),
        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),

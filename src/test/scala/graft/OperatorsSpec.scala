@@ -1919,6 +1919,46 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("deleteFromBm25Index: scores ≡ an index built without the deleted docs") {
+    val docs = Tables.documents(spark, sf)
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+    // reference: a fresh index that never saw the deleted docs — the
+    // strong form of delete correctness, because BM25 deletes must
+    // leave the SCORING model (df, N, avgdl), not just the candidates
+    Retrieval.writeBm25Index(docs.filter($"doc_id" % 4 =!= 0), "doc_id",
+      "text", "graft_bm25_ref", s"$dir/ref", buckets = 4)
+    val want = Retrieval.bm25TopKIndexed(spark, "graft_bm25_ref", qs,
+        "doc_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val refStats = spark.table("graft_bm25_ref_stats")
+      .as[(Double, Double)].head()
+    // the full index with the same docs deleted afterwards
+    Retrieval.writeBm25Index(docs, "doc_id", "text",
+      "graft_bm25_d2", s"$dir/full", buckets = 4)
+    Retrieval.deleteFromBm25Index(spark, "graft_bm25_d2",
+      docs.filter($"doc_id" % 4 === 0).select("doc_id"), "doc_id")
+    def query() = Retrieval.bm25TopKIndexed(spark, "graft_bm25_d2", qs,
+        "doc_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(query() == want, "pending-tombstone path diverged from the reduced build")
+    assert(spark.table("graft_bm25_d2_stats").as[(Double, Double)].head()
+      == refStats, "delete did not correct the corpus statistics")
+    // physical apply: postings AND the _dl sidecar rewrite, tombstones
+    // truncate, scores unchanged
+    Retrieval.compactBm25Index(spark, "graft_bm25_d2")
+    assert(spark.table("graft_bm25_d2_tombstones").isEmpty)
+    assert(spark.table("graft_bm25_d2").filter($"doc" % 4 === 0).isEmpty)
+    assert(spark.table("graft_bm25_d2_dl").filter($"doc" % 4 === 0).isEmpty)
+    assert(query() == want, "post-compaction path diverged")
+    Seq("graft_bm25_ref", "graft_bm25_ref_dl", "graft_bm25_ref_stats",
+        "graft_bm25_d2", "graft_bm25_d2_dl", "graft_bm25_d2_stats",
+        "graft_bm25_d2_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("deleteFromIndex: tombstoned ids vanish pre- and post-compaction (FAISS remove_ids)") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.filter($"vec_id" < 5)
