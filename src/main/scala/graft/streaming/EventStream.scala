@@ -264,7 +264,51 @@ object EventStream {
   private[graft] def idempotentPqAppend(batch: DataFrame, batchId: Long,
                                         idCol: String, vecCol: String,
                                         table: String, dim: Int, m: Int,
-                                        buckets: Int): Unit = {
+                                        buckets: Int): Unit =
+    idempotentAppend(batch, batchId, table) { spark =>
+      graft.operators.Similarity.appendPqIndex(spark, batch, idCol,
+        vecCol, table, dim, m, buckets)
+    }
+
+  /** Recurring-crawl LEXICAL ingest — the BM25 twin of
+    * [[pqIndexIngest]]: every micro-batch of new documents appends to
+    * a persisted BM25 inverted index
+    * ([[graft.operators.Retrieval.appendBm25Index]] — postings + dl
+    * rows insert, corpus stats recompute exactly per trigger), so a
+    * decontamination/curation query between triggers always scores
+    * against the up-to-date corpus. Same batch-id idempotence as the
+    * ANN side. */
+  def bm25IndexIngest(docs: DataFrame, idCol: String, textCol: String,
+                      table: String, buckets: Int = 8,
+                      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentBm25Append(batch, id, idCol, textCol, table, buckets)
+      }
+      .start()
+
+  private[graft] def idempotentBm25Append(batch: DataFrame, batchId: Long,
+                                          idCol: String, textCol: String,
+                                          table: String,
+                                          buckets: Int): Unit =
+    idempotentAppend(batch, batchId, table) { spark =>
+      graft.operators.Retrieval.appendBm25Index(spark, batch, idCol,
+        textCol, table, buckets)
+    }
+
+  /** Shared at-least-once guard: run `apply` exactly once per
+    * (table, batchId), recording applied ids in the `_batches`
+    * sidecar checked BEFORE applying — a redelivered id is a no-op.
+    * The unprotected window shrinks to a crash between the apply and
+    * the one-row sidecar write (the residual gap any
+    * non-transactional two-table commit has — Spark's own
+    * foreachBatch docs prescribe exactly this batchId-dedup
+    * discipline; a transactional store is the upgrade path). */
+  private def idempotentAppend(batch: DataFrame, batchId: Long,
+                               table: String)
+                              (apply: SparkSession => Unit): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     import spark.implicits._
@@ -273,8 +317,7 @@ object EventStream {
       !spark.table(sidecar)
         .filter(col("batch_id") === batchId).isEmpty
     if (!applied) {
-      graft.operators.Similarity.appendPqIndex(spark, batch, idCol,
-        vecCol, table, dim, m, buckets)
+      apply(spark)
       val row = Seq(batchId).toDF("batch_id")
       if (spark.catalog.tableExists(sidecar))
         row.write.mode("append").format("parquet").saveAsTable(sidecar)

@@ -287,4 +287,49 @@ class StreamingSpec extends SparkSpec {
         "graft_sidx_twin", "graft_sidx_twin_codebook")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("streaming BM25 index ingest ≡ batch build+append, redelivery no-op") {
+    import graft.operators.Retrieval
+    val dir = Files.createTempDirectory("graft-bidx").toString
+    val docs = Tables.documents(spark, sf)
+    Retrieval.writeBm25Index(docs.filter($"doc_id" < 250), "doc_id",
+      "text", "graft_bidx", s"$dir/idx", buckets = 4)
+    docs.filter($"doc_id" >= 250 && $"doc_id" % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/in")
+    docs.filter($"doc_id" >= 250 && $"doc_id" % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = EventStream.bm25IndexIngest(stream, "doc_id", "text",
+      "graft_bidx", buckets = 4, checkpoint = s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val streamed = Retrieval.bm25TopKIndexed(spark, "graft_bidx", qs,
+        "doc_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // batch twin: per-trigger stats recompute lands on the same exact
+    // (integer-dl) aggregate, so the drained stream is bit-identical
+    Retrieval.writeBm25Index(docs.filter($"doc_id" < 250), "doc_id",
+      "text", "graft_bidx_twin", s"$dir/twin", buckets = 4)
+    Retrieval.appendBm25Index(spark, docs.filter($"doc_id" >= 250),
+      "doc_id", "text", "graft_bidx_twin", buckets = 4)
+    val batch = Retrieval.bm25TopKIndexed(spark, "graft_bidx_twin", qs,
+        "doc_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // a redelivered batch id is a no-op
+    val before = spark.table("graft_bidx").count()
+    EventStream.idempotentBm25Append(
+      docs.filter($"doc_id" >= 250 && $"doc_id" % 2 === 0), 0L,
+      "doc_id", "text", "graft_bidx", 4)
+    assert(spark.table("graft_bidx").count() == before,
+      "redelivered batch id duplicated postings")
+    Seq("graft_bidx", "graft_bidx_dl", "graft_bidx_stats",
+        "graft_bidx_batches", "graft_bidx_twin", "graft_bidx_twin_dl",
+        "graft_bidx_twin_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
