@@ -148,14 +148,24 @@ object Retrieval {
           explode(TextOps.words(col(textCol))).as("term"))
         .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     try {
-      val dl = tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl"))
-      dl.write.mode("overwrite").format("parquet")
-        .option("path", s"${path}_dl").saveAsTable(s"${table}_dl")
-      graft.engine.Bucketing.writeBucketed(
-        tf.join(spark.table(s"${table}_dl"), "doc")
-          .select(col("term"), col("doc"), col("tf"), col("dl")),
-        table, path, Seq("term"), buckets)
-      writeBm25Stats(spark, table, path)
+      // dl has THREE consumers at build time (the sidecar write, the
+      // postings denormalization join, the stats aggregate) — serve
+      // all three from the cache instead of re-scanning the
+      // just-written sidecar
+      val dl = materialize(
+        tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl")))
+      try {
+        dl.write.mode("overwrite").format("parquet")
+          .option("path", s"${path}_dl").saveAsTable(s"${table}_dl")
+        graft.engine.Bucketing.writeBucketed(
+          tf.join(dl, "doc")
+            .select(col("term"), col("doc"), col("tf"), col("dl")),
+          table, path, Seq("term"), buckets)
+        dl.agg(count(lit(1)).cast("double").as("n_docs"),
+            avg(col("dl")).as("avgdl"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${path}_stats").saveAsTable(s"${table}_stats")
+      } finally { dl.unpersist(false); () }
     } finally { tf.unpersist(false); () }
   }
 
