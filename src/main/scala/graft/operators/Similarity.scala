@@ -1201,7 +1201,7 @@ object Similarity {
     * balanced-split collects): a row bound alone admits gigabytes once
     * each row carries a vector, so the gate is rows × (row header +
     * 8 B per coordinate) against the same 256 MB ceiling. */
-  private def requireDriverBytes(what: String, rows: Int, dim: Int,
+  private[graft] def requireDriverBytes(what: String, rows: Int, dim: Int,
                                  maxBytes: Long = 256L << 20): Unit = {
     val est = rows.toLong * (48L + 8L * dim)
     require(est <= maxBytes,

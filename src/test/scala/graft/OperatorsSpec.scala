@@ -2036,6 +2036,20 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("balanced-split driver gate is byte-aware (r13 verdict #7)") {
+    // the gate arithmetic, driven directly: 4096 oversized cells at a
+    // synthetic dim of 2^20 estimate ~34 GB of farthest-member arrays —
+    // far past the 256 MB ceiling a row-only bound would admit
+    val e = intercept[IllegalArgumentException] {
+      Similarity.requireDriverBytes("balanced-split farthest-member batch",
+        rows = 4096, dim = 1 << 20)
+    }
+    assert(e.getMessage.contains("bytes"), e.getMessage)
+    // the real shapes stay comfortably inside: 4096 cells × dim 4096
+    Similarity.requireDriverBytes("balanced-split centroid batch",
+      rows = 4096, dim = 4096)
+  }
+
   test("writeSq8Index fails fast on corpus/dim mismatch; filtered SQ8 serving path") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-sq8-filt").toString
