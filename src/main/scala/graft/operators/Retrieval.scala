@@ -294,10 +294,21 @@ object Retrieval {
     *  4. (N, avgdl) are the two stats-sidecar scalars.
     *
     * Everything downstream of the pruned scan is bounded by the query
-    * terms' postings, never the corpus. */
+    * terms' postings, never the corpus.
+    *
+    * `pred` is FILTERED lexical search with Lucene's filter-query
+    * semantics: it restricts which docs may be CANDIDATES (an
+    * attribute slice — "only docs that passed the quality filter")
+    * without changing any score — idf/N/avgdl stay corpus-wide, so a
+    * doc scores identically inside and outside the slice. Contrast
+    * [[deleteFromBm25Index]], which removes docs from the CORPUS and
+    * therefore re-scores. The predicate lands on the postings scan
+    * next to the term-bucket pruning; df is counted BEFORE it
+    * applies. */
   def bm25TopKIndexed(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, qtextCol: String,
-                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k: Int, k1: Double = 1.2, b: Double = 0.75,
+                      pred: Column = lit(true)): DataFrame = {
     val stats = spark.table(s"${table}_stats").head()
     val nDocs = stats.getDouble(0)
     val avgdl = stats.getDouble(1)
@@ -326,7 +337,7 @@ object Retrieval {
       .fold(postings0)(t => postings0.join(broadcast(t), Seq("doc"), "left_anti"))
     val dfq = broadcast(postings
       .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
-    val scored = postings
+    val scored = postings.filter(pred)
       .join(dfq, "term")
       .join(qt, "term")
       .select(col("qid"), col("doc"),

@@ -228,6 +228,25 @@ object PipelineQueries {
         qs, "doc_id", "qtext", k = 5)
     }),
 
+    // Filtered lexical search — the BM25 twin of s27/s29's attribute
+    // slice, with Lucene's filter-query semantics: the predicate
+    // restricts CANDIDATES only (df/N/avgdl stay corpus-wide, so a
+    // doc's score is identical inside and outside the slice); deletes
+    // (t39) are the corpus-changing counterpart. The slice lands on
+    // the postings scan next to the term-bucket pruning.
+    "t40_bm25_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_filt_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      graft.operators.Retrieval.writeBm25Index(docs, "doc_id", "text",
+        "graft_bm25_filt", path, buckets = 8)
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      graft.operators.Retrieval.bm25TopKIndexed(s, "graft_bm25_filt",
+        qs, "doc_id", "qtext", k = 5, pred = col("doc") % 3 === 0)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
     // of the lexical and vector runs — recomposed over the SERVING
     // shapes (r13 verdict #1): the vector run answers from the
@@ -2075,6 +2094,10 @@ object PipelineQueries {
     // deletes leave the scoring model too (df/N/avgdl), so the oracle
     // is BM25 over the reduced corpus — not a post-hoc row filter
     "t39_bm25_deleted" -> bm25Oracle("WHERE doc_id < 400"),
+    // filters restrict candidates ONLY (Lucene filter-query
+    // semantics): a doc scores identically inside and outside the
+    // slice, so the oracle filters the scored join, not the corpus
+    "t40_bm25_filtered" -> bm25Oracle("", "WHERE tf.doc % 3 = 0"),
     // RRF of the top-10 BM25 run and the top-10 exact-cosine run
     "s28_hybrid_rrf" ->
       """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
@@ -3072,6 +3095,12 @@ object PipelineQueries {
   private def bm25Oracle: String = bm25Oracle("")
 
   private def bm25Oracle(corpusWhere: String): String =
+    bm25Oracle(corpusWhere, "")
+
+  /** `candWhere` is the t40 filtered-search slice: it restricts the
+    * scored CANDIDATES only (Lucene filter-query semantics) — df/dl/
+    * stats stay corpus-wide, unlike `corpusWhere` (deletes). */
+  private def bm25Oracle(corpusWhere: String, candWhere: String): String =
     s"""WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
                   FROM documents $corpusWhere),
        tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
@@ -3088,7 +3117,7 @@ object PipelineQueries {
                   (tf.tf * (1.2 + 1)) /
                   (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
          FROM qt JOIN tf USING (term) JOIN df USING (term)
-              JOIN dl ON tf.doc = dl.doc CROSS JOIN stats s),
+              JOIN dl ON tf.doc = dl.doc CROSS JOIN stats s $candWhere),
        agg AS (SELECT qid, doc AS doc_id, sum(sc) AS score
                FROM scored GROUP BY 1, 2)
        SELECT qid, doc_id, round(score, 6) AS score,

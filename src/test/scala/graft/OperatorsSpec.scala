@@ -1996,6 +1996,71 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("tombstones are honored by the SQ8 and IVFADC families; a rebuild clears them") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-del-fam").toString
+    // SQ8: delete ≡ the filtered search that excludes the same ids
+    Similarity.writeSq8Index(emb, "vec_id", "embedding",
+      "graft_sq8_del", s"$dir/sq8", dim = 64, buckets = 4)
+    def sq8(pred: org.apache.spark.sql.Column = lit(true)) =
+      Similarity.sq8TopKIndexed(spark, "graft_sq8_del", qs,
+          "vec_id", "embedding", dim = 64, k = 3, pred = pred)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val sqAll = sq8()
+    val sqWant = sq8($"nid" % 5 =!= 0)
+    Similarity.deleteFromIndex(spark, "graft_sq8_del",
+      emb.filter($"vec_id" % 5 === 0).select("vec_id"), "vec_id")
+    assert(sq8() == sqWant && sqWant != sqAll)
+    // a REBUILD drops stale tombstones — the fresh index serves every id
+    Similarity.writeSq8Index(emb, "vec_id", "embedding",
+      "graft_sq8_del", s"$dir/sq8", dim = 64, buckets = 4)
+    assert(sq8() == sqAll, "rebuild must clear stale tombstones")
+    // IVFADC serving shape honors the same lifecycle
+    Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+      "graft_adc_del", s"$dir/adc", dim = 64, nlist = 8, m = 4,
+      ks = 16, buckets = 4)
+    def adc(pred: org.apache.spark.sql.Column = lit(true)) =
+      Similarity.ivfadcTopKIndexed(spark, "graft_adc_del", qs,
+          "vec_id", "embedding", dim = 64, k = 3, nprobe = 4, m = 4,
+          pred = pred)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val adcWant = adc($"nid" % 5 =!= 0)
+    Similarity.deleteFromIndex(spark, "graft_adc_del",
+      emb.filter($"vec_id" % 5 === 0).select("vec_id"), "vec_id")
+    assert(adc() == adcWant && adcWant.nonEmpty)
+    Seq("graft_sq8_del", "graft_sq8_del_ranges", "graft_sq8_del_tombstones",
+        "graft_adc_del", "graft_adc_del_codebook", "graft_adc_del_centroids",
+        "graft_adc_del_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("filtered BM25 keeps Lucene filter-query semantics: scores unchanged inside the slice") {
+    val docs = Tables.documents(spark, sf)
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-filt").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text",
+      "graft_bm25_fspec", s"$dir/idx", buckets = 4)
+    // unfiltered at a large k — the slice's docs appear with their
+    // corpus-wide scores
+    val full = Retrieval.bm25TopKIndexed(spark, "graft_bm25_fspec", qs,
+        "doc_id", "qtext", k = 10000)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val filt = Retrieval.bm25TopKIndexed(spark, "graft_bm25_fspec", qs,
+        "doc_id", "qtext", k = 5, pred = $"doc" % 3 === 0)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(filt.nonEmpty && filt.forall(_._2 % 3 == 0))
+    // the filter restricts candidates WITHOUT re-scoring: every
+    // filtered hit carries exactly its unfiltered (corpus-wide) score
+    assert(filt.forall(r => full.get((r._1, r._2)).contains(r._3)),
+      "filtered search re-scored a doc (df/N/avgdl must stay corpus-wide)")
+    Seq("graft_bm25_fspec", "graft_bm25_fspec_dl", "graft_bm25_fspec_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("rebalanceIvfIndex: drifted index ≡ fresh balanced build on the union") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
