@@ -2029,9 +2029,24 @@ class OperatorsSpec extends SparkSpec {
     Similarity.deleteFromIndex(spark, "graft_adc_del",
       emb.filter($"vec_id" % 5 === 0).select("vec_id"), "vec_id")
     assert(adc() == adcWant && adcWant.nonEmpty)
+    // ... and the by-residual serving path
+    Similarity.writeIvfadcResidualIndex(emb, "vec_id", "embedding",
+      "graft_res_del", s"$dir/res", dim = 64, nlist = 8, m = 4,
+      ks = 16, buckets = 4)
+    def res(pred: org.apache.spark.sql.Column = lit(true)) =
+      Similarity.ivfadcResidualTopKIndexed(spark, "graft_res_del", qs,
+          "vec_id", "embedding", dim = 64, k = 3, nprobe = 4, m = 4,
+          pred = pred)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val resWant = res($"nid" % 5 =!= 0)
+    Similarity.deleteFromIndex(spark, "graft_res_del",
+      emb.filter($"vec_id" % 5 === 0).select("vec_id"), "vec_id")
+    assert(res() == resWant && resWant.nonEmpty)
     Seq("graft_sq8_del", "graft_sq8_del_ranges", "graft_sq8_del_tombstones",
         "graft_adc_del", "graft_adc_del_codebook", "graft_adc_del_centroids",
-        "graft_adc_del_tombstones")
+        "graft_adc_del_tombstones", "graft_res_del",
+        "graft_res_del_codebook", "graft_res_del_centroids",
+        "graft_res_del_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
