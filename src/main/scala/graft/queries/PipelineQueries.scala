@@ -371,6 +371,27 @@ object PipelineQueries {
         dim = 64, k = 3, nprobe = 4, m = 4)
     }),
 
+    // Incremental raw-IVF append (FAISS add() on the coarse
+    // quantizer — completes the gate-covered append family across all
+    // five index kinds): build on the first half, append the second
+    // against the FIXED centroids, then probe EVERY cell — probe-all
+    // ≡ exact (the s24 device), so a vector lost or duplicated
+    // anywhere in the append path breaks the hash against the exact
+    // oracle.
+    "s31_ann_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_inc_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", "graft_ivf_inc", path, nlist = 16,
+        buckets = 8)
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", "graft_ivf_inc", buckets = 8)
+      Similarity.ivfTopKIndexed(s, "graft_ivf_inc",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nprobe = 4096)
+    }),
+
     // Filtered vector search on the SERVING shape (r13 verdict #2):
     // the attribute slice lands on the CODE-TABLE scan of the
     // persisted IVFADC index — next to the probed-cell In filter, so
@@ -2399,6 +2420,18 @@ object PipelineQueries {
          FROM sims
          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     // balanced IVF probing every cell is exact: same oracle as s01
+    // append conservation: probing every cell of the appended index
+    // must reproduce the exact top-k over the union corpus
+    "s31_ann_ivf_incremental" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         sims AS (SELECT qid, e.vec_id AS nid,
+                    list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                  FROM q, embeddings e WHERE e.vec_id != qid)
+         SELECT qid, nid, round(sim, 6) AS sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         FROM sims
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3""",
     "s24_ann_ivf_balanced" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
