@@ -1248,6 +1248,39 @@ object Similarity {
     spark.catalog.refreshTable(table)
   }
 
+  /** Occupancy-triggered index maintenance — the operational policy
+    * that ties the drift readout to its repair (ProfRebalance measured
+    * both sides of the trade, SCALING r14): read the stored
+    * assignments' cell occupancy (one bounded aggregate —
+    * ≤4096 cells by the centroid contract), then
+    *
+    *  - max/p50 above `rebalanceAbove` → [[rebalanceIvfIndex]]
+    *    (retrain + reassign + swap; a build-shaped batch job that
+    *    restores the straggler/scan bound — 11.7 → 1.8 measured on
+    *    the shifted-append fixture);
+    *  - otherwise → [[compactIndex]] (cheap layout restore; pending
+    *    tombstones apply physically).
+    *
+    * Returns the action taken with the observed bound, so a scheduler
+    * can log the decision. Run it on the maintenance cadence a
+    * deployment already has; the threshold's two sides are priced in
+    * SCALING r14 (append 3.3 s/50k vs rebalance ~1.5× build). */
+  def maintainIvfIndex(spark: SparkSession, table: String, nlist: Int,
+                       maxFactor: Double = 2.0,
+                       rebalanceAbove: Double = 4.0): String = {
+    val counts = spark.table(table).groupBy("cell").count()
+      .orderBy(col("count").desc).collect().map(_.getLong(1))
+    require(counts.nonEmpty, s"index $table has no assignments")
+    val bound = counts.head.toDouble / counts(counts.length / 2)
+    if (bound > rebalanceAbove) {
+      rebalanceIvfIndex(spark, table, nlist, maxFactor)
+      f"rebalanced (max/p50 was $bound%.1f > $rebalanceAbove%.1f)"
+    } else {
+      compactIndex(spark, table)
+      f"compacted (max/p50 $bound%.1f within $rebalanceAbove%.1f)"
+    }
+  }
+
   /** Per-cell member counts of `corpus` against a centroid table
     * (cid, cv) — the occupancy readout a deployment monitors for hot
     * cells (a cell = a bucket = a task at query time, so max/median

@@ -2076,6 +2076,52 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("maintainIvfIndex: re-skewed index triggers rebalance, healthy index compacts") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-maint").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_maint", s"$dir/idx", nlist = 8, buckets = 4,
+      balanceFactor = 2.0)
+    // a hot append: 300 jittered near-copies of one vector — they all
+    // assign to its cell, blowing the occupancy bound (the "new hot
+    // topic" crawl shape from ProfRebalance, in miniature)
+    val hot = emb.filter($"vec_id" === 0)
+      .crossJoin(spark.range(300).select($"id".as("copy")))
+      .select(($"copy" + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "cast(x + 0.001d * (pmod(hash(copy, i), 7) - 3) as float))")
+          .as("embedding"))
+    Similarity.appendIvfIndex(spark, hot, "vec_id", "embedding",
+      "graft_ivf_maint", buckets = 4)
+    def occBound() = {
+      val c = spark.table("graft_ivf_maint").groupBy("cell").count()
+        .orderBy($"count".desc).collect().map(_.getLong(1))
+      c.head.toDouble / c(c.length / 2)
+    }
+    val before = occBound()
+    assert(before > 4.0, s"fixture failed to re-skew: $before")
+    val action = Similarity.maintainIvfIndex(spark, "graft_ivf_maint",
+      nlist = 8, maxFactor = 2.0, rebalanceAbove = 4.0)
+    assert(action.startsWith("rebalanced"), action)
+    assert(occBound() < before, "rebalance did not restore the bound")
+    // conservation through the policy path: probe-all ≡ exact on union
+    val union = emb.select($"vec_id", $"embedding").unionByName(hot)
+    val qs = emb.filter($"vec_id" < 3)
+    val got = Similarity.ivfTopKIndexed(spark, "graft_ivf_maint", qs,
+        "vec_id", "embedding", k = 3, nprobe = 4096)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(union, qs,
+        "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    // a healthy index takes the cheap branch
+    val action2 = Similarity.maintainIvfIndex(spark, "graft_ivf_maint",
+      nlist = 8, maxFactor = 2.0, rebalanceAbove = 4.0)
+    assert(action2.startsWith("compacted"), action2)
+    Seq("graft_ivf_maint", "graft_ivf_maint_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("rebalanceIvfIndex: drifted index ≡ fresh balanced build on the union") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
