@@ -139,14 +139,24 @@ object Bucketing {
   /** Phase 2 of [[compactBucketed]]: the single-catalog-op swap —
     * re-point the live entry's location at the staged generation, then
     * drop the scratch entry (catalog-only). The table resolves at
-    * every instant: old location before the alter, new after. */
-  private[graft] def swapToStaged(spark: SparkSession, table: String): Unit = {
+    * every instant: old location before the alter, new after.
+    *
+    * `props` merge into the entry's table properties IN THE SAME
+    * alterTable call — the device that lets a two-artifact index swap
+    * (assignments table + `_centroids` sidecar,
+    * [[graft.operators.Similarity.rebalanceIvfIndex]]) flip its
+    * generation stamp atomically with the data it describes: there is
+    * no instant at which the new location carries the old stamp. */
+  private[graft] def swapToStaged(spark: SparkSession, table: String,
+                                  props: Map[String, String] = Map.empty): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = catalog.getTableMetadata(ident)
     val staging = stagingFor(meta.location.toString.stripSuffix("/"))
-    catalog.alterTable(meta.copy(storage = meta.storage.copy(
-      locationUri = Some(new java.net.URI(staging)))))
+    catalog.alterTable(meta.copy(
+      storage = meta.storage.copy(
+        locationUri = Some(new java.net.URI(staging))),
+      properties = meta.properties ++ props))
     catalog.dropTable(ident.copy(table = ident.table + "__compacting"),
       ignoreIfNotExists = true, purge = false)
     spark.catalog.refreshTable(table)
@@ -160,7 +170,8 @@ object Bucketing {
     * superseded generation is retained for in-flight readers and
     * reclaimed by the next rewrite or [[vacuumSuperseded]]. */
   def rewriteTable(spark: SparkSession, table: String,
-                   transform: DataFrame => DataFrame): Unit = {
+                   transform: DataFrame => DataFrame,
+                   props: Map[String, String] = Map.empty): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = catalog.getTableMetadata(ident)
@@ -172,7 +183,7 @@ object Bucketing {
     transform(spark.read.schema(meta.schema).parquet(loc))
       .write.mode("overwrite").format("parquet")
       .option("path", stagingFor(loc)).saveAsTable(tmp.unquotedString)
-    swapToStaged(spark, table)
+    swapToStaged(spark, table, props)
   }
 
   /** Reclaim the superseded generation(s) of a compacted table —

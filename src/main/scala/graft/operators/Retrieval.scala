@@ -142,7 +142,7 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      table: String, path: String, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
-    Similarity.dropTombstones(spark, table)
+    Similarity.dropIndexSidecars(spark, table)
     val tf = materialize(
       docs.select(col(idCol).as("doc"),
           explode(TextOps.words(col(textCol))).as("term"))
@@ -184,6 +184,28 @@ object Retrieval {
       .write.mode("overwrite").format("parquet")
       .option("path", s"${path}_stats").saveAsTable(s"${table}_stats")
   }
+
+  /** The `_stats` scalars read BY NAME (ADVICE r14: the positional
+    * getDouble NPE'd on the NULL avgdl a fully-tombstoned corpus
+    * writes) — n_docs = 0 ⇒ avgdl is NULL and the caller must take the
+    * explicit empty-corpus path instead of scoring against it. */
+  private def readBm25Stats(spark: SparkSession,
+                            table: String): (Double, Double) = {
+    val row = spark.table(s"${table}_stats").head()
+    val nDocs = row.getAs[Double]("n_docs")
+    (nDocs, if (nDocs == 0.0) 0.0 else row.getAs[Double]("avgdl"))
+  }
+
+  /** The empty result an index whose every document has been deleted
+    * returns: zero hits with [[bm25Rank]]'s exact output schema (qid
+    * typed from the query relation, doc_id from the postings table). */
+  private def emptyBm25Result(spark: SparkSession, table: String,
+                              queries: DataFrame, qidCol: String): DataFrame =
+    queries.select(col(qidCol).as("qid")).filter(lit(false))
+      .withColumn("doc_id",
+        lit(null).cast(spark.table(table).schema("doc").dataType))
+      .withColumn("score", lit(null).cast("double"))
+      .withColumn("rank", lit(null).cast("integer"))
 
   /** The index's pending tombstone set, if any (None when absent or
     * empty — never-deleted indexes keep their exact plans). */
@@ -270,11 +292,8 @@ object Retrieval {
           .write.mode("append").format("parquet")
           .bucketBy(buckets, "term").sortBy("term")
           .saveAsTable(table)
-        val meta = spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(table))
-        val path = meta.location.toString.stripSuffix("/")
-          .replaceAll("__c[12]$", "")
-        writeBm25Stats(spark, table, path)
+        writeBm25Stats(spark, table,
+          Similarity.indexBasePath(spark, table))
         spark.catalog.refreshTable(table)
       } finally { dl.unpersist(false); () }
     } finally { tf.unpersist(false); () }
@@ -309,9 +328,8 @@ object Retrieval {
                       queries: DataFrame, qidCol: String, qtextCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75,
                       pred: Column = lit(true)): DataFrame = {
-    val stats = spark.table(s"${table}_stats").head()
-    val nDocs = stats.getDouble(0)
-    val avgdl = stats.getDouble(1)
+    val (nDocs, avgdl) = readBm25Stats(spark, table)
+    if (nDocs == 0.0) return emptyBm25Result(spark, table, queries, qidCol)
     val qtRows = queries.select(col(qidCol).as("qid"),
         explode(TextOps.words(col(qtextCol))).as("term"))
       .distinct().collect()

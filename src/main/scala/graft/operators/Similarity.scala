@@ -153,7 +153,7 @@ object Similarity {
     import graft.functions.VecExpressions.vec_sq8_codes
     val spark = corpus.sparkSession
     import spark.implicits._
-    dropTombstones(spark, table)
+    dropIndexSidecars(spark, table)
     val rows = sq8RangeRows(corpus, vecCol)
     // fail fast at BUILD time if the corpus disagrees with `dim`
     // (ADVICE r13: vectors longer than dim used to write a sidecar
@@ -544,7 +544,7 @@ object Similarity {
                     balanceFactor: Double = 0.0): Unit = {
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
-    dropTombstones(spark, table)
+    dropIndexSidecars(spark, table)
     val cents0 =
       if (balanceFactor > 0)
         balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor,
@@ -554,9 +554,11 @@ object Similarity {
     graft.engine.Bucketing.writeBucketed(
       cellAssignment(corpus, idCol, vecCol, cents).drop("csim"),
       table, path, Seq("cell"), buckets)
-    cents0.write.mode("overwrite").format("parquet")
+    cents0.select(col("cid"), toDoubleVec(col("cv")).as("cv"))
+      .write.mode("overwrite").format("parquet")
       .option("path", s"${path}_centroids")
       .saveAsTable(s"${table}_centroids")
+    stampBuildGen(spark, table, s"${table}_centroids")
     // saveAsTable leaves the session pointed at the written tables
     spark.catalog.refreshTable(table)
   }
@@ -573,6 +575,7 @@ object Similarity {
                      idCol: String, vecCol: String, table: String,
                      buckets: Int = 8): Unit = {
     import graft.functions.VecExpressions.vec_norm
+    requireGenConsistent(spark, table, s"${table}_centroids")
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
@@ -591,6 +594,7 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int,
                      nprobe: Int = 4, pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
+    requireGenConsistent(spark, table, s"${table}_centroids")
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
@@ -654,7 +658,7 @@ object Similarity {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
-    dropTombstones(spark, table)
+    dropIndexSidecars(spark, table)
     val cents0 =
       if (balanceFactor > 0)
         balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor)
@@ -666,7 +670,8 @@ object Similarity {
     codebook.write.mode("overwrite").format("parquet")
       .option("path", s"${path}_codebook")
       .saveAsTable(s"${table}_codebook")
-    cents0.write.mode("overwrite").format("parquet")
+    cents0.select(col("cid"), toDoubleVec(col("cv")).as("cv"))
+      .write.mode("overwrite").format("parquet")
       .option("path", s"${path}_centroids")
       .saveAsTable(s"${table}_centroids")
     val cells = cellAssignment(corpus, idCol, vecCol, cents)
@@ -674,6 +679,7 @@ object Similarity {
     graft.engine.Bucketing.writeBucketed(
       pqEncode(corpus, idCol, vecCol, codebook, dim, m).join(cells, "nid"),
       table, path, Seq("cell"), buckets)
+    stampBuildGen(spark, table, s"${table}_centroids")
     spark.catalog.refreshTable(table)
   }
 
@@ -689,6 +695,7 @@ object Similarity {
                         dim: Int, m: Int = 4, buckets: Int = 8): Unit = {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
+    requireGenConsistent(spark, table, s"${table}_centroids")
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
@@ -714,6 +721,7 @@ object Similarity {
                         dim: Int, k: Int, nprobe: Int = 4,
                         m: Int = 4, pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
+    requireGenConsistent(spark, table, s"${table}_centroids")
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
@@ -768,8 +776,8 @@ object Similarity {
   /** Residual relation for by-residual PQ: (nid, cell, rv) with
     * rv = v − centroid(cell) in double precision (the codegen'd
     * [[graft.functions.VecExpressions.vec_sub]], not a HOF). */
-  private def residualVectors(corpus: DataFrame, idCol: String,
-                              vecCol: String, cents: DataFrame): DataFrame = {
+  private[graft] def residualVectors(corpus: DataFrame, idCol: String,
+                                     vecCol: String, cents: DataFrame): DataFrame = {
     import graft.functions.VecExpressions.vec_sub
     cellAssignment(corpus, idCol, vecCol, cents)
       .select(col("nid"), col("cell"), col("nv"))
@@ -792,8 +800,8 @@ object Similarity {
     * dot(centroid_sub(cell), codebook(nsub, code)) — precomputed at
     * build time (FAISS's IVFPQ precomputed-tables device, stored per
     * code row so query-time scoring is one aggregate). */
-  private def residualCodes(resid: DataFrame, codebook: DataFrame,
-                            cents: DataFrame, dim: Int, m: Int): DataFrame = {
+  private[graft] def residualCodes(resid: DataFrame, codebook: DataFrame,
+                                   cents: DataFrame, dim: Int, m: Int): DataFrame = {
     import graft.functions.VecExpressions.vec_dot
     pqEncode(resid, "nid", "rv", codebook, dim, m)
       .join(resid.select(col("nid"), col("cell")), "nid")
@@ -907,7 +915,7 @@ object Similarity {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
     val spark = corpus.sparkSession
-    dropTombstones(spark, table)
+    dropIndexSidecars(spark, table)
     val cents0 =
       if (balanceFactor > 0)
         balancedIvfCentroids(corpus, idCol, vecCol, nlist, balanceFactor)
@@ -925,12 +933,14 @@ object Similarity {
       codebook.write.mode("overwrite").format("parquet")
         .option("path", s"${path}_codebook")
         .saveAsTable(s"${table}_codebook")
-      cents0.write.mode("overwrite").format("parquet")
+      cents0.select(col("cid"), toDoubleVec(col("cv")).as("cv"))
+      .write.mode("overwrite").format("parquet")
         .option("path", s"${path}_centroids")
         .saveAsTable(s"${table}_centroids")
       graft.engine.Bucketing.writeBucketed(
         residualCodes(resid, codebook, cents, dim, m),
         table, path, Seq("cell"), buckets)
+      stampBuildGen(spark, table, s"${table}_centroids")
       spark.catalog.refreshTable(table)
     } finally { resid.unpersist(false); () }
   }
@@ -945,6 +955,7 @@ object Similarity {
                                 buckets: Int = 8): Unit = {
     require(dim % m == 0, "m must divide dim")
     import graft.functions.VecExpressions.vec_norm
+    requireGenConsistent(spark, table, s"${table}_centroids")
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
@@ -972,6 +983,7 @@ object Similarity {
                                 nprobe: Int = 4, m: Int = 4,
                                 pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.vec_norm
+    requireGenConsistent(spark, table, s"${table}_centroids")
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
@@ -1074,6 +1086,10 @@ object Similarity {
           expr("transform(cast(cv as array<double>), x -> round(x, 6))").as("cv")))
     var nCells = nlist.toLong
     var maxCid = cents.agg(max(col("cid"))).head().getLong(0)
+    // one sampled row pins dim for the PRE-collect driver-byte gates
+    // below (ADVICE r14: gating after the .collect() can only report —
+    // not prevent — the driver OOM it documents)
+    val dim0 = cents.select(size(col("cv"))).head().getInt(0)
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -1112,20 +1128,19 @@ object Similarity {
         val members = assigned
           .filter(col("cell").isin(oversized.toIndexedSeq: _*))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        requireDriverBytes("balanced-split centroid batch",
+          oversized.length, dim0)
         val centVec = cents
           .filter(col("cid").isin(oversized.toIndexedSeq: _*))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
           .toMap
-        requireDriverBytes("balanced-split centroid batch", centVec.size,
-          centVec.valuesIterator.map(_.length).maxOption.getOrElse(0))
+        requireDriverBytes("balanced-split farthest-member batch",
+          oversized.length, dim0)
         val farRows = members.groupBy(col("cell"))
           .agg(min(struct(col("csim"), col("nid"),
             col("nv").cast("array<double>").as("fv"))).as("far"))
           .select(col("cell"), col("far.fv").as("fv"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-        requireDriverBytes("balanced-split farthest-member batch",
-          farRows.length,
-          farRows.iterator.map(_._2.length).maxOption.getOrElse(0))
         val splitDirs = farRows.flatMap { case (cell, f) =>
           val m = centVec(cell)
           val mn = math.sqrt(m.map(x => x * x).sum)
@@ -1177,12 +1192,11 @@ object Similarity {
           val cidOf = splittable.zipWithIndex.flatMap { case (c, i) =>
             Seq((c, 1, maxCid + 2 * i + 1), (c, 2, maxCid + 2 * i + 2))
           }.map { case (c, s, n) => (c, s) -> n }.toMap
+          requireDriverBytes("balanced-split replacement centroids",
+            2 * splittable.length, dim0)
           val newCents = means.collect().map { r =>
             (cidOf((r.getLong(0), r.getInt(1))), r.getSeq[Double](2))
           }
-          requireDriverBytes("balanced-split replacement centroids",
-            newCents.length,
-            newCents.iterator.map(_._2.length).maxOption.getOrElse(0))
           members.unpersist(false)
           cents = localized(cents
             .filter(!col("cid").isin(splittable.toIndexedSeq: _*))
@@ -1220,11 +1234,18 @@ object Similarity {
     * rewrites through [[graft.engine.Bucketing.compactBucketed]]'s
     * staged single-catalog-op swap (so the rebalance doubles as a
     * compaction, and the old generation stays readable for in-flight
-    * queries). The `_centroids` sidecar then overwrites — a tiny
-    * metadata write; a crash between the two swaps leaves new
-    * assignments with old centroids until re-run, the residual
-    * non-transactional window a two-artifact index has (re-running
-    * rebalanceIvfIndex repairs it).
+    * queries).
+    *
+    * Two-artifact crash safety (r14 verdict #3): each artifact swaps
+    * through its own staged single-catalog-op path — the `_centroids`
+    * sidecar FIRST (its new data and new [[GenProp]] stamp land in one
+    * `alterTable`), then the assignment table (ditto). A crash between
+    * the two swaps leaves the artifacts at DIFFERENT generations,
+    * which every query/append that composes them detects and refuses
+    * LOUDLY ([[requireGenConsistent]] — not the silent short/empty
+    * results mismatched centroids used to produce); re-running the
+    * rebalance repairs it (the assignment table still holds the full
+    * union, so the retrain recomputes from scratch).
     *
     * End state ≡ a fresh [[writeIvfIndex]] with the same
     * (nlist, balanceFactor) over the union corpus — OperatorsSpec pins
@@ -1233,53 +1254,212 @@ object Similarity {
   def rebalanceIvfIndex(spark: SparkSession, table: String, nlist: Int,
                         maxFactor: Double = 2.0, maxRounds: Int = 16,
                         refineIters: Int = 0): Unit = {
+    val gen = stageIvfRebalance(spark, table, nlist, maxFactor,
+      maxRounds, refineIters)
+    graft.engine.Bucketing.swapToStaged(spark, table,
+      Map(GenProp -> gen))
+  }
+
+  /** Everything in [[rebalanceIvfIndex]] up to — not including — the
+    * assignment table's commit swap: retrain, sidecar swap (new
+    * centroids + new gen, one catalog op), staged reassignment write.
+    * Returns the new generation stamp. Exposed private[graft] so the
+    * crash spec can stop exactly at the two-swap window and prove the
+    * mismatch detector fires. */
+  private[graft] def stageIvfRebalance(spark: SparkSession, table: String,
+                                       nlist: Int, maxFactor: Double,
+                                       maxRounds: Int = 16,
+                                       refineIters: Int = 0): String = {
     import graft.functions.VecExpressions.vec_norm
+    val gen = newGen()
     val stored = graft.engine.Bucketing.readBucketed(spark, table)
       .select(col("nid"), col("nv"))
+    // a driver-local relation (balancedIvfCentroids collects each
+    // round), so the sidecar write and the reassignment below see the
+    // SAME centroids with no recompute between them
     val cents0 = balancedIvfCentroids(stored, "nid", "nv", nlist,
       maxFactor, maxRounds, refineIters)
     val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
-    graft.engine.Bucketing.compactBucketed(spark, table,
+    graft.engine.Bucketing.rewriteTable(spark, s"${table}_centroids",
+      _ => cents0, Map(GenProp -> gen))
+    graft.engine.Bucketing.stageCompaction(spark, table,
       df => cellAssignment(df, "nid", "nv", cents).drop("csim"))
-    cents0.write.mode("overwrite").format("parquet")
-      .option("path", s"${indexBasePath(spark, table)}_centroids")
-      .saveAsTable(s"${table}_centroids")
-    spark.catalog.refreshTable(s"${table}_centroids")
-    spark.catalog.refreshTable(table)
+    gen
   }
 
-  /** Occupancy-triggered index maintenance — the operational policy
-    * that ties the drift readout to its repair (ProfRebalance measured
-    * both sides of the trade, SCALING r14): read the stored
-    * assignments' cell occupancy (one bounded aggregate —
-    * ≤4096 cells by the centroid contract), then
+  /** Retrain and re-assign a persisted CODES index's coarse cells —
+    * the [[rebalanceIvfIndex]] maintenance move extended to the
+    * composed serving shapes (r14 verdict #1): the code tables
+    * ([[writeIvfadcIndex]]/[[writeIvfadcResidualIndex]]) store only
+    * (cell, code) rows, so the retrain needs `raw` — the id-keyed
+    * raw-vector relation a deployment keeps beside the index, the
+    * SAME relation [[ivfadcRerankTopKIndexed]]'s stage 2 already
+    * requires. `raw` must cover exactly the indexed ids (pending
+    * tombstones are excluded here and applied physically by the
+    * rewrite, like [[compactIndex]]).
     *
-    *  - max/p50 above `rebalanceAbove` → [[rebalanceIvfIndex]]
-    *    (retrain + reassign + swap; a build-shaped batch job that
-    *    restores the straggler/scan bound — 11.7 → 1.8 measured on
-    *    the shifted-append fixture);
-    *  - otherwise → [[compactIndex]] (cheap layout restore; pending
-    *    tombstones apply physically).
+    * Shared two-swap discipline: balanced centroids retrain from the
+    * raw store; the `_centroids` sidecar swaps first (new data + new
+    * [[GenProp]] stamp, one catalog op); `transform(oldRows, rawClean,
+    * cents)` stages the rewritten codes; the table swap commits with
+    * the same stamp. A crash between the swaps is detected loudly by
+    * [[requireGenConsistent]] on every subsequent query/append;
+    * re-running repairs. The retained `_codebook` is untouched — it is
+    * the PQ model artifact; only the coarse quantizer retrains. */
+  private def rebalanceCodesIndex(spark: SparkSession, table: String,
+                                  raw: DataFrame, idCol: String,
+                                  vecCol: String, nlist: Int,
+                                  maxFactor: Double, maxRounds: Int)
+                                 (transform: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
+    import graft.functions.VecExpressions.vec_norm
+    val gen = newGen()
+    val hadTombstones = pendingTombstones(spark, table).nonEmpty
+    // the vector column passes through UNCAST (numVec's float
+    // tolerance applies downstream) so the retrain/assignment floats
+    // are bit-identical to a fresh build over the same relation
+    val rawClean0 = raw.select(col(idCol).as("nid"),
+      col(vecCol).as("rv0"))
+    val rawClean = pendingTombstones(spark, table)
+      .fold(rawClean0)(t =>
+        rawClean0.join(broadcast(t), Seq("nid"), "left_anti"))
+    val cents0 = balancedIvfCentroids(rawClean, "nid", "rv0", nlist,
+      maxFactor, maxRounds)
+    val cents = broadcast(cents0.withColumn("cn", vec_norm(col("cv"))))
+    graft.engine.Bucketing.rewriteTable(spark, s"${table}_centroids",
+      _ => cents0, Map(GenProp -> gen))
+    val origCols = spark.table(table).columns
+    graft.engine.Bucketing.stageCompaction(spark, table,
+      old => transform(old, rawClean, cents)
+        .select(origCols.map(col).toIndexedSeq: _*))
+    graft.engine.Bucketing.swapToStaged(spark, table,
+      Map(GenProp -> gen))
+    if (hadTombstones) truncateTombstones(spark, table)
+  }
+
+  /** Rebalance a persisted (non-residual) IVFADC index from its
+    * raw-vector store. The global codebook means PQ codes are
+    * CELL-INDEPENDENT, so the rewrite keeps every (nid, nsub, code,
+    * codeN2) row and only re-derives `cell` — the codes conserve
+    * exactly (OperatorsSpec pins it), probe-ALL results are invariant
+    * through the swap, and the new cells/centroids equal a fresh
+    * balanced build over the union. */
+  def rebalanceIvfadcIndex(spark: SparkSession, table: String,
+                           raw: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, maxFactor: Double = 2.0,
+                           maxRounds: Int = 16): Unit =
+    rebalanceCodesIndex(spark, table, raw, idCol, vecCol, nlist,
+        maxFactor, maxRounds) { (old, rawClean, cents) =>
+      old.drop("cell").join(
+        cellAssignment(rawClean, "nid", "rv0", cents)
+          .select(col("nid"), col("cell")), "nid")
+    }
+
+  /** Rebalance a persisted BY-RESIDUAL IVFADC index from its
+    * raw-vector store. Residual codes quantize v − centroid(cell), so
+    * new cells mean a full re-encode: residuals against the NEW
+    * centroids, codes against the RETAINED codebook, cross terms
+    * ([[residualCodes]]'s codeCdot) re-derived — the index the swap
+    * commits is bit-identical to encoding the stored union against
+    * (new centroids, old codebook), which OperatorsSpec pins. */
+  def rebalanceIvfadcResidualIndex(spark: SparkSession, table: String,
+                                   raw: DataFrame, idCol: String,
+                                   vecCol: String, dim: Int, nlist: Int,
+                                   m: Int = 4, maxFactor: Double = 2.0,
+                                   maxRounds: Int = 16): Unit =
+    rebalanceCodesIndex(spark, table, raw, idCol, vecCol, nlist,
+        maxFactor, maxRounds) { (_, rawClean, cents) =>
+      val codebook = graft.engine.Bucketing
+        .readBucketed(spark, s"${table}_codebook")
+      residualCodes(residualVectors(rawClean, "nid", "rv0", cents),
+        codebook, cents, dim, m)
+    }
+
+  /** Max data files in any one bucket of the table's CURRENT location
+    * — the layout-decay readout for the maintenance no-op guard (the
+    * bucket id is the `_NNNNN` suffix Spark's bucketed writer puts
+    * before `.c000`). One driver-side directory listing. */
+  private def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val bucketId = "_(\\d{5})\\.c".r
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(loc).map(_.getPath.getName)
+      .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1)))
+      .groupBy(identity).values.map(_.length).maxOption.getOrElse(0)
+  }
+
+  /** The shared occupancy-triggered maintenance policy — ties the
+    * drift readout to its repair (ProfRebalance measured both sides,
+    * SCALING r14): read the cell occupancy of the stored
+    * assignment/code rows (one bounded aggregate — ≤4096 cells by the
+    * centroid contract), then
     *
-    * Returns the action taken with the observed bound, so a scheduler
-    * can log the decision. Run it on the maintenance cadence a
-    * deployment already has; the threshold's two sides are priced in
-    * SCALING r14 (append 3.3 s/50k vs rebalance ~1.5× build). */
-  def maintainIvfIndex(spark: SparkSession, table: String, nlist: Int,
-                       maxFactor: Double = 2.0,
-                       rebalanceAbove: Double = 4.0): String = {
+    *  - max/p50 above `rebalanceAbove` → `rebalance` (retrain +
+    *    rewrite + swap; a build-shaped batch job that restores the
+    *    straggler/scan bound — 11.7 → 1.8 measured on the
+    *    shifted-append fixture);
+    *  - else, if the layout decayed (> one file in some bucket) or
+    *    deletes pend → [[compactIndex]] (cheap layout restore;
+    *    tombstones apply physically);
+    *  - else → NO-OP (r14 verdict #2: the healthy branch used to pay
+    *    a full-index rewrite — ~half a build — on every policy tick;
+    *    a healthy index now costs one aggregate and one directory
+    *    listing).
+    *
+    * Returns the action taken ("rebalanced"/"compacted"/"healthy")
+    * with the observed bound, so a scheduler can log the decision. */
+  private def maintainCellIndex(spark: SparkSession, table: String,
+                                rebalanceAbove: Double)
+                               (rebalance: () => Unit): String = {
     val counts = spark.table(table).groupBy("cell").count()
       .orderBy(col("count").desc).collect().map(_.getLong(1))
     require(counts.nonEmpty, s"index $table has no assignments")
     val bound = counts.head.toDouble / counts(counts.length / 2)
     if (bound > rebalanceAbove) {
-      rebalanceIvfIndex(spark, table, nlist, maxFactor)
+      rebalance()
       f"rebalanced (max/p50 was $bound%.1f > $rebalanceAbove%.1f)"
-    } else {
+    } else if (maxFilesPerBucket(spark, table) > 1 ||
+               pendingTombstones(spark, table).nonEmpty) {
       compactIndex(spark, table)
       f"compacted (max/p50 $bound%.1f within $rebalanceAbove%.1f)"
-    }
+    } else
+      f"healthy (max/p50 $bound%.1f, minimal layout, no pending deletes)"
   }
+
+  /** [[maintainCellIndex]] over a raw-vector IVF index
+    * ([[writeIvfIndex]]) — the stored vectors feed the retrain, no
+    * external relation needed. Run it on the maintenance cadence a
+    * deployment already has; the threshold's two sides are priced in
+    * SCALING r14 (append 3.3 s/50k vs rebalance ~1.5× build). */
+  def maintainIvfIndex(spark: SparkSession, table: String, nlist: Int,
+                       maxFactor: Double = 2.0,
+                       rebalanceAbove: Double = 4.0): String =
+    maintainCellIndex(spark, table, rebalanceAbove)(() =>
+      rebalanceIvfIndex(spark, table, nlist, maxFactor))
+
+  /** [[maintainCellIndex]] over a persisted IVFADC codes index — the
+    * billion-vector serving shape, which stores no raw vectors:
+    * `raw` is the id-keyed raw-vector relation kept beside the index
+    * (the [[ivfadcRerankTopKIndexed]] stage-2 contract). */
+  def maintainIvfadcIndex(spark: SparkSession, table: String,
+                          raw: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int, maxFactor: Double = 2.0,
+                          rebalanceAbove: Double = 4.0): String =
+    maintainCellIndex(spark, table, rebalanceAbove)(() =>
+      rebalanceIvfadcIndex(spark, table, raw, idCol, vecCol, nlist,
+        maxFactor))
+
+  /** [[maintainCellIndex]] over a persisted by-residual IVFADC index
+    * (re-encode semantics — see [[rebalanceIvfadcResidualIndex]]). */
+  def maintainIvfadcResidualIndex(spark: SparkSession, table: String,
+                                  raw: DataFrame, idCol: String,
+                                  vecCol: String, dim: Int, nlist: Int,
+                                  m: Int = 4, maxFactor: Double = 2.0,
+                                  rebalanceAbove: Double = 4.0): String =
+    maintainCellIndex(spark, table, rebalanceAbove)(() =>
+      rebalanceIvfadcResidualIndex(spark, table, raw, idCol, vecCol,
+        dim, nlist, m, maxFactor))
 
   /** Per-cell member counts of `corpus` against a centroid table
     * (cid, cv) — the occupancy readout a deployment monitors for hot
@@ -1596,7 +1776,7 @@ object Similarity {
                    trainIters: Int = 0): Unit = {
     require(dim % m == 0, "m must divide dim")
     val spark = corpus.sparkSession
-    dropTombstones(spark, table)
+    dropIndexSidecars(spark, table)
     val codebook =
       if (trainIters > 0) pqCodebookTrained(corpus, idCol, vecCol, dim, m, ks, trainIters)
       else pqCodebook(corpus, idCol, vecCol, dim, m, ks)
@@ -1670,6 +1850,21 @@ object Similarity {
       spark.sessionState.sqlParser.parseTableIdentifier(s"${table}_tombstones"),
       ignoreIfNotExists = true, purge = false)
 
+  /** A fresh build invalidates EVERY ingest-lifecycle sidecar the
+    * previous generation of `table` left behind: the pending-tombstone
+    * set AND the streaming applied-batch ledger (ADVICE r14: a rebuilt
+    * index fed by a new stream restarts batch ids at 0 — a stale
+    * `_batches` ledger would match them and silently skip the first
+    * appends). Catalog-only drops; the next writer at the same path
+    * overwrite-reclaims the files. Called by every write* entry
+    * point. */
+  private[graft] def dropIndexSidecars(spark: SparkSession, table: String): Unit = {
+    dropTombstones(spark, table)
+    spark.sessionState.catalog.dropTable(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"${table}_batches"),
+      ignoreIfNotExists = true, purge = false)
+  }
+
   /** Reset a physically-applied tombstone set to empty (same schema,
     * same sidecar path) — called by [[compactIndex]] after the rewrite
     * so post-compaction queries pay no anti-join. */
@@ -1707,6 +1902,68 @@ object Similarity {
         .saveAsTable(tomb)
   }
 
+  /** Catalog table property carrying the model-artifact generation
+    * stamp — set on BOTH an index's primary (assignment/code) table
+    * and its model sidecar (`_centroids`), always to the same value by
+    * any completed build or rebalance. A property, not a column, so
+    * the stamp travels IN the same catalog `alterTable` that swaps the
+    * data location: there is no instant at which a swapped artifact
+    * carries the wrong generation. */
+  private[graft] val GenProp = "graft.model.gen"
+
+  private def newGen(): String = java.util.UUID.randomUUID().toString
+
+  /** Stamp a table's catalog entry with the model-artifact generation.
+    * Builds call it right after their writes (builds are blunt
+    * overwrites, not claimed crash-safe); MAINTENANCE swaps never use
+    * it — they pass the stamp to the staged swap
+    * ([[graft.engine.Bucketing.swapToStaged]]/`rewriteTable`) so data
+    * and stamp flip in one catalog op. */
+  private def setTableGen(spark: SparkSession, table: String,
+                          gen: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    catalog.alterTable(meta.copy(properties =
+      meta.properties + (GenProp -> gen)))
+  }
+
+  private def tableGen(spark: SparkSession, table: String): Option[String] =
+    spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties.get(GenProp)
+
+  /** Fail LOUD instead of silently wrong when an interrupted
+    * two-artifact maintenance left `table`'s rows and `sidecar`'s
+    * model artifact at different generations (r14 verdict #2: a crash
+    * between a rebalance's two swaps leaves new centroids with old
+    * assignments — probeCells then probes cell ids absent from the
+    * table and queries return short/empty results, worse than stale).
+    * Both artifacts carry the shared [[GenProp]] stamp, each flipped
+    * atomically with its own data by the staged swaps; a mismatch
+    * means the maintenance op must re-run before the index is
+    * queryable. Absent stamps (legacy artifacts) skip the check.
+    * Called by every query/append path that composes the two
+    * artifacts. */
+  private def requireGenConsistent(spark: SparkSession, table: String,
+                                   sidecar: String): Unit =
+    for (tg <- tableGen(spark, table); sg <- tableGen(spark, sidecar))
+      require(tg == sg,
+        s"index $table is mid-maintenance: its rows are generation " +
+          s"$tg but $sidecar is generation $sg — an interrupted " +
+          "rebalance/rebuild left the two artifacts inconsistent; " +
+          "re-run the maintenance op to repair before querying")
+
+  /** Stamp a freshly-built index's primary table and model sidecar
+    * with one shared generation ([[GenProp]]) so the mid-maintenance
+    * detector has a baseline to compare against. */
+  private def stampBuildGen(spark: SparkSession, table: String,
+                            sidecar: String): Unit = {
+    val gen = newGen()
+    setTableGen(spark, table, gen)
+    setTableGen(spark, sidecar, gen)
+  }
+
   /** The index table's base data path — its current location with the
     * compaction ping-pong suffix stripped, so sidecars written after a
     * [[compactIndex]] land beside the original artifacts. */
@@ -1723,11 +1980,17 @@ object Similarity {
     * bucket pruning and pushed predicates are undisturbed. */
   private def withoutDeleted(spark: SparkSession, table: String,
                              df: DataFrame): DataFrame =
-    if (!spark.catalog.tableExists(s"${table}_tombstones")) df
+    pendingTombstones(spark, table)
+      .fold(df)(t => df.join(broadcast(t), Seq("nid"), "left_anti"))
+
+  /** The index's pending tombstone set, if any (None when the sidecar
+    * is absent or empty — never-deleted indexes keep exact plans). */
+  private def pendingTombstones(spark: SparkSession,
+                                table: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(s"${table}_tombstones")) None
     else {
       val t = spark.table(s"${table}_tombstones")
-      if (t.isEmpty) df
-      else df.join(broadcast(t), Seq("nid"), "left_anti")
+      if (t.isEmpty) None else Some(t)
     }
 
   /** Query a persisted PQ index: identical results to [[pqTopK]] with

@@ -241,12 +241,16 @@ object EventStream {
     * is a no-op. */
   def pqIndexIngest(vectors: DataFrame, idCol: String, vecCol: String,
                     table: String, dim: Int, m: Int = 4,
-                    buckets: Int = 8, checkpoint: String): StreamingQuery =
+                    buckets: Int = 8, checkpoint: String,
+                    compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        idempotentPqAppend(batch, id, idCol, vecCol, table, dim, m, buckets)
+        val applied = idempotentPqAppend(batch, id, checkpoint, idCol,
+          vecCol, table, dim, m, buckets)
+        if (applied) maintainEvery(batch.sparkSession, table, checkpoint,
+          compactEvery)(s => graft.operators.Similarity.compactIndex(s, table))
       }
       .start()
 
@@ -262,10 +266,11 @@ object EventStream {
     * docs prescribe exactly this batchId-dedup discipline; a
     * transactional store is the upgrade path). */
   private[graft] def idempotentPqAppend(batch: DataFrame, batchId: Long,
+                                        scope: String,
                                         idCol: String, vecCol: String,
                                         table: String, dim: Int, m: Int,
-                                        buckets: Int): Unit =
-    idempotentAppend(batch, batchId, table) { spark =>
+                                        buckets: Int): Boolean =
+    idempotentAppend(batch, batchId, scope, table) { spark =>
       graft.operators.Similarity.appendPqIndex(spark, batch, idCol,
         vecCol, table, dim, m, buckets)
     }
@@ -280,45 +285,79 @@ object EventStream {
     * ANN side. */
   def bm25IndexIngest(docs: DataFrame, idCol: String, textCol: String,
                       table: String, buckets: Int = 8,
-                      checkpoint: String): StreamingQuery =
+                      checkpoint: String,
+                      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        idempotentBm25Append(batch, id, idCol, textCol, table, buckets)
+        val applied = idempotentBm25Append(batch, id, checkpoint, idCol,
+          textCol, table, buckets)
+        if (applied) maintainEvery(batch.sparkSession, table, checkpoint,
+          compactEvery)(s => graft.operators.Retrieval.compactBm25Index(s, table))
       }
       .start()
 
   private[graft] def idempotentBm25Append(batch: DataFrame, batchId: Long,
+                                          scope: String,
                                           idCol: String, textCol: String,
                                           table: String,
-                                          buckets: Int): Unit =
-    idempotentAppend(batch, batchId, table) { spark =>
+                                          buckets: Int): Boolean =
+    idempotentAppend(batch, batchId, scope, table) { spark =>
       graft.operators.Retrieval.appendBm25Index(spark, batch, idCol,
         textCol, table, buckets)
     }
 
+  /** In-stream index maintenance (r14 verdict #4): without this the
+    * ingest streams decay their own bucket-pruned layout forever — one
+    * file per bucket per micro-batch, ~3,000 files/bucket after a
+    * month of 15-minute triggers, and nothing inside the stream ever
+    * restores it. Every `compactEvery`-th APPLIED batch (counted from
+    * this stream's rows of the `_batches` ledger — deterministic under
+    * redelivery, which never reaches here) runs the index's compaction:
+    * the crash-safe staged swap, so queries between triggers stay
+    * consistent and the ledger sidecar — its own table — survives.
+    * 0 disables (the operator owns the cadence instead). */
+  private def maintainEvery(spark: SparkSession, table: String,
+                            scope: String, compactEvery: Int)
+                           (compact: SparkSession => Unit): Unit =
+    if (compactEvery > 0) {
+      val applied = spark.table(s"${table}_batches")
+        .filter(col("scope") === scope).count()
+      if (applied % compactEvery == 0) compact(spark)
+    }
+
   /** Shared at-least-once guard: run `apply` exactly once per
-    * (table, batchId), recording applied ids in the `_batches`
+    * (table, scope, batchId), recording applied ids in the `_batches`
     * sidecar checked BEFORE applying — a redelivered id is a no-op.
-    * The unprotected window shrinks to a crash between the apply and
-    * the one-row sidecar write (the residual gap any
-    * non-transactional two-table commit has — Spark's own
-    * foreachBatch docs prescribe exactly this batchId-dedup
-    * discipline; a transactional store is the upgrade path). */
+    * Returns whether the batch applied (false = redelivery skip /
+    * empty batch). The dedup key is SCOPED by the stream's checkpoint
+    * path (ADVICE r14): a bare batchId collides the moment a second
+    * stream — or a fresh-checkpoint restart after a rebuild — feeds
+    * the same table, since Structured Streaming numbers each query's
+    * batches from 0; the checkpoint is precisely the identity that
+    * owns that numbering (stable across restarts of the SAME stream,
+    * distinct for a new one; rebuilds additionally drop the ledger via
+    * [[graft.operators.Similarity.dropIndexSidecars]]). The
+    * unprotected window shrinks to a crash between the apply and the
+    * one-row sidecar write (the residual gap any non-transactional
+    * two-table commit has — Spark's own foreachBatch docs prescribe
+    * exactly this batchId-dedup discipline; a transactional store is
+    * the upgrade path). */
   private def idempotentAppend(batch: DataFrame, batchId: Long,
-                               table: String)
-                              (apply: SparkSession => Unit): Unit = {
-    if (batch.isEmpty) return
+                               scope: String, table: String)
+                              (apply: SparkSession => Unit): Boolean = {
+    if (batch.isEmpty) return false
     val spark = batch.sparkSession
     import spark.implicits._
     val sidecar = s"${table}_batches"
     val applied = spark.catalog.tableExists(sidecar) &&
       !spark.table(sidecar)
-        .filter(col("batch_id") === batchId).isEmpty
+        .filter(col("scope") === scope && col("batch_id") === batchId)
+        .isEmpty
     if (!applied) {
       apply(spark)
-      val row = Seq(batchId).toDF("batch_id")
+      val row = Seq((scope, batchId)).toDF("scope", "batch_id")
       if (spark.catalog.tableExists(sidecar))
         row.write.mode("append").format("parquet").saveAsTable(sidecar)
       else {
@@ -327,5 +366,6 @@ object EventStream {
           .option("path", s"${base}_batches").saveAsTable(sidecar)
       }
     }
+    !applied
   }
 }

@@ -2114,10 +2114,33 @@ class OperatorsSpec extends SparkSpec {
         "vec_id", "embedding", k = 3)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got == want)
-    // a healthy index takes the cheap branch
+    // a healthy index (the rebalance just restored one file per
+    // bucket, no pending deletes) is a NO-OP — r14 verdict #2: the
+    // old policy paid a full-index rewrite (~half a build) on every
+    // healthy tick; now it costs one aggregate + one dir listing
+    def layout() = {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser
+          .parseTableIdentifier("graft_ivf_maint")).location.getPath
+      (loc, new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet)
+    }
+    val before2 = layout()
     val action2 = Similarity.maintainIvfIndex(spark, "graft_ivf_maint",
       nlist = 8, maxFactor = 2.0, rebalanceAbove = 4.0)
-    assert(action2.startsWith("compacted"), action2)
+    assert(action2.startsWith("healthy"), action2)
+    assert(layout() == before2,
+      "the healthy branch rewrote the index (location or files changed)")
+    // decay the layout with one append → the policy compacts (not
+    // rebalances: the appended rows land in existing cells)
+    Similarity.appendIvfIndex(spark,
+      emb.filter($"vec_id" === 1)
+        .select(($"vec_id" + 200000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", "graft_ivf_maint", buckets = 4)
+    val action3 = Similarity.maintainIvfIndex(spark, "graft_ivf_maint",
+      nlist = 8, maxFactor = 2.0, rebalanceAbove = 4.0)
+    assert(action3.startsWith("compacted"), action3)
     Seq("graft_ivf_maint", "graft_ivf_maint_centroids")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
@@ -2159,6 +2182,158 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
     Seq("graft_ivf_reb", "graft_ivf_reb_centroids",
         "graft_ivf_fresh", "graft_ivf_fresh_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("rebalanceIvfadcIndex: cells ≡ fresh balanced build, codes conserve, probe-all invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc-reb").toString
+    // drift posture on the SERVING shape: build on the first half,
+    // append the second (assigns to fixed centroids, encodes against
+    // the fixed codebook) — the r14 verdict's billion-vector gap: the
+    // codes table had appends but no rebalance path
+    Similarity.writeIvfadcIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_adc_reb", s"$dir/a", dim = 64, nlist = 8,
+      m = 4, ks = 16, buckets = 4)
+    Similarity.appendIvfadcIndex(spark, emb.filter($"vec_id" >= 250),
+      "vec_id", "embedding", "graft_adc_reb", dim = 64, m = 4, buckets = 4)
+    val codesBefore = spark.table("graft_adc_reb")
+      .select("nid", "nsub", "code", "codeN2")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val qs = emb.filter($"vec_id" < 5)
+    val resBefore = Similarity.ivfadcTopKIndexed(spark, "graft_adc_reb",
+        qs, "vec_id", "embedding", dim = 64, k = 3, nprobe = 4096, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // retrain from the raw-vector store (the ivfadcRerankTopKIndexed
+    // stage-2 relation a deployment keeps beside the codes)
+    Similarity.rebalanceIvfadcIndex(spark, "graft_adc_reb", emb,
+      "vec_id", "embedding", nlist = 8, maxFactor = 1.5)
+    // (a) coarse cells ≡ a fresh balanced build over the union — the
+    // centroid table AND every row's assignment
+    Similarity.writeIvfadcIndex(emb, "vec_id", "embedding",
+      "graft_adc_fresh", s"$dir/b", dim = 64, nlist = 8, m = 4, ks = 16,
+      buckets = 4, balanceFactor = 1.5)
+    assert(spark.table("graft_adc_reb_centroids")
+        .as[(Long, Seq[Double])].collect().toSet ==
+      spark.table("graft_adc_fresh_centroids")
+        .as[(Long, Seq[Double])].collect().toSet,
+      "rebalanced coarse centroids differ from a fresh balanced build")
+    assert(spark.table("graft_adc_reb").select("nid", "cell").distinct()
+        .as[(Long, Long)].collect().toSet ==
+      spark.table("graft_adc_fresh").select("nid", "cell").distinct()
+        .as[(Long, Long)].collect().toSet,
+      "rebalanced cell assignments differ from a fresh balanced build")
+    // (b) the PQ codes CONSERVE exactly — the codebook is the retained
+    // model artifact and global-codebook codes are cell-independent
+    // (a fresh build would retrain the codebook on the union instead;
+    // rebalance deliberately does not churn the model appends were
+    // encoded against)
+    assert(spark.table("graft_adc_reb")
+        .select("nid", "nsub", "code", "codeN2")
+        .as[(Long, Int, Int, Double)].collect().toSet == codesBefore,
+      "rebalance changed the PQ codes — only cells may move")
+    // (c) probe-ALL results are therefore bit-invariant through the
+    // rebalance (ADC scores depend on codes + codebook only)
+    val resAfter = Similarity.ivfadcTopKIndexed(spark, "graft_adc_reb",
+        qs, "vec_id", "embedding", dim = 64, k = 3, nprobe = 4096, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(resAfter == resBefore && resAfter.nonEmpty,
+      "probe-all ADC results changed through the rebalance swap")
+    Seq("graft_adc_reb", "graft_adc_reb_centroids", "graft_adc_reb_codebook",
+        "graft_adc_fresh", "graft_adc_fresh_centroids",
+        "graft_adc_fresh_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("rebalanceIvfadcResidualIndex: re-encode against retained codebook, new cells") {
+    import graft.functions.VecExpressions.vec_norm
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-res-reb").toString
+    Similarity.writeIvfadcResidualIndex(emb.filter($"vec_id" < 250),
+      "vec_id", "embedding", "graft_res_reb", s"$dir/a", dim = 64,
+      nlist = 8, m = 4, ks = 16, buckets = 4)
+    Similarity.appendIvfadcResidualIndex(spark,
+      emb.filter($"vec_id" >= 250), "vec_id", "embedding",
+      "graft_res_reb", dim = 64, m = 4, buckets = 4)
+    Similarity.rebalanceIvfadcResidualIndex(spark, "graft_res_reb", emb,
+      "vec_id", "embedding", dim = 64, nlist = 8, m = 4, maxFactor = 1.5)
+    // (a) coarse cells ≡ fresh balanced centroids over the union
+    Similarity.writeIvfadcResidualIndex(emb, "vec_id", "embedding",
+      "graft_res_fresh", s"$dir/b", dim = 64, nlist = 8, m = 4, ks = 16,
+      buckets = 4, balanceFactor = 1.5)
+    assert(spark.table("graft_res_reb_centroids")
+        .as[(Long, Seq[Double])].collect().toSet ==
+      spark.table("graft_res_fresh_centroids")
+        .as[(Long, Seq[Double])].collect().toSet,
+      "rebalanced coarse centroids differ from a fresh balanced build")
+    // (b) the committed table is BIT-IDENTICAL to re-encoding the
+    // union against (new centroids, RETAINED codebook) — residual
+    // codes depend on the cell, so unlike the non-residual shape the
+    // codes must re-derive, and this pins the whole artifact
+    val cents = broadcast(spark.table("graft_res_reb_centroids")
+      .withColumn("cn", vec_norm($"cv")))
+    val expected = Similarity.residualCodes(
+        Similarity.residualVectors(
+          emb.select($"vec_id".as("nid"), $"embedding".as("rv0")),
+          "nid", "rv0", cents),
+        spark.table("graft_res_reb_codebook"), cents, dim = 64, m = 4)
+      .as[(Long, Long, Int, Int, Double, Double)].collect().toSet
+    val got = spark.table("graft_res_reb")
+      .select("nid", "cell", "nsub", "code", "codeN2", "codeCdot")
+      .as[(Long, Long, Int, Int, Double, Double)].collect().toSet
+    assert(got == expected && got.nonEmpty,
+      "rebalanced residual codes differ from re-encoding the union " +
+        "against (new centroids, retained codebook)")
+    // query path stays sound through the swap (reconstruction cosine)
+    val res = Similarity.ivfadcResidualTopKIndexed(spark, "graft_res_reb",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64,
+        k = 3, nprobe = 2, m = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.nonEmpty && res.forall(r => math.abs(r._3) <= 1.0))
+    Seq("graft_res_reb", "graft_res_reb_centroids", "graft_res_reb_codebook",
+        "graft_res_fresh", "graft_res_fresh_centroids",
+        "graft_res_fresh_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("rebalance two-swap window fails LOUD, re-run repairs (r14 verdict #3)") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_gen_idx", s"$dir/a", nlist = 8, buckets = 4)
+    Similarity.appendIvfIndex(spark, emb.filter($"vec_id" >= 250),
+      "vec_id", "embedding", "graft_gen_idx", buckets = 4)
+    val qs = emb.filter($"vec_id" < 3)
+    // crash simulation: the rebalance dies AFTER the centroid
+    // sidecar's swap but BEFORE the assignment table's commit — the
+    // exact window the r14 verdict flagged as silently-wrong (new
+    // centroids probed against old assignments → short/empty results)
+    Similarity.stageIvfRebalance(spark, "graft_gen_idx", nlist = 8,
+      maxFactor = 1.5)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(spark, "graft_gen_idx", qs,
+        "vec_id", "embedding", k = 3, nprobe = 4).collect()
+    }
+    assert(e.getMessage.contains("mid-maintenance"), e.getMessage)
+    // appends compose the same two artifacts — they must refuse too
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(spark,
+        emb.filter($"vec_id" === 0)
+          .select(($"vec_id" + 300000L).as("vec_id"), $"embedding"),
+        "vec_id", "embedding", "graft_gen_idx", buckets = 4)
+    }
+    assert(e2.getMessage.contains("mid-maintenance"), e2.getMessage)
+    // re-running the full rebalance repairs: both artifacts land at
+    // ONE new generation and the index answers exactly again
+    Similarity.rebalanceIvfIndex(spark, "graft_gen_idx", nlist = 8,
+      maxFactor = 1.5)
+    val got = Similarity.ivfTopKIndexed(spark, "graft_gen_idx", qs,
+        "vec_id", "embedding", k = 3, nprobe = 4096)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        k = 3).as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    Seq("graft_gen_idx", "graft_gen_idx_centroids")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 

@@ -268,6 +268,7 @@ class StreamingSpec extends SparkSpec {
     val rowsBefore = spark.table("graft_sidx").count()
     val redelivered = emb.filter($"vec_id" >= 250 && $"vec_id" % 2 === 0)
     EventStream.idempotentPqAppend(redelivered, batchId = 0L,
+      scope = s"$dir/ckpt",
       "vec_id", "embedding", "graft_sidx", dim = 64, m = 4, buckets = 4)
     assert(spark.table("graft_sidx").count() == rowsBefore,
       "redelivered batch id duplicated index rows")
@@ -279,7 +280,7 @@ class StreamingSpec extends SparkSpec {
     EventStream.idempotentPqAppend(
       emb.filter($"vec_id" === 0)
         .select(($"vec_id" + 10000).as("vec_id"), $"embedding"),
-      batchId = 99L,
+      batchId = 99L, scope = s"$dir/ckpt",
       "vec_id", "embedding", "graft_sidx", dim = 64, m = 4, buckets = 4)
     assert(spark.table("graft_sidx").count() > rowsBefore,
       "a new batch id failed to apply")
@@ -324,12 +325,110 @@ class StreamingSpec extends SparkSpec {
     val before = spark.table("graft_bidx").count()
     EventStream.idempotentBm25Append(
       docs.filter($"doc_id" >= 250 && $"doc_id" % 2 === 0), 0L,
-      "doc_id", "text", "graft_bidx", 4)
+      s"$dir/ckpt", "doc_id", "text", "graft_bidx", 4)
     assert(spark.table("graft_bidx").count() == before,
       "redelivered batch id duplicated postings")
     Seq("graft_bidx", "graft_bidx_dl", "graft_bidx_stats",
         "graft_bidx_batches", "graft_bidx_twin", "graft_bidx_twin_dl",
         "graft_bidx_twin_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("batch ledger: scoped per stream, dropped by a rebuild (ADVICE r14)") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-ledger").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.writePqIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_lidx", s"$dir/idx", dim = 64, m = 4, ks = 16,
+      buckets = 4)
+    // stream A applies its batch 0
+    EventStream.idempotentPqAppend(
+      emb.filter($"vec_id" >= 250 && $"vec_id" < 300), batchId = 0L,
+      scope = s"$dir/ckptA",
+      "vec_id", "embedding", "graft_lidx", dim = 64, m = 4, buckets = 4)
+    val afterA = spark.table("graft_lidx").count()
+    // a SECOND stream feeding the same table also numbers its batches
+    // from 0 — the scoped key must not collide with stream A's
+    EventStream.idempotentPqAppend(
+      emb.filter($"vec_id" >= 300 && $"vec_id" < 350), batchId = 0L,
+      scope = s"$dir/ckptB",
+      "vec_id", "embedding", "graft_lidx", dim = 64, m = 4, buckets = 4)
+    assert(spark.table("graft_lidx").count() > afterA,
+      "two streams' batch 0 collided on the bare batch id")
+    // a rebuild invalidates the ledger: a fresh-checkpoint stream
+    // restarts at batch 0 and must NOT be skipped by stale entries
+    Similarity.writePqIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_lidx", s"$dir/idx2", dim = 64, m = 4, ks = 16,
+      buckets = 4)
+    assert(!spark.catalog.tableExists("graft_lidx_batches"),
+      "rebuild left the stale applied-batch ledger behind")
+    val afterRebuild = spark.table("graft_lidx").count()
+    EventStream.idempotentPqAppend(
+      emb.filter($"vec_id" >= 250 && $"vec_id" < 300), batchId = 0L,
+      scope = s"$dir/ckptA",
+      "vec_id", "embedding", "graft_lidx", dim = 64, m = 4, buckets = 4)
+    assert(spark.table("graft_lidx").count() > afterRebuild,
+      "post-rebuild batch 0 was silently skipped — index data loss")
+    Seq("graft_lidx", "graft_lidx_codebook", "graft_lidx_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("in-stream maintenance: compactEvery restores the layout, ledger survives") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-smaint").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.writePqIndex(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", "graft_midx", s"$dir/idx", dim = 64, m = 4, ks = 16,
+      buckets = 4)
+    // four input files = four micro-batches; without in-stream
+    // compaction the table ends at up to 5 files per bucket
+    (0 until 4).foreach { i =>
+      emb.filter($"vec_id" >= 200 + i * 75 && $"vec_id" < 275 + i * 75)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    }
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = EventStream.pqIndexIngest(stream, "vec_id", "embedding",
+      "graft_midx", dim = 64, m = 4, buckets = 4,
+      checkpoint = s"$dir/ckpt", compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // layout restored: the 4th applied batch triggered the final
+    // compaction, so the live location holds ≤ one file per bucket
+    val loc = new java.net.URI(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_midx"))
+      .location.toString).getPath
+    val files = new java.io.File(loc).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files.size <= 4,
+      s"in-stream compaction left ${files.size} files for 4 buckets")
+    // results ≡ the batch twin over the same union
+    val qs = emb.filter($"vec_id" < 5)
+    val streamed = Similarity.pqTopKIndexed(spark, "graft_midx", qs,
+        "vec_id", "embedding", dim = 64, k = 3, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Similarity.writePqIndex(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", "graft_midx_twin", s"$dir/twin", dim = 64, m = 4,
+      ks = 16, buckets = 4)
+    Similarity.appendPqIndex(spark, emb.filter($"vec_id" >= 200),
+      "vec_id", "embedding", "graft_midx_twin", dim = 64, m = 4,
+      buckets = 4)
+    val batch = Similarity.pqTopKIndexed(spark, "graft_midx_twin", qs,
+        "vec_id", "embedding", dim = 64, k = 3, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the applied-batch ledger survived the mid-stream compactions:
+    // all four batch ids are recorded and a redelivery is still a no-op
+    assert(spark.table("graft_midx_batches").count() == 4)
+    val before = spark.table("graft_midx").count()
+    EventStream.idempotentPqAppend(
+      emb.filter($"vec_id" >= 200 && $"vec_id" < 275), batchId = 0L,
+      scope = s"$dir/ckpt",
+      "vec_id", "embedding", "graft_midx", dim = 64, m = 4, buckets = 4)
+    assert(spark.table("graft_midx").count() == before,
+      "post-compaction redelivery duplicated index rows")
+    Seq("graft_midx", "graft_midx_codebook", "graft_midx_batches",
+        "graft_midx_twin", "graft_midx_twin_codebook")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
