@@ -125,6 +125,36 @@ object ProfBm25 {
     println(f"[bm25] compactBm25Index: $tCmp%6.1f s")
     q("after compact")
 
+    // posture F: max-score pruning (r15) — the needle-in-stopwords
+    // query every decontamination probe is: a rare discriminative
+    // token (each doc's unique tail) among common terms whose posting
+    // lists span most of the corpus. Unpruned, the common terms'
+    // postings explode per query into the aggregate/window; pruned,
+    // phase 1 certifies a floor from the rare term and the stopword
+    // mass is semi-joined away before scoring.
+    val qsMix = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)),
+          element_at(split(col("text"), " "), -1)).as("qtext"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qsMix.count()
+    for (i <- 1 to 2) {
+      val ((nP, engaged), tP) = timed {
+        val (df, ids) = Retrieval.bm25TopKIndexedPruned(spark,
+          "bm25_100x", qsMix, "doc_id", "qtext", k = 1)
+        (df.count(), ids.size)
+      }
+      val (nU, tU) = timed {
+        Retrieval.bm25TopKIndexed(spark, "bm25_100x", qsMix,
+          "doc_id", "qtext", k = 1, maxScore = false).count()
+      }
+      println(f"[bm25] max-score pass $i: pruned=$tP%6.2f s " +
+        f"unpruned=$tU%6.2f s (engaged $engaged/3 queries, " +
+        f"$nP%d == $nU%d rows)")
+    }
+    qsMix.unpersist()
+
     Seq("bm25_100x", "bm25_100x_dl", "bm25_100x_stats",
         "bm25_100x_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

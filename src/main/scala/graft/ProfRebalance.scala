@@ -151,7 +151,65 @@ object ProfRebalance {
     }
     println(f"[reb] nprobe=8 serving query: $tServe%.2f s ($res rows)")
 
-    Seq("graft_reb_prof", "graft_reb_prof_centroids")
+    // ---- part 2 (r15): the COMPOSED serving shape --------------------
+    // The same drift loop on the IVFADC codes table — the
+    // billion-vector shape that stores no raw vectors; the retrain
+    // reads the raw relation the rerank path already keeps beside the
+    // index, the codes conserve (global codebook), only cells move.
+    val unionRaw = base.unionByName(shift)
+    def occA(tag: String): (Long, Long) = {
+      val counts = spark.table("graft_reb_adc").groupBy("cell").count()
+        .orderBy(col("count").desc).collect().map(_.getLong(1))
+      val med = counts(counts.length / 2)
+      println(f"[reb] ADC OCC $tag%-24s cells=${counts.length}%4d " +
+        f"max/p50=${counts.head.toDouble / med}%6.1f")
+      (counts.head, med)
+    }
+    val (_, tBuildA) = timed {
+      Similarity.writeIvfadcIndex(base, "vec_id", "embedding",
+        "graft_reb_adc", s"$tmp/adc", dim = 64, nlist = 256, m = 4,
+        ks = 16, buckets = 32, balanceFactor = 2.0)
+    }
+    println(f"[reb] ADC balanced build: $tBuildA%.1f s")
+    occA("built balanced")
+    val (_, tAppA) = timed {
+      Similarity.appendIvfadcIndex(spark, shift, "vec_id", "embedding",
+        "graft_reb_adc", dim = 64, m = 4, buckets = 32)
+    }
+    println(f"[reb] ADC shifted append: $tAppA%.1f s")
+    val (maxDa, medDa) = occA("after shifted append")
+    val qsA = unionRaw.filter(col("vec_id").isin(
+      0L, 1L, 2L, 10000000L, 10000001L))
+    val beforeA = Similarity.ivfadcTopKIndexed(spark, "graft_reb_adc",
+      qsA, "vec_id", "embedding", dim = 64, k = 10, nprobe = 4096, m = 4)
+      .collect().toSet
+    // through the POLICY entry point: the occupancy trigger picks the
+    // rebalance branch and the repair prices like a balanced build +
+    // the codes join (no re-encode — codes conserve)
+    val (act, tRebA) = timed {
+      Similarity.maintainIvfadcIndex(spark, "graft_reb_adc", unionRaw,
+        "vec_id", "embedding", nlist = 256, maxFactor = 2.0,
+        rebalanceAbove = 4.0)
+    }
+    println(f"[reb] ADC maintain -> $act: $tRebA%.1f s")
+    val (maxRa, medRa) = occA("after rebalance")
+    println(f"[reb] ADC drift bound ${maxDa.toDouble / medDa}%.1f -> " +
+      f"${maxRa.toDouble / medRa}%.1f max/p50")
+    val afterA = Similarity.ivfadcTopKIndexed(spark, "graft_reb_adc",
+      qsA, "vec_id", "embedding", dim = 64, k = 10, nprobe = 4096, m = 4)
+      .collect().toSet
+    println(s"[reb] ADC probe-all invariant through swap: ${afterA == beforeA}")
+    // the healthy tick after the repair is a NO-OP (r15 guard)
+    val (act2, tTick) = timed {
+      Similarity.maintainIvfadcIndex(spark, "graft_reb_adc", unionRaw,
+        "vec_id", "embedding", nlist = 256, maxFactor = 2.0,
+        rebalanceAbove = 4.0)
+    }
+    println(f"[reb] ADC healthy tick -> $act2: $tTick%.2f s")
+
+    Seq("graft_reb_prof", "graft_reb_prof_centroids",
+        "graft_reb_adc", "graft_reb_adc_centroids",
+        "graft_reb_adc_codebook")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }

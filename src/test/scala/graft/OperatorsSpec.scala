@@ -2076,6 +2076,99 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("filtered hybrid fusion: the SAME slice threads both persisted runs") {
+    import graft.operators.Retrieval
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybf").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      "graft_hybf_sivf", s"$dir/v", nlist = 8, buckets = 4)
+    Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_hybf_sbm",
+      s"$dir/l", buckets = 4)
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val vec = Similarity.ivfTopKIndexed(spark, "graft_hybf_sivf",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 10,
+        nprobe = 8, pred = $"nid" % 3 === 0)
+      .select($"qid", $"nid", $"rank")
+    val lex = Retrieval.bm25TopKIndexed(spark, "graft_hybf_sbm", qs,
+        "doc_id", "qtext", k = 10, pred = $"doc" % 3 === 0)
+      .select($"qid", $"doc_id".as("nid"), $"rank")
+    val fused = Retrieval.rrfFuse(Seq(vec, lex), k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    // every fused hit is on-slice — possible only if BOTH runs saw
+    // the same predicate (an unsliced run would fuse off-slice nids
+    // in: its top-10 at this fixture contains them)
+    assert(fused.nonEmpty && fused.forall(_._2 % 3 == 0))
+    // control: dropping the slice from one run DOES admit off-slice
+    // nids — the assertion above is not vacuous
+    val vecAll = Similarity.ivfTopKIndexed(spark, "graft_hybf_sivf",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 10,
+        nprobe = 8)
+      .select($"qid", $"nid", $"rank")
+    assert(Retrieval.rrfFuse(Seq(vecAll, lex), k = 5)
+      .as[(Long, Long, Double, Int)].collect().exists(_._2 % 3 != 0))
+    Seq("graft_hybf_sivf", "graft_hybf_sivf_centroids",
+        "graft_hybf_sbm", "graft_hybf_sbm_dl", "graft_hybf_sbm_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("BM25 max-score pruning: exact vs unpruned, engages on stopword-heavy queries") {
+    import graft.operators.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-ms").toString
+    // a corpus with a REAL df split: three stopwords in every doc
+    // (Lucene idf → ~0), mid-frequency and rare discriminative terms —
+    // the shape ProfBm25 showed dominates the steady-state floor
+    // (common-term posting mass); the natural documents fixture has no
+    // such split (31 terms, nearly all common), so it exercises only
+    // the fallback
+    val docs = spark.range(400).select($"id".as("doc_id"),
+      concat_ws(" ", lit("the"), lit("of"), lit("and"), lit("the"),
+        lit("of"), concat(lit("rare"), ($"id" % 80).cast("string")),
+        concat(lit("mid"), ($"id" % 8).cast("string")),
+        concat(lit("tok"), ($"id" % 40).cast("string"))).as("text"))
+    Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_bm25_ms",
+      s"$dir/idx", buckets = 8)
+    val qs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0L, "the of rare3 tok7"),
+        org.apache.spark.sql.Row(1L, "and mid2 rare11"),
+        org.apache.spark.sql.Row(2L, "the of and")), // all-common → fallback
+      new org.apache.spark.sql.types.StructType()
+        .add("qid", org.apache.spark.sql.types.LongType)
+        .add("qtext", org.apache.spark.sql.types.StringType))
+    val (prunedDf, prunedQids) = Retrieval.bm25TopKIndexedPruned(spark,
+      "graft_bm25_ms", qs, "qid", "qtext", k = 5)
+    val got = prunedDf.as[(Long, Long, Double, Int)].collect().toSet
+    val want = Retrieval.bm25TopKIndexed(spark, "graft_bm25_ms", qs,
+        "qid", "qtext", k = 5, maxScore = false)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // EXACT: max-score is a pruning of work, never of results
+    assert(got == want && got.nonEmpty)
+    // ...and it actually engaged for the mixed queries (not vacuous)
+    assert(prunedQids.toSet == Set(0L, 1L),
+      s"expected queries 0,1 pruned, got $prunedQids")
+    // the natural fixture (no df split → fallback everywhere) stays
+    // exact through the same entry point
+    val nat = Tables.documents(spark, sf)
+    Retrieval.writeBm25Index(nat, "doc_id", "text", "graft_bm25_ms2",
+      s"$dir/idx2", buckets = 8)
+    val nqs = nat.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    assert(
+      Retrieval.bm25TopKIndexed(spark, "graft_bm25_ms2", nqs,
+          "doc_id", "qtext", k = 5)
+        .as[(Long, Long, Double, Int)].collect().toSet ==
+      Retrieval.bm25TopKIndexed(spark, "graft_bm25_ms2", nqs,
+          "doc_id", "qtext", k = 5, maxScore = false)
+        .as[(Long, Long, Double, Int)].collect().toSet)
+    Seq("graft_bm25_ms", "graft_bm25_ms_dl", "graft_bm25_ms_stats",
+        "graft_bm25_ms2", "graft_bm25_ms2_dl", "graft_bm25_ms2_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintainIvfIndex: re-skewed index triggers rebalance, healthy index compacts") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-maint").toString
