@@ -174,6 +174,7 @@ object Similarity {
       widen(corpus.select(col(idCol).as("nid"),
         vec_sq8_codes(numVec(corpus, vecCol), mins, deltas).as("code"))),
       table, path, Seq("nid"), buckets)
+    stampBuildGen(spark, table, s"${table}_ranges")
     spark.catalog.refreshTable(table)
   }
 
@@ -185,6 +186,7 @@ object Similarity {
                      idCol: String, vecCol: String, table: String,
                      dim: Int, buckets: Int = 8): Unit = {
     import graft.functions.VecExpressions.vec_sq8_codes
+    requireGenConsistent(spark, table, s"${table}_ranges")
     val rows = spark.table(s"${table}_ranges")
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
@@ -201,6 +203,47 @@ object Similarity {
     spark.catalog.refreshTable(table)
   }
 
+  /** Retrain a persisted SQ8 index's quantization ranges from the
+    * raw-vector store and re-encode every code — the SQ8 drift repair
+    * (SQ8 has no coarse cells, so its drift mode is RANGE drift:
+    * [[appendSq8Index]] clamps out-of-range coordinates to the edge
+    * levels, and a corpus whose coordinate ranges move degrades
+    * reconstruction until the ranges retrain). Completes the
+    * maintenance family: raw IVF and the two code shapes rebalance
+    * cells ([[rebalanceIvfIndex]]/[[rebalanceIvfadcIndex]]/
+    * [[rebalanceIvfadcResidualIndex]]), SQ8 retrains ranges — all
+    * through the same staged two-swap discipline: the `_ranges`
+    * sidecar swaps first (new rows + [[GenProp]] stamp, one catalog
+    * op), the codes table commits with the same stamp; a crash
+    * between the swaps fails LOUD at the next query/append. Pending
+    * tombstones are excluded from the retrain and applied physically.
+    * End state ≡ a fresh [[writeSq8Index]] over the union (spec-
+    * pinned: ranges AND codes). */
+  def retrainSq8Index(spark: SparkSession, table: String, raw: DataFrame,
+                      idCol: String, vecCol: String, dim: Int): Unit = {
+    import graft.functions.VecExpressions.vec_sq8_codes
+    import spark.implicits._
+    val gen = newGen()
+    val hadTombstones = pendingTombstones(spark, table).nonEmpty
+    val rawClean0 = raw.select(col(idCol).as("nid"), col(vecCol).as("rv0"))
+    val rawClean = pendingTombstones(spark, table)
+      .fold(rawClean0)(t =>
+        rawClean0.join(broadcast(t), Seq("nid"), "left_anti"))
+    val rows = sq8RangeRows(rawClean, "rv0")
+    require(rows.length == dim,
+      s"raw store has coordinates at ${rows.length} positions but the " +
+        s"index is declared dim=$dim")
+    val (mins, deltas) = rangeArrays(rows, dim)
+    graft.engine.Bucketing.rewriteTable(spark, s"${table}_ranges",
+      _ => rows.toSeq.toDF("i", "lo", "delta"), Map(GenProp -> gen))
+    graft.engine.Bucketing.stageCompaction(spark, table,
+      _ => rawClean.select(col("nid"),
+        vec_sq8_codes(numVec(rawClean, "rv0"), mins, deltas).as("code")))
+    graft.engine.Bucketing.swapToStaged(spark, table,
+      Map(GenProp -> gen))
+    if (hadTombstones) truncateTombstones(spark, table)
+  }
+
   /** Query a persisted SQ8 index: decode the byte codes to
     * reconstructions (one codegen'd `vec_sq8_decode` map pass over
     * the id-bucketed codes table — no raw-vector scan) and run the
@@ -210,6 +253,7 @@ object Similarity {
                      queries: DataFrame, idCol: String, vecCol: String,
                      dim: Int, k: Int, pred: Column = lit(true)): DataFrame = {
     import graft.functions.VecExpressions.{vec_norm, vec_sq8_decode}
+    requireGenConsistent(spark, table, s"${table}_ranges")
     val rows = spark.table(s"${table}_ranges")
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)

@@ -2076,6 +2076,54 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("retrainSq8Index: range-drift repair ≡ fresh build on the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8-rt").toString
+    // SQ8's drift mode is RANGE drift: the build fixes (lo, Δ) per
+    // dim, and an appended batch outside those ranges CLAMPS to the
+    // edge levels (correct FAISS add() semantics, degraded
+    // reconstruction) — the 3×-scaled second half here
+    val scaled = emb.filter($"vec_id" >= 250)
+      .select($"vec_id",
+        expr("transform(embedding, x -> x * cast(3.0 as float))")
+          .as("embedding"))
+    Similarity.writeSq8Index(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", "graft_sq8_rt", s"$dir/a", dim = 64, buckets = 4)
+    Similarity.appendSq8Index(spark, scaled, "vec_id", "embedding",
+      "graft_sq8_rt", dim = 64, buckets = 4)
+    val union = emb.filter($"vec_id" < 250)
+      .select($"vec_id", $"embedding").unionByName(scaled)
+    Similarity.retrainSq8Index(spark, "graft_sq8_rt", union,
+      "vec_id", "embedding", dim = 64)
+    // ≡ a fresh build over the union: ranges, codes, and results
+    Similarity.writeSq8Index(union, "vec_id", "embedding",
+      "graft_sq8_fresh", s"$dir/b", dim = 64, buckets = 4)
+    assert(spark.table("graft_sq8_rt_ranges")
+        .as[(Int, Double, Double)].collect().toSet ==
+      spark.table("graft_sq8_fresh_ranges")
+        .as[(Int, Double, Double)].collect().toSet,
+      "retrained ranges differ from a fresh build on the union")
+    val codesRt = spark.table("graft_sq8_rt")
+      .as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    val codesFresh = spark.table("graft_sq8_fresh")
+      .as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    assert(codesRt == codesFresh,
+      "retrained codes differ from a fresh build on the union")
+    val qs = emb.filter($"vec_id" < 3)
+    assert(
+      Similarity.sq8TopKIndexed(spark, "graft_sq8_rt", qs,
+          "vec_id", "embedding", dim = 64, k = 3)
+        .as[(Long, Long, Double, Int)].collect().toSet ==
+      Similarity.sq8TopKIndexed(spark, "graft_sq8_fresh", qs,
+          "vec_id", "embedding", dim = 64, k = 3)
+        .as[(Long, Long, Double, Int)].collect().toSet)
+    Seq("graft_sq8_rt", "graft_sq8_rt_ranges",
+        "graft_sq8_fresh", "graft_sq8_fresh_ranges")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("filtered hybrid fusion: the SAME slice threads both persisted runs") {
     import graft.operators.Retrieval
     val emb = Tables.embeddings(spark, sf)
