@@ -27,11 +27,25 @@ object Bucketing {
     * registered in the session catalog (bucket metadata lives in the
     * catalog, which is why this is `saveAsTable` and not a bare
     * `parquet(path)`; on a real cluster the catalog is the metastore and
-    * the layout outlives the session). */
+    * the layout outlives the session).
+    *
+    * The pre-write `repartition(buckets, keys)` is the
+    * [[stageCompaction]] discipline applied at BUILD time: Spark's
+    * bucketed writer emits one file per bucket PER TASK, so writing
+    * from a pipeline's natural partitioning (e.g. 32 aggregate
+    * partitions) yields up to 32 files per bucket from birth — every
+    * bucket-pruned point scan then opens dozens of files, and the
+    * maintenance policy's "minimal layout" state would be unreachable
+    * without an immediate compaction. The explicit murmur3-pmod
+    * shuffle aligns task i with bucket i: exactly one file per
+    * non-empty bucket, the layout a compaction restores, present from
+    * the first write. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     keys: Seq[String], buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty && buckets > 0)
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)

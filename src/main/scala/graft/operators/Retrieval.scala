@@ -498,6 +498,23 @@ object Retrieval {
     (finalized(bm25Rank(agg, k), aggE), pruned)
   }
 
+  /** Maintenance policy for the lexical index — the BM25 twin of the
+    * ANN side's cheap tiers. Term buckets do not re-skew (the bucket
+    * count is fixed and per-term posting mass is zipf-shaped by
+    * nature), so there is no rebalance branch: compact when the
+    * layout decayed (each [[appendBm25Index]] batch adds a file per
+    * bucket) or deletes pend (they apply physically, riding the
+    * rewrite free); otherwise NO-OP — a healthy tick costs one
+    * directory listing, not the ~half-a-build rewrite
+    * [[compactBm25Index]] pays (ProfBm25). Returns the action taken
+    * so a scheduler can log the decision. */
+  def maintainBm25Index(spark: SparkSession, table: String): String =
+    if (Similarity.maxFilesPerBucket(spark, table) > 1 ||
+        bm25Tombstones(spark, table).nonEmpty) {
+      compactBm25Index(spark, table)
+      "compacted (layout decayed or deletes pending)"
+    } else "healthy (minimal layout, no pending deletes)"
+
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. 2009):
     * score(q, d) = Σ over the runs containing d of 1/(k0 + rank). Each
     * run is (qid, nid, rank); a document absent from a run simply

@@ -1422,7 +1422,7 @@ object Similarity {
     * — the layout-decay readout for the maintenance no-op guard (the
     * bucket id is the `_NNNNN` suffix Spark's bucketed writer puts
     * before `.c000`). One driver-side directory listing. */
-  private def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+  private[graft] def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table)).location)

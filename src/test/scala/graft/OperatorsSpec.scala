@@ -2076,6 +2076,57 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("maintainBm25Index: healthy no-op, decayed layout compacts, deletes apply") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-mt").toString
+    Retrieval.writeBm25Index(docs.filter($"doc_id" < 250), "doc_id",
+      "text", "graft_bm25_mt", s"$dir/idx", buckets = 4)
+    def layout() = {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser
+          .parseTableIdentifier("graft_bm25_mt")).location.getPath
+      (loc, new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet)
+    }
+    val fresh = layout()
+    assert(Retrieval.maintainBm25Index(spark, "graft_bm25_mt")
+      .startsWith("healthy"))
+    assert(layout() == fresh, "the healthy tick rewrote the index")
+    // an append decays the layout → the policy compacts
+    Retrieval.appendBm25Index(spark, docs.filter($"doc_id" >= 250),
+      "doc_id", "text", "graft_bm25_mt", buckets = 4)
+    assert(Retrieval.maintainBm25Index(spark, "graft_bm25_mt")
+      .startsWith("compacted"))
+    assert(Retrieval.maintainBm25Index(spark, "graft_bm25_mt")
+      .startsWith("healthy"))
+    // pending deletes take the compaction branch (physical apply) and
+    // the next tick is healthy again, with results = reduced corpus
+    Retrieval.deleteFromBm25Index(spark, "graft_bm25_mt",
+      docs.filter($"doc_id" >= 400).select("doc_id"), "doc_id")
+    assert(Retrieval.maintainBm25Index(spark, "graft_bm25_mt")
+      .startsWith("compacted"))
+    assert(Retrieval.maintainBm25Index(spark, "graft_bm25_mt")
+      .startsWith("healthy"))
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 8)).as("qtext"))
+    val got = Retrieval.bm25TopKIndexed(spark, "graft_bm25_mt", qs,
+        "doc_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Retrieval.writeBm25Index(docs.filter($"doc_id" < 400), "doc_id",
+      "text", "graft_bm25_mt2", s"$dir/idx2", buckets = 4)
+    val want = Retrieval.bm25TopKIndexed(spark, "graft_bm25_mt2", qs,
+        "doc_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    Seq("graft_bm25_mt", "graft_bm25_mt_dl", "graft_bm25_mt_stats",
+        "graft_bm25_mt_tombstones", "graft_bm25_mt2", "graft_bm25_mt2_dl",
+        "graft_bm25_mt2_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("retrainSq8Index: range-drift repair ≡ fresh build on the union") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-sq8-rt").toString
