@@ -52,6 +52,25 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append a batch to an existing bucketed table under the same
+    * minimal-layout discipline as [[writeBucketed]]: the explicit
+    * repartition makes the batch add at most ONE file per non-empty
+    * bucket instead of one per task — a 32-partition daily append
+    * otherwise multiplies the file count 32× per batch, eroding the
+    * bucket-pruned scan 32× faster than the compaction cadence
+    * assumes. (Spark validates the bucket spec against the catalog, so
+    * `keys`/`buckets` must match the original build.) */
+  def appendBucketed(df: DataFrame, table: String,
+                     keys: Seq[String], buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty && buckets > 0)
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Read a bucketed table back (bucket metadata comes from the catalog,
     * so this must be a table read, not a path read — `spark.read.parquet`
     * on the same files would silently lose the co-location). */

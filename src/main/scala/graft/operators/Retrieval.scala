@@ -287,11 +287,10 @@ object Retrieval {
       try {
         dl.write.mode("append").format("parquet")
           .saveAsTable(s"${table}_dl")
-        tf.join(dl, "doc")
-          .select(col("term"), col("doc"), col("tf"), col("dl"))
-          .write.mode("append").format("parquet")
-          .bucketBy(buckets, "term").sortBy("term")
-          .saveAsTable(table)
+        graft.engine.Bucketing.appendBucketed(
+          tf.join(dl, "doc")
+            .select(col("term"), col("doc"), col("tf"), col("dl")),
+          table, Seq("term"), buckets)
         writeBm25Stats(spark, table,
           Similarity.indexBasePath(spark, table))
         spark.catalog.refreshTable(table)

@@ -195,11 +195,10 @@ object Similarity {
     val m = rows.map(t => t._1 -> t).toMap
     val mins = Array.tabulate(dim)(i => m.get(i).map(_._2).getOrElse(0.0))
     val deltas = Array.tabulate(dim)(i => m.get(i).map(_._3).getOrElse(0.0))
-    newVectors.select(col(idCol).as("nid"),
-        vec_sq8_codes(numVec(newVectors, vecCol), mins, deltas).as("code"))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "nid").sortBy("nid")
-      .saveAsTable(table)
+    graft.engine.Bucketing.appendBucketed(
+      newVectors.select(col(idCol).as("nid"),
+        vec_sq8_codes(numVec(newVectors, vecCol), mins, deltas).as("code")),
+      table, Seq("nid"), buckets)
     spark.catalog.refreshTable(table)
   }
 
@@ -623,10 +622,9 @@ object Similarity {
     val cents = broadcast(graft.engine.Bucketing
       .readBucketed(spark, s"${table}_centroids")
       .withColumn("cn", vec_norm(col("cv"))))
-    cellAssignment(newVectors, idCol, vecCol, cents).drop("csim")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "cell").sortBy("cell")
-      .saveAsTable(table)
+    graft.engine.Bucketing.appendBucketed(
+      cellAssignment(newVectors, idCol, vecCol, cents).drop("csim"),
+      table, Seq("cell"), buckets)
     spark.catalog.refreshTable(table)
   }
 
@@ -747,11 +745,10 @@ object Similarity {
       .readBucketed(spark, s"${table}_codebook")
     val cells = cellAssignment(newVectors, idCol, vecCol, cents)
       .select(col("nid"), col("cell"))
-    pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
-      .join(cells, "nid")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "cell").sortBy("cell")
-      .saveAsTable(table)
+    graft.engine.Bucketing.appendBucketed(
+      pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
+        .join(cells, "nid"),
+      table, Seq("cell"), buckets)
     spark.catalog.refreshTable(table)
   }
 
@@ -1010,10 +1007,9 @@ object Similarity {
     val resid = residualVectors(newVectors, idCol, vecCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      residualCodes(resid, codebook, cents, dim, m)
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "cell").sortBy("cell")
-        .saveAsTable(table)
+      graft.engine.Bucketing.appendBucketed(
+        residualCodes(resid, codebook, cents, dim, m),
+        table, Seq("cell"), buckets)
       spark.catalog.refreshTable(table)
     } finally { resid.unpersist(false); () }
   }
@@ -1850,10 +1846,9 @@ object Similarity {
     require(dim % m == 0, "m must divide dim")
     val codebook = graft.engine.Bucketing
       .readBucketed(spark, s"${table}_codebook")
-    pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "nid").sortBy("nid")
-      .saveAsTable(table)
+    graft.engine.Bucketing.appendBucketed(
+      pqEncode(newVectors, idCol, vecCol, codebook, dim, m),
+      table, Seq("nid"), buckets)
     spark.catalog.refreshTable(table)
   }
 
