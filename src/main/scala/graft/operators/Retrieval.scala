@@ -335,14 +335,23 @@ object Retrieval {
     * θ: docs with no essential term score ≤ Σ UB(non-essential) < θ
     * and are dropped BEFORE the per-query explode/aggregate/window.
     * Queries where the bound does not certify (Σ UB ≥ θ) fall back to
-    * the unpruned path per query — pruned only when provably safe. */
+    * the unpruned path per query — pruned only when provably safe.
+    *
+    * `matchAll` switches to CONJUNCTIVE (Lucene AND) semantics: only
+    * docs containing every distinct query term are candidates, scored
+    * with the same BM25 sums — the precision mode for decontamination
+    * probes where a partial term match is noise. Candidates prune to
+    * the rarest query term's postings first (a conjunctive match must
+    * contain it), so a needle-in-stopwords AND query never aggregates
+    * the stopword mass. */
   def bm25TopKIndexed(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, qtextCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75,
                       pred: Column = lit(true),
-                      maxScore: Boolean = true): DataFrame =
+                      maxScore: Boolean = true,
+                      matchAll: Boolean = false): DataFrame =
     bm25TopKIndexedPruned(spark, table, queries, qidCol, qtextCol, k,
-      k1, b, pred, maxScore)._1
+      k1, b, pred, maxScore, matchAll = matchAll)._1
 
   /** [[bm25TopKIndexed]] plus the set of query ids the max-score
     * pruning actually engaged for — private[graft] so the spec can
@@ -353,7 +362,8 @@ object Retrieval {
                                            k1: Double = 1.2, b: Double = 0.75,
                                            pred: Column = lit(true),
                                            maxScore: Boolean = true,
-                                           commonAbove: Double = 0.1): (DataFrame, Seq[Any]) = {
+                                           commonAbove: Double = 0.1,
+                                           matchAll: Boolean = false): (DataFrame, Seq[Any]) = {
     val (nDocs, avgdl) = readBm25Stats(spark, table)
     if (nDocs == 0.0)
       return (emptyBm25Result(spark, table, queries, qidCol), Seq.empty)
@@ -403,6 +413,45 @@ object Retrieval {
         .select(col("qid"), col("doc"),
           bm25Score(nDocs, avgdl, k1, b).as("s"))
         .groupBy("qid", "doc").agg(sum(col("s")).as("score")), k)
+    if (matchAll) {
+      // conjunctive (Lucene AND) semantics: only docs containing
+      // EVERY distinct query term are candidates; scores are the same
+      // BM25 sums. The classic AND optimization prunes to the rarest
+      // term's postings FIRST (a conjunctive match must contain it, so
+      // its df bounds the candidate count — driver-picked from the
+      // same termStats pass); a query term absent from the corpus
+      // makes that query's result empty, which the absent term's
+      // empty posting list yields naturally.
+      val dfOfAll = termStats.map(r => r.get(0) -> r.getDouble(1)).toMap
+      val byQ = qtRows.groupBy(_.get(0))
+      val qtRarest = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(byQ.toSeq.map { case (q, rs) =>
+          org.apache.spark.sql.Row(q, rs.map(_.get(1))
+            .minBy(t => dfOfAll.getOrElse(t, 0.0)))
+        }: _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("qid", qidType)
+          .add("term", org.apache.spark.sql.types.StringType)))
+      val cand = postings.join(qtRarest, "term")
+        .select(col("qid"), col("doc"))
+      val needDf = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(byQ.toSeq.map { case (q, rs) =>
+          org.apache.spark.sql.Row(q, rs.length.toLong)
+        }: _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("qid", qidType)
+          .add("need", org.apache.spark.sql.types.LongType)))
+      val agg = postings.filter(pred)
+        .join(dfq, "term").join(qt, "term")
+        .select(col("qid"), col("doc"),
+          bm25Score(nDocs, avgdl, k1, b).as("s"))
+        .join(cand, Seq("qid", "doc"), "left_semi")
+        .groupBy("qid", "doc")
+        .agg(sum(col("s")).as("score"), count(lit(1)).as("nt"))
+        .join(needDf, "qid").filter(col("nt") === col("need"))
+        .select(col("qid"), col("doc"), col("score"))
+      return (bm25Rank(agg, k), Seq.empty)
+    }
     if (!maxScore) return (rank(qt), Seq.empty)
 
     // ---- max-score pruning (Turtle & Flood 1995), EXACT -----------
@@ -495,6 +544,44 @@ object Retrieval {
           bm25Score(nDocs, avgdl, k1, b).as("s"))
         .groupBy("qid", "doc").agg(sum(col("s")).as("score")))
     (finalized(bm25Rank(agg, k), aggE), pruned)
+  }
+
+  /** Weighted linear fusion with per-query min-max score
+    * normalization — the OTHER canonical hybrid next to [[rrfFuse]]
+    * (the convex-combination mode production search engines ship
+    * alongside RRF): score(q, d) = Σ_i w_i · norm_i(s_i(q, d)), where
+    * norm_i min-max scales run i's scores to [0, 1] WITHIN each query
+    * (so a run's score scale — BM25's unbounded sums vs cosine's
+    * [−1, 1] — cannot dominate by units alone), a doc absent from a
+    * run contributes 0 from it, and a degenerate run (all scores
+    * equal for a query) normalizes to 1. Ties break ascending nid.
+    *
+    * Runs are (df, weight) pairs with (qid, nid, score) rows — use
+    * this over RRF when run SCORES are calibrated enough to mean
+    * something (RRF throws them away and keeps only ranks).
+    *
+    * Scale shape: runs arrive top-k'd (|q|·k rows), the per-(query,
+    * run) min/max aggregate, the union, the (qid, nid) sum and the
+    * top-k window are all query-bounded — never a corpus. */
+  def linearFuse(runs: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(runs.nonEmpty, "linearFuse needs at least one run")
+    val normed = runs.map { case (df, w) =>
+      val r = df.select(col("qid"), col("nid"), col("score"))
+      val mm = r.groupBy("qid")
+        .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      r.join(mm, "qid")
+        .select(col("qid"), col("nid"),
+          (when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("score") - col("mn")) / (col("mx") - col("mn")))
+            * w).as("ws"))
+    }
+    val scored = normed.reduce(_ unionByName _)
+      .groupBy("qid", "nid").agg(sum(col("ws")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("score"), 6).as("score"),
+        col("rank"))
   }
 
   /** Maintenance policy for the lexical index — the BM25 twin of the

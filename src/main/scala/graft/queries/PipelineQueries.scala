@@ -247,6 +247,55 @@ object PipelineQueries {
         qs, "doc_id", "qtext", k = 5, pred = col("doc") % 3 === 0)
     }),
 
+    // Conjunctive (Lucene AND) lexical search — the precision mode
+    // next to t38's disjunctive default: only docs containing EVERY
+    // distinct query term are candidates, scores are the same BM25
+    // sums; the engine prunes to the rarest term's postings first
+    // (the classic AND optimization).
+    "t41_bm25_conjunctive" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_conj_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      graft.operators.Retrieval.writeBm25Index(docs, "doc_id", "text",
+        "graft_bm25_conj", path, buckets = 8)
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      graft.operators.Retrieval.bm25TopKIndexed(s, "graft_bm25_conj",
+        qs, "doc_id", "qtext", k = 5, matchAll = true)
+    }),
+
+    // Weighted linear hybrid — the convex-combination fusion mode
+    // next to s28's RRF: per-(query, run) min-max normalization puts
+    // BM25's unbounded sums and cosine's [-1, 1] on one scale, then
+    // score = 0.7·vec + 0.3·lex. Probe-all keeps the vector oracle
+    // exact; both runs' scores are the engine's own rounded outputs,
+    // so the oracle normalizes the identical values.
+    "s33_hybrid_linear" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val vpath = s"${sys.props("java.io.tmpdir")}/graft_hyblin_ivf_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        "graft_hyblin_ivf", vpath, nlist = 16, buckets = 8)
+      val vec = Similarity.ivfTopKIndexed(s, "graft_hyblin_ivf",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, nprobe = 16)
+        .select(col("qid"), col("nid"), col("sim").as("score"))
+      val lpath = s"${sys.props("java.io.tmpdir")}/graft_hyblin_bm25_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      graft.operators.Retrieval.writeBm25Index(docs, "doc_id", "text",
+        "graft_hyblin_bm25", lpath, buckets = 8)
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val lex = graft.operators.Retrieval.bm25TopKIndexed(s,
+          "graft_hyblin_bm25", qs, "doc_id", "qtext", k = 10)
+        .select(col("qid"), col("doc_id").as("nid"), col("score"))
+      graft.operators.Retrieval.linearFuse(
+        Seq((vec, 0.7), (lex, 0.3)), k = 5)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
     // of the lexical and vector runs — recomposed over the SERVING
     // shapes (r13 verdict #1): the vector run answers from the
@@ -2191,6 +2240,92 @@ object PipelineQueries {
                    PARTITION BY qid ORDER BY sim DESC, nid) <= 10),
          fused AS (SELECT qid, nid, sum(1.0 / (60 + rank)) AS score
                    FROM (SELECT * FROM vrr UNION ALL SELECT * FROM bmr)
+                   GROUP BY 1, 2)
+         SELECT qid, nid, round(score, 6) AS score,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         FROM fused
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) <= 5""",
+    // conjunctive semantics: same per-(qid, doc) sums, kept only when
+    // the matched-term count equals the query's distinct term count
+    "t41_bm25_conjunctive" ->
+      """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM w GROUP BY 1),
+         stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         qt AS (SELECT DISTINCT qid, term FROM (
+                  SELECT doc_id AS qid,
+                         unnest(list_slice(string_split(text, ' '), 1, 8)) AS term
+                  FROM documents WHERE doc_id < 3)),
+         need AS (SELECT qid, count(*) AS need FROM qt GROUP BY 1),
+         scored AS (
+           SELECT qt.qid, tf.doc,
+                  ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+           FROM qt JOIN tf USING (term) JOIN df USING (term)
+                JOIN dl ON tf.doc = dl.doc CROSS JOIN stats s),
+         agg AS (SELECT qid, doc AS doc_id, sum(sc) AS score,
+                        count(*) AS nt
+                 FROM scored GROUP BY 1, 2),
+         conj AS (SELECT agg.qid, doc_id, score
+                  FROM agg JOIN need ON agg.qid = need.qid
+                  WHERE agg.nt = need.need)
+         SELECT qid, doc_id, round(score, 6) AS score,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         FROM conj
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5""",
+    // weighted linear fusion over the same two runs as s28: both runs
+    // are the engine's own ROUNDED top-10 outputs, so the min-max
+    // normalization here operates on identical doubles
+    "s33_hybrid_linear" ->
+      """WITH w AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM w GROUP BY 1),
+         stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         qt AS (SELECT DISTINCT qid, term FROM (
+                  SELECT doc_id AS qid,
+                         unnest(list_slice(string_split(text, ' '), 1, 8)) AS term
+                  FROM documents WHERE doc_id < 3)),
+         scored AS (
+           SELECT qt.qid, tf.doc,
+                  ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+           FROM qt JOIN tf USING (term) JOIN df USING (term)
+                JOIN dl ON tf.doc = dl.doc CROSS JOIN stats s),
+         agg AS (SELECT qid, doc AS nid, sum(sc) AS score
+                 FROM scored GROUP BY 1, 2),
+         bmr AS (SELECT qid, nid, round(score, 6) AS score FROM (
+                   SELECT qid, nid, score, row_number() OVER (
+                     PARTITION BY qid ORDER BY score DESC, nid) AS rn
+                   FROM agg) t
+                 WHERE rn <= 10),
+         bmm AS (SELECT qid, min(score) AS mn, max(score) AS mx
+                 FROM bmr GROUP BY 1),
+         bn AS (SELECT b.qid, nid,
+                       (CASE WHEN mx = mn THEN 1.0
+                             ELSE (score - mn) / (mx - mn) END) * 0.3 AS ws
+                FROM bmr b JOIN bmm ON b.qid = bmm.qid),
+         q2 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3),
+         vsims AS (SELECT qid, e.vec_id AS nid,
+                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                   FROM q2, embeddings e WHERE e.vec_id != qid),
+         vrr AS (SELECT qid, nid, round(sim, 6) AS score FROM vsims
+                 QUALIFY row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid) <= 10),
+         vmm AS (SELECT qid, min(score) AS mn, max(score) AS mx
+                 FROM vrr GROUP BY 1),
+         vn AS (SELECT v.qid, nid,
+                       (CASE WHEN mx = mn THEN 1.0
+                             ELSE (score - mn) / (mx - mn) END) * 0.7 AS ws
+                FROM vrr v JOIN vmm ON v.qid = vmm.qid),
+         fused AS (SELECT qid, nid, sum(ws) AS score
+                   FROM (SELECT * FROM vn UNION ALL SELECT * FROM bn)
                    GROUP BY 1, 2)
          SELECT qid, nid, round(score, 6) AS score,
                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank

@@ -2076,6 +2076,73 @@ class OperatorsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("conjunctive BM25 and linear fusion: AND semantics, min-max weighting") {
+    import graft.operators.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("graft-conj").toString
+    // the max-score fixture's df split: stopwords everywhere, rare
+    // terms in 5 docs each — rare3 docs are ids ≡ 3 (mod 80)
+    val docs = spark.range(400).select($"id".as("doc_id"),
+      concat_ws(" ", lit("the"), lit("of"), lit("and"),
+        concat(lit("rare"), ($"id" % 80).cast("string")),
+        concat(lit("tok"), ($"id" % 40).cast("string"))).as("text"))
+    Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_conj",
+      s"$dir/idx", buckets = 8)
+    def ask(q: String) = {
+      val qs = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(0L, q)),
+        new org.apache.spark.sql.types.StructType()
+          .add("qid", org.apache.spark.sql.types.LongType)
+          .add("qtext", org.apache.spark.sql.types.StringType))
+      Retrieval.bm25TopKIndexed(spark, "graft_conj", qs, "qid", "qtext",
+          k = 100, matchAll = true)
+        .as[(Long, Long, Double, Int)].collect()
+    }
+    // docs matching ALL of {the, rare3}: exactly the five rare3 docs
+    val hits = ask("the rare3")
+    assert(hits.map(_._2).toSet == Set(3L, 83L, 163L, 243L, 323L), hits.toSeq)
+    // conjunctive scores are the SAME BM25 sums the disjunctive mode
+    // assigns those docs
+    val qs2 = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(0L, "the rare3")),
+      new org.apache.spark.sql.types.StructType()
+        .add("qid", org.apache.spark.sql.types.LongType)
+        .add("qtext", org.apache.spark.sql.types.StringType))
+    val disj = Retrieval.bm25TopKIndexed(spark, "graft_conj", qs2,
+        "qid", "qtext", k = 10000)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(hits.forall(h => disj(h._2) == h._3),
+      "conjunctive mode re-scored a doc")
+    // no doc holds two distinct rare terms → empty; absent term → empty
+    assert(ask("rare3 rare11").isEmpty)
+    assert(ask("the zzznotaword").isEmpty)
+    // linear fusion: hand-checkable two-run fixture
+    def run(rows: Seq[(Long, Long, Double)]) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)): _*),
+      new org.apache.spark.sql.types.StructType()
+        .add("qid", org.apache.spark.sql.types.LongType)
+        .add("nid", org.apache.spark.sql.types.LongType)
+        .add("score", org.apache.spark.sql.types.DoubleType))
+    val a = run(Seq((0L, 1L, 10.0), (0L, 2L, 5.0), (0L, 3L, 0.0)))
+    val b = run(Seq((0L, 2L, 0.9), (0L, 4L, 0.4)))
+    val fused = Retrieval.linearFuse(Seq((a, 0.5), (b, 0.5)), k = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    // a-norms: 1→1.0, 2→0.5, 3→0.0; b-norms: 2→1.0, 4→0.0
+    assert(fused(2L)._1 == 0.75 && fused(2L)._2 == 1) // 0.5*0.5 + 0.5*1.0
+    assert(fused(1L)._1 == 0.5 && fused(1L)._2 == 2)  // beats nid 4's tie? no:
+    // nid 1 = 0.5, nid 4 = 0.0, nid 3 = 0.0 → ranks 2, then 3 ties 4 by nid
+    assert(fused(3L)._2 == 3 && fused(4L)._2 == 4)
+    // degenerate run (all scores equal) normalizes to 1.0, not NaN
+    val c = run(Seq((0L, 7L, 2.0), (0L, 8L, 2.0)))
+    val f2 = Retrieval.linearFuse(Seq((c, 1.0)), k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(f2.forall(_._3 == 1.0) && f2.length == 2)
+    Seq("graft_conj", "graft_conj_dl", "graft_conj_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintainBm25Index: healthy no-op, decayed layout compacts, deletes apply") {
     import graft.operators.Retrieval
     val docs = Tables.documents(spark, sf)
