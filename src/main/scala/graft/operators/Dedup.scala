@@ -433,6 +433,32 @@ object Dedup {
       table, path, Seq("bh"), buckets)
   }
 
+  /** Append a new document batch's band-bucket rows to a persisted
+    * MinHash index — the FAISS-add posture on the dedup side, closing
+    * the recurring-crawl loop [[minhashIncremental]] probes: without
+    * this the index is frozen at build time and batch N+1 can never
+    * near-dup against batch N's accepted docs. Signatures are
+    * deterministic (seeded permutations), so build(A) + append(B) is
+    * ROW-IDENTICAL to a fresh build over A ∪ B — probing an appended
+    * index ≡ probing the fresh union index (gate-pinned, the s31
+    * conservation device). Append cost is ∝ |batch| (its shingle +
+    * signature pass — irreducible for never-seen docs). */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         newDocs: DataFrame, idCol: String, textCol: String,
+                         table: String, numPerm: Int = 32, bands: Int = 8,
+                         shingleN: Int = 3, family: String = "xxhash64",
+                         buckets: Int = 8): Unit = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val sigs = minhashSignatures(newDocs, idCol, textCol, numPerm, shingleN,
+      family)
+    val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
+    graft.engine.Bucketing.appendBucketed(
+      bandRel(sigs.select(col("id"), sigArr.as("sig")), numPerm, bands,
+        family),
+      table, Seq("bh"), buckets)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Near-dup candidates of a NEW batch against a persisted MinHash
     * index ([[writeMinhashIndex]]): the batch computes its own
     * signatures (it was never seen before — that pass is irreducible),

@@ -1200,6 +1200,30 @@ object PipelineQueries {
         numPerm = 32, bands = 8, threshold = 0.5, family = "md5")
     }),
 
+    // MinHash index append-conservation (the s31 device on the dedup
+    // side): build the band index on 60% of the corpus, append the
+    // next 20% as a crawl batch (deterministic signatures → the
+    // appended index is row-identical to a fresh build over the
+    // union), then probe with d15's fresh batch — the oracle IS d15's
+    // (its index side covers doc_id % 10 < 8 either way).
+    "d25_minhash_index_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fresh = docs.filter(col("doc_id") % 10 >= 8)
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mh_app_idx/" +
+        graft.core.Digest.md5IdScala(d)
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 10 < 6),
+        "doc_id", "text", "graft_mh_app", path,
+        numPerm = 32, bands = 8, family = "md5")
+      Dedup.appendMinhashIndex(s,
+        docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8),
+        "doc_id", "text", "graft_mh_app",
+        numPerm = 32, bands = 8, family = "md5")
+      Dedup.minhashIncremental(s, "graft_mh_app", fresh, "doc_id", "text",
+        numPerm = 32, bands = 8, threshold = 0.5, family = "md5")
+    }),
+
     // URL-canonicalization dedup: crawl-level keep-first by canonical
     // URL — tracking params/fragments stripped, host lowercased, http
     // folded to https — so the 20 delivery variants of each page
@@ -2890,6 +2914,10 @@ object PipelineQueries {
                 round(sum(lt - ls), 4) AS log_weight
          FROM tb JOIN lm USING (b)
          GROUP BY doc_id""",
+    // append conservation: build(60%) + append(20%) ≡ fresh build over
+    // the 80% — the probe result is d15's oracle exactly
+    "d25_minhash_index_append" -> minhashIncrementalOracle(numPerm = 32,
+      bands = 8, threshold = 0.5),
     "d15_minhash_incremental" -> minhashIncrementalOracle(numPerm = 32,
       bands = 8, threshold = 0.5),
     "t20_deterministic_shuffle" ->

@@ -227,6 +227,93 @@ object EventStream {
       }
       .start()
 
+  /** Streaming crawl DEDUP ingest — the loop a recurring crawl runs
+    * against the persisted MinHash band index: per micro-batch,
+    *
+    *  1. probe the batch against the index
+    *     ([[graft.operators.Dedup.minhashIncremental]] — only the
+    *     batch computes signatures, the index side streams its
+    *     co-located buckets);
+    *  2. drop batch docs that near-dup the index OR a SMALLER-ID doc
+    *     of the same batch (greedy-by-id — deterministic regardless
+    *     of partitioning or trigger boundaries, the keep-first rule
+    *     of the d16 crawl dedup);
+    *  3. append only the ACCEPTED docs' band rows
+    *     ([[graft.operators.Dedup.appendMinhashIndex]]), so batch
+    *     N+1 dedups against batch N's survivors;
+    *  4. record (id, kept, dup_of) verdicts in `table`_verdicts —
+    *     the audit relation a release pipeline joins.
+    *
+    * At-least-once redelivery is a no-op via the scoped applied-batch
+    * ledger; a redelivered batch neither duplicates index rows nor
+    * re-emits verdicts. */
+  def minhashDedupIngest(docs: DataFrame, idCol: String, textCol: String,
+                         table: String, checkpoint: String,
+                         numPerm: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5, shingleN: Int = 3,
+                         family: String = "xxhash64",
+                         buckets: Int = 8): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentMinhashDedup(batch, id, checkpoint, idCol, textCol,
+          table, numPerm, bands, threshold, shingleN, family, buckets)
+        ()
+      }
+      .start()
+
+  private[graft] def idempotentMinhashDedup(batch: DataFrame, batchId: Long,
+                                            scope: String, idCol: String,
+                                            textCol: String, table: String,
+                                            numPerm: Int, bands: Int,
+                                            threshold: Double, shingleN: Int,
+                                            family: String,
+                                            buckets: Int): Boolean =
+    idempotentAppend(batch, batchId, scope, table) { spark =>
+      import graft.operators.Dedup
+      // both helpers return |batch|-bounded PERSISTED results (the
+      // finalized() convention) — release them per trigger or a
+      // long-running stream accumulates one cache entry per batch
+      val vsIndex0 = Dedup.minhashIncremental(spark, table, batch,
+        idCol, textCol, numPerm, bands, threshold, shingleN, family)
+      val intra0 = Dedup.minhashPairs(batch, idCol, textCol, numPerm,
+        bands, threshold, shingleN, family)
+      val vsIndex = vsIndex0
+        .select(col("new_id").as("id"), col("old_id").as("dup_of"))
+      val intra = intra0
+        .select(col("id_b").as("id"), col("id_a").as("dup_of"))
+      // one row per dropped id; dup_of = its smallest matching doc
+      // (deterministic evidence pointer)
+      val drops = vsIndex.unionByName(intra)
+        .groupBy("id").agg(min(col("dup_of")).as("dup_of"))
+      // the verdicts WRITE comes FIRST and becomes the batch's durable
+      // record: the index append below calls refreshTable, which
+      // invalidates every cached plan derived from the index — a lazy
+      // consumer evaluating the probe AFTER the append would see the
+      // batch matching ITSELF and verdict everything a duplicate. The
+      // accepted set is then re-read from the written parquet, so no
+      // plan downstream of the append references the pre-append probe.
+      val verdicts = batch.select(col(idCol).as("id"))
+        .join(drops, Seq("id"), "left")
+        .select(col("id"), col("dup_of").isNull.as("kept"),
+          col("dup_of"))
+      val vt = s"${table}_verdicts"
+      if (spark.catalog.tableExists(vt))
+        verdicts.write.mode("append").format("parquet").saveAsTable(vt)
+      else
+        verdicts.write.mode("overwrite").format("parquet")
+          .option("path",
+            s"${graft.operators.Similarity.indexBasePath(spark, table)}_verdicts")
+          .saveAsTable(vt)
+      vsIndex0.unpersist(); intra0.unpersist()
+      val accepted = batch.join(
+        spark.table(vt).filter(col("kept")).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+      Dedup.appendMinhashIndex(spark, accepted, idCol, textCol, table,
+        numPerm, bands, shingleN, family, buckets)
+    }
+
   /** Recurring-crawl ANN ingest: every micro-batch of new vectors
     * appends to a persisted PQ index
     * ([[graft.operators.Similarity.appendPqIndex]] — encode against

@@ -334,6 +334,70 @@ class StreamingSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming crawl dedup ingest: cross-index, intra-batch and cross-batch dups drop") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft-mh-stream").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // base index over the first half of the corpus
+    Dedup.writeMinhashIndex(docs.filter($"doc_id" < 250), "doc_id",
+      "text", "graft_mh_ing", s"$dir/idx", buckets = 4)
+    def copyOf(src: Long, as: Long) = docs.filter($"doc_id" === src)
+      .select(lit(as).as("doc_id"), $"text")
+    // batch 1: fresh docs 250-299 + a copy of an INDEXED doc (drops
+    // vs index) + a copy of a batch-mate (drops intra-batch, greedy
+    // by id); batch 2: a copy of a batch-1 doc — drops only if the
+    // stream appended batch 1's survivors (the cross-batch loop)
+    docs.filter($"doc_id" >= 250 && $"doc_id" < 300)
+      .unionByName(copyOf(10L, 100010L))
+      .unionByName(copyOf(250L, 100250L))
+      .coalesce(1).write.parquet(s"$dir/in")
+    copyOf(260L, 100260L)
+      .unionByName(docs.filter($"doc_id" >= 300 && $"doc_id" < 320))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = EventStream.minhashDedupIngest(stream, "doc_id", "text",
+      "graft_mh_ing", checkpoint = s"$dir/ckpt", buckets = 4)
+    q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("graft_mh_ing_verdicts")
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(verdicts.length == 73, s"expected 73 verdicts, ${verdicts.length}")
+    val kept = verdicts.filter(_._2).map(_._1).toSet
+    // every planted duplicate dropped, whatever its source's own fate
+    assert(!kept(100010L) && !kept(100250L) && !kept(100260L))
+    // the index grew by exactly the accepted docs: its id set is the
+    // base ∪ kept, and its rows are IDENTICAL to a fresh build over
+    // those docs (deterministic signatures — append conservation)
+    val idxIds = spark.table("graft_mh_ing").select("id").distinct()
+      .as[Long].collect().toSet
+    assert(idxIds == (0L until 250L).toSet ++ kept)
+    val keptDocs = docs.filter($"doc_id" < 250)
+      .unionByName(docs.filter($"doc_id" >= 250 && $"doc_id" < 320)
+        .filter($"doc_id".isin(kept.toSeq: _*)))
+    Dedup.writeMinhashIndex(keptDocs, "doc_id", "text",
+      "graft_mh_ing_twin", s"$dir/twin", buckets = 4)
+    assert(spark.table("graft_mh_ing").select("id", "band", "bh")
+        .as[(Long, Int, String)].collect().toSet ==
+      spark.table("graft_mh_ing_twin").select("id", "band", "bh")
+        .as[(Long, Int, String)].collect().toSet,
+      "streamed index rows differ from a fresh build over base+kept")
+    // redelivered batch id: neither index rows nor verdicts duplicate
+    val (ni, nv) = (spark.table("graft_mh_ing").count(),
+      spark.table("graft_mh_ing_verdicts").count())
+    EventStream.idempotentMinhashDedup(
+      docs.filter($"doc_id" >= 250 && $"doc_id" < 300), batchId = 0L,
+      scope = s"$dir/ckpt", "doc_id", "text", "graft_mh_ing",
+      numPerm = 32, bands = 8, threshold = 0.5, shingleN = 3,
+      family = "xxhash64", buckets = 4)
+    assert(spark.table("graft_mh_ing").count() == ni &&
+      spark.table("graft_mh_ing_verdicts").count() == nv,
+      "redelivered batch re-applied")
+    Seq("graft_mh_ing", "graft_mh_ing_verdicts", "graft_mh_ing_batches",
+        "graft_mh_ing_twin")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("batch ledger: scoped per stream, dropped by a rebuild (ADVICE r14)") {
     import graft.operators.Similarity
     val dir = Files.createTempDirectory("graft-ledger").toString
