@@ -64,10 +64,20 @@ object MgiGenotypeSource extends GraftSource {
   def read(spark: SparkSession, dataDir: String): Map[String, DataFrame] = {
     val conf = MgiDb.conf(spark, dataDir)
     // one entry per .sql manifest file (resources/sql/mgi/*.sql shape);
-    // Derby uppercases result identifiers — normalize to the manifest's
+    // Derby uppercases result identifiers — normalize to the manifest's.
+    // Each view is persisted LAZILY: a JDBC query scan is a
+    // single-partition serial read (no split column), and the
+    // transform's multi-pass shape references several views 3-4× each —
+    // without the persist every reference re-plans its own scan and the
+    // pipeline re-reads the database dozens of times per run (guide §6:
+    // the scan is the unit to not repeat; p04's plan showed
+    // bib_acc_view/all_summary_view/gxd_genotype_view scanned 3-4×).
+    // Lazy persist costs nothing for views a pass doesn't touch; the
+    // cache is released with the session/bench clearCache.
     def view(sql: String): DataFrame = {
       val df = JdbcSource.query(spark, conf, sql)
       df.toDF(df.columns.map(_.toLowerCase): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     Map(
       "gxd_genotype_view" -> view(

@@ -46,7 +46,14 @@ object CorpusRelease {
            pctTrain: Int = 90, pctVal: Int = 5,
            pairSource: Option[DataFrame => DataFrame] = None): DataFrame = {
     require(pctTrain + pctVal <= 100, "split percentages exceed 100")
+    // Persist (lazily) — the survivors relation has THREE direct
+    // consumers (the pair source, softWeights' universe, the final
+    // join-back), each of which would otherwise replay the full
+    // content-digest window + text scan of step 1 (guide §5: reuse ⇒
+    // cache; measured 4-5 replays in the t24 plan). First action fills
+    // the cache; the session/bench cache clear releases it.
     val survivors = Dedup.priorityKeep(docs, idCol, textCol, priority)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = pairSource match {
       case Some(src) => src(survivors)
       case None => Dedup.ngramJaccardPairs(survivors, idCol, textCol, n,

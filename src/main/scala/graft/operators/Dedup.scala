@@ -157,7 +157,11 @@ object Dedup {
     // canonical order becomes (df, hash) instead of (df, shingle) — any
     // global total order is a valid PPJoin prefix order, so output is
     // unchanged.
+    // sh has two consumers (the df aggregate and the ranked join) —
+    // persist lazily so the tokenize + shingle explode + distinct runs
+    // once, not twice (released with docsArr in the finalized call)
     val sh = shingleRelHashed(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val docsArr = materialize(
       sh.join(freq, "sh")
@@ -189,7 +193,7 @@ object Dedup {
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") > threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
-      docsArr)
+      docsArr, sh)
   }
 
   /** Naive inverted-index form of [[ngramJaccardPairs]] — O(Σ df²) pair

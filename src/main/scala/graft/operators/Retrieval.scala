@@ -24,16 +24,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Retrieval {
 
-  /** Materialize a multi-consumer intermediate once (persist + eager
-    * count — the [[graft.operators.Dedup]] materialize/finalized
-    * convention): every downstream consumer plans an
-    * InMemoryTableScan instead of replaying the corpus-wide lineage. */
-  private def materialize(df: DataFrame): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    cached
-  }
-
   /** Eagerly compute the (query-bounded) result, then RELEASE the
     * corpus-sized intermediates — without this every [[bm25TopK]] call
     * leaked one corpus-sized MEMORY_AND_DISK entry for the session
@@ -68,17 +58,14 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, qidCol: String, qtextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val w = docs.select(col(idCol).as("doc"),
-      explode(TextOps.words(col(textCol))).as("term"))
-    // tf IS the inverted index — materialized for its four consumers
-    // (corpus stats, dl, df, the scored join); without the cache each
-    // one replays the corpus-wide term explode
-    val tf = materialize(
-      w.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
-    // per-doc length = Σ tf — same values as counting the explode,
-    // one corpus pass cheaper
-    val dl = tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+    // tf IS the inverted index — (term, doc, tf, dl) in one exchange
+    // with dl riding as a grouping key ([[bm25Postings]]); cached for
+    // its three consumers (corpus stats, df, the scored join). The
+    // former shape paid a separate per-doc dl aggregate plus a
+    // corpus-sized join to attach it back.
+    val tf = bm25Postings(docs, idCol, textCol)
+    val stats = tf.groupBy("doc").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
     val nDocs = stats.getDouble(0)
     val avgdl = stats.getDouble(1)
     val qt = queries.select(col(qidCol).as("qid"),
@@ -88,7 +75,6 @@ object Retrieval {
     val dfq = broadcast(tf.join(qTerms, "term")
       .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
     val scored = tf.join(qTerms, "term")
-      .join(dl, "doc")
       .join(dfq, "term")
       .join(broadcast(qt), "term")
       .select(col("qid"), col("doc"),
@@ -143,31 +129,45 @@ object Retrieval {
                      table: String, path: String, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
     Similarity.dropIndexSidecars(spark, table)
-    val tf = materialize(
-      docs.select(col(idCol).as("doc"),
-          explode(TextOps.words(col(textCol))).as("term"))
-        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    val postings = bm25Postings(docs, idCol, textCol)
     try {
-      // dl has THREE consumers at build time (the sidecar write, the
-      // postings denormalization join, the stats aggregate) — serve
-      // all three from the cache instead of re-scanning the
-      // just-written sidecar
-      val dl = materialize(
-        tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl")))
-      try {
-        dl.write.mode("overwrite").format("parquet")
-          .option("path", s"${path}_dl").saveAsTable(s"${table}_dl")
-        graft.engine.Bucketing.writeBucketed(
-          tf.join(dl, "doc")
-            .select(col("term"), col("doc"), col("tf"), col("dl")),
-          table, path, Seq("term"), buckets)
-        dl.agg(count(lit(1)).cast("double").as("n_docs"),
-            avg(col("dl")).as("avgdl"))
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"${path}_stats").saveAsTable(s"${table}_stats")
-      } finally { dl.unpersist(false); () }
-    } finally { tf.unpersist(false); () }
+      // the bucketed write is the first action — it computes the
+      // postings once and fills the cache for the sidecar derivations
+      graft.engine.Bucketing.writeBucketed(
+        postings, table, path, Seq("term"), buckets)
+      postings.groupBy("doc").agg(max(col("dl")).as("dl"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"${path}_dl").saveAsTable(s"${table}_dl")
+      // stats derive from the just-written (narrow) _dl sidecar — the
+      // same helper the append/delete paths use, so the invariant
+      // "stats ≡ aggregate of _dl minus tombstones" holds by
+      // construction on every path
+      writeBm25Stats(spark, table, path)
+    } finally { postings.unpersist(false); () }
   }
+
+  /** The (term, doc, tf, dl) posting relation of a document batch in
+    * ONE exchange: dl = Σtf is, by definition, the document's total
+    * token count — `size(words)` computed BEFORE the explode and
+    * carried through the tf aggregate as a grouping key (functionally
+    * dependent on doc, so the groups are unchanged). The former shape
+    * paid a separate per-doc aggregate plus a corpus-sized sort-merge
+    * join (dl can never broadcast at scale) — two more exchanges for a
+    * value the un-exploded row already knew (guide §2.3/§2.4). The
+    * int token count cast to double is bit-identical to the former
+    * long-sum-cast (a single document's token count bounds far below
+    * 2^31 — one row must hold its text).
+    * Returned persisted LAZILY: the caller's first action computes and
+    * caches it for the sidecar derivations; no eager count() pass. */
+  private def bm25Postings(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        TextOps.words(col(textCol)).as("ws"))
+      .select(col("doc"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc"), col("tf"), col("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Recompute (n_docs, avgdl) from the `_dl` sidecar — minus any
     * pending tombstones, because a deleted doc leaves the corpus
@@ -277,25 +277,17 @@ object Retrieval {
   def appendBm25Index(spark: SparkSession, newDocs: DataFrame,
                       idCol: String, textCol: String, table: String,
                       buckets: Int = 8): Unit = {
-    val tf = materialize(
-      newDocs.select(col(idCol).as("doc"),
-          explode(TextOps.words(col(textCol))).as("term"))
-        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    val postings = bm25Postings(newDocs, idCol, textCol)
     try {
-      val dl = materialize(
-        tf.groupBy("doc").agg(sum(col("tf")).cast("double").as("dl")))
-      try {
-        dl.write.mode("append").format("parquet")
-          .saveAsTable(s"${table}_dl")
-        graft.engine.Bucketing.appendBucketed(
-          tf.join(dl, "doc")
-            .select(col("term"), col("doc"), col("tf"), col("dl")),
-          table, Seq("term"), buckets)
-        writeBm25Stats(spark, table,
-          Similarity.indexBasePath(spark, table))
-        spark.catalog.refreshTable(table)
-      } finally { dl.unpersist(false); () }
-    } finally { tf.unpersist(false); () }
+      graft.engine.Bucketing.appendBucketed(
+        postings, table, Seq("term"), buckets)
+      postings.groupBy("doc").agg(max(col("dl")).as("dl"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_dl")
+      writeBm25Stats(spark, table,
+        Similarity.indexBasePath(spark, table))
+      spark.catalog.refreshTable(table)
+    } finally { postings.unpersist(false); () }
   }
 
   /** BM25 top-k from a PERSISTED index — identical results to

@@ -402,17 +402,26 @@ object Relational {
     "q36_approx_quantile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
+        // ONE exact-percentile buffer for all three cut points (array
+        // form) instead of three independent Percentile aggregates:
+        // each Percentile is an ObjectHashAggregate buffering a
+        // value→count map per group per partition, so the 3-column form
+        // built and merged the identical corpus-sized map three times
+        // (guide §1.2 "per-task work"). The array form evaluates all
+        // three percentages from one buffer — same interpolation
+        // arithmetic on the same sorted counts, values bit-identical.
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
             .as("approx_median"),
-          expr("percentile(l_extendedprice, 0.49)").as("lo"),
-          expr("percentile(l_extendedprice, 0.51)").as("hi"),
-          // round to 3, NOT 2: an even-count median of 2-decimal prices
-          // is an exact .xx5 midpoint — a round-half boundary where the
-          // two engines' tie directions can differ (seen at sf0.001).
-          // 3 digits puts midpoints ON the grid, off the boundary.
-          round(expr("percentile(l_extendedprice, 0.5)"), 3).as("exact_median"))
-        .filter(col("approx_median").between(col("lo"), col("hi")))
-        .select("l_returnflag", "exact_median")),
+          expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))")
+            .as("pct"))
+        .filter(col("approx_median")
+          .between(col("pct").getItem(0), col("pct").getItem(2)))
+        // round to 3, NOT 2: an even-count median of 2-decimal prices
+        // is an exact .xx5 midpoint — a round-half boundary where the
+        // two engines' tie directions can differ (seen at sf0.001).
+        // 3 digits puts midpoints ON the grid, off the boundary.
+        .select(col("l_returnflag"),
+          round(col("pct").getItem(1), 3).as("exact_median"))),
 
     // Explicit GROUPING SETS through the engine's SQL surface (the
     // arbitrary-subtotal generalization of q28's ROLLUP / q32's CUBE):
