@@ -566,8 +566,17 @@ object Dedup {
       .as("total_windows"))
     val perDoc = wins.select(col("id"), explode(col("fps")).as("fp"))
       .groupBy("fp", "id").agg(count(lit(1)).as("n"))
-    val perFp = perDoc.groupBy("fp").agg(count(lit(1)).as("ndocs"))
-    val dups = perDoc.join(perFp.filter(col("ndocs") >= 2), "fp")
+    // ndocs per fingerprint as ONE window over the (fp, id) relation —
+    // one row per distinct (fp, id), so count(*) over the fp partition
+    // IS the distinct-doc count. The former groupBy(fp) + join-back
+    // re-shuffled the relation twice (the aggregate exchange plus the
+    // sort-merge join's) for the same answer (guide §2.4: two ops keyed
+    // the same way share one exchange).
+    val dups = perDoc
+      .withColumn("ndocs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("fp")))
+      .filter(col("ndocs") >= 2)
       .groupBy("id").agg(sum("n").as("dup_windows"))
     tot.join(dups, Seq("id"), "left")
       .select(col("id").as("doc_id"),
@@ -612,13 +621,22 @@ object Dedup {
           s"ELSE cast(array() as array<struct<p:int,fp:string>>) END").as("pfs"))
       .select(col("id"), explode(col("pfs")).as("pf"))
       .select(col("id"), col("pf.p").as("p"), col("pf.fp").as("fp"))
-    val dupFps = wins.groupBy("fp")
-      .agg(count_distinct(col("id")).as("ndocs"))
-      .filter(col("ndocs") >= 2).select("fp")
-    val covered = wins.join(dupFps, "fp")
+    // "fingerprint in ≥2 distinct docs" as ONE window over wins:
+    // min(id) ≠ max(id) over the fp partition ⟺ count_distinct(id) ≥ 2.
+    // The former groupBy(fp) + join-back shuffled the |tokens|-sized
+    // wins relation twice (aggregate exchange + the join's); the window
+    // form shuffles it once and drops the join outright (guide §2.4).
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val covered = wins
+      .withColumn("mn", min(col("id")).over(wFp))
+      .withColumn("mx", max(col("id")).over(wFp))
+      .filter(col("mn") =!= col("mx"))
       .select(col("id"), explode(sequence(col("p"), col("p") + lit(w - 1)))
         .as("pos"))
       .distinct()
+      // two consumers (the keep anti-join, the removal counts) — persist
+      // lazily so the window+explode chain runs once; released below
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = base
       .select(col("id"), posexplode(col("ws")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
@@ -638,7 +656,7 @@ object Dedup {
     // result is computed — the sibling operators' materialize/finalized
     // pairing; without it repeated calls in a long session accumulate
     // cached token relations
-    finalized(result, base)
+    finalized(result, base, covered)
   }
 
   /** Connected-components clustering over a near-dup pair list — the step

@@ -674,11 +674,13 @@ object Similarity {
     import graft.functions.VecExpressions.vec_norm
     val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist)
       .withColumn("cn", vec_norm(col("cv"))))
-    val cells = cellAssignment(corpus, idCol, vecCol, cents)
-      .select(col("nid"), col("cell"))
     val codebook = pqCodebook(corpus, idCol, vecCol, dim, m, ks)
-    val encoded = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
-      .join(cells, "nid")
+    // cell rides the encode projection ([[withCellCol]] + carry) — the
+    // former pqEncode ⋈ cellAssignment joined two map-side projections
+    // of the SAME corpus rows back together (a corpus-sized sort-merge
+    // join for an attach — guide §2.4)
+    val encoded = pqEncode(withCellCol(corpus, idCol, vecCol, cents),
+      idCol, vecCol, codebook, dim, m, carry = Seq("cell"))
     ivfadcSearch(encoded, queries, idCol, vecCol, codebook, cents,
       dim, m, k, nprobe)
   }
@@ -716,10 +718,10 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .option("path", s"${path}_centroids")
       .saveAsTable(s"${table}_centroids")
-    val cells = cellAssignment(corpus, idCol, vecCol, cents)
-      .select(col("nid"), col("cell"))
     graft.engine.Bucketing.writeBucketed(
-      pqEncode(corpus, idCol, vecCol, codebook, dim, m).join(cells, "nid"),
+      // cell rides the encode projection — no corpus-sized join back
+      pqEncode(withCellCol(corpus, idCol, vecCol, cents),
+        idCol, vecCol, codebook, dim, m, carry = Seq("cell")),
       table, path, Seq("cell"), buckets)
     stampBuildGen(spark, table, s"${table}_centroids")
     spark.catalog.refreshTable(table)
@@ -743,11 +745,10 @@ object Similarity {
       .withColumn("cn", vec_norm(col("cv"))))
     val codebook = graft.engine.Bucketing
       .readBucketed(spark, s"${table}_codebook")
-    val cells = cellAssignment(newVectors, idCol, vecCol, cents)
-      .select(col("nid"), col("cell"))
     graft.engine.Bucketing.appendBucketed(
-      pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
-        .join(cells, "nid"),
+      // cell rides the encode projection — no batch-sized join back
+      pqEncode(withCellCol(newVectors, idCol, vecCol, cents),
+        idCol, vecCol, codebook, dim, m, carry = Seq("cell")),
       table, Seq("cell"), buckets)
     spark.catalog.refreshTable(table)
   }
@@ -844,8 +845,9 @@ object Similarity {
   private[graft] def residualCodes(resid: DataFrame, codebook: DataFrame,
                                    cents: DataFrame, dim: Int, m: Int): DataFrame = {
     import graft.functions.VecExpressions.vec_dot
-    pqEncode(resid, "nid", "rv", codebook, dim, m)
-      .join(resid.select(col("nid"), col("cell")), "nid")
+    // resid already carries its cell — ride it through the encode
+    // instead of joining the (corpus-sized) residual relation to itself
+    pqEncode(resid, "nid", "rv", codebook, dim, m, carry = Seq("cell"))
       .join(broadcast(centroidSlices(cents, dim, m)), Seq("cell", "nsub"))
       .join(broadcast(codebook.select(col("sub").as("nsub"),
         col("cid").as("code"), col("cv").as("cbv"))), Seq("nsub", "code"))
@@ -1534,7 +1536,11 @@ object Similarity {
                     nlist: Int = 16, threshold: Double = 0.9): DataFrame = {
     import graft.functions.VecExpressions.vec_dot
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    // both self-join sides consume the assignment — persist (lazily) so
+    // the corpus scan + argmax + norm projection computes once, not once
+    // per join branch (released with the session/bench cache clear)
     val assigned = cellAssignment(widen(corpus), idCol, vecCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("nid").as("id_a"), col("cell"),
       col("csim").as("ca"), col("nv").as("va"), col("nn").as("na"))
     val b = assigned.select(col("nid").as("id_b"), col("cell").as("cellb"),
@@ -1721,7 +1727,8 @@ object Similarity {
     * the argmin itself is identical (same d2 arithmetic, same
     * (d2, cid) tie order, gate-hash-verified). */
   private def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-                       codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+                       codebook: DataFrame, dim: Int, m: Int,
+                       carry: Seq[String] = Nil): DataFrame = {
     import graft.functions.VecExpressions.vec_pq_codes
     val sub = dim / m
     val local = codebook
@@ -1735,15 +1742,39 @@ object Similarity {
         .map(r => (r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
     }
     require(bySub.forall(_.nonEmpty), s"codebook missing a subspace (m=$m)")
+    // `carry` columns of the input ride through the encode projection
+    // and the explode — the device that lets a caller attach per-vector
+    // attributes (the IVF cell) WITHOUT a corpus-sized join back on nid
+    // (two exchanges + two sorts for rows the same scan already held —
+    // guide §2.4).
+    val carryCols = carry.map(col)
     // the codes array is PROJECTED below the explode (generator
     // expressions evaluate interpreted — the shingleRel discipline)
-    widen(corpus.select(col(idCol).as("nid"), numVec(corpus, vecCol).as("v")))
-      .select(col("nid"), vec_pq_codes(col("v"), m, sub,
+    widen(corpus.select(col(idCol).as("nid") +: numVec(corpus, vecCol).as("v")
+        +: carryCols: _*))
+      .select(col("nid") +: vec_pq_codes(col("v"), m, sub,
         bySub.map(_.map(_._1)), bySub.map(_.map(_._2)),
-        bySub.map(_.map(_._3))).as("cs"))
-      .select(col("nid"), posexplode(col("cs")).as(Seq("nsub", "c")))
-      .select(col("nid"), col("nsub"), col("c.code").as("code"),
-        col("c.codeN2").as("codeN2"))
+        bySub.map(_.map(_._3))).as("cs") +: carryCols: _*)
+      .select(col("nid") +: posexplode(col("cs")).as(Seq("nsub", "c"))
+        +: carryCols: _*)
+      .select(col("nid") +: col("nsub") +: col("c.code").as("code")
+        +: col("c.codeN2").as("codeN2") +: carryCols: _*)
+  }
+
+  /** The corpus with its IVF cell attached as ONE map-side projection
+    * (the [[cellAssignment]] literal argmax riding next to the original
+    * columns) — the input shape that lets [[pqEncode]] carry `cell`
+    * through the encode instead of joining the corpus to itself. */
+  private def withCellCol(corpus: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame): DataFrame = {
+    import graft.functions.VecExpressions.vec_best_cell
+    val local = collectCentroids(cents)
+    require(local.nonEmpty && local.length <= 4096,
+      s"centroid table must be driver-bounded, got ${local.length}")
+    corpus.select(col(idCol), col(vecCol),
+      vec_best_cell(numVec(corpus, vecCol),
+        local.map(_._1), local.map(_._2.toArray), local.map(_._3))
+        .getField("cell").as("cell"))
   }
 
   /** ADC search over precomputed codes: the query-side distance tables

@@ -884,8 +884,13 @@ object TextOps {
         col("keep").cast("int").cast("double").as("y"),
         col("tr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTrain = feats.filter(col("tr")).count().toDouble
-    val nVal = feats.filter(!col("tr")).count().toDouble
+    // one aggregate action for both split sizes (two filter+count jobs
+    // would each pass the cache; this is also the action that fills it)
+    val cnts = feats.agg(
+      sum(when(col("tr"), 1L).otherwise(0L)),
+      sum(when(!col("tr"), 1L).otherwise(0L))).head()
+    val nTrain = cnts.getLong(0).toDouble
+    val nVal = cnts.getLong(1).toDouble
     require(nTrain > 0, "quality classifier: empty training split")
     require(!holdout || nVal > 0,
       "quality classifier: empty validation split — corpus too small " +

@@ -280,14 +280,18 @@ class PlansSpec extends SparkSpec {
     assert(!planStr(plan).contains("Join"), planStr(plan).take(800))
   }
 
-  test("duplicate span removal plan: aggregates + one anti join, no window") {
+  test("duplicate span removal plan: fp-partitioned window, no global funnel") {
     import graft.operators.Dedup
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Dedup.removeDuplicateSpans(docs, "doc_id", "text", w = 5)
-    // dup-fp aggregate, coverage distinct, rebuild aggregate and the
-    // final assembly joins — all hash-partitioned; a Window (global or
-    // per-doc sort via window) would serialize the rebuild
-    assert(!planStr(plan).contains("Window"), planStr(plan).take(1200))
+    // "fingerprint in ≥2 docs" is ONE window over the fp partition
+    // (min(id) ≠ max(id)) — hash-partitioned by the high-cardinality
+    // fingerprint, so nothing serializes; the former groupBy(fp) +
+    // join-back shuffled the |tokens|-sized wins relation twice. The
+    // serialization hazard a window can introduce is a GLOBAL
+    // (unpartitioned) sort — pin its absence via SinglePartition.
+    assert(planStr(plan).contains("Window"), planStr(plan).take(1200))
+    assert(!planStr(plan).contains("SinglePartition"), planStr(plan).take(1200))
     assert(planStr(plan).contains("LeftAnti"), planStr(plan).take(1200))
     assert(planStr(plan).contains("partial_count"), planStr(plan).take(1200))
   }
