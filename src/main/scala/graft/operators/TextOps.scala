@@ -153,6 +153,10 @@ object TextOps {
       .select(col("id"), col("chunk_no"),
         array_join(slice(col("ws"), col("start"), lit(chunkWords)), " ")
           .as("chunk"))
+      // two consumers (the keep-first window chain, the per-doc chunk
+      // counts) — persist lazily so the tokenize + chunk explode runs
+      // once (released with the session/bench cache clear)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstWin = Window.partitionBy(col("chunk"))
       .orderBy(col("id").asc, col("chunk_no").asc)
     val kept = chunks
@@ -249,10 +253,17 @@ object TextOps {
   }
 
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = docs.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
-    val freq = w.groupBy("w").agg(count(lit(1)).as("wn"))
-    val total = freq.agg(sum("wn").as("tot"))
-    w.join(freq, "w")
+    // corpus-wide occurrence count = count of token rows (Σ wn over the
+    // dictionary — same long, one aggregate instead of two chained)
+    val total = w.agg(count(lit(1)).as("tot"))
+    // wn as ONE window over the token relation — the former dictionary
+    // aggregate joined BACK onto the tokens (corpus-sized sort-merge:
+    // the dictionary can never broadcast at scale) shuffled the token
+    // relation twice for a value the w-partition already holds
+    // (guide §2.4). Counts identical.
+    w.withColumn("wn", count(lit(1)).over(Window.partitionBy("w")))
       .crossJoin(broadcast(total))
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
@@ -275,10 +286,16 @@ object TextOps {
       explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => concat_ws(" ", element_at(col("w"), i),
           element_at(col("w"), i + 1)))).as("bg"))
-    val freq = bg.groupBy("bg").agg(count(lit(1)).as("bn"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val pref = freq.groupBy("w1").agg(sum("bn").as("pn"))
-    bg.join(freq, "bg").join(pref, "w1")
+    // bigram count and prefix mass as TWO windows over the bigram
+    // relation (bn = rows sharing the bigram; pn = Σ bn over the prefix
+    // = rows sharing the first word) — the former freq/pref aggregates
+    // joined back shuffled the corpus-sized bigram relation three times
+    // and added two dictionary-sized sort-merge joins (guide §2.4).
+    // Counts identical.
+    import org.apache.spark.sql.expressions.Window
+    bg.withColumn("bn", count(lit(1)).over(Window.partitionBy("bg")))
+      .withColumn("pn", count(lit(1)).over(
+        Window.partitionBy(split(col("bg"), " ").getItem(0))))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("bn").cast("double") / col("pn"))), 4).as("logprob"))
@@ -319,12 +336,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = docs.select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
     val tf = w.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val df = w.select("id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val win = Window.partitionBy("id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    // df as ONE window over the tf relation (one row per distinct
+    // (id, term), so count(*) over the term partition IS the document
+    // frequency) — the former distinct + dictionary aggregate replayed
+    // the token explode a second time and joined back with a
+    // corpus-sized sort-merge (guide §2.4). Counts identical.
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))

@@ -725,7 +725,10 @@ object PipelineQueries {
       val merges = TextOps.bpeMerges(docs, "text", nMerges = 4)
         .orderBy("step").select("left", "right")
         .as[(String, String)].collect().toSeq
+      // two consumers (the vocab aggregate collect, the token-id join) —
+      // persist lazily so the per-token merge fold runs once
       val enc = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vocabLocal = enc.groupBy(col("token"))
         .agg(count(lit(1)).as("freq"))
         .as[(String, Long)].collect()

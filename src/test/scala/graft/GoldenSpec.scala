@@ -194,7 +194,11 @@ class GoldenSpec extends SparkSpec {
     val missing = expected -- nt
     assert(missing.isEmpty, s"missing golden lines: $missing")
     // sub-threshold and unmapped endpoints contribute nothing
-    assert(!nt.exists(_.contains("5566")) && !nt.exists(_.contains("ENSP3")))
+    // match the full tokens, not bare digits: the dataset-metadata graph
+    // carries dcat:downloadURL file://<random temp dir>, whose random
+    // digits can contain "5566" by chance (observed flake ~1.6e-3/run)
+    assert(!nt.exists(_.contains("NCBIGene:5566")) &&
+      !nt.exists(_.contains("9606.ENSP3")))
     // the symmetric row produced no reversed-direction association
     val revAid = "_:" + Digest.md5IdScala(
       "EX:string+NCBIGene:1029+RO:0002434+NCBIGene:1017")
