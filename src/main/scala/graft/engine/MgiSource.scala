@@ -77,7 +77,6 @@ object MgiGenotypeSource extends GraftSource {
     def view(sql: String): DataFrame = {
       val df = JdbcSource.query(spark, conf, sql)
       df.toDF(df.columns.map(_.toLowerCase): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     Map(
       "gxd_genotype_view" -> view(

@@ -253,17 +253,18 @@ object TextOps {
   }
 
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Shape deliberately kept as dictionary-aggregate + join-back (NOT a
+    // count window over the token relation): the r15 optimization round
+    // tried the window form and MEASURED it slower in-bench (0.82 →
+    // 1.33 s at sf0.1) — AQE broadcast-joins the dictionary aggregate at
+    // runtime, so this shape shuffles only map-side-combined dictionary
+    // rows, never the full token relation; the window form forces a
+    // token-relation exchange + sort (guide §1.1: empirical beats the
+    // "ideal" plan).
     val w = docs.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
-    // corpus-wide occurrence count = count of token rows (Σ wn over the
-    // dictionary — same long, one aggregate instead of two chained)
-    val total = w.agg(count(lit(1)).as("tot"))
-    // wn as ONE window over the token relation — the former dictionary
-    // aggregate joined BACK onto the tokens (corpus-sized sort-merge:
-    // the dictionary can never broadcast at scale) shuffled the token
-    // relation twice for a value the w-partition already holds
-    // (guide §2.4). Counts identical.
-    w.withColumn("wn", count(lit(1)).over(Window.partitionBy("w")))
+    val freq = w.groupBy("w").agg(count(lit(1)).as("wn"))
+    val total = freq.agg(sum("wn").as("tot"))
+    w.join(freq, "w")
       .crossJoin(broadcast(total))
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
@@ -286,16 +287,14 @@ object TextOps {
       explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => concat_ws(" ", element_at(col("w"), i),
           element_at(col("w"), i + 1)))).as("bg"))
-    // bigram count and prefix mass as TWO windows over the bigram
-    // relation (bn = rows sharing the bigram; pn = Σ bn over the prefix
-    // = rows sharing the first word) — the former freq/pref aggregates
-    // joined back shuffled the corpus-sized bigram relation three times
-    // and added two dictionary-sized sort-merge joins (guide §2.4).
-    // Counts identical.
-    import org.apache.spark.sql.expressions.Window
-    bg.withColumn("bn", count(lit(1)).over(Window.partitionBy("bg")))
-      .withColumn("pn", count(lit(1)).over(
-        Window.partitionBy(split(col("bg"), " ").getItem(0))))
+    // Shape deliberately kept as dictionary aggregates + join-back (see
+    // unigramLogProb — the r15 window form measured slower in-bench:
+    // AQE broadcasts both dictionary relations at runtime, so the
+    // bigram relation itself is never shuffled).
+    val freq = bg.groupBy("bg").agg(count(lit(1)).as("bn"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val pref = freq.groupBy("w1").agg(sum("bn").as("pn"))
+    bg.join(freq, "bg").join(pref, "w1")
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("bn").cast("double") / col("pn"))), 4).as("logprob"))
@@ -334,17 +333,17 @@ object TextOps {
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Shape deliberately kept as distinct + dictionary aggregate +
+    // join-back (see unigramLogProb — the r15 window-over-term form
+    // measured slower in-bench, 1.44 → 1.68 s: AQE broadcasts df).
     val w = docs.select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
     val tf = w.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = w.select("id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val win = Window.partitionBy("id")
       .orderBy(col("score").desc, col("term").asc)
-    // df as ONE window over the tf relation (one row per distinct
-    // (id, term), so count(*) over the term partition IS the document
-    // frequency) — the former distinct + dictionary aggregate replayed
-    // the token explode a second time and joined back with a
-    // corpus-sized sort-merge (guide §2.4). Counts identical.
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
