@@ -65,15 +65,16 @@ object MgiGenotypeSource extends GraftSource {
     val conf = MgiDb.conf(spark, dataDir)
     // one entry per .sql manifest file (resources/sql/mgi/*.sql shape);
     // Derby uppercases result identifiers — normalize to the manifest's.
-    // Each view is persisted LAZILY: a JDBC query scan is a
-    // single-partition serial read (no split column), and the
-    // transform's multi-pass shape references several views 3-4× each —
-    // without the persist every reference re-plans its own scan and the
-    // pipeline re-reads the database dozens of times per run (guide §6:
-    // the scan is the unit to not repeat; p04's plan showed
-    // bib_acc_view/all_summary_view/gxd_genotype_view scanned 3-4×).
-    // Lazy persist costs nothing for views a pass doesn't touch; the
-    // cache is released with the session/bench clearCache.
+    // The views are NOT persisted here: per-view caching was tried in
+    // r15 and measured SLOWER under the bench's own methodology
+    // (cached 11.67 s vs uncached 8.44 s min-of-passes — rebuilding 17
+    // cached views per run costs more than warm embedded-Derby rescans
+    // save at this scale; against a remote production Postgres the
+    // trade reverses, which stays a deployment note). The rescan dedup
+    // is handled STRUCTURALLY in [[transform]] instead (r16): the
+    // multi-consumer DERIVED relations persist lazily and the
+    // double-consumed emit branches were merged, so each view is
+    // scanned a bounded number of times per run.
     def view(sql: String): DataFrame = {
       val df = JdbcSource.query(spark, conf, sql)
       df.toDF(df.columns.map(_.toLowerCase): _*)
@@ -119,13 +120,26 @@ object MgiGenotypeSource extends GraftSource {
     import spark.implicits._
     val localTt = tt
 
-    val genoDim = in("gxd_genotype_view").select(
+    // Multi-consumer relations persist LAZILY (r16, guide §2.4/§5):
+    // every reference below re-plans its whole subtree, so a relation
+    // consumed k times re-ran its serial JDBC scans and joins k times —
+    // p04's r15 plan carried 118 scans for 17 views. Caching the raw
+    // views was tried in r15 and measured slower (see read()); caching
+    // the narrower DERIVED dims and fact joins keeps the rescan dedup
+    // without 17 rebuilt view caches. All lazy — the single final
+    // action's first pass over each fills it — and released with the
+    // session/bench clearCache (the transform returns a lazy relation,
+    // so it cannot know when its consumer is done).
+    def shared(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val genoDim = shared(in("gxd_genotype_view").select(
       col("genotype_key"), col("mgiid").as("gt"),
-      col("strain_key"), col("strain"))
-    val alleleDim = in("all_summary_view")
+      col("strain_key"), col("strain")))
+    val alleleDim = shared(in("all_summary_view")
       .filter(col("preferred") === 1)
       .select(col("object_key"), col("mgiid").as("aid"),
-        col("short_description"), col("description"))
+        col("short_description"), col("description")))
 
     // genotype individuals + internal-id strain backgrounds
     // (_process_gxd_genotype_view; strain ids are the reference's
@@ -179,25 +193,32 @@ object MgiGenotypeSource extends GraftSource {
       }
       .toDF("gt", "vslc", "vlabel", "a1id", "a2id", "zyg")
 
-    val vslcTriples = pairs
-      .as[(String, String, String, Option[String], Option[String], String)]
-      .flatMap { case (_, vslc, vlabel, a1id, a2id, zyg) =>
-        Model.addType(vslc, Vocab.vslc) ++
-          Model.addLabel(vslc, vlabel) ++
-          (a1id.toSeq ++ a2id.toSeq)
-            .map(Triple.res(vslc, Vocab.hasVariantPart, _)) :+
-          Triple.res(vslc, Vocab.hasZygosity, zyg)
-      }
-
-    // GVC assembly: the geno_hash pass (MGI.py:1041-1085) as one
-    // aggregation — multi-VSLC genotypes mint a digest GVC over the
-    // sorted VSLC ids; single-VSLC genotypes retype the VSLC
-    val gvcTriples = pairs
+    // VSLC + GVC assembly in ONE pass over the pair relation (r16,
+    // guide §2.4): the former two consumers — a per-row VSLC flatMap
+    // and the geno_hash aggregation (MGI.py:1041-1085) — each replayed
+    // the pair join subtree; collecting the full pair rows per genotype
+    // lets one aggregate feed both emit groups. Group sizes are bounded
+    // by alleles-per-genotype (single digits). Set-equivalent to the
+    // former two branches: the final dropDuplicates collapses emission
+    // multiplicity, `vs` is the identical sorted collect_set, and the
+    // VSLC triples are emitted once per collected pair row exactly as
+    // the per-row flatMap did.
+    val vslcAndGvcTriples = pairs
       .groupBy(col("gt"))
-      .agg(sort_array(collect_set(struct(col("vslc"), col("vlabel")))).as("vs"))
-      .as[(String, Seq[(String, String)])]
-      .flatMap { case (gt, vs) =>
-        if (vs.size > 1) {
+      .agg(sort_array(collect_set(struct(col("vslc"), col("vlabel")))).as("vs"),
+        collect_list(struct(col("vslc"), col("vlabel"), col("a1id"),
+          col("a2id"), col("zyg"))).as("rows"))
+      .as[(String, Seq[(String, String)],
+           Seq[(String, String, Option[String], Option[String], String)])]
+      .flatMap { case (gt, vs, rows) =>
+        val vslcTs = rows.flatMap { case (vslc, vlabel, a1id, a2id, zyg) =>
+          Model.addType(vslc, Vocab.vslc) ++
+            Model.addLabel(vslc, vlabel) ++
+            (a1id.toSeq ++ a2id.toSeq)
+              .map(Triple.res(vslc, Vocab.hasVariantPart, _)) :+
+            Triple.res(vslc, Vocab.hasZygosity, zyg)
+        }
+        val gvcTs = if (vs.size > 1) {
           val joined = vs.map(_._1).mkString("-").replaceAll("[_:]", "")
           val gvcId = "_:" + Digest.md5IdScala(joined)
           val gvcLabel = vs.map(_._2).mkString("; ")
@@ -209,14 +230,15 @@ object MgiGenotypeSource extends GraftSource {
           Model.addType(vs.head._1, Vocab.gvc) :+
             Triple.res(gt, Vocab.hasVariantPart, vs.head._1)
         }
+        vslcTs ++ gvcTs
       }
 
     // publications: J-number idhash first pass, PMID / MGI-id
     // equivalence second pass (two passes over one cached scan in the
     // reference; one scan + a broadcast self-join here)
     val bib = in("bib_acc_view")
-    val jNumbers = bib.filter(col("prefixpart") === "J:")
-      .select(col("object_key"), col("accid").as("jid"))
+    val jNumbers = shared(bib.filter(col("prefixpart") === "J:")
+      .select(col("object_key"), col("accid").as("jid")))
     val jTriples = jNumbers.as[(Int, String)]
       .flatMap(j => Model.addType(j._2, Vocab.publication))
     val pubTriples = bib
@@ -240,9 +262,9 @@ object MgiGenotypeSource extends GraftSource {
 
     // marker idhash (_process_mrk_acc_view MGI.py:1738-1776): preferred
     // MGI-prefixed accession per marker key; dimension → broadcast
-    val markerDim = in("mrk_acc_view")
+    val markerDim = shared(in("mrk_acc_view")
       .filter(col("preferred") === 1 && col("prefixpart") === "MGI:")
-      .select(col("object_key").as("marker_key"), col("accid").as("mid"))
+      .select(col("object_key").as("marker_key"), col("accid").as("mid")))
 
     // _process_all_allele_view (MGI.py:750-915), scoped to the
     // variant/reference-locus typing + seq-alteration chain: allele
@@ -253,7 +275,7 @@ object MgiGenotypeSource extends GraftSource {
     // label-collision HACK (allele label == marker label → seqalt
     // collapses onto the allele, MGI.py:858-872) needs the unported
     // mrk_marker_view label hash and is intentionally absent.
-    val allele2 = in("all_allele_view")
+    val allele2 = shared(in("all_allele_view")
       .join(broadcast(alleleDim.select(
         col("object_key").as("allele_key"), col("aid"))), Seq("allele_key"))
       .join(broadcast(markerDim), Seq("marker_key"), "left")
@@ -265,7 +287,7 @@ object MgiGenotypeSource extends GraftSource {
         lit(true).as("strainKnown")).dropDuplicates("strain_key")),
         Seq("strain_key"), "left")
       .select(col("allele_key"), col("aid"), col("mid"), col("strain_key"),
-        col("strainKnown"), col("symbol"), col("name"), col("iswildtype"))
+        col("strainKnown"), col("symbol"), col("name"), col("iswildtype")))
 
     val alleleLocusTriples = allele2
       .as[(Int, String, Option[String], Int, Option[Boolean], String,
@@ -325,8 +347,8 @@ object MgiGenotypeSource extends GraftSource {
     // _process_voc_annot_view (MGI.py:1158-1287): four consumed
     // annotation types. 'norm' qualifier rows are measured-but-normal →
     // skipped; DO/Genotype NOT-qualifier (key 1614157) skipped.
-    val annots = in("voc_annot_view")
-      .filter(coalesce(col("qualifier"), lit("")) =!= "norm")
+    val annots = shared(in("voc_annot_view")
+      .filter(coalesce(col("qualifier"), lit("")) =!= "norm"))
     val gtAnnots = annots
       .filter(col("annottype").isin(
         "Mammalian Phenotype/Genotype", "DO/Genotype") &&
@@ -340,12 +362,12 @@ object MgiGenotypeSource extends GraftSource {
       .join(broadcast(alleleDim.select(
         col("object_key"), col("aid").as("sub"))), Seq("object_key"))
       .select(col("annot_key"), col("annottype"), col("sub"), col("accid"))
-    val annotAssoc = gtAnnots.unionByName(alleleAnnots)
+    val annotAssoc = shared(gtAnnots.unionByName(alleleAnnots)
       .withColumn("rel",
         when(col("annottype") === "Mammalian Phenotype/Genotype",
           lit(Vocab.hasPhenotype)).otherwise(lit(Vocab.isModelOf)))
       .withColumn("assoc", concat(lit("_:"),
-        Digest.assocIdMd5("EX:mgi", col("sub"), col("rel"), col("accid"))))
+        Digest.assocIdMd5("EX:mgi", col("sub"), col("rel"), col("accid")))))
 
     // the MP phenotype class is declared BEFORE the genotype lookup in
     // the reference (MGI.py:1221-1224) — it lands even when the
@@ -382,14 +404,30 @@ object MgiGenotypeSource extends GraftSource {
     // per captured annotation, MP-Sex-Specificity qualifier. Annotations
     // and evidence are both fact relations at MGI scale — this is a
     // shuffle equi-join on annot_key, NOT a broadcast.
+    // evidence + note emission in ONE pass (r16, guide §2.4): the
+    // former separate noteTriples branch replayed the whole
+    // annots→annotAssoc→evidence chain (including its dropDuplicates
+    // shuffle and the fact⋈fact equi-join) just to re-derive the
+    // (annotevidence_key, assoc) pairs the evidence relation already
+    // held. The notes view (_process_mgi_note_vocevidence_view,
+    // MGI.py:2030-2072) left-joins onto evidence instead and both
+    // triple groups emit from one flatMap — set-equivalent: a null/
+    // absent note emits no description (exactly the former inner
+    // join), and any join-multiplicity duplication collapses in the
+    // final dropDuplicates.
     val evidence = in("evidence_view")
       .join(annotAssoc.select(col("annot_key"), col("assoc"))
         .dropDuplicates("annot_key", "assoc"), Seq("annot_key"))
       .select(col("annotevidence_key"), col("assoc"), col("evidencecode"),
         col("jnumid"), col("term"), col("value"))
-    val evidenceTriples = evidence
-      .as[(Int, String, String, String, String, String)]
-      .flatMap { case (_, assoc, code, jnum, term, value) =>
+    val evidenceAndNoteTriples = evidence
+      .join(in("mgi_note_vocevidence_view")
+        .withColumnRenamed("object_key", "annotevidence_key"),
+        Seq("annotevidence_key"), "left")
+      .select(col("annotevidence_key"), col("assoc"), col("evidencecode"),
+        col("jnumid"), col("term"), col("value"), col("note"))
+      .as[(Int, String, String, String, String, String, Option[String])]
+      .flatMap { case (_, assoc, code, jnum, term, value, note) =>
         val eco = localTt.resolve(code, mandatory = false)
         graft.emit.Reference.triples(jnum) ++
           Model.addTriple(assoc, Vocab.hasEvidence, eco) ++
@@ -397,21 +435,9 @@ object MgiGenotypeSource extends GraftSource {
           (if (term == "MP-Sex-Specificity" && (value == "M" || value == "F"))
              Model.addSexSpecificity(assoc,
                localTt.resolve(value, mandatory = false))
-           else Nil)
-      }
-
-    // _process_mgi_note_vocevidence_view (MGI.py:2030-2072): free-text
-    // description through the notes→evidence→annot chain; again a
-    // fact⋈fact equi-join on the evidence key
-    val noteTriples = in("mgi_note_vocevidence_view")
-      .join(evidence.select(
-        col("annotevidence_key").as("object_key"), col("assoc"))
-        .dropDuplicates("object_key", "assoc"), Seq("object_key"))
-      .select(col("assoc"), col("note"))
-      .as[(String, String)]
-      .flatMap { case (assoc, note) =>
-        Option(note).map(_.trim).filter(_.nonEmpty).toSeq
-          .flatMap(Model.addDescription(assoc, _))
+           else Nil) ++
+          note.map(_.trim).filter(_.nonEmpty).toSeq
+            .flatMap(Model.addDescription(assoc, _))
       }
 
     // ---- depth wave 2: marker dictionary + equivalences, strain
@@ -425,7 +451,7 @@ object MgiGenotypeSource extends GraftSource {
     // (the reference's markers['classes'/'indiv'] lists) feeds the two
     // equivalence passes and the location tier as a broadcast dimension.
     val unknownTaxa = Set("Not Applicable", "Not Specified")
-    val markerRows = in("mrk_marker_view")
+    val markerRows = shared(in("mrk_marker_view")
       .filter(col("marker_status_key") =!= 2 && col("organism_key") === 1)
       .join(broadcast(markerDim), Seq("marker_key"))
       .select(col("marker_key"), col("mid"), col("symbol"), col("name"),
@@ -441,7 +467,7 @@ object MgiGenotypeSource extends GraftSource {
         (mk, mid, symbol, name, mapped, isClass, taxon)
       }
       .toDF("marker_key", "mid", "symbol", "name", "mtype", "isclass",
-        "taxon")
+        "taxon"))
 
     val markerTriples = markerRows
       .as[(Int, String, String, String, String, Boolean, String)]
@@ -524,10 +550,10 @@ object MgiGenotypeSource extends GraftSource {
     // in the LABEL slot and the taxon as the type — an argument-order
     // slip; the docstring's triples are emitted here.)
     val strainAcc = in("prb_strain_acc_view")
-    val strainIdDim = strainAcc
+    val strainIdDim = shared(strainAcc
       .filter(col("logicaldb_key") === 1 && col("prefixpart") === "MGI:" &&
         col("preferred") === 1)
-      .select(col("object_key").as("strain_key"), col("accid").as("sid"))
+      .select(col("object_key").as("strain_key"), col("accid").as("sid")))
     val strainDeclTriples = strainIdDim.as[(Int, String)]
       .flatMap { case (_, sid) =>
         Model.individualTriples(sid, null, Some("GENO:0000719")) ++
@@ -691,11 +717,11 @@ object MgiGenotypeSource extends GraftSource {
 
     // the reference's graph store is a set (rdflib.Graph) — dedup here
     // so repeated strain/pub patterns collapse exactly once
-    genoTriples.union(alleleTriples).union(vslcTriples)
-      .union(gvcTriples).union(jTriples).union(pubTriples)
+    genoTriples.union(alleleTriples).union(vslcAndGvcTriples)
+      .union(jTriples).union(pubTriples)
       .union(alleleLocusTriples).union(mutationTriples)
       .union(mpClassTriples).union(annotTriples).union(mcvTriples)
-      .union(evidenceTriples).union(noteTriples)
+      .union(evidenceAndNoteTriples)
       .union(markerTriples).union(summaryEquivTriples)
       .union(accEquivTriples).union(strainDeclTriples)
       .union(strainEquivTriples).union(strainViewTriples)

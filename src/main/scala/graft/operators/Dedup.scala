@@ -70,16 +70,23 @@ object Dedup {
     * the most expensive map stage of the whole operator on 1-2 cores. */
   private def widen(df: DataFrame): DataFrame = ScanStats.widen(df)
 
-  /** Distinct (id, shingle) exploded relation. Tokenization is projected
-    * BELOW the explode so it runs once per document inside whole-stage
-    * codegen — see [[TextOps.shinglesOfWords]] for why inlining it into
-    * the generator is quadratic. */
-  private def shingleRel(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame =
+  /** PRE-distinct (id, shingle) exploded relation — the raw tokenize +
+    * shingle-explode pass both Jaccard keyings derive from (the seam
+    * [[recallAudit]] shares so one corpus pass feeds both the exact and
+    * the MinHash graders). Tokenization is projected BELOW the explode
+    * so it runs once per document inside whole-stage codegen — see
+    * [[TextOps.shinglesOfWords]] for why inlining it into the generator
+    * is quadratic. */
+  private def shingleRelRaw(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
     widen(docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), TextOps.words(col("text")).as("w"))
       .select(col("id"), explode(TextOps.shinglesOfWords(col("w"), n)).as("sh"))
-      .distinct()
+
+  /** Distinct (id, shingle) exploded relation. */
+  private def shingleRel(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    shingleRelRaw(docs, idCol, textCol, n).distinct()
 
   /** [[shingleRel]] with shingles xxhash64-projected to longs BEFORE the
     * dedup shuffle: the distinct — the widest shuffle of the Jaccard
@@ -90,12 +97,11 @@ object Dedup {
     * [[ngramJaccardPairs]]). */
   private def shingleRelHashed(docs: DataFrame, idCol: String, textCol: String,
                                n: Int): DataFrame =
-    widen(docs.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), TextOps.words(col("text")).as("w"))
-      .select(col("id"),
-        explode(TextOps.shinglesOfWords(col("w"), n)).as("sh0"))
-      .select(col("id"), xxhash64(col("sh0")).as("sh"))
-      .distinct()
+    hashedDistinct(shingleRelRaw(docs, idCol, textCol, n))
+
+  /** The exact pass's keying of a [[shingleRelRaw]] relation. */
+  private def hashedDistinct(raw: DataFrame): DataFrame =
+    raw.select(col("id"), xxhash64(col("sh")).as("sh")).distinct()
 
   /** Materialize a multi-consumer intermediate once: persist with lineage
     * kept (cluster-safe — a lost executor recomputes from lineage, where
@@ -138,7 +144,14 @@ object Dedup {
     * this run at corpus scale.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsOn(shingleRelHashed(docs, idCol, textCol, n), threshold)
+
+  /** [[ngramJaccardPairs]] over a pre-built hashed-distinct shingle
+    * relation — the seam that lets [[recallAudit]] feed both graded
+    * passes from one shared tokenization (r15 verdict item 3). */
+  private def ngramJaccardPairsOn(sh0: DataFrame,
+                                  threshold: Double): DataFrame = {
     // Doc-level shape: one row per document carrying its distinct shingles
     // in global rarest-first canonical order (corpus frequency, shingle).
     // This single aggregate replaces the round-1 two-Window formulation
@@ -160,7 +173,7 @@ object Dedup {
     // sh has two consumers (the df aggregate and the ranked join) —
     // persist lazily so the tokenize + shingle explode + distinct runs
     // once, not twice (released with docsArr in the finalized call)
-    val sh = shingleRelHashed(docs, idCol, textCol, n)
+    val sh = sh0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val docsArr = materialize(
@@ -258,8 +271,14 @@ object Dedup {
     *    earlier md5-per-permutation form measured 5× slower at sf0.1). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numPerm: Int = 32, shingleN: Int = 3,
-                        family: String = "xxhash64"): DataFrame = {
-    val sh0 = shingleRel(docs, idCol, textCol, shingleN)
+                        family: String = "xxhash64"): DataFrame =
+    minhashSignaturesOn(shingleRel(docs, idCol, textCol, shingleN),
+      numPerm, family)
+
+  /** [[minhashSignatures]] over a pre-built distinct (id, sh) shingle
+    * relation — the [[recallAudit]] seam. */
+  private def minhashSignaturesOn(sh0: DataFrame, numPerm: Int,
+                                  family: String): DataFrame = {
     val (sh, perm: (Int => Column)) = family match {
       case "md5" =>
         val base = sh0.withColumn("h0",
@@ -287,10 +306,16 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleN: Int = 3,
-                   family: String = "xxhash64"): DataFrame = {
+                   family: String = "xxhash64"): DataFrame =
+    minhashPairsOn(
+      minhashSignatures(docs, idCol, textCol, numPerm, shingleN, family),
+      numPerm, bands, threshold, family)
+
+  /** [[minhashPairs]] over pre-built signatures — the [[recallAudit]]
+    * seam. */
+  private def minhashPairsOn(sigs: DataFrame, numPerm: Int, bands: Int,
+                             threshold: Double, family: String): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val sigs = minhashSignatures(docs, idCol, textCol, numPerm, shingleN,
-      family)
     val sigArr = array((0 until numPerm).map(i => col(s"h$i")): _*)
     // Materialize: the numPerm-aggregate signature subtree would otherwise
     // be codegen'd three times (band hashing + both self-join sides).
@@ -394,6 +419,33 @@ object Dedup {
         when(col("n_exact") > 0,
           round(col("n_both").cast("double") / col("n_exact"), 6))
           .otherwise(lit(1.0)).as("recall"))
+  }
+
+  /** [[pairAudit]] of [[ngramJaccardPairs]] (exact) against
+    * [[minhashPairs]] (banded estimate) over ONE shared tokenize +
+    * shingle-explode pass (r15 verdict item 3: the two standalone
+    * operators each paid their own corpus tokenization — the single
+    * most expensive stage of either pass). The raw pre-distinct
+    * (id, shingle) relation persists lazily; the exact pass derives
+    * its hashed-distinct keying and the MinHash pass its
+    * string-distinct keying from the same cache, so each pass's
+    * shuffles (and therefore its output) are IDENTICAL to its
+    * standalone twin — only the duplicated explode compute is shared.
+    * All corpus-sized intermediates, including both passes' persisted
+    * pair results, are released once the one-row audit materializes. */
+  def recallAudit(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, exactThreshold: Double = 0.5,
+                  numPerm: Int = 32, bands: Int = 8,
+                  approxThreshold: Double = 0.5,
+                  family: String = "xxhash64"): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val raw = shingleRelRaw(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = ngramJaccardPairsOn(hashedDistinct(raw), exactThreshold)
+    val approx = minhashPairsOn(
+      minhashSignaturesOn(raw.distinct(), numPerm, family),
+      numPerm, bands, approxThreshold, family)
+    finalized(pairAudit(exact, approx), raw, exact, approx)
   }
 
   /** (id, sig, band, bh) band-bucket relation over a (id, sig) signature

@@ -124,7 +124,15 @@ object Retrieval {
     * df is NOT persisted: each query derives df(t) by counting the
     * probed terms' postings — query-term-bounded work that
     * automatically reflects every append (FAISS-add semantics with no
-    * stale-df window). */
+    * stale-df window).
+    *
+    * Contract (ADVICE r15): doc ids must be UNIQUE within the indexed
+    * batch — `dl` is carried as a grouping key, so two input rows
+    * sharing an id but holding different texts would produce duplicate
+    * (term, doc) postings with conflicting dl instead of merging.
+    * Pre-aggregate duplicate ids before indexing if the source can
+    * re-deliver them ([[graft.operators.Dedup.incrementalNew]] is the
+    * standing tool for that). */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      table: String, path: String, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
@@ -183,17 +191,6 @@ object Retrieval {
         avg(col("dl")).as("avgdl"))
       .write.mode("overwrite").format("parquet")
       .option("path", s"${path}_stats").saveAsTable(s"${table}_stats")
-  }
-
-  /** The `_stats` scalars read BY NAME (ADVICE r14: the positional
-    * getDouble NPE'd on the NULL avgdl a fully-tombstoned corpus
-    * writes) — n_docs = 0 ⇒ avgdl is NULL and the caller must take the
-    * explicit empty-corpus path instead of scoring against it. */
-  private def readBm25Stats(spark: SparkSession,
-                            table: String): (Double, Double) = {
-    val row = spark.table(s"${table}_stats").head()
-    val nDocs = row.getAs[Double]("n_docs")
-    (nDocs, if (nDocs == 0.0) 0.0 else row.getAs[Double]("avgdl"))
   }
 
   /** The empty result an index whose every document has been deleted
@@ -257,11 +254,13 @@ object Retrieval {
         graft.engine.Bucketing.rewriteTable(spark, s"${table}_dl",
           df => df.join(t, Seq("doc"), "left_anti"))
         Similarity.truncateTombstones(spark, table)
-        // stats are already delete-corrected (the delete recomputed
-        // them); re-derive from the clean _dl to keep the invariant
-        // "stats ≡ aggregate of _dl minus tombstones" visibly true
-        writeBm25Stats(spark, table,
-          Similarity.indexBasePath(spark, table))
+        // NO stats rewrite here (r16): every tombstone arrives via
+        // [[deleteFromBm25Index]], which already recomputed stats as
+        // aggregate(_dl minus tombstones); the physical rewrite above
+        // removes exactly those rows from _dl and truncates the
+        // tombstones, so aggregate(clean _dl) equals the stored stats
+        // by construction — the former re-derive was a redundant
+        // write/commit action on the t39 critical path (guide §1.2).
       case None =>
         graft.engine.Bucketing.compactBucketed(spark, table)
     }
@@ -273,7 +272,9 @@ object Retrieval {
     * 2-column aggregate — NOT a corpus re-tokenize; exact arithmetic,
     * so an appended index scores identically to a fresh build over the
     * union). df needs no maintenance — it derives from the postings at
-    * query time. Append cost is |batch| + the dl-sidecar aggregate. */
+    * query time. Append cost is |batch| + the dl-sidecar aggregate.
+    * Doc ids must be unique within the batch AND against the existing
+    * index (the FAISS add() contract) — see [[writeBm25Index]]. */
   def appendBm25Index(spark: SparkSession, newDocs: DataFrame,
                       idCol: String, textCol: String, table: String,
                       buckets: Int = 8): Unit = {
@@ -301,7 +302,10 @@ object Retrieval {
     *     terms' files;
     *  2. df(t) is one count over those pruned postings;
     *  3. dl rides in the posting row — no dl join;
-    *  4. (N, avgdl) are the two stats-sidecar scalars.
+    *  4. (N, avgdl) are the two stats-sidecar scalars, unioned into
+    *     the df aggregate as a sentinel row so they cost no separate
+    *     driver action (r16: 5 driver actions → 4 on the pruned path,
+    *     3 → 2 before the final materialization otherwise).
     *
     * Everything downstream of the pruned scan is bounded by the query
     * terms' postings, never the corpus.
@@ -356,9 +360,6 @@ object Retrieval {
                                            maxScore: Boolean = true,
                                            commonAbove: Double = 0.1,
                                            matchAll: Boolean = false): (DataFrame, Seq[Any]) = {
-    val (nDocs, avgdl) = readBm25Stats(spark, table)
-    if (nDocs == 0.0)
-      return (emptyBm25Result(spark, table, queries, qidCol), Seq.empty)
     val qtRows = queries.select(col(qidCol).as("qid"),
         explode(TextOps.words(col(qtextCol))).as("term"))
       .distinct().collect()
@@ -383,16 +384,38 @@ object Retrieval {
     // a probed term self-corrects the moment a doc is tombstoned
     val postings = bm25Tombstones(spark, table)
       .fold(postings0)(t => postings0.join(broadcast(t), Seq("doc"), "left_anti"))
-    // ONE aggregate over the pruned postings scan yields df AND the
-    // per-term score-bound inputs (max tf, min dl) — the bounds ride
-    // the pass the df count already pays, so they are never stale
-    // (appends/deletes reflect immediately; the r14 verdict's build-
-    // time sidecar would go stale-high under deletes instead)
-    val termStats = postings.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"),
-        max(col("tf")).cast("double").as("maxtf"),
-        min(col("dl")).as("mindl"))
+    // ONE driver action yields the (N, avgdl) stats scalars AND the
+    // per-term df / score-bound inputs (max tf, min dl over the same
+    // pruned scan): the `_stats` row rides the aggregate as a
+    // term-IS-NULL sentinel, folding the former separate stats head()
+    // — a whole job barrier per query on the indexed path, whose
+    // residual time is action-count-bound (guide §1.2; r15 verdict
+    // item 4). The bounds ride the pass the df count already pays, so
+    // they are never stale (appends/deletes reflect immediately; the
+    // r14 verdict's build-time sidecar would go stale-high under
+    // deletes instead).
+    val combined = spark.table(s"${table}_stats")
+      .select(lit(null).cast("string").as("term"),
+        lit(0.0).as("df"), lit(0.0).as("maxtf"), lit(0.0).as("mindl"),
+        col("n_docs"), col("avgdl"))
+      .unionByName(postings.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"),
+          max(col("tf")).cast("double").as("maxtf"),
+          min(col("dl")).as("mindl"))
+        .select(col("term"), col("df"), col("maxtf"), col("mindl"),
+          lit(0.0).as("n_docs"), lit(0.0).as("avgdl")))
       .collect()
+    // exactly one sentinel: `_stats` holds one row by construction and
+    // words() never yields a null term
+    val statsRow = combined.find(_.isNullAt(0)).getOrElse(
+      throw new IllegalStateException(s"${table}_stats is empty"))
+    val nDocs = statsRow.getAs[Double]("n_docs")
+    if (nDocs == 0.0)
+      return (emptyBm25Result(spark, table, queries, qidCol), Seq.empty)
+    // read avgdl only on the non-empty path (ADVICE r14: a fully-
+    // tombstoned corpus writes a NULL avgdl)
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    val termStats = combined.filter(r => !r.isNullAt(0))
     val dfq = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(termStats.map(r =>
         org.apache.spark.sql.Row(r.get(0), r.getDouble(1))): _*),

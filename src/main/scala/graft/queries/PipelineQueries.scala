@@ -1549,14 +1549,12 @@ object PipelineQueries {
     // production near-dup deployment runs when picking numPerm/bands.
     // Audit cost is two pair distincts + one semi join, a fraction of
     // either dedup pass it grades.
-    "d22_dedup_recall_audit" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.pairAudit(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5),
-        Dedup.minhashPairs(docs, "doc_id", "text",
-          numPerm = 32, bands = 8, threshold = 0.5, family = "md5"))
-    }),
+    "d22_dedup_recall_audit" -> ((s, d) =>
+      // one shared tokenize+shingle pass feeds both graded passes
+      // (r16; each pass's own shuffles and output are unchanged)
+      Dedup.recallAudit(Tables.documents(s, d), "doc_id", "text",
+        n = 3, exactThreshold = 0.5, numPerm = 32, bands = 8,
+        approxThreshold = 0.5, family = "md5")),
 
     // MinHash-estimated containment (the linear-cost scale twin of d19's
     // exact inverted-index containment): corpus ∪ tail-truncated
